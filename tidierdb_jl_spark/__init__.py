@@ -1,0 +1,33 @@
+"""tidierdb_jl_spark — a PySpark-native tidy analytics engine.
+
+A from-scratch reimplementation of the query capabilities of
+TidierOrg/TidierDB.jl (see SURVEY.md) where the lazy IR is the Spark
+DataFrame itself: every tidy verb builds Catalyst logical-plan nodes and
+Catalyst/Tungsten/AQE provide optimization and distributed execution.
+Beyond the reference's surface it adds Structured-Streaming operators and
+LLM-data-pipeline primitives (dedup, similarity search, multimodal
+columns, text analysis) designed for 100 TB scale.
+"""
+
+from .core import TidyFrame
+from .session import connect, get_spark, register_testdata
+from .sources.readers import copy_to, db_table, dt, show_tables
+from .sources.writers import create_table, write_file
+from .plans.show import plan_summary, show_query
+
+__all__ = [
+    "TidyFrame",
+    "connect",
+    "get_spark",
+    "register_testdata",
+    "db_table",
+    "dt",
+    "copy_to",
+    "show_tables",
+    "create_table",
+    "write_file",
+    "plan_summary",
+    "show_query",
+]
+
+__version__ = "0.1.0"

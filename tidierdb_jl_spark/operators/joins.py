@@ -1,0 +1,150 @@
+"""Join operators: six join types, multi-key, inequality (theta), as-of.
+
+The reference funnels all joins through ``do_join``
+(``/root/reference/src/joins_sq.jl:159-316``) with a condition parser
+supporting bare keys, ``a == b``, inequality operators, and ``closest()``
+for as-of joins (``/root/reference/src/db_parsing.jl:474-527``).  Key
+semantics replicated here:
+
+- duplicated equi-join keys are dropped from the right side; for full
+  joins the surviving key is ``COALESCE(l.k, r.k)``
+  (``/root/reference/src/joins_sq.jl:101-137``);
+- multiple conditions AND together (multi-key joins);
+- ``closest(l_ts >= r_ts)`` → as-of join.
+
+Scale design: equi/mixed joins go straight to ``DataFrame.join`` so
+Catalyst + AQE pick broadcast / sort-merge / shuffled-hash and handle skew.
+The as-of join is implemented as a **union + ordered window fill** — one
+shuffle on the equi keys and one sort, instead of the broadcast-nested-loop
+plan a naive range predicate would produce.  Pure theta joins (no equi key)
+are BroadcastNestedLoop by construction; acceptable when one side is small,
+flagged in docs otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+__all__ = ["do_join", "parse_by"]
+
+_COND_RE = re.compile(
+    r"^\s*(?P<l>[A-Za-z_][\w.]*)\s*(?P<op>==|=|>=|<=|!=|>|<)\s*(?P<r>[A-Za-z_][\w.]*)\s*$"
+)
+_CLOSEST_RE = re.compile(r"^\s*closest\s*\((?P<inner>.+)\)\s*$", re.S)
+
+
+@dataclass
+class JoinCond:
+    left: str
+    op: str
+    right: str
+    closest: bool = False
+
+
+def parse_by(by, left_cols, right_cols) -> list[JoinCond]:
+    """Parse the ``by`` spec (``/root/reference/src/db_parsing.jl:474-527``).
+
+    ``None`` → natural join on common column names (dplyr behavior).
+    """
+    if by is None:
+        common = [c for c in left_cols if c in right_cols]
+        if not common:
+            raise ValueError("no common columns for a natural join; pass `by=`")
+        return [JoinCond(c, "==", c) for c in common]
+    if isinstance(by, str):
+        by = [by]
+    conds = []
+    for item in by:
+        s = str(item).strip()
+        m = _CLOSEST_RE.match(s)
+        closest = False
+        if m:
+            s = m.group("inner").strip()
+            closest = True
+        m = _COND_RE.match(s)
+        if m:
+            op = "==" if m.group("op") == "=" else m.group("op")
+            conds.append(JoinCond(m.group("l"), op, m.group("r"), closest))
+        elif re.match(r"^[A-Za-z_]\w*$", s):
+            conds.append(JoinCond(s, "==", s))
+        else:
+            raise ValueError(f"cannot parse join condition {item!r}")
+    return conds
+
+
+_HOW_MAP = {
+    "left": "left",
+    "right": "right",
+    "inner": "inner",
+    "full": "full",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
+def do_join(left, right, by, how: str, force_asof: bool = False):
+    from ..core import TidyFrame
+
+    rtf = right if isinstance(right, TidyFrame) else TidyFrame(right)
+    ldf, rdf = left.df, rtf.df
+    conds = parse_by(by, ldf.columns, rdf.columns)
+
+    closest = [c for c in conds if c.closest]
+    if closest or force_asof:
+        if len(closest) != 1:
+            raise ValueError("as-of join needs exactly one closest(...) condition")
+        from .asof import asof_join
+
+        eq = [(c.left, c.right) for c in conds if not c.closest]
+        if how not in ("left", "inner"):
+            raise ValueError("as-of join supports how='left'|'inner'")
+        out = asof_join(ldf, rdf, eq, closest[0].left, closest[0].op, closest[0].right, how)
+        return TidyFrame(out)
+
+    la, ra = "__tidy_l", "__tidy_r"
+    l, r = ldf.alias(la), rdf.alias(ra)
+
+    cond = None
+    equi_pairs: list[tuple[str, str]] = []
+    for c in conds:
+        lc, rc = F.col(f"{la}.{c.left}"), F.col(f"{ra}.{c.right}")
+        piece = {
+            "==": lc == rc,
+            ">=": lc >= rc,
+            "<=": lc <= rc,
+            ">": lc > rc,
+            "<": lc < rc,
+            "!=": lc != rc,
+        }[c.op]
+        cond = piece if cond is None else cond & piece
+        if c.op == "==":
+            equi_pairs.append((c.left, c.right))
+
+    joined = l.join(r, cond, _HOW_MAP[how])
+
+    if how in ("semi", "anti"):
+        return TidyFrame(joined, groups=left.groups)
+
+    # Projection: left columns (full-join keys coalesced,
+    # /root/reference/src/joins_sq.jl:101-137), right columns minus dropped
+    # equi keys; right non-key name collisions get a `_right` suffix.
+    right_keys_dropped = {rc for _, rc in equi_pairs}
+    out_cols = []
+    for name in ldf.columns:
+        lk = next((p for p in equi_pairs if p[0] == name), None)
+        if how == "full" and lk is not None:
+            out_cols.append(
+                F.coalesce(F.col(f"{la}.{name}"), F.col(f"{ra}.{lk[1]}")).alias(name)
+            )
+        else:
+            out_cols.append(F.col(f"{la}.{name}").alias(name))
+    for name in rdf.columns:
+        if name in right_keys_dropped:
+            continue
+        alias = f"{name}_right" if name in ldf.columns else name
+        out_cols.append(F.col(f"{ra}.{name}").alias(alias))
+
+    return TidyFrame(joined.select(*out_cols), groups=left.groups)

@@ -1,0 +1,86 @@
+"""SparkSession factory — the reference's ``connect()``
+(``/root/reference/src/TidierDB.jl:377-441``) collapses to one engine.
+
+Defaults are tuned for the test container (local[N]) but every knob is the
+one that matters on a real cluster too: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), shuffle partitions sized to parallelism,
+UTC session timezone (oracle parity), Arrow transfers for the Python
+boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "connect", "TESTDATA_TABLES", "register_testdata"]
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app: str = "tidierdb-jl-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
+        # register_testdata converts the long back to a timestamp column
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+connect = get_spark
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict:
+    """Register the driver's parquet tables as temp views; returns
+    {name: TidyFrame}."""
+    from .core import TidyFrame
+
+    out = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # nanosAsLong read: restore the timestamp (micro precision)
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = TidyFrame(df)
+    return out

@@ -1,0 +1,105 @@
+"""Source readers — the reference's ``db_table`` / ``dt`` surface.
+
+Reference (``/root/reference/src/TidierDB.jl:155-307``): start a lazy query
+from a table name, file path (csv/tsv/parquet/json), URL/glob, vector of
+paths, Iceberg/Delta scan, or a registered local DataFrame — never copying
+data client-side.  Spark mapping: ``spark.read.*`` / ``spark.table`` are
+lazy by construction; globs and multi-path reads are native; Delta/Iceberg
+need their connector jars (gated behind a clear error here — not in this
+image).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..core import TidyFrame
+
+__all__ = ["db_table", "dt", "copy_to", "show_tables"]
+
+_EXT_READERS = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+}
+
+
+def _format_for(path: str, fmt: str | None) -> str:
+    if fmt:
+        return fmt
+    low = path.lower().rstrip("*/")
+    for ext, f in _EXT_READERS.items():
+        if low.endswith(ext):
+            return f
+    return "parquet"
+
+
+def db_table(
+    spark: SparkSession,
+    source,
+    *,
+    alias: str | None = None,
+    fmt: str | None = None,
+    iceberg: bool = False,
+    delta: bool = False,
+    **options,
+) -> TidyFrame:
+    """Create a lazy TidyFrame from a table name, path, glob, list of paths,
+    or a pandas DataFrame (``/root/reference/src/TidierDB.jl:155-307``)."""
+    if iceberg or delta:
+        fmt_name = "iceberg" if iceberg else "delta"
+        try:
+            df = spark.read.format(fmt_name).load(source)
+        except Exception as e:  # connector jars absent in this image
+            raise RuntimeError(
+                f"{fmt_name} connector not on the classpath; add the {fmt_name} "
+                "runtime jar to spark.jars.packages"
+            ) from e
+        out = TidyFrame(df)
+    elif isinstance(source, (list, tuple)):
+        # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
+        f = _format_for(str(source[0]), fmt)
+        reader = spark.read.options(**_reader_opts(f, options))
+        df = getattr(reader, f)(list(source))
+        out = TidyFrame(df)
+    elif hasattr(source, "__dataframe__") or type(source).__name__ == "DataFrame" and not hasattr(source, "sparkSession"):
+        # local pandas frame → Arrow path (/root/reference/src/TidierDB.jl:296-307)
+        out = TidyFrame(spark.createDataFrame(source))
+    elif isinstance(source, str) and ("/" in source or "." in source.rsplit("/", 1)[-1] or "*" in source):
+        f = _format_for(source, fmt)
+        reader = spark.read.options(**_reader_opts(f, options))
+        df = getattr(reader, f)(source)
+        out = TidyFrame(df)
+    else:
+        out = TidyFrame(spark.table(str(source)))
+    if alias:
+        out.df.createOrReplaceTempView(alias)
+    return out
+
+
+dt = db_table
+
+
+def _reader_opts(fmt: str, options: dict) -> dict:
+    opts = dict(options)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("inferSchema", "true")
+    return opts
+
+
+def copy_to(spark: SparkSession, source, name: str, overwrite: bool = True) -> None:
+    """Materialize a DataFrame/path into a named table
+    (``/root/reference/src/TidierDB.jl:316-371``)."""
+    tf = source if isinstance(source, TidyFrame) else db_table(spark, source)
+    tf.df.write.saveAsTable(name, mode="overwrite" if overwrite else "errorifexists")
+
+
+def show_tables(spark: SparkSession):
+    """(``/root/reference/src/TidierDB_macros.jl:686-688``)."""
+    return spark.sql("SHOW TABLES")

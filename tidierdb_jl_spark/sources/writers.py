@@ -1,0 +1,32 @@
+"""Sinks — write_file / create_table / create_view.
+
+Reference: ``/root/reference/src/view_compute.jl:13-109`` (``COPY (query)
+TO path`` with format by extension; CREATE [OR REPLACE] TABLE/VIEW AS).
+"""
+
+from __future__ import annotations
+
+__all__ = ["write_file", "create_table"]
+
+_EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+
+
+def write_file(tf, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    fmt = next((f for ext, f in _EXT.items() if path.lower().endswith(ext)), "parquet")
+    writer = tf.df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+
+def create_table(tf, name: str, replace: bool = True, temp: bool = False) -> None:
+    """(``/root/reference/src/view_compute.jl:45-94``)."""
+    if temp:
+        if replace:
+            tf.df.createOrReplaceTempView(name)
+        else:
+            tf.df.createTempView(name)
+        return
+    tf.df.write.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
