@@ -1,0 +1,191 @@
+"""Differential tests for joins (SURVEY §2.3): six types, multi-key,
+inequality, as-of (vs DuckDB's native ASOF JOIN)."""
+
+from helpers import assert_matches_duckdb
+
+
+def test_inner_join_projection(tables, ddb):
+    q = (
+        tables["orders"]
+        .inner_join(tables["customer"], by="o_custkey == c_custkey")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "inner",
+    )
+
+
+def test_left_join_key_dropped(tables, ddb):
+    q = tables["customer"].left_join(tables["nation"], by="c_nationkey == n_nationkey")
+    assert "n_nationkey" not in q.columns  # right equi key dropped
+    q = q.select("c_custkey", "n_name")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT c_custkey, n_name
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "left",
+    )
+
+
+def test_full_join_coalesced_key(tables, ddb):
+    lhs = tables["orders"].distinct("o_custkey")
+    rhs = tables["customer"].filter("c_acctbal > 9000").distinct("c_custkey")
+    q = lhs.full_join(rhs, by="o_custkey == c_custkey")
+    assert q.columns == ["o_custkey"]  # key coalesced into left name
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT coalesce(l.o_custkey, r.c_custkey) AS o_custkey
+        FROM (SELECT DISTINCT o_custkey FROM orders) l
+        FULL JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000) r
+          ON l.o_custkey = r.c_custkey
+        """,
+        "full",
+    )
+
+
+def test_semi_anti(tables, ddb):
+    big = tables["orders"].filter("o_totalprice > 200000")
+    q = tables["customer"].semi_join(big, by="c_custkey == o_custkey").select("c_custkey")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "semi",
+    )
+    q2 = tables["customer"].anti_join(big, by="c_custkey == o_custkey").select("c_custkey")
+    assert_matches_duckdb(
+        q2,
+        ddb,
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "anti",
+    )
+
+
+def test_multi_key_join(tables, ddb):
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+    q = li.inner_join(li, by=["l_orderkey", "l_partkey"]).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_quantity_right"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT a.l_orderkey, a.l_partkey, a.l_quantity,
+               b.l_quantity AS l_quantity_right
+        FROM (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem) a
+        JOIN (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+        """,
+        "multi-key self join",
+    )
+
+
+def test_inequality_join(tables, ddb):
+    small = tables["region"]
+    q = small.inner_join(tables["nation"], by="r_regionkey >= n_regionkey").select(
+        "r_regionkey", "r_name", "n_nationkey", "n_name"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT r_regionkey, r_name, n_nationkey, n_name
+        FROM region JOIN nation ON r_regionkey >= n_regionkey
+        """,
+        "theta",
+    )
+
+
+def test_natural_join(tables, ddb):
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    ords = tables["orders"].select("o_orderkey", "o_totalprice").rename(
+        l_orderkey="o_orderkey"
+    )
+    q = li.inner_join(ords)  # natural on l_orderkey
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT l_orderkey, l_quantity, o_totalprice
+        FROM (SELECT l_orderkey, l_quantity FROM lineitem) a
+        JOIN (SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders) b USING (l_orderkey)
+        """,
+        "natural",
+    )
+
+
+def test_asof_join_backward(tables, ddb):
+    # for each order, the latest event by the same "user" (custkey % 50)
+    # at or before the order date — classic as-of backward join
+    lhs = tables["orders"].mutate(uid="o_custkey % 50").select(
+        "o_orderkey", "uid", "o_orderdate"
+    )
+    rhs = (
+        tables["events"]
+        .select("user_id", "ts", "value")
+        .rename(ev_value="value")
+    )
+    q = lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate >= ts)"])
+    assert q.columns == ["o_orderkey", "uid", "o_orderdate", "ts", "ev_value"]
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT o.o_orderkey, o.uid, o.o_orderdate, e.ts, e.value AS ev_value
+        FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate FROM orders) o
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+          ON o.uid = e.user_id AND o.o_orderdate >= e.ts
+        """,
+        "asof backward",
+    )
+
+
+def test_asof_join_inner_strict(tables, ddb):
+    lhs = tables["orders"].mutate(uid="o_custkey % 50").select("o_orderkey", "uid", "o_orderdate")
+    rhs = tables["events"].select("user_id", "ts", "value").rename(ev_value="value")
+    q = lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate > ts)"], how="inner")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT o.o_orderkey, o.uid, o.o_orderdate, e.ts, e.value AS ev_value
+        FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate FROM orders) o
+        ASOF JOIN (SELECT user_id, ts, value FROM events) e
+          ON o.uid = e.user_id AND o.o_orderdate > e.ts
+        """,
+        "asof strict inner",
+    )
+
+
+def test_asof_join_forward(tables, ddb):
+    lhs = tables["orders"].mutate(uid="o_custkey % 50").select("o_orderkey", "uid", "o_orderdate")
+    rhs = tables["events"].select("user_id", "ts", "value").rename(ev_value="value")
+    q = lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate <= ts)"])
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT o.o_orderkey, o.uid, o.o_orderdate, e.ts, e.value AS ev_value
+        FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate FROM orders) o
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+          ON o.uid = e.user_id AND o.o_orderdate <= e.ts
+        """,
+        "asof forward",
+    )

@@ -78,9 +78,7 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict:
                 # nanosAsLong read: restore the timestamp (micro precision)
                 from pyspark.sql import functions as F
 
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             df.createOrReplaceTempView(name)
             out[name] = TidyFrame(df)
     return out
