@@ -1,38 +1,565 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the tidierdb_jl_spark public API; ``oracle_sql()`` holds the
+ANSI-SQL equivalent DuckDB runs over the same parquet for the differential
+correctness gate.  Oracle SQL carries explicit casts wherever DuckDB's
+result type differs from Spark's (HUGEINT sums, BIGINT rank/year, …) so
+schema+hash comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+# ---------------------------------------------------------------------------
+# table loading
+# ---------------------------------------------------------------------------
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver parquet tables as TidyFrames on any SparkSession."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    out = {}
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        out[name] = TidyFrame(df)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    t = _tables(spark, "/root/testdata/sf0.001")
+    return _q01(t).df
+
+
+# ---------------------------------------------------------------------------
+# query builders (our engine)
+# ---------------------------------------------------------------------------
+
+def _q01(t):
+    return (
+        t["lineitem"]
+        .filter("l_shipdate <= '1998-09-02'")
+        .group_by("l_returnflag", "l_linestatus")
+        .summarize(
+            sum_qty="sum(l_quantity)",
+            sum_base_price="sum(l_extendedprice)",
+            sum_disc_price="sum(l_extendedprice * (1 - l_discount))",
+            sum_charge="sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))",
+            avg_qty="mean(l_quantity)",
+            avg_price="mean(l_extendedprice)",
+            avg_disc="mean(l_discount)",
+            count_order="n()",
+        )
+        .arrange("l_returnflag", "l_linestatus")
+    )
+
+
+def _q02(t):
+    return (
+        t["lineitem"]
+        .select("l_orderkey:l_quantity", "starts_with('l_ship')")
+        .filter("l_quantity > 45", "l_suppkey % 2 == 0")
+    )
+
+
+def _q03(t):
+    return (
+        t["orders"]
+        .mutate(
+            bucket="case_when(o_totalprice < 50000, 'low', o_totalprice < 200000, 'mid', 'high')",
+            flag="if_else(o_orderstatus == 'O', 1, 0)",
+            bal="replace_missing(o_totalprice, 0.0)",
+            pk_str="as_string(o_orderkey)",
+        )
+        .select("o_orderkey", "bucket", "flag", "bal", "pk_str")
+    )
+
+
+def _q04(t):
+    return (
+        t["customer"]
+        .mutate(
+            up="str_to_upper(c_name)",
+            first_digit_gone="str_replace(c_name, '[0-9]', '#')",
+            no_digits="str_remove_all(c_name, '[0-9]')",
+            has_77="str_detect(c_name, '77')",
+            name_len="length(c_name)",
+        )
+        .select("c_custkey", "up", "first_digit_gone", "no_digits", "has_77", "name_len")
+    )
+
+
+def _q05(t):
+    return (
+        t["orders"]
+        .mutate(
+            mo="floor_date(o_orderdate, 'month')",
+            yr="as_integer(year(o_orderdate))",
+            due="o_orderdate + Day(30)",
+            age_days="as_integer(difftime('1998-12-31', o_orderdate, 'day'))",
+        )
+        .select("o_orderkey", "mo", "yr", "due", "age_days")
+    )
+
+
+def _q06(t):
+    return (
+        t["customer"]
+        .left_join(t["nation"], by="c_nationkey == n_nationkey")
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+def _q07(t):
+    return (
+        t["customer"]
+        .inner_join(t["orders"], by="c_custkey == o_custkey")
+        .inner_join(t["lineitem"], by="o_orderkey == l_orderkey")
+        .group_by("c_mktsegment")
+        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))", n_lines="n()")
+        .arrange("desc(revenue)")
+    )
+
+
+def _q08(t):
+    return (
+        t["customer"]
+        .semi_join(t["orders"].filter("o_totalprice > 250000"), by="c_custkey == o_custkey")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def _q09(t):
+    return (
+        t["customer"]
+        .anti_join(t["orders"], by="c_custkey == o_custkey")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def _q10(t):
+    lhs = t["orders"].distinct("o_custkey")
+    rhs = t["customer"].filter("c_acctbal > 8000").distinct("c_custkey")
+    return lhs.full_join(rhs, by="o_custkey == c_custkey")
+
+
+def _q11(t):
+    return (
+        t["region"]
+        .inner_join(t["nation"], by="r_regionkey >= n_regionkey")
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+    )
+
+
+def _q12(t):
+    lhs = t["orders"].mutate(uid="o_custkey % 50").select("o_orderkey", "uid", "o_orderdate")
+    rhs = t["events"].select("user_id", "ts", "value").rename(ev_value="value")
+    return lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate <= ts)"])
+
+
+def _q13(t):
+    return (
+        t["lineitem"]
+        .group_by("l_orderkey")
+        .window_order("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .mutate(
+            rn="as_integer(row_number())",
+            prev_qty="lag(l_quantity, 1)",
+            qty_rank="as_integer(rank())",
+        )
+        .select("l_orderkey", "l_linenumber", "rn", "prev_qty", "qty_rank")
+    )
+
+
+def _q14(t):
+    return (
+        t["lineitem"]
+        .group_by("l_suppkey")
+        .window_order("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .window_frame(-3, 0)
+        .mutate(ma4="mean(l_extendedprice)")
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "ma4")
+    )
+
+
+def _q15(t):
+    return (
+        t["orders"]
+        .group_by("o_custkey")
+        .window_order("o_orderdate", "o_orderkey")
+        .mutate(cum_spend="cumsum(o_totalprice)")
+        .select("o_custkey", "o_orderkey", "cum_spend")
+    )
+
+
+def _q16(t):
+    return (
+        t["lineitem"]
+        .group_by("l_returnflag")
+        .slice_max("l_extendedprice", n=3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def _q17(t):
+    return t["lineitem"].distinct("l_returnflag", "l_linestatus")
+
+
+def _q18(t):
+    return t["orders"].count("o_orderpriority")
+
+
+def _q19(t):
+    a = t["orders"].filter("o_totalprice > 300000").select("o_custkey")
+    b = t["orders"].filter("o_orderstatus == 'F'").select("o_custkey")
+    return a.union(b)
+
+
+def _q20(t):
+    a = t["orders"].filter("o_totalprice > 300000").select("o_custkey")
+    b = t["orders"].filter("o_orderstatus == 'F'").select("o_custkey")
+    return a.setdiff(b)
+
+
+def _q21(t):
+    a = t["orders"].filter("o_totalprice > 300000").select("o_custkey")
+    b = t["orders"].filter("o_orderstatus == 'F'").select("o_custkey")
+    return a.intersect(b)
+
+
+def _q22(t):
+    return (
+        t["lineitem"]
+        .summarize(qty="sum(l_quantity)", _by=["l_returnflag", "l_linestatus"])
+        .pivot_wider(names_from="l_linestatus", values_from="qty")
+    )
+
+
+def _q23(t):
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .pivot_longer(["l_quantity", "l_extendedprice"])
+    )
+
+
+def _q24(t):
+    return (
+        t["part"]
+        .select("p_partkey", "p_type", "p_brand")
+        .separate("p_type", ["t1", "t2", "t3"], sep=" ")
+        .unite("brand_t1", ["p_brand", "t1"], sep="|")
+    )
+
+
+def _q25(t):
+    return t["lineitem"].group_by("l_returnflag").summarize(
+        "across(l_quantity:l_extendedprice, (mean, sum))"
+    )
+
+
+def _q26(t):
+    return (
+        t["lineitem"]
+        .group_by("l_orderkey")
+        .filter("l_quantity > mean(l_quantity)")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def _q27(t):
+    return (
+        t["orders"]
+        .group_by("o_custkey")
+        .summarize(n="n()", spend="sum(o_totalprice)")
+        .filter("n >= 4")
+        .arrange("desc(spend)")
+    )
+
+
+def _q28(t):
+    return (
+        t["events"]
+        .mutate(prev_ts="lag(ts, 1)", _by="user_id", _order=["ts", "event_id"])
+        .mutate(
+            is_new="if_else(prev_ts IS NULL OR unix_micros(ts) - unix_micros(prev_ts) >= 1800000000, 1, 0)"
+        )
+        .mutate(session_no="cumsum(is_new)", _by="user_id", _order=["ts", "event_id"])
+        .group_by("user_id", "session_no")
+        .summarize(n_events="n()", session_value="sum(value)")
+    )
+
+
+def _q29(t):
+    return (
+        t["events"]
+        .mutate(bucket="timestamp_micros(unix_micros(ts) div 600000000 * 600000000)")
+        .group_by("bucket", "event_type")
+        .summarize(n="n()", total_value="sum(value)")
+    )
+
+
+_BUILDERS = {
+    "q01_tpch_q1": _q01,
+    "q02_tidy_select_filter": _q02,
+    "q03_conditionals": _q03,
+    "q04_strings": _q04,
+    "q05_dates": _q05,
+    "q06_left_join": _q06,
+    "q07_join3_revenue": _q07,
+    "q08_semi_join": _q08,
+    "q09_anti_join": _q09,
+    "q10_full_join": _q10,
+    "q11_theta_join": _q11,
+    "q12_asof_join": _q12,
+    "q13_window_rank": _q13,
+    "q14_window_frame": _q14,
+    "q15_cumsum": _q15,
+    "q16_slice_max": _q16,
+    "q17_distinct": _q17,
+    "q18_count": _q18,
+    "q19_union": _q19,
+    "q20_setdiff": _q20,
+    "q21_intersect": _q21,
+    "q22_pivot_wider": _q22,
+    "q23_pivot_longer": _q23,
+    "q24_separate_unite": _q24,
+    "q25_across": _q25,
+    "q26_grouped_filter": _q26,
+    "q27_having": _q27,
+    "q28_sessionize": _q28,
+    "q29_tumbling_10min": _q29,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def make(builder):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return builder(_tables(spark, sf_dir)).df
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
 
+    return {name: make(b) for name, b in _BUILDERS.items()}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (explicit casts align DuckDB result types with Spark's)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_tidy_select_filter": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_shipdate
+            FROM lineitem WHERE l_quantity > 45 AND l_suppkey % 2 = 0
+        """,
+        "q03_conditionals": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket,
+                   CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS flag,
+                   coalesce(o_totalprice, 0.0) AS bal,
+                   CAST(o_orderkey AS VARCHAR) AS pk_str
+            FROM orders
+        """,
+        "q04_strings": """
+            SELECT c_custkey, upper(c_name) AS up,
+                   regexp_replace(c_name, '[0-9]', '#') AS first_digit_gone,
+                   regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+                   regexp_matches(c_name, '77') AS has_77,
+                   CAST(length(c_name) AS INT) AS name_len
+            FROM customer
+        """,
+        "q05_dates": """
+            SELECT o_orderkey, date_trunc('month', o_orderdate) AS mo,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   o_orderdate + INTERVAL 30 DAY AS due,
+                   CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS age_days
+            FROM orders
+        """,
+        "q06_left_join": """
+            SELECT c_custkey, c_name, n_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "q07_join3_revenue": """
+            SELECT c_mktsegment,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY c_mktsegment
+            ORDER BY revenue DESC
+        """,
+        "q08_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+        """,
+        "q09_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q10_full_join": """
+            SELECT coalesce(l.o_custkey, r.c_custkey) AS o_custkey
+            FROM (SELECT DISTINCT o_custkey FROM orders) l
+            FULL JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 8000) r
+              ON l.o_custkey = r.c_custkey
+        """,
+        "q11_theta_join": """
+            SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region JOIN nation ON r_regionkey >= n_regionkey
+        """,
+        "q12_asof_join": """
+            SELECT o.o_orderkey, o.uid, o.o_orderdate, e.ts, e.value AS ev_value
+            FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate FROM orders) o
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+              ON o.uid = e.user_id AND o.o_orderdate <= e.ts
+        """,
+        "q13_window_rank": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(l_quantity, 1) OVER w AS prev_qty,
+                   CAST(rank() OVER w AS BIGINT) AS qty_rank
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+        """,
+        "q14_window_frame": """
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+            FROM lineitem
+        """,
+        "q15_cumsum": """
+            SELECT o_custkey, o_orderkey,
+                   sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+            FROM orders
+        """,
+        "q16_slice_max": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC NULLS LAST) AS r
+              FROM lineitem) WHERE r <= 3
+        """,
+        "q17_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "q18_count": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q19_union": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q20_setdiff": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q21_intersect": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q22_pivot_wider": """
+            SELECT l_returnflag,
+                   any_value(qty) FILTER (WHERE l_linestatus = 'F') AS "F",
+                   any_value(qty) FILTER (WHERE l_linestatus = 'O') AS "O"
+            FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+                  FROM lineitem GROUP BY 1, 2)
+            GROUP BY l_returnflag
+        """,
+        "q23_pivot_longer": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+        """,
+        "q24_separate_unite": """
+            SELECT p_partkey,
+                   concat_ws('|', p_brand, parts[1]) AS brand_t1,
+                   parts[2] AS t2,
+                   CASE WHEN len(parts) >= 3 THEN array_to_string(parts[3:], ' ') END AS t3
+            FROM (SELECT p_partkey, p_brand, string_split(p_type, ' ') AS parts FROM part)
+        """,
+        "q25_across": """
+            SELECT l_returnflag,
+                   avg(l_quantity) AS l_quantity_mean, sum(l_quantity) AS l_quantity_sum,
+                   avg(l_extendedprice) AS l_extendedprice_mean,
+                   sum(l_extendedprice) AS l_extendedprice_sum
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q26_grouped_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     avg(l_quantity) OVER (PARTITION BY l_orderkey) AS m
+              FROM lineitem) WHERE l_quantity > m
+        """,
+        "q27_having": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                   sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 4
+            ORDER BY spend DESC
+        """,
+        "q28_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM lagged
+            ), sess AS (
+              SELECT user_id, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(value) AS session_value
+            FROM sess GROUP BY user_id, session_no
+        """,
+        "q29_tumbling_10min": """
+            SELECT make_timestamp(epoch_us(ts) // 600000000 * 600000000) AS bucket, event_type,
+                   CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

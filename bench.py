@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing discipline (BASELINE.md): one warm-up action to JIT/open files,
+then each query is executed twice end-to-end (plan + execute + fetch top
+rows) and the best time recorded.  AQE on, shuffle partitions = cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+HEADLINE = [
+    "q01_tpch_q1",
+    "q07_join3_revenue",
+    "q12_asof_join",
+    "q13_window_rank",
+    "q14_window_frame",
+    "q16_slice_max",
+    "q22_pivot_wider",
+    "q26_grouped_filter",
+    "q28_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tidierdb_jl_spark import get_spark
+
+    spark = get_spark(app="tidierdb-bench", cpus=cpus, shuffle_partitions=int(cpus))
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm-up: JIT, parquet footers, codegen caches
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
