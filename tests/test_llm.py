@@ -1,0 +1,256 @@
+"""Tests for the LLM-pipeline operators: text stats, dedup families,
+similarity search, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+
+from helpers import assert_matches_duckdb
+from tidierdb_jl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signature,
+)
+from tidierdb_jl_spark.llm.simsearch import cosine_topk, lsh_cosine_topk
+from tidierdb_jl_spark.llm.textstats import (
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+    with_token_count,
+)
+
+
+def test_token_count(tables, ddb):
+    q = with_token_count(tables["documents"]).select("doc_id", "n_tokens")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT doc_id, CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS INT) AS n_tokens
+        FROM documents
+        """,
+        "token_count",
+    )
+
+
+def test_text_stats(tables, ddb):
+    q = with_text_stats(tables["documents"]).select(
+        "doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents)
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+               CAST(len(toks) AS INT) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS avg_word_len,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio
+        FROM t
+        """,
+        "text_stats",
+    )
+
+
+def test_fingerprint(tables, ddb):
+    q = with_fingerprint(tables["documents"]).select("doc_id", "fingerprint")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+        """,
+        "fingerprint",
+    )
+
+
+def test_language_id_heuristic(spark):
+    # NOTE: the driver's synthetic documents carry the same English tech
+    # vocabulary under every lang label, so the label is untestable from
+    # text; test the heuristic itself on real-language snippets
+    from tidierdb_jl_spark import TidyFrame
+
+    samples = [
+        (1, "the cat is on the mat and it is happy with this", "en"),
+        (2, "el gato esta en la casa y los perros con sus amigos", "es"),
+        (3, "der hund und die katze sind mit dem kind im haus", "de"),
+        (4, "le chat est dans la maison et les chiens sont pour nous", "fr"),
+        (5, "这是一个中文句子", "zh"),
+        (6, "", "und"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, expected string")
+    out = with_language_id(TidyFrame(df)).collect()
+    got = dict(zip(out["doc_id"], out["lang_pred"]))
+    exp = dict(zip(out["doc_id"], out["expected"]))
+    assert got == exp, f"lang-id mismatch: {got} vs {exp}"
+
+
+def test_exact_dedup(tables, ddb):
+    q = exact_dedup(tables["documents"], "doc_id").select(
+        "doc_id", "fingerprint", "keep_id"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+        FROM fp
+        """,
+        "exact_dedup",
+    )
+
+
+def test_minhash_detects_near_dups(spark, tables):
+    # construct known near-dups: copy docs with one word changed
+    from tidierdb_jl_spark import TidyFrame
+
+    base = tables["documents"].head(50).df.select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+    )
+    corpus = TidyFrame(base.union(clones))
+    pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    hits = sum((d, d + 100000) in found for d in range(50))
+    assert hits >= 40, f"minhash found only {hits}/50 planted near-dups"
+
+    keep = minhash_dedup(corpus, "doc_id", "text", threshold=0.5).collect()
+    kmap = dict(zip(keep["doc_id"], keep["keep_id"]))
+    mapped = sum(kmap.get(d + 100000) == d for d in range(50))
+    assert mapped >= 40
+
+
+def test_minhash_estimates_track_exact_jaccard(tables):
+    # the synthetic corpus plants genuine near-dups (distinct texts,
+    # ~0.9+ 3-gram jaccard); every high-estimate LSH pair must be backed
+    # by high exact n-gram jaccard (no hash-collision false positives)
+    pairs = minhash_dedup_pairs(
+        tables["documents"], "doc_id", "text", threshold=0.8
+    ).collect()
+    assert len(pairs) > 0, "expected planted near-dups in the corpus"
+    ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    exact = ngram_jaccard_pairs(
+        tables["documents"].filter(
+            f"doc_id in ({','.join(map(str, ids))})"
+        ),
+        "doc_id",
+        threshold=0.0,
+    ).collect()
+    exact_map = {
+        (a, b): j for a, b, j in zip(exact["id_a"], exact["id_b"], exact["jaccard"])
+    }
+    for a, b, est in zip(pairs["id_a"], pairs["id_b"], pairs["est_jaccard"]):
+        true_j = exact_map.get((a, b), 0.0)
+        assert true_j > 0.5, f"LSH flagged ({a},{b}) est={est} but true jaccard={true_j}"
+
+
+def test_simhash(spark, tables):
+    from tidierdb_jl_spark import TidyFrame
+
+    sig = simhash_signature(tables["documents"].head(20)).collect()
+    assert sig["simhash"].nunique() == len(sig)  # distinct docs → distinct sigs
+
+    base = tables["documents"].head(30).df.select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q")).alias("text"),
+    )
+    pairs = simhash_pairs(
+        TidyFrame(base.union(clones)), "doc_id", max_hamming=6
+    ).collect()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    hits = sum((d, d + 100000) in found for d in range(30))
+    assert hits >= 20, f"simhash found only {hits}/30 planted near-dups"
+
+
+def test_ngram_jaccard(tables, ddb):
+    # identical docs → jaccard 1.0 with themselves planted via lang block
+    pairs = ngram_jaccard_pairs(
+        tables["documents"].head(40), "doc_id", threshold=0.05, block_cols=("lang",)
+    ).collect()
+    assert (pairs["jaccard"] <= 1.0).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_cosine_topk(tables, ddb):
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 3")
+    q = cosine_topk(emb, queries, k=5)
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, rank() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+          FROM scored)
+        SELECT query_id, vec_id, cosine FROM ranked WHERE r <= 5
+        """,
+        "cosine_topk",
+    )
+
+
+def test_lsh_recall_vs_exact(tables):
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_cosine_topk(emb, queries, k=5, nbits=4, bands=16).collect()
+    exact_pairs = set(zip(exact["query_id"], exact["vec_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_pipeline(spark, tables):
+    from tidierdb_jl_spark.llm.multimodal import (
+        attach_media_metadata,
+        decode_image,
+        frame_sample,
+    )
+
+    docs = tables["documents"].head(10).mutate(content="CAST(text AS BINARY)")
+    tagged = attach_media_metadata(docs, "content", "image", "image/png")
+    assert "media" in tagged.columns
+    decoded = decode_image(tagged, fake=True).collect()
+    assert {"width", "height", "mean_luma"} <= set(decoded.columns)
+    assert decoded["width"].between(64, 320).all()
+    # deterministic: same input → same fake decode
+    again = decode_image(tagged, fake=True).collect()
+    assert (decoded["width"] == again["width"]).all()
+
+    frames = frame_sample(tagged, fake=True).collect()
+    assert len(frames) >= 10 and "frame_idx" in frames.columns
+
+    # real decode path surfaces a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        decode_image(tagged, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)

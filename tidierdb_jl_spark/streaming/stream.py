@@ -1,0 +1,117 @@
+"""Structured-Streaming operators (beyond the reference — SURVEY §2.10:
+the reference has no stream processing at all; its ``stream=true`` collect
+is just chunked result fetching).
+
+Thin tidy wrappers over readStream → watermark → windowed aggregation →
+writeStream, plus stateful dedup.  Batch/stream parity: the same
+``TidyFrame`` verbs work on a streaming DataFrame (Spark's unified API);
+these helpers add the streaming-only pieces — watermarks, time windows,
+session windows, within-watermark dedup — and a synchronous test harness
+(memory sink + ``processAllAvailable``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import TidyFrame
+
+__all__ = [
+    "read_stream",
+    "with_watermark",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "dedup_within_watermark",
+    "run_to_memory",
+]
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema=None, fmt: str = "parquet", **options
+) -> TidyFrame:
+    """Streaming scan (files appearing under ``path``).  Schema is
+    mandatory for file streams — pass one or give a sample path in
+    options['sampleDir'] to borrow its schema."""
+    if schema is None:
+        sample = options.pop("sampleDir", path)
+        schema = spark.read.format(fmt).load(sample).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return TidyFrame(reader.load(path))
+
+
+def with_watermark(tf: TidyFrame, ts_col: str, delay: str) -> TidyFrame:
+    """Late-data bound, e.g. ``with_watermark(t, "ts", "10 minutes")``."""
+    return TidyFrame(tf.df.withWatermark(ts_col, delay), groups=tf.groups)
+
+
+def tumbling_window(
+    tf: TidyFrame, ts_col: str, size: str, *keys: str
+) -> TidyFrame:
+    """Group by a tumbling time window (+ optional keys); follow with
+    ``.summarize(...)``."""
+    df = tf.df.groupBy(F.window(ts_col, size), *keys)
+    return _grouped(df, tf, ["window", *keys])
+
+
+def sliding_window(
+    tf: TidyFrame, ts_col: str, size: str, slide: str, *keys: str
+) -> TidyFrame:
+    df = tf.df.groupBy(F.window(ts_col, size, slide), *keys)
+    return _grouped(df, tf, ["window", *keys])
+
+
+def session_window(tf: TidyFrame, ts_col: str, gap: str, *keys: str) -> TidyFrame:
+    """Session windows with inactivity ``gap`` (e.g. "30 minutes")."""
+    df = tf.df.groupBy(F.session_window(ts_col, gap), *keys)
+    return _grouped(df, tf, ["session_window", *keys])
+
+
+class _GroupedStream:
+    """Minimal grouped handle so ``.summarize()`` works on windowed groups."""
+
+    def __init__(self, gdf, parent: TidyFrame):
+        self._gdf = gdf
+        self._parent = parent
+
+    def summarize(self, **named) -> TidyFrame:
+        from ..functions.registry import rewrite
+
+        aggs = [F.expr(rewrite(str(e), None, False)).alias(n) for n, e in named.items()]
+        return TidyFrame(self._gdf.agg(*aggs))
+
+    summarise = summarize
+
+
+def _grouped(gdf, parent: TidyFrame, keys) -> _GroupedStream:
+    return _GroupedStream(gdf, parent)
+
+
+def dedup_within_watermark(tf: TidyFrame, *cols: str) -> TidyFrame:
+    """Stateful streaming dedup bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — state is evicted as the
+    watermark advances, so memory stays bounded on unbounded streams."""
+    return TidyFrame(tf.df.dropDuplicatesWithinWatermark(list(cols)))
+
+
+def run_to_memory(
+    result: TidyFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Test harness: run a streaming query to completion on currently
+    available files via a memory sink; returns the batch DataFrame of
+    results."""
+    q = (
+        result.df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.df.sparkSession
+    return spark.sql(f"SELECT * FROM {name}")
