@@ -353,6 +353,210 @@ _BUILDERS = {
 }
 
 
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (beyond the reference; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def _t30(t):
+    from tidierdb_jl_spark.llm.textstats import with_token_count
+
+    return with_token_count(t["documents"]).select("doc_id", "n_tokens")
+
+
+def _t31(t):
+    from tidierdb_jl_spark.llm.textstats import with_text_stats
+
+    return with_text_stats(t["documents"]).select(
+        "doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "digit_ratio"
+    )
+
+
+def _t32(t):
+    from tidierdb_jl_spark.llm.textstats import with_fingerprint
+
+    return with_fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+def _t33(t):
+    from tidierdb_jl_spark.llm.textstats import with_language_id
+
+    return with_language_id(t["documents"]).select("doc_id", "lang_pred")
+
+
+def _d34(t):
+    from tidierdb_jl_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(t["documents"], "doc_id").select("doc_id", "fingerprint", "keep_id")
+
+
+def _d35(t):
+    from tidierdb_jl_spark.llm.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(t["documents"], "doc_id", "text", threshold=0.8)
+
+
+def _d36(t):
+    from tidierdb_jl_spark.llm.dedup import simhash_pairs
+
+    return simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
+def _d37(t):
+    from tidierdb_jl_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5, block_cols=("lang",)
+    )
+
+
+def _s38(t):
+    from tidierdb_jl_spark.llm.simsearch import cosine_topk
+
+    return cosine_topk(t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10)
+
+
+def _s39(t):
+    from tidierdb_jl_spark.llm.simsearch import lsh_cosine_topk
+
+    return lsh_cosine_topk(
+        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10
+    )
+
+
+def _m40(t):
+    from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
+
+    docs = t["documents"].mutate(content="CAST(text AS BINARY)").select("doc_id", "content")
+    tagged = attach_media_metadata(docs, "content", "image", "image/png")
+    return decode_image(tagged, fake=True).select("doc_id", "width", "height", "mean_luma")
+
+
+_BUILDERS.update(
+    {
+        "t30_token_count": _t30,
+        "t31_text_stats": _t31,
+        "t32_fingerprint": _t32,
+        "t33_lang_id": _t33,
+        "d34_dedup_exact": _d34,
+        "d35_minhash_pairs": _d35,
+        "d36_simhash_pairs": _d36,
+        "d37_ngram_jaccard": _d37,
+        "s38_cosine_topk": _s38,
+        "s39_lsh_topk": _s39,
+        "m40_multimodal_decode": _m40,
+    }
+)
+
+
+def _lang_oracle() -> str:
+    from tidierdb_jl_spark.llm.textstats import STOPWORDS
+
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_filter(toks, w -> list_contains([{lst}], w))) AS DOUBLE)"
+            f" / len(toks) END AS s_{lang}"
+        )
+    order = list(STOPWORDS)
+    branches = [r"WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'"]
+    branches.append(
+        f"WHEN greatest({', '.join('s_' + l for l in order)}) = 0.0 THEN 'und'"
+    )
+    for lang in order:
+        others = ", ".join(f"s_{o}" for o in order if o != lang)
+        branches.append(f"WHEN s_{lang} >= greatest({others}) THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents),
+        s AS (SELECT doc_id, text, {', '.join(score_cols)} FROM t)
+        SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+_LLM_ORACLES = {
+    "t30_token_count": """
+        SELECT doc_id, CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS INT) AS n_tokens
+        FROM documents
+    """,
+    "t31_text_stats": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents)
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+               CAST(len(toks) AS INT) AS n_words,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS avg_word_len,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio
+        FROM t
+    """,
+    "t32_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    """,
+    "d34_dedup_exact": """
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+        FROM fp
+    """,
+    "d37_ngram_jaccard": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))) END AS s
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    "s38_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, rank() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+          FROM scored)
+        SELECT query_id, vec_id, cosine FROM ranked WHERE r <= 10
+    """,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def make(builder):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = dict(_LLM_ORACLES)
+    out["t33_lang_id"] = _lang_oracle()
+    out.update({
         "q01_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -562,4 +768,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
             FROM events GROUP BY 1, 2
         """,
-    }
+    })
+    return out
