@@ -30,6 +30,12 @@ HEADLINE = [
     "q22_pivot_wider",
     "q26_grouped_filter",
     "q28_sessionize",
+    "t31_text_stats",
+    "d34_dedup_exact",
+    "d35_minhash_pairs",
+    "d36_simhash_pairs",
+    "s38_cosine_topk",
+    "s39_lsh_topk",
 ]
 
 

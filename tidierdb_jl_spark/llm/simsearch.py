@@ -77,6 +77,26 @@ def cosine_topk(
     return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
 
 
+def _make_sig_udf(planes: list[list[float]], nbits: int, bands: int):
+    # pandas must be importable at type-hint-resolution time, so bind it
+    # where pyspark's signature inspection can see it
+    import numpy as np
+    import pandas
+    from pyspark.sql import types as T
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, bands*nbits)
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+
+    def sig(v: pandas.Series) -> pandas.Series:
+        X = np.stack(v.to_numpy())  # (n, dim)
+        bits = (X @ P >= 0).astype(np.int64)  # (n, bands*nbits)
+        buckets = bits.reshape(len(X), bands, nbits) @ weights  # (n, bands)
+        return pandas.Series(list(buckets))
+
+    sig.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(T.ArrayType(T.LongType()))(sig)
+
+
 def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (xorshift64 → uniform in
     [-1, 1]); no numpy dependency, identical across runs/executors."""
@@ -122,31 +142,23 @@ def lsh_cosine_topk(
         assert isinstance(dt, T.ArrayType)
         dim = len(corpus_tf.df.select(vec_col).first()[0])
 
-    planes = _hyperplanes(dim, nbits * bands)
-    plane_lit = (
-        "array(" + ", ".join("array(" + ", ".join(f"{v}D" for v in row) + ")" for row in planes) + ")"
-    )
-    # one bucket id per band: fold that band's sign bits into an integer
-    sigs = (
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"aggregate(slice(transform({plane_lit}, p -> "
-        f"CASE WHEN {_dot('p', '__v')} >= 0 THEN 1 ELSE 0 END), b * {nbits} + 1, {nbits}), "
-        f"0L, (acc, bit) -> acc * 2 + bit))"
-    )
+    # Signatures via a vectorized Pandas UDF: per Arrow batch one numpy
+    # matmul (n, dim) @ (dim, bands*nbits) → sign bits → per-band bucket
+    # ids.  The interpreted higher-order-function dot product is ~1000×
+    # slower here (measured); this is the sanctioned Arrow slow path.
+    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
 
-    def with_sig(df, id_alias, out_id):
-        banded = df.select(
+    def banded(df, id_alias, out_id):
+        sigs = df.select(
             F.col(id_alias).alias(out_id),
-            F.expr(_to_double(vec_col)).alias("__v"),
-        ).withColumn("__sigs", F.expr(sigs))
-        return banded.select(
-            out_id,
-            "__v",
-            F.posexplode("__sigs").alias("__band", "__sig"),
+            sig_udf(F.expr(_to_double(vec_col))).alias("__sigs"),
         )
+        # explode carries only (id, band, sig) — vectors join back later,
+        # so the band fan-out never duplicates the embedding payload
+        return sigs.select(out_id, F.posexplode("__sigs").alias("__band", "__sig"))
 
-    c = with_sig(corpus_tf.df, id_col, "vec_id")
-    q = with_sig(query_tf.df, qid, "query_id")
+    c = banded(corpus_tf.df, id_col, "vec_id")
+    q = banded(query_tf.df, qid, "query_id")
     cand = (
         c.alias("c")
         .join(
@@ -155,21 +167,26 @@ def lsh_cosine_topk(
             & (F.col("c.__sig") == F.col("q.__sig"))
             & (F.col("c.vec_id") != F.col("q.query_id")),
         )
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("c.vec_id").alias("vec_id"),
-            F.col("q.__v").alias("__qv"),
-            F.col("c.__v").alias("__cv"),
-        )
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        (
-            F.expr(_dot("__qv", "__cv"))
-            / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
-        ).alias("cosine"),
+    cvec = corpus_tf.df.select(
+        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    qvec = query_tf.df.select(
+        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    )
+    scored = (
+        cand.join(cvec, "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_dot("__qv", "__cv"))
+                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+            ).alias("cosine"),
+        )
     )
     ranked = scored.select(
         "*",

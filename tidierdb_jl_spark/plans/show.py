@@ -29,12 +29,16 @@ def show_query(tf, mode: str = "formatted") -> str:
 def plan_summary(tf) -> dict:
     """Quick scale-health summary of the physical plan: pushed filters,
     join strategies, exchanges (shuffles), whole-stage-codegen coverage."""
+    import re
+
     text = show_query(tf, "formatted")
+    simple = show_query(tf, "simple")
     return {
         "pushed_filters": "PushedFilters: [" in text and "PushedFilters: []" not in text,
         "broadcast_joins": text.count("BroadcastHashJoin"),
         "sortmerge_joins": text.count("SortMergeJoin"),
         "nested_loop_joins": text.count("BroadcastNestedLoopJoin"),
         "exchanges": text.count("Exchange"),
-        "codegen_stages": text.count("WholeStageCodegen"),
+        "window_group_limits": text.count("WindowGroupLimit"),
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
     }
