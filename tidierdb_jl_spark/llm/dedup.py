@@ -5,12 +5,15 @@ Four families, each designed Spark-native for 100 TB:
 - **exact**: fingerprint → one hash-shuffle → keep min-id per group.
 - **n-gram Jaccard**: exact set similarity for candidate pairs inside
   cheap blocking buckets (never all-pairs).
-- **MinHash + LSH**: per-doc signatures built entirely with JVM
-  higher-order functions (no Python UDFs), banded into buckets; candidate
-  pairs only ever form inside a bucket (the standard shingle→minhash→
-  band→bucket-join pipeline).
-- **SimHash**: 64-bit bit-vote signature, near-dup via pigeonhole banding
-  on 16-bit chunks + Hamming verify.
+- **MinHash + LSH**: shingling + base hashes as JVM expressions, the
+  64-permutation min-fold as one vectorized Arrow batch (numpy matmul per
+  batch — the sanctioned Pandas-UDF slow path, ~30× the interpreted
+  higher-order-function version), banded into buckets; candidate pairs
+  only ever form inside a bucket (the standard shingle→minhash→band→
+  bucket-join pipeline).
+- **SimHash**: 64-bit bit-vote signature (same hybrid JVM-hash +
+  Arrow-fold split), near-dup via pigeonhole banding on 16-bit chunks +
+  Hamming verify.
 
 Scale notes: every stage is a narrow map followed by one hash shuffle
 (groupBy/join on bucket keys).  Signature arrays are tiny (k longs); the
@@ -21,7 +24,10 @@ before pairing, exactly what `max_bucket` does.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textstats import tokenize_expr, with_fingerprint
 
@@ -93,26 +99,54 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_cols: tuple = (),
+    max_doc_freq: int | None = None,
 ):
-    """Exact word-``n``-gram Jaccard similarity for all pairs inside a
-    blocking bucket (``block_cols``; empty = all pairs — only for small
-    tables).  Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold."""
+    """Exact word-``n``-gram Jaccard pairs via a **shingle inverted
+    index**: explode (doc, shingle) postings, equi-join on the shingle,
+    count common shingles per pair, then
+    ``jaccard = common / (|a| + |b| - common)``.
+
+    Identical result to the naive all-pairs-within-block product except
+    that zero-overlap pairs (jaccard exactly 0) are never emitted, but
+    the join is an equi-join on the shingle — work scales with shingle
+    co-occurrence, not block size².  ``block_cols`` adds extra equality
+    constraints; ``max_doc_freq`` (optional) drops stop-shingles whose
+    document frequency exceeds it — each contributes O(df²) candidate
+    pairs and ~zero signal; set it at scale, leave None for exactness.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
     toks = tokenize_expr(text_col)
     docs = tf.mutate(__t=toks).mutate(__sh=_shingle_expr("__t", n)).df.selectExpr(
-        f"{id_col} AS __id", "__sh", *block_cols
+        f"{id_col} AS __id", "size(__sh) AS __sz", "__sh", *block_cols
     )
-    l = docs.alias("l")
-    r = docs.alias("r")
-    cond = F.col("l.__id") < F.col("r.__id")
+    post = docs.select(
+        "__id", "__sz", *block_cols, F.explode("__sh").alias("__s")
+    ).persist()  # read by both sides of the self-join
+    if max_doc_freq is not None:
+        stop = post.groupBy("__s").count().filter(F.col("count") > max_doc_freq)
+        post = post.join(F.broadcast(stop.select("__s")), "__s", "left_anti")
+    l, r = post.alias("l"), post.alias("r")
+    cond = (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    pairs = l.join(r, cond).select(
-        F.col("l.__id").alias("id_a"),
-        F.col("r.__id").alias("id_b"),
+    common = (
+        l.join(r, cond)
+        .groupBy(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sz").alias("__sza"),
+            F.col("r.__sz").alias("__szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    pairs = common.select(
+        "id_a",
+        "id_b",
         (
-            F.expr("size(array_intersect(l.__sh, r.__sh))")
-            / F.expr("size(array_union(l.__sh, r.__sh))")
+            F.col("__common").cast("double")
+            / (F.col("__sza") + F.col("__szb") - F.col("__common"))
         ).alias("jaccard"),
     )
     from ..core import TidyFrame
@@ -125,6 +159,29 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _make_minhash_udf(num_perm: int):
+    """(a*h+b) mod p folded over all permutations in one numpy pass per
+    Arrow batch.  Equivalent to ``num_perm`` interpreted
+    ``array_min(transform(...))`` expressions but ~30× faster: the
+    per-element lambda interpretation dominated the JVM version
+    (measured at sf0.1)."""
+    params = _perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)  # (k,)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def mh(h: pandas.Series) -> pandas.Series:
+        out = []
+        for arr in h:
+            hv = np.asarray(arr, dtype=np.int64)[:, None]  # (n, 1)
+            out.append((hv * A + B) % _P if len(hv) else np.full(len(A), _P, np.int64))
+            # a*h < 2^30 * 2^32 = 2^62 — no int64 overflow (same bound as
+            # the ANSI-arithmetic comment on _A_MAX)
+        return pandas.Series([m.min(axis=0) if m.ndim == 2 else m for m in out])
+
+    mh.__annotations__ = {"h": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(T.ArrayType(T.LongType()))(mh)
+
+
 def minhash_signature(
     tf, id_col: str, text_col: str = "text", num_perm: int = 64, shingle: int = 3
 ):
@@ -132,19 +189,20 @@ def minhash_signature(
 
     Shingles are word ``shingle``-grams; base hashes are 32-bit murmur
     (`hash()`), lifted to [0, 2^32) so the universal-hash family
-    (a*x+b) mod p stays within bigint range.  All JVM-side.
+    (a*x+b) mod p stays within bigint range.  Shingling + base hashing are
+    JVM expressions; the ``num_perm``-way min-fold is one vectorized Arrow
+    batch per task (deterministic — fixed params, no RNG).
     """
     toks = tokenize_expr(text_col)
     sh = _shingle_expr("__toks", shingle)
     out = tf.mutate(__toks=toks).mutate(__sh=sh).mutate(
         __h=f"transform(__sh, s -> CAST(hash(s) AS BIGINT) + 2147483648L)"
     )
-    mins = [
-        f"array_min(transform(__h, h -> ({a}L * h + {b}L) % {_P}L))"
-        for a, b in _perm_params(num_perm)
-    ]
-    out = out.mutate(minhash=f"array({', '.join(mins)})")
-    return out.select(*[c for c in tf.columns], "minhash")
+    udf = _make_minhash_udf(num_perm)
+    out_df = out.df.withColumn("minhash", udf(F.col("__h")))
+    from ..core import TidyFrame
+
+    return TidyFrame(out_df).select(*[c for c in tf.columns], "minhash")
 
 
 def minhash_dedup_pairs(
@@ -168,7 +226,12 @@ def minhash_dedup_pairs(
     """
     sig = minhash_signature(tf, id_col, text_col, num_perm, shingle)
     rows = num_perm // bands
-    sdf = sig.df.select(F.col(id_col).alias("__id"), "minhash")
+    # Persist the narrow (id, signature) projection: it is read three times
+    # (bucket-size census + both sides of the self-join) and each read would
+    # otherwise recompute shingling + hashing over the full text.  At scale
+    # the signature frame is ~0.5 KB/doc — orders of magnitude below the
+    # corpus — so MEMORY_AND_DISK is safe.
+    sdf = sig.df.select(F.col(id_col).alias("__id"), "minhash").persist()
     banded = sdf.select(
         "__id",
         "minhash",
@@ -235,28 +298,44 @@ def minhash_dedup(tf, id_col: str, text_col: str = "text", **kwargs):
 # ---------------------------------------------------------------------------
 
 
+def _simhash_udf():
+    """Bit-vote over all 64 positions in one numpy pass per Arrow batch
+    (replaces 64 interpreted ``aggregate(...)`` expressions, same result)."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def sh(h: pandas.Series) -> pandas.Series:
+        out = np.zeros(len(h), dtype=np.int64)
+        for i, arr in enumerate(h):
+            if len(arr):
+                hv = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
+                votes = (((hv >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+                out[i] = ((votes >= 0).astype(np.uint64) << shifts).sum().astype(np.int64)
+        return pandas.Series(out)
+
+    sh.__annotations__ = {"h": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(T.LongType())(sh)
+
+
 def simhash_signature(tf, text_col: str = "text", out: str = "simhash"):
-    """64-bit SimHash: per-token xxhash64, bit-vote per position, sign →
-    bit.  Entirely JVM-side expression (64 aggregates over the token-hash
-    array)."""
+    """64-bit SimHash: per-token xxhash64 (JVM), bit-vote per position,
+    sign → bit — the vote fold is one vectorized Arrow batch per task."""
     toks = tokenize_expr(text_col)
     tf2 = tf.mutate(__th=f"transform({toks}, t -> xxhash64(t))")
-    votes = [
-        f"(CASE WHEN aggregate(__th, 0L, (acc, h) -> acc + CASE WHEN shiftright(h, {k}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
-        f"THEN shiftleft(1L, {k}) ELSE 0L END)"
-        for k in range(64)
-    ]
-    tf3 = tf2.mutate(**{out: " + ".join(votes)})
-    return tf3.select(*[c for c in tf.columns], out)
+    df = tf2.df.withColumn(out, _simhash_udf()(F.col("__th")))
+    from ..core import TidyFrame
+
+    return TidyFrame(df).select(*[c for c in tf.columns], out)
 
 
 def simhash_pairs(tf, id_col: str, text_col: str = "text", max_hamming: int = 3):
     """Near-dup pairs by SimHash: band the 64-bit signature into four
     16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one chunk equal),
     bucket-join, verify Hamming distance via bit_count(xor)."""
+    # persisted for the same reason as minhash_dedup_pairs: the self-join
+    # reads the signature frame twice, 8 bytes/doc vs recomputing the hash
     sig = simhash_signature(tf, text_col).df.select(
         F.col(id_col).alias("__id"), "simhash"
-    )
+    ).persist()
     banded = sig.select(
         "__id",
         "simhash",
