@@ -450,6 +450,84 @@ _BUILDERS.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# UDFs, scalar subqueries, unnest, grouping sets (SURVEY §2.9/2.11, §2.8)
+# ---------------------------------------------------------------------------
+
+def _q41(t):
+    """Registered pandas (Arrow) scalar UDF used by name in a tidy
+    expression (SURVEY §2.11 — the reference's DuckDB UDF story)."""
+    from tidierdb_jl_spark.functions.udf import register_udf
+
+    spark = t["lineitem"].df.sparkSession
+
+    def q41_disc_price(p, d):
+        return p * (1.0 - d)
+
+    register_udf(spark, "q41_disc_price", q41_disc_price)
+    return (
+        t["lineitem"]
+        .mutate(dp="q41_disc_price(l_extendedprice, l_discount)")
+        .group_by("l_returnflag")
+        .summarize(revenue="sum(dp)")
+        .arrange("l_returnflag")
+    )
+
+
+def _q42(t):
+    """Scalar subquery kept lazy: 1x1 aggregate broadcast-cross-joined
+    (SURVEY §2.9 subquery row)."""
+    li = t["lineitem"]
+    avg_q = li.summarize(m="mean(l_quantity)")
+    return (
+        li.with_scalar(avg_q=avg_q)
+        .filter("l_quantity > avg_q")
+        .group_by("l_returnflag")
+        .summarize(n="n()")
+        .arrange("l_returnflag")
+    )
+
+
+def _q43(t):
+    """unnest_longer (array explosion, SURVEY §2.8)."""
+    return (
+        t["embeddings"]
+        .unnest_longer("embedding")
+        .mutate(emb="CAST(embedding AS DOUBLE)")
+        .select("vec_id", "label", "emb")
+    )
+
+
+def _q44(t):
+    """struct build + unnest_wider (STRUCT expansion, SURVEY §2.8)."""
+    return (
+        t["part"]
+        .mutate(s="named_struct('brand', p_brand, 'sz', p_size)")
+        .select("p_partkey", "s")
+        .unnest_wider("s")
+    )
+
+
+def _q45(t):
+    """GROUP BY ROLLUP (Spark-native grouping sets, SURVEY §2.4 note)."""
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .summarize(qty="sum(l_quantity)", n="n()")
+    )
+
+
+_BUILDERS.update(
+    {
+        "q41_udf_grouped": _q41,
+        "q42_scalar_subquery": _q42,
+        "q43_unnest_longer": _q43,
+        "q44_unnest_wider": _q44,
+        "q45_rollup": _q45,
+    }
+)
+
+
 def _lang_oracle() -> str:
     from tidierdb_jl_spark.llm.textstats import STOPWORDS
 
@@ -767,6 +845,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT make_timestamp(epoch_us(ts) // 600000000 * 600000000) AS bucket, event_type,
                    CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "q41_udf_grouped": """
+            SELECT l_returnflag, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q42_scalar_subquery": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q43_unnest_longer": """
+            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS emb
+            FROM embeddings
+        """,
+        "q44_unnest_wider": """
+            SELECT p_partkey, p_brand AS brand, p_size AS sz FROM part
+        """,
+        "q45_rollup": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     })
     return out

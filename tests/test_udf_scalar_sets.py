@@ -1,0 +1,106 @@
+"""UDF registration (SURVEY §2.11), scalar subqueries (§2.9), and
+grouping sets — differential against DuckDB where SQL-expressible."""
+
+import pytest
+
+from tests.helpers import assert_matches_duckdb
+
+
+def test_register_scalar_pandas_udf(spark, tables, ddb):
+    from tidierdb_jl_spark.functions.udf import register_udf
+
+    def tax_price(p, t):
+        return p * (1.0 + t)
+
+    register_udf(spark, "tax_price", tax_price)
+    q = (
+        tables["lineitem"]
+        .mutate(tp="tax_price(l_extendedprice, l_tax)")
+        .group_by("l_linestatus")
+        .summarize(total="sum(tp)")
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """SELECT l_linestatus, sum(l_extendedprice * (1.0 + l_tax)) AS total
+           FROM lineitem GROUP BY l_linestatus""",
+    )
+
+
+def test_register_udf_row_at_a_time(tables, spark):
+    from tidierdb_jl_spark.functions.udf import register_udf
+
+    register_udf(spark, "row_twice", lambda x: x * 2, "bigint", vectorized=False)
+    out = tables["nation"].mutate(k2="row_twice(n_nationkey)").collect()
+    assert (out["k2"] == out["n_nationkey"] * 2).all()
+
+
+def test_register_agg_udf_summarize_and_window(spark, tables):
+    import numpy as np
+
+    from tidierdb_jl_spark.functions.udf import register_agg_udf
+
+    def q_p90(x):
+        return float(np.quantile(x, 0.9))
+
+    register_agg_udf(spark, "q_p90", q_p90)
+    agg = (
+        tables["lineitem"]
+        .group_by("l_returnflag")
+        .summarize(p90="q_p90(l_quantity)")
+        .collect()
+    )
+    assert len(agg) == 3 and (agg["p90"] > 0).all()
+
+    # the registered name is windowed inside grouped mutate
+    win = (
+        tables["lineitem"]
+        .head(200)
+        .mutate(p90="q_p90(l_quantity)", _by="l_returnflag")
+        .collect()
+    )
+    per_flag = win.groupby("l_returnflag")["p90"].nunique()
+    assert (per_flag == 1).all()
+
+
+def test_scalar_eager(tables):
+    v = tables["lineitem"].summarize(m="max(l_quantity)").scalar()
+    assert v == 50
+
+
+def test_with_scalar_lazy_broadcast(tables, ddb):
+    li = tables["lineitem"]
+    q = (
+        li.with_scalar(avg_p=li.summarize(m="mean(l_extendedprice)"))
+        .filter("l_extendedprice > avg_p")
+        .summarize(n="n()")
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+           WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)""",
+    )
+
+
+def test_rollup(tables, ddb):
+    q = tables["orders"].rollup("o_orderstatus", "o_orderpriority").summarize(
+        n="n()", total="sum(o_totalprice)"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                  sum(o_totalprice) AS total
+           FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    )
+
+
+def test_cube(tables, ddb):
+    q = tables["orders"].cube("o_orderstatus", "o_orderpriority").summarize(n="n()")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    )

@@ -10,6 +10,7 @@ columns, text analysis) designed for 100 TB scale.
 """
 
 from .core import TidyFrame
+from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register_udf
 from .session import connect, get_spark, register_testdata
 from .sources.readers import copy_to, db_table, dt, show_tables
 from .sources.writers import create_table, write_file
@@ -17,6 +18,10 @@ from .plans.show import plan_summary, show_query
 
 __all__ = [
     "TidyFrame",
+    "register_udf",
+    "register_agg_udf",
+    "add_agg_fn",
+    "add_window_fn",
     "connect",
     "get_spark",
     "register_testdata",

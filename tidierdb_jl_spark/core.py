@@ -316,6 +316,44 @@ class TidyFrame:
         ``/root/reference/src/mutate_and_summ.jl:659-674``)."""
         return TidyFrame(self._df.summary())
 
+    def rollup(self, *specs) -> "_SetsGrouped":
+        """GROUP BY ROLLUP — hierarchical subtotals + grand total (NULL in
+        a grouping column marks its subtotal rows).  Follow with
+        ``.summarize(...)``.  Not in the reference (SURVEY §2.4 notes it as
+        a free Spark capability we expose)."""
+        return _SetsGrouped(self, "rollup", resolve_selection(specs, self.columns))
+
+    def cube(self, *specs) -> "_SetsGrouped":
+        """GROUP BY CUBE — aggregates over every grouping-column subset."""
+        return _SetsGrouped(self, "cube", resolve_selection(specs, self.columns))
+
+    # -- scalar subqueries (SURVEY §2.9 "subquery" row) ---------------------
+
+    def scalar(self):
+        """Eagerly evaluate this query to a single scalar (first row, first
+        column) for interpolation into another query's expressions — the
+        reference embeds an ``SQLQuery`` as ``((SELECT ...))``
+        (``/root/reference/src/parsing_duckdb.jl:2-4,180-181``).  Prefer
+        :meth:`with_scalar` to keep everything in one lazy plan."""
+        row = self._df.first()
+        if row is None:
+            return None
+        return row[0]
+
+    def with_scalar(self, **named) -> "TidyFrame":
+        """Attach scalar-subquery results as columns without leaving the
+        plan: each value is a 1×1 TidyFrame/DataFrame cross-joined with a
+        broadcast hint, so there is no driver round-trip and Catalyst
+        plans one job.  ``t.with_scalar(avg_q=li.summarize(m="mean(x)"))``
+        then use ``avg_q`` in any later filter/mutate."""
+        df = self._df
+        for name, sub in named.items():
+            sdf = _unwrap(sub)
+            if len(sdf.columns) != 1:
+                sdf = sdf.select(sdf.columns[0])
+            df = df.crossJoin(F.broadcast(sdf.toDF(name)))
+        return self._with(df)
+
     # -- sorting / slicing (SURVEY §2.6) ------------------------------------
 
     def arrange(self, *specs) -> "TidyFrame":
@@ -526,6 +564,31 @@ class TidyFrame:
 
     def cache(self) -> "TidyFrame":
         return self._with(self._df.cache())
+
+
+class _SetsGrouped:
+    """Grouping-sets handle returned by ``rollup()`` / ``cube()``; terminate
+    with ``.summarize(...)``."""
+
+    def __init__(self, tf: TidyFrame, mode: str, cols: list):
+        self._tf = tf
+        self._mode = mode
+        self._cols = cols
+
+    def summarize(self, *exprs, **named) -> TidyFrame:
+        pairs = self._tf._collect_pairs(exprs, named)
+        aggs = []
+        for name, expr in pairs:
+            if isinstance(expr, Column):
+                aggs.append(expr.alias(name))
+            else:
+                aggs.append(
+                    F.expr(rewrite(str(expr), WindowState(), False)).alias(name)
+                )
+        gdf = getattr(self._tf.df, self._mode)(*self._cols).agg(*aggs)
+        return TidyFrame(gdf, groups=tuple(self._cols), aggregated=True)
+
+    summarise = summarize
 
 
 def _unwrap(x) -> DataFrame:
