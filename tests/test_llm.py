@@ -254,3 +254,28 @@ def test_multimodal_pipeline(spark, tables):
     with _pytest.raises(Exception) as ei:
         decode_image(tagged, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_multimodal_resize_and_audio(spark, tables):
+    from tidierdb_jl_spark.llm.multimodal import (
+        attach_media_metadata,
+        extract_audio_features,
+        resize_image,
+    )
+
+    docs = tables["documents"].head(10).mutate(content="CAST(text AS BINARY)")
+    tagged = attach_media_metadata(docs, "content", "image", "image/png")
+
+    resized = resize_image(tagged, fake=True, width=128, height=96).collect()
+    assert len(resized) == 10
+    media = resized["media"].iloc[0]
+    assert media["width"] == 128 and media["height"] == 96
+    # deterministic stand-in bytes
+    again = resize_image(tagged, fake=True, width=128, height=96).collect()
+    assert (resized["content"] == again["content"]).all()
+
+    audio = tables["documents"].head(10).mutate(content="CAST(text AS BINARY)")
+    feats = extract_audio_features(audio, fake=True).collect()
+    assert {"duration_ms", "rms", "zero_crossings"} <= set(feats.columns)
+    assert (feats["duration_ms"] >= 1000).all()
+    assert feats["rms"].between(0, 1).all()

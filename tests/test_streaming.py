@@ -77,3 +77,43 @@ def test_stateful_dedup(spark, stream_dir, tables):
         tables["events"].distinct("user_id", "event_type").collect().shape[0]
     )
     assert len(out) == distinct_batch
+
+
+def test_stateful_running_agg_across_batches(spark, tables):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file)."""
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.streaming.stream import stateful_running_agg
+
+    d = tempfile.mkdtemp(prefix="stateful_stream_")
+    # split deterministically into two file groups
+    ev1 = tables["events"].df.filter("pmod(event_id, 2) = 0").select("user_id", "value")
+    ev2 = tables["events"].df.filter("pmod(event_id, 2) = 1").select("user_id", "value")
+    ev1.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+    ev2.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+
+    st = read_stream(
+        spark, os.path.join(d, "*"), schema=ev1.schema, maxFilesPerTrigger="1"
+    )
+    res = stateful_running_agg(st, "user_id", "value")
+    out = run_to_memory(res, "stateful_out", mode="update").toPandas()
+
+    # last emitted row per key must equal the full-batch aggregate
+    batch = (
+        tables["events"]
+        .group_by("user_id")
+        .summarize(n="n()", total="sum(value)", vmin="min(value)", vmax="max(value)")
+        .collect()
+    )
+    last = out.groupby("user_id").tail(1).set_index("user_id")
+    b = batch.set_index("user_id")
+    assert set(last.index) == set(b.index)
+    for uid in b.index:
+        assert last.loc[uid, "n"] == b.loc[uid, "n"]
+        assert abs(last.loc[uid, "total"] - b.loc[uid, "total"]) < 1e-6
+        assert abs(last.loc[uid, "vmin"] - b.loc[uid, "vmin"]) < 1e-12
+        assert abs(last.loc[uid, "vmax"] - b.loc[uid, "vmax"]) < 1e-12
+    # statefulness: with >1 batch, some key should appear twice in update mode
+    assert len(out) > len(b)

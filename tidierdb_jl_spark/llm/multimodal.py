@@ -27,6 +27,8 @@ __all__ = [
     "MEDIA_STRUCT",
     "attach_media_metadata",
     "decode_image",
+    "resize_image",
+    "extract_audio_features",
     "frame_sample",
 ]
 
@@ -87,6 +89,89 @@ def decode_image(tf, content_col: str = "content", fake: bool = False):
             pdf = pdf.assign(width=widths, height=heights, mean_luma=lumas)
             pdf["width"] = pdf["width"].astype("int32")
             pdf["height"] = pdf["height"].astype("int32")
+            yield pdf
+
+    from ..core import TidyFrame
+
+    return TidyFrame(tf.df.mapInPandas(run, out_schema))
+
+
+def resize_image(
+    tf,
+    content_col: str = "content",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = False,
+):
+    """Resize image bytes to (width, height), replacing ``content`` and
+    stamping the media struct dims.  Same Arrow-batched mapInPandas shape
+    as decode; the fake path emits a deterministic digest-derived blob of
+    the right conceptual size so downstream plumbing sees realistic
+    bytes-in/bytes-out."""
+    fields = []
+    for f_ in tf.df.schema.fields:
+        fields.append(f_)
+    out_schema = T.StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "pass fake=True to exercise the pipeline"
+                )
+            blobs = []
+            for blob in pdf[content_col]:
+                src = bytes(blob) if blob is not None else b""
+                seed = hashlib.md5(src + f"{width}x{height}".encode()).digest()
+                # deterministic stand-in: digest tiled to a small payload
+                blobs.append((seed * 8)[: 64])
+            pdf = pdf.assign(**{content_col: blobs})
+            yield pdf
+
+    from ..core import TidyFrame
+
+    out = TidyFrame(tf.df.mapInPandas(run, out_schema))
+    if "media" in tf.df.columns:
+        out = out.mutate(
+            media=(
+                "named_struct('kind', media.kind, 'mime', media.mime, "
+                f"'width', CAST({width} AS INT), 'height', CAST({height} AS INT), "
+                "'duration_ms', media.duration_ms)"
+            )
+        )
+    return out
+
+
+def extract_audio_features(tf, content_col: str = "content", fake: bool = False):
+    """Audio bytes → (duration_ms, rms, zero_crossings) via mapInPandas.
+    Real decoding needs an audio codec; the fake path derives features
+    from the content digest, deterministically."""
+    out_schema = T.StructType(
+        list(tf.df.schema.fields)
+        + [
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio codec not available in this environment; "
+                    "pass fake=True to exercise the pipeline"
+                )
+            dur, rms, zc = [], [], []
+            for blob in pdf[content_col]:
+                h = hashlib.md5(bytes(blob) if blob is not None else b"").digest()
+                dur.append(1000 + int.from_bytes(h[0:2], "big"))
+                rms.append(h[2] / 255.0)
+                zc.append(int.from_bytes(h[3:5], "big"))
+            pdf = pdf.assign(duration_ms=dur, rms=rms, zero_crossings=zc)
+            pdf["duration_ms"] = pdf["duration_ms"].astype("int64")
+            pdf["zero_crossings"] = pdf["zero_crossings"].astype("int64")
             yield pdf
 
     from ..core import TidyFrame

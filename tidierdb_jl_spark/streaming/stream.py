@@ -24,6 +24,7 @@ __all__ = [
     "sliding_window",
     "session_window",
     "dedup_within_watermark",
+    "stateful_running_agg",
     "run_to_memory",
 ]
 
@@ -95,6 +96,66 @@ def dedup_within_watermark(tf: TidyFrame, *cols: str) -> TidyFrame:
     (``dropDuplicatesWithinWatermark``) — state is evicted as the
     watermark advances, so memory stays bounded on unbounded streams."""
     return TidyFrame(tf.df.dropDuplicatesWithinWatermark(list(cols)))
+
+
+def stateful_running_agg(
+    tf: TidyFrame, keys, value_col: str
+) -> TidyFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, min, max) maintained in GroupState across
+    micro-batches — the escape hatch for aggregations Spark's built-in
+    streaming aggs can't express (SURVEY §2.10 north star).
+
+    Emits one row per key per micro-batch with the state *after* folding
+    that batch in.  State is a fixed-width tuple (~40 bytes/key); for
+    unbounded key spaces pair with a watermark-driven timeout upstream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key_fields = [tf.df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            n, total, vmin, vmax = state.get
+        else:
+            n, total, vmin, vmax = 0, 0.0, None, None
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            if len(v):
+                n += int(v.count())
+                total += float(v.sum())
+                bmin, bmax = float(v.min()), float(v.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        row = dict(zip(keys, key))
+        row.update(n=n, total=total, vmin=vmin, vmax=vmax)
+        yield pd.DataFrame([row])
+
+    out = tf.df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return TidyFrame(out)
 
 
 def run_to_memory(
