@@ -425,6 +425,14 @@ def _s39(t):
     )
 
 
+def _s40(t):
+    from tidierdb_jl_spark.llm.simsearch import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10, nlist=8, nprobe=3
+    )
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -445,6 +453,7 @@ _BUILDERS.update(
         "d37_ngram_jaccard": _d37,
         "s38_cosine_topk": _s38,
         "s39_lsh_topk": _s39,
+        "s40_ivf_topk": _s40,
         "m40_multimodal_decode": _m40,
     }
 )

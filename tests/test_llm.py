@@ -279,3 +279,20 @@ def test_multimodal_resize_and_audio(spark, tables):
     assert {"duration_ms", "rms", "zero_crossings"} <= set(feats.columns)
     assert (feats["duration_ms"] >= 1000).all()
     assert feats["rms"].between(0, 1).all()
+
+
+def test_ivf_recall_vs_exact(tables):
+    from tidierdb_jl_spark.llm.simsearch import ivf_cosine_topk
+
+    emb = tables["embeddings"]
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ivf_cosine_topk(emb, q, k=5, nlist=8, nprobe=3).collect()
+    eset = set(zip(exact["query_id"], exact["vec_id"]))
+    iset = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(iset & eset) / len(eset)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+    # determinism: identical result on a second run
+    again = ivf_cosine_topk(emb, q, k=5, nlist=8, nprobe=3).collect()
+    aset = set(zip(again["query_id"], again["vec_id"]))
+    assert iset == aset

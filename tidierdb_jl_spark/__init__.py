@@ -13,7 +13,7 @@ from .core import TidyFrame
 from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register_udf
 from .session import connect, get_spark, register_testdata
 from .sources.readers import copy_to, db_table, dt, show_tables
-from .sources.writers import create_table, write_file
+from .sources.writers import create_table, drop_view, write_file
 from .plans.show import plan_summary, show_query
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "copy_to",
     "show_tables",
     "create_table",
+    "drop_view",
     "write_file",
     "plan_summary",
     "show_query",

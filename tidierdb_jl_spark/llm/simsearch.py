@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_cosine_topk"]
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
 
 
 def _dot(a: str, b: str) -> str:
@@ -111,6 +111,108 @@ def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
             row.append((state % 2000001) / 1000000.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def _make_assign_udf(centroids, nprobe: int):
+    """argmax-cosine centroid assignment, ``nprobe`` lists per vector, one
+    numpy matmul per Arrow batch."""
+    import numpy as np
+    import pandas
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(v: pandas.Series) -> pandas.Series:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T  # (n, nlist)
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pandas.Series(list(top))
+
+    assign.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(T.ArrayType(T.IntegerType()))(assign)
+
+
+def ivf_cosine_topk(
+    corpus_tf,
+    query_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+    query_id_col: str | None = None,
+):
+    """Approximate top-k cosine via an **IVF (inverted-file) index**:
+    corpus vectors partition into ``nlist`` Voronoi cells around spherical
+    centroids; each query probes its ``nprobe`` nearest cells and exact
+    cosine re-ranks only those candidates — the brute-force scan shrinks
+    by ~``nlist/nprobe``×.
+
+    Training is deterministic and distributed: seed centroids are the
+    first ``nlist`` corpus vectors by id, then ``refine_iters`` rounds of
+    spherical k-means — assignment is an Arrow-batched matmul; the
+    centroid update is ``posexplode`` → groupBy(cell, dim) → avg, so no
+    stage ever materializes more than nlist×dim values on the driver.
+
+    Scale shape: index build is one narrow map + one tiny aggregate;
+    search is an equi-join on the cell id (shuffle-friendly), never
+    all-pairs.  Recall rises with ``nprobe``; cost falls with ``nlist``.
+    """
+    qid = query_id_col or id_col
+    cvec = corpus_tf.df.select(
+        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    # deterministic seed centroids: first nlist vectors by id (tiny collect)
+    seed = [r[0] for r in cvec.orderBy("vec_id").limit(nlist).select("__cv").collect()]
+    centroids = seed
+    for _ in range(refine_iters):
+        assign1 = _make_assign_udf(centroids, 1)
+        assigned = cvec.select(
+            assign1(F.col("__cv"))[0].alias("__cell"), F.posexplode("__cv")
+        )
+        means = (
+            assigned.groupBy("__cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("__cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c"))
+            .collect()
+        )
+        new_c = {r["__cell"]: list(r["c"]) for r in means}
+        centroids = [new_c.get(i, centroids[i]) for i in range(len(centroids))]
+
+    assign_c = _make_assign_udf(centroids, 1)
+    assign_q = _make_assign_udf(centroids, nprobe)
+    indexed = cvec.withColumn("__cell", assign_c(F.col("__cv"))[0])
+    qvec = query_tf.df.select(
+        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    )
+    probes = qvec.select(
+        "query_id", "__qv", F.explode(assign_q(F.col("__qv"))).alias("__cell")
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "__cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_dot("__qv", "__cv"))
+                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.expr(
+            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        ).alias("__r"),
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
 
 
 def lsh_cosine_topk(

@@ -6,7 +6,7 @@ TO path`` with format by extension; CREATE [OR REPLACE] TABLE/VIEW AS).
 
 from __future__ import annotations
 
-__all__ = ["write_file", "create_table"]
+__all__ = ["write_file", "create_table", "drop_view"]
 
 _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
 
@@ -30,3 +30,9 @@ def create_table(tf, name: str, replace: bool = True, temp: bool = False) -> Non
             tf.df.createTempView(name)
         return
     tf.df.write.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
+
+
+def drop_view(spark, name: str) -> bool:
+    """Drop a temp view (``/root/reference/src/view_compute.jl:40-42``).
+    Falls back to global temp views; returns whether anything was dropped."""
+    return spark.catalog.dropTempView(name) or spark.catalog.dropGlobalTempView(name)
