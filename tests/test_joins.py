@@ -189,3 +189,29 @@ def test_asof_join_forward(tables, ddb):
         """,
         "asof forward",
     )
+
+
+def test_salted_join_matches_plain_join(tables):
+    from tidierdb_jl_spark.operators.skew import salted_join
+
+    plain = (
+        tables["orders"]
+        .inner_join(tables["customer"], by="o_custkey == c_custkey")
+        .collect()
+    )
+    salted = salted_join(
+        tables["orders"], tables["customer"], by="o_custkey == c_custkey", salt=4
+    ).collect()
+    assert len(plain) == len(salted)
+    assert sorted(plain.columns) == sorted(salted.columns)
+    key = lambda pdf: sorted(map(tuple, pdf[sorted(pdf.columns)].astype(str).values))  # noqa: E731
+    assert key(plain) == key(salted)
+
+
+def test_salted_join_rejects_theta(tables):
+    import pytest
+
+    from tidierdb_jl_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(tables["orders"], tables["customer"], by="o_custkey >= c_custkey")

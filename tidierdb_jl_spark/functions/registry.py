@@ -263,6 +263,9 @@ REGISTRY: dict = {
     "replace_missing": _rename("coalesce"),
     "missing_if": _rename("nullif"),
     # casts (reference TRY_CAST family, parsing_duckdb.jl:145-153)
+    # Dialect note: Spark's try_cast(string->integral) NULLs decimal
+    # strings ('4.5'); DuckDB rounds them (TRY_CAST('4.5' AS BIGINT)=5).
+    # We keep Spark semantics — cast via as_float first to round.
     "as_integer": lambda args: f"TRY_CAST({args[0]} AS BIGINT)",
     "as_float": lambda args: f"TRY_CAST({args[0]} AS DOUBLE)",
     "as_numeric": lambda args: f"TRY_CAST({args[0]} AS DOUBLE)",

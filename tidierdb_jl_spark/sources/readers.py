@@ -64,7 +64,7 @@ def db_table(
     elif isinstance(source, (list, tuple)):
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
         f = _format_for(str(source[0]), fmt)
-        reader = spark.read.options(**_reader_opts(f, options))
+        reader = spark.read.options(**_reader_opts(f, options, str(source[0])))
         df = getattr(reader, f)(list(source))
         out = TidyFrame(df)
     elif hasattr(source, "__dataframe__") or type(source).__name__ == "DataFrame" and not hasattr(source, "sparkSession"):
@@ -72,7 +72,7 @@ def db_table(
         out = TidyFrame(spark.createDataFrame(source))
     elif isinstance(source, str) and ("/" in source or "." in source.rsplit("/", 1)[-1] or "*" in source):
         f = _format_for(source, fmt)
-        reader = spark.read.options(**_reader_opts(f, options))
+        reader = spark.read.options(**_reader_opts(f, options, source))
         df = getattr(reader, f)(source)
         out = TidyFrame(df)
     else:
@@ -85,11 +85,13 @@ def db_table(
 dt = db_table
 
 
-def _reader_opts(fmt: str, options: dict) -> dict:
+def _reader_opts(fmt: str, options: dict, path: str = "") -> dict:
     opts = dict(options)
     if fmt == "csv":
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "true")
+        if path.lower().rstrip("*/").endswith(".tsv"):
+            opts.setdefault("sep", "\t")
     return opts
 
 
