@@ -526,6 +526,65 @@ def _q45(t):
     )
 
 
+def _q46(t):
+    """transmute + relocate (SURVEY §2.2)."""
+    return (
+        t["orders"]
+        .group_by("o_orderstatus")
+        .transmute(price_k="o_totalprice / 1000.0")
+        .relocate("price_k", before="o_orderstatus")
+    )
+
+
+def _q47(t):
+    """UNION ALL / EXCEPT ALL / INTERSECT ALL (SURVEY §2.7 ALL variants)."""
+    hi = t["orders"].filter("o_totalprice > 300000").select("o_custkey")
+    fin = t["orders"].filter("o_orderstatus = 'F'").select("o_custkey")
+    return (
+        hi.union_all(fin)
+        .setdiff(fin.intersect(hi, all=True), all=True)
+        .group_by("o_custkey")
+        .summarize(n="n()")
+    )
+
+
+def _q48(t):
+    """slice_min with rank ties per group (SURVEY §2.6)."""
+    return (
+        t["lineitem"]
+        .group_by("l_linestatus")
+        .slice_min("l_quantity", n=2)
+        .select("l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def _q49(t):
+    """ARRAY/MAP construction + element access (SURVEY §2.9 array/map)."""
+    return (
+        t["nation"]
+        .mutate(
+            pair="array(n_nationkey, n_regionkey)",
+            m="map('nk', n_nationkey, 'rk', n_regionkey)",
+        )
+        .mutate(first_el="element_at(pair, 1)", rk="element_at(m, 'rk')")
+        .select("n_nationkey", "first_el", "rk")
+    )
+
+
+def _q50(t):
+    """ymd parsing + floor_date + difftime (SURVEY §2.9 dates)."""
+    return (
+        t["orders"]
+        .mutate(d="date_format(o_orderdate, 'yyyy-MM-dd')")
+        .mutate(
+            parsed="CAST(ymd(d) AS TIMESTAMP)",
+            mo="floor_date(o_orderdate, 'month')",
+            dd="difftime(TIMESTAMP '1998-12-31', o_orderdate, 'day')",
+        )
+        .select("o_orderkey", "parsed", "mo", "dd")
+    )
+
+
 _BUILDERS.update(
     {
         "q41_udf_grouped": _q41,
@@ -533,6 +592,11 @@ _BUILDERS.update(
         "q43_unnest_longer": _q43,
         "q44_unnest_wider": _q44,
         "q45_rollup": _q45,
+        "q46_transmute_relocate": _q46,
+        "q47_setops_all": _q47,
+        "q48_slice_min": _q48,
+        "q49_array_map": _q49,
+        "q50_dates": _q50,
     }
 )
 
@@ -876,6 +940,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q46_transmute_relocate": """
+            SELECT o_totalprice / 1000.0 AS price_k, o_orderstatus FROM orders
+        """,
+        "q47_setops_all": """
+            WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+                 fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+                 u AS (SELECT o_custkey FROM hi UNION ALL SELECT o_custkey FROM fin),
+                 i AS (SELECT o_custkey FROM fin INTERSECT ALL SELECT o_custkey FROM hi),
+                 d AS (SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM i)
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY o_custkey
+        """,
+        "q48_slice_min": """
+            WITH r AS (
+              SELECT l_linestatus, l_orderkey, l_linenumber, l_quantity,
+                     rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity ASC) AS rk
+              FROM lineitem)
+            SELECT l_linestatus, l_orderkey, l_linenumber, l_quantity
+            FROM r WHERE rk <= 2
+        """,
+        "q49_array_map": """
+            SELECT n_nationkey, [n_nationkey, n_regionkey][1] AS first_el,
+                   MAP(['nk', 'rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk
+            FROM nation
+        """,
+        "q50_dates": """
+            SELECT o_orderkey,
+                   strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed,
+                   date_trunc('month', o_orderdate) AS mo,
+                   CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS dd
+            FROM orders
         """,
     })
     return out
