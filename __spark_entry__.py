@@ -425,6 +425,22 @@ def _s39(t):
     )
 
 
+def _d41(t):
+    from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.4, method="exact"
+    )
+
+
+def _d42(t):
+    from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.4, method="lsh"
+    )
+
+
 def _s40(t):
     from tidierdb_jl_spark.llm.simsearch import ivf_cosine_topk
 
@@ -454,6 +470,8 @@ _BUILDERS.update(
         "s38_cosine_topk": _s38,
         "s39_lsh_topk": _s39,
         "s40_ivf_topk": _s40,
+        "d41_embedding_dedup_exact": _d41,
+        "d42_embedding_dedup_lsh": _d42,
         "m40_multimodal_decode": _m40,
     }
 )
@@ -964,6 +982,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, [n_nationkey, n_regionkey][1] AS first_el,
                    MAP(['nk', 'rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk
             FROM nation
+        """,
+        "d41_embedding_dedup_exact": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
         """,
         "q50_dates": """
             SELECT o_orderkey,

@@ -296,3 +296,18 @@ def test_ivf_recall_vs_exact(tables):
     again = ivf_cosine_topk(emb, q, k=5, nlist=8, nprobe=3).collect()
     aset = set(zip(again["query_id"], again["vec_id"]))
     assert iset == aset
+
+
+def test_embedding_cosine_dedup_lsh_recall(tables, ddb):
+    from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
+
+    emb = tables["embeddings"]
+    exact = embedding_cosine_pairs(emb, "vec_id", threshold=0.4, method="exact").collect()
+    lsh = embedding_cosine_pairs(emb, "vec_id", threshold=0.4, method="lsh").collect()
+    eset = set(zip(exact["id_a"], exact["id_b"]))
+    lset = set(zip(lsh["id_a"], lsh["id_b"]))
+    # LSH pairs are a subset (candidates verified by exact cosine) ...
+    assert lset <= eset
+    # ... with high recall at a near-dup threshold
+    if eset:
+        assert len(lset) / len(eset) >= 0.7, f"recall {len(lset)}/{len(eset)}"

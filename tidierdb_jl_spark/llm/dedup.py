@@ -39,6 +39,7 @@ __all__ = [
     "minhash_dedup",
     "simhash_signature",
     "simhash_pairs",
+    "embedding_cosine_pairs",
 ]
 
 # Universal-hash parameters: h_j(x) = (a_j*x + b_j) mod p, p prime > 2^32.
@@ -287,6 +288,94 @@ def minhash_dedup(tf, id_col: str, text_col: str = "text", **kwargs):
     ids = tf.df.select(id_col)
     out = ids.join(best, id_col, "left").select(
         id_col, F.coalesce("keep_id", F.col(id_col)).alias("keep_id")
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    nbits: int = 4,
+    bands: int = 16,
+):
+    """Near-duplicate pairs by embedding cosine similarity: (id_a, id_b,
+    cosine) with id_a < id_b and cosine >= threshold.
+
+    ``method="exact"`` scores every pair — quadratic, for oracles and small
+    corpora.  ``method="lsh"`` (default, the 100 TB path) generates
+    candidates from random-hyperplane LSH buckets (same AND-OR
+    construction as :func:`~tidierdb_jl_spark.llm.simsearch.lsh_cosine_topk`)
+    and exact cosine verifies only bucket-mates — near-identical vectors
+    agree on nearly all sign bits, so recall at a 0.95-ish threshold is
+    high while the join stays an equi-join on (band, signature).
+    """
+    from .simsearch import _dot, _norm, _to_double, _hyperplanes, _make_sig_udf
+
+    vec = tf.df.select(
+        F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
+    ).persist()
+
+    if method == "exact":
+        l, r = vec.alias("l"), vec.alias("r")
+        out = (
+            l.join(r, F.col("l.__id") < F.col("r.__id"))
+            .select(
+                F.col("l.__id").alias("id_a"),
+                F.col("r.__id").alias("id_b"),
+                (
+                    F.expr(_dot("l.__v", "r.__v"))
+                    / (F.expr(_norm("l.__v")) * F.expr(_norm("r.__v")))
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+        from ..core import TidyFrame
+
+        return TidyFrame(out)
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (expected 'exact' or 'lsh')")
+
+    dim = len(tf.df.select(vec_col).first()[0])
+    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    banded = vec.select(
+        "__id", sig_udf(F.col("__v")).alias("__sigs")
+    ).select("__id", F.posexplode("__sigs").alias("__band", "__sig"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__sig") == F.col("r.__sig"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    la = vec.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    rb = vec.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    out = (
+        cand.join(la, "id_a")
+        .join(rb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr(_dot("__va", "__vb"))
+                / (F.expr(_norm("__va")) * F.expr(_norm("__vb")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
     from ..core import TidyFrame
 
