@@ -104,3 +104,24 @@ def test_cube(tables, ddb):
         """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tables):
+    from tidierdb_jl_spark import create_table, db_table, plan_summary
+
+    create_table(tables["orders"], "orders_bkt", bucket_by="o_custkey", buckets=8, sort_by="o_custkey")
+    create_table(tables["customer"], "cust_bkt", bucket_by="c_custkey", buckets=8, sort_by="c_custkey")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = db_table(spark, "orders_bkt").inner_join(
+            db_table(spark, "cust_bkt"), by="o_custkey == c_custkey"
+        )
+        ps = plan_summary(j)
+        # co-located bucketed scan: the equi-join needs NO exchange
+        assert ps["exchanges"] == 0, ps
+        plain = tables["orders"].inner_join(tables["customer"], by="o_custkey == c_custkey")
+        assert len(j.collect()) == len(plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")

@@ -21,15 +21,43 @@ def write_file(tf, path: str, mode: str = "overwrite", partition_by=None) -> Non
     getattr(writer, fmt)(path)
 
 
-def create_table(tf, name: str, replace: bool = True, temp: bool = False) -> None:
-    """(``/root/reference/src/view_compute.jl:45-94``)."""
+def create_table(
+    tf,
+    name: str,
+    replace: bool = True,
+    temp: bool = False,
+    bucket_by=None,
+    buckets: int = 0,
+    sort_by=None,
+    partition_by=None,
+) -> None:
+    """(``/root/reference/src/view_compute.jl:45-94``).
+
+    ``bucket_by``/``buckets`` (+ optional ``sort_by``) write a bucketed
+    table: subsequent equi-joins or aggregations on the bucket keys read
+    co-located partitions and skip the shuffle entirely — the 100 TB
+    pattern for dimension/fact tables joined repeatedly.  ``partition_by``
+    adds directory partitioning for partition pruning on filters.
+    """
     if temp:
         if replace:
             tf.df.createOrReplaceTempView(name)
         else:
             tf.df.createTempView(name)
         return
-    tf.df.write.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
+    writer = tf.df.write
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    if bucket_by:
+        if not buckets:
+            raise ValueError("bucket_by requires buckets=N")
+        cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        writer = writer.bucketBy(buckets, *cols)
+        if sort_by:
+            s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            writer = writer.sortBy(*s)
+    writer.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
 
 
 def drop_view(spark, name: str) -> bool:
