@@ -603,8 +603,26 @@ def _q50(t):
     )
 
 
+def _q51(t):
+    """Ranking/analytic window functions beyond rank/row_number/lag
+    (SURVEY §2.5 default list)."""
+    return (
+        t["orders"]
+        .group_by("o_orderpriority")
+        .window_order("o_totalprice", "o_orderkey")
+        .mutate(
+            quartile="as_integer(ntile(4))",
+            third="nth_value(o_totalprice, 3)",
+            cheapest="first_value(o_totalprice)",
+            cd="cume_dist()",
+        )
+        .select("o_orderkey", "o_orderpriority", "quartile", "third", "cheapest", "cd")
+    )
+
+
 _BUILDERS.update(
     {
+        "q51_window_analytics": _q51,
         "q41_udf_grouped": _q41,
         "q42_scalar_subquery": _q42,
         "q43_unnest_longer": _q43,
@@ -993,6 +1011,15 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.e, b.e) /
                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        """,
+        "q51_window_analytics": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   nth_value(o_totalprice, 3) OVER w AS third,
+                   first_value(o_totalprice) OVER w AS cheapest,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         """,
         "q50_dates": """
             SELECT o_orderkey,

@@ -117,3 +117,38 @@ def test_stateful_running_agg_across_batches(spark, tables):
         assert abs(last.loc[uid, "vmax"] - b.loc[uid, "vmax"]) < 1e-12
     # statefulness: with >1 batch, some key should appear twice in update mode
     assert len(out) > len(b)
+
+
+def test_write_stream_file_sink_available_now(spark, tables, stream_dir):
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.streaming.stream import write_stream
+
+    st = read_stream(spark, stream_dir)
+    out_dir = tempfile.mkdtemp(prefix="sink_")
+    q = write_stream(
+        st.filter("value > 0").select("event_id", "user_id", "value"),
+        path=os.path.join(out_dir, "data"),
+        checkpoint=os.path.join(out_dir, "ckpt"),
+        trigger="availableNow",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).count()
+    want = tables["events"].filter("value > 0").df.count()
+    assert got == want
+
+
+def test_foreach_batch_sink(spark, stream_dir):
+    from tidierdb_jl_spark.streaming.stream import foreach_batch
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    st = read_stream(spark, stream_dir)
+    q = foreach_batch(st.select("event_id"), sink)
+    q.processAllAvailable()
+    q.stop()
+    assert seen and sum(n for _, n in seen) > 0

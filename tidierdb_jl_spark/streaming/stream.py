@@ -26,6 +26,8 @@ __all__ = [
     "dedup_within_watermark",
     "stateful_running_agg",
     "run_to_memory",
+    "write_stream",
+    "foreach_batch",
 ]
 
 
@@ -156,6 +158,48 @@ def stateful_running_agg(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return TidyFrame(out)
+
+
+def write_stream(
+    result: TidyFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    trigger: str | None = None,
+    **options,
+):
+    """Durable streaming sink: file format + checkpoint directory for
+    exactly-once output.  ``trigger`` accepts a processing-time interval
+    (e.g. "10 seconds") or "availableNow" to drain what exists and stop.
+    Returns the StreamingQuery — call ``.awaitTermination()`` or
+    ``.processAllAvailable()`` yourself."""
+    w = (
+        result.df.writeStream.outputMode(mode)
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    if trigger == "availableNow":
+        w = w.trigger(availableNow=True)
+    elif trigger is not None:
+        w = w.trigger(processingTime=trigger)
+    return w.start()
+
+
+def foreach_batch(
+    result: TidyFrame, fn, checkpoint: str | None = None, mode: str = "update"
+):
+    """Arbitrary per-micro-batch sink: ``fn(batch_df, batch_id)`` runs on
+    the driver with a *batch* DataFrame — the escape hatch for sinks with
+    no streaming connector (JDBC upserts, dedup merges, multi-table
+    writes).  Returns the StreamingQuery."""
+    w = result.df.writeStream.outputMode(mode).foreachBatch(fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def run_to_memory(
