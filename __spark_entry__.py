@@ -425,6 +425,18 @@ def _s39(t):
     )
 
 
+def _t43(t):
+    from tidierdb_jl_spark.llm.textstats import with_bpe_token_count
+
+    return with_bpe_token_count(t["documents"]).select("doc_id", "n_tokens_bpe")
+
+
+def _t44(t):
+    from tidierdb_jl_spark.llm.textstats import with_rolling_fingerprint
+
+    return with_rolling_fingerprint(t["documents"]).select("doc_id", "rfp")
+
+
 def _d41(t):
     from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
 
@@ -470,6 +482,8 @@ _BUILDERS.update(
         "s38_cosine_topk": _s38,
         "s39_lsh_topk": _s39,
         "s40_ivf_topk": _s40,
+        "t43_bpe_tokens": _t43,
+        "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
         "d42_embedding_dedup_lsh": _d42,
         "m40_multimodal_decode": _m40,
@@ -1000,6 +1014,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, [n_nationkey, n_regionkey][1] AS first_el,
                    MAP(['nk', 'rk'], [n_nationkey, n_regionkey])['rk'][1] AS rk
             FROM nation
+        """,
+        "t43_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                        len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                   END AS INT) AS n_tokens_bpe
+            FROM documents
+        """,
+        "t44_rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007) AS rfp
+            FROM documents
         """,
         "d41_embedding_dedup_exact": """
             WITH v AS (SELECT vec_id,
