@@ -215,3 +215,56 @@ def test_salted_join_rejects_theta(tables):
 
     with pytest.raises(ValueError):
         salted_join(tables["orders"], tables["customer"], by="o_custkey >= c_custkey")
+
+
+def test_range_join_matches_naive_theta(spark, tables):
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.rangejoin import range_join
+
+    # intervals over o_totalprice: price bands per priority
+    bands = TidyFrame(
+        spark.createDataFrame(
+            [(p, float(lo), float(lo + 50000)) for p in ["1-URGENT", "2-HIGH"]
+             for lo in range(0, 500000, 50000)],
+            "prio string, lo double, hi double",
+        )
+    )
+    orders = tables["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    fast = range_join(
+        orders, bands, "o_totalprice", "lo", "hi",
+        by="o_orderpriority == prio", bucket_width=50000,
+    ).collect()
+
+    naive = (
+        orders.df.alias("l")
+        .join(
+            bands.df.alias("r"),
+            (F.col("l.o_orderpriority") == F.col("r.prio"))
+            & (F.col("l.o_totalprice") >= F.col("r.lo"))
+            & (F.col("l.o_totalprice") <= F.col("r.hi")),
+        )
+        .select("l.o_orderkey", "l.o_orderpriority", "l.o_totalprice", "r.lo", "r.hi")
+        .toPandas()
+    )
+    assert len(fast) == len(naive)
+    key = lambda pdf: sorted(  # noqa: E731
+        map(tuple, pdf[["o_orderkey", "lo", "hi"]].values)
+    )
+    assert key(fast) == key(naive)
+
+
+def test_range_join_left_keeps_misses(spark, tables):
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.rangejoin import range_join
+
+    bands = TidyFrame(
+        spark.createDataFrame([(0.0, 1000.0)], "lo double, hi double")
+    )
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    out = range_join(orders, bands, "o_totalprice", "lo", "hi", how="left").collect()
+    n_orders = orders.collect().shape[0]
+    assert len(out) == n_orders  # nothing dropped, misses have NULL bands
+    assert out["lo"].isna().sum() > 0

@@ -125,3 +125,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
+def test_register_udtf(spark, tables):
+    from tidierdb_jl_spark.functions.udf import register_udtf
+
+    class WordSplit:
+        def eval(self, text: str, doc_id: int):
+            if text:
+                for i, w in enumerate(text.split()[:3]):
+                    yield (doc_id, i, w)
+
+    register_udtf(spark, "word_split", WordSplit, "doc_id bigint, pos int, word string")
+    out = spark.sql(
+        """SELECT s.* FROM documents d,
+           LATERAL word_split(d.text, d.doc_id) s
+           WHERE d.doc_id < 5"""
+    ).toPandas()
+    assert len(out) > 0 and set(out.columns) == {"doc_id", "pos", "word"}
+    assert (out["pos"] <= 2).all()

@@ -30,6 +30,7 @@ from .registry import AGG_FNS, WINDOW_FNS
 __all__ = [
     "register_udf",
     "register_agg_udf",
+    "register_udtf",
     "add_agg_fn",
     "add_window_fn",
 ]
@@ -102,6 +103,24 @@ def register_agg_udf(spark: SparkSession, name: str, fn, return_type="double"):
     spark.udf.register(name, udf)
     add_agg_fn(name)
     return udf
+
+
+def register_udtf(spark: SparkSession, name: str, cls, return_type: str):
+    """Register a Python user-defined *table* function (Spark ≥ 3.5): a
+    class with an ``eval(self, ...)`` generator yielding output tuples.
+    The reference has no UDTF surface (SURVEY §2.11 — closest is unnest);
+    this exposes Spark's, usable as a table in SQL:
+
+        class Explode3:
+            def eval(self, x: int):
+                for i in range(3):
+                    yield (x, i)
+        register_udtf(spark, "explode3", Explode3, "x int, i int")
+        spark.sql("SELECT * FROM explode3(7)")
+    """
+    u = F.udtf(cls, returnType=return_type)
+    spark.udtf.register(name, u)
+    return u
 
 
 def add_agg_fn(name: str) -> None:
