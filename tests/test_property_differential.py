@@ -1,0 +1,99 @@
+"""Property-based differential testing: generate random tidy pipelines
+(filter → mutate → group/summarize) over lineitem and require exact
+agreement with DuckDB running the equivalent SQL — the randomized
+extension of the reference's TidierData-vs-TidierDB comparison scheme."""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from tests.helpers import assert_matches_duckdb
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic data; a ROWS
+# frame needs a total order or the result is nondeterministic
+ORDER_COLS = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice",
+]
+AGGS = [("sum", "sum"), ("mean", "avg"), ("min", "min"), ("max", "max")]
+
+
+@st.composite
+def arith_expr(draw):
+    """A (tidy, sql) pair for a numeric expression — same text in both
+    dialects by construction."""
+    a = draw(st.sampled_from(NUM_COLS))
+    b = draw(st.sampled_from(NUM_COLS))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    k = draw(st.integers(min_value=1, max_value=9))
+    e = f"({a} {op} {b}) * {k}"
+    return e, e
+
+
+@st.composite
+def predicate(draw):
+    col = draw(st.sampled_from(NUM_COLS + INT_COLS))
+    op = draw(st.sampled_from([">", "<", ">=", "<=", "=", "!="]))
+    v = draw(st.integers(min_value=0, max_value=50))
+    p = f"{col} {op} {v}"
+    return p, p
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_pipeline_matches_duckdb(tables, ddb, data):
+    (expr_t, expr_s) = data.draw(arith_expr())
+    (pred_t, pred_s) = data.draw(predicate())
+    group = data.draw(st.sampled_from(STR_COLS))
+    agg_t, agg_s = data.draw(st.sampled_from(AGGS))
+
+    q = (
+        tables["lineitem"]
+        .filter(pred_t)
+        .mutate(x=expr_t)
+        .group_by(group)
+        .summarize(v=f"{agg_t}(x)", n="n()")
+    )
+    sql = f"""
+        SELECT {group}, {agg_s}(x) AS v, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT *, {expr_s} AS x FROM lineitem WHERE {pred_s})
+        GROUP BY {group}
+    """
+    assert_matches_duckdb(q, ddb, sql, f"pipeline: {pred_s} | {expr_s} | {agg_s}")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_window_matches_duckdb(tables, ddb, data):
+    val = data.draw(st.sampled_from(NUM_COLS))
+    part = data.draw(st.sampled_from(STR_COLS))
+    lo = data.draw(st.integers(min_value=-5, max_value=0))
+    agg_t, agg_s = data.draw(st.sampled_from(AGGS))
+
+    order = ", ".join(ORDER_COLS)
+    q = (
+        tables["lineitem"]
+        .group_by(part)
+        .window_order(*ORDER_COLS)
+        .window_frame(lo, 0)
+        .mutate(w=f"{agg_t}({val})")
+        .select("l_orderkey", "l_linenumber", "w")
+    )
+    sql = f"""
+        SELECT l_orderkey, l_linenumber,
+               {agg_s}({val}) OVER (PARTITION BY {part}
+                 ORDER BY {order}
+                 ROWS BETWEEN {-lo} PRECEDING AND CURRENT ROW) AS w
+        FROM lineitem
+    """
+    assert_matches_duckdb(q, ddb, sql, f"window: {agg_s}({val}) part {part} lo {lo}")
