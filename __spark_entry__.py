@@ -448,8 +448,12 @@ def _d41(t):
 def _d42(t):
     from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
 
+    # nbits=6 tightens the band signatures: at threshold 0.4 the default
+    # 4-bit bands admit ~2/3 of random pairs as candidates (quadratic
+    # verify cost); 6 bits cuts that ~3x while keeping recall high
     return embedding_cosine_pairs(
-        t["embeddings"], "vec_id", "embedding", threshold=0.4, method="lsh"
+        t["embeddings"], "vec_id", "embedding", threshold=0.4, method="lsh",
+        nbits=6, bands=16,
     )
 
 

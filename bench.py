@@ -31,11 +31,13 @@ HEADLINE = [
     "q26_grouped_filter",
     "q28_sessionize",
     "t31_text_stats",
+    "t43_bpe_tokens",
     "d34_dedup_exact",
     "d35_minhash_pairs",
     "d36_simhash_pairs",
     "s38_cosine_topk",
     "s39_lsh_topk",
+    "s40_ivf_topk",
 ]
 
 

@@ -348,8 +348,16 @@ def embedding_cosine_pairs(
 
     dim = len(tf.df.select(vec_col).first()[0])
     sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
-    banded = vec.select(
-        "__id", sig_udf(F.col("__v")).alias("__sigs")
+    # pre-normalize once so the per-candidate verify is a single dot
+    # product (three interpreted array passes -> one)
+    norm = vec.select(
+        "__id",
+        F.expr(
+            "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
+        ).alias("__u"),
+    ).persist()
+    banded = norm.select(
+        "__id", sig_udf(F.col("__u")).alias("__sigs")
     ).select("__id", F.posexplode("__sigs").alias("__band", "__sig"))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -362,19 +370,12 @@ def embedding_cosine_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    la = vec.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    rb = vec.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    la = norm.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua"))
+    rb = norm.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub"))
     out = (
         cand.join(la, "id_a")
         .join(rb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.expr(_dot("__va", "__vb"))
-                / (F.expr(_norm("__va")) * F.expr(_norm("__vb")))
-            ).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.expr(_dot("__ua", "__ub")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     from ..core import TidyFrame
