@@ -1,0 +1,116 @@
+"""Sources, sinks, and utility surfaces (SURVEY §2.1): db_table variants,
+copy_to, views, write_file, streamed collect, show_query/plan_summary,
+summary."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from tidierdb_jl_spark import (
+    copy_to,
+    db_table,
+    drop_view,
+    plan_summary,
+    show_query,
+    show_tables,
+    write_file,
+)
+
+
+def test_db_table_path_csv_json_and_multi_file(spark, tables):
+    d = tempfile.mkdtemp(prefix="src_")
+    nat = tables["nation"]
+    csv_p = os.path.join(d, "nation.csv")
+    json_p = os.path.join(d, "nation.json")
+    write_file(nat, csv_p)
+    write_file(nat, json_p)
+    assert db_table(spark, csv_p).collect().shape[0] == 25
+    assert set(db_table(spark, json_p).columns) == set(nat.columns)
+
+    # multi-file vector read
+    p1, p2 = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    nat.df.limit(10).write.parquet(p1)
+    nat.df.limit(10).write.parquet(p2)
+    assert db_table(spark, [p1, p2]).collect().shape[0] == 20
+
+    # glob
+    assert db_table(spark, os.path.join(d, "*.parquet")).collect().shape[0] == 20
+
+
+def test_db_table_local_pandas_and_options(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    tf = db_table(spark, pdf, alias="pd_view")
+    assert tf.collect().shape == (3, 2)
+    assert spark.sql("SELECT count(*) FROM pd_view").first()[0] == 3
+    drop_view(spark, "pd_view")
+
+    d = tempfile.mkdtemp(prefix="opt_")
+    p = os.path.join(d, "no_header.csv")
+    with open(p, "w") as f:
+        f.write("1;x\n2;y\n")
+    tf = db_table(spark, p, header="false", sep=";", inferSchema="true")
+    assert tf.collect().shape == (2, 2)
+
+
+def test_db_table_delta_gated(spark):
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        db_table(spark, "/tmp/nope", delta=True)
+    assert "delta" in str(ei.value).lower() or "classpath" in str(ei.value).lower()
+
+
+def test_copy_to_and_show_tables(spark, tables):
+    copy_to(spark, tables["region"], "region_copy")
+    try:
+        assert spark.table("region_copy").count() == 5
+        names = {r["tableName"] for r in show_tables(spark).collect()}
+        assert "region_copy" in names
+    finally:
+        spark.sql("DROP TABLE IF EXISTS region_copy")
+
+
+def test_create_view_drop_view_roundtrip(spark, tables):
+    tables["nation"].filter("n_regionkey = 0").create_view("nations_r0")
+    assert spark.sql("SELECT count(*) FROM nations_r0").first()[0] == 5
+    assert drop_view(spark, "nations_r0") is True
+
+
+def test_collect_stream_iterator(tables):
+    it = tables["nation"].collect(stream=True)
+    rows = list(it)
+    assert len(rows) == 25 and rows[0]["n_nationkey"] is not None
+
+
+def test_show_query_and_plan_summary(tables):
+    q = tables["lineitem"].filter("l_quantity > 45").select("l_orderkey")
+    text = show_query(q)
+    assert "Scan parquet" in text or "FileScan" in text
+    ps = plan_summary(q)
+    assert ps["pushed_filters"] is True  # predicate reached the scan
+
+
+def test_summary_profile(tables):
+    out = tables["nation"].summary().collect()
+    assert "summary" in out.columns and "count" in set(out["summary"])
+
+
+def test_head_limit(tables, ddb):
+    assert tables["orders"].head().collect().shape[0] == 6  # reference default
+    assert tables["orders"].head(3).collect().shape[0] == 3
+
+
+def test_distinct_agg_passthrough(tables, ddb):
+    from tests.helpers import assert_matches_duckdb
+
+    q = tables["lineitem"].summarize(nd="count(DISTINCT l_suppkey)")
+    assert_matches_duckdb(
+        q, ddb, "SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd FROM lineitem"
+    )
+
+
+def test_auto_ungroup_after_mutate(tables):
+    g = tables["lineitem"].group_by("l_returnflag")
+    assert g.groups == ("l_returnflag",)
+    m = g.mutate(x="l_quantity * 2")
+    assert m.groups == ()  # reference auto-ungroup semantics

@@ -310,6 +310,12 @@ REGISTRY: dict = {
 # identifiers rewritten outside call position
 IDENT_REWRITES = {
     "missing": "NULL",
+    # DuckDB's rowid pseudocolumn (reference passthrough,
+    # /root/reference/docs/examples/UserGuide/udfs_ex.jl:31-39).  Spark has
+    # no stable row id; monotonically_increasing_id() is unique and
+    # increasing per partition but NOT dense or reproducible across plans
+    # (documented divergence, SURVEY §4.3).
+    "rowid": "monotonically_increasing_id()",
 }
 
 

@@ -65,7 +65,8 @@ def db_table(
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
         f = _format_for(str(source[0]), fmt)
         reader = spark.read.options(**_reader_opts(f, options, str(source[0])))
-        df = getattr(reader, f)(list(source))
+        # load() takes a list of paths; the per-format methods are varargs
+        df = reader.format(f).load(list(source))
         out = TidyFrame(df)
     elif hasattr(source, "__dataframe__") or type(source).__name__ == "DataFrame" and not hasattr(source, "sparkSession"):
         # local pandas frame → Arrow path (/root/reference/src/TidierDB.jl:296-307)
