@@ -465,6 +465,14 @@ def _s40(t):
     )
 
 
+def _t52(t):
+    from tidierdb_jl_spark.llm.pipeline import clean_corpus
+
+    return clean_corpus(t["documents"], min_words=20).select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio", "lang_pred"
+    )
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -491,6 +499,7 @@ _BUILDERS.update(
         "d41_embedding_dedup_exact": _d41,
         "d42_embedding_dedup_lsh": _d42,
         "m40_multimodal_decode": _m40,
+        "t52_clean_corpus": _t52,
     }
 )
 
@@ -655,7 +664,10 @@ _BUILDERS.update(
 )
 
 
-def _lang_oracle() -> str:
+def _lang_score_parts() -> tuple[list, str]:
+    """Shared DuckDB SQL pieces for the stopword language heuristic:
+    (per-language score column exprs over ``toks``, the CASE picking the
+    winner) — must mirror ``textstats.with_language_id`` exactly."""
     from tidierdb_jl_spark.llm.textstats import STOPWORDS
 
     score_cols = []
@@ -675,6 +687,11 @@ def _lang_oracle() -> str:
         others = ", ".join(f"s_{o}" for o in order if o != lang)
         branches.append(f"WHEN s_{lang} >= greatest({others}) THEN '{lang}'")
     case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return score_cols, case
+
+
+def _lang_oracle() -> str:
+    score_cols, case = _lang_score_parts()
     return f"""
         WITH t AS (
           SELECT doc_id, text,
@@ -683,6 +700,41 @@ def _lang_oracle() -> str:
           FROM documents),
         s AS (SELECT doc_id, text, {', '.join(score_cols)} FROM t)
         SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+def _clean_corpus_oracle() -> str:
+    """DuckDB mirror of llm.pipeline.clean_corpus(min_words=20): quality
+    gates -> en language filter -> exact dedup keeping min doc_id."""
+    score_cols, case = _lang_score_parts()
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, toks,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS avg_word_len,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio
+          FROM t),
+        g AS (
+          SELECT * FROM s
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND avg_word_len >= 2.0 AND avg_word_len <= 15.0
+            AND punct_ratio <= 0.30 AND digit_ratio <= 0.30),
+        l AS (SELECT g.*, {', '.join(score_cols)} FROM g),
+        p AS (SELECT *, {case} AS lang_pred FROM l),
+        e AS (SELECT * FROM p WHERE lang_pred = 'en'),
+        f AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint FROM e),
+        k AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM f)
+        SELECT doc_id, n_words, avg_word_len, punct_ratio, lang_pred
+        FROM k WHERE doc_id = keep_id
     """
 
 
@@ -779,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(_LLM_ORACLES)
     out["t33_lang_id"] = _lang_oracle()
+    out["t52_clean_corpus"] = _clean_corpus_oracle()
     out.update({
         "q01_tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -311,3 +311,47 @@ def test_embedding_cosine_dedup_lsh_recall(tables, ddb):
     # ... with high recall at a near-dup threshold
     if eset:
         assert len(lset) / len(eset) >= 0.7, f"recall {len(lset)}/{len(eset)}"
+
+
+def test_clean_corpus_pipeline(tables, ddb):
+    """Composed C4-style cleaning: quality gates -> language filter ->
+    exact dedup, hash-matched against a DuckDB mirror of the whole
+    pipeline (oracle t52)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from tidierdb_jl_spark.llm.pipeline import clean_corpus
+
+    out = clean_corpus(tables["documents"], min_words=20).select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio", "lang_pred"
+    )
+    assert_matches_duckdb(out, ddb, entry._clean_corpus_oracle())
+    # survivors: every fingerprint appears once, and only en docs remain
+    full = clean_corpus(tables["documents"], min_words=20).collect()
+    assert full["fingerprint"].is_unique
+    assert (full["lang_pred"] == "en").all()
+
+
+def test_quality_filter_gates(tables):
+    from tidierdb_jl_spark.llm.pipeline import quality_filter
+
+    docs = tables["documents"]
+    n_all = docs.df.count()
+    kept = quality_filter(docs, min_words=20).df.count()
+    assert 0 < kept < n_all  # the word-count gate must actually drop rows
+    # degenerate gate drops everything
+    assert quality_filter(docs, min_words=10**9).df.count() == 0
+
+
+def test_clean_corpus_single_shuffle(tables):
+    """Scale contract: everything before dedup fuses into the scan — the
+    plan must contain exactly one exchange (the fingerprint window)."""
+    from tidierdb_jl_spark.llm.pipeline import clean_corpus
+
+    from tidierdb_jl_spark.plans.show import show_query
+
+    plan = show_query(clean_corpus(tables["documents"]))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # hashpartition for window (+AQE coalesce)

@@ -152,3 +152,47 @@ def test_foreach_batch_sink(spark, stream_dir):
     q.processAllAvailable()
     q.stop()
     assert seen and sum(n for _, n in seen) > 0
+
+
+def test_transform_with_state_gated_or_runs(spark, stream_dir):
+    """transformWithState (Spark 4.x arbitrary state API) needs protobuf;
+    when absent the wrapper must fail fast with a clear message instead of
+    crashing the streaming Python driver worker mid-query.  When protobuf
+    IS present, the running top-k must match the batch top-k."""
+    from tidierdb_jl_spark.streaming.stream import (
+        _tws_available,
+        run_to_memory,
+        stateful_topk,
+    )
+
+    st = read_stream(spark, stream_dir)
+    if not _tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful_topk(st, "user_id", "value", k=3)
+        return
+
+    res = stateful_topk(st, "user_id", "value", k=3)
+    out = run_to_memory(res, "tws_topk", mode="update").toPandas()
+    batch = (
+        spark.table("events")
+        .selectExpr("user_id", "value")
+        .toPandas()
+        .dropna()
+        .groupby("user_id")["value"]
+        .apply(lambda s: sorted(s, reverse=True)[:3])
+    )
+    last = out.groupby("user_id").tail(1).set_index("user_id")["topk"]
+    for uid, want in batch.items():
+        assert list(last.loc[uid]) == [float(v) for v in want]
+
+
+def test_topk_fold_pure():
+    """The per-batch fold used by stateful_topk, testable without the
+    streaming runtime: merging batches must equal a global top-k."""
+    from tidierdb_jl_spark.streaming.stream import _topk_fold
+
+    cur = []
+    for batch in ([5.0, 1.0], [9.0], [], [7.0, 8.0, 2.0]):
+        cur = _topk_fold(cur, batch, 3)
+    assert cur == [9.0, 8.0, 7.0]
+    assert _topk_fold([3.0, 2.0, 1.0], [2.5], 3) == [3.0, 2.5, 2.0]

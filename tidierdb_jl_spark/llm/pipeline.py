@@ -1,0 +1,79 @@
+"""Composed corpus-cleaning pipeline (C4/Gopher-style heuristics) for LLM
+training-data preparation — the flagship composition of the text-analysis
+operators (beyond the reference; BASELINE.json north star).
+
+Single-pass design: every gate is a ``pyspark.sql.functions`` expression,
+so the whole pipeline — stats, language ID, quality flags, fingerprint —
+fuses into ONE whole-stage-codegen'd scan with zero shuffles; the only
+shuffle in ``clean_corpus`` is the fingerprint window for dedup, which is
+also the minimal possible (one hash-partitioned exchange on an 32-char
+key).  At 100 TB that means: one pass over the corpus, one shuffle of
+(doc_id, fingerprint) pairs — not the documents themselves — then a
+semi-join back that AQE turns into a broadcast when the survivor set is
+small.
+"""
+
+from __future__ import annotations
+
+from ..core import TidyFrame
+from .textstats import with_language_id, with_text_stats
+
+__all__ = ["quality_filter", "clean_corpus"]
+
+# C4-style defaults (Raffel et al. 2020 §2.2 heuristics, adapted to the
+# synthetic corpus: its documents are short keyword streams).
+DEFAULT_GATES = dict(
+    min_words=5,
+    max_words=100_000,
+    min_avg_word_len=2.0,
+    max_avg_word_len=15.0,
+    max_punct_ratio=0.30,
+    max_digit_ratio=0.30,
+)
+
+
+def quality_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
+    """Keep documents passing C4-style quality gates: word-count range,
+    average word length range, punctuation and digit ratio caps.  Adds the
+    stat columns (``with_text_stats``) and filters on them — Catalyst
+    collapses the mutate+filter into the scan, so the predicate runs
+    during the parquet read."""
+    g = {**DEFAULT_GATES, **gates}
+    return with_text_stats(tf, col).filter(
+        f"n_words >= {g['min_words']} AND n_words <= {g['max_words']} "
+        f"AND avg_word_len >= {g['min_avg_word_len']} "
+        f"AND avg_word_len <= {g['max_avg_word_len']} "
+        f"AND punct_ratio <= {g['max_punct_ratio']} "
+        f"AND digit_ratio <= {g['max_digit_ratio']}"
+    )
+
+
+def clean_corpus(
+    tf: TidyFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    lang: str | None = "en",
+    dedup: bool = True,
+    **gates,
+) -> TidyFrame:
+    """Full cleaning pass: quality gates → language filter → exact dedup
+    (keep the lowest ``id_col`` per normalized-text fingerprint).  Returns
+    the surviving documents with their quality stats and predicted
+    language.
+
+    The dedup keeps ``min(id) over (partition by fingerprint)`` rather
+    than ``dropDuplicates`` so the survivor choice is deterministic —
+    ``dropDuplicates`` keeps an arbitrary row per key, which breaks
+    reproducible corpus builds across cluster runs.
+    """
+    out = quality_filter(tf, col, **gates)
+    out = with_language_id(out, col)
+    if lang is not None:
+        out = out.filter(f"lang_pred = '{lang}'")
+    if dedup:
+        norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+        out = out.mutate(fingerprint=f"md5({norm})")
+        out = out.mutate(
+            keep_id=f"min({id_col})", _by="fingerprint"
+        ).filter(f"{id_col} = keep_id")
+    return out

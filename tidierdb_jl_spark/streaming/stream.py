@@ -25,6 +25,8 @@ __all__ = [
     "session_window",
     "dedup_within_watermark",
     "stateful_running_agg",
+    "transform_with_state",
+    "stateful_topk",
     "run_to_memory",
     "write_stream",
     "foreach_batch",
@@ -200,6 +202,114 @@ def foreach_batch(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python driver worker speaks protobuf to the JVM
+    state server; without the ``protobuf`` package the worker crashes at
+    init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state(
+    tf: TidyFrame,
+    keys,
+    processor,
+    output_schema,
+    mode: str = "update",
+    time_mode: str = "None",
+) -> TidyFrame:
+    """Arbitrary stateful processing via Spark 4.x
+    ``transformWithStateInPandas`` — the successor to
+    ``applyInPandasWithState`` with named state variables (value/list/map),
+    per-state TTL, and event/processing-time timers.  ``processor`` is a
+    ``pyspark.sql.streaming.StatefulProcessor``.
+
+    Requires the RocksDB state store (set on the session here — state
+    spills to disk, so per-executor state is bounded by local SSD, not
+    heap; that is what makes billion-key state feasible at cluster scale)
+    and the ``protobuf`` package (gated: raises RuntimeError when absent).
+    """
+    if not _tws_available():
+        raise RuntimeError(
+            "transform_with_state requires the 'protobuf' package for the "
+            "transformWithState state-server protocol; it is not installed "
+            "in this environment. Use stateful_running_agg "
+            "(applyInPandasWithState) instead, or install protobuf."
+        )
+    spark = tf.df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out = tf.df.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=output_schema,
+        outputMode=mode.capitalize(),
+        timeMode=time_mode,
+    )
+    return TidyFrame(out)
+
+
+def _topk_fold(cur: list, values, k: int) -> list:
+    """Pure per-batch fold for the running top-k: merge the batch's values
+    into the current top-k list.  O(batch + k log k) per batch; state is
+    exactly k doubles per key regardless of stream length."""
+    merged = list(cur)
+    merged.extend(float(v) for v in values)
+    merged.sort(reverse=True)
+    return merged[:k]
+
+
+def _make_topk_processor(key_names: list, value_col: str, k: int):
+    """Build the StatefulProcessor lazily (the base class import is cheap,
+    but keep construction in one place so the gated path stays import-safe).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("topk", "v array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                cur = _topk_fold(cur, pdf[value_col].dropna(), k)
+            self._state.update((cur,))
+            row = dict(zip(key_names, key))
+            row["topk"] = cur
+            yield pd.DataFrame([row])
+
+        def close(self):
+            pass
+
+    return _TopK()
+
+
+def stateful_topk(tf: TidyFrame, keys, value_col: str, k: int = 3) -> TidyFrame:
+    """Per-key running top-k values across micro-batches — not expressible
+    with built-in streaming aggregations (no streaming window-rank).
+    Emits one row per key per batch with the top-k *after* that batch."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in tf.df.schema
+        if f.name in keys
+    )
+    return transform_with_state(
+        tf,
+        keys,
+        _make_topk_processor(keys, value_col, k),
+        f"{key_fields}, topk array<double>",
+    )
 
 
 def run_to_memory(
