@@ -473,6 +473,31 @@ def _t52(t):
     )
 
 
+def _e53(t):
+    from tidierdb_jl_spark.operators.timeagg import time_rollup
+
+    return time_rollup(
+        t["events"], "ts", "1 hour", keys=["event_type"],
+        n="n()", total="sum(value)",
+    )
+
+
+def _e54(t):
+    # hourly rollup -> daily merge, uniques via mergeable HLL sketches
+    # (not SQL-expressible in DuckDB: datasketches HLL binary format)
+    from tidierdb_jl_spark.operators.timeagg import merge_rollup, time_rollup
+
+    hourly = time_rollup(
+        t["events"], "ts", "1 hour",
+        n="n()", uniq_sketch="hll_sketch_agg(user_id)",
+    )
+    return merge_rollup(
+        hourly, "1 day",
+        n="sum(n)",
+        uniq="as_integer(hll_sketch_estimate(hll_union_agg(uniq_sketch)))",
+    )
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -500,6 +525,8 @@ _BUILDERS.update(
         "d42_embedding_dedup_lsh": _d42,
         "m40_multimodal_decode": _m40,
         "t52_clean_corpus": _t52,
+        "e53_time_rollup": _e53,
+        "e54_rollup_merge_hll": _e54,
     }
 )
 
@@ -832,6 +859,11 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_LLM_ORACLES)
     out["t33_lang_id"] = _lang_oracle()
     out["t52_clean_corpus"] = _clean_corpus_oracle()
+    out["e53_time_rollup"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n, sum(value) AS total
+        FROM events GROUP BY 1, 2
+    """
     out.update({
         "q01_tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -30,7 +30,10 @@ HEADLINE = [
     "q22_pivot_wider",
     "q26_grouped_filter",
     "q28_sessionize",
+    "e53_time_rollup",
+    "e54_rollup_merge_hll",
     "t31_text_stats",
+    "t52_clean_corpus",
     "t43_bpe_tokens",
     "d34_dedup_exact",
     "d35_minhash_pairs",

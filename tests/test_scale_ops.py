@@ -1,0 +1,128 @@
+"""Scale-oriented operators: time rollups with mergeable sketches
+(operators/timeagg.py), observe-based metrics (plans/metrics.py),
+semi-join reduction (operators/skew.py)."""
+
+import pytest
+
+from helpers import assert_matches_duckdb
+from tidierdb_jl_spark.operators.timeagg import (
+    merge_rollup,
+    time_bucket_expr,
+    time_rollup,
+)
+
+
+def test_time_bucket_widths(tables):
+    ev = tables["events"]
+    for width, trunc in [("1 hour", "hour"), ("1 day", "day"), ("1 minute", "minute")]:
+        got = ev.mutate(b=time_bucket_expr("ts", width)).distinct("b").df.count()
+        want = ev.df.selectExpr(f"date_trunc('{trunc}', ts) AS b").distinct().count()
+        assert got == want, width
+    with pytest.raises(ValueError, match="unsupported"):
+        time_bucket_expr("ts", "3 fortnights")
+
+
+def test_time_rollup_matches_duckdb(tables, ddb):
+    roll = time_rollup(
+        tables["events"], "ts", "1 hour", keys=["event_type"],
+        n="n()", total="sum(value)",
+    )
+    assert_matches_duckdb(
+        roll,
+        ddb,
+        """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n, sum(value) AS total
+        FROM events GROUP BY 1, 2
+        """,
+    )
+
+
+def test_merge_rollup_exact_measures(tables):
+    """Daily-from-hourly must equal daily-from-raw for additive measures —
+    the continuous-aggregate contract."""
+    hourly = time_rollup(
+        tables["events"], "ts", "1 hour", n="n()", total="sum(value)",
+        vmax="max(value)",
+    )
+    daily_merged = (
+        merge_rollup(hourly, "1 day", n="sum(n)", total="sum(total)",
+                     vmax="max(vmax)")
+        .arrange("bucket").collect()
+    )
+    daily_direct = (
+        time_rollup(tables["events"], "ts", "1 day", n="n()",
+                    total="sum(value)", vmax="max(value)")
+        .arrange("bucket").collect()
+    )
+    assert (daily_merged["bucket"] == daily_direct["bucket"]).all()
+    assert (daily_merged["n"] == daily_direct["n"]).all()
+    assert (daily_merged["vmax"] == daily_direct["vmax"]).all()
+    assert abs(daily_merged["total"] - daily_direct["total"]).max() < 1e-6
+
+
+def test_merge_rollup_hll_sketch(tables):
+    """HLL sketches stored in the fine rollup must merge to (nearly) the
+    raw distinct count at the coarse granularity."""
+    hourly = time_rollup(
+        tables["events"], "ts", "1 hour",
+        uniq_sketch="hll_sketch_agg(user_id)",
+    )
+    daily = (
+        merge_rollup(hourly, "1 day",
+                     uniq="as_integer(hll_sketch_estimate(hll_union_agg(uniq_sketch)))")
+        .arrange("bucket").collect()
+    )
+    exact = (
+        time_rollup(tables["events"], "ts", "1 day",
+                    uniq="count(DISTINCT user_id)")
+        .arrange("bucket").collect()
+    )
+    assert (daily["bucket"] == exact["bucket"]).all()
+    for est, ex in zip(daily["uniq"], exact["uniq"]):
+        assert abs(est - ex) <= max(2, 0.05 * ex), (est, ex)
+
+
+def test_with_metrics_no_extra_pass(tables):
+    from tidierdb_jl_spark.plans.metrics import collect_with_metrics
+
+    q = tables["lineitem"].filter("l_quantity > 45")
+    out, m = collect_with_metrics(
+        q, "qa", n="n()", max_qty="max(l_quantity)",
+        null_keys="sum(as_integer(ismissing(l_orderkey)))",
+    )
+    assert m["n"] == len(out)
+    assert m["max_qty"] == out["l_quantity"].max()
+    assert m["null_keys"] == 0
+
+
+def test_semi_reduce(tables):
+    from tidierdb_jl_spark.operators.skew import semi_reduce
+
+    big = tables["lineitem"]
+    small = tables["orders"].filter("o_orderpriority = '1-URGENT'")
+    red = semi_reduce(big, small, "l_orderkey == o_orderkey")
+    # equals the inner-join-restricted row set, without duplication
+    want = (
+        big.df.join(
+            small.df.select("o_orderkey").distinct(),
+            big.df["l_orderkey"] == small.df.select("o_orderkey").distinct()["o_orderkey"],
+        ).count()
+    )
+    assert red.df.count() == want
+    assert red.columns == big.columns
+    # keys survive the reduction
+    keys_in = {r[0] for r in small.df.select("o_orderkey").distinct().collect()}
+    keys_out = {r[0] for r in red.df.select("l_orderkey").distinct().collect()}
+    assert keys_out <= keys_in
+
+
+def test_semi_reduce_plan_is_broadcast(tables):
+    from tidierdb_jl_spark.operators.skew import semi_reduce
+    from tidierdb_jl_spark.plans.show import show_query
+
+    red = semi_reduce(
+        tables["lineitem"], tables["orders"].head(100), "l_orderkey == o_orderkey"
+    )
+    plan = show_query(red)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

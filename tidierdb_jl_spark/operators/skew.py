@@ -20,7 +20,37 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "semi_reduce"]
+
+
+def semi_reduce(big, small, by):
+    """Semi-join reduction: shrink ``big`` to the rows whose keys appear in
+    ``small`` BEFORE an expensive downstream stage (wide shuffle, pandas
+    UDF, cross-product verify).  Implemented as ``LEFT SEMI`` against the
+    small side's distinct keys with a broadcast hint — at scale this is a
+    map-side filter (no shuffle of ``big``); Catalyst additionally injects
+    a runtime bloom filter into the scan when the optimizer's thresholds
+    hit (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by
+    default).
+
+    Equivalent to ``inner_join(big, small.distinct(keys))`` restricted to
+    ``big``'s columns, but never duplicates rows when ``small`` has
+    repeated keys.
+    """
+    from ..core import TidyFrame
+    from .joins import parse_by
+
+    stf = small if isinstance(small, TidyFrame) else TidyFrame(small)
+    conds = parse_by(by, big.df.columns, stf.df.columns)
+    if any(c.op != "==" or c.closest for c in conds):
+        raise ValueError("semi_reduce supports only equi-join conditions")
+    keys = stf.df.selectExpr(*[c.right for c in conds]).distinct()
+    cond = None
+    for c, kc in zip(conds, keys.columns):
+        piece = big.df[c.left] == keys[kc]
+        cond = piece if cond is None else (cond & piece)
+    out = big.df.join(F.broadcast(keys), cond, "left_semi")
+    return TidyFrame(out, groups=big.groups)
 
 
 def salted_join(left, right, by, how: str = "inner", salt: int = 8, seed: int = 42):

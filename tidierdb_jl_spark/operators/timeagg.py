@@ -1,0 +1,89 @@
+"""Hypertable-style time rollups: bucket events into fixed time intervals,
+pre-aggregate per bucket, and re-aggregate ("merge") fine rollups into
+coarser ones WITHOUT rescanning the raw table — TimescaleDB's continuous
+aggregates, done Spark-first (beyond the reference, which has no time-series
+operators; SURVEY §2 north-star family).
+
+Scale design:
+- ``time_bucket`` is a pure timestamp expression (floor of epoch seconds),
+  so bucketing fuses into the scan; a rollup is one partial-agg shuffle on
+  (bucket, keys) — the same shape Spark gives GROUP BY, with map-side
+  combine doing most of the reduction before the exchange.
+- Mergeability is the point at 100 TB: keep additive measures
+  (count/sum/min/max) plus *mergeable sketches* (HyperLogLog via
+  ``hll_sketch_agg``) in the fine rollup; coarser granularities then
+  aggregate the tiny rollup table (``merge_rollup``), never the raw data.
+  avg is derived as sum/count at read time; distinct counts merge via
+  ``hll_union_agg`` — the one aggregate that is NOT re-aggregable exactly,
+  which is exactly why the sketch, not the number, is stored.
+"""
+
+from __future__ import annotations
+
+from ..core import TidyFrame
+
+__all__ = ["time_bucket_expr", "time_rollup", "merge_rollup"]
+
+_UNITS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _width_seconds(width: str) -> int:
+    parts = width.strip().lower().split()
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    else:
+        n, unit = int(parts[0]), parts[1]
+    unit = unit.rstrip("s")
+    if unit not in _UNITS:
+        raise ValueError(
+            f"unsupported bucket width {width!r}; units: {sorted(_UNITS)}"
+        )
+    return n * _UNITS[unit]
+
+
+def time_bucket_expr(ts_col: str, width: str) -> str:
+    """SQL expression flooring ``ts_col`` to a ``width`` bucket (e.g.
+    '15 minutes', '1 hour', '1 day').  Epoch-seconds arithmetic, not
+    ``window()``, so the result is a plain timestamp column usable as a
+    join/group key and reproducible in any SQL dialect."""
+    secs = _width_seconds(width)
+    return (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({ts_col}) / {secs}) "
+        f"AS BIGINT) * {secs})"
+    )
+
+
+def time_rollup(
+    tf: TidyFrame,
+    ts_col: str,
+    width: str,
+    keys=(),
+    bucket_col: str = "bucket",
+    **aggs: str,
+) -> TidyFrame:
+    """Aggregate into fixed time buckets: one shuffle on (bucket, *keys).
+    ``aggs`` are summarize expressions (e.g. ``n="n()"``,
+    ``uniq_sketch="hll_sketch_agg(user_id)"``).  Store sketches, not
+    estimates, if the rollup will be merged coarser later."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out = tf.mutate(**{bucket_col: time_bucket_expr(ts_col, width)})
+    return out.group_by(bucket_col, *keys).summarize(**aggs)
+
+
+def merge_rollup(
+    tf: TidyFrame,
+    width: str,
+    keys=(),
+    bucket_col: str = "bucket",
+    **aggs: str,
+) -> TidyFrame:
+    """Re-aggregate an existing rollup to a coarser granularity by
+    re-bucketing ``bucket_col`` and merging the stored partials — the
+    input here is the (tiny) rollup table, never the raw events.  Merge
+    expressions operate on the rollup's columns: ``n="sum(n)"``,
+    ``uniq="hll_sketch_estimate(hll_union_agg(uniq_sketch))"``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out = tf.mutate(**{bucket_col: time_bucket_expr(bucket_col, width)})
+    return out.group_by(bucket_col, *keys).summarize(**aggs)
