@@ -473,6 +473,57 @@ def _t52(t):
     )
 
 
+def _q55(t):
+    # TPC-H Q3: shipping priority (date-filtered 3-way join + top-10)
+    return (
+        t["customer"].filter("c_mktsegment = 'BUILDING'")
+        .inner_join(t["orders"].filter("o_orderdate < '1996-03-15'"),
+                    by="c_custkey == o_custkey")
+        .inner_join(t["lineitem"].filter("l_shipdate > '1996-03-15'"),
+                    by="o_orderkey == l_orderkey")
+        .group_by("o_orderkey", "o_orderdate", "o_orderpriority")
+        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .rename(l_orderkey="o_orderkey")  # equi-key dedup kept the left key
+        .arrange("desc(revenue)", "o_orderdate", "l_orderkey")
+        .head(10)
+    )
+
+
+def _q56(t):
+    # TPC-H Q5: local supplier volume (6-way join; both dims broadcast)
+    return (
+        t["region"].filter("r_name = 'ASIA'")
+        .inner_join(t["nation"], by="r_regionkey == n_regionkey")
+        .inner_join(t["supplier"], by="n_nationkey == s_nationkey")
+        .inner_join(t["lineitem"], by="s_suppkey == l_suppkey")
+        .inner_join(t["orders"].filter(
+            "o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"),
+            by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"],
+                    by=["o_custkey == c_custkey", "n_nationkey == c_nationkey"])
+        .group_by("n_name")
+        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .arrange("desc(revenue)")
+    )
+
+
+def _q57(t):
+    # TPC-H Q10: returned-item reporting (join + agg + top-20 customers)
+    return (
+        t["customer"]
+        .inner_join(t["orders"].filter(
+            "o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'"),
+            by="c_custkey == o_custkey")
+        .inner_join(t["lineitem"].filter("l_returnflag = 'R'"),
+                    by="o_orderkey == l_orderkey")
+        .inner_join(t["nation"], by="c_nationkey == n_nationkey")
+        .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .arrange("desc(revenue)", "c_custkey")
+        .head(20)
+    )
+
+
 def _e53(t):
     from tidierdb_jl_spark.operators.timeagg import time_rollup
 
@@ -527,6 +578,9 @@ _BUILDERS.update(
         "t52_clean_corpus": _t52,
         "e53_time_rollup": _e53,
         "e54_rollup_merge_hll": _e54,
+        "q55_tpch_q3": _q55,
+        "q56_tpch_q5": _q56,
+        "q57_tpch_q10": _q57,
     }
 )
 
@@ -863,6 +917,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
                CAST(count(*) AS BIGINT) AS n, sum(value) AS total
         FROM events GROUP BY 1, 2
+    """
+    out["q55_tpch_q3"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1996-03-15' AND l_shipdate > '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+    out["q56_tpch_q5"] = """
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN supplier ON n_nationkey = s_nationkey
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND n_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC
+    """
+    out["q57_tpch_q10"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """
     out.update({
         "q01_tpch_q1": """

@@ -23,6 +23,8 @@ import __spark_entry__ as entry_mod  # noqa: E402
 HEADLINE = [
     "q01_tpch_q1",
     "q07_join3_revenue",
+    "q55_tpch_q3",
+    "q56_tpch_q5",
     "q12_asof_join",
     "q13_window_rank",
     "q14_window_frame",
