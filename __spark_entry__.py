@@ -549,6 +549,19 @@ def _e54(t):
     )
 
 
+def _e58(t):
+    # stream_join in batch mode: signup -> purchase within 30 minutes
+    # (same code path Structured Streaming runs with watermarks)
+    from tidierdb_jl_spark.streaming.stream import stream_join
+
+    sig = t["events"].filter("event_type = 'signup'").select("user_id", "ts")
+    pur = (
+        t["events"].filter("event_type = 'purchase'")
+        .select("user_id", "ts", "value").rename(p_ts="ts")
+    )
+    return stream_join(sig, pur, "user_id", "ts", "p_ts", "30 minutes")
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -581,6 +594,7 @@ _BUILDERS.update(
         "q55_tpch_q3": _q55,
         "q56_tpch_q5": _q56,
         "q57_tpch_q10": _q57,
+        "e58_stream_join": _e58,
     }
 )
 
@@ -941,6 +955,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'ASIA'
           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC
+    """
+    out["e58_stream_join"] = """
+        SELECT s.user_id, s.ts, p.ts AS p_ts, p.value
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts - INTERVAL 30 MINUTE
+         AND p.ts <= s.ts + INTERVAL 30 MINUTE
     """
     out["q57_tpch_q10"] = """
         SELECT c_custkey, c_name, c_acctbal, n_name,

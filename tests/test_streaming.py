@@ -196,3 +196,50 @@ def test_topk_fold_pure():
         cur = _topk_fold(cur, batch, 3)
     assert cur == [9.0, 8.0, 7.0]
     assert _topk_fold([3.0, 2.0, 1.0], [2.5], 3) == [3.0, 2.5, 2.0]
+
+
+def test_stream_stream_join_batch_parity(spark, stream_dir, tables):
+    """Watermarked stream-stream join within a time bound must equal the
+    same join run on the batch frames."""
+    from tidierdb_jl_spark.streaming.stream import stream_join
+
+    def build(lhs, rhs):
+        sig = lhs.filter("event_type = 'signup'").select("user_id", "ts")
+        pur = (
+            rhs.filter("event_type = 'purchase'")
+            .select("user_id", "ts", "value")
+            .rename(p_ts="ts")
+        )
+        return stream_join(sig, pur, "user_id", "ts", "p_ts", "30 minutes")
+
+    # batch reference
+    want = build(tables["events"], tables["events"]).collect()
+
+    # streaming run (both sides watermarked)
+    sl = with_watermark(read_stream(spark, stream_dir), "ts", "2 hours")
+    sr = with_watermark(read_stream(spark, stream_dir), "ts", "2 hours")
+    got = run_to_memory(build(sl, sr), "ssj_out").toPandas()
+
+    assert len(got) == len(want)
+    key = ["user_id", "ts", "p_ts"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert (g["value"].values == w["value"].values).all()
+
+
+def test_join_strategy_hints(tables):
+    from tidierdb_jl_spark.plans.show import show_query
+
+    big, dim = tables["lineitem"], tables["supplier"]
+    bc = big.inner_join(dim, by="l_suppkey == s_suppkey", strategy="broadcast")
+    assert "BroadcastHashJoin" in show_query(bc)
+    smj = big.inner_join(dim, by="l_suppkey == s_suppkey", strategy="merge")
+    assert "SortMergeJoin" in show_query(smj)
+    shj = big.inner_join(dim, by="l_suppkey == s_suppkey", strategy="shuffle_hash")
+    assert "ShuffledHashJoin" in show_query(shj)
+    # strategy must not change results
+    assert bc.df.count() == smj.df.count() == big.df.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        big.inner_join(dim, by="l_suppkey == s_suppkey", strategy="bogus")

@@ -445,35 +445,35 @@ class TidyFrame:
 
     # -- joins (SURVEY §2.3) — implementation in operators/joins.py ---------
 
-    def left_join(self, other, by=None) -> "TidyFrame":
+    def left_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "left")
+        return do_join(self, other, by, "left", strategy=strategy)
 
-    def right_join(self, other, by=None) -> "TidyFrame":
+    def right_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "right")
+        return do_join(self, other, by, "right", strategy=strategy)
 
-    def inner_join(self, other, by=None) -> "TidyFrame":
+    def inner_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "inner")
+        return do_join(self, other, by, "inner", strategy=strategy)
 
-    def full_join(self, other, by=None) -> "TidyFrame":
+    def full_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "full")
+        return do_join(self, other, by, "full", strategy=strategy)
 
-    def semi_join(self, other, by=None) -> "TidyFrame":
+    def semi_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "semi")
+        return do_join(self, other, by, "semi", strategy=strategy)
 
-    def anti_join(self, other, by=None) -> "TidyFrame":
+    def anti_join(self, other, by=None, strategy=None) -> "TidyFrame":
         from .operators.joins import do_join
 
-        return do_join(self, other, by, "anti")
+        return do_join(self, other, by, "anti", strategy=strategy)
 
     def asof_join(self, other, by=None, how: str = "left") -> "TidyFrame":
         from .operators.joins import do_join

@@ -85,11 +85,24 @@ _HOW_MAP = {
 }
 
 
-def do_join(left, right, by, how: str, force_asof: bool = False):
+# Spark join-strategy hints (Dataset.hint); applied to the RIGHT side —
+# for broadcast/shuffle_hash that is the build side, which is the
+# conventional "small" input in this API.
+_STRATEGIES = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+
+
+def do_join(left, right, by, how: str, force_asof: bool = False,
+            strategy: str | None = None):
     from ..core import TidyFrame
 
     rtf = right if isinstance(right, TidyFrame) else TidyFrame(right)
     ldf, rdf = left.df, rtf.df
+    if strategy is not None:
+        if strategy not in _STRATEGIES:
+            raise ValueError(
+                f"unknown join strategy {strategy!r}; one of {sorted(_STRATEGIES)}"
+            )
+        rdf = rdf.hint(strategy)
     conds = parse_by(by, ldf.columns, rdf.columns)
 
     closest = [c for c in conds if c.closest]

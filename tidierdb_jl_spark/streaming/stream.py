@@ -24,6 +24,7 @@ __all__ = [
     "sliding_window",
     "session_window",
     "dedup_within_watermark",
+    "stream_join",
     "stateful_running_agg",
     "transform_with_state",
     "stateful_topk",
@@ -202,6 +203,52 @@ def foreach_batch(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_join(
+    left: TidyFrame,
+    right: TidyFrame,
+    keys,
+    ts_left: str,
+    ts_right: str,
+    within: str,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> TidyFrame:
+    """Stream-stream equi-join bounded by an event-time window: matches
+    rows with equal ``keys`` whose timestamps differ by at most
+    ``within`` (e.g. "10 minutes").  BOTH inputs must already carry
+    watermarks (``with_watermark``) — the time bound plus the watermarks
+    is what lets Spark evict join state, keeping per-executor state
+    bounded on unbounded streams; an unbounded stream-stream join would
+    grow state forever.
+
+    Right-side columns that collide with left names get ``suffix``.
+    Works identically on batch frames (useful for batch-parity tests).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    la, ra = "__sj_l", "__sj_r"
+    l, r = left.df.alias(la), right.df.alias(ra)
+    cond = None
+    for k in keys:
+        piece = F.col(f"{la}.{k}") == F.col(f"{ra}.{k}")
+        cond = piece if cond is None else cond & piece
+    cond = (
+        cond
+        & (F.col(f"{ra}.{ts_right}")
+           >= F.expr(f"{la}.{ts_left} - INTERVAL {within}"))
+        & (F.col(f"{ra}.{ts_right}")
+           <= F.expr(f"{la}.{ts_left} + INTERVAL {within}"))
+    )
+    joined = l.join(r, cond, how)
+    lcols = left.df.columns
+    out_cols = [F.col(f"{la}.{c}") for c in lcols]
+    for c in right.df.columns:
+        if c in keys:
+            continue  # equi keys deduplicate, batch-join convention
+        name = c if c not in lcols else f"{c}{suffix}"
+        out_cols.append(F.col(f"{ra}.{c}").alias(name))
+    return TidyFrame(joined.select(*out_cols))
 
 
 def _tws_available() -> bool:
