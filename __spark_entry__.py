@@ -549,6 +549,14 @@ def _e54(t):
     )
 
 
+def _q59(t):
+    return (
+        t["orders"]
+        .grouping_sets(["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], [])
+        .summarize(n="n()", total="sum(o_totalprice)")
+    )
+
+
 def _e58(t):
     # stream_join in batch mode: signup -> purchase within 30 minutes
     # (same code path Structured Streaming runs with watermarks)
@@ -595,6 +603,7 @@ _BUILDERS.update(
         "q56_tpch_q5": _q56,
         "q57_tpch_q10": _q57,
         "e58_stream_join": _e58,
+        "q59_grouping_sets": _q59,
     }
 )
 
@@ -955,6 +964,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'ASIA'
           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC
+    """
+    out["q59_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
     """
     out["e58_stream_join"] = """
         SELECT s.user_id, s.ts, p.ts AS p_ts, p.value

@@ -96,6 +96,21 @@ def test_rollup(tables, ddb):
     )
 
 
+def test_grouping_sets(tables, ddb):
+    q = tables["orders"].grouping_sets(
+        ["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []
+    ).summarize(n="n()", total="sum(o_totalprice)")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                  sum(o_totalprice) AS total
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())""",
+    )
+
+
 def test_cube(tables, ddb):
     q = tables["orders"].cube("o_orderstatus", "o_orderpriority").summarize(n="n()")
     assert_matches_duckdb(

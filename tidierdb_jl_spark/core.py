@@ -327,6 +327,25 @@ class TidyFrame:
         """GROUP BY CUBE — aggregates over every grouping-column subset."""
         return _SetsGrouped(self, "cube", resolve_selection(specs, self.columns))
 
+    def grouping_sets(self, *sets) -> "_SetsGrouped":
+        """GROUP BY GROUPING SETS — explicit list of grouping-column
+        subsets (each a str or list of str; ``[]`` is the grand total).
+        The generalization of rollup/cube when only some subtotal
+        combinations are wanted — one shuffle computes them all, vs one
+        shuffle per combination if unioned by hand."""
+        resolved = [
+            resolve_selection(
+                list(s) if isinstance(s, (list, tuple)) else [s], self.columns
+            ) if s else []
+            for s in sets
+        ]
+        all_cols = []
+        for s in resolved:
+            for c in s:
+                if c not in all_cols:
+                    all_cols.append(c)
+        return _SetsGrouped(self, "grouping_sets", all_cols, sets=resolved)
+
     # -- scalar subqueries (SURVEY §2.9 "subquery" row) ---------------------
 
     def scalar(self):
@@ -570,10 +589,11 @@ class _SetsGrouped:
     """Grouping-sets handle returned by ``rollup()`` / ``cube()``; terminate
     with ``.summarize(...)``."""
 
-    def __init__(self, tf: TidyFrame, mode: str, cols: list):
+    def __init__(self, tf: TidyFrame, mode: str, cols: list, sets=None):
         self._tf = tf
         self._mode = mode
         self._cols = cols
+        self._sets = sets
 
     def summarize(self, *exprs, **named) -> TidyFrame:
         pairs = self._tf._collect_pairs(exprs, named)
@@ -585,7 +605,14 @@ class _SetsGrouped:
                 aggs.append(
                     F.expr(rewrite(str(expr), WindowState(), False)).alias(name)
                 )
-        gdf = getattr(self._tf.df, self._mode)(*self._cols).agg(*aggs)
+        if self._mode == "grouping_sets":
+            grouped = self._tf.df.groupingSets(
+                [[F.col(c) for c in s] for s in self._sets],
+                *[F.col(c) for c in self._cols],
+            )
+        else:
+            grouped = getattr(self._tf.df, self._mode)(*self._cols)
+        gdf = grouped.agg(*aggs)
         return TidyFrame(gdf, groups=tuple(self._cols), aggregated=True)
 
     summarise = summarize
