@@ -20,8 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 # table loading
 # ---------------------------------------------------------------------------
 
+_TABLES_CACHE: dict = {}
+
+
 def _tables(spark: SparkSession, sf_dir: str) -> dict:
-    """Load the driver parquet tables as TidyFrames on any SparkSession."""
+    """Load the driver parquet tables as TidyFrames on any SparkSession.
+    Memoized per (session, dir): table registration happens once, like a
+    user's `register_testdata` — re-reading 10 parquet footers per query
+    is pure overhead."""
+    key = (id(spark), sf_dir)
+    if key in _TABLES_CACHE:
+        return _TABLES_CACHE[key]
     from pyspark.sql import functions as F
 
     from tidierdb_jl_spark import TidyFrame
@@ -43,6 +52,7 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         out[name] = TidyFrame(df)
+    _TABLES_CACHE[key] = out
     return out
 
 
