@@ -567,6 +567,14 @@ def _q59(t):
     )
 
 
+def _t60(t):
+    from tidierdb_jl_spark.llm.pipeline import split_by_hash
+
+    return split_by_hash(t["documents"], "doc_id", train_frac=0.9).select(
+        "doc_id", "split"
+    )
+
+
 def _e58(t):
     # stream_join in batch mode: signup -> purchase within 30 minutes
     # (same code path Structured Streaming runs with watermarks)
@@ -614,6 +622,7 @@ _BUILDERS.update(
         "q57_tpch_q10": _q57,
         "e58_stream_join": _e58,
         "q59_grouping_sets": _q59,
+        "t60_hash_split": _t60,
     }
 )
 
@@ -974,6 +983,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'ASIA'
           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC
+    """
+    thr = format(int(0.9 * 0xFFFFFFFF), "08x")
+    out["t60_hash_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{thr}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
     """
     out["q59_grouping_sets"] = """
         SELECT o_orderstatus, o_orderpriority,

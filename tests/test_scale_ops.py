@@ -126,3 +126,59 @@ def test_semi_reduce_plan_is_broadcast(tables):
     )
     plan = show_query(red)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_split_by_hash(tables, ddb):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    from tidierdb_jl_spark.llm.pipeline import split_by_hash
+
+    q = split_by_hash(tables["documents"], "doc_id", train_frac=0.9).select(
+        "doc_id", "split"
+    )
+    assert_matches_duckdb(q, ddb, entry.oracle_sql()["t60_hash_split"])
+    out = q.collect()
+    frac = (out["split"] == "train").mean()
+    assert 0.8 < frac < 0.97  # ~0.9 with 500-doc noise
+    # determinism across runs and independence across salts
+    again = split_by_hash(tables["documents"], "doc_id", 0.9).collect()
+    assert (out.sort_values("doc_id")["split"].values
+            == again.sort_values("doc_id")["split"].values).all()
+    other = split_by_hash(tables["documents"], "doc_id", 0.9, salt="v2").collect()
+    assert (out.sort_values("doc_id")["split"].values
+            != other.sort_values("doc_id")["split"].values).any()
+    import pytest
+
+    with pytest.raises(ValueError, match="train_frac"):
+        split_by_hash(tables["documents"], "doc_id", 1.5)
+
+
+def test_write_file_cluster_by(spark, tables):
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark import db_table, write_file
+
+    d = tempfile.mkdtemp(prefix="clustered_")
+    p = os.path.join(d, "li.parquet")
+    write_file(tables["lineitem"], p, cluster_by="l_orderkey")
+    back = db_table(spark, p)
+    assert back.df.count() == tables["lineitem"].df.count()
+    # each data file covers a disjoint l_orderkey range (range partitioning)
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("l_orderkey")
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"

@@ -18,7 +18,7 @@ from __future__ import annotations
 from ..core import TidyFrame
 from .textstats import with_language_id, with_text_stats
 
-__all__ = ["quality_filter", "clean_corpus"]
+__all__ = ["quality_filter", "clean_corpus", "split_by_hash"]
 
 # C4-style defaults (Raffel et al. 2020 §2.2 heuristics, adapted to the
 # synthetic corpus: its documents are short keyword streams).
@@ -30,6 +30,33 @@ DEFAULT_GATES = dict(
     max_punct_ratio=0.30,
     max_digit_ratio=0.30,
 )
+
+
+def split_by_hash(
+    tf: TidyFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    out: str = "split",
+    salt: str = "",
+) -> TidyFrame:
+    """Deterministic train/test assignment by content hash — the correct
+    way to split at scale: no global shuffle or sample() randomness, stable
+    under re-runs, repartitions, and incremental appends (a document keeps
+    its split forever; ``rand()``-based splits leak rows across sets when
+    the pipeline re-executes).  ``salt`` derives independent splits from
+    the same ids.
+
+    Implementation: first 8 hex chars of md5(id||salt) compared against the
+    fraction's hex threshold — a pure string comparison, identical in any
+    engine with md5 (portable to the DuckDB oracle).
+    """
+    if not (0.0 <= train_frac <= 1.0):
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    threshold = format(int(train_frac * 0xFFFFFFFF), "08x")
+    prefix = f"substring(md5(concat(CAST({id_col} AS STRING), '{salt}')), 1, 8)"
+    return tf.mutate(
+        **{out: f"if_else({prefix} < '{threshold}', 'train', 'test')"}
+    )
 
 
 def quality_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:

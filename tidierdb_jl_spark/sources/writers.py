@@ -11,9 +11,15 @@ __all__ = ["write_file", "create_table", "drop_view"]
 _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
 
 
-def write_file(tf, path: str, mode: str = "overwrite", partition_by=None) -> None:
+def write_file(
+    tf, path: str, mode: str = "overwrite", partition_by=None, cluster_by=None
+) -> None:
     fmt = next((f for ext, f in _EXT.items() if path.lower().endswith(ext)), "parquet")
-    writer = tf.df.write.mode(mode)
+    df = tf.df
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
     if fmt == "csv":
@@ -30,6 +36,7 @@ def create_table(
     buckets: int = 0,
     sort_by=None,
     partition_by=None,
+    cluster_by=None,
 ) -> None:
     """(``/root/reference/src/view_compute.jl:45-94``).
 
@@ -38,6 +45,10 @@ def create_table(
     co-located partitions and skip the shuffle entirely — the 100 TB
     pattern for dimension/fact tables joined repeatedly.  ``partition_by``
     adds directory partitioning for partition pruning on filters.
+    ``cluster_by`` range-partitions and sorts rows by the given columns
+    before writing, so each parquet file covers a narrow key range —
+    min/max row-group statistics then skip most files on selective scans
+    (the cheap cousin of Z-ordering; pick the columns your filters use).
     """
     if temp:
         if replace:
@@ -45,7 +56,11 @@ def create_table(
         else:
             tf.df.createTempView(name)
         return
-    writer = tf.df.write
+    df = tf.df
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    writer = df.write
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
