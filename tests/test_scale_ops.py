@@ -182,3 +182,42 @@ def test_write_file_cluster_by(spark, tables):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_refresh_rollup_incremental(spark, tables):
+    """Continuous-aggregate maintenance: initial build on early data, then
+    an incremental refresh with the full table must converge to the
+    direct full rollup — recomputing only the recent day partitions."""
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.operators.timeagg import refresh_rollup, time_rollup
+
+    d = tempfile.mkdtemp(prefix="rollup_")
+    path = os.path.join(d, "hourly")
+    ev = tables["events"]
+    cut = ev.df.selectExpr("date_add(min(to_date(ts)), 7)").first()[0]
+
+    early = ev.filter(f"to_date(ts) < '{cut}'")
+    refresh_rollup(early, path, "ts", "1 hour", keys=["event_type"],
+                   n="n()", total="sum(value)")
+    n_days_initial = len([f for f in os.listdir(path) if f.startswith("bucket_day=")])
+
+    # late + new data arrives; refresh with the full table
+    refreshed = refresh_rollup(ev, path, "ts", "1 hour", keys=["event_type"],
+                               n="n()", total="sum(value)")
+    n_days_after = len([f for f in os.listdir(path) if f.startswith("bucket_day=")])
+    assert n_days_after > n_days_initial
+
+    want = (
+        time_rollup(ev, "ts", "1 hour", keys=["event_type"],
+                    n="n()", total="sum(value)")
+        .arrange("bucket", "event_type").collect()
+    )
+    got = (
+        refreshed.select("bucket", "event_type", "n", "total")
+        .arrange("bucket", "event_type").collect()
+    )
+    assert (got["bucket"].values == want["bucket"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert abs(got["total"] - want["total"]).max() < 1e-6

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from ..core import TidyFrame
 
-__all__ = ["time_bucket_expr", "time_rollup", "merge_rollup"]
+__all__ = [
+    "time_bucket_expr",
+    "time_rollup",
+    "merge_rollup",
+    "refresh_rollup",
+]
 
 _UNITS = {
     "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
@@ -70,6 +75,67 @@ def time_rollup(
     keys = [keys] if isinstance(keys, str) else list(keys)
     out = tf.mutate(**{bucket_col: time_bucket_expr(ts_col, width)})
     return out.group_by(bucket_col, *keys).summarize(**aggs)
+
+
+def refresh_rollup(
+    raw: TidyFrame,
+    path: str,
+    ts_col: str,
+    width: str,
+    keys=(),
+    lookback_days: int = 1,
+    bucket_col: str = "bucket",
+    **aggs: str,
+) -> TidyFrame:
+    """Incremental continuous-aggregate maintenance: keep a parquet rollup
+    (day-partitioned) up to date by recomputing ONLY the recent time slice
+    — never the full history.
+
+    First call materializes the full rollup.  Subsequent calls find the
+    newest day already rolled up, re-aggregate raw rows from
+    ``lookback_days`` before it onward (the ``ts_col`` predicate pushes
+    down to the raw scan, so old data is never read), and replace exactly
+    those day partitions via dynamic partition overwrite.  At 100 TB this
+    turns a daily refresh from a full-history scan into a scan of ~1 day
+    of raw data + a rewrite of ~``lookback_days`` rollup partitions.
+    ``lookback_days`` covers late-arriving data, like a watermark.
+
+    Returns the refreshed rollup as a TidyFrame reading from ``path``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = raw.df.sparkSession
+
+    def rollup_slice(tf):
+        out = time_rollup(tf, ts_col, width, keys, bucket_col, **aggs)
+        return out.mutate(
+            bucket_day=f"date_format({bucket_col}, 'yyyy-MM-dd')"
+        )
+
+    exists = os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    if not exists:
+        rollup_slice(raw).df.write.partitionBy("bucket_day").mode(
+            "overwrite"
+        ).parquet(path)
+        return TidyFrame(spark.read.parquet(path))
+
+    existing = spark.read.parquet(path)
+    max_day = existing.agg(F.max("bucket_day")).first()[0]
+    cutoff = (
+        f"date_sub(to_date('{max_day}'), {lookback_days})"
+    )
+    fresh = rollup_slice(raw.filter(f"to_date({ts_col}) >= {cutoff}"))
+    (
+        fresh.df.write.partitionBy("bucket_day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return TidyFrame(spark.read.parquet(path))
 
 
 def merge_rollup(
