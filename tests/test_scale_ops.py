@@ -221,3 +221,28 @@ def test_refresh_rollup_incremental(spark, tables):
     assert (got["bucket"].values == want["bucket"].values).all()
     assert (got["n"].values == want["n"].values).all()
     assert abs(got["total"] - want["total"]).max() < 1e-6
+
+
+def test_freq_items_and_approx_quantile(tables):
+    li = tables["lineitem"]
+    fi = li.freq_items("l_returnflag", support=0.2)
+    items = set(fi["l_returnflag_freqItems"][0])
+    assert items <= {"A", "N", "R"} and items  # all true heavy hitters
+    qs = li.approx_quantile("l_quantity", [0.0, 0.5, 1.0], rel_err=0.01)
+    lo, med, hi = qs
+    assert lo == li.df.selectExpr("min(l_quantity)").first()[0]
+    assert hi == li.df.selectExpr("max(l_quantity)").first()[0]
+    assert lo <= med <= hi
+
+
+def test_persist_and_checkpoint(tables):
+    li = tables["lineitem"].filter("l_quantity > 40").persist()
+    try:
+        n1 = li.df.count()
+        assert li.df.count() == n1
+    finally:
+        li.unpersist()
+    cp = tables["nation"].checkpoint()
+    assert cp.df.count() == 25
+    # lineage truncated: plan no longer references the parquet scan
+    assert "FileScan" not in cp.df._jdf.queryExecution().executedPlan().toString()

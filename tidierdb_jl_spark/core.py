@@ -584,6 +584,39 @@ class TidyFrame:
     def cache(self) -> "TidyFrame":
         return self._with(self._df.cache())
 
+    def persist(self, level: str = "MEMORY_AND_DISK") -> "TidyFrame":
+        """Pin this frame's result across reuses (named StorageLevel, e.g.
+        "MEMORY_AND_DISK", "DISK_ONLY") — use when a pipeline branches and
+        both branches would otherwise recompute the shared prefix."""
+        from pyspark import StorageLevel
+
+        return self._with(self._df.persist(getattr(StorageLevel, level)))
+
+    def unpersist(self) -> "TidyFrame":
+        return self._with(self._df.unpersist())
+
+    def checkpoint(self) -> "TidyFrame":
+        """Truncate lineage (local checkpoint): materializes the frame and
+        forgets its plan.  For iterative pipelines whose plans grow without
+        bound (each iteration re-optimizes an ever-deeper tree)."""
+        return self._with(self._df.localCheckpoint())
+
+    def freq_items(self, *cols, support: float = 0.01):
+        """Approximate frequent items per column (Karp-Papadimitriou-
+        Shenker single-pass sketch via ``df.stat.freqItems``): every item
+        with frequency > ``support`` is returned (may include false
+        positives, never false negatives).  Returns a one-row pandas frame
+        of item arrays — a driver-side summary, like ``summary()``."""
+        names = resolve_selection(cols, self.columns)
+        return self._df.stat.freqItems(names, support).toPandas()
+
+    def approx_quantile(self, col: str, probs, rel_err: float = 0.01):
+        """Greenwald-Khanna approximate quantiles in one pass
+        (``df.stat.approxQuantile``).  ``rel_err=0`` computes exact
+        quantiles (full sort).  Returns a list of floats (or list of lists
+        when ``col`` is a list of columns)."""
+        return self._df.stat.approxQuantile(col, list(probs), rel_err)
+
 
 class _SetsGrouped:
     """Grouping-sets handle returned by ``rollup()`` / ``cube()``; terminate
