@@ -567,6 +567,14 @@ def _q59(t):
     )
 
 
+def _d61(t):
+    from tidierdb_jl_spark.llm.pipeline import prepare_training_corpus
+
+    return prepare_training_corpus(
+        t["documents"], t["embeddings"], min_words=20, cosine_threshold=0.4
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -623,6 +631,7 @@ _BUILDERS.update(
         "e58_stream_join": _e58,
         "q59_grouping_sets": _q59,
         "t60_hash_split": _t60,
+        "d61_training_prep_e2e": _d61,
     }
 )
 
@@ -826,6 +835,53 @@ def _lang_oracle() -> str:
     """
 
 
+def _e2e_prep_oracle() -> str:
+    """DuckDB mirror of llm.pipeline.prepare_training_corpus(min_words=20,
+    cosine_threshold=0.4): clean -> embedding near-dup drop -> hash split."""
+    score_cols, case = _lang_score_parts()
+    thr = format(int(0.9 * 0xFFFFFFFF), "08x")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, toks,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS avg_word_len,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio
+          FROM t),
+        g AS (
+          SELECT * FROM s
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND avg_word_len >= 2.0 AND avg_word_len <= 15.0
+            AND punct_ratio <= 0.30 AND digit_ratio <= 0.30),
+        l AS (SELECT g.*, {', '.join(score_cols)} FROM g),
+        p AS (SELECT *, {case} AS lang_pred FROM l),
+        e AS (SELECT * FROM p WHERE lang_pred = 'en'),
+        f AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint FROM e),
+        k AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM f),
+        cleaned AS (SELECT doc_id, n_words, lang_pred FROM k WHERE doc_id = keep_id),
+        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cleaned)),
+        dupes AS (
+          SELECT DISTINCT b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.ev, b.ev) /
+                  (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.4),
+        kept AS (SELECT * FROM cleaned WHERE doc_id NOT IN (SELECT id_b FROM dupes))
+        SELECT doc_id, n_words, lang_pred,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM kept
+    """
+
+
 def _clean_corpus_oracle() -> str:
     """DuckDB mirror of llm.pipeline.clean_corpus(min_words=20): quality
     gates -> en language filter -> exact dedup keeping min doc_id."""
@@ -955,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_LLM_ORACLES)
     out["t33_lang_id"] = _lang_oracle()
     out["t52_clean_corpus"] = _clean_corpus_oracle()
+    out["d61_training_prep_e2e"] = _e2e_prep_oracle()
     out["e53_time_rollup"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
                CAST(count(*) AS BIGINT) AS n, sum(value) AS total

@@ -18,7 +18,12 @@ from __future__ import annotations
 from ..core import TidyFrame
 from .textstats import with_language_id, with_text_stats
 
-__all__ = ["quality_filter", "clean_corpus", "split_by_hash"]
+__all__ = [
+    "quality_filter",
+    "clean_corpus",
+    "split_by_hash",
+    "prepare_training_corpus",
+]
 
 # C4-style defaults (Raffel et al. 2020 §2.2 heuristics, adapted to the
 # synthetic corpus: its documents are short keyword streams).
@@ -104,3 +109,44 @@ def clean_corpus(
             keep_id=f"min({id_col})", _by="fingerprint"
         ).filter(f"{id_col} = keep_id")
     return out
+
+
+def prepare_training_corpus(
+    docs: TidyFrame,
+    embeddings: TidyFrame,
+    id_col: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    train_frac: float = 0.9,
+    lang: str | None = "en",
+    **gates,
+) -> TidyFrame:
+    """End-to-end training-data preparation — the capstone composition:
+
+    1. ``clean_corpus``: quality gates -> language filter -> exact dedup
+       (one fused scan + one narrow shuffle);
+    2. semantic near-dup removal: restrict embeddings to the cleaned
+       survivors (``semi_reduce`` — map-side semi join), find cosine pairs
+       above ``cosine_threshold``, drop every doc that duplicates a
+       lower-id doc (greedy min-id rule, same convention as exact dedup);
+    3. ``split_by_hash``: deterministic train/test assignment.
+
+    Output: one row per surviving document with stats, language, and
+    split.  Every stage is engine-side; the only data-dependent blowup
+    (the pair join) runs on the *embedding* table after semi-join
+    reduction, never on the corpus text.
+    """
+    from ..operators.skew import semi_reduce
+    from .dedup import embedding_cosine_pairs
+
+    cleaned = clean_corpus(docs, id_col=id_col, lang=lang, **gates)
+    emb_c = semi_reduce(embeddings, cleaned, f"{vec_id} == {id_col}")
+    pairs = embedding_cosine_pairs(
+        emb_c, vec_id, vec_col, threshold=cosine_threshold, method="exact"
+    )
+    dupes = pairs.distinct("id_b")
+    kept = cleaned.anti_join(dupes, by=f"{id_col} == id_b")
+    return split_by_hash(kept, id_col, train_frac).select(
+        id_col, "n_words", "lang_pred", "split"
+    )
