@@ -575,6 +575,67 @@ def _d61(t):
     )
 
 
+def _q62(t):
+    # TPC-H Q6: forecast revenue change — pure scan+filter+global agg;
+    # every predicate must reach the parquet reader (PushedFilters).
+    return (
+        t["lineitem"]
+        .filter(
+            "l_shipdate >= '1996-01-01'", "l_shipdate < '1997-01-01'",
+            "l_discount >= 0.02", "l_discount <= 0.08", "l_quantity < 24",
+        )
+        .summarize(revenue="sum(l_extendedprice * l_discount)")
+    )
+
+
+def _q63(t):
+    # TPC-H Q4 (adapted: no l_commitdate in the synthetic schema — the
+    # EXISTS probe is "has a returned line" instead): order-priority
+    # checking via LEFT SEMI join, then count per priority.
+    return (
+        t["orders"]
+        .filter("o_orderdate >= '1996-07-01'", "o_orderdate < '1996-10-01'")
+        .semi_join(
+            t["lineitem"].filter("l_returnflag = 'R'"),
+            by="o_orderkey == l_orderkey",
+        )
+        .count("o_orderpriority")
+        .arrange("o_orderpriority")
+    )
+
+
+def _q64(t):
+    # TPC-H Q14: promo revenue share — broadcast dim join + conditional agg.
+    return (
+        t["lineitem"]
+        .filter("l_shipdate >= '1996-09-01'", "l_shipdate < '1996-10-01'")
+        .inner_join(t["part"], by="l_partkey == p_partkey")
+        .summarize(
+            promo_revenue=(
+                "100.0 * sum(if_else(p_type = 'PROMO', "
+                "l_extendedprice * (1 - l_discount), 0.0)) / "
+                "sum(l_extendedprice * (1 - l_discount))"
+            )
+        )
+    )
+
+
+def _q65(t):
+    # TPC-H Q19 (adapted to the synthetic domain): discounted revenue over
+    # OR-of-ANDs brand/size/quantity bands — disjunctive predicate after a
+    # broadcast join; Catalyst pushes the shared p_size bound to the scan.
+    return (
+        t["lineitem"]
+        .inner_join(t["part"], by="l_partkey == p_partkey")
+        .filter(
+            "(p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity >= 1 AND l_quantity <= 11)"
+            " OR (p_brand = 'Brand#23' AND p_size <= 25 AND l_quantity >= 10 AND l_quantity <= 20)"
+            " OR (p_brand = 'Brand#34' AND p_size <= 35 AND l_quantity >= 20 AND l_quantity <= 30)"
+        )
+        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -632,6 +693,10 @@ _BUILDERS.update(
         "q59_grouping_sets": _q59,
         "t60_hash_split": _t60,
         "d61_training_prep_e2e": _d61,
+        "q62_tpch_q6": _q62,
+        "q63_tpch_q4": _q63,
+        "q64_tpch_q14": _q64,
+        "q65_tpch_q19": _q65,
     }
 )
 
@@ -1077,6 +1142,38 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+    out["q62_tpch_q6"] = """
+        SELECT sum(l_extendedprice * l_discount) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
+    """
+    out["q63_tpch_q4"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    out["q64_tpch_q14"] = """
+        SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+    """
+    out["q65_tpch_q19"] = """
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size <= 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size <= 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size <= 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
     """
     out.update({
         "q01_tpch_q1": """
