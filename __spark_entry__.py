@@ -575,6 +575,44 @@ def _d61(t):
     )
 
 
+def _e66(t):
+    # Mergeable heavy-hitters rollup: hourly approx_top_k sketch state ->
+    # daily combine -> estimate, never rescanning raw events.  Exact here
+    # (capacity 100 >> 5 distinct event types), hence oracle-comparable;
+    # at 100 TB the same plan holds with bounded-memory sketch state.
+    from tidierdb_jl_spark.operators.timeagg import merge_rollup, time_rollup
+
+    hourly = time_rollup(
+        t["events"], "ts", "1 hour",
+        tk="approx_top_k_accumulate(event_type, 100)",
+    )
+    daily = merge_rollup(hourly, "1 day", tk="approx_top_k_combine(tk, 100)")
+    return (
+        daily.mutate(est="approx_top_k_estimate(tk, 5)")
+        .select("bucket", "est")
+        .unnest_longer("est")
+        .unnest_wider("est")
+        .rename(event_type="item", n="count")
+    )
+
+
+def _e67(t):
+    # Theta-sketch distinct rollup: daily per-type sketches merged across
+    # days via theta_union_agg (re-aggregable distinct — the thing plain
+    # COUNT(DISTINCT) can't do).  Exact below 4k entries per sketch.
+    from tidierdb_jl_spark.operators.timeagg import time_rollup
+
+    daily = time_rollup(
+        t["events"], "ts", "1 day", keys=["event_type"],
+        sk="theta_sketch_agg(user_id)",
+    )
+    return (
+        daily.group_by("event_type")
+        .summarize(uniq_users="theta_sketch_estimate(theta_union_agg(sk))")
+        .arrange("event_type")
+    )
+
+
 def _q62(t):
     # TPC-H Q6: forecast revenue change — pure scan+filter+global agg;
     # every predicate must reach the parquet reader (PushedFilters).
@@ -697,6 +735,8 @@ _BUILDERS.update(
         "q63_tpch_q4": _q63,
         "q64_tpch_q14": _q64,
         "q65_tpch_q19": _q65,
+        "e66_topk_rollup": _e66,
+        "e67_theta_distinct": _e67,
     }
 )
 
@@ -1142,6 +1182,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+    out["e66_topk_rollup"] = """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """
+    out["e67_theta_distinct"] = """
+        SELECT event_type, count(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY 1 ORDER BY 1
     """
     out["q62_tpch_q6"] = """
         SELECT sum(l_extendedprice * l_discount) AS revenue
