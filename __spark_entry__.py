@@ -31,27 +31,14 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir)
     if key in _TABLES_CACHE:
         return _TABLES_CACHE[key]
-    from pyspark.sql import functions as F
-
-    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark import register_testdata
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    out = {}
-    for name in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        out[name] = TidyFrame(df)
+    out = register_testdata(spark, sf_dir)
     _TABLES_CACHE[key] = out
     return out
 
@@ -613,6 +600,35 @@ def _e67(t):
     )
 
 
+_CHUNK10 = (
+    "CASE WHEN size(__toks) = 0 THEN array() "
+    "ELSE transform(sequence(1, CAST(ceil(size(__toks) / 10.0) AS INT)), "
+    "i -> array_join(slice(__toks, (i - 1) * 10 + 1, 10), ' ')) END"
+)
+
+
+def _t68(t):
+    # C4-style corpus-global segment dedup, segmenter = 10-token chunks
+    # (the synthetic corpus has no newlines; the operator's default is
+    # line-split).  Keep-first rule: smallest (doc_id, position).
+    from tidierdb_jl_spark.llm.dedup import segment_dedup
+    from tidierdb_jl_spark.llm.textstats import tokenize_expr
+
+    toked = t["documents"].mutate(__toks=tokenize_expr("text"))
+    return segment_dedup(
+        toked, "doc_id", segments_expr=_CHUNK10, joiner=" "
+    )
+
+
+def _t69(t):
+    # Gopher-style within-document repetition: duplicate 3-gram fraction.
+    from tidierdb_jl_spark.llm.textstats import with_repetition_stats
+
+    return with_repetition_stats(t["documents"]).select(
+        "doc_id", "n_ngrams", "dup_ngram_frac"
+    )
+
+
 def _q62(t):
     # TPC-H Q6: forecast revenue change — pure scan+filter+global agg;
     # every predicate must reach the parquet reader (PushedFilters).
@@ -737,6 +753,8 @@ _BUILDERS.update(
         "q65_tpch_q19": _q65,
         "e66_topk_rollup": _e66,
         "e67_theta_distinct": _e67,
+        "t68_segment_dedup": _t68,
+        "t69_repetition": _t69,
     }
 )
 
@@ -1182,6 +1200,57 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+    out["t68_segment_dedup"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN []
+                      ELSE list_transform(
+                             range(1, CAST(ceil(len(toks) / 10.0) AS INT) + 1),
+                             i -> array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' '))
+                 END AS segs
+          FROM t),
+        e AS (
+          SELECT doc_id, CAST(len(segs) AS INT) AS n_seg_total,
+                 unnest(segs) AS seg,
+                 generate_subscripts(segs, 1) AS pos
+          FROM c),
+        h AS (
+          SELECT *, md5(lower(trim(seg))) AS hh
+          FROM e WHERE length(trim(seg)) >= 1),
+        k AS (
+          SELECT *, row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+          FROM h)
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+               any_value(n_seg_total) AS n_seg_total,
+               CAST(count(*) AS INT) AS n_seg_kept
+        FROM k WHERE rn = 1
+        GROUP BY doc_id
+    """
+    out["t69_repetition"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN []
+                      ELSE list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i : i + 2], ' '))
+                 END AS grams
+          FROM t)
+        SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+               CASE WHEN len(grams) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+               END AS dup_ngram_frac
+        FROM g
     """
     out["e66_topk_rollup"] = """
         SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,

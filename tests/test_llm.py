@@ -355,3 +355,55 @@ def test_clean_corpus_single_shuffle(tables):
     plan = show_query(clean_corpus(tables["documents"]))
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # hashpartition for window (+AQE coalesce)
+
+
+def test_segment_dedup_lines(spark):
+    """Default newline segmenter: the duplicate line survives only in its
+    first (doc_id, pos) occurrence; docs rebuild in original order; a doc
+    whose every line is claimed elsewhere drops out."""
+    import pandas as pd
+
+    from tidierdb_jl_spark import db_table
+    from tidierdb_jl_spark.llm.dedup import segment_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta\nshared line\ngamma",
+                "shared line\ndelta",
+                "shared line",
+            ],
+        }
+    )
+    tf = db_table(spark, pdf, alias="segdocs")
+    out = {r["doc_id"]: r for r in segment_dedup(tf).collect().to_dict("records")}
+    assert out[1]["text_dedup"] == "alpha beta\nshared line\ngamma"
+    assert out[1]["n_seg_total"] == 3 and out[1]["n_seg_kept"] == 3
+    assert out[2]["text_dedup"] == "delta"
+    assert out[2]["n_seg_kept"] == 1
+    assert 3 not in out  # fully-duplicated doc dropped
+
+
+def test_repetition_stats_values(spark):
+    import pandas as pd
+
+    from tidierdb_jl_spark import db_table
+    from tidierdb_jl_spark.llm.textstats import with_repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c a b c a b", "one two three four", "xy"],
+        }
+    )
+    tf = db_table(spark, pdf, alias="repdocs")
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(tf).collect().to_dict("records")
+    }
+    # "a b c" x2, "b c a" x2, "c a b" x2 -> 6 grams, 3 distinct
+    assert rows[1]["n_ngrams"] == 6
+    assert abs(rows[1]["dup_ngram_frac"] - 0.5) < 1e-12
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_ngram_frac"] == 0.0

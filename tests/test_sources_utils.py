@@ -82,8 +82,14 @@ def test_collect_stream_iterator(tables):
     assert len(rows) == 25 and rows[0]["n_nationkey"] is not None
 
 
-def test_show_query_and_plan_summary(tables):
-    q = tables["lineitem"].filter("l_quantity > 45").select("l_orderkey")
+def test_show_query_and_plan_summary(spark):
+    # a direct db_table scan (registered testdata may be cached in-memory,
+    # where parquet pushdown no longer applies — batch pruning does)
+    from tidierdb_jl_spark import db_table
+    from conftest import SF_DIR
+
+    lt = db_table(spark, f"{SF_DIR}/lineitem.parquet")
+    q = lt.filter("l_quantity > 45").select("l_orderkey")
     text = show_query(q)
     assert "Scan parquet" in text or "FileScan" in text
     ps = plan_summary(q)

@@ -40,6 +40,7 @@ __all__ = [
     "simhash_signature",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "segment_dedup",
 ]
 
 # Universal-hash parameters: h_j(x) = (a_j*x + b_j) mod p, p prime > 2^32.
@@ -454,3 +455,65 @@ def simhash_pairs(tf, id_col: str, text_col: str = "text", max_hamming: int = 3)
     from ..core import TidyFrame
 
     return TidyFrame(pairs)
+
+
+# ---------------------------------------------------------------------------
+# segment-level (C4 "line") dedup
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    tf,
+    id_col: str = "doc_id",
+    col: str = "text",
+    delim: str = "\\n",
+    segments_expr: str | None = None,
+    min_chars: int = 1,
+    joiner: str | None = None,
+    out_col: str = "text_dedup",
+):
+    """C4-style corpus-global segment dedup: split every document into
+    segments (lines by default — ``segments_expr`` swaps in any segmenter,
+    e.g. sentence or fixed-token-window chunking), keep exactly ONE
+    occurrence of each normalized segment across the WHOLE corpus (the one
+    with the lexicographically smallest ``(id, position)``), and rebuild
+    each document from its surviving segments in original order.  C4
+    (Raffel et al. 2020 §2.2) applies this at three-sentence granularity
+    to strip boilerplate (headers, nav bars, license blurbs).
+
+    Returns one row per surviving document: ``(id, out_col, n_seg_total,
+    n_seg_kept)``; documents whose every segment was claimed elsewhere
+    drop out.  Join back on ``id`` for the other columns.
+
+    Scale shape: two hash shuffles, both on narrow rows — (hash, id, pos,
+    segment) for the global keep-first window, then (id, pos, segment)
+    for the rebuild — never the full document row.  Skew hazard: a
+    boilerplate segment occurring millions of times lands in one window
+    partition; the rows are tiny (the window only orders (id, pos)), and
+    ``row_number`` short-circuits to one survivor, so the partition stays
+    bandwidth-bound, not memory-bound.
+    """
+    seg_src = segments_expr or f"split({col}, '{delim}')"
+    join_sep = joiner if joiner is not None else ("\n" if delim == "\\n" else " ")
+    base = tf.df.selectExpr(
+        f"{id_col}", f"{seg_src} AS __segs"
+    ).selectExpr(id_col, "size(__segs) AS n_seg_total", "__segs")
+    e = base.select(
+        id_col, "n_seg_total", F.posexplode("__segs").alias("pos", "__seg")
+    ).filter(F.length(F.trim(F.col("__seg"))) >= min_chars)
+    e = e.withColumn("__h", F.md5(F.lower(F.trim(F.col("__seg")))))
+    kept = e.withColumn(
+        "__rn",
+        F.expr(f"row_number() OVER (PARTITION BY __h ORDER BY {id_col}, pos)"),
+    ).filter("__rn = 1")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, __seg))),"
+            " s -> s.__seg), '" + join_sep + "')"
+        ).alias(out_col),
+        F.first("n_seg_total").alias("n_seg_total"),
+        F.count("*").cast("int").alias("n_seg_kept"),
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(rebuilt)

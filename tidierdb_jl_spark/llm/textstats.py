@@ -19,6 +19,7 @@ __all__ = [
     "with_token_count",
     "with_bpe_token_count",
     "with_text_stats",
+    "with_repetition_stats",
     "with_language_id",
     "with_fingerprint",
     "with_rolling_fingerprint",
@@ -163,3 +164,35 @@ def with_fingerprint(tf, col: str = "text", out: str = "fingerprint"):
     Spark and DuckDB, so it is oracle-checkable — unlike xxhash64.)"""
     norm = f"lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
     return tf.mutate(**{out: f"md5({norm})"})
+
+
+def with_repetition_stats(
+    tf, col: str = "text", n: int = 3, prefix: str = ""
+):
+    """Gopher-style within-document repetition signal (Rae et al. 2021
+    §A1.1): the fraction of word n-grams that are repeats of an earlier
+    n-gram in the same document.  High ``dup_ngram_frac`` marks
+    boilerplate / keyword-stuffed documents that survive per-corpus dedup
+    because no other document matches them.  Adds ``{prefix}n_ngrams``
+    and ``{prefix}dup_ngram_frac``; documents shorter than ``n`` words
+    score 0.0.  Pure JVM array expressions — fuses into the scan."""
+    toks = tokenize_expr(col)
+    grams = (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
+    )
+    tf2 = tf.mutate(__grams=grams)
+    out = tf2.mutate(
+        **{
+            f"{prefix}n_ngrams": "size(__grams)",
+            f"{prefix}dup_ngram_frac": (
+                "CASE WHEN size(__grams) = 0 THEN 0.0 ELSE "
+                "1.0 - CAST(size(array_distinct(__grams)) AS DOUBLE)"
+                " / size(__grams) END"
+            ),
+        }
+    )
+    return out.select(
+        *[c for c in tf.columns], f"{prefix}n_ngrams", f"{prefix}dup_ngram_frac"
+    )
