@@ -629,6 +629,33 @@ def _t69(t):
     )
 
 
+_PII_SEED = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com at 192.168.0.', CAST(doc_id % 256 AS STRING), "
+    "' or 555-867-5309')"
+)
+
+
+def _t70(t):
+    # PII scrub: seed synthetic identifiers (the corpus has none), then
+    # redact — one fused scan, chained JVM regexp_replace.
+    from tidierdb_jl_spark.llm.scrub import scrub_pii
+
+    seeded = t["documents"].mutate(text2=_PII_SEED)
+    return scrub_pii(seeded, "text2", out="clean").select("doc_id", "clean")
+
+
+def _t71(t):
+    # Train/test contamination: flag docs sharing an 8-gram with the
+    # "benchmark" (docs 0-19 stand in for an eval suite).
+    from tidierdb_jl_spark.llm.dedup import flag_contaminated
+
+    bench = t["documents"].filter("doc_id < 20")
+    return flag_contaminated(t["documents"], bench).select(
+        "doc_id", "is_contaminated"
+    )
+
+
 def _q62(t):
     # TPC-H Q6: forecast revenue change — pure scan+filter+global agg;
     # every predicate must reach the parquet reader (PushedFilters).
@@ -755,6 +782,8 @@ _BUILDERS.update(
         "e67_theta_distinct": _e67,
         "t68_segment_dedup": _t68,
         "t69_repetition": _t69,
+        "t70_pii_scrub": _t70,
+        "t71_contamination": _t71,
     }
 )
 
@@ -1200,6 +1229,46 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+    out["t70_pii_scrub"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com at 192.168.0.',
+                        CAST(doc_id % 256 AS VARCHAR),
+                        ' or 555-867-5309') AS text2
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS clean
+        FROM s
+    """
+    out["t71_contamination"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                             i -> array_to_string(toks[i : i + 7], ' ')))
+                 END AS shing
+          FROM tok),
+        ce AS (SELECT doc_id, unnest(shing) AS g FROM sh),
+        bg AS (SELECT DISTINCT g FROM ce WHERE doc_id < 20),
+        bad AS (SELECT DISTINCT ce.doc_id FROM ce JOIN bg USING (g))
+        SELECT d.doc_id,
+               d.doc_id IN (SELECT doc_id FROM bad) AS is_contaminated
+        FROM documents d
     """
     out["t68_segment_dedup"] = r"""
         WITH t AS (

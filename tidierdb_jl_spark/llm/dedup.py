@@ -41,6 +41,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_cosine_pairs",
     "segment_dedup",
+    "flag_contaminated",
 ]
 
 # Universal-hash parameters: h_j(x) = (a_j*x + b_j) mod p, p prime > 2^32.
@@ -517,3 +518,51 @@ def segment_dedup(
     from ..core import TidyFrame
 
     return TidyFrame(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination check
+# ---------------------------------------------------------------------------
+
+
+def flag_contaminated(
+    corpus_tf,
+    bench_tf,
+    id_col: str = "doc_id",
+    col: str = "text",
+    bench_col: str = "text",
+    n: int = 8,
+    out: str = "is_contaminated",
+):
+    """Train/test contamination check (GPT-3 appendix C / PaLM style):
+    flag every corpus document sharing at least one word ``n``-gram with a
+    benchmark/eval set.  Documents shorter than ``n`` words fall back to
+    whole-text shingles on both sides (consistent, so short exact matches
+    still flag).
+
+    Scale shape: the corpus side explodes to narrow ``(id, shingle)``
+    rows; the benchmark shingle set (eval suites are tiny relative to a
+    training corpus) is distinct-ed and BROADCAST into a left-semi join —
+    no corpus shuffle at all.  The flagged-id set is again broadcast for
+    the final flag join, so the full pass is: one corpus scan for
+    shingling + one for flagging, zero wide exchanges.
+    """
+    from ..core import TidyFrame
+    from .textstats import tokenize_expr
+
+    csh = _shingle_expr(f"({tokenize_expr(col)})", n)
+    bsh = _shingle_expr(f"({tokenize_expr(bench_col)})", n)
+    ce = corpus_tf.df.selectExpr(id_col, f"explode({csh}) AS __g")
+    b = bench_tf.df.selectExpr(f"explode({bsh}) AS __g").distinct()
+    bad = (
+        ce.join(F.broadcast(b), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    flagged = (
+        corpus_tf.df.join(F.broadcast(bad), id_col, "left")
+        .withColumn(out, F.coalesce(F.col("__bad"), F.lit(False)))
+        .drop("__bad")
+    )
+    return TidyFrame(flagged)
