@@ -243,3 +243,31 @@ def test_join_strategy_hints(tables):
 
     with pytest.raises(ValueError, match="strategy"):
         big.inner_join(dim, by="l_suppkey == s_suppkey", strategy="bogus")
+
+
+def test_stream_rollup_matches_batch_rollup(spark, tables, stream_dir):
+    """The streaming rollup's output schema AND values must equal the
+    batch time_rollup's, bucket for bucket — the continuous-aggregate
+    contract that lets merge_rollup consume either."""
+    from tidierdb_jl_spark.operators.timeagg import time_rollup
+    from tidierdb_jl_spark.streaming.stream import stream_rollup
+
+    st = read_stream(spark, stream_dir)
+    live = stream_rollup(
+        st, "ts", "1 hour", keys=["event_type"], n="n()", total="sum(value)"
+    )
+    out = run_to_memory(live, "roll_live", mode="complete").toPandas()
+
+    batch = time_rollup(
+        tables["events"], "ts", "1 hour", keys=["event_type"],
+        n="n()", total="sum(value)",
+    ).collect()
+
+    assert sorted(out.columns) == sorted(batch.columns)
+    key = lambda pdf: sorted(  # noqa: E731
+        (str(b), et, int(n), round(v, 6))
+        for b, et, n, v in zip(
+            pdf["bucket"], pdf["event_type"], pdf["n"], pdf["total"]
+        )
+    )
+    assert key(out) == key(batch)

@@ -25,6 +25,7 @@ __all__ = [
     "session_window",
     "dedup_within_watermark",
     "stream_join",
+    "stream_rollup",
     "stateful_running_agg",
     "transform_with_state",
     "stateful_topk",
@@ -357,6 +358,36 @@ def stateful_topk(tf: TidyFrame, keys, value_col: str, k: int = 3) -> TidyFrame:
         _make_topk_processor(keys, value_col, k),
         f"{key_fields}, topk array<double>",
     )
+
+
+def stream_rollup(
+    stream_tf: TidyFrame,
+    ts_col: str,
+    width: str,
+    keys=(),
+    watermark: str = "10 minutes",
+    bucket_col: str = "bucket",
+    **aggs: str,
+) -> TidyFrame:
+    """Streaming twin of ``operators.timeagg.time_rollup``: watermarked
+    tumbling-window aggregation whose output schema matches the batch
+    rollup EXACTLY (``bucket`` timestamp + keys + measures), so the same
+    downstream ``merge_rollup`` / dashboard query consumes either — the
+    continuous-aggregate pattern with a live head.  ``window(ts, width)``
+    and ``time_bucket_expr`` share the epoch origin, so an hourly
+    streaming bucket equals the hourly batch bucket bit-for-bit.
+
+    State: one window-keyed aggregation; the watermark bounds it (late
+    rows beyond ``watermark`` are dropped, and closed windows are evicted
+    after emission in append mode).  Store sketches (``hll_sketch_agg``,
+    ``approx_top_k_accumulate``) as measures and the rollup stays
+    mergeable exactly like the batch one.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    wm = with_watermark(stream_tf, ts_col, watermark)
+    out = tumbling_window(wm, ts_col, width, *keys).summarize(**aggs)
+    cols = [F.col("window.start").alias(bucket_col), *keys, *aggs.keys()]
+    return TidyFrame(out.df.select(*cols))
 
 
 def run_to_memory(
