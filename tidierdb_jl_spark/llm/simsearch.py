@@ -134,6 +134,37 @@ def _make_assign_udf(centroids, nprobe: int):
     return F.pandas_udf(T.ArrayType(T.IntegerType()))(assign)
 
 
+def _train_centroids_sample(
+    cvec, nlist: int, iters: int, sample_cap: int
+) -> list[list[float]]:
+    """Spherical k-means on a bounded, deterministic corpus sample.
+
+    This is the FAISS-style IVF training recipe: the training set is a
+    fixed-size sample (first ``sample_cap`` vectors by id — a cheap
+    ``TakeOrderedAndProject``, one job), so training cost is independent
+    of corpus size — the same ONE collect happens whether the corpus is
+    2k vectors or 2B.  Refinement runs as driver-local numpy matmuls
+    (sample_cap × dim, a few MB), not distributed rounds — k-means on a
+    bounded sample needs no cluster.
+    """
+    import numpy as np
+
+    sample = [
+        r[0] for r in cvec.orderBy("vec_id").limit(sample_cap).select("__cv").collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # (n,)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.tolist()
+
+
 def ivf_cosine_topk(
     corpus_tf,
     query_tf,
@@ -142,7 +173,8 @@ def ivf_cosine_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
-    refine_iters: int = 1,
+    refine_iters: int = 5,
+    sample_cap: int = 4096,
     query_id_col: str | None = None,
 ):
     """Approximate top-k cosine via an **IVF (inverted-file) index**:
@@ -151,13 +183,10 @@ def ivf_cosine_topk(
     cosine re-ranks only those candidates — the brute-force scan shrinks
     by ~``nlist/nprobe``×.
 
-    Training is deterministic and distributed: seed centroids are the
-    first ``nlist`` corpus vectors by id, then ``refine_iters`` rounds of
-    spherical k-means — assignment is an Arrow-batched matmul; the
-    centroid update is ``posexplode`` → groupBy(cell, dim) → avg, so no
-    stage ever materializes more than nlist×dim values on the driver.
-
-    Scale shape: index build is one narrow map + one tiny aggregate;
+    Training follows the FAISS recipe: spherical k-means on a bounded
+    deterministic sample (``sample_cap`` vectors, one collect, driver
+    numpy) — training cost does not grow with the corpus.  The corpus is
+    then assigned to cells in ONE distributed Arrow-batched pass and the
     search is an equi-join on the cell id (shuffle-friendly), never
     all-pairs.  Recall rises with ``nprobe``; cost falls with ``nlist``.
     """
@@ -165,23 +194,7 @@ def ivf_cosine_topk(
     cvec = corpus_tf.df.select(
         F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
     )
-    # deterministic seed centroids: first nlist vectors by id (tiny collect)
-    seed = [r[0] for r in cvec.orderBy("vec_id").limit(nlist).select("__cv").collect()]
-    centroids = seed
-    for _ in range(refine_iters):
-        assign1 = _make_assign_udf(centroids, 1)
-        assigned = cvec.select(
-            assign1(F.col("__cv"))[0].alias("__cell"), F.posexplode("__cv")
-        )
-        means = (
-            assigned.groupBy("__cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .groupBy("__cell")
-            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c"))
-            .collect()
-        )
-        new_c = {r["__cell"]: list(r["c"]) for r in means}
-        centroids = [new_c.get(i, centroids[i]) for i in range(len(centroids))]
+    centroids = _train_centroids_sample(cvec, nlist, refine_iters, sample_cap)
 
     assign_c = _make_assign_udf(centroids, 1)
     assign_q = _make_assign_udf(centroids, nprobe)
