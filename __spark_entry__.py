@@ -717,6 +717,110 @@ def _q65(t):
     )
 
 
+def _q72(t):
+    # TPC-H Q13 (adapted: the "special requests" exclusion filters on
+    # o_orderpriority): customer order-count distribution.  The left join
+    # preserves order-less customers (c_count = 0 bucket); the two-level
+    # aggregation reuses the first shuffle's partitioning where possible.
+    return (
+        t["customer"]
+        .left_join(
+            t["orders"].filter("o_orderpriority != '1-URGENT'"),
+            by="c_custkey == o_custkey",
+        )
+        .group_by("c_custkey")
+        .summarize(c_count="count(o_orderkey)")
+        .count("c_count", name="custdist")
+        .arrange("desc(custdist)", "desc(c_count)")
+    )
+
+
+def _q73(t):
+    # TPC-H Q15: top supplier by quarterly revenue.  The revenue CTE is one
+    # aggregate; "= (SELECT max(..))" becomes slice_max (rank over one tiny
+    # frame, ties kept — identical semantics) rather than a float equality
+    # between two independently-executed double sums, whose partition-order
+    # rounding can differ in Spark.
+    revenue = (
+        t["lineitem"]
+        .filter("l_shipdate >= '1996-01-01'", "l_shipdate < '1996-04-01'")
+        .group_by("l_suppkey")
+        .summarize(total_revenue="sum(l_extendedprice * (1 - l_discount))")
+    )
+    return (
+        t["supplier"]
+        .inner_join(
+            revenue.ungroup().slice_max("total_revenue"),
+            by="s_suppkey == l_suppkey",
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .arrange("s_suppkey")
+    )
+
+
+def _q74(t):
+    # TPC-H Q17 (adapted: p_type stands in for p_container): revenue lost
+    # to small-quantity orders.  The correlated scalar subquery becomes a
+    # per-part aggregate joined back — and it is computed AFTER the part
+    # filter (per-partkey avg is invariant under a partkey-level filter),
+    # so the avg never scans lines of unselected parts.
+    li = t["lineitem"].inner_join(
+        t["part"].filter("p_brand = 'Brand#23'", "p_type = 'MEDIUM'"),
+        by="l_partkey == p_partkey",
+    )
+    avg_q = li.group_by("l_partkey").summarize(avg_qty="avg(l_quantity)")
+    return (
+        li.inner_join(avg_q, by="l_partkey == l_partkey")
+        .filter("l_quantity < 0.2 * avg_qty")
+        .summarize(avg_yearly="sum(l_extendedprice) / 7.0")
+    )
+
+
+def _q75(t):
+    # TPC-H Q18: large-volume orders.  The IN-subquery inverts into the
+    # driving aggregate (per-order quantity sums filtered > 300), so the
+    # quantity sum is computed once, not once in the probe and once in the
+    # output; orders/customer then attach by key.
+    big = (
+        t["lineitem"]
+        .group_by("l_orderkey")
+        .summarize(sum_qty="sum(l_quantity)")
+        .filter("sum_qty > 300")
+    )
+    return (
+        t["orders"]
+        .inner_join(big, by="o_orderkey == l_orderkey")
+        .inner_join(t["customer"], by="o_custkey == c_custkey")
+        .rename(c_custkey="o_custkey")  # joins keep the LEFT key name
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .arrange("desc(o_totalprice)", "o_orderkey")
+        .head(100)
+    )
+
+
+def _q76(t):
+    # TPC-H Q22 (adapted: nationkey subset stands in for phone prefixes;
+    # the NOT EXISTS probe is "no urgent orders"): positive-balance
+    # customers above the segment average with no urgent orders.  Scalar
+    # avg via with_scalar; NOT EXISTS is a LEFT ANTI join against the
+    # filtered (small, broadcastable) orders side.
+    seg = t["customer"].filter("c_nationkey in (1, 3, 10, 17, 21, 24)")
+    return (
+        seg.with_scalar(
+            avg_bal=seg.filter("c_acctbal > 0.0").summarize(a="avg(c_acctbal)")
+        )
+        .filter("c_acctbal > avg_bal")
+        .anti_join(
+            t["orders"].filter("o_orderpriority = '1-URGENT'"),
+            by="c_custkey == o_custkey",
+        )
+        .group_by("c_nationkey")
+        .summarize(numcust="n()", totacctbal="sum(c_acctbal)")
+        .arrange("c_nationkey")
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -778,6 +882,11 @@ _BUILDERS.update(
         "q63_tpch_q4": _q63,
         "q64_tpch_q14": _q64,
         "q65_tpch_q19": _q65,
+        "q72_tpch_q13": _q72,
+        "q73_tpch_q15": _q73,
+        "q74_tpch_q17": _q74,
+        "q75_tpch_q18": _q75,
+        "q76_tpch_q22": _q76,
         "e66_topk_rollup": _e66,
         "e67_theta_distinct": _e67,
         "t68_segment_dedup": _t68,
@@ -1361,6 +1470,59 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity >= 10 AND l_quantity <= 20)
            OR (p_brand = 'Brand#34' AND p_size <= 35
                AND l_quantity >= 20 AND l_quantity <= 30)
+    """
+    out["q72_tpch_q13"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    out["q73_tpch_q15"] = """
+        WITH revenue AS (
+            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """
+    out["q74_tpch_q17"] = """
+        SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """
+    out["q75_tpch_q18"] = """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+    out["q76_tpch_q22"] = """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               sum(c_acctbal) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 10, 17, 21, 24)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0
+                             AND c_nationkey IN (1, 3, 10, 17, 21, 24))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """
     out.update({
         "q01_tpch_q1": """
