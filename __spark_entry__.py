@@ -821,6 +821,26 @@ def _q76(t):
     )
 
 
+def _e77(t):
+    # TimescaleDB-style gapfill: densify a sparse hourly rollup to the full
+    # (event_type × hour) grid, then locf / linear-interp / constant fill.
+    # Grid is JVM-generated (sequence + explode vs a broadcast bounds row);
+    # all fills share one sort per key partition.
+    from tidierdb_jl_spark.operators.timeagg import gapfill, time_rollup
+
+    roll = time_rollup(
+        t["events"].filter("value > 95"), "ts", "1 hour",
+        keys=["event_type"], total="sum(value)", n="n()",
+    )
+    return gapfill(
+        roll.ungroup()
+        .mutate(total_locf="total", total_interp="total")
+        .select("bucket", "event_type", "n", "total_locf", "total_interp"),
+        "bucket", "1 hour", keys=["event_type"],
+        fill={"n": 0, "total_locf": "locf", "total_interp": "interp"},
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -882,6 +902,7 @@ _BUILDERS.update(
         "q63_tpch_q4": _q63,
         "q64_tpch_q14": _q64,
         "q65_tpch_q19": _q65,
+        "e77_gapfill": _e77,
         "q72_tpch_q13": _q72,
         "q73_tpch_q15": _q73,
         "q74_tpch_q17": _q74,
@@ -1470,6 +1491,41 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity >= 10 AND l_quantity <= 20)
            OR (p_brand = 'Brand#34' AND p_size <= 35
                AND l_quantity >= 20 AND l_quantity <= 30)
+    """
+    out["e77_gapfill"] = """
+        WITH roll AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                 sum(value) AS total, CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 95 GROUP BY 1, 2),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM roll),
+        grid AS (
+          SELECT k.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM roll) k
+          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                       (SELECT hi FROM bounds), INTERVAL '1 hour')) AS bucket) g),
+        j AS (SELECT grid.bucket, grid.event_type, roll.total, roll.n
+              FROM grid LEFT JOIN roll USING (bucket, event_type)),
+        f AS (SELECT bucket, event_type, n, total,
+          last_value(total IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf,
+          last_value(CASE WHEN total IS NOT NULL
+                          THEN struct_pack(t := epoch(bucket), v := total) END
+                     IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+          first_value(CASE WHEN total IS NOT NULL
+                           THEN struct_pack(t := epoch(bucket), v := total) END
+                      IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM j)
+        SELECT bucket, event_type, coalesce(n, 0) AS n, total_locf,
+          CASE WHEN total IS NOT NULL THEN total
+               WHEN nxt.t = prev.t THEN prev.v
+               ELSE prev.v + (nxt.v - prev.v) * (epoch(bucket) - prev.t)
+                    / (nxt.t - prev.t) END AS total_interp
+        FROM f
     """
     out["q72_tpch_q13"] = """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -246,3 +246,95 @@ def test_persist_and_checkpoint(tables):
     assert cp.df.count() == 25
     # lineage truncated: plan no longer references the parquet scan
     assert "FileScan" not in cp.df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gapfill_locf_interp_exact(spark):
+    """Hand-checked gapfill semantics: grid densification, locf carrying,
+    linear interpolation, NULL outside the observed range, constant fill."""
+    import datetime as dt
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.operators.timeagg import gapfill
+
+    h = lambda i: dt.datetime(2025, 1, 1, i)  # noqa: E731
+    df = spark.createDataFrame(
+        [("a", h(0), 10.0, 1), ("a", h(3), 40.0, 2), ("b", h(1), 5.0, 3)],
+        "k string, bucket timestamp, v double, n int",
+    )
+    out = (
+        gapfill(
+            TidyFrame(df.selectExpr("k", "bucket", "v AS locf", "v AS li", "n")),
+            "bucket", "1 hour", keys=["k"],
+            fill={"locf": "locf", "li": "interp", "n": 0},
+        )
+        .df.orderBy("k", "bucket")
+        .collect()
+    )
+    rows = [(r["k"], r["bucket"].hour, r["locf"], r["li"], r["n"]) for r in out]
+    assert rows == [
+        ("a", 0, 10.0, 10.0, 1),
+        ("a", 1, 10.0, 20.0, 0),   # interp 1/3 of the way 10→40
+        ("a", 2, 10.0, 30.0, 0),
+        ("a", 3, 40.0, 40.0, 2),
+        ("b", 0, None, None, 0),   # before first observation: NULL
+        ("b", 1, 5.0, 5.0, 3),
+        ("b", 2, 5.0, None, 0),    # locf carries; interp has no right edge
+        ("b", 3, 5.0, None, 0),
+    ]
+
+
+def test_gapfill_matches_duckdb(tables, ddb):
+    """Differential: sparse hourly rollup gap-filled (locf + interp + const)
+    against the same densification in DuckDB SQL."""
+    from tidierdb_jl_spark.operators.timeagg import gapfill, time_rollup
+
+    roll = time_rollup(
+        tables["events"].filter("value > 95"), "ts", "1 hour",
+        keys=["event_type"], total="sum(value)", n="n()",
+    )
+    filled = gapfill(
+        roll.ungroup()
+        .mutate(total_locf="total", total_interp="total")
+        .select("bucket", "event_type", "n", "total_locf", "total_interp"),
+        "bucket", "1 hour", keys=["event_type"],
+        fill={"n": 0, "total_locf": "locf", "total_interp": "interp"},
+    )
+    assert_matches_duckdb(
+        filled,
+        ddb,
+        """
+        WITH roll AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                 sum(value) AS total, CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 95 GROUP BY 1, 2),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM roll),
+        grid AS (
+          SELECT k.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM roll) k
+          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                       (SELECT hi FROM bounds), INTERVAL '1 hour')) AS bucket) g),
+        j AS (SELECT grid.bucket, grid.event_type, roll.total, roll.n
+              FROM grid LEFT JOIN roll USING (bucket, event_type)),
+        f AS (SELECT bucket, event_type, n, total,
+          last_value(total IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_locf,
+          last_value(CASE WHEN total IS NOT NULL
+                          THEN struct_pack(t := epoch(bucket), v := total) END
+                     IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+          first_value(CASE WHEN total IS NOT NULL
+                           THEN struct_pack(t := epoch(bucket), v := total) END
+                      IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM j)
+        SELECT bucket, event_type, coalesce(n, 0) AS n, total_locf,
+          CASE WHEN total IS NOT NULL THEN total
+               WHEN nxt.t = prev.t THEN prev.v
+               ELSE prev.v + (nxt.v - prev.v) * (epoch(bucket) - prev.t)
+                    / (nxt.t - prev.t) END AS total_interp
+        FROM f
+        """,
+    )

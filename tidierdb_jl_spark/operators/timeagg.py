@@ -27,6 +27,7 @@ __all__ = [
     "time_rollup",
     "merge_rollup",
     "refresh_rollup",
+    "gapfill",
 ]
 
 _UNITS = {
@@ -136,6 +137,88 @@ def refresh_rollup(
         .parquet(path)
     )
     return TidyFrame(spark.read.parquet(path))
+
+
+def gapfill(
+    tf: TidyFrame,
+    bucket_col: str,
+    width: str,
+    keys=(),
+    fill: dict | None = None,
+) -> TidyFrame:
+    """TimescaleDB-style ``time_bucket_gapfill``: densify a rollup so every
+    (key, bucket) combination between the rollup's first and last bucket
+    exists, then fill measure columns per ``fill``:
+
+    - ``"locf"``  — last observation carried forward (NULL before the
+      first observation, like TimescaleDB's ``locf()``);
+    - ``"interp"`` — linear interpolation between the nearest observed
+      neighbors (NULL outside the observed range, like ``interpolate()``);
+    - any other value — constant fill via ``coalesce``.
+
+    Scale shape: the bucket grid is generated JVM-side —
+    ``sequence(lo, hi, interval)`` exploded against the DISTINCT key set
+    crossed with a broadcast 1×1 bounds row — so grid size is
+    #keys × #buckets and never touches the raw table.  All fills share ONE
+    sort per key partition (the window frames differ, not the ordering).
+    With no ``keys`` the window is a single partition — fine for a rollup,
+    which is already tiny relative to the raw data.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fill = fill or {}
+    df = tf.df
+    secs = _width_seconds(width)
+    bounds = df.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = (
+        df.select(*keys).distinct().crossJoin(F.broadcast(bounds))
+        if keys
+        else bounds
+    )
+    grid = grid.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {secs} second)")
+        ).alias(bucket_col),
+    )
+    out = grid.join(df, [bucket_col, *keys], "left")
+
+    w = Window.partitionBy(*keys).orderBy(bucket_col) if keys else Window.orderBy(bucket_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    for col, how in fill.items():
+        if how == "locf":
+            out = out.withColumn(col, F.last(col, ignorenulls=True).over(w_prev))
+        elif how == "interp":
+            # carry (t, v) of the nearest non-null neighbor each way; the
+            # struct is NULL exactly when the measure is, so ignorenulls
+            # walks to the right observation
+            pair = F.when(
+                F.col(col).isNotNull(),
+                F.struct(
+                    F.unix_timestamp(F.col(bucket_col)).alias("t"),
+                    F.col(col).cast("double").alias("v"),
+                ),
+            )
+            prev = F.last(pair, ignorenulls=True).over(w_prev)
+            nxt = F.first(pair, ignorenulls=True).over(w_next)
+            t = F.unix_timestamp(F.col(bucket_col))
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
+                nxt["t"] - prev["t"]
+            )
+            out = out.withColumn(
+                col,
+                F.when(F.col(col).isNotNull(), F.col(col).cast("double"))
+                .when(nxt["t"] == prev["t"], prev["v"])
+                .otherwise(interp),
+            )
+        else:
+            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(how)))
+    return TidyFrame(out)
 
 
 def merge_rollup(
