@@ -32,8 +32,13 @@ HEADLINE = [
     "q22_pivot_wider",
     "q26_grouped_filter",
     "q28_sessionize",
+    "q72_tpch_q13",
+    "q75_tpch_q18",
     "e53_time_rollup",
     "e54_rollup_merge_hll",
+    "e77_gapfill",
+    "t68_segment_dedup",
+    "t71_contamination",
     "t31_text_stats",
     "t52_clean_corpus",
     "t43_bpe_tokens",
