@@ -358,9 +358,12 @@ def embedding_cosine_pairs(
             "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
         ).alias("__u"),
     ).persist()
+    # _outer: plain posexplode's implicit size>0 filter pushes below the
+    # projection and double-evaluates the pandas UDF; signatures are never
+    # empty, so outer is identical
     banded = norm.select(
         "__id", sig_udf(F.col("__u")).alias("__sigs")
-    ).select("__id", F.posexplode("__sigs").alias("__band", "__sig"))
+    ).select("__id", F.posexplode_outer("__sigs").alias("__band", "__sig"))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

@@ -202,8 +202,10 @@ def ivf_cosine_topk(
     qvec = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
     )
+    # explode_outer: avoids the implicit size>0 filter that would double-
+    # evaluate the assignment UDF (assign always returns nprobe cells)
     probes = qvec.select(
-        "query_id", "__qv", F.explode(assign_q(F.col("__qv"))).alias("__cell")
+        "query_id", "__qv", F.explode_outer(assign_q(F.col("__qv"))).alias("__cell")
     )
     scored = (
         indexed.join(F.broadcast(probes), "__cell")
@@ -269,8 +271,14 @@ def lsh_cosine_topk(
             sig_udf(F.expr(_to_double(vec_col))).alias("__sigs"),
         )
         # explode carries only (id, band, sig) — vectors join back later,
-        # so the band fan-out never duplicates the embedding payload
-        return sigs.select(out_id, F.posexplode("__sigs").alias("__band", "__sig"))
+        # so the band fan-out never duplicates the embedding payload.
+        # _outer: plain posexplode injects a `size(col) > 0` filter that
+        # predicate-pushdown shoves BELOW the projection, evaluating the
+        # pandas UDF twice; the signature array is never empty, so outer
+        # is identical and keeps one ArrowEvalPython.
+        return sigs.select(
+            out_id, F.posexplode_outer("__sigs").alias("__band", "__sig")
+        )
 
     c = banded(corpus_tf.df, id_col, "vec_id")
     q = banded(query_tf.df, qid, "query_id")
