@@ -841,6 +841,42 @@ def _e77(t):
     )
 
 
+def _t78(t):
+    # Domain cap: at most 10 docs per source, hash-chosen (unbiased,
+    # deterministic) — one windowed shuffle, the anti-over-representation
+    # primitive of a training mix.
+    from tidierdb_jl_spark.llm.mixing import cap_per_key
+
+    return cap_per_key(t["documents"], "source", 10, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def _t79(t):
+    # Stratified down-sampling by content hash: stable under re-runs,
+    # appends, and repartitioning (sampleBy is not); fuses into the scan.
+    from tidierdb_jl_spark.llm.mixing import sample_strata
+
+    return sample_strata(
+        t["documents"], "source", {"src0": 0.2, "src1": 0.6}, "doc_id"
+    ).select("doc_id", "source")
+
+
+def _t80(t):
+    # Weighted upsampling ("epochs per source"): integer copies + hash-
+    # resolved fractional copy, map-side explode, no shuffle.
+    from tidierdb_jl_spark.llm.mixing import upsample_by_weight
+
+    return (
+        upsample_by_weight(
+            t["documents"], "source",
+            {"src0": 3.0, "src1": 2.5, "src2": 0.0}, "doc_id",
+        )
+        .mutate(copy_n="CAST(copy_n AS BIGINT)")
+        .select("doc_id", "source", "copy_n")
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -903,6 +939,9 @@ _BUILDERS.update(
         "q64_tpch_q14": _q64,
         "q65_tpch_q19": _q65,
         "e77_gapfill": _e77,
+        "t78_cap_per_source": _t78,
+        "t79_strata_sample": _t79,
+        "t80_upsample_weights": _t80,
         "q72_tpch_q13": _q72,
         "q73_tpch_q15": _q73,
         "q74_tpch_q17": _q74,
@@ -1526,6 +1565,39 @@ def oracle_sql() -> dict[str, str]:
                ELSE prev.v + (nxt.v - prev.v) * (epoch(bucket) - prev.t)
                     / (nxt.t - prev.t) END AS total_interp
         FROM f
+    """
+    _thr = lambda f: format(int(f * 0xFFFFFFFF), "08x")  # noqa: E731
+    out["t78_cap_per_source"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10
+    """
+    out["t79_strata_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE WHEN source = 'src0' THEN '{_thr(0.2)}'
+                     WHEN source = 'src1' THEN '{_thr(0.6)}'
+                     ELSE '{_thr(1.0)}' END
+    """
+    out["t80_upsample_weights"] = f"""
+        WITH n AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = 'src0' THEN 3
+                      WHEN source = 'src1' THEN 2 +
+                        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                                  || 'upsample'), 1, 8) < '{_thr(0.5)}'
+                             THEN 1 ELSE 0 END
+                      WHEN source = 'src2' THEN 0
+                      ELSE 1 END AS copies
+          FROM documents)
+        SELECT n.doc_id, n.source, g.c AS copy_n
+        FROM n JOIN (SELECT unnest(generate_series(0, 3)) AS c) g
+          ON g.c < n.copies
     """
     out["q72_tpch_q13"] = """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -1,0 +1,127 @@
+"""Corpus-mixing operators (llm/mixing.py): domain caps, stratified
+hash-sampling, weighted upsampling — deterministic, oracle-backed."""
+
+import pytest
+
+from helpers import assert_matches_duckdb
+from tidierdb_jl_spark.llm.mixing import (
+    cap_per_key,
+    sample_strata,
+    upsample_by_weight,
+)
+
+
+def test_cap_per_key_matches_duckdb(tables, ddb):
+    capped = cap_per_key(tables["documents"], "source", 10, "doc_id")
+    assert_matches_duckdb(
+        capped.select("doc_id", "source"),
+        ddb,
+        """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10
+        """,
+    )
+
+
+def test_cap_per_key_audit_column(tables):
+    audited = cap_per_key(tables["documents"], "source", 10, "doc_id",
+                          keep_col="kept")
+    from pyspark.sql import functions as F
+
+    pdf = (
+        audited.df.groupBy("source")
+        .agg(F.sum(F.col("kept").cast("int")).alias("n_kept"))
+        .toPandas()
+    )
+    assert (pdf["n_kept"] <= 10).all()
+    assert "__rn" not in audited.columns
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(tables["documents"], "source", 0, "doc_id")
+
+
+def test_sample_strata_matches_duckdb(tables, ddb):
+    s = sample_strata(
+        tables["documents"], "source", {"src0": 0.2, "src1": 0.6}, "doc_id"
+    )
+    t0 = format(int(0.2 * 0xFFFFFFFF), "08x")
+    t1 = format(int(0.6 * 0xFFFFFFFF), "08x")
+    assert_matches_duckdb(
+        s.select("doc_id", "source"),
+        ddb,
+        f"""
+        SELECT doc_id, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE WHEN source = 'src0' THEN '{t0}'
+                     WHEN source = 'src1' THEN '{t1}'
+                     ELSE 'ffffffff' END
+        """,
+    )
+    with pytest.raises(ValueError, match="fraction"):
+        sample_strata(tables["documents"], "source", {"src0": 1.5}, "doc_id")
+
+
+def test_sample_strata_stable_under_repartition(tables):
+    """The kept set must not depend on physical layout — the property
+    sampleBy lacks."""
+    docs = tables["documents"]
+    s1 = sorted(
+        r[0] for r in
+        sample_strata(docs, "source", {"src0": 0.5}, "doc_id").df
+        .select("doc_id").collect()
+    )
+    from tidierdb_jl_spark.core import TidyFrame
+
+    reparted = TidyFrame(docs.df.repartition(13))
+    s2 = sorted(
+        r[0] for r in
+        sample_strata(reparted, "source", {"src0": 0.5}, "doc_id").df
+        .select("doc_id").collect()
+    )
+    assert s1 == s2
+
+
+def test_upsample_by_weight_matches_duckdb(tables, ddb):
+    u = upsample_by_weight(
+        tables["documents"], "source",
+        {"src0": 3.0, "src1": 2.5, "src2": 0.0}, "doc_id", salt="upsample",
+    )
+    thr = format(int(0.5 * 0xFFFFFFFF), "08x")
+    assert_matches_duckdb(
+        u.mutate(copy_n="CAST(copy_n AS BIGINT)")
+        .select("doc_id", "source", "copy_n"),
+        ddb,
+        f"""
+        WITH n AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = 'src0' THEN 3
+                      WHEN source = 'src1' THEN 2 +
+                        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                                  || 'upsample'), 1, 8) < '{thr}'
+                             THEN 1 ELSE 0 END
+                      WHEN source = 'src2' THEN 0
+                      ELSE 1 END AS copies
+          FROM documents)
+        SELECT n.doc_id, n.source, g.c AS copy_n
+        FROM n JOIN (SELECT unnest(generate_series(0, 3)) AS c) g
+          ON g.c < n.copies
+        """,
+    )
+    with pytest.raises(ValueError, match="weight"):
+        upsample_by_weight(
+            tables["documents"], "source", {"src0": -1.0}, "doc_id"
+        )
+
+
+def test_upsample_copy_numbering(tables):
+    u = upsample_by_weight(
+        tables["documents"], "source", {"src0": 3.0}, "doc_id"
+    )
+    pdf = u.df.filter("source = 'src0'").groupBy("copy_n").count().toPandas()
+    assert sorted(pdf["copy_n"]) == [0, 1, 2]
+    assert pdf["count"].nunique() == 1  # every copy index covers every row

@@ -1,0 +1,138 @@
+"""Corpus-mixing operators for training-data pipelines (beyond the
+reference, which has no corpus tooling; north-star family per SURVEY §2).
+
+Three deterministic building blocks for composing a training mix:
+
+- ``cap_per_key`` — bound over-represented groups (e.g. at most N docs per
+  domain) so one crawl source can't dominate the corpus;
+- ``sample_strata`` — per-group Bernoulli sampling by content hash, for
+  down-weighting groups proportionally;
+- ``upsample_by_weight`` — replicate rows per group weight (epochs per
+  source), fractional weights resolved by content hash.
+
+Everything is hash-deterministic (md5 of the id, compared as hex strings —
+the same idiom as ``pipeline.split_by_hash``): stable under re-runs,
+repartitioning, and incremental appends, and reproducible in any engine
+with md5 — which is what makes these oracle-testable and, more
+importantly, what makes a 100 TB pipeline re-runnable without corpus
+drift.  No UDFs anywhere: every op is pure JVM expressions.
+"""
+
+from __future__ import annotations
+
+from ..core import TidyFrame
+
+__all__ = ["cap_per_key", "sample_strata", "upsample_by_weight"]
+
+
+def _hash_u32(id_col: str, salt: str) -> str:
+    """First 8 hex chars of md5(id||salt) — a uniform 32-bit draw as a hex
+    string; comparisons stay string-vs-string (portable, no bigint casts)."""
+    return f"substring(md5(concat(CAST({id_col} AS STRING), '{salt}')), 1, 8)"
+
+
+def cap_per_key(
+    tf: TidyFrame,
+    key: str,
+    n: int,
+    id_col: str,
+    keep_col: str | None = None,
+) -> TidyFrame:
+    """Keep at most ``n`` rows per ``key`` group (domain caps: stop one
+    source from dominating the mix).  Which rows survive is deterministic —
+    groups rank by md5(id), a stable pseudo-random order uncorrelated with
+    any data attribute, so the cap is an unbiased sample of the group.
+
+    Scale shape: one hash-partitioned window (row_number, no full sort of
+    anything but each group).  Heavily skewed keys (one giant domain) are
+    exactly the rows this op deletes, and AQE's skew-split handles the
+    sort; for pathological cases pre-filter with an aggregate count first.
+    ``keep_col``: if given, add a boolean instead of filtering (useful for
+    audit passes).
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(
+        F.expr(_hash_u32(id_col, "")), F.col(id_col)
+    )
+    out = TidyFrame(tf.df.withColumn("__rn", F.row_number().over(w)))
+    if keep_col:
+        return out.mutate(**{keep_col: f"__rn <= {n}"}).select("!__rn")
+    return out.filter(f"__rn <= {n}").select("!__rn")
+
+
+def sample_strata(
+    tf: TidyFrame,
+    key: str,
+    fracs: dict[str, float],
+    id_col: str,
+    default_frac: float = 1.0,
+    salt: str = "",
+) -> TidyFrame:
+    """Per-group Bernoulli sampling: keep a row when its 32-bit content
+    hash falls under its group's fraction threshold.  ``fracs`` maps key
+    values to keep-fractions; unlisted groups use ``default_frac``.
+
+    Unlike ``df.sampleBy`` (seeded RNG over the partition iterator — the
+    kept set changes when partitioning changes), the hash rule gives every
+    row a permanent verdict: appends and re-runs never reshuffle the
+    sample.  Zero shuffles — the filter fuses into the scan.
+    """
+    for k, f in {**fracs, None: default_frac}.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    u = _hash_u32(id_col, salt)
+    branches = " ".join(
+        f"WHEN {key} = '{k}' THEN '{format(int(f * 0xFFFFFFFF), '08x')}'"
+        for k, f in fracs.items()
+    )
+    thr = (
+        f"CASE {branches} ELSE '{format(int(default_frac * 0xFFFFFFFF), '08x')}' END"
+    )
+    return tf.filter(f"{u} < {thr}")
+
+
+def upsample_by_weight(
+    tf: TidyFrame,
+    key: str,
+    weights: dict[str, float],
+    id_col: str,
+    copy_col: str = "copy_n",
+    default_weight: float = 1.0,
+    salt: str = "upsample",
+) -> TidyFrame:
+    """Replicate rows per group weight — "epochs per source" corpus mixing
+    (e.g. wiki×3.5, web×1).  Integer part duplicates every row; the
+    fractional part keeps one extra copy for the hash-chosen fraction of
+    rows.  ``copy_col`` numbers the copies (0-based) so downstream shuffles
+    can decorrelate them.
+
+    Scale shape: a JVM ``explode(sequence(...))`` — map-side row
+    generation, no shuffle, no UDF.  Weight 0 drops the group.
+    """
+    for k, w in {**weights, None: default_weight}.items():
+        if w is None or w < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    u = _hash_u32(id_col, salt)
+
+    def n_copies(w: float) -> str:
+        whole, frac = int(w), w - int(w)
+        if frac == 0.0:
+            return str(whole)
+        thr = format(int(frac * 0xFFFFFFFF), "08x")
+        return f"{whole} + if_else({u} < '{thr}', 1, 0)"
+
+    branches = " ".join(
+        f"WHEN {key} = '{k}' THEN {n_copies(w)}" for k, w in weights.items()
+    )
+    n_expr = f"CASE {branches} ELSE {n_copies(default_weight)} END"
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard n = 0 before
+    # building the per-row copy array
+    out = tf.mutate(__n=n_expr).filter("__n > 0")
+    return (
+        out.mutate(**{copy_col: f"explode(sequence(0, __n - 1))"})
+        .select("!__n")
+    )
