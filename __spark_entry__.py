@@ -841,6 +841,24 @@ def _e77(t):
     )
 
 
+def _e81(t):
+    # JSON property extraction, both Spark routes: path extraction
+    # (get_json_object) and schema-on-read (from_json → struct field).
+    # Both are JVM expressions that fuse into the scan — no shuffle until
+    # the aggregate.
+    return (
+        t["events"]
+        .mutate(
+            k_path="as_integer(get_json_object(props, '$.k'))",
+            k_struct="from_json(props, 'k INT').k",
+        )
+        .filter("k_path == k_struct")  # the two routes must agree
+        .group_by("event_type")
+        .summarize(avg_k="avg(k_path)", max_k="max(k_struct)", n="n()")
+        .arrange("event_type")
+    )
+
+
 def _t78(t):
     # Domain cap: at most 10 docs per source, hash-chosen (unbiased,
     # deterministic) — one windowed shuffle, the anti-over-representation
@@ -939,6 +957,7 @@ _BUILDERS.update(
         "q64_tpch_q14": _q64,
         "q65_tpch_q19": _q65,
         "e77_gapfill": _e77,
+        "e81_json_props": _e81,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1565,6 +1584,15 @@ def oracle_sql() -> dict[str, str]:
                ELSE prev.v + (nxt.v - prev.v) * (epoch(bucket) - prev.t)
                     / (nxt.t - prev.t) END AS total_interp
         FROM f
+    """
+    out["e81_json_props"] = """
+        SELECT event_type,
+               avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """
     _thr = lambda f: format(int(f * 0xFFFFFFFF), "08x")  # noqa: E731
     out["t78_cap_per_source"] = """
