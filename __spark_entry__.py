@@ -841,6 +841,30 @@ def _e77(t):
     )
 
 
+def _e82(t):
+    # Mergeable quantiles through the rollup path: hourly KLL sketches →
+    # daily merge (aggregate-HOF fold over the group's sketches) → p50/p90
+    # reads.  Rows-only check: KLL compaction is randomized, so estimates
+    # are not bit-reproducible (rank-error guarantee is unit-tested).
+    from tidierdb_jl_spark.operators.timeagg import (
+        kll_measure, kll_merge, kll_quantile, merge_rollup, time_rollup,
+    )
+
+    hourly = time_rollup(
+        t["events"], "ts", "1 hour", keys=["event_type"],
+        sk=kll_measure("value"),
+    )
+    daily = merge_rollup(
+        hourly.ungroup(), "1 day", keys=["event_type"], skm=kll_merge("sk")
+    )
+    return (
+        daily.ungroup()
+        .mutate(p50=kll_quantile("skm", 0.5), p90=kll_quantile("skm", 0.9))
+        .select("bucket", "event_type", "p50", "p90")
+        .arrange("bucket", "event_type")
+    )
+
+
 def _e81(t):
     # JSON property extraction, both Spark routes: path extraction
     # (get_json_object) and schema-on-read (from_json → struct field).
@@ -958,6 +982,7 @@ _BUILDERS.update(
         "q65_tpch_q19": _q65,
         "e77_gapfill": _e77,
         "e81_json_props": _e81,
+        "e82_kll_quantile_rollup": _e82,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,

@@ -338,3 +338,86 @@ def test_gapfill_matches_duckdb(tables, ddb):
         FROM f
         """,
     )
+
+
+def test_kll_quantile_rollup_rank_error(tables):
+    """Mergeable quantiles through the rollup path: hourly KLL sketches,
+    daily merge, quantile read.  KLL is randomized, so assert the
+    DataSketches rank guarantee (±1.65% at k=200; we allow 5%) instead of
+    exact values: the true rank of the estimated median must sit near 0.5."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.operators.timeagg import (
+        kll_measure,
+        kll_merge,
+        kll_quantile,
+        merge_rollup,
+        time_rollup,
+    )
+
+    hourly = time_rollup(
+        tables["events"], "ts", "1 hour", keys=["event_type"],
+        sk=kll_measure("value"),
+    )
+    daily = merge_rollup(
+        hourly.ungroup(), "1 day", keys=["event_type"], skm=kll_merge("sk")
+    )
+    est = daily.ungroup().mutate(med=kll_quantile("skm", 0.5)).select(
+        "bucket", "event_type", "med"
+    )
+    raw = tables["events"].mutate(
+        bucket="timestamp_seconds(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) * 86400)"
+    )
+    joined = raw.df.join(est.df, ["bucket", "event_type"])
+    rank = (
+        joined.groupBy("bucket", "event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("med")).cast("double")).alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .toPandas()
+    )
+    assert len(rank) > 0
+    # 5% sketch tolerance + 1/n discretization (the estimate is an actual
+    # data value — with n points the closest achievable rank to 0.5 is off
+    # by up to 1/n)
+    tol = 0.05 + 1.0 / rank["n"]
+    assert ((rank["r"] - 0.5).abs() <= tol).all(), rank[
+        (rank["r"] - 0.5).abs() > tol
+    ]
+
+
+def test_kll_merged_equals_direct_capacity(tables):
+    """Below sketch capacity nothing compacts, so a merged daily sketch and
+    a direct daily sketch must agree exactly despite KLL randomness."""
+    from tidierdb_jl_spark.operators.timeagg import (
+        kll_measure,
+        kll_merge,
+        kll_quantile,
+        merge_rollup,
+        time_rollup,
+    )
+
+    # sf0.001/sf0.01 daily groups are far below k=4096 capacity
+    hourly = time_rollup(
+        tables["events"], "ts", "1 hour", keys=["event_type"],
+        sk=kll_measure("value", k=4096),
+    )
+    daily = merge_rollup(
+        hourly.ungroup(), "1 day", keys=["event_type"], skm=kll_merge("sk")
+    )
+    merged = (
+        daily.ungroup().mutate(q="round(" + kll_quantile("skm", 0.9) + ", 6)")
+        .select("bucket", "event_type", "q").collect()
+        .sort_values(["bucket", "event_type"]).reset_index(drop=True)
+    )
+    direct = (
+        time_rollup(
+            tables["events"], "ts", "1 day", keys=["event_type"],
+            skd=kll_measure("value", k=4096),
+        )
+        .ungroup().mutate(q="round(" + kll_quantile("skd", 0.9) + ", 6)")
+        .select("bucket", "event_type", "q").collect()
+        .sort_values(["bucket", "event_type"]).reset_index(drop=True)
+    )
+    assert merged.equals(direct)
