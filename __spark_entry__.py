@@ -865,6 +865,16 @@ def _e82(t):
     )
 
 
+def _t83(t):
+    # Gopher quality gates: word-count/word-length windows + duplicate
+    # n-gram cap + minimum stopword fraction — one fused scan, no shuffle.
+    from tidierdb_jl_spark.llm.pipeline import gopher_filter
+
+    return gopher_filter(t["documents"]).select(
+        "doc_id", "n_words", "avg_word_len", "dup_ngram_frac", "stopword_frac"
+    )
+
+
 def _e81(t):
     # JSON property extraction, both Spark routes: path extraction
     # (get_json_object) and schema-on-read (from_json → struct field).
@@ -983,6 +993,7 @@ _BUILDERS.update(
         "e77_gapfill": _e77,
         "e81_json_props": _e81,
         "e82_kll_quantile_rollup": _e82,
+        "t83_gopher_filter": _t83,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1609,6 +1620,46 @@ def oracle_sql() -> dict[str, str]:
                ELSE prev.v + (nxt.v - prev.v) * (epoch(bucket) - prev.t)
                     / (nxt.t - prev.t) END AS total_interp
         FROM f
+    """
+    _sw = ", ".join(
+        f"'{w}'"
+        for w in (
+            "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+            "on", "with", "as", "this", "was", "are", "at", "be", "by", "or",
+        )
+    )
+    out["t83_gopher_filter"] = rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                           / len(toks) END AS avg_word_len,
+                 CASE WHEN len(toks) < 3 THEN []
+                      ELSE list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i : i + 2], ' '))
+                 END AS grams,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(toks, w -> list_contains([{_sw}], w))) AS DOUBLE)
+                           / len(toks) END AS stopword_frac
+          FROM t),
+        f AS (
+          SELECT doc_id, n_words, avg_word_len, stopword_frac,
+                 CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                 END AS dup_ngram_frac
+          FROM s)
+        SELECT doc_id, n_words, avg_word_len, dup_ngram_frac, stopword_frac
+        FROM f
+        WHERE n_words >= 30 AND n_words <= 100000
+          AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+          AND dup_ngram_frac <= 0.05
+          AND stopword_frac >= 0.02
     """
     out["e81_json_props"] = """
         SELECT event_type,

@@ -407,3 +407,20 @@ def test_repetition_stats_values(spark):
     assert abs(rows[1]["dup_ngram_frac"] - 0.5) < 1e-12
     assert rows[2]["dup_ngram_frac"] == 0.0
     assert rows[3]["n_ngrams"] == 0 and rows[3]["dup_ngram_frac"] == 0.0
+
+
+def test_gopher_filter_gates(tables):
+    """Every survivor satisfies all gates; tightening a gate strictly
+    shrinks the result; stat columns ride along for audit."""
+    from tidierdb_jl_spark.llm.pipeline import gopher_filter
+
+    out = gopher_filter(tables["documents"])
+    pdf = out.select(
+        "n_words", "avg_word_len", "dup_ngram_frac", "stopword_frac"
+    ).collect()
+    assert len(pdf) > 0
+    assert (pdf["n_words"] >= 30).all() and (pdf["avg_word_len"] >= 3.0).all()
+    assert (pdf["dup_ngram_frac"] <= 0.05).all()
+    assert (pdf["stopword_frac"] >= 0.02).all()
+    tighter = gopher_filter(tables["documents"], min_stopword_frac=0.08)
+    assert tighter.df.count() < len(pdf)

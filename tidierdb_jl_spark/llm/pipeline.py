@@ -20,6 +20,7 @@ from .textstats import with_language_id, with_text_stats
 
 __all__ = [
     "quality_filter",
+    "gopher_filter",
     "clean_corpus",
     "split_by_hash",
     "prepare_training_corpus",
@@ -35,6 +36,52 @@ DEFAULT_GATES = dict(
     max_punct_ratio=0.30,
     max_digit_ratio=0.30,
 )
+
+
+# Gopher-style defaults (Rae et al. 2021 §A1.1, adapted to the synthetic
+# corpus' short keyword-stream documents).
+GOPHER_GATES = dict(
+    min_words=30,
+    max_words=100_000,
+    min_avg_word_len=3.0,
+    max_avg_word_len=10.0,
+    max_dup_ngram_frac=0.05,
+    min_stopword_frac=0.02,
+    ngram=3,
+)
+
+
+def gopher_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
+    """Gopher-style quality gating (Rae et al. 2021 §A1.1): word-count and
+    word-length windows, within-document duplicate n-gram cap (boilerplate
+    / keyword stuffing), and a minimum stopword fraction (real prose
+    contains function words; token salads don't).  Adds the stat columns
+    and filters on them.
+
+    Like ``quality_filter``, every gate is a JVM expression: stats,
+    repetition and stopword fractions, and the predicate all fuse into a
+    single whole-stage-codegen'd scan — zero shuffles at any corpus size.
+    """
+    from .textstats import (
+        lang_score_expr,
+        tokenize_expr,
+        with_repetition_stats,
+    )
+
+    g = {**GOPHER_GATES, **gates}
+    stats = with_repetition_stats(with_text_stats(tf, col), col, n=g["ngram"])
+    stats = (
+        stats.mutate(__toks=tokenize_expr(col))
+        .mutate(stopword_frac=lang_score_expr("__toks", "en"))
+        .select("!__toks")
+    )
+    return stats.filter(
+        f"n_words >= {g['min_words']} AND n_words <= {g['max_words']} "
+        f"AND avg_word_len >= {g['min_avg_word_len']} "
+        f"AND avg_word_len <= {g['max_avg_word_len']} "
+        f"AND dup_ngram_frac <= {g['max_dup_ngram_frac']} "
+        f"AND stopword_frac >= {g['min_stopword_frac']}"
+    )
 
 
 def split_by_hash(
