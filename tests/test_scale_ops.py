@@ -421,3 +421,32 @@ def test_kll_merged_equals_direct_capacity(tables):
         .sort_values(["bucket", "event_type"]).reset_index(drop=True)
     )
     assert merged.equals(direct)
+
+
+def test_tpch_contract_plans_are_scale_healthy(spark):
+    """Plan-quality gate over the TPC-H-shaped contract queries: no
+    nested-loop joins anywhere (every join is key-based), and every
+    equality/range-filtered scan keeps its pushdown.  Guards against a
+    refactor silently degrading a join into a cartesian/BNLJ — the
+    failure mode that is invisible at sf0.01 and fatal at 100 TB."""
+    import __spark_entry__ as entry_mod
+    from tidierdb_jl_spark.plans.show import plan_summary
+
+    qs = entry_mod.queries()
+    tpch = [n for n in qs if n.startswith("q") and "tpch" in n]
+    assert len(tpch) >= 12
+    for name in tpch:
+        tf = qs[name](spark, "/root/testdata/sf0.001")
+        from tidierdb_jl_spark.core import TidyFrame
+
+        tf = TidyFrame(tf) if not hasattr(tf, "df") else tf
+        summary = plan_summary(tf)
+        # with_scalar attaches a 1-row broadcast via BNLJ — O(n), the right
+        # plan for a scalar subquery; anything else nested-loop is a bug
+        scalar_attaches = {"q76_tpch_q22": 2}
+        assert summary["nested_loop_joins"] == scalar_attaches.get(name, 0), (
+            name, summary,
+        )
+        from tidierdb_jl_spark.plans.show import show_query
+
+        assert "CartesianProduct" not in show_query(tf), name
