@@ -471,33 +471,41 @@ def _t52(t):
 
 
 def _q55(t):
-    # TPC-H Q3: shipping priority (date-filtered 3-way join + top-10)
+    # TPC-H Q3: shipping priority (date-filtered 3-way join + top-10).
+    # Fact-first join order: lineitem stays the probe side and never
+    # shuffles/broadcasts; the filtered dims build.  (Small-first chains
+    # invert the build side — Spark would broadcast the FACT at test
+    # scale, which breaks at real scale.)
     return (
-        t["customer"].filter("c_mktsegment = 'BUILDING'")
+        t["lineitem"].filter("l_shipdate > '1996-03-15'")
         .inner_join(t["orders"].filter("o_orderdate < '1996-03-15'"),
-                    by="c_custkey == o_custkey")
-        .inner_join(t["lineitem"].filter("l_shipdate > '1996-03-15'"),
-                    by="o_orderkey == l_orderkey")
-        .group_by("o_orderkey", "o_orderdate", "o_orderpriority")
+                    by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"].filter("c_mktsegment = 'BUILDING'"),
+                    by="o_custkey == c_custkey")
+        .group_by("l_orderkey", "o_orderdate", "o_orderpriority")
         .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
-        .rename(l_orderkey="o_orderkey")  # equi-key dedup kept the left key
         .arrange("desc(revenue)", "o_orderdate", "l_orderkey")
         .head(10)
     )
 
 
 def _q56(t):
-    # TPC-H Q5: local supplier volume (6-way join; both dims broadcast)
-    return (
+    # TPC-H Q5: local supplier volume (6-way join).  Fact-first: every
+    # dim builds against the lineitem probe; region⋈nation pre-reduces to
+    # the ASIA nation keys before touching the fact.
+    asia = (
         t["region"].filter("r_name = 'ASIA'")
         .inner_join(t["nation"], by="r_regionkey == n_regionkey")
-        .inner_join(t["supplier"], by="n_nationkey == s_nationkey")
-        .inner_join(t["lineitem"], by="s_suppkey == l_suppkey")
+    )
+    return (
+        t["lineitem"]
         .inner_join(t["orders"].filter(
             "o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"),
             by="l_orderkey == o_orderkey")
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .inner_join(asia, by="s_nationkey == n_nationkey")
         .inner_join(t["customer"],
-                    by=["o_custkey == c_custkey", "n_nationkey == c_nationkey"])
+                    by=["o_custkey == c_custkey", "s_nationkey == c_nationkey"])
         .group_by("n_name")
         .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
         .arrange("desc(revenue)")
@@ -505,17 +513,18 @@ def _q56(t):
 
 
 def _q57(t):
-    # TPC-H Q10: returned-item reporting (join + agg + top-20 customers)
+    # TPC-H Q10: returned-item reporting (join + agg + top-20 customers).
+    # Fact-first; nation broadcasts last onto the aggregation input.
     return (
-        t["customer"]
+        t["lineitem"].filter("l_returnflag = 'R'")
         .inner_join(t["orders"].filter(
             "o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'"),
-            by="c_custkey == o_custkey")
-        .inner_join(t["lineitem"].filter("l_returnflag = 'R'"),
-                    by="o_orderkey == l_orderkey")
+            by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"], by="o_custkey == c_custkey")
         .inner_join(t["nation"], by="c_nationkey == n_nationkey")
-        .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .group_by("o_custkey", "c_name", "c_acctbal", "n_name")
         .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .rename(c_custkey="o_custkey")  # equi-key dedup kept the left name
         .arrange("desc(revenue)", "c_custkey")
         .head(20)
     )
