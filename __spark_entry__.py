@@ -129,10 +129,12 @@ def _q06(t):
 
 
 def _q07(t):
+    # fact-first: lineitem probes, orders/customer build (never broadcast
+    # the fact — see q55-q57)
     return (
-        t["customer"]
-        .inner_join(t["orders"], by="c_custkey == o_custkey")
-        .inner_join(t["lineitem"], by="o_orderkey == l_orderkey")
+        t["lineitem"]
+        .inner_join(t["orders"], by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"], by="o_custkey == c_custkey")
         .group_by("c_mktsegment")
         .summarize(revenue="sum(l_extendedprice * (1 - l_discount))", n_lines="n()")
         .arrange("desc(revenue)")
