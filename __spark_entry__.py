@@ -886,6 +886,19 @@ def _t83(t):
     )
 
 
+def _t84(t):
+    # GPT-style sequence packing: shard-local concat-and-cut into 512-token
+    # blocks.  Content verified by md5 of the packed token stream.
+    from tidierdb_jl_spark.llm.packing import pack_sequences
+
+    return (
+        pack_sequences(t["documents"], "doc_id", 512)
+        .mutate(content_md5="md5(concat_ws(' ', tokens))")
+        .select("shard", "block_id", "n_tokens", "content_md5")
+        .arrange("shard", "block_id")
+    )
+
+
 def _e81(t):
     # JSON property extraction, both Spark routes: path extraction
     # (get_json_object) and schema-on-read (from_json → struct field).
@@ -1005,6 +1018,7 @@ _BUILDERS.update(
         "e81_json_props": _e81,
         "e82_kll_quantile_rollup": _e82,
         "t83_gopher_filter": _t83,
+        "t84_pack_sequences": _t84,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1671,6 +1685,32 @@ def oracle_sql() -> dict[str, str]:
           AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
           AND dup_ngram_frac <= 0.05
           AND stopword_frac >= 0.02
+    """
+    out["t84_pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS shard
+          FROM t WHERE len(toks) > 0),
+        o AS (
+          SELECT doc_id, shard, toks,
+                 sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+          FROM b),
+        e AS (
+          SELECT shard, doc_id, off + u.p - 1 AS gpos, u.tok
+          FROM o, UNNEST(list_transform(range(1, len(toks) + 1),
+                                        i -> struct_pack(p := i, tok := toks[i]))) AS t2(u))
+        SELECT shard, CAST(gpos // 512 AS BIGINT) AS block_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY gpos)) AS content_md5
+        FROM e GROUP BY 1, 2
+        ORDER BY 1, 2
     """
     out["e81_json_props"] = """
         SELECT event_type,

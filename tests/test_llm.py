@@ -424,3 +424,35 @@ def test_gopher_filter_gates(tables):
     assert (pdf["stopword_frac"] >= 0.02).all()
     tighter = gopher_filter(tables["documents"], min_stopword_frac=0.08)
     assert tighter.df.count() < len(pdf)
+
+
+def test_pack_sequences_invariants(tables):
+    """Every non-tail block is exactly block_size tokens; block ids are
+    dense per shard; spans tile each block with no gaps; deterministic."""
+    from tidierdb_jl_spark.llm.packing import pack_sequences
+
+    pdf = (
+        pack_sequences(tables["documents"], "doc_id", 128)
+        .df.orderBy("shard", "block_id").toPandas()
+    )
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("shard"):
+        g = g.sort_values("block_id")
+        assert (g["n_tokens"].iloc[:-1] == 128).all()
+        assert list(g["block_id"]) == list(range(len(g)))
+    for _, row in pdf.iterrows():
+        assert len(row["tokens"]) == row["n_tokens"]
+        spans = sorted((s["start"], s["end"]) for s in row["spans"])
+        assert spans[0][0] == 0 and spans[-1][1] == row["n_tokens"]
+        assert all(e1 == s2 for (_, e1), (s2, _) in zip(spans, spans[1:]))
+        assert len(spans) == row["n_docs"]
+    again = (
+        pack_sequences(tables["documents"], "doc_id", 128)
+        .df.orderBy("shard", "block_id").toPandas()
+    )
+    assert all(list(a) == list(b) for a, b in zip(pdf["tokens"], again["tokens"]))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="block_size"):
+        pack_sequences(tables["documents"], "doc_id", 0)
