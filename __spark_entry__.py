@@ -886,6 +886,20 @@ def _t83(t):
     )
 
 
+def _s85(t):
+    # kNN label propagation: 10 exact-cosine neighbors vote; discrete
+    # deterministic tie-break (votes desc, label asc).
+    from tidierdb_jl_spark.llm.simsearch import knn_classify
+
+    return (
+        knn_classify(
+            t["embeddings"], t["embeddings"].filter("vec_id < 20"), k=10
+        )
+        .mutate(pred_label="CAST(pred_label AS INT)", votes="CAST(votes AS BIGINT)")
+        .arrange("query_id")
+    )
+
+
 def _t84(t):
     # GPT-style sequence packing: shard-local concat-and-cut into 512-token
     # blocks.  Content verified by md5 of the packed token stream.
@@ -1019,6 +1033,7 @@ _BUILDERS.update(
         "e82_kll_quantile_rollup": _e82,
         "t83_gopher_filter": _t83,
         "t84_pack_sequences": _t84,
+        "s85_knn_classify": _s85,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1685,6 +1700,32 @@ def oracle_sql() -> dict[str, str]:
           AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
           AND dup_ngram_frac <= 0.05
           AND stopword_frac >= 0.02
+    """
+    out["s85_knn_classify"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id, label,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, rank() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+          FROM scored),
+        votes AS (
+          SELECT query_id, label AS pred_label, CAST(count(*) AS BIGINT) AS votes
+          FROM ranked WHERE r <= 10 GROUP BY 1, 2),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, pred_label ASC) AS rn
+          FROM votes)
+        SELECT query_id, pred_label, votes FROM best WHERE rn = 1
+        ORDER BY query_id
     """
     out["t84_pack_sequences"] = r"""
         WITH t AS (

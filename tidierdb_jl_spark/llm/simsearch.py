@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "knn_classify"]
 
 
 def _dot(a: str, b: str) -> str:
@@ -75,6 +75,49 @@ def cosine_topk(
     from ..core import TidyFrame
 
     return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
+
+def knn_classify(
+    corpus_tf,
+    query_tf,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str | None = None,
+):
+    """Distributed kNN labeling: each query's ``k`` nearest corpus
+    neighbors (exact cosine) vote on its label — the workhorse for
+    propagating labels / quality tags through an embedded corpus.
+
+    Returns (query_id, pred_label, votes).  Tie-break is discrete and
+    deterministic — most votes, then smallest label — never a float
+    comparison, so results are engine-portable.  Cost profile inherits
+    ``cosine_topk`` (broadcast queries, one corpus scan) plus one tiny
+    aggregation over n_queries × k rows.
+    """
+    nb = cosine_topk(corpus_tf, query_tf, id_col, vec_col, k, query_id_col)
+    labels = corpus_tf.df.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        nb.df.join(labels, "vec_id")
+        .groupBy("query_id", "__lab")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    ranked = votes.select(
+        "*",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY votes DESC, __lab ASC)"
+        ).alias("__r"),
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(
+        ranked.filter(F.col("__r") == 1)
+        .selectExpr("query_id", "__lab AS pred_label", "votes")
+    )
 
 
 def _make_sig_udf(planes: list[list[float]], nbits: int, bands: int):
