@@ -886,6 +886,23 @@ def _t83(t):
     )
 
 
+def _d86(t):
+    # Transitive duplicate clusters: exact n-gram Jaccard pairs → min-label
+    # propagation to a fixed point (distributed union-find) → canonical
+    # keep_id per cluster.  Oracle: DuckDB recursive-CTE reachability.
+    from tidierdb_jl_spark.llm.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.3,
+        block_cols=("lang",),
+    )
+    return (
+        dup_clusters(t["documents"], pairs, "doc_id")
+        .select("doc_id", "keep_id")
+        .arrange("doc_id")
+    )
+
+
 def _s85(t):
     # kNN label propagation: 10 exact-cosine neighbors vote; discrete
     # deterministic tie-break (votes desc, label asc).
@@ -1034,6 +1051,7 @@ _BUILDERS.update(
         "t83_gopher_filter": _t83,
         "t84_pack_sequences": _t84,
         "s85_knn_classify": _s85,
+        "d86_dup_clusters": _d86,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1700,6 +1718,34 @@ def oracle_sql() -> dict[str, str]:
           AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
           AND dup_ngram_frac <= 0.05
           AND stopword_frac >= 0.02
+    """
+    out["d86_dup_clusters"] = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))) END AS s
+          FROM t),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e) s0
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src),
+        comp AS (SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src)
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY d.doc_id
     """
     out["s85_knn_classify"] = """
         WITH q AS (SELECT vec_id AS query_id,

@@ -456,3 +456,26 @@ def test_pack_sequences_invariants(tables):
 
     with pytest.raises(ValueError, match="block_size"):
         pack_sequences(tables["documents"], "doc_id", 0)
+
+
+def test_connected_components_transitive(spark):
+    """A chain must collapse to one component (the thing one-round min-id
+    propagation gets wrong); singletons keep their own id."""
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import connected_components, dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(4, 5), (3, 4), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = dict(
+        map(tuple, connected_components(TidyFrame(pairs)).collect()
+            .itertuples(index=False))
+    )
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 42]],
+                                 "doc_id long")
+    dc = dict(
+        map(tuple, dup_clusters(TidyFrame(docs), TidyFrame(pairs), "doc_id")
+            .collect().itertuples(index=False))
+    )
+    assert dc[42] == 42 and dc[5] == 1 and dc[11] == 10

@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signature",
     "minhash_dedup_pairs",
     "minhash_dedup",
+    "connected_components",
+    "dup_clusters",
     "simhash_signature",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -290,6 +292,90 @@ def minhash_dedup(tf, id_col: str, text_col: str = "text", **kwargs):
     ids = tf.df.select(id_col)
     out = ids.join(best, id_col, "left").select(
         id_col, F.coalesce("keep_id", F.col(id_col)).alias("keep_id")
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
+
+
+def connected_components(
+    pairs_tf,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+):
+    """Connected components over a duplicate-pair edge list by min-label
+    propagation: every node starts labeled with its own id; each round a
+    node takes the minimum label among itself and its neighbors;
+    convergence in O(component diameter) rounds gives the transitive
+    closure that one-round min-id dedup approximates.  Returns
+    (id, comp) for every node that appears in an edge.
+
+    Scale shape: per round one equi-join (edges ⋈ labels on the source)
+    plus one groupBy min — the distributed union-find workhorse for
+    dedup-cluster construction.  ``localCheckpoint`` each round truncates
+    the lineage, so plans stay O(1) deep regardless of iterations; the
+    convergence probe is a count on the changed-label frame.  Duplicate
+    clusters in a real corpus have tiny diameters (a few hops), so the
+    loop exits after 2-4 rounds.
+    """
+    pdf = pairs_tf.df if hasattr(pairs_tf, "df") else pairs_tf
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pdf.select(a.alias("__src"), b.alias("__dst"))
+        .union(pdf.select(b.alias("__src"), a.alias("__dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("__src").alias("__id"))
+        .distinct()
+        .select("__id", F.col("__id").alias("__comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["__src"] == labels["__id"])
+            .groupBy("__dst")
+            .agg(F.min("__comp").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["__id"] == nbr_min["__dst"], "left")
+            .select(
+                "__id",
+                F.least(
+                    F.col("__comp"), F.coalesce("__nbr", F.col("__comp"))
+                ).alias("__comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "__id")
+            .filter("n.__comp != o.__comp")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from ..core import TidyFrame
+
+    return TidyFrame(
+        labels.select(F.col("__id").alias("id"), F.col("__comp").alias("comp"))
+    )
+
+
+def dup_clusters(tf, pairs_tf, id_col: str, id_a: str = "id_a", id_b: str = "id_b"):
+    """Assign every document its duplicate-cluster id: the transitive
+    closure of the pair list (``connected_components``), with singletons
+    keeping their own id.  Returns the input columns plus ``keep_id`` —
+    filter ``id == keep_id`` to keep one canonical doc per cluster."""
+    cc = connected_components(pairs_tf, id_a, id_b).df
+    out = (
+        tf.df.join(cc, tf.df[id_col] == cc["id"], "left")
+        .drop("id")
+        .withColumn("keep_id", F.coalesce("comp", F.col(id_col)))
+        .drop("comp")
     )
     from ..core import TidyFrame
 
