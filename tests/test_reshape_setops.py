@@ -69,6 +69,33 @@ def test_pivot_wider(tables, ddb):
     )
 
 
+def test_pivot_wider_multi_values(tables, ddb):
+    """values_from as a list: output columns are {pivot_value}_{value_col}
+    (/root/reference/src/pivots.jl:20-24 naming)."""
+    q = (
+        tables["lineitem"]
+        .summarize(qty="sum(l_quantity)", rev="sum(l_extendedprice)",
+                   _by=["l_returnflag", "l_linestatus"])
+        .pivot_wider(names_from="l_linestatus", values_from=["qty", "rev"])
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT l_returnflag,
+               any_value(qty) FILTER (WHERE l_linestatus = 'F') AS "F_qty",
+               any_value(rev) FILTER (WHERE l_linestatus = 'F') AS "F_rev",
+               any_value(qty) FILTER (WHERE l_linestatus = 'O') AS "O_qty",
+               any_value(rev) FILTER (WHERE l_linestatus = 'O') AS "O_rev"
+        FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty,
+                     sum(l_extendedprice) AS rev
+              FROM lineitem GROUP BY 1, 2)
+        GROUP BY l_returnflag
+        """,
+        "pivot_wider_multi",
+    )
+
+
 def test_pivot_longer(tables, ddb):
     q = (
         tables["lineitem"]

@@ -32,21 +32,30 @@ __all__ = [
 ]
 
 
-def pivot_wider(tf, names_from: str, values_from: str, values=None, id_cols=None):
+def pivot_wider(tf, names_from: str, values_from, values=None, id_cols=None):
     """(``/root/reference/src/pivots.jl:9-169``).  Without ``values`` Spark
     runs the same eager distinct the reference does
-    (``/root/reference/src/pivots.jl:1-7``); pass values at 100 TB."""
+    (``/root/reference/src/pivots.jl:1-7``); pass values at 100 TB.
+
+    ``values_from`` may be a list of columns; output columns are then
+    named ``{pivot_value}_{value_col}`` — the reference's convention
+    (``/root/reference/src/pivots.jl:20-24``), which Spark's multi-agg
+    pivot produces natively."""
     from ..core import TidyFrame
 
+    vals = [values_from] if isinstance(values_from, str) else list(values_from)
     df = tf.df
     ids = (
         resolve_selection([id_cols] if isinstance(id_cols, str) else list(id_cols), df.columns)
         if id_cols is not None
-        else [c for c in df.columns if c not in (names_from, values_from)]
+        else [c for c in df.columns if c != names_from and c not in vals]
     )
     gb = df.groupBy(*ids)
     piv = gb.pivot(names_from, list(values) if values is not None else None)
-    out = piv.agg(F.any_value(F.col(values_from)))
+    if len(vals) == 1:
+        out = piv.agg(F.any_value(F.col(vals[0])))
+    else:
+        out = piv.agg(*[F.any_value(F.col(v)).alias(v) for v in vals])
     return TidyFrame(out)
 
 
