@@ -136,3 +136,54 @@ def test_full_join_key_coalesce_with_nulls(spark, edge):
     # SQL NULL != NULL: the NULL-keyed rows must NOT match each other
     null_left = out[out["i"].notna() & out["g"].isna()]
     assert (null_left["w"].isna()).all()
+
+
+def test_group_by_all_keyword(tables, ddb):
+    """`group_by(all)` groups by every column (reference NEWS v0.8.9)."""
+    from tests.helpers import assert_matches_duckdb
+
+    q = (
+        tables["lineitem"].select("l_returnflag", "l_linestatus")
+        .group_by("all").count().arrange("l_returnflag", "l_linestatus")
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY ALL ORDER BY 1, 2
+        """,
+    )
+
+
+def test_arrange_numeric_positions(tables, ddb):
+    """Numeric specs are 1-based column positions, not constant sorts."""
+    from tests.helpers import assert_matches_duckdb
+
+    q = (
+        tables["nation"].select("n_name", "n_nationkey")
+        .arrange("desc(2)").head(3)
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        "SELECT n_name, n_nationkey FROM nation ORDER BY 2 DESC LIMIT 3",
+    )
+
+
+def test_tilde_agg_escape(tables):
+    """`~fn(x)` forces window-aggregate treatment for any function in
+    mutate (reference parsing_duckdb.jl:68-91); in summarize it renders
+    plain."""
+    r = (
+        tables["lineitem"]
+        .mutate(m="~kurtosis(l_quantity)", _by="l_returnflag")
+        .select("l_returnflag", "m").distinct().collect()
+    )
+    assert len(r) == 3 and r["m"].notna().all()
+    direct = (
+        tables["lineitem"].group_by("l_returnflag")
+        .summarize(m="~kurtosis(l_quantity)").collect()
+    )
+    merged = r.merge(direct, on="l_returnflag", suffixes=("_w", "_s"))
+    assert (abs(merged["m_w"] - merged["m_s"]) < 1e-9).all()

@@ -384,6 +384,10 @@ class TidyFrame:
                 cols.append(s)
                 continue
             expr, desc = parse_order_spec(str(s))
+            if expr.strip().isdigit():
+                # numeric column positions, 1-based (NEWS v0.8.9) — a bare
+                # integer literal would otherwise sort by a constant
+                expr = self.columns[int(expr.strip()) - 1]
             c = F.expr(rewrite(expr, self._ws(), False))
             cols.append(c.desc_nulls_last() if desc else c.asc_nulls_last())
         return self._with(self._df.orderBy(*cols))

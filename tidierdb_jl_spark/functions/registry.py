@@ -418,6 +418,30 @@ def rewrite(expr: str, ws: WindowState | None = None, windowed: bool = False) ->
             out.append(" AND ")
             i += 2
             continue
+        if c == "~":
+            # `~fn(x)` — the reference's escape hatch marking any function
+            # as an aggregate-over-window in mutate context
+            # (/root/reference/src/parsing_duckdb.jl:68-91; NEWS v0.8.8)
+            k = i + 1
+            while k < len(s) and s[k].isspace():
+                k += 1
+            j2 = k
+            while j2 < len(s) and (s[j2].isalnum() or s[j2] in "_."):
+                j2 += 1
+            m2 = j2
+            while m2 < len(s) and s[m2].isspace():
+                m2 += 1
+            if j2 > k and m2 < len(s) and s[m2] == "(":
+                fn = s[k:j2]
+                raw_args, end = _split_args(s, m2)
+                args = [rewrite(a, ws, windowed) for a in raw_args]
+                rendered = f"{fn}({', '.join(args)})"
+                if windowed:
+                    out.append(f"({rendered} OVER ({over_sql(ws)}))")
+                else:
+                    out.append(rendered)
+                i = end
+                continue
         out.append(c)
         i += 1
     return "".join(out)

@@ -45,6 +45,10 @@ def _expand_one(spec: str, columns: list[str]) -> list[str]:
         raise KeyError(f"range {spec!r}: columns not found in {columns}")
     if spec in columns:
         return [spec]
+    if spec == "all":
+        # `@group_by(all)` / `_by = all` — every column (NEWS v0.8.9); a
+        # real column named "all" wins above
+        return list(columns)
     raise KeyError(f"column {spec!r} not found; available: {columns}")
 
 
