@@ -271,3 +271,48 @@ def test_stream_rollup_matches_batch_rollup(spark, tables, stream_dir):
         )
     )
     assert key(out) == key(batch)
+
+
+def test_continuous_aggregate_live_head(spark, tables):
+    """The full continuous-aggregate story: a batch rollup over history
+    plus a stream_rollup over the live slice, unioned and merged coarser,
+    must equal the rollup computed directly over all events — proving the
+    two paths are interchangeable inputs to merge_rollup."""
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.operators.timeagg import merge_rollup, time_rollup
+    from tidierdb_jl_spark.streaming.stream import stream_rollup
+
+    ev = tables["events"]
+    cut = ev.df.selectExpr("date_add(min(to_date(ts)), 20)").first()[0]
+    hist = ev.filter(f"to_date(ts) < '{cut}'")
+    live = ev.filter(f"to_date(ts) >= '{cut}'")
+
+    d = tempfile.mkdtemp(prefix="live_slice_")
+    live.df.write.mode("overwrite").parquet(os.path.join(d, "ev"))
+    live_stream = read_stream(spark, os.path.join(d, "ev"))
+
+    batch_tail = time_rollup(
+        hist, "ts", "1 hour", keys=["event_type"], n="n()", total="sum(value)"
+    ).ungroup()
+    stream_head = stream_rollup(
+        live_stream, "ts", "1 hour", keys=["event_type"],
+        n="n()", total="sum(value)",
+    )
+    head_df = run_to_memory(stream_head, "cagg_head", mode="complete")
+
+    combined = TidyFrame(batch_tail.df.unionByName(head_df))
+    daily = (
+        merge_rollup(combined, "1 day", keys=["event_type"],
+                     n="sum(n)", total="sum(total)")
+        .ungroup().arrange("bucket", "event_type").collect()
+    )
+    direct = (
+        time_rollup(ev, "ts", "1 day", keys=["event_type"],
+                    n="n()", total="sum(value)")
+        .ungroup().arrange("bucket", "event_type").collect()
+    )
+    assert (daily["bucket"].values == direct["bucket"].values).all()
+    assert (daily["n"].values == direct["n"].values).all()
+    assert abs(daily["total"] - direct["total"]).max() < 1e-6
