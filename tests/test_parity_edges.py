@@ -187,3 +187,25 @@ def test_tilde_agg_escape(tables):
     )
     merged = r.merge(direct, on="l_returnflag", suffixes=("_w", "_s"))
     assert (abs(merged["m_w"] - merged["m_s"]) < 1e-9).all()
+
+
+def test_case_when_arrow_form(tables, ddb):
+    """TidierData-style `cond => value` pairs (reference NEWS v0.8.7) are
+    equivalent to comma pairs, and `=>` inside string literals is inert."""
+    from tests.helpers import assert_matches_duckdb
+
+    q = tables["orders"].mutate(
+        b="case_when(o_totalprice > 200000 => 'high', "
+          "o_totalprice > 50000 => 'mid', 'low')"
+    ).select("o_orderkey", "b")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'low' END AS b
+        FROM orders
+        """,
+    )

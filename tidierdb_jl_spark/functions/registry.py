@@ -183,17 +183,44 @@ def _t_if_else(args):
 
 
 def _t_case_when(args):
-    # /root/reference/src/db_parsing.jl:250-303 — pairs, optional trailing default
-    pairs, default = args, None
-    if len(args) % 2 == 1:
-        pairs, default = args[:-1], args[-1]
+    # /root/reference/src/db_parsing.jl:250-303 — comma pairs with optional
+    # trailing default, and/or TidierData-style `cond => value` arrow pairs
+    # (both forms mix freely, like the reference's parser)
+    flat: list[str] = []
+    default = None
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if "=>" in a and not _inside_string(a, a.index("=>")):
+            cond, val = a.split("=>", 1)
+            flat.extend([cond.strip(), val.strip()])
+            i += 1
+        elif i == len(args) - 1:
+            default = a
+            i += 1
+        else:
+            flat.extend([a, args[i + 1]])
+            i += 2
     parts = ["CASE"]
-    for i in range(0, len(pairs), 2):
-        parts.append(f"WHEN {_paren(pairs[i])} THEN {pairs[i + 1]}")
+    for j in range(0, len(flat), 2):
+        parts.append(f"WHEN {_paren(flat[j])} THEN {flat[j + 1]}")
     if default is not None:
         parts.append(f"ELSE {default}")
     parts.append("END")
     return " ".join(parts)
+
+
+def _inside_string(s: str, pos: int) -> bool:
+    quote = None
+    for i, ch in enumerate(s):
+        if i >= pos:
+            break
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+    return quote is not None
 
 
 def _t_str_replace_first(args):
