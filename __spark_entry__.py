@@ -886,6 +886,75 @@ def _t83(t):
     )
 
 
+def _q87(t):
+    # TPC-H Q7: shipping volume between two nations, both directions, by
+    # year.  Nation joins twice under different names (rename before join
+    # — our equi-key dedup would otherwise collide); fact-first order.
+    n_supp = t["nation"].select("n_nationkey", "n_name").rename(
+        supp_nation="n_name"
+    )
+    n_cust = (
+        t["nation"].select("n_nationkey", "n_name")
+        .rename(cust_nation="n_name", c_nkey="n_nationkey")
+    )
+    return (
+        t["lineitem"]
+        .filter("l_shipdate >= '1996-01-01'", "l_shipdate <= '1997-12-31'")
+        .inner_join(t["orders"], by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"], by="o_custkey == c_custkey")
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .inner_join(n_supp, by="s_nationkey == n_nationkey")
+        .inner_join(n_cust, by="c_nationkey == c_nkey")
+        .filter(
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
+        )
+        .mutate(l_year="year(l_shipdate)",
+                volume="l_extendedprice * (1 - l_discount)")
+        .group_by("supp_nation", "cust_nation", "l_year")
+        .summarize(revenue="sum(volume)")
+        .arrange("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q88(t):
+    # TPC-H Q8 (adapted: p_type = 'PROMO' for the part filter): market
+    # share of NATION_3 suppliers inside ASIA customers' promo purchases.
+    # 8-way fact-first join; the conditional share aggregates in one pass.
+    n_supp = (
+        t["nation"].select("n_nationkey", "n_name")
+        .rename(supp_nation="n_name")
+    )
+    asia_cust = (
+        t["region"].filter("r_name = 'ASIA'")
+        .inner_join(t["nation"], by="r_regionkey == n_regionkey")
+        .select("n_nationkey")
+        .rename(c_nkey="n_nationkey")
+    )
+    return (
+        t["lineitem"]
+        .inner_join(t["part"].filter("p_type = 'PROMO'"),
+                    by="l_partkey == p_partkey")
+        .inner_join(t["orders"].filter(
+            "o_orderdate >= '1996-01-01'", "o_orderdate <= '1997-12-31'"),
+            by="l_orderkey == o_orderkey")
+        .inner_join(t["customer"], by="o_custkey == c_custkey")
+        .semi_join(asia_cust, by="c_nationkey == c_nkey")
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .inner_join(n_supp, by="s_nationkey == n_nationkey")
+        .mutate(o_year="year(o_orderdate)",
+                volume="l_extendedprice * (1 - l_discount)")
+        .group_by("o_year")
+        .summarize(
+            mkt_share=(
+                "sum(if_else(supp_nation = 'NATION_3', volume, 0.0)) "
+                "/ sum(volume)"
+            )
+        )
+        .arrange("o_year")
+    )
+
+
 def _d86(t):
     # Transitive duplicate clusters: exact n-gram Jaccard pairs → min-label
     # propagation to a fixed point (distributed union-find) → canonical
@@ -1052,6 +1121,8 @@ _BUILDERS.update(
         "t84_pack_sequences": _t84,
         "s85_knn_classify": _s85,
         "d86_dup_clusters": _d86,
+        "q87_tpch_q7": _q87,
+        "q88_tpch_q8": _q88,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -1718,6 +1789,41 @@ def oracle_sql() -> dict[str, str]:
           AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
           AND dup_ngram_frac <= 0.05
           AND stopword_frac >= 0.02
+    """
+    out["q87_tpch_q7"] = """
+        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    out["q88_tpch_q8"] = """
+        SELECT o_year,
+               sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                 / sum(volume) AS mkt_share
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31')
+        GROUP BY o_year ORDER BY o_year
     """
     out["d86_dup_clusters"] = r"""
         WITH RECURSIVE t AS (
