@@ -260,3 +260,14 @@ def test_missing_trio(tables, ddb):
         """,
         "missing trio",
     )
+
+
+def test_select_table_qualified(tables):
+    """`table.col` qualifiers resolve to the bare column (the reference's
+    post-join ergonomics, test/comp_tests.jl:203)."""
+    out = tables["customer"].select("customer.c_name", "c_custkey")
+    assert out.columns == ["c_name", "c_custkey"]
+    joined = tables["customer"].inner_join(
+        tables["nation"], by="c_nationkey == n_nationkey"
+    ).select("customer.c_name", "nation.n_name")
+    assert joined.columns == ["c_name", "n_name"]

@@ -49,6 +49,11 @@ def _expand_one(spec: str, columns: list[str]) -> list[str]:
         # `@group_by(all)` / `_by = all` — every column (NEWS v0.8.9); a
         # real column named "all" wins above
         return list(columns)
+    if "." in spec and spec.rsplit(".", 1)[1] in columns:
+        # `table.col` qualifiers (/root/reference/src/db_parsing.jl:23-180,
+        # test/comp_tests.jl:203) — our joins already dedup key columns, so
+        # the qualifier reduces to the bare name
+        return [spec.rsplit(".", 1)[1]]
     raise KeyError(f"column {spec!r} not found; available: {columns}")
 
 
