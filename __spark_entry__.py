@@ -53,19 +53,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # query builders (our engine)
 # ---------------------------------------------------------------------------
 
+# TPC-H money is DECIMAL; decimal addition is exact and associative, so
+# sums are bit-stable across partition orderings (double partial-agg order
+# is not — the driver's hash gate caught that in round 1).  Pattern: cast
+# inputs to DECIMAL(18,2), aggregate in decimal, cast the final value back
+# to DOUBLE (both engines round the same exact decimal to the same double).
+_QTY_DEC = "CAST(l_quantity AS DECIMAL(18,2))"
+_PRICE_DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC_DEC = "CAST(l_discount AS DECIMAL(18,2))"
+_TAX_DEC = "CAST(l_tax AS DECIMAL(18,2))"
+_DISC_PRICE_DEC = f"{_PRICE_DEC} * (1 - {_DISC_DEC})"
+_REVENUE_DEC = f"CAST(sum({_DISC_PRICE_DEC}) AS DOUBLE)"
+
+
 def _q01(t):
     return (
         t["lineitem"]
         .filter("l_shipdate <= '1998-09-02'")
         .group_by("l_returnflag", "l_linestatus")
         .summarize(
-            sum_qty="sum(l_quantity)",
-            sum_base_price="sum(l_extendedprice)",
-            sum_disc_price="sum(l_extendedprice * (1 - l_discount))",
-            sum_charge="sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))",
-            avg_qty="mean(l_quantity)",
-            avg_price="mean(l_extendedprice)",
-            avg_disc="mean(l_discount)",
+            sum_qty=f"CAST(sum({_QTY_DEC}) AS DOUBLE)",
+            sum_base_price=f"CAST(sum({_PRICE_DEC}) AS DOUBLE)",
+            sum_disc_price=_REVENUE_DEC,
+            sum_charge=f"CAST(sum({_DISC_PRICE_DEC} * (1 + {_TAX_DEC})) AS DOUBLE)",
+            avg_qty=f"CAST(sum({_QTY_DEC}) AS DOUBLE) / n()",
+            avg_price=f"CAST(sum({_PRICE_DEC}) AS DOUBLE) / n()",
+            avg_disc=f"CAST(sum({_DISC_DEC}) AS DOUBLE) / n()",
             count_order="n()",
         )
         .arrange("l_returnflag", "l_linestatus")
@@ -136,7 +149,7 @@ def _q07(t):
         .inner_join(t["orders"], by="l_orderkey == o_orderkey")
         .inner_join(t["customer"], by="o_custkey == c_custkey")
         .group_by("c_mktsegment")
-        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))", n_lines="n()")
+        .summarize(revenue=_REVENUE_DEC, n_lines="n()")
         .arrange("desc(revenue)")
     )
 
@@ -273,8 +286,11 @@ def _q24(t):
 
 
 def _q25(t):
+    # across over integer-valued columns: their double sums are exact
+    # (< 2^53), hence order-independent and hash-stable; money columns get
+    # the decimal treatment in q01 instead.
     return t["lineitem"].group_by("l_returnflag").summarize(
-        "across(l_quantity:l_extendedprice, (mean, sum))"
+        "across(l_linenumber:l_quantity, (mean, sum))"
     )
 
 
@@ -2003,13 +2019,13 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "q01_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_extendedprice) AS avg_price,
-                   avg(l_discount) AS avg_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -2049,7 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_join3_revenue": """
             SELECT c_mktsegment,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_lines
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -2151,9 +2167,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q25_across": """
             SELECT l_returnflag,
-                   avg(l_quantity) AS l_quantity_mean, sum(l_quantity) AS l_quantity_sum,
-                   avg(l_extendedprice) AS l_extendedprice_mean,
-                   sum(l_extendedprice) AS l_extendedprice_sum
+                   avg(l_linenumber) AS l_linenumber_mean,
+                   CAST(sum(l_linenumber) AS BIGINT) AS l_linenumber_sum,
+                   avg(l_quantity) AS l_quantity_mean, sum(l_quantity) AS l_quantity_sum
             FROM lineitem GROUP BY l_returnflag
         """,
         "q26_grouped_filter": """
