@@ -79,11 +79,28 @@ def test_division_is_double(edge):
     )
 
 
+def test_str_detect_literal_vs_regex(edge):
+    """Reference parity (/root/reference/src/parsing_duckdb.jl:159-166 and
+    test/comp_tests.jl filter testset): a plain-string pattern is a literal
+    (LIKE '%s%'), so 'a.b' must NOT match 'axb'; regex needs regex(...)."""
+    tf, con = edge
+    _check(
+        tf.mutate(
+            lit="str_detect(s, 'a.b')",        # literal dot
+            rex="str_detect(s, regex('a.b'))",  # regex dot
+        ).select("i", "lit", "rex"),
+        con,
+        """SELECT i, s LIKE '%a.b%' AS lit,
+                  regexp_matches(s, 'a.b') AS rex
+           FROM edge""",
+    )
+
+
 def test_regex_detect_and_replace(edge):
     tf, con = edge
     _check(
         tf.mutate(
-            has_digit="str_detect(s, '[0-9]+')",
+            has_digit="str_detect(s, regex('[0-9]+'))",
             cleaned="str_remove_all(s, '[a-z]')",
         ).select("i", "has_digit", "cleaned"),
         con,

@@ -121,7 +121,7 @@ def test_filter_regex_and_in(fx):
     con = fx["_con"]
     t = fx["test_df"]
     _check(
-        t.filter("str_detect(id, '^A')").select("id", "value"),
+        t.filter("str_detect(id, regex('^A'))").select("id", "value"),
         con,
         "SELECT id, value FROM test_df WHERE regexp_matches(id, '^A')",
     )

@@ -223,6 +223,21 @@ def _inside_string(s: str, pos: int) -> bool:
     return quote is not None
 
 
+def _t_str_detect(args):
+    # Reference parity (/root/reference/src/parsing_duckdb.jl:159-166): a
+    # plain-string pattern is a LITERAL -> col LIKE '%pat%' (the reference
+    # interpolates straight into LIKE, so % and _ keep their LIKE meaning);
+    # regex matching requires the explicit regex('...') spelling (the
+    # reference's r"..." literal).  Non-literal patterns (columns,
+    # expressions) fall back to RLIKE, documented in SURVEY §4.3.
+    col, pat = args[0].strip(), args[1].strip()
+    if pat.startswith("regex(") and pat.endswith(")"):
+        return f"({col} RLIKE {pat[len('regex('):-1]})"
+    if len(pat) >= 2 and pat[0] in "'\"" and pat[-1] == pat[0]:
+        return f"({col} LIKE '%{pat[1:-1]}%')"
+    return f"({col} RLIKE {pat})"
+
+
 def _t_str_replace_first(args):
     # DuckDB regexp_replace replaces the FIRST match only; Spark's replaces
     # all.  Splice via regexp_instr/regexp_extract (Spark 3.4+) for parity.
@@ -299,7 +314,7 @@ REGISTRY: dict = {
     "as_string": lambda args: f"TRY_CAST({args[0]} AS STRING)",
     "as_date": lambda args: f"TRY_CAST({args[0]} AS DATE)",
     # strings
-    "str_detect": lambda args: f"({args[0]} RLIKE {args[1]})",
+    "str_detect": _t_str_detect,
     "str_starts": lambda args: f"startswith({args[0]}, {args[1]})",
     "str_ends": lambda args: f"endswith({args[0]}, {args[1]})",
     "str_contains": lambda args: f"contains({args[0]}, {args[1]})",
