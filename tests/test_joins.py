@@ -268,3 +268,73 @@ def test_range_join_left_keeps_misses(spark, tables):
     n_orders = orders.collect().shape[0]
     assert len(out) == n_orders  # nothing dropped, misses have NULL bands
     assert out["lo"].isna().sum() > 0
+
+
+def test_right_join_coalesced_key_unmatched(tables, ddb):
+    """ADVICE r01: right joins must COALESCE the equi key like full joins —
+    otherwise unmatched right rows come back with a NULL key."""
+    lhs = tables["orders"].filter("o_totalprice > 300000").distinct("o_custkey")
+    q = lhs.right_join(tables["customer"], by="o_custkey == c_custkey").select(
+        "o_custkey", "c_acctbal"
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT coalesce(l.o_custkey, r.c_custkey) AS o_custkey, r.c_acctbal
+        FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) l
+        RIGHT JOIN customer r ON l.o_custkey = r.c_custkey
+        """,
+        "right-coalesce",
+    )
+
+
+def test_range_join_left_nulls_no_duplicates(spark):
+    """ADVICE r01: a matched left row with a NULL non-key column must not
+    ALSO reappear among the misses (null-unsafe all-column anti join)."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.rangejoin import range_join
+
+    left = TidyFrame(
+        spark.createDataFrame(
+            [(1, 10.0, None), (2, 20.0, "x"), (3, 5000.0, "y")],
+            "i long, v double, tag string",
+        )
+    )
+    bands = TidyFrame(
+        spark.createDataFrame([(0.0, 1000.0)], "lo double, hi double")
+    )
+    out = range_join(left, bands, "v", "lo", "hi", how="left").collect()
+    assert len(out) == 3
+    assert sorted(out["i"].tolist()) == [1, 2, 3]
+    assert out["lo"].isna().sum() == 1  # only row 3 is a miss
+
+
+def test_salted_join_rejects_outer(tables):
+    """ADVICE r01: right/full would emit unmatched right rows salt× times."""
+    import pytest
+
+    from tidierdb_jl_spark.operators.skew import salted_join
+
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(
+                tables["orders"], tables["customer"],
+                by="o_custkey == c_custkey", how=how,
+            )
+
+
+def test_salted_semi_anti_match_plain(tables):
+    from tidierdb_jl_spark.operators.skew import salted_join
+
+    for how in ("semi", "anti"):
+        plain = getattr(tables["customer"], f"{how}_join")(
+            tables["orders"].filter("o_totalprice > 250000"),
+            by="c_custkey == o_custkey",
+        ).collect()
+        salted = salted_join(
+            tables["customer"],
+            tables["orders"].filter("o_totalprice > 250000"),
+            by="c_custkey == o_custkey", how=how, salt=4,
+        ).collect()
+        assert sorted(plain["c_custkey"]) == sorted(salted["c_custkey"]), how

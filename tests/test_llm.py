@@ -479,3 +479,18 @@ def test_connected_components_transitive(spark):
             .collect().itertuples(index=False))
     )
     assert dc[42] == 42 and dc[5] == 1 and dc[11] == 10
+
+
+def test_dup_clusters_id_col_named_id(spark):
+    """ADVICE r01: id_col literally named 'id' must not collide with the
+    component frame's internal column names."""
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    dc = dict(
+        map(tuple, dup_clusters(TidyFrame(docs), TidyFrame(pairs), "id")
+            .collect().itertuples(index=False))
+    )
+    assert dc == {1: 1, 2: 1, 3: 3, 9: 9}

@@ -450,3 +450,34 @@ def test_tpch_contract_plans_are_scale_healthy(spark):
         from tidierdb_jl_spark.plans.show import show_query
 
         assert "CartesianProduct" not in show_query(tf), name
+
+
+def test_refresh_rollup_week_bucket_boundary(spark, tables):
+    """ADVICE r01: for widths coarser than the day partition grain, the
+    recompute cutoff must floor to the BUCKET boundary or the spanning
+    bucket is rewritten from a partial slice."""
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.operators.timeagg import refresh_rollup, time_rollup
+
+    d = tempfile.mkdtemp(prefix="rollup_wk_")
+    path = os.path.join(d, "weekly")
+    ev = tables["events"]
+    # cut mid-week (10 days in) so the spanning week straddles the cutoff
+    cut = ev.df.selectExpr("date_add(min(to_date(ts)), 10)").first()[0]
+    early = ev.filter(f"to_date(ts) < '{cut}'")
+    refresh_rollup(early, path, "ts", "1 week", keys=["event_type"],
+                   n="n()", total="sum(value)")
+    refreshed = refresh_rollup(ev, path, "ts", "1 week", keys=["event_type"],
+                               n="n()", total="sum(value)")
+    got = refreshed.df.select("bucket", "event_type", "n", "total").toPandas()
+    want = (
+        time_rollup(ev, "ts", "1 week", keys=["event_type"],
+                    n="n()", total="sum(value)")
+        .collect()
+    )
+    key = lambda pdf: sorted(  # noqa: E731
+        map(tuple, pdf[sorted(pdf.columns)].astype(str).values)
+    )
+    assert key(got) == key(want)

@@ -370,12 +370,16 @@ def dup_clusters(tf, pairs_tf, id_col: str, id_a: str = "id_a", id_b: str = "id_
     closure of the pair list (``connected_components``), with singletons
     keeping their own id.  Returns the input columns plus ``keep_id`` —
     filter ``id == keep_id`` to keep one canonical doc per cluster."""
-    cc = connected_components(pairs_tf, id_a, id_b).df
+    # Reserved aliases: if the caller's id_col is literally "id"/"comp",
+    # dropping by bare name would drop both same-named columns.
+    cc = connected_components(pairs_tf, id_a, id_b).df.select(
+        F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp")
+    )
     out = (
-        tf.df.join(cc, tf.df[id_col] == cc["id"], "left")
-        .drop("id")
-        .withColumn("keep_id", F.coalesce("comp", F.col(id_col)))
-        .drop("comp")
+        tf.df.join(cc, tf.df[id_col] == cc["__cc_id"], "left")
+        .drop("__cc_id")
+        .withColumn("keep_id", F.coalesce("__cc_comp", F.col(id_col)))
+        .drop("__cc_comp")
     )
     from ..core import TidyFrame
 

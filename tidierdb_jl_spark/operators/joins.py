@@ -141,14 +141,17 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
     if how in ("semi", "anti"):
         return TidyFrame(joined, groups=left.groups)
 
-    # Projection: left columns (full-join keys coalesced,
-    # /root/reference/src/joins_sq.jl:101-137), right columns minus dropped
-    # equi keys; right non-key name collisions get a `_right` suffix.
+    # Projection: left columns (outer-join keys coalesced — the reference
+    # emits COALESCE(l.k, r.k) for every join keeping both sides,
+    # /root/reference/src/joins_sq.jl:101-137; without it a right join's
+    # unmatched rows would lose their key values), right columns minus
+    # dropped equi keys; right non-key name collisions get a `_right`
+    # suffix.
     right_keys_dropped = {rc for _, rc in equi_pairs}
     out_cols = []
     for name in ldf.columns:
         lk = next((p for p in equi_pairs if p[0] == name), None)
-        if how == "full" and lk is not None:
+        if how in ("full", "right") and lk is not None:
             out_cols.append(
                 F.coalesce(F.col(f"{la}.{name}"), F.col(f"{ra}.{lk[1]}")).alias(name)
             )

@@ -85,11 +85,18 @@ def range_join(
 
     # left join: bucket replication would duplicate unmatched left rows
     # (one per candidate bucket), so join inner first and re-attach misses.
-    matched = la.join(ra, cond & residual, "inner").select(*out_cols)
-    match_keys = la.join(ra, cond & residual, "left_semi").select(
-        *[F.col(f"l.{c}").alias(c) for c in left.df.columns]
-    )
-    misses = left.df.join(match_keys, list(left.df.columns), "left_anti")
+    # Miss detection uses a per-row tag, not all-column equality: NULL !=
+    # NULL would make any matched row with a NULL non-key column reappear
+    # in the misses (and duplicate rows couldn't be told apart).
+    lid = "__rj_id"
+    ltag = left.df.withColumn(lid, F.monotonically_increasing_id())
+    la = ltag.withColumn(
+        "__rb", F.floor(F.col(value_col) / F.lit(w)).cast("long")
+    ).alias("l")
+    matched_raw = la.join(ra, cond & residual, "inner")
+    matched = matched_raw.select(*out_cols)
+    match_ids = matched_raw.select(F.col(f"l.{lid}").alias(lid)).distinct()
+    misses = ltag.join(match_ids, lid, "left_anti").drop(lid)
     for c in rtf.df.columns:
         if c in right_drop:
             continue

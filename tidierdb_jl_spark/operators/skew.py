@@ -70,6 +70,13 @@ def salted_join(left, right, by, how: str = "inner", salt: int = 8, seed: int = 
     conds = parse_by(by, left.df.columns, rtf.df.columns)
     if any(c.op != "==" or c.closest for c in conds):
         raise ValueError("salted_join supports only equi-join conditions")
+    # right/full would emit every unmatched right row `salt` times (each
+    # replica fails the join independently) — silently wrong, so refuse.
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            "salted_join supports how='inner'|'left'|'semi'|'anti'; the "
+            "replicated right side cannot express right/full outer results"
+        )
 
     salted_l = TidyFrame(
         left.df.withColumn(

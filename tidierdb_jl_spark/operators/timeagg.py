@@ -129,10 +129,13 @@ def refresh_rollup(
 
     existing = spark.read.parquet(path)
     max_day = existing.agg(F.max("bucket_day")).first()[0]
-    cutoff = (
-        f"date_sub(to_date('{max_day}'), {lookback_days})"
-    )
-    fresh = rollup_slice(raw.filter(f"to_date({ts_col}) >= {cutoff}"))
+    # Align the recompute cutoff to a BUCKET boundary, not a day boundary:
+    # for widths > 1 day ('1 week'), a day-aligned cutoff would re-aggregate
+    # the bucket spanning it from only the rows after the cutoff and
+    # dynamically overwrite its partition with an understated value.
+    day_cutoff = f"date_sub(to_date('{max_day}'), {lookback_days})"
+    cutoff = time_bucket_expr(f"CAST({day_cutoff} AS TIMESTAMP)", width)
+    fresh = rollup_slice(raw.filter(f"CAST({ts_col} AS TIMESTAMP) >= {cutoff}"))
     (
         fresh.df.write.partitionBy("bucket_day")
         .mode("overwrite")
