@@ -271,3 +271,19 @@ def test_select_table_qualified(tables):
         tables["nation"], by="c_nationkey == n_nationkey"
     ).select("customer.c_name", "nation.n_name")
     assert joined.columns == ["c_name", "n_name"]
+
+
+def test_relocate_selector_anchors(tables):
+    """VERDICT r01 item 8: before=/after= accept tidy selectors (reference
+    relocate.jl:45-115), anchored at the leftmost/rightmost match."""
+    t = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    got = t.relocate("starts_with('l_ship')", before="l_partkey:l_suppkey").columns
+    assert got == ["l_orderkey", "l_shipdate", "l_partkey", "l_suppkey", "l_quantity"]
+    got = t.relocate("l_orderkey", after="starts_with('l_s')").columns
+    assert got == ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate", "l_orderkey"]
+    import pytest
+
+    with pytest.raises(ValueError, match="anchor"):
+        t.relocate("l_orderkey", before="l_orderkey")

@@ -338,3 +338,19 @@ def test_salted_semi_anti_match_plain(tables):
             by="c_custkey == o_custkey", how=how, salt=4,
         ).collect()
         assert sorted(plain["c_custkey"]) == sorted(salted["c_custkey"]), how
+
+
+def test_theta_only_join_warns(tables):
+    """VERDICT r01 item 6: theta-only joins must warn about the BNLJ plan
+    unless an explicit strategy acknowledges the small side."""
+    import warnings
+
+    import pytest
+
+    with pytest.warns(UserWarning, match="no equality key"):
+        tables["region"].inner_join(tables["nation"], by="r_regionkey >= n_regionkey")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning when hinted
+        tables["region"].inner_join(
+            tables["nation"], by="r_regionkey >= n_regionkey", strategy="broadcast"
+        )

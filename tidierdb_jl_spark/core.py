@@ -224,15 +224,31 @@ class TidyFrame:
         return self._with(df, groups=groups)
 
     def relocate(self, *specs, before=None, after=None) -> "TidyFrame":
-        """Reorder columns (``/root/reference/src/relocate.jl:45-115``)."""
+        """Reorder columns (``/root/reference/src/relocate.jl:45-115``).
+
+        ``before=``/``after=`` accept full tidy selectors (names, ranges,
+        ``starts_with(...)``, tuples), like the reference: the moved block
+        lands before the LEFTMOST / after the RIGHTMOST surviving match
+        (dplyr anchor semantics)."""
         cols = self.columns
         moved = resolve_selection(specs, cols)
         rest = [c for c in cols if c not in moved]
+
+        def _anchors(sel):
+            specs_ = (sel,) if isinstance(sel, str) else tuple(sel)
+            got = [a for a in resolve_selection(specs_, cols) if a in rest]
+            if not got:
+                raise ValueError(
+                    f"relocate anchor {sel!r} selects no column outside the "
+                    "moved set"
+                )
+            return got
+
         if before is not None:
-            i = rest.index(before)
+            i = min(rest.index(a) for a in _anchors(before))
             new = rest[:i] + moved + rest[i:]
         elif after is not None:
-            i = rest.index(after) + 1
+            i = max(rest.index(a) for a in _anchors(after)) + 1
             new = rest[:i] + moved + rest[i:]
         else:
             new = moved + rest

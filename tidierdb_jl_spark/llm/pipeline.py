@@ -167,6 +167,7 @@ def prepare_training_corpus(
     cosine_threshold: float = 0.9,
     train_frac: float = 0.9,
     lang: str | None = "en",
+    pair_method: str = "lsh",
     **gates,
 ) -> TidyFrame:
     """End-to-end training-data preparation — the capstone composition:
@@ -182,7 +183,10 @@ def prepare_training_corpus(
     Output: one row per surviving document with stats, language, and
     split.  Every stage is engine-side; the only data-dependent blowup
     (the pair join) runs on the *embedding* table after semi-join
-    reduction, never on the corpus text.
+    reduction, never on the corpus text — and with the default
+    ``pair_method="lsh"`` the candidate set is LSH-bucketed, never
+    all-pairs (``pair_method="exact"`` is the quadratic oracle path; use
+    it only for small corpora / differential harnesses).
     """
     from ..operators.skew import semi_reduce
     from .dedup import embedding_cosine_pairs
@@ -190,7 +194,7 @@ def prepare_training_corpus(
     cleaned = clean_corpus(docs, id_col=id_col, lang=lang, **gates)
     emb_c = semi_reduce(embeddings, cleaned, f"{vec_id} == {id_col}")
     pairs = embedding_cosine_pairs(
-        emb_c, vec_id, vec_col, threshold=cosine_threshold, method="exact"
+        emb_c, vec_id, vec_col, threshold=cosine_threshold, method=pair_method
     )
     dupes = pairs.distinct("id_b")
     kept = cleaned.anti_join(dupes, by=f"{id_col} == id_b")

@@ -136,6 +136,22 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
         if c.op == "==":
             equi_pairs.append((c.left, c.right))
 
+    # 100 TB guard: a join with NO equality key plans as
+    # BroadcastNestedLoopJoin — |L|x|R| work unless one side is small.
+    # Surface it loudly; range-shaped predicates have a bucketed
+    # alternative (operators.rangejoin.range_join), and an explicit
+    # strategy hint acknowledges the small side.
+    if not equi_pairs and strategy is None:
+        import warnings
+
+        warnings.warn(
+            "join has no equality key: Spark will use a nested-loop plan "
+            "(quadratic unless one side is small). For range predicates "
+            "use range_join(); if one side is genuinely small, pass "
+            "strategy='broadcast'.",
+            stacklevel=3,
+        )
+
     joined = l.join(r, cond, _HOW_MAP[how])
 
     if how in ("semi", "anti"):
