@@ -426,6 +426,20 @@ def test_gopher_filter_gates(tables):
     assert tighter.df.count() < len(pdf)
 
 
+def test_gopher_stats_partitions_corpus(tables):
+    """gopher_stats keeps every document and its gopher_pass flag agrees
+    with gopher_filter's survivor set exactly."""
+    from tidierdb_jl_spark.llm.pipeline import gopher_filter, gopher_stats
+
+    stats = gopher_stats(tables["documents"])
+    n_docs = tables["documents"].df.count()
+    pdf = stats.select("doc_id", "gopher_pass").collect()
+    assert len(pdf) == n_docs
+    passed = set(pdf[pdf["gopher_pass"]]["doc_id"])
+    survivors = set(gopher_filter(tables["documents"]).select("doc_id").collect()["doc_id"])
+    assert passed == survivors and len(passed) > 0
+
+
 def test_pack_sequences_invariants(tables):
     """Every non-tail block is exactly block_size tokens; block ids are
     dense per shard; spans tile each block with no gaps; deterministic."""

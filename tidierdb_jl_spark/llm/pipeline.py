@@ -20,6 +20,7 @@ from .textstats import with_language_id, with_text_stats
 
 __all__ = [
     "quality_filter",
+    "gopher_stats",
     "gopher_filter",
     "clean_corpus",
     "split_by_hash",
@@ -51,16 +52,17 @@ GOPHER_GATES = dict(
 )
 
 
-def gopher_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
-    """Gopher-style quality gating (Rae et al. 2021 §A1.1): word-count and
-    word-length windows, within-document duplicate n-gram cap (boilerplate
-    / keyword stuffing), and a minimum stopword fraction (real prose
-    contains function words; token salads don't).  Adds the stat columns
-    and filters on them.
+def gopher_stats(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
+    """Gopher-style quality STATS (Rae et al. 2021 §A1.1): word-count and
+    word-length stats, within-document duplicate n-gram fraction
+    (boilerplate / keyword stuffing), stopword fraction (real prose
+    contains function words; token salads don't), and a ``gopher_pass``
+    boolean evaluating the gate predicate — without filtering, so callers
+    can inspect/aggregate the rejects.
 
-    Like ``quality_filter``, every gate is a JVM expression: stats,
-    repetition and stopword fractions, and the predicate all fuse into a
-    single whole-stage-codegen'd scan — zero shuffles at any corpus size.
+    Every stat is a JVM expression: stats, repetition and stopword
+    fractions, and the predicate all fuse into a single
+    whole-stage-codegen'd scan — zero shuffles at any corpus size.
     """
     from .textstats import (
         lang_score_expr,
@@ -75,13 +77,20 @@ def gopher_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
         .mutate(stopword_frac=lang_score_expr("__toks", "en"))
         .select("!__toks")
     )
-    return stats.filter(
-        f"n_words >= {g['min_words']} AND n_words <= {g['max_words']} "
-        f"AND avg_word_len >= {g['min_avg_word_len']} "
-        f"AND avg_word_len <= {g['max_avg_word_len']} "
-        f"AND dup_ngram_frac <= {g['max_dup_ngram_frac']} "
-        f"AND stopword_frac >= {g['min_stopword_frac']}"
+    return stats.mutate(
+        gopher_pass=(
+            f"n_words >= {g['min_words']} AND n_words <= {g['max_words']} "
+            f"AND avg_word_len >= {g['min_avg_word_len']} "
+            f"AND avg_word_len <= {g['max_avg_word_len']} "
+            f"AND dup_ngram_frac <= {g['max_dup_ngram_frac']} "
+            f"AND stopword_frac >= {g['min_stopword_frac']}"
+        )
     )
+
+
+def gopher_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
+    """Keep documents passing the Gopher gates (see ``gopher_stats``)."""
+    return gopher_stats(tf, col, **gates).filter("gopher_pass").select("!gopher_pass")
 
 
 def split_by_hash(
