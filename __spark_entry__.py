@@ -501,7 +501,7 @@ def _q55(t):
         .inner_join(t["customer"].filter("c_mktsegment = 'BUILDING'"),
                     by="o_custkey == c_custkey")
         .group_by("l_orderkey", "o_orderdate", "o_orderpriority")
-        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .summarize(revenue=_REVENUE_DEC)
         .arrange("desc(revenue)", "o_orderdate", "l_orderkey")
         .head(10)
     )
@@ -525,7 +525,7 @@ def _q56(t):
         .inner_join(t["customer"],
                     by=["o_custkey == c_custkey", "s_nationkey == c_nationkey"])
         .group_by("n_name")
-        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .summarize(revenue=_REVENUE_DEC)
         .arrange("desc(revenue)")
     )
 
@@ -541,7 +541,7 @@ def _q57(t):
         .inner_join(t["customer"], by="o_custkey == c_custkey")
         .inner_join(t["nation"], by="c_nationkey == n_nationkey")
         .group_by("o_custkey", "c_name", "c_acctbal", "n_name")
-        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .summarize(revenue=_REVENUE_DEC)
         .rename(c_custkey="o_custkey")  # equi-key dedup kept the left name
         .arrange("desc(revenue)", "c_custkey")
         .head(20)
@@ -692,7 +692,7 @@ def _q62(t):
             "l_shipdate >= '1996-01-01'", "l_shipdate < '1997-01-01'",
             "l_discount >= 0.02", "l_discount <= 0.08", "l_quantity < 24",
         )
-        .summarize(revenue="sum(l_extendedprice * l_discount)")
+        .summarize(revenue=f"CAST(sum({_PRICE_DEC} * {_DISC_DEC}) AS DOUBLE)")
     )
 
 
@@ -720,9 +720,9 @@ def _q64(t):
         .inner_join(t["part"], by="l_partkey == p_partkey")
         .summarize(
             promo_revenue=(
-                "100.0 * sum(if_else(p_type = 'PROMO', "
-                "l_extendedprice * (1 - l_discount), 0.0)) / "
-                "sum(l_extendedprice * (1 - l_discount))"
+                f"100.0 * CAST(sum(if_else(p_type = 'PROMO', "
+                f"{_DISC_PRICE_DEC}, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) / "
+                f"CAST(sum({_DISC_PRICE_DEC}) AS DOUBLE)"
             )
         )
     )
@@ -740,7 +740,7 @@ def _q65(t):
             " OR (p_brand = 'Brand#23' AND p_size <= 25 AND l_quantity >= 10 AND l_quantity <= 20)"
             " OR (p_brand = 'Brand#34' AND p_size <= 35 AND l_quantity >= 20 AND l_quantity <= 30)"
         )
-        .summarize(revenue="sum(l_extendedprice * (1 - l_discount))")
+        .summarize(revenue=_REVENUE_DEC)
     )
 
 
@@ -772,7 +772,7 @@ def _q73(t):
         t["lineitem"]
         .filter("l_shipdate >= '1996-01-01'", "l_shipdate < '1996-04-01'")
         .group_by("l_suppkey")
-        .summarize(total_revenue="sum(l_extendedprice * (1 - l_discount))")
+        .summarize(total_revenue=_REVENUE_DEC)
     )
     return (
         t["supplier"]
@@ -799,7 +799,7 @@ def _q74(t):
     return (
         li.inner_join(avg_q, by="l_partkey == l_partkey")
         .filter("l_quantity < 0.2 * avg_qty")
-        .summarize(avg_yearly="sum(l_extendedprice) / 7.0")
+        .summarize(avg_yearly=f"CAST(sum({_PRICE_DEC}) AS DOUBLE) / 7.0")
     )
 
 
@@ -925,10 +925,9 @@ def _q87(t):
             "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
             " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
         )
-        .mutate(l_year="year(l_shipdate)",
-                volume="l_extendedprice * (1 - l_discount)")
+        .mutate(l_year="year(l_shipdate)", volume=_DISC_PRICE_DEC)
         .group_by("supp_nation", "cust_nation", "l_year")
-        .summarize(revenue="sum(volume)")
+        .summarize(revenue="CAST(sum(volume) AS DOUBLE)")
         .arrange("supp_nation", "cust_nation", "l_year")
     )
 
@@ -958,13 +957,13 @@ def _q88(t):
         .semi_join(asia_cust, by="c_nationkey == c_nkey")
         .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
         .inner_join(n_supp, by="s_nationkey == n_nationkey")
-        .mutate(o_year="year(o_orderdate)",
-                volume="l_extendedprice * (1 - l_discount)")
+        .mutate(o_year="year(o_orderdate)", volume=_DISC_PRICE_DEC)
         .group_by("o_year")
         .summarize(
             mkt_share=(
-                "sum(if_else(supp_nation = 'NATION_3', volume, 0.0)) "
-                "/ sum(volume)"
+                "CAST(sum(if_else(supp_nation = 'NATION_3', volume, "
+                "CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) "
+                "/ CAST(sum(volume) AS DOUBLE)"
             )
         )
         .arrange("o_year")
@@ -1313,6 +1312,20 @@ _NULL_S = "CAST(NULL AS STRING)"
 _NULL_L = "CAST(NULL AS BIGINT)"
 
 
+def _q62s(t):
+    """TPC-H single-row revenue scalars — Q6 (pure pushdown scan agg),
+    Q14 (promo share), Q19 (OR-of-ANDs bands) — tagged union; each branch
+    is the full original query."""
+    def tag(tf, name, col):
+        return tf.mutate(q=f"'{name}'", value=col).select("q", "value")
+
+    return (
+        tag(_q62(t), "q6", "revenue")
+        .union_all(tag(_q64(t), "q14", "promo_revenue"))
+        .union_all(tag(_q65(t), "q19", "revenue"))
+    )
+
+
 def _q03s(t):
     """Conditionals + missing + casts (old q03) and the whole date family
     (old q05 + q50) in one fused orders scan."""
@@ -1605,6 +1618,7 @@ _BUILDERS.update(
         "q26_filter_routing": _q26s,
         "q43_projection_suite": _q43s,
         "q45_grouping_suite": _q45s,
+        "q62_tpch_scalars": _q62s,
     }
 )
 
@@ -1832,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q55_tpch_q3"] = """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -1843,7 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10
     """
     out["q56_tpch_q5"] = """
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM region
         JOIN nation ON r_regionkey = n_regionkey
         JOIN supplier ON n_nationkey = s_nationkey
@@ -1880,7 +1894,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q57_tpch_q10"] = """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -1992,7 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1 ORDER BY 1
     """
     out["q62_tpch_q6"] = """
-        SELECT sum(l_extendedprice * l_discount) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
           AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
@@ -2006,15 +2020,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
     out["q64_tpch_q14"] = """
-        SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0.0 END)
-               / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
     """
     out["q65_tpch_q19"] = """
-        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size <= 15
                AND l_quantity >= 1 AND l_quantity <= 11)
@@ -2099,10 +2113,10 @@ def oracle_sql() -> dict[str, str]:
           AND stopword_frac >= 0.02
     """
     out["q87_tpch_q7"] = """
-        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                     l_extendedprice * (1 - l_discount) AS volume
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -2116,10 +2130,11 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q88_tpch_q8"] = """
         SELECT o_year,
-               sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
-                 / sum(volume) AS mkt_share
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) AS mkt_share
         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                     l_extendedprice * (1 - l_discount) AS volume,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
                      n2.n_name AS supp_nation
               FROM lineitem
               JOIN part ON l_partkey = p_partkey
@@ -2266,7 +2281,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q73_tpch_q15"] = """
         WITH revenue AS (
-            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
             GROUP BY l_suppkey)
@@ -2276,7 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s_suppkey
     """
     out["q74_tpch_q17"] = """
-        SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -2750,6 +2765,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'proj', CAST(o_orderkey AS VARCHAR), o_orderstatus,
                    o_totalprice / 1000.0, CAST(o_custkey AS DOUBLE)
             FROM orders
+        """,
+        "q62_tpch_scalars": """
+            SELECT 'q6' AS q,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS value
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
+            UNION ALL
+            SELECT 'q14',
+                   100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+            UNION ALL
+            SELECT 'q19',
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size <= 15
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#23' AND p_size <= 25
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#34' AND p_size <= 35
+                   AND l_quantity >= 20 AND l_quantity <= 30)
         """,
         "q45_grouping_suite": """
             SELECT 'rollup' AS op, o_orderstatus, o_orderpriority,
