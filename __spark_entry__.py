@@ -1326,6 +1326,75 @@ def _q62s(t):
     )
 
 
+def _q29s(t):
+    """Tumbling windows (old q29) + both JSON property routes (old e81:
+    path extraction and schema-on-read must agree) in one scan."""
+    return (
+        t["events"]
+        .mutate(
+            bucket="timestamp_micros(unix_micros(ts) div 600000000 * 600000000)",
+            k_path="as_integer(get_json_object(props, '$.k'))",
+            k_struct="from_json(props, 'k INT').k",
+        )
+        .filter("k_path == k_struct")
+        .group_by("bucket", "event_type")
+        .summarize(n="n()", total_value="sum(value)",
+                   avg_k="avg(k_path)", max_k="max(k_struct)")
+    )
+
+
+def _e53s(t):
+    """Rollup suite: hourly time_rollup (old e53) + daily merge_rollup with
+    mergeable HLL uniques (old e54).  The HLL branch is oracle-able because
+    datasketches HLL is exact below sketch capacity (150 users/day ≪ 2^12
+    slots), so the estimate equals DuckDB's exact COUNT(DISTINCT)."""
+    from tidierdb_jl_spark.operators.timeagg import merge_rollup, time_rollup
+
+    hourly = time_rollup(
+        t["events"], "ts", "1 hour", keys=["event_type"],
+        n="n()", total="sum(value)",
+    )
+    hh = (
+        hourly.ungroup()
+        .mutate(grain="'hourly'", uniq=_NULL_L)
+        .select("grain", "bucket", "event_type", "n", "total", "uniq")
+    )
+    hll_hourly = time_rollup(
+        t["events"], "ts", "1 hour",
+        n="n()", uniq_sketch="hll_sketch_agg(user_id)",
+    )
+    daily = merge_rollup(
+        hll_hourly, "1 day",
+        n="sum(n)",
+        uniq="CAST(hll_sketch_estimate(hll_union_agg(uniq_sketch)) AS BIGINT)",
+    )
+    dd = (
+        daily.ungroup()
+        .mutate(grain="'daily'", event_type=_NULL_S, total=_NULL_D)
+        .select("grain", "bucket", "event_type", "n", "total", "uniq")
+    )
+    return hh.union_all(dd)
+
+
+def _e66s(t):
+    """Sketch rollup suite: mergeable approx-top-k heavy hitters (old e66)
+    + re-aggregable theta-sketch distincts (old e67) — both exact below
+    sketch capacity, hence oracle-comparable; the same plan holds with
+    bounded-memory sketch state at 100 TB."""
+    topk = (
+        _e66(t)
+        .mutate(op="'topk'", uniq=_NULL_L)
+        .select("op", "bucket", "event_type", "n", "uniq")
+    )
+    theta = (
+        _e67(t)
+        .mutate(op="'theta'", bucket="CAST(NULL AS TIMESTAMP)",
+                n=_NULL_L, uniq="CAST(uniq_users AS BIGINT)")
+        .select("op", "bucket", "event_type", "n", "uniq")
+    )
+    return topk.union_all(theta)
+
+
 def _q03s(t):
     """Conditionals + missing + casts (old q03) and the whole date family
     (old q05 + q50) in one fused orders scan."""
@@ -1619,6 +1688,9 @@ _BUILDERS.update(
         "q43_projection_suite": _q43s,
         "q45_grouping_suite": _q45s,
         "q62_tpch_scalars": _q62s,
+        "q29_tumbling_json": _q29s,
+        "e53_rollup_suite": _e53s,
+        "e66_sketch_suite": _e66s,
     }
 )
 
@@ -2765,6 +2837,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'proj', CAST(o_orderkey AS VARCHAR), o_orderstatus,
                    o_totalprice / 1000.0, CAST(o_custkey AS DOUBLE)
             FROM orders
+        """,
+        "q29_tumbling_json": """
+            SELECT make_timestamp(epoch_us(ts) // 600000000 * 600000000) AS bucket,
+                   event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value,
+                   avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "e53_rollup_suite": """
+            SELECT 'hourly' AS grain, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS total,
+                   CAST(NULL AS BIGINT) AS uniq
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'daily', time_bucket(INTERVAL '1 day', ts), NULL,
+                   CAST(count(*) AS BIGINT), NULL,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events GROUP BY 2
+        """,
+        "e66_sketch_suite": """
+            SELECT 'topk' AS op, time_bucket(INTERVAL '1 day', ts) AS bucket,
+                   event_type, CAST(count(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS uniq
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'theta', CAST(NULL AS TIMESTAMP), event_type, NULL,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events GROUP BY 3
         """,
         "q62_tpch_scalars": """
             SELECT 'q6' AS q,
