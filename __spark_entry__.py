@@ -1326,6 +1326,42 @@ def _q62s(t):
     )
 
 
+def _t30s(t):
+    """Per-document text-analysis suite: token counts (old t30), text
+    stats (t31), exact + rolling fingerprints (t32/t44), language id
+    (t33), BPE-ish tokens (t43), repetition + Gopher stats/gate
+    (t69/t83), PII scrub (t70), and benchmark contamination (t71).
+    Everything except the contamination flag is a JVM expression fused
+    into ONE whole-stage-codegen'd scan; contamination adds one broadcast
+    semi-join (benchmark shingles are tiny) — zero corpus-wide shuffles
+    at any scale."""
+    from tidierdb_jl_spark.llm.dedup import flag_contaminated
+    from tidierdb_jl_spark.llm.pipeline import gopher_stats
+    from tidierdb_jl_spark.llm.scrub import scrub_pii
+    from tidierdb_jl_spark.llm.textstats import (
+        with_bpe_token_count,
+        with_fingerprint,
+        with_language_id,
+        with_rolling_fingerprint,
+        with_token_count,
+    )
+
+    base = gopher_stats(t["documents"])  # stats + repetition + stopwords + gate
+    base = with_token_count(base)
+    base = with_fingerprint(base)
+    base = with_language_id(base)
+    base = with_bpe_token_count(base)
+    base = with_rolling_fingerprint(base)
+    base = scrub_pii(base.mutate(text2=_PII_SEED), "text2", out="clean")
+    flagged = flag_contaminated(base, t["documents"].filter("doc_id < 20"))
+    return flagged.select(
+        "doc_id", "n_tokens", "n_chars", "n_words", "avg_word_len",
+        "punct_ratio", "digit_ratio", "n_ngrams", "dup_ngram_frac",
+        "stopword_frac", "gopher_pass", "fingerprint", "lang_pred",
+        "n_tokens_bpe", "rfp", "clean", "is_contaminated",
+    )
+
+
 def _q29s(t):
     """Tumbling windows (old q29) + both JSON property routes (old e81:
     path extraction and schema-on-read must agree) in one scan."""
