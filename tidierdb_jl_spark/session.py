@@ -14,7 +14,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "connect", "TESTDATA_TABLES", "register_testdata"]
+__all__ = [
+    "get_spark",
+    "connect",
+    "TESTDATA_TABLES",
+    "register_testdata",
+    "normalize_ntz",
+]
 
 TESTDATA_TABLES = (
     "region",
@@ -53,6 +59,11 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
         # register_testdata converts the long back to a timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.x infers parquet isAdjustedToUTC=false columns as
+        # TIMESTAMP_NTZ, which unix_micros() and streaming watermarks
+        # reject.  Session TZ is pinned UTC, so reading them as plain
+        # TIMESTAMP is lossless and keeps event-time ops working.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -62,6 +73,23 @@ def get_spark(
 
 
 connect = get_spark
+
+
+def normalize_ntz(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    With the session timezone pinned UTC the cast is lossless; it restores
+    compatibility with ``unix_micros`` and Structured-Streaming watermarks
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``), both of which reject NTZ.
+    A no-op (returns the same plan) when no NTZ column exists, so it is
+    safe on the hot path — no extra projection is added for clean schemas.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
 def register_testdata(
@@ -97,6 +125,7 @@ def register_testdata(
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = normalize_ntz(df)
             size = os.path.getsize(path)
             if parallelize and target > 1 and size >= 256_000:
                 # Partition count scales with data, floored at a few-way

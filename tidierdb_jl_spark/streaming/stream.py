@@ -41,13 +41,17 @@ def read_stream(
     """Streaming scan (files appearing under ``path``).  Schema is
     mandatory for file streams — pass one or give a sample path in
     options['sampleDir'] to borrow its schema."""
+    from ..session import normalize_ntz
+
     if schema is None:
         sample = options.pop("sampleDir", path)
         schema = spark.read.format(fmt).load(sample).schema
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    return TidyFrame(reader.load(path))
+    # TIMESTAMP_NTZ event-time columns are rejected by withWatermark
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — normalize at the source.
+    return TidyFrame(normalize_ntz(reader.load(path)))
 
 
 def with_watermark(tf: TidyFrame, ts_col: str, delay: str) -> TidyFrame:
