@@ -219,16 +219,23 @@ def minhash_dedup_pairs(
     shingle: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 200,
+    verify: str = "est",
 ):
-    """Candidate pairs from banded LSH, verified by estimated Jaccard
-    (fraction of equal minhash components).  Returns
-    (id_a, id_b, est_jaccard >= threshold).
+    """Candidate pairs from banded LSH, verified per candidate.  Returns
+    (id_a, id_b, est_jaccard) with ``verify="est"`` (fraction of equal
+    minhash components — cheap, approximate) or (id_a, id_b, jaccard) with
+    ``verify="exact"`` (true shingle-set Jaccard of each candidate — the
+    production pattern: banding only generates candidates, the exact
+    metric makes the final call, so the output equals the exact all-pairs
+    result whenever banding recall is complete; deterministic, no RNG).
 
     Pipeline: signature (map) → explode bands (×bands) → self-join inside
-    (band, hash) buckets → zip_with verify.  ``max_bucket`` drops
+    (band, hash) buckets → per-candidate verify.  ``max_bucket`` drops
     degenerate buckets (boilerplate) to keep the join quadratic only in
     genuinely similar groups.
     """
+    if verify not in ("est", "exact"):
+        raise ValueError(f"unknown verify mode {verify!r} (expected 'est' or 'exact')")
     sig = minhash_signature(tf, id_col, text_col, num_perm, shingle)
     rows = num_perm // bands
     # Persist the narrow (id, signature) projection: it is read three times
@@ -257,26 +264,56 @@ def minhash_dedup_pairs(
 
     l = banded.alias("l")
     r = banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.expr(
-                "CAST(size(filter(zip_with(l.minhash, r.minhash, (x, y) -> x = y), v -> v)) AS DOUBLE)"
-                " / size(l.minhash)"
-            ).alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("est_jaccard") >= threshold)
+    cand = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col("l.__id") < F.col("r.__id")),
     )
     from ..core import TidyFrame
 
+    if verify == "est":
+        pairs = (
+            cand.select(
+                F.col("l.__id").alias("id_a"),
+                F.col("r.__id").alias("id_b"),
+                F.expr(
+                    "CAST(size(filter(zip_with(l.minhash, r.minhash, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+                    " / size(l.minhash)"
+                ).alias("est_jaccard"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        return TidyFrame(pairs)
+
+    # exact verify: join each candidate pair back to its shingle sets and
+    # score true Jaccard.  The shingle frame is narrow (id + distinct
+    # shingles) and the join fan-in is |candidates|, not |corpus|².
+    toks = tokenize_expr(text_col)
+    shf = (
+        tf.mutate(__toks=toks)
+        .mutate(__sh=_shingle_expr("__toks", shingle))
+        .df.select(F.col(id_col).alias("__id"), "__sh")
+    )
+    a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    pairs = (
+        cand.select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__common", F.expr("size(array_intersect(__sha, __shb))"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common").cast("double")
+                / (F.expr("size(__sha)") + F.expr("size(__shb)") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return TidyFrame(pairs)
 
 
