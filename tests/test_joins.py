@@ -310,6 +310,40 @@ def test_range_join_left_nulls_no_duplicates(spark):
     assert out["lo"].isna().sum() == 1  # only row 3 is a miss
 
 
+def test_range_join_left_stable_under_replan(spark, tables):
+    """ADVICE r03: the left-join miss tag (monotonically_increasing_id)
+    feeds two subtrees; ids must be pinned (localCheckpoint) so plan
+    re-evaluation — retry, speculation, different partitioning — cannot
+    change which rows count as misses.  Evaluate the SAME build twice and
+    a fresh build under perturbed shuffle partitions: identical results."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.rangejoin import range_join
+
+    bands = TidyFrame(
+        spark.createDataFrame(
+            [(0.0, 100000.0), (200000.0, 300000.0)], "lo double, hi double"
+        )
+    )
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+
+    def key(pdf):
+        return sorted(
+            (int(r.o_orderkey), None if pdf["lo"].isna()[i] else float(r.lo))
+            for i, r in enumerate(pdf.itertuples())
+        )
+
+    built = range_join(orders, bands, "o_totalprice", "lo", "hi", how="left")
+    first = key(built.collect())
+    assert key(built.collect()) == first  # same plan, re-evaluated
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = range_join(orders, bands, "o_totalprice", "lo", "hi", how="left")
+        assert key(again.collect()) == first
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_salted_join_rejects_outer(tables):
     """ADVICE r01: right/full would emit unmatched right rows salt× times."""
     import pytest

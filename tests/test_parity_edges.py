@@ -96,6 +96,37 @@ def test_str_detect_literal_vs_regex(edge):
     )
 
 
+def test_str_detect_quote_and_wildcard_literals(spark):
+    """ADVICE r03: a quoted literal containing ' must emit well-formed SQL
+    (doubled quote in the LIKE pattern), and %/_ keep their LIKE meaning
+    (reference parity: the pattern interpolates straight into LIKE)."""
+    import duckdb
+
+    from tidierdb_jl_spark import TidyFrame
+
+    pdf = pd.DataFrame(
+        {"i": [1, 2, 3, 4, 5], "s": ["it's here", "its here", "100% sure", "a_b", "zero 0 zero"]}
+    )
+    d = tempfile.mkdtemp(prefix="quote_")
+    p = os.path.join(d, "q.parquet")
+    pdf.to_parquet(p)
+    tf = TidyFrame(spark.read.parquet(p))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW q AS SELECT * FROM read_parquet('{p}')")
+    _check(
+        tf.mutate(
+            apos='str_detect(s, "it\'s")',
+            apos_sq="str_detect(s, 'it''s')",
+            pct="str_detect(s, '0%')",
+            und="str_detect(s, 'a_b')",
+        ).select("i", "apos", "apos_sq", "pct", "und"),
+        con,
+        """SELECT i, s LIKE '%it''s%' AS apos, s LIKE '%it''s%' AS apos_sq,
+                  s LIKE '%0%%' AS pct, s LIKE '%a_b%' AS und
+           FROM q""",
+    )
+
+
 def test_regex_detect_and_replace(edge):
     tf, con = edge
     _check(

@@ -234,7 +234,14 @@ def _t_str_detect(args):
     if pat.startswith("regex(") and pat.endswith(")"):
         return f"({col} RLIKE {pat[len('regex('):-1]})"
     if len(pat) >= 2 and pat[0] in "'\"" and pat[-1] == pat[0]:
-        return f"({col} LIKE '%{pat[1:-1]}%')"
+        # Re-quote the literal safely: unescape the source quoting, then
+        # double embedded single quotes for the emitted SQL literal — a
+        # pattern like "it's" must not produce LIKE '%it's%'.  % and _
+        # intentionally keep their LIKE meaning (reference parity, see
+        # above); use regex('\\%') style spelling to match them literally.
+        q, inner = pat[0], pat[1:-1]
+        inner = inner.replace(q + q, q)
+        return f"({col} LIKE '%{inner.replace(chr(39), chr(39) * 2)}%')"
     return f"({col} RLIKE {pat})"
 
 

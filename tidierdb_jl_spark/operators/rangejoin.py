@@ -88,8 +88,16 @@ def range_join(
     # Miss detection uses a per-row tag, not all-column equality: NULL !=
     # NULL would make any matched row with a NULL non-key column reappear
     # in the misses (and duplicate rows couldn't be told apart).
+    # localCheckpoint pins the ids: monotonically_increasing_id is
+    # assigned per task attempt, and the tagged frame feeds TWO subtrees
+    # (inner match + anti-join miss detection) — without materialization a
+    # task retry / speculative re-execution could re-evaluate the scan
+    # with different ids, silently dropping real misses or resurrecting
+    # matched rows.  eager=False defers the job to the first action.
     lid = "__rj_id"
-    ltag = left.df.withColumn(lid, F.monotonically_increasing_id())
+    ltag = left.df.withColumn(lid, F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
     la = ltag.withColumn(
         "__rb", F.floor(F.col(value_col) / F.lit(w)).cast("long")
     ).alias("l")

@@ -28,5 +28,23 @@ assert n == 6, n
 qs, osql = e.queries(), e.oracle_sql()
 missing = sorted(set(osql) - set(qs))
 assert not missing, f"oracles without queries: {missing}"
+
+# every module-level builder function must be registered in _BUILDERS —
+# an unregistered _qNN/_tNN/... is dead surface the driver never sees
+import re
+
+registered = set(e._BUILDERS.values())
+unregistered = [
+    name
+    for name, fn in vars(e).items()
+    if callable(fn) and re.fullmatch(r"_[qtdsem]\d+s?", name)
+    and fn not in registered
+]
+assert not unregistered, f"builders defined but not registered: {unregistered}"
+
+prefix = list(qs)[:50]
+no_oracle_prefix = [k for k in prefix if k not in osql]
+assert not no_oracle_prefix, f"driver-checked prefix has no-oracle rows: {no_oracle_prefix}"
 print(f"driver contract OK: entry rows={n}, {len(qs)} queries, "
-      f"{len(qs) - len(set(qs) & set(osql))} rows-only")
+      f"{len(qs) - len(set(qs) & set(osql))} rows-only, "
+      f"first-50 all oracle-backed, no unregistered builders")
