@@ -4,9 +4,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing discipline (BASELINE.md): one warm-up action to JIT/open files,
-then each query is executed twice end-to-end (plan + execute + fetch top
-rows) and the best time recorded.  AQE on, shuffle partitions = cores.
+Timing discipline (BASELINE.md, tightened in r4 per ADVICE): one global
+warm-up action to JIT/open files, then each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 5) end-to-end (plan + execute +
+fetch) — the reported per-query number is the MEDIAN, with min/max
+spread recorded alongside so run-to-run drift is visible instead of
+silently folded into best-of-2.  AQE on, shuffle partitions = cores.
 """
 
 from __future__ import annotations
@@ -65,16 +68,31 @@ def main() -> None:
     # warm-up: JIT, parquet footers, codegen caches
     qs[names[0]](spark, sf_dir).count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2] if runs % 2 else (
+            samples[runs // 2 - 1] + samples[runs // 2]
+        ) / 2
+        timings[name] = round(med, 4)
+        spread[name] = {
+            "min": round(samples[0], 4),
+            "max": round(samples[-1], 4),
+            "n": runs,
+        }
+        print(
+            f"# {name}: median {timings[name]:.3f}s "
+            f"[{samples[0]:.3f}..{samples[-1]:.3f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -84,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
