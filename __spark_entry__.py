@@ -678,8 +678,10 @@ def _e53(t):
 
 
 def _e54(t):
-    # hourly rollup -> daily merge, uniques via mergeable HLL sketches
-    # (not SQL-expressible in DuckDB: datasketches HLL binary format)
+    # hourly rollup -> daily merge, uniques via mergeable HLL sketches.
+    # Oracle-able below sketch capacity (the e53s/e66s trick): ~150
+    # users/day ≪ 2^12 HLL slots, so the estimate equals DuckDB's exact
+    # COUNT(DISTINCT) at the tested scales.
     from tidierdb_jl_spark.operators.timeagg import merge_rollup, time_rollup
 
     hourly = time_rollup(
@@ -694,18 +696,29 @@ def _e54(t):
 
 
 def _q59(t):
+    # decimal-cast money sum: double addition is order-sensitive and the
+    # bigger sf0.01 groups differ from DuckDB in the last ulp otherwise
     return (
         t["orders"]
         .grouping_sets(["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], [])
-        .summarize(n="n()", total="sum(o_totalprice)")
+        .summarize(
+            n="n()",
+            total="CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+        )
     )
 
 
 def _d61(t):
+    # pair_method="exact" for the contract: at the adversarially low 0.4
+    # threshold LSH banding recall is ~94%/pair, so the greedy drop set
+    # (and row count) would drift from the oracle.  The scale default
+    # stays LSH (pipeline.py:prepare_training_corpus); its quality
+    # envelope is driver-checked separately by d42's invariants.
     from tidierdb_jl_spark.llm.pipeline import prepare_training_corpus
 
     return prepare_training_corpus(
-        t["documents"], t["embeddings"], min_words=20, cosine_threshold=0.4
+        t["documents"], t["embeddings"], min_words=20, cosine_threshold=0.4,
+        pair_method="exact",
     )
 
 
@@ -991,15 +1004,20 @@ def _e77(t):
 def _e82(t):
     # Mergeable quantiles through the rollup path: hourly KLL sketches →
     # daily merge (aggregate-HOF fold over the group's sketches) → p50/p90
-    # reads.  Rows-only check: KLL compaction is randomized, so estimates
-    # are not bit-reproducible (rank-error guarantee is unit-tested).
+    # reads.  Oracle-able via the below-capacity trick (the e66/e67
+    # pattern): the input is thinned so every merged daily sketch holds
+    # ≤ ~25 items ≪ k=200 — no compaction ever triggers, the sketch
+    # retains all values, and DataSketches' inclusive-rank quantile
+    # equals DuckDB's quantile_disc exactly (verified for both rank
+    # conventions).  Full-capacity behavior (randomized compaction,
+    # rank-error bound) is unit-tested in tests/test_scale_ops.py.
     from tidierdb_jl_spark.operators.timeagg import (
         kll_measure, kll_merge, kll_quantile, merge_rollup, time_rollup,
     )
 
     hourly = time_rollup(
-        t["events"], "ts", "1 hour", keys=["event_type"],
-        sk=kll_measure("value"),
+        t["events"].filter("user_id % 53 = 1"), "ts", "1 hour",
+        keys=["event_type"], sk=kll_measure("value"),
     )
     daily = merge_rollup(
         hourly.ungroup(), "1 day", keys=["event_type"], skm=kll_merge("sk")
@@ -2213,7 +2231,8 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q59_grouping_sets"] = """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS total
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -2466,6 +2485,19 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """
+    out["e54_rollup_merge_hll"] = """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS INT) AS uniq
+        FROM events GROUP BY 1
+    """
+    out["e82_kll_quantile_rollup"] = """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90
+        FROM events WHERE user_id % 53 = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     out["d36_simhash_pairs"] = """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
