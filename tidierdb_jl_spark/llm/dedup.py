@@ -290,11 +290,14 @@ def minhash_dedup_pairs(
     # exact verify: join each candidate pair back to its shingle sets and
     # score true Jaccard.  The shingle frame is narrow (id + distinct
     # shingles) and the join fan-in is |candidates|, not |corpus|².
+    # Persisted: both pair sides read it, and recomputing means a second
+    # full tokenize+shingle pass over the corpus text.
     toks = tokenize_expr(text_col)
     shf = (
         tf.mutate(__toks=toks)
         .mutate(__sh=_shingle_expr("__toks", shingle))
         .df.select(F.col(id_col).alias("__id"), "__sh")
+        .persist()
     )
     a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
