@@ -566,9 +566,11 @@ def _s39s(t):
     )
 
     corpus, queries = t["embeddings"], t["embeddings"].filter("vec_id < 5")
+    # persisted: the exact scan feeds top1 + both methods' hit joins (4
+    # subtree reads; Spark unions don't share subplans)
     exact = cosine_topk(corpus, queries, k=10).df.select(
         "query_id", "vec_id", "cosine"
-    )
+    ).persist()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
