@@ -1241,6 +1241,29 @@ def _t78s(t):
     return cap.union_all(strata).union_all(ups)
 
 
+def _t90(t):
+    # reproducible training-epoch shuffle: md5(id||seed) global sort —
+    # stable under re-runs/appends, unlike orderBy(rand())
+    from tidierdb_jl_spark.llm.mixing import deterministic_shuffle
+
+    return deterministic_shuffle(t["documents"], "doc_id", seed="ep1").select(
+        "doc_id", "shuffle_key"
+    )
+
+
+def _d91(t):
+    # incremental-ingestion dedup: new batch (doc_id >= 250) against the
+    # already-ingested corpus — O(batch) per ingest, history never
+    # re-grouped
+    from tidierdb_jl_spark.llm.dedup import exact_dedup_incremental
+
+    new = t["documents"].filter("doc_id >= 250")
+    seen = t["documents"].filter("doc_id < 250")
+    return exact_dedup_incremental(new, seen, "doc_id").select(
+        "doc_id", "fingerprint"
+    )
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -1903,6 +1926,8 @@ _BUILDERS.update(
         "t30_textstats_suite": _t30s,
         "t78_mixing_suite": _t78s,
         "s39_ann_suite": _s39s,
+        "t90_det_shuffle": _t90,
+        "d91_dedup_incremental": _d91,
     }
 )
 
@@ -2487,6 +2512,27 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """
+    out["t90_det_shuffle"] = """
+        SELECT doc_id,
+               substring(md5(concat(CAST(doc_id AS VARCHAR), 'ep1')), 1, 8)
+                 AS shuffle_key
+        FROM documents
+    """
+    out["d91_dedup_incremental"] = r"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+          FROM documents),
+        batch AS (
+          SELECT doc_id, fingerprint FROM (
+            SELECT doc_id, fingerprint,
+                   min(doc_id) OVER (PARTITION BY fingerprint) AS k
+            FROM fp WHERE doc_id >= 250)
+          WHERE doc_id = k)
+        SELECT doc_id, fingerprint FROM batch
+        WHERE fingerprint NOT IN
+              (SELECT fingerprint FROM fp WHERE doc_id < 250)
     """
     out["e54_rollup_merge_hll"] = """
         SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,

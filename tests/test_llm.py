@@ -508,3 +508,27 @@ def test_dup_clusters_id_col_named_id(spark):
             .collect().itertuples(index=False))
     )
     assert dc == {1: 1, 2: 1, 3: 3, 9: 9}
+
+
+def test_exact_dedup_incremental_matches_batch_union(tables):
+    """Ingesting the corpus in two batches must keep exactly the docs the
+    one-shot dedup keeps among the NEW batch (min-id-first convention),
+    and accept a precomputed fingerprint store for the seen side."""
+    from tidierdb_jl_spark.llm.dedup import exact_dedup, exact_dedup_incremental
+
+    docs = tables["documents"]
+    new = docs.filter("doc_id >= 250")
+    seen = docs.filter("doc_id < 250")
+    inc = exact_dedup_incremental(new, seen, "doc_id").collect()
+    full = exact_dedup(docs, "doc_id").collect()
+    expect = sorted(
+        int(r.doc_id)
+        for r in full.itertuples()
+        if r.doc_id >= 250 and r.keep_id == r.doc_id
+        and r.fingerprint not in set(full[full.doc_id < 250]["fingerprint"])
+    )
+    assert sorted(inc["doc_id"].tolist()) == expect
+    # seen side as a stored fingerprint frame (skip re-hashing history)
+    store = exact_dedup(seen, "doc_id").select("fingerprint")
+    inc2 = exact_dedup_incremental(new, store, "doc_id").collect()
+    assert sorted(inc2["doc_id"].tolist()) == expect

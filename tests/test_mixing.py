@@ -125,3 +125,22 @@ def test_upsample_copy_numbering(tables):
     pdf = u.df.filter("source = 'src0'").groupBy("copy_n").count().toPandas()
     assert sorted(pdf["copy_n"]) == [0, 1, 2]
     assert pdf["count"].nunique() == 1  # every copy index covers every row
+
+
+def test_deterministic_shuffle_stable_and_seed_independent(tables):
+    from tidierdb_jl_spark.llm.mixing import deterministic_shuffle
+
+    docs = tables["documents"]
+    a = deterministic_shuffle(docs, "doc_id", seed="ep1").collect()["doc_id"].tolist()
+    # stable under re-evaluation and under repartitioning
+    b = deterministic_shuffle(docs, "doc_id", seed="ep1").collect()["doc_id"].tolist()
+    from tidierdb_jl_spark import TidyFrame
+
+    c = (
+        deterministic_shuffle(TidyFrame(docs.df.repartition(7)), "doc_id", seed="ep1")
+        .collect()["doc_id"].tolist()
+    )
+    assert a == b == c
+    # a different seed yields an independent order over the same rows
+    d = deterministic_shuffle(docs, "doc_id", seed="ep2").collect()["doc_id"].tolist()
+    assert sorted(a) == sorted(d) and a != d

@@ -120,3 +120,23 @@ def test_auto_ungroup_after_mutate(tables):
     assert g.groups == ("l_returnflag",)
     m = g.mutate(x="l_quantity * 2")
     assert m.groups == ()  # reference auto-ungroup semantics
+
+
+def test_normalize_ntz(spark):
+    """VERDICT r03 item 1: TIMESTAMP_NTZ event-time columns are cast to
+    TIMESTAMP (lossless under the pinned-UTC session); clean schemas pass
+    through as the SAME plan (no extra projection on the hot path)."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.session import normalize_ntz
+
+    ntz = spark.sql(
+        "SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS ts, 1 AS x"
+    )
+    fixed = normalize_ntz(ntz)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    # value preserved under UTC session tz
+    assert fixed.select(F.unix_micros("ts")).first()[0] == 1704067200000000
+
+    clean = spark.sql("SELECT CAST('2024-01-01' AS TIMESTAMP) AS ts, 1 AS x")
+    assert normalize_ntz(clean) is clean  # no-op, identical plan

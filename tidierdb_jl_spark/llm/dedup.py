@@ -39,6 +39,7 @@ __all__ = [
     "minhash_dedup",
     "connected_components",
     "dup_clusters",
+    "exact_dedup_incremental",
     "simhash_signature",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -82,6 +83,33 @@ def exact_dedup(tf, id_col: str, text_col: str = "text", keep_col: str = "keep_i
     ``id != keep_id``.  One shuffle on the fingerprint."""
     fp = with_fingerprint(tf, text_col, "fingerprint")
     return fp.mutate(**{keep_col: f"min({id_col})"}, _by="fingerprint")
+
+
+def exact_dedup_incremental(
+    new_tf, seen_tf, id_col: str, text_col: str = "text"
+):
+    """Incremental-ingestion dedup: keep rows of ``new_tf`` whose
+    normalized-text fingerprint (a) does not appear in ``seen_tf`` (the
+    already-ingested corpus — pass its text, or a stored one-column
+    ``fingerprint`` frame to skip re-hashing history) and (b) is the
+    min-id first within the new batch itself.
+
+    Scale shape: one fingerprint shuffle over the NEW batch + one
+    LEFT ANTI join against the seen set — history is never re-grouped,
+    which is what makes per-batch ingestion O(batch), not O(corpus).
+    """
+    if "fingerprint" in seen_tf.columns:
+        seen_fp = seen_tf.df.select("fingerprint")
+    else:
+        seen_fp = with_fingerprint(seen_tf, text_col, "fingerprint").df.select(
+            "fingerprint"
+        )
+    batch = exact_dedup(new_tf, id_col, text_col).filter(f"{id_col} == keep_id")
+    from ..core import TidyFrame
+
+    return TidyFrame(
+        batch.df.join(seen_fp, "fingerprint", "left_anti")
+    ).select(*new_tf.columns, "fingerprint")
 
 
 # ---------------------------------------------------------------------------

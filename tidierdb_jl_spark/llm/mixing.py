@@ -22,13 +22,40 @@ from __future__ import annotations
 
 from ..core import TidyFrame
 
-__all__ = ["cap_per_key", "sample_strata", "upsample_by_weight"]
+__all__ = [
+    "cap_per_key",
+    "sample_strata",
+    "upsample_by_weight",
+    "deterministic_shuffle",
+]
 
 
 def _hash_u32(id_col: str, salt: str) -> str:
     """First 8 hex chars of md5(id||salt) — a uniform 32-bit draw as a hex
     string; comparisons stay string-vs-string (portable, no bigint casts)."""
     return f"substring(md5(concat(CAST({id_col} AS STRING), '{salt}')), 1, 8)"
+
+
+def deterministic_shuffle(
+    tf: TidyFrame,
+    id_col: str,
+    seed: str = "",
+    key_col: str = "shuffle_key",
+) -> TidyFrame:
+    """Reproducible global shuffle for training-epoch ordering: sort by
+    md5(id||seed).  Different ``seed`` values give independent orders;
+    the order is stable under re-runs, appends, and repartitioning (an
+    ``orderBy(rand())`` shuffle is none of those).  The hash key column
+    is kept (``key_col``) so shards written downstream carry their sort
+    proof.
+
+    Scale shape: one range-partitioned global sort — the same cost as any
+    total ordering; no single-partition window or driver collect.
+    """
+    from pyspark.sql import functions as F
+
+    df = tf.df.withColumn(key_col, F.expr(_hash_u32(id_col, seed)))
+    return TidyFrame(df.orderBy(key_col, id_col))
 
 
 def cap_per_key(
