@@ -1110,6 +1110,155 @@ def _q88(t):
     )
 
 
+def _q89(t):
+    # TPC-H Q9 (adapted: the synthetic schema has no partsupp, so unit
+    # cost is proxied at 50% of p_retailprice): nation x year product
+    # profit over a 5-way fact-first join.  Decimal arithmetic end-to-end
+    # for bit-stable sums.
+    amount = (
+        f"{_DISC_PRICE_DEC} - CAST(0.5 AS DECIMAL(2,1)) * "
+        "(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0)))"
+    )
+    return (
+        t["lineitem"]
+        .inner_join(t["part"].filter("p_name LIKE '%widget%'"),
+                    by="l_partkey == p_partkey")
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .inner_join(t["nation"], by="s_nationkey == n_nationkey")
+        .inner_join(t["orders"], by="l_orderkey == o_orderkey")
+        .mutate(o_year="CAST(year(o_orderdate) AS BIGINT)", amount=amount)
+        .group_by("n_name", "o_year")
+        .summarize(profit="CAST(sum(amount) AS DOUBLE)")
+        .arrange("n_name", "desc(o_year)")
+    )
+
+
+def _q92(t):
+    # TPC-H Q2 (adapted: lineitem is the part-supplier link; "cost" is
+    # the supplier's best observed unit price): min-cost supplier per
+    # mid-size STANDARD part among ASIA suppliers.  The correlated min
+    # subquery becomes a window min — one shuffle, no re-scan.
+    asia_supp = (
+        t["region"].filter("r_name = 'ASIA'")
+        .inner_join(t["nation"], by="r_regionkey == n_regionkey")
+        .inner_join(t["supplier"], by="n_nationkey == s_nationkey")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .inner_join(t["part"].filter("p_type = 'STANDARD'", "p_size >= 15",
+                                     "p_size <= 25"),
+                    by="l_partkey == p_partkey")
+        .inner_join(asia_supp, by="l_suppkey == s_suppkey")
+        .mutate(unit_price="l_extendedprice / l_quantity")
+        .group_by("l_partkey", "p_brand", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .summarize(cost="min(unit_price)")
+        .mutate(best="min(cost)", _by="l_partkey")
+        .filter("cost = best")
+        .rename(p_partkey="l_partkey", s_suppkey="l_suppkey")
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name", "cost")
+        .arrange("desc(s_acctbal)", "s_suppkey", "p_partkey")
+    )
+
+
+def _q93(t):
+    # TPC-H Q16 (adapted: distinct (part, supplier) pairs observed in
+    # lineitem stand in for partsupp; negative-balance suppliers play the
+    # complaint exclusion): supplier counts by part attributes —
+    # anti-subquery + distinct aggregate.
+    bad_supp = t["supplier"].filter("s_acctbal < 0").select("s_suppkey")
+    return (
+        t["lineitem"]
+        .inner_join(t["part"].filter("p_brand != 'Brand#1'", "p_type != 'PROMO'",
+                                     "p_size IN (1, 5, 10, 15, 20, 25, 30, 35)"),
+                    by="l_partkey == p_partkey")
+        .anti_join(bad_supp, by="l_suppkey == s_suppkey")
+        .group_by("p_brand", "p_type", "p_size")
+        .summarize(supplier_cnt="count(DISTINCT l_suppkey)")
+        .arrange("desc(supplier_cnt)", "p_brand", "p_type", "p_size")
+    )
+
+
+def _q94(t):
+    # TPC-H Q20 (adapted): suppliers in NATION_2 who shipped > 60 units
+    # of some 'large%' part during 1996 — semi-join against a
+    # grouped-HAVING subquery.
+    big = (
+        t["lineitem"]
+        .filter("l_shipdate >= '1996-01-01'", "l_shipdate < '1997-01-01'")
+        .inner_join(t["part"].filter("p_name LIKE 'large%'"),
+                    by="l_partkey == p_partkey")
+        .group_by("l_suppkey", "l_partkey")
+        .summarize(qty="sum(l_quantity)")
+        .filter("qty > 60")
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .inner_join(t["nation"].filter("n_name = 'NATION_2'"),
+                    by="s_nationkey == n_nationkey")
+        .semi_join(big, by="s_suppkey == l_suppkey")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .arrange("s_suppkey")
+    )
+
+
+def _q95(t):
+    # TPC-H Q21 (adapted: l_returnflag = 'R' stands in for late
+    # delivery): suppliers in NATION_1 who were the SOLE supplier with a
+    # returned line on a multi-supplier finished order.  The original's
+    # EXISTS / NOT EXISTS pair becomes one grouped pass over
+    # (order, supplier) flags — no correlated re-scans.
+    per_os = (
+        t["lineitem"]
+        .semi_join(t["orders"].filter("o_orderstatus = 'F'"),
+                   by="l_orderkey == o_orderkey")
+        .group_by("l_orderkey", "l_suppkey")
+        .summarize(has_r="max(if_else(l_returnflag = 'R', 1, 0))")
+    )
+    flagged = (
+        per_os
+        .mutate(n_supp="n()", n_supp_r="sum(has_r)", _by="l_orderkey")
+        .filter("has_r = 1", "n_supp > 1", "n_supp_r = 1")
+    )
+    return (
+        flagged
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .semi_join(t["nation"].filter("n_name = 'NATION_1'"),
+                   by="s_nationkey == n_nationkey")
+        .group_by("l_suppkey", "s_name")
+        .summarize(numwait="n()")
+        .rename(s_suppkey="l_suppkey")
+        .arrange("desc(numwait)", "s_suppkey")
+    )
+
+
+def _q96(t):
+    # TPC-H Q11 (adapted: lineitem revenue stands in for stock value):
+    # parts whose NATION_5-supplied revenue exceeds 0.1% of that nation's
+    # total — grouped aggregate filtered by a lazily broadcast global
+    # scalar (with_scalar), decimal sums for stability.
+    n5 = (
+        t["lineitem"]
+        .inner_join(t["supplier"], by="l_suppkey == s_suppkey")
+        .semi_join(t["nation"].filter("n_name = 'NATION_5'"),
+                   by="s_nationkey == n_nationkey")
+    )
+    per_part = (
+        n5.group_by("l_partkey")
+        .summarize(value="CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+    )
+    total = n5.summarize(
+        tot="CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    )
+    return (
+        per_part.with_scalar(tot=total)
+        .filter("value > tot * 0.001")
+        .select("l_partkey", "value")
+        .arrange("desc(value)", "l_partkey")
+    )
+
+
 def _d86(t):
     # Transitive duplicate clusters: exact n-gram Jaccard pairs → min-label
     # propagation to a fixed point (distributed union-find) → canonical
@@ -1334,6 +1483,12 @@ _BUILDERS.update(
         "d86_dup_clusters": _d86,
         "q87_tpch_q7": _q87,
         "q88_tpch_q8": _q88,
+        "q89_tpch_q9": _q89,
+        "q92_tpch_q2": _q92,
+        "q93_tpch_q16": _q93,
+        "q94_tpch_q20": _q94,
+        "q95_tpch_q21": _q95,
+        "q96_tpch_q11": _q96,
         "t78_cap_per_source": _t78,
         "t79_strata_sample": _t79,
         "t80_upsample_weights": _t80,
@@ -2717,6 +2872,96 @@ def oracle_sql() -> dict[str, str]:
                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    out["q89_tpch_q9"] = """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(0.5 AS DECIMAL(2,1)) *
+                          (CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0)))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """
+    out["q92_tpch_q2"] = """
+        WITH asia_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM region JOIN nation ON r_regionkey = n_regionkey
+                      JOIN supplier ON n_nationkey = s_nationkey
+          WHERE r_name = 'ASIA'),
+        costs AS (
+          SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+                 min(l_extendedprice / l_quantity) AS cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN asia_supp ON l_suppkey = s_suppkey
+          WHERE p_type = 'STANDARD' AND p_size BETWEEN 15 AND 25
+          GROUP BY 1, 2, 3, 4, 5, 6),
+        best AS (
+          SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS b FROM costs)
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name, cost
+        FROM best WHERE cost = b
+        ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+    """
+    out["q93_tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    out["q94_tpch_q20"] = """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'large%'
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 60)
+        ORDER BY s_suppkey
+    """
+    out["q95_tpch_q21"] = """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          GROUP BY 1, 2),
+        flagged AS (
+          SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                    sum(has_r) OVER (PARTITION BY l_orderkey) AS n_supp_r
+          FROM per_os)
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM flagged
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE has_r = 1 AND n_supp > 1 AND n_supp_r = 1
+          AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+    """
+    out["q96_tpch_q11"] = """
+        WITH n5 AS (
+          SELECT l_partkey, l_extendedprice
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5'))
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM n5
+        GROUP BY 1
+        HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+               (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM n5) * 0.001
+        ORDER BY value DESC, l_partkey
     """
     out["q88_tpch_q8"] = """
         SELECT o_year,
