@@ -443,7 +443,7 @@ def test_tpch_contract_plans_are_scale_healthy(spark):
         summary = plan_summary(tf)
         # with_scalar attaches a 1-row broadcast via BNLJ — O(n), the right
         # plan for a scalar subquery; anything else nested-loop is a bug
-        scalar_attaches = {"q76_tpch_q22": 2}
+        scalar_attaches = {"q76_tpch_q22": 2, "q96_tpch_q11": 2}
         assert summary["nested_loop_joins"] == scalar_attaches.get(name, 0), (
             name, summary,
         )
