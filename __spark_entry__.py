@@ -1413,6 +1413,14 @@ def _d91(t):
     )
 
 
+def _t97(t):
+    # overlapping token-window chunking (max 64 tokens, 8 overlap) — the
+    # context-bounded preprocessing for training/embedding pipelines
+    from tidierdb_jl_spark.llm.packing import chunk_documents
+
+    return chunk_documents(t["documents"], max_tokens=64, overlap=8)
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -2083,6 +2091,7 @@ _BUILDERS.update(
         "s39_ann_suite": _s39s,
         "t90_det_shuffle": _t90,
         "d91_dedup_incremental": _d91,
+        "t97_chunk_documents": _t97,
     }
 )
 
@@ -2667,6 +2676,23 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """
+    out["t97_chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS st
+          FROM t)
+        SELECT doc_id,
+               CAST((st - 1) // 56 AS INT) AS chunk_id,
+               CAST(st AS INT) AS chunk_start,
+               array_to_string(toks[st : st + 63], ' ') AS chunk_text,
+               CAST(len(toks[st : st + 63]) AS INT) AS chunk_n_tokens
+        FROM s
     """
     out["t90_det_shuffle"] = """
         SELECT doc_id,

@@ -532,3 +532,34 @@ def test_exact_dedup_incremental_matches_batch_union(tables):
     store = exact_dedup(seen, "doc_id").select("fingerprint")
     inc2 = exact_dedup_incremental(new, store, "doc_id").collect()
     assert sorted(inc2["doc_id"].tolist()) == expect
+
+
+def test_chunk_documents_covers_and_overlaps(tables):
+    """Every token position is covered; consecutive chunks share exactly
+    the overlap; concatenating step-sized prefixes rebuilds the doc."""
+    from tidierdb_jl_spark.llm.packing import chunk_documents
+
+    import pytest
+
+    out = chunk_documents(tables["documents"], max_tokens=64, overlap=8).collect()
+    docs = tables["documents"].collect()
+    toks = {
+        int(r.doc_id): (r.text or "").strip().lower().split()
+        for r in docs.itertuples()
+    }
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        words = toks[int(doc_id)]
+        # chunk grid: starts advance by step until the tail is covered
+        starts = grp["chunk_start"].tolist()
+        assert starts == [1 + 56 * i for i in range(len(starts))]
+        last = grp.iloc[-1]
+        assert last.chunk_start + last.chunk_n_tokens - 1 >= len(words)
+        # reconstruction: step-sized prefixes + final tail == document
+        rebuilt = []
+        for r in grp.itertuples():
+            ch = r.chunk_text.split()
+            rebuilt.extend(ch[:56] if r.Index != grp.index[-1] else ch)
+        assert rebuilt == words or (words == [] and rebuilt in ([], ['']))
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(tables["documents"], max_tokens=8, overlap=8)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from ..core import TidyFrame
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -125,3 +125,52 @@ def pack_sequences(
         )
     )
     return TidyFrame(out.join(spans, ["shard", "block_id"]))
+
+
+def chunk_documents(
+    tf: TidyFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> TidyFrame:
+    """Split long documents into overlapping token-window chunks — the
+    standard preprocessing for context-bounded training/embedding: chunk
+    ``i`` covers tokens ``[1 + i*step, i*step + max_tokens]`` with
+    ``step = max_tokens - overlap``.  Output: one row per chunk with
+    ``chunk_id`` (0-based), ``chunk_start`` (1-based token offset),
+    ``chunk_text``, and ``chunk_n_tokens``.  Empty documents produce one
+    empty chunk (no rows silently dropped).
+
+    Scale shape: pure JVM expressions (tokenize → start grid → slice) +
+    one explode — fuses into the scan, zero shuffles; chunk ids are
+    arithmetic, no window or ordinality needed.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    from pyspark.sql import functions as F
+
+    from .textstats import tokenize_expr
+
+    step = max_tokens - overlap
+    df = (
+        tf.df.withColumn("__toks", F.expr(tokenize_expr(text_col)))
+        .withColumn(
+            "__start",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(__toks) - {overlap}, 1), {step})")
+            ),
+        )
+        .withColumn("chunk_id", F.expr(f"CAST((__start - 1) DIV {step} AS INT)"))
+        .withColumn("chunk_start", F.col("__start").cast("int"))
+        .withColumn(
+            "chunk_text",
+            F.expr(f"concat_ws(' ', slice(__toks, __start, {max_tokens}))"),
+        )
+        .withColumn(
+            "chunk_n_tokens",
+            F.expr(f"CAST(size(slice(__toks, __start, {max_tokens})) AS INT)"),
+        )
+        .select(id_col, "chunk_id", "chunk_start", "chunk_text", "chunk_n_tokens")
+    )
+    return TidyFrame(df)
