@@ -36,6 +36,11 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.x would read events.ts as TIMESTAMP_NTZ on a session the
+        # driver built itself; register_testdata's normalize_ntz also
+        # covers this, but fixing the scan schema keeps plans identical
+        # across session origins.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     out = register_testdata(spark, sf_dir)
