@@ -523,13 +523,14 @@ def _d42(t):
         t["embeddings"], "vec_id", "embedding", threshold=0.4, method="lsh",
         nbits=6, bands=16,
     ).df.select("id_a", "id_b")
-    exact = embedding_cosine_pairs(
-        t["embeddings"], "vec_id", "embedding", threshold=0.4, method="exact"
-    ).df.select("id_a", "id_b")
-    exact_loose = embedding_cosine_pairs(
+    # one quadratic scoring pass serves both thresholds (persisted: the
+    # strict and loose sets plus two aggregates read it)
+    scored = embedding_cosine_pairs(
         t["embeddings"], "vec_id", "embedding", threshold=0.4 - 1e-9,
         method="exact",
-    ).df.select("id_a", "id_b")
+    ).df.persist()
+    exact = scored.filter("cosine >= 0.4").select("id_a", "id_b")
+    exact_loose = scored.select("id_a", "id_b")
     false_pos = lsh.join(exact_loose, ["id_a", "id_b"], "left_anti")
     hits = lsh.join(exact, ["id_a", "id_b"], "left_semi")
     summary = (
