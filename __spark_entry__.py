@@ -1419,6 +1419,18 @@ def _d91(t):
     )
 
 
+def _d98(t):
+    # fuzzy cross-table match: first 100 docs as one "source", the rest as
+    # another — shingle inverted index, never |L| x |R|
+    from tidierdb_jl_spark.llm.dedup import similarity_join
+
+    left = t["documents"].filter("doc_id < 100")
+    right = t["documents"].filter("doc_id >= 100").rename(rid="doc_id")
+    return similarity_join(
+        left, right, "doc_id", "rid", threshold=0.5
+    ).arrange("doc_id", "rid")
+
+
 def _t97(t):
     # overlapping token-window chunking (max 64 tokens, 8 overlap) — the
     # context-bounded preprocessing for training/embedding pipelines
@@ -2098,6 +2110,7 @@ _BUILDERS.update(
         "t90_det_shuffle": _t90,
         "d91_dedup_incremental": _d91,
         "t97_chunk_documents": _t97,
+        "d98_similarity_join": _d98,
     }
 )
 
@@ -2682,6 +2695,26 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """
+    out["d98_similarity_join"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i : i + 2], ' '))) END AS s
+          FROM t)
+        SELECT a.doc_id, b.doc_id AS rid,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < 100 AND b.doc_id >= 100
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        ORDER BY a.doc_id, rid
     """
     out["t97_chunk_documents"] = r"""
         WITH t AS (

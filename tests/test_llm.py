@@ -563,3 +563,37 @@ def test_chunk_documents_covers_and_overlaps(tables):
         assert rebuilt == words or (words == [] and rebuilt in ([], ['']))
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(tables["documents"], max_tokens=8, overlap=8)
+
+
+def test_similarity_join_matches_brute_force(tables, spark):
+    """Inverted-index cross-table match == quadratic cross join (minus
+    zero-overlap pairs, which can't clear any positive threshold)."""
+    import pytest
+
+    from tidierdb_jl_spark.llm.dedup import similarity_join
+
+    left = tables["documents"].filter("doc_id < 60")
+    right = tables["documents"].filter("doc_id >= 60 AND doc_id < 160").rename(
+        rid="doc_id"
+    )
+    out = similarity_join(left, right, "doc_id", "rid", threshold=0.3).collect()
+    # brute force in pandas over the same trigram definition
+    docs = tables["documents"].collect()
+    def shingles(text):
+        toks = (text or "").strip().lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    sh = {int(r.doc_id): shingles(r.text) for r in docs.itertuples()}
+    expect = set()
+    for a in range(60):
+        for b in range(60, 160):
+            if a in sh and b in sh:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if union and inter / union >= 0.3:
+                    expect.add((a, b))
+    got = {(int(r.doc_id), int(r.rid)) for r in out.itertuples()}
+    assert got == expect
+    with pytest.raises(ValueError, match="must differ"):
+        similarity_join(left, tables["documents"], "doc_id", "doc_id")

@@ -40,6 +40,7 @@ __all__ = [
     "connected_components",
     "dup_clusters",
     "exact_dedup_incremental",
+    "similarity_join",
     "simhash_signature",
     "simhash_pairs",
     "embedding_cosine_pairs",
@@ -123,6 +124,76 @@ def _shingle_expr(toks: str, n: int) -> str:
         f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
     )
+
+
+def similarity_join(
+    left_tf,
+    right_tf,
+    left_id: str,
+    right_id: str,
+    left_col: str = "text",
+    right_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+):
+    """Fuzzy CROSS-TABLE match by word-``n``-gram Jaccard — the entity-
+    matching primitive (align documents across two sources, match titles
+    to references, ...).  Same shingle-inverted-index shape as
+    :func:`ngram_jaccard_pairs` but across two tables: explode postings
+    on both sides, equi-join on the shingle, count common shingles per
+    (left, right) pair, score ``common / (|a| + |b| - common)``.
+
+    Exact (identical to the quadratic cross join minus zero-overlap
+    pairs); work scales with shingle co-occurrence, never |L| x |R|.
+    ``max_doc_freq`` drops stop-shingles on BOTH sides (each contributes
+    O(df_l x df_r) candidates and ~zero signal).  Returns
+    (left_id, right_id, jaccard) with jaccard >= threshold.
+    """
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ in the output (both {left_id!r}); "
+            "rename one side first"
+        )
+
+    def postings(tf, id_col, col, alias):
+        toks = tokenize_expr(col)
+        return (
+            tf.mutate(__t=toks)
+            .mutate(__sh=_shingle_expr("__t", n))
+            .df.selectExpr(f"{id_col} AS {alias}", f"size(__sh) AS {alias}_sz", "__sh")
+            .select(alias, f"{alias}_sz", F.explode("__sh").alias("__s"))
+        )
+
+    lp = postings(left_tf, left_id, left_col, "__lid")
+    rp = postings(right_tf, right_id, right_col, "__rid")
+    if max_doc_freq is not None:
+        stop = (
+            lp.select("__s").unionAll(rp.select("__s"))
+            .groupBy("__s").count()
+            .filter(F.col("count") > max_doc_freq)
+            .select("__s")
+        )
+        lp = lp.join(F.broadcast(stop), "__s", "left_anti")
+        rp = rp.join(F.broadcast(stop), "__s", "left_anti")
+    common = (
+        lp.join(rp, "__s")
+        .groupBy("__lid", "__lid_sz", "__rid", "__rid_sz")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    out = common.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        (
+            F.col("__common").cast("double")
+            / (F.col("__lid_sz") + F.col("__rid_sz") - F.col("__common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
 
 
 def ngram_jaccard_pairs(
