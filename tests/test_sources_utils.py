@@ -140,3 +140,50 @@ def test_normalize_ntz(spark):
 
     clean = spark.sql("SELECT CAST('2024-01-01' AS TIMESTAMP) AS ts, 1 AS x")
     assert normalize_ntz(clean) is clean  # no-op, identical plan
+
+
+def test_merge_upsert_partition_scoped(spark, tables, tmp_path):
+    """Upsert replaces matched keys, inserts new ones, and with
+    partition_col rewrites ONLY the partitions containing updated keys
+    (untouched partition files keep their mtimes)."""
+    import glob as _glob
+    import os as _os
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "orders_merge")
+    base = tables["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merge_upsert(spark, path, base, "o_orderkey", partition_col="o_orderstatus")
+    before = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{path}/o_orderstatus=*/*.parquet")
+    }
+
+    # update two existing 'O'-partition rows and insert one new key
+    # (partition-scoped merge requires stable key->partition mapping)
+    base_pdf = base.collect()
+    k1, k2 = sorted(
+        int(k) for k in base_pdf[base_pdf["o_orderstatus"] == "O"]["o_orderkey"][:2]
+    )
+    upd = TidyFrame(
+        spark.createDataFrame(
+            [(k1, "O", 1.0), (k2, "O", 3.0), (99999999, "O", 9.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+    out = merge_upsert(spark, path, upd, "o_orderkey", partition_col="o_orderstatus")
+    pdf = out.collect()
+    exp = tables["orders"].collect()
+    assert len(pdf) == len(exp) + 1  # one insert
+    got = dict(zip(pdf["o_orderkey"], pdf["o_totalprice"]))
+    assert got[k1] == 1.0 and got[k2] == 3.0 and got[99999999] == 9.0
+    # untouched partitions were not rewritten
+    untouched = [
+        f for f in before if "o_orderstatus=O" not in f and _os.path.exists(f)
+    ]
+    assert untouched, "expected surviving non-O partition files"
+    for f in untouched:
+        assert _os.path.getmtime(f) == before[f]

@@ -6,7 +6,7 @@ TO path`` with format by extension; CREATE [OR REPLACE] TABLE/VIEW AS).
 
 from __future__ import annotations
 
-__all__ = ["write_file", "create_table", "drop_view"]
+__all__ = ["write_file", "create_table", "drop_view", "merge_upsert"]
 
 _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
 
@@ -73,6 +73,66 @@ def create_table(
             s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             writer = writer.sortBy(*s)
     writer.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
+
+
+def merge_upsert(spark, path: str, updates_tf, key, partition_col=None):
+    """MERGE-like upsert into a parquet dataset (no lakehouse format
+    needed): rows whose ``key`` matches an update are replaced, new keys
+    are inserted.  The CDC-ingestion primitive for plain-parquet tables.
+
+    With ``partition_col`` (dataset written partitioned by it; updates
+    must carry it) only partitions containing updated keys are rewritten
+    — dynamic partition overwrite — so at 100 TB an upsert costs a scan +
+    rewrite of the AFFECTED partitions, never the history.  Without it
+    the whole dataset rewrites.
+
+    REQUIREMENT for the partition-scoped mode: a key's partition must be
+    stable — an update row must land in the same partition as the row it
+    replaces (true for the usual CDC layouts, where the partition value
+    is derived from the key or immutable per entity).  A key that "moved"
+    partitions would leave its old row behind, since untouched partitions
+    are — by design — never read.
+
+    Not ACID: a crash mid-write can leave the overwritten partitions
+    partial (that's what Delta/Iceberg add — use ``db_table(delta=...)``
+    when the connector is available).  The merged result is
+    localCheckpoint-ed before writing because the write target is also
+    the read source.
+
+    Returns a TidyFrame reading the merged dataset.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..core import TidyFrame
+
+    keys = [key] if isinstance(key, str) else list(key)
+    updates = updates_tf.df
+    writer_cols = [partition_col] if partition_col else []
+    exists = os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    if not exists:
+        w = updates.write.mode("overwrite")
+        if writer_cols:
+            w = w.partitionBy(*writer_cols)
+        w.parquet(path)
+        return TidyFrame(spark.read.parquet(path))
+
+    target = spark.read.parquet(path)
+    if partition_col:
+        parts = updates.select(partition_col).distinct()
+        # only affected partitions are read (broadcast semi prunes) ...
+        target = target.join(F.broadcast(parts), partition_col, "left_semi")
+    keep = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = keep.unionByName(updates).localCheckpoint(eager=True)
+    w = merged.write.mode("overwrite")
+    if partition_col:
+        # ... and only they are rewritten
+        w = w.partitionBy(partition_col).option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+    return TidyFrame(spark.read.parquet(path))
 
 
 def drop_view(spark, name: str) -> bool:
