@@ -481,3 +481,54 @@ def test_refresh_rollup_week_bucket_boundary(spark, tables):
         map(tuple, pdf[sorted(pdf.columns)].astype(str).values)
     )
     assert key(got) == key(want)
+
+
+def test_zorder_key_bounds_every_column(spark, tables, tmp_path):
+    """Z-order clustering must give the SECOND column file-level locality
+    a lexicographic cluster_by cannot: per-file min/max spans of
+    l_partkey shrink well below full-range when files are cut along the
+    Morton curve. Verified from real parquet footer statistics."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from tidierdb_jl_spark.operators.zorder import with_zorder_key
+    from tidierdb_jl_spark.sources.writers import write_file
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+
+    def spans(path, col):
+        out = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                out.append(mx - mn)
+        return out
+
+    lin = str(tmp_path / "linear")
+    write_file(li, f"{lin}", cluster_by=["l_orderkey", "l_partkey"], cluster_files=8)
+    zo = str(tmp_path / "zorder")
+    zli = with_zorder_key(li, ["l_orderkey", "l_partkey"])
+    write_file(zli, f"{zo}", cluster_by="zorder_key", cluster_files=8)
+
+    full = li.collect()
+    full_span = full["l_partkey"].max() - full["l_partkey"].min()
+    lin_spans, zo_spans = spans(lin, "l_partkey"), spans(zo, "l_partkey")
+    assert len(zo_spans) >= 4  # enough files for skipping to mean anything
+    avg = lambda xs: sum(xs) / len(xs)
+    # lexicographic: later sort columns stay full-range per file;
+    # z-order: each file covers a hyper-rectangle — materially tighter
+    assert avg(zo_spans) < 0.8 * avg(lin_spans), (avg(zo_spans), avg(lin_spans), full_span)
+
+    # the key must be deterministic and cover all rows
+    k1 = zli.collect()["zorder_key"]
+    k2 = with_zorder_key(li, ["l_orderkey", "l_partkey"]).collect()["zorder_key"]
+    assert (k1 == k2).all() and k1.notna().all()

@@ -12,13 +12,22 @@ _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
 
 
 def write_file(
-    tf, path: str, mode: str = "overwrite", partition_by=None, cluster_by=None
+    tf,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    cluster_by=None,
+    cluster_files: int | None = None,
 ) -> None:
+    """``cluster_files`` pins the number of range partitions (= output
+    files per directory) when clustering — size files for the target
+    object store instead of inheriting shuffle-partition/AQE defaults."""
     fmt = next((f for ext, f in _EXT.items() if path.lower().endswith(ext)), "parquet")
     df = tf.df
     if cluster_by:
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
-        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        parts = [cluster_files] if cluster_files else []
+        df = df.repartitionByRange(*parts, *cols).sortWithinPartitions(*cols)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
