@@ -532,3 +532,20 @@ def test_zorder_key_bounds_every_column(spark, tables, tmp_path):
     k1 = zli.collect()["zorder_key"]
     k2 = with_zorder_key(li, ["l_orderkey", "l_partkey"]).collect()["zorder_key"]
     assert (k1 == k2).all() and k1.notna().all()
+
+
+def test_diagnose_skew(spark, tables):
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.skew import diagnose_skew
+
+    # synthetic skew: one hot key holding half the rows
+    df = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE CAST(id AS STRING) END AS k"
+    )
+    rep = diagnose_skew(TidyFrame(df), "k")
+    assert rep.iloc[0]["k"] == "hot"
+    assert rep.iloc[0]["share"] == 0.5
+    assert rep.iloc[0]["suggested_salt"] > 100  # vs mean group size ~2
+    # uniform key: no salting suggested
+    uni = diagnose_skew(tables["orders"], "o_orderpriority")
+    assert uni["suggested_salt"].max() <= 2

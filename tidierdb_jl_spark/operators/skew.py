@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "semi_reduce"]
+__all__ = ["salted_join", "semi_reduce", "diagnose_skew"]
 
 
 def semi_reduce(big, small, by):
@@ -92,3 +92,35 @@ def salted_join(left, right, by, how: str = "inner", salt: int = 8, seed: int = 
     spec = [f"{c.left} == {c.right}" for c in conds] + ["__tidy_salt"]
     out = do_join(salted_l, replicated_r, spec, how)
     return TidyFrame(out.df.drop("__tidy_salt"), groups=out.groups)
+
+
+def diagnose_skew(tf, *keys, top: int = 10):
+    """Pre-flight skew report for a join/aggregation key: the ``top``
+    heaviest key groups, each with its share of all rows and the salt
+    factor that would level it to the mean group size.  One aggregation
+    + a bounded top-N collect — run it on a sample or the full frame
+    before committing to a shuffle strategy.
+
+    Returns a pandas DataFrame (count, share, suggested_salt per key).
+    Rule of thumb: ``suggested_salt`` > ~8 on the heaviest key means
+    ``salted_join`` / AQE skew-join territory.
+    """
+    from pyspark.sql import functions as F
+
+    counts = tf.df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    total, n_groups, max_cnt = (
+        counts.agg(
+            F.sum("count"), F.count(F.lit(1)), F.max("count")
+        ).first()
+    )
+    mean = total / max(n_groups, 1)
+    pdf = (
+        counts.orderBy(F.col("count").desc(), *keys)
+        .limit(top)
+        .toPandas()
+    )
+    pdf["share"] = pdf["count"] / total
+    pdf["suggested_salt"] = (
+        (pdf["count"] / mean).clip(lower=1.0).round().astype(int)
+    )
+    return pdf

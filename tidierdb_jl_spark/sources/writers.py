@@ -46,6 +46,7 @@ def create_table(
     sort_by=None,
     partition_by=None,
     cluster_by=None,
+    cluster_files: int | None = None,
 ) -> None:
     """(``/root/reference/src/view_compute.jl:45-94``).
 
@@ -68,7 +69,8 @@ def create_table(
     df = tf.df
     if cluster_by:
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
-        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        parts = [cluster_files] if cluster_files else []
+        df = df.repartitionByRange(*parts, *cols).sortWithinPartitions(*cols)
     writer = df.write
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
