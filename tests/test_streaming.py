@@ -316,3 +316,65 @@ def test_continuous_aggregate_live_head(spark, tables):
     assert (daily["bucket"].values == direct["bucket"].values).all()
     assert (daily["n"].values == direct["n"].values).all()
     assert abs(daily["total"] - direct["total"]).max() < 1e-6
+
+
+def test_streaming_ingest_incremental_dedup_upsert(spark, tables, tmp_path):
+    """End-to-end CDC ingest composition: file stream -> foreach_batch
+    (exact_dedup_incremental against the accumulated store) ->
+    merge_upsert into a parquet store. Two arriving file drops, where
+    drop 2 repeats half of drop 1: the store must hold each fingerprint
+    exactly once, keeping the first-seen doc."""
+    import os
+
+    from tidierdb_jl_spark.llm.dedup import exact_dedup_incremental
+    from tidierdb_jl_spark.sources.writers import merge_upsert
+    from tidierdb_jl_spark.streaming.stream import foreach_batch, read_stream
+
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+
+    docs = tables["documents"].select("doc_id", "text")
+    drop1 = docs.filter("doc_id < 60").df
+    drop2 = docs.filter("doc_id >= 30 AND doc_id < 100").df  # 30-59 repeat
+
+    def ingest(batch_df, batch_id):
+        batch = TidyFrame(batch_df)
+        if os.path.exists(store) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(store)
+        ):
+            seen = TidyFrame(spark.read.parquet(store)).select("fingerprint")
+            fresh = exact_dedup_incremental(batch, seen, "doc_id")
+        else:
+            fresh = exact_dedup_incremental(
+                batch, TidyFrame(batch_df.limit(0)), "doc_id"
+            )
+        merge_upsert(spark, store, fresh, "doc_id")
+
+    drop1.write.mode("append").parquet(inbox)
+    st = read_stream(spark, inbox)
+    q = foreach_batch(st, ingest, checkpoint=ckpt, mode="append")
+    try:
+        q.processAllAvailable()
+        drop2.write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(store).toPandas()
+    # every fingerprint exactly once...
+    assert got["fingerprint"].is_unique
+    # ...and equal to a one-shot dedup over everything that arrived
+    both = docs.filter("doc_id < 100").collect()
+    import hashlib
+    import re
+
+    def fp(text):
+        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    first_seen = {}
+    for r in sorted(both.itertuples(), key=lambda r: r.doc_id):
+        first_seen.setdefault(fp(r.text), int(r.doc_id))
+    assert sorted(got["doc_id"]) == sorted(first_seen.values())
