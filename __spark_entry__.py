@@ -1836,21 +1836,24 @@ def _q04s(t):
     """String functions (old q04) + separate/unite (old q24), tagged union."""
     strings = (
         _q04(t)
+        # b2: literal pattern containing an apostrophe — regression guard
+        # for the r03 quoting bug (malformed LIKE '%it's%' emitted)
         .mutate(
             op="'str'", k="CAST(c_custkey AS BIGINT)",
             s1="up", s2="first_digit_gone", s3="no_digits",
-            b="has_77", n="name_len",
+            b="has_77", b2="str_detect(up, 'IT''S')", n="name_len",
         )
-        .select("op", "k", "s1", "s2", "s3", "b", "n")
+        .select("op", "k", "s1", "s2", "s3", "b", "b2", "n")
     )
     sep = (
         _q24(t)
         .mutate(
             op="'sep'", k="CAST(p_partkey AS BIGINT)",
             s1="brand_t1", s2="t2", s3="t3",
-            b="CAST(NULL AS BOOLEAN)", n="CAST(NULL AS INT)",
+            b="CAST(NULL AS BOOLEAN)", b2="CAST(NULL AS BOOLEAN)",
+            n="CAST(NULL AS INT)",
         )
-        .select("op", "k", "s1", "s2", "s3", "b", "n")
+        .select("op", "k", "s1", "s2", "s3", "b", "b2", "n")
     )
     return strings.union_all(sep)
 
@@ -3527,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(c_name, '[0-9]', '#') AS s2,
                    regexp_replace(c_name, '[0-9]', '', 'g') AS s3,
                    contains(c_name, '77') AS b,
+                   upper(c_name) LIKE '%IT''S%' AS b2,
                    CAST(length(c_name) AS INT) AS n
             FROM customer
             UNION ALL
@@ -3534,7 +3538,7 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', p_brand, parts[1]),
                    parts[2],
                    CASE WHEN len(parts) >= 3 THEN array_to_string(parts[3:], ' ') END,
-                   CAST(NULL AS BOOLEAN), CAST(NULL AS INT)
+                   CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS INT)
             FROM (SELECT p_partkey, p_brand, string_split(p_type, ' ') AS parts FROM part)
         """,
         "q06_join_suite": """
