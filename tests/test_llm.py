@@ -597,3 +597,37 @@ def test_similarity_join_matches_brute_force(tables, spark):
     assert got == expect
     with pytest.raises(ValueError, match="must differ"):
         similarity_join(left, tables["documents"], "doc_id", "doc_id")
+
+
+def test_minhash_dedup_incremental_matches_full_corpus(tables):
+    """Batch-vs-store incremental MinHash dedup must assign every new doc
+    the same dup partner a full-corpus run computes (ids grow
+    monotonically: seen ids < new ids), using only the stored signature
+    frame — never historical text."""
+    from tidierdb_jl_spark.llm.dedup import (
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+        minhash_signature,
+    )
+
+    docs = tables["documents"]
+    seen = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    store = minhash_signature(seen, "doc_id").select("doc_id", "minhash")
+    inc = minhash_dedup_incremental(new, store, "doc_id", threshold=0.8).collect()
+
+    full_pairs = minhash_dedup_pairs(docs, "doc_id", threshold=0.8).collect()
+    expect = {}
+    for r in full_pairs.itertuples():
+        a, b = int(r.id_a), int(r.id_b)
+        if b >= 250:
+            expect[b] = min(expect.get(b, a), a)
+    got = {
+        int(r.doc_id): int(r.dup_of)
+        for r in inc.itertuples()
+        if r.dup_of == r.dup_of and r.dup_of is not None
+    }
+    assert got == expect
+    # non-dups keep NULL and every new doc appears exactly once
+    assert len(inc) == new.collect().shape[0]
+    assert inc["doc_id"].is_unique

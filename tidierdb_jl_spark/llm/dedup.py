@@ -40,6 +40,7 @@ __all__ = [
     "connected_components",
     "dup_clusters",
     "exact_dedup_incremental",
+    "minhash_dedup_incremental",
     "similarity_join",
     "simhash_signature",
     "simhash_pairs",
@@ -309,6 +310,20 @@ def minhash_signature(
     return TidyFrame(out_df).select(*[c for c in tf.columns], "minhash")
 
 
+def _band_explode(sdf, bands: int, rows: int):
+    """(__id, minhash) → one row per LSH band: (__id, minhash, band, bh)."""
+    return sdf.select(
+        "__id",
+        "minhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, hash(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS bh))"
+            )
+        ).alias("bb"),
+    ).select("__id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_dedup_pairs(
     tf,
     id_col: str,
@@ -343,16 +358,7 @@ def minhash_dedup_pairs(
     # the signature frame is ~0.5 KB/doc — orders of magnitude below the
     # corpus — so MEMORY_AND_DISK is safe.
     sdf = sig.df.select(F.col(id_col).alias("__id"), "minhash").persist()
-    banded = sdf.select(
-        "__id",
-        "minhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, hash(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS bh))"
-            )
-        ).alias("bb"),
-    ).select("__id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _band_explode(sdf, bands, rows)
 
     # cap pathological buckets before pairing
     bucket_sizes = banded.groupBy("band", "bh").count()
@@ -431,6 +437,76 @@ def minhash_dedup(tf, id_col: str, text_col: str = "text", **kwargs):
     ids = tf.df.select(id_col)
     out = ids.join(best, id_col, "left").select(
         id_col, F.coalesce("keep_id", F.col(id_col)).alias("keep_id")
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
+
+
+def minhash_dedup_incremental(
+    new_tf,
+    seen_sig,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+):
+    """Near-dup dedup of a NEW batch against the ingested corpus' stored
+    MinHash **signature frame** (``seen_sig``: the (id, minhash) output of
+    :func:`minhash_signature`, persisted at ingest time) plus within-batch
+    pairs — the MinHash twin of :func:`exact_dedup_incremental`.
+
+    Returns the new batch plus ``minhash`` and ``dup_of`` (NULL → keep;
+    else the smallest paired id, history or batch — with monotonically
+    growing ids this equals what a full-corpus :func:`minhash_dedup`
+    would assign).  Verification is the est-Jaccard (signature-component
+    agreement): history TEXT is never stored or re-read, so an ingest
+    costs O(batch) signatures + one banded equi-join against the
+    signature store (~0.5 KB/doc at num_perm=64).
+    """
+    rows = num_perm // bands
+    new_sig = minhash_signature(new_tf, id_col, text_col, num_perm, shingle)
+    nsd = new_sig.df.select(F.col(id_col).alias("__id"), "minhash").persist()
+    nb = _band_explode(nsd, bands, rows)
+    sb = _band_explode(
+        seen_sig.df.select(F.col(id_col).alias("__id"), "minhash"), bands, rows
+    )
+    # joint bucket census (same cap a full-corpus run would apply)
+    allb = nb.unionAll(sb)
+    hot = allb.groupBy("band", "bh").count().filter(F.col("count") > max_bucket)
+    nb = nb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    sb = sb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+
+    est = (
+        "CAST(size(filter(zip_with(l.minhash, r.minhash, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        " / size(l.minhash)"
+    )
+
+    def partners(left, right, cond):
+        l, r = left.alias("l"), right.alias("r")
+        return (
+            l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bh") == F.col("r.bh")) & cond)
+            .select(F.col("l.__id").alias("__nid"),
+                    F.col("r.__id").alias("__pid"),
+                    F.expr(est).alias("__est"))
+            .dropDuplicates(["__nid", "__pid"])
+            .filter(F.col("__est") >= threshold)
+        )
+
+    vs_seen = partners(nb, sb, F.lit(True))
+    within = partners(nb, nb, F.col("r.__id") < F.col("l.__id"))
+    best = (
+        vs_seen.unionAll(within)
+        .groupBy("__nid")
+        .agg(F.min("__pid").alias("dup_of"))
+    )
+    out = (
+        new_sig.df.join(best, F.col(id_col) == F.col("__nid"), "left")
+        .drop("__nid")
     )
     from ..core import TidyFrame
 
