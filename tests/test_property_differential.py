@@ -97,3 +97,33 @@ def test_random_window_matches_duckdb(tables, ddb, data):
         FROM lineitem
     """
     assert_matches_duckdb(q, ddb, sql, f"window: {agg_s}({val}) part {part} lo {lo}")
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_string_literal_detect_matches_duckdb(tables, ddb, data):
+    """str_detect with arbitrary literal patterns — including quotes and
+    LIKE wildcards — must agree with DuckDB's LIKE '%pat%' semantics
+    (the pattern interpolates literally; '' escapes an apostrophe on both
+    sides).  Hardens the r03 quoting fix beyond hand-picked cases."""
+    alphabet = "abN7 _%'.#"
+    pat = data.draw(
+        st.text(alphabet=alphabet, min_size=1, max_size=6).filter(
+            lambda s: not s.isspace()
+        )
+    )
+    tidy_lit = pat.replace("'", "''")
+    q = tables["customer"].mutate(
+        hit=f"str_detect(c_name, '{tidy_lit}')"
+    ).select("c_custkey", "hit")
+    sql_lit = pat.replace("'", "''")
+    assert_matches_duckdb(
+        q,
+        ddb,
+        f"SELECT c_custkey, c_name LIKE '%{sql_lit}%' AS hit FROM customer",
+        f"detect[{pat!r}]",
+    )
