@@ -1552,7 +1552,9 @@ def _q41(t):
         t["lineitem"]
         .mutate(dp="q41_disc_price(l_extendedprice, l_discount)")
         .group_by("l_returnflag")
-        .summarize(revenue="sum(dp)")
+        # decimal-cast the UDF's double output so the sum is exact and
+        # partition-order independent (same bit-stability pattern as q01)
+        .summarize(revenue="CAST(sum(CAST(dp AS DECIMAL(18,6))) AS DOUBLE)")
         .arrange("l_returnflag")
     )
 
@@ -3421,7 +3423,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q41_udf_grouped": """
-            SELECT l_returnflag, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q42_scalar_subquery": """

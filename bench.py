@@ -95,18 +95,32 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver parses the JSON line out of a bounded stdout tail, so the
+    # stdout line must stay compact: min/max spread goes to a side file
+    # (+ stderr) instead of the stdout payload.
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:  # defensive: drop per-query detail before the total
+        line = json.dumps(
+            {k: payload[k] for k in ("metric", "value", "unit", "sf")},
+            separators=(",", ":"),
         )
+    spread_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
     )
+    try:
+        with open(spread_path, "w") as fh:
+            json.dump({"queries": timings, "spread": spread, "sf": payload["sf"]}, fh)
+    except OSError as exc:  # side file is best-effort
+        print(f"# spread not written: {exc}", file=sys.stderr)
+    print(json.dumps(spread, separators=(",", ":")), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
