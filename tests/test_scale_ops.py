@@ -549,3 +549,27 @@ def test_diagnose_skew(spark, tables):
     # uniform key: no salting suggested
     uni = diagnose_skew(tables["orders"], "o_orderpriority")
     assert uni["suggested_salt"].max() <= 2
+
+
+def test_zorder_all_null_column(spark):
+    """An all-NULL listed column buckets every row to 0 instead of
+    failing analysis on a 'None'-interpolated expression (ADVICE r4)."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.zorder import with_zorder_key
+
+    df = spark.range(0, 8).selectExpr("id AS a", "CAST(NULL AS DOUBLE) AS b")
+    out = with_zorder_key(TidyFrame(df), ["a", "b"]).collect()
+    assert out["zorder_key"].notna().all()
+    # with b constant (all bucket-0), the key must still order by a
+    ordered = out.sort_values("a")["zorder_key"].tolist()
+    assert ordered == sorted(ordered)
+
+
+def test_diagnose_skew_empty_frame(spark):
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.skew import diagnose_skew
+
+    df = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS k").filter("1=0")
+    rep = diagnose_skew(TidyFrame(df), "k")
+    assert rep.empty
+    assert list(rep.columns) == ["k", "count", "share", "suggested_salt"]

@@ -187,3 +187,26 @@ def test_merge_upsert_partition_scoped(spark, tables, tmp_path):
     assert untouched, "expected surviving non-O partition files"
     for f in untouched:
         assert _os.path.getmtime(f) == before[f]
+
+
+def test_merge_upsert_uri_scheme_dataset(spark, tmp_path):
+    """Existence detection goes through the Hadoop FileSystem API, so a
+    URI-scheme path (file:) sees existing data instead of silently
+    overwriting the dataset with only the updates batch (ADVICE r4)."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.sources.writers import _dataset_exists, merge_upsert
+
+    uri = "file:" + str(tmp_path / "store")
+    assert not _dataset_exists(spark, uri)
+    base = TidyFrame(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    )
+    merge_upsert(spark, uri, base, "k")
+    assert _dataset_exists(spark, uri)
+
+    upd = TidyFrame(spark.createDataFrame([(2, 99.0)], "k long, v double"))
+    out = merge_upsert(spark, uri, upd, "k").collect()
+    got = dict(zip(out["k"], out["v"]))
+    # key 1 must SURVIVE — it would be lost if the existence check missed
+    # the scheme'd path and took the fresh-dataset overwrite branch
+    assert got == {1: 10.0, 2: 99.0}

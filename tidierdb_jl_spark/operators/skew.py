@@ -107,12 +107,14 @@ def diagnose_skew(tf, *keys, top: int = 10):
     """
     from pyspark.sql import functions as F
 
+    import pandas as pd
+
     counts = tf.df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
-    total, n_groups, max_cnt = (
-        counts.agg(
-            F.sum("count"), F.count(F.lit(1)), F.max("count")
-        ).first()
-    )
+    total, n_groups = counts.agg(F.sum("count"), F.count(F.lit(1))).first()
+    if not total:  # empty frame: no groups, nothing to report
+        return pd.DataFrame(
+            columns=[*keys, "count", "share", "suggested_salt"]
+        )
     mean = total / max(n_groups, 1)
     pdf = (
         counts.orderBy(F.col("count").desc(), *keys)

@@ -61,6 +61,8 @@ def with_zorder_key(tf, cols, bits: int | None = None, out: str = "zorder_key"):
     for c in cols:
         mn, mx = st[f"__mn_{c}"], st[f"__mx_{c}"]
         span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        if mn is None:  # all-NULL column (or empty frame): every row buckets to 0
+            mn = 0.0
         bucket_exprs.append(
             f"CAST(least(greatest(coalesce(({num[c]} - {mn!r}D) / {span!r}D, 0.0D), 0.0D), 1.0D) * {top} AS BIGINT)"
         )

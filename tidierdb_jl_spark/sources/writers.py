@@ -86,6 +86,23 @@ def create_table(
     writer.saveAsTable(name, mode="overwrite" if replace else "errorifexists")
 
 
+def _dataset_exists(spark, path: str) -> bool:
+    """True when ``path`` holds at least one non-hidden file.  Goes through
+    the Hadoop FileSystem API so hdfs:// / s3a:// datasets are seen — a
+    local ``os.path`` check would report them missing and a caller like
+    ``merge_upsert`` would silently overwrite the dataset with only the
+    updates batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(hpath)
+    )
+
+
 def merge_upsert(spark, path: str, updates_tf, key, partition_col=None):
     """MERGE-like upsert into a parquet dataset (no lakehouse format
     needed): rows whose ``key`` matches an update are replaced, new keys
@@ -112,8 +129,6 @@ def merge_upsert(spark, path: str, updates_tf, key, partition_col=None):
 
     Returns a TidyFrame reading the merged dataset.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from ..core import TidyFrame
@@ -121,9 +136,7 @@ def merge_upsert(spark, path: str, updates_tf, key, partition_col=None):
     keys = [key] if isinstance(key, str) else list(key)
     updates = updates_tf.df
     writer_cols = [partition_col] if partition_col else []
-    exists = os.path.exists(path) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(path)
-    )
+    exists = _dataset_exists(spark, path)
     if not exists:
         w = updates.write.mode("overwrite")
         if writer_cols:
