@@ -525,10 +525,12 @@ def _d42(t):
     ).df.select("id_a", "id_b")
     # one quadratic scoring pass serves both thresholds (persisted: the
     # strict and loose sets plus two aggregates read it)
-    scored = embedding_cosine_pairs(
+    from tidierdb_jl_spark.cache import track
+
+    scored = track(embedding_cosine_pairs(
         t["embeddings"], "vec_id", "embedding", threshold=0.4 - 1e-9,
         method="exact",
-    ).df.persist()
+    ).df)
     exact = scored.filter("cosine >= 0.4").select("id_a", "id_b")
     exact_loose = scored.select("id_a", "id_b")
     false_pos = lsh.join(exact_loose, ["id_a", "id_b"], "left_anti")
@@ -574,9 +576,11 @@ def _s39s(t):
     corpus, queries = t["embeddings"], t["embeddings"].filter("vec_id < 5")
     # persisted: the exact scan feeds top1 + both methods' hit joins (4
     # subtree reads; Spark unions don't share subplans)
-    exact = cosine_topk(corpus, queries, k=10).df.select(
+    from tidierdb_jl_spark.cache import track
+
+    exact = track(cosine_topk(corpus, queries, k=10).df.select(
         "query_id", "vec_id", "cosine"
-    ).persist()
+    ))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )

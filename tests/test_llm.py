@@ -631,3 +631,31 @@ def test_minhash_dedup_incremental_matches_full_corpus(tables):
     # non-dups keep NULL and every new doc appears exactly once
     assert len(inc) == new.collect().shape[0]
     assert inc["doc_id"].is_unique
+
+
+def test_release_caches_returns_storage_to_baseline(tables):
+    """The library's internal persists (signature/posting frames) are
+    tracked; after materializing results, release_caches() returns the
+    storage tier to its pre-call block count — the bounded-memory
+    contract for per-batch ingest loops (VERDICT r4 #4)."""
+    from tidierdb_jl_spark import release_caches
+    from tidierdb_jl_spark.llm.dedup import (
+        minhash_dedup_incremental,
+        minhash_signature,
+    )
+
+    docs = tables["documents"]
+    spark = docs.df.sparkSession
+    release_caches()  # drop anything earlier tests left behind
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    store = minhash_signature(docs.filter("doc_id < 250"), "doc_id").select(
+        "doc_id", "minhash"
+    )
+    for lo, hi in ((250, 400), (400, 10**9)):
+        batch = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        minhash_dedup_incremental(batch, store, "doc_id", threshold=0.8).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    released = release_caches(blocking=True)
+    assert released >= 2  # one tracked signature frame per batch
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

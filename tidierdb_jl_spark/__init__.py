@@ -9,6 +9,7 @@ LLM-data-pipeline primitives (dedup, similarity search, multimodal
 columns, text analysis) designed for 100 TB scale.
 """
 
+from .cache import release_caches
 from .core import TidyFrame
 from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register_udf
 from .session import connect, get_spark, register_testdata
@@ -34,6 +35,7 @@ __all__ = [
     "write_file",
     "plan_summary",
     "show_query",
+    "release_caches",
 ]
 
 __version__ = "0.1.0"

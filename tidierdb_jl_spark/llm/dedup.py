@@ -29,6 +29,7 @@ import pandas
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import track
 from .textstats import tokenize_expr, with_fingerprint
 
 __all__ = [
@@ -228,7 +229,8 @@ def ngram_jaccard_pairs(
     )
     post = docs.select(
         "__id", "__sz", *block_cols, F.explode("__sh").alias("__s")
-    ).persist()  # read by both sides of the self-join
+    )
+    post = track(post)  # read by both sides of the self-join
     if max_doc_freq is not None:
         stop = post.groupBy("__s").count().filter(F.col("count") > max_doc_freq)
         post = post.join(F.broadcast(stop.select("__s")), "__s", "left_anti")
@@ -357,7 +359,7 @@ def minhash_dedup_pairs(
     # otherwise recompute shingling + hashing over the full text.  At scale
     # the signature frame is ~0.5 KB/doc — orders of magnitude below the
     # corpus — so MEMORY_AND_DISK is safe.
-    sdf = sig.df.select(F.col(id_col).alias("__id"), "minhash").persist()
+    sdf = track(sig.df.select(F.col(id_col).alias("__id"), "minhash"))
     banded = _band_explode(sdf, bands, rows)
 
     # cap pathological buckets before pairing
@@ -402,8 +404,8 @@ def minhash_dedup_pairs(
         tf.mutate(__toks=toks)
         .mutate(__sh=_shingle_expr("__toks", shingle))
         .df.select(F.col(id_col).alias("__id"), "__sh")
-        .persist()
     )
+    shf = track(shf)
     a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     pairs = (
@@ -469,7 +471,7 @@ def minhash_dedup_incremental(
     """
     rows = num_perm // bands
     new_sig = minhash_signature(new_tf, id_col, text_col, num_perm, shingle)
-    nsd = new_sig.df.select(F.col(id_col).alias("__id"), "minhash").persist()
+    nsd = track(new_sig.df.select(F.col(id_col).alias("__id"), "minhash"))
     nb = _band_explode(nsd, bands, rows)
     sb = _band_explode(
         seen_sig.df.select(F.col(id_col).alias("__id"), "minhash"), bands, rows
@@ -630,7 +632,8 @@ def embedding_cosine_pairs(
 
     vec = tf.df.select(
         F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
-    ).persist()
+    )
+    vec = track(vec)
 
     if method == "exact":
         l, r = vec.alias("l"), vec.alias("r")
@@ -662,7 +665,8 @@ def embedding_cosine_pairs(
         F.expr(
             "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
         ).alias("__u"),
-    ).persist()
+    )
+    norm = track(norm)
     # _outer: plain posexplode's implicit size>0 filter pushes below the
     # projection and double-evaluates the pandas UDF; signatures are never
     # empty, so outer is identical
@@ -733,9 +737,9 @@ def simhash_pairs(tf, id_col: str, text_col: str = "text", max_hamming: int = 3)
     bucket-join, verify Hamming distance via bit_count(xor)."""
     # persisted for the same reason as minhash_dedup_pairs: the self-join
     # reads the signature frame twice, 8 bytes/doc vs recomputing the hash
-    sig = simhash_signature(tf, text_col).df.select(
+    sig = track(simhash_signature(tf, text_col).df.select(
         F.col(id_col).alias("__id"), "simhash"
-    ).persist()
+    ))
     banded = sig.select(
         "__id",
         "simhash",
