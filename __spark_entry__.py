@@ -1430,8 +1430,9 @@ def _d98(t):
 
     left = t["documents"].filter("doc_id < 100")
     right = t["documents"].filter("doc_id >= 100").rename(rid="doc_id")
+    # max_doc_freq=None: the oracle is the exact quadratic formulation
     return similarity_join(
-        left, right, "doc_id", "rid", threshold=0.5
+        left, right, "doc_id", "rid", threshold=0.5, max_doc_freq=None
     ).arrange("doc_id", "rid")
 
 

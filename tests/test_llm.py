@@ -576,7 +576,9 @@ def test_similarity_join_matches_brute_force(tables, spark):
     right = tables["documents"].filter("doc_id >= 60 AND doc_id < 160").rename(
         rid="doc_id"
     )
-    out = similarity_join(left, right, "doc_id", "rid", threshold=0.3).collect()
+    out = similarity_join(
+        left, right, "doc_id", "rid", threshold=0.3, max_doc_freq=None
+    ).collect()
     # brute force in pandas over the same trigram definition
     docs = tables["documents"].collect()
     def shingles(text):
@@ -659,3 +661,40 @@ def test_release_caches_returns_storage_to_baseline(tables):
     released = release_caches(blocking=True)
     assert released >= 2  # one tracked signature frame per batch
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_similarity_join_default_cap_bounds_hot_shingles(spark):
+    """Default max_doc_freq caps stop-shingles: a boilerplate phrase on
+    every row of both sides would otherwise make the postings join
+    quadratic (|L| x |R| candidates).  With the default cap the hot
+    shingles are dropped from the index — boilerplate-only pairs vanish
+    — while genuinely similar pairs (rare-shingle overlap) survive."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import similarity_join
+
+    boiler = "all rights reserved subscribe to our newsletter today"
+    uniq = lambda i, side: " ".join(f"{side}{i}w{j}" for j in range(6))
+    left_rows = [(i, f"{boiler} {uniq(i, 'l')}") for i in range(300)]
+    right_rows = [(i, f"{boiler} {uniq(i, 'r')}") for i in range(300)]
+    # one true match: right row 0 repeats left row 0's rare tail
+    right_rows[0] = (0, f"{boiler} {uniq(0, 'l')}")
+    left = TidyFrame(spark.createDataFrame(left_rows, "doc_id long, text string"))
+    right = TidyFrame(spark.createDataFrame(right_rows, "rid long, text string"))
+
+    # identical texts share 12 trigram shingles; the 6 boilerplate-only
+    # ones are dropped from the index, so the true pair scores
+    # 6/(12+12-6) = 1/3 — documented underestimation, still well clear
+    # of the boilerplate-only pairs (0 surviving common shingles)
+    out = similarity_join(left, right, "doc_id", "rid", threshold=0.3).collect()
+    assert set(zip(out["doc_id"], out["rid"])) == {(0, 0)}
+
+    # bounded candidates, observable in the engine: with the cap, even
+    # threshold=0 emits only rare-shingle pairs (the 300x300=90k
+    # boilerplate candidate pairs never materialize)
+    capped = similarity_join(left, right, "doc_id", "rid", threshold=1e-9).collect()
+    assert len(capped) == 1
+    # opt-out restores the exact (quadratic) pair set
+    exact = similarity_join(
+        left, right, "doc_id", "rid", threshold=1e-9, max_doc_freq=None
+    )
+    assert exact.df.count() == 300 * 300

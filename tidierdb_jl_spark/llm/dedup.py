@@ -137,7 +137,7 @@ def similarity_join(
     right_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None | str = "auto",
 ):
     """Fuzzy CROSS-TABLE match by word-``n``-gram Jaccard — the entity-
     matching primitive (align documents across two sources, match titles
@@ -146,12 +146,20 @@ def similarity_join(
     on both sides, equi-join on the shingle, count common shingles per
     (left, right) pair, score ``common / (|a| + |b| - common)``.
 
-    Exact (identical to the quadratic cross join minus zero-overlap
-    pairs); work scales with shingle co-occurrence, never |L| x |R|.
-    ``max_doc_freq`` drops stop-shingles on BOTH sides (each contributes
-    O(df_l x df_r) candidates and ~zero signal).  Returns
-    (left_id, right_id, jaccard) with jaccard >= threshold.
+    Work scales with shingle co-occurrence, never |L| x |R| — PROVIDED no
+    shingle is hot on both sides: a boilerplate shingle with document
+    frequency ``d`` contributes O(d_l x d_r) candidate pairs and ~zero
+    signal, the one way this plan goes quadratic.  So ``max_doc_freq``
+    (drop shingles whose combined document frequency exceeds it, BOTH
+    sides) defaults ON at 200 — the same skew cap as minhash's
+    ``max_bucket`` — which bounds any one shingle's candidates at ~200
+    x its rarer side.  Pass ``None`` for the exact result (identical to
+    the quadratic cross join minus zero-overlap pairs); with the cap,
+    pairs whose overlap is mostly stop-shingles score lower or drop.
+    Returns (left_id, right_id, jaccard) with jaccard >= threshold.
     """
+    if max_doc_freq == "auto":
+        max_doc_freq = 200
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
     if left_id == right_id:
