@@ -1444,6 +1444,74 @@ def _t97(t):
     return chunk_documents(t["documents"], max_tokens=64, overlap=8)
 
 
+def _d99(t):
+    """Round-4 ops suite (tagged union): incremental exact dedup (d91),
+    cross-table similarity join (d98), token-window chunking (t97),
+    deterministic epoch shuffle (t90), and parquet MERGE upsert — the
+    ingest-pipeline primitives, one driver row.  The merge leg does the
+    REAL thing: writes a base dataset to a scratch dir (fresh per call —
+    retry-safe), partition-scoped-upserts a derived batch, and returns
+    the read-back result; the oracle recomputes the merged relation
+    logically (base anti-join updates, union updates)."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.dedup import exact_dedup_incremental, similarity_join
+    from tidierdb_jl_spark.llm.mixing import deterministic_shuffle
+    from tidierdb_jl_spark.llm.packing import chunk_documents
+    from tidierdb_jl_spark.sources.writers import merge_upsert
+
+    docs = t["documents"]
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+
+    inc = (
+        exact_dedup_incremental(
+            docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"), "doc_id"
+        )
+        .mutate(op="'inc_dedup'", id1="doc_id", id2=nlb, s="fingerprint", num=nld)
+        .select(*cols)
+    )
+    sim = (
+        similarity_join(
+            docs.filter("doc_id < 100"),
+            docs.filter("doc_id >= 100").rename(rid="doc_id"),
+            "doc_id", "rid", threshold=0.5, max_doc_freq=None,
+        )
+        .mutate(op="'sim_join'", id1="doc_id", id2="rid", s=nls, num="jaccard")
+        .select(*cols)
+    )
+    chk = (
+        chunk_documents(docs, max_tokens=64, overlap=8)
+        .mutate(op="'chunk'", id1="doc_id", id2="CAST(chunk_id AS BIGINT)",
+                s="chunk_text", num="CAST(chunk_start AS DOUBLE)")
+        .select(*cols)
+    )
+    shf = (
+        deterministic_shuffle(docs, "doc_id", seed="ep1")
+        .mutate(op="'shuffle'", id1="doc_id", id2=nlb, s="shuffle_key", num=nld)
+        .select(*cols)
+    )
+
+    spark = docs.df.sparkSession
+    path = tempfile.mkdtemp(prefix="r4_merge_") + "/orders"
+    base = t["orders"].filter("o_orderkey % 4 != 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    merge_upsert(spark, path, base, "o_orderkey", partition_col="o_orderstatus")
+    upd = (
+        t["orders"].filter("o_orderkey % 3 = 0")
+        .mutate(o_totalprice="o_totalprice * 2")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    merged = merge_upsert(spark, path, upd, "o_orderkey", partition_col="o_orderstatus")
+    mrg = (
+        merged.mutate(op="'merge'", id1="o_orderkey", id2=nlb,
+                      s="o_orderstatus", num="o_totalprice")
+        .select(*cols)
+    )
+    return inc.union_all(sim).union_all(chk).union_all(shf).union_all(mrg)
+
+
 def _t60(t):
     from tidierdb_jl_spark.llm.pipeline import split_by_hash
 
@@ -2120,6 +2188,7 @@ _BUILDERS.update(
         "t90_det_shuffle": _t90,
         "d91_dedup_incremental": _d91,
         "t97_chunk_documents": _t97,
+        "d99_r4_ops_suite": _d99,
         "d98_similarity_join": _d98,
     }
 )
@@ -2160,8 +2229,9 @@ _DRIVER_PRIORITY = [
     "q26_filter_routing",
     "q43_projection_suite",
     "q45_grouping_suite",
-    # families without a subsuming suite
-    "q25_across",
+    # families without a subsuming suite (q25_across rotated out —
+    # subsumed by q03s/q45s across shapes — for the round-4 ops suite)
+    "d99_r4_ops_suite",
     "q28_sessionize",
     "q41_udf_grouped",
     "q42_scalar_subquery",
@@ -2748,6 +2818,66 @@ def oracle_sql() -> dict[str, str]:
                substring(md5(concat(CAST(doc_id AS VARCHAR), 'ep1')), 1, 8)
                  AS shuffle_key
         FROM documents
+    """
+    out["d99_r4_ops_suite"] = r"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+          FROM documents),
+        incf AS (
+          SELECT doc_id, fingerprint FROM (
+            SELECT doc_id, fingerprint,
+                   min(doc_id) OVER (PARTITION BY fingerprint) AS k
+            FROM fp WHERE doc_id >= 250)
+          WHERE doc_id = k
+            AND fingerprint NOT IN
+                (SELECT fingerprint FROM fp WHERE doc_id < 250)),
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i : i + 2], ' '))) END AS sset
+          FROM toks),
+        simj AS (
+          SELECT a.doc_id, b.doc_id AS rid,
+                 CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                   (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < 100 AND b.doc_id >= 100
+          WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                   (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.5),
+        chunks AS (
+          SELECT doc_id,
+                 CAST((st - 1) // 56 AS BIGINT) AS chunk_id,
+                 CAST(st AS DOUBLE) AS chunk_start,
+                 array_to_string(toks[st : st + 63], ' ') AS chunk_text
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS st
+                FROM toks)),
+        merged AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 4 != 0 AND o_orderkey % 3 != 0)
+        SELECT 'inc_dedup' AS op, doc_id AS id1, CAST(NULL AS BIGINT) AS id2,
+               fingerprint AS s, CAST(NULL AS DOUBLE) AS num FROM incf
+        UNION ALL
+        SELECT 'sim_join', doc_id, rid, CAST(NULL AS VARCHAR), jaccard FROM simj
+        UNION ALL
+        SELECT 'chunk', doc_id, chunk_id, chunk_text, chunk_start FROM chunks
+        UNION ALL
+        SELECT 'shuffle', doc_id, CAST(NULL AS BIGINT),
+               substring(md5(concat(CAST(doc_id AS VARCHAR), 'ep1')), 1, 8),
+               CAST(NULL AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'merge', o_orderkey, CAST(NULL AS BIGINT), o_orderstatus,
+               o_totalprice FROM merged
     """
     out["d91_dedup_incremental"] = r"""
         WITH fp AS (
