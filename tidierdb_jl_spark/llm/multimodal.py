@@ -9,17 +9,23 @@ metadata struct alongside::
 
 Decoding/feature extraction runs as Arrow-batched ``mapInPandas`` — one
 Python worker per partition, batches of rows, never per-row UDF overhead.
-The actual codecs (PIL/torchaudio/ffmpeg) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``,
-which substitutes a deterministic fake decoder (hash-derived pixels) —
-the Spark-side plumbing (schemas, batch iteration, partitioning) is real
-and tested either way.
+
+Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
+P3 ASCII), 24-bit uncompressed BMP, and PCM16 WAV — real decode paths
+testable in any environment.  Full-codec formats (JPEG/PNG/MP3/video)
+need libraries NOT in this container, so those blobs raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
+(schemas, batch iteration, partitioning) is identical either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
+import numpy as np
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -31,6 +37,112 @@ __all__ = [
     "extract_audio_features",
     "frame_sample",
 ]
+
+# ---------------------------------------------------------------------------
+# vendored pure-Python codecs (PPM / BMP-24 / WAV-PCM16)
+# ---------------------------------------------------------------------------
+
+
+def _decode_image_blob(blob: bytes) -> "np.ndarray":
+    """bytes → HxWx3 uint8 array for PPM P6/P3 and 24-bit uncompressed
+    BMP.  Raises NotImplementedError for anything else (JPEG/PNG need a
+    codec library this container doesn't ship)."""
+    if blob[:2] in (b"P6", b"P3"):
+        return _decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp24(blob)
+    raise NotImplementedError(
+        f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
+        "covers PPM P6/P3 and BMP-24 — pass fake=True for other formats"
+    )
+
+
+def _decode_ppm(blob: bytes) -> "np.ndarray":
+    f = io.BytesIO(blob)
+
+    def token():
+        # netpbm tokens separated by whitespace, '#' starts a comment
+        t = b""
+        while True:
+            c = f.read(1)
+            if c == b"#":
+                while c not in (b"\n", b""):
+                    c = f.read(1)
+            elif c.isspace():
+                if t:
+                    return t
+            elif c == b"":
+                return t
+            else:
+                t += c
+
+    magic = token()
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    if magic == b"P6":
+        arr = np.frombuffer(f.read(w * h * 3), dtype=np.uint8)
+    else:  # P3: remaining tokens are ASCII sample values
+        vals = f.read().split()
+        arr = np.array(vals[: w * h * 3], dtype=np.uint8)
+    return arr.reshape(h, w, 3)
+
+
+def _encode_ppm(arr: "np.ndarray") -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _decode_bmp24(blob: bytes) -> "np.ndarray":
+    if blob[:2] != b"BM":
+        raise NotImplementedError("not a BMP file")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def _mean_luma(arr: "np.ndarray") -> float:
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    return float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)
+
+
+def _decode_wav_blob(blob: bytes) -> tuple[int, "np.ndarray"]:
+    """bytes → (framerate, mono float64 samples in [-1, 1]) for PCM16
+    WAV via the stdlib ``wave`` module."""
+    import wave
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio format (magic {blob[:4]!r}); pure-Python "
+            "decode covers PCM WAV — pass fake=True for other formats"
+        )
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        n, ch = wf.getnframes(), wf.getnchannels()
+        pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
+        if ch > 1:
+            pcm = pcm.reshape(-1, ch).mean(axis=1)
+        return wf.getframerate(), pcm.astype(np.float64) / 32768.0
+
 
 MEDIA_STRUCT = T.StructType(
     [
@@ -59,10 +171,11 @@ def decode_image(tf, content_col: str = "content", fake: bool = False):
     """Decode image bytes → (width, height, mean_luma) features via
     Arrow-batched mapInPandas.
 
-    Real decoding needs an image codec library not present in this
-    container; ``fake=True`` uses a deterministic stand-in (md5-derived
-    "dimensions") so the distributed plumbing can be exercised and
-    benchmarked end-to-end.
+    PPM (P6/P3) and 24-bit BMP decode for real through the vendored
+    pure-Python codec; other formats raise ``NotImplementedError``
+    unless ``fake=True``, which substitutes a deterministic stand-in
+    (md5-derived "dimensions") so the distributed plumbing can be
+    exercised and benchmarked with any payload.
     """
     out_schema = T.StructType(
         list(tf.df.schema.fields)
@@ -75,17 +188,19 @@ def decode_image(tf, content_col: str = "content", fake: bool = False):
 
     def run(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "pass fake=True to exercise the pipeline"
-                )
             widths, heights, lumas = [], [], []
             for blob in pdf[content_col]:
-                h = hashlib.md5(bytes(blob) if blob is not None else b"").digest()
-                widths.append(64 + h[0])
-                heights.append(64 + h[1])
-                lumas.append(h[2] / 255.0)
+                src = bytes(blob) if blob is not None else b""
+                if fake:
+                    h = hashlib.md5(src).digest()
+                    widths.append(64 + h[0])
+                    heights.append(64 + h[1])
+                    lumas.append(h[2] / 255.0)
+                else:
+                    arr = _decode_image_blob(src)
+                    heights.append(arr.shape[0])
+                    widths.append(arr.shape[1])
+                    lumas.append(_mean_luma(arr))
             pdf = pdf.assign(width=widths, height=heights, mean_luma=lumas)
             pdf["width"] = pdf["width"].astype("int32")
             pdf["height"] = pdf["height"].astype("int32")
@@ -105,9 +220,10 @@ def resize_image(
 ):
     """Resize image bytes to (width, height), replacing ``content`` and
     stamping the media struct dims.  Same Arrow-batched mapInPandas shape
-    as decode; the fake path emits a deterministic digest-derived blob of
-    the right conceptual size so downstream plumbing sees realistic
-    bytes-in/bytes-out."""
+    as decode.  PPM/BMP-24 inputs resize for real (nearest-neighbor,
+    re-encoded as PPM P6); ``fake=True`` emits a deterministic
+    digest-derived blob instead so downstream plumbing sees realistic
+    bytes-in/bytes-out for any payload."""
     fields = []
     for f_ in tf.df.schema.fields:
         fields.append(f_)
@@ -115,17 +231,20 @@ def resize_image(
 
     def run(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "pass fake=True to exercise the pipeline"
-                )
             blobs = []
             for blob in pdf[content_col]:
                 src = bytes(blob) if blob is not None else b""
-                seed = hashlib.md5(src + f"{width}x{height}".encode()).digest()
-                # deterministic stand-in: digest tiled to a small payload
-                blobs.append((seed * 8)[: 64])
+                if fake:
+                    seed = hashlib.md5(src + f"{width}x{height}".encode()).digest()
+                    # deterministic stand-in: digest tiled to a small payload
+                    blobs.append((seed * 8)[: 64])
+                else:
+                    arr = _decode_image_blob(src)
+                    sh, sw = arr.shape[:2]
+                    # nearest-neighbor: sample-center index mapping
+                    ys = np.minimum((np.arange(height) + 0.5) * sh / height, sh - 1).astype(int)
+                    xs = np.minimum((np.arange(width) + 0.5) * sw / width, sw - 1).astype(int)
+                    blobs.append(_encode_ppm(arr[ys][:, xs]))
             pdf = pdf.assign(**{content_col: blobs})
             yield pdf
 
@@ -145,8 +264,10 @@ def resize_image(
 
 def extract_audio_features(tf, content_col: str = "content", fake: bool = False):
     """Audio bytes → (duration_ms, rms, zero_crossings) via mapInPandas.
-    Real decoding needs an audio codec; the fake path derives features
-    from the content digest, deterministically."""
+    PCM16 WAV decodes for real through the stdlib ``wave`` module; other
+    formats (MP3/OGG/...) need codec libraries and raise unless
+    ``fake=True``, which derives features from the content digest,
+    deterministically."""
     out_schema = T.StructType(
         list(tf.df.schema.fields)
         + [
@@ -158,17 +279,19 @@ def extract_audio_features(tf, content_col: str = "content", fake: bool = False)
 
     def run(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codec not available in this environment; "
-                    "pass fake=True to exercise the pipeline"
-                )
             dur, rms, zc = [], [], []
             for blob in pdf[content_col]:
-                h = hashlib.md5(bytes(blob) if blob is not None else b"").digest()
-                dur.append(1000 + int.from_bytes(h[0:2], "big"))
-                rms.append(h[2] / 255.0)
-                zc.append(int.from_bytes(h[3:5], "big"))
+                src = bytes(blob) if blob is not None else b""
+                if fake:
+                    h = hashlib.md5(src).digest()
+                    dur.append(1000 + int.from_bytes(h[0:2], "big"))
+                    rms.append(h[2] / 255.0)
+                    zc.append(int.from_bytes(h[3:5], "big"))
+                else:
+                    rate, x = _decode_wav_blob(src)
+                    dur.append(round(len(x) * 1000 / rate))
+                    rms.append(float(np.sqrt((x**2).mean())) if len(x) else 0.0)
+                    zc.append(int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum()))
             pdf = pdf.assign(duration_ms=dur, rms=rms, zero_crossings=zc)
             pdf["duration_ms"] = pdf["duration_ms"].astype("int64")
             pdf["zero_crossings"] = pdf["zero_crossings"].astype("int64")
