@@ -559,8 +559,8 @@ def _s40(t):
 
 
 def _s39s(t):
-    """ANN suite: LSH (old s39) and IVF (old s40) top-10 recall measured
-    in-engine against the exact scan (s38).  Emits one row per
+    """ANN suite: LSH (old s39), IVF (old s40), and PQ (ADC + re-rank)
+    top-10 recall measured in-engine against the exact scan (s38).  Emits one row per
     (method, query): the exact top-1 id (DuckDB-anchored) and a
     conservative recall floor check.  Hyperplanes/centroid training are
     seeded & deterministic, so the booleans are stable run-to-run."""
@@ -571,6 +571,7 @@ def _s39s(t):
         cosine_topk,
         ivf_cosine_topk,
         lsh_cosine_topk,
+        pq_cosine_topk,
     )
 
     corpus, queries = t["embeddings"], t["embeddings"].filter("vec_id < 5")
@@ -607,9 +608,14 @@ def _s39s(t):
 
     lsh = lsh_cosine_topk(corpus, queries, k=10).df
     ivf = ivf_cosine_topk(corpus, queries, k=10, nlist=8, nprobe=3).df
+    pq = pq_cosine_topk(corpus, queries, k=10).df
     from tidierdb_jl_spark.core import TidyFrame
 
-    return TidyFrame(method_rows("lsh", lsh).unionAll(method_rows("ivf", ivf)))
+    return TidyFrame(
+        method_rows("lsh", lsh)
+        .unionAll(method_rows("ivf", ivf))
+        .unionAll(method_rows("pq", pq))
+    )
 
 
 def _t52(t):
@@ -2943,7 +2949,8 @@ def oracle_sql() -> dict[str, str]:
           FROM scored),
         top1 AS (SELECT query_id, vec_id AS exact_top1 FROM ranked WHERE r = 1)
         SELECT m.method, t.query_id, t.exact_top1, TRUE AS recall_ok
-        FROM top1 t CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+        FROM top1 t CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
+                                UNION ALL SELECT 'pq') m
     """
     out["m40_multimodal_decode"] = """
         WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

