@@ -46,6 +46,7 @@ __all__ = [
     "simhash_signature",
     "simhash_pairs",
     "embedding_cosine_pairs",
+    "embedding_dedup_incremental",
     "segment_dedup",
     "flag_contaminated",
 ]
@@ -699,6 +700,87 @@ def embedding_cosine_pairs(
         .join(rb, "id_b")
         .select("id_a", "id_b", F.expr(_dot("__ua", "__ub")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
+
+
+def embedding_dedup_incremental(
+    new_tf,
+    seen_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 4,
+    bands: int = 16,
+):
+    """Near-dup dedup of a NEW embedding batch against the ingested
+    corpus' stored vectors — the embedding twin of
+    :func:`minhash_dedup_incremental` and the third leg of the
+    incremental-ingest family (exact / minhash / embedding).
+
+    Candidates come from the same deterministic random-hyperplane LSH
+    banding both frames share (hyperplanes are seeded literals, so
+    signatures computed at different ingest times still collide for
+    near-identical vectors); exact cosine verifies every candidate, so
+    there are NO false positives.  Returns the new batch plus ``dup_of``
+    (NULL → keep; else the smallest paired id, history or batch — with
+    monotonically growing ids this equals a full-corpus
+    :func:`embedding_cosine_pairs`-based dedup).
+
+    Scale shape: O(batch) signatures + one banded equi-join against the
+    seen side; the seen side contributes only (id, band, sig) postings
+    and unit vectors for verification — never a quadratic product.
+    """
+    from .simsearch import _dot, _to_double, _hyperplanes, _make_sig_udf
+
+    dim = len(new_tf.df.select(vec_col).first()[0])
+    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    unit = (
+        "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
+    )
+
+    def prep(tf):
+        vec = tf.df.select(
+            F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
+        ).select("__id", F.expr(unit).alias("__u"))
+        banded = vec.select("__id", sig_udf(F.col("__u")).alias("__sigs")).select(
+            "__id", F.posexplode_outer("__sigs").alias("__band", "__sig")
+        )
+        return vec, banded
+
+    nvec, nb = prep(new_tf)
+    nvec = track(nvec)  # read by banding + both verify joins
+    svec, sb = prep(seen_tf)
+
+    def partners(left, right, rvecs, cond):
+        l, r = left.alias("l"), right.alias("r")
+        cand = (
+            l.join(r, (F.col("l.__band") == F.col("r.__band"))
+                   & (F.col("l.__sig") == F.col("r.__sig")) & cond)
+            .select(F.col("l.__id").alias("__nid"), F.col("r.__id").alias("__pid"))
+            .dropDuplicates(["__nid", "__pid"])
+        )
+        la = nvec.select(F.col("__id").alias("__nid"), F.col("__u").alias("__ua"))
+        rb = rvecs.select(F.col("__id").alias("__pid"), F.col("__u").alias("__ub"))
+        return (
+            cand.join(la, "__nid")
+            .join(rb, "__pid")
+            .select("__nid", "__pid", F.expr(_dot("__ua", "__ub")).alias("__cos"))
+            .filter(F.col("__cos") >= threshold)
+        )
+
+    vs_seen = partners(nb, sb, svec, F.lit(True))
+    within = partners(nb, nb, nvec, F.col("r.__id") < F.col("l.__id"))
+    best = (
+        vs_seen.unionAll(within)
+        .groupBy("__nid")
+        .agg(F.min("__pid").alias("dup_of"))
+    )
+    out = (
+        new_tf.df.join(best, F.col(id_col) == F.col("__nid"), "left")
+        .drop("__nid")
     )
     from ..core import TidyFrame
 
