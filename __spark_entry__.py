@@ -558,6 +558,69 @@ def _s40(t):
     )
 
 
+def _s41(t):
+    # product-quantization ANN: ADC over m-byte codes + exact re-rank
+    from tidierdb_jl_spark.llm.simsearch import pq_cosine_topk
+
+    return pq_cosine_topk(
+        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10
+    )
+
+
+def _d92(t):
+    """Incremental embedding dedup (new batch vs stored vectors) under a
+    d42-style invariant oracle: every flagged partner must be a true
+    >=0.4 exact-cosine pair (no false positives — checked in-engine
+    against the exact scan), with a recall floor on the planted dups.
+    The count column anchors the booleans to the data."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.cache import track
+    from tidierdb_jl_spark.llm.dedup import (
+        embedding_cosine_pairs,
+        embedding_dedup_incremental,
+    )
+
+    emb = t["embeddings"]
+    new, seen = emb.filter("vec_id >= 300"), emb.filter("vec_id < 300")
+    inc = embedding_dedup_incremental(new, seen, threshold=0.4).df.select(
+        "vec_id", "dup_of"
+    )
+    flagged = inc.filter(F.col("dup_of").isNotNull()).select(
+        F.col("vec_id").alias("__n"), F.col("dup_of").alias("__p")
+    )
+    exact = track(
+        embedding_cosine_pairs(emb, threshold=0.4, method="exact").df.select(
+            "id_a", "id_b"
+        )
+    )
+    # orient flagged pairs as (small, large) to match exact's id_a < id_b
+    fp = flagged.select(
+        F.least("__n", "__p").alias("id_a"), F.greatest("__n", "__p").alias("id_b")
+    ).join(exact, ["id_a", "id_b"], "left_anti")
+    # exact pairs whose larger id is in the new batch = recoverable dups
+    recover = exact.filter(F.col("id_b") >= 300)
+    hits = recover.join(
+        flagged.select(F.col("__n").alias("id_b")), "id_b", "left_semi"
+    )
+    summary = (
+        inc.agg(F.count("*").alias("n_batch"))
+        .crossJoin(flagged.agg(F.count("*").alias("n_flagged")).select(
+            (F.col("n_flagged") >= 0).alias("__dummy"), "n_flagged"))
+        .crossJoin(fp.agg((F.count("*") == 0).alias("no_false_positives")))
+        .crossJoin(
+            recover.agg(F.count("*").alias("__nr"))
+            .crossJoin(hits.agg(F.countDistinct("id_b").alias("__nh")))
+            .select((F.col("__nh") >= 0.5 * F.col("__nr")).alias("recall_ok"))
+        )
+        .select("n_batch", (F.col("n_flagged") > 0).alias("found_dups"),
+                "no_false_positives", "recall_ok")
+    )
+    from tidierdb_jl_spark.core import TidyFrame
+
+    return TidyFrame(summary)
+
+
 def _s39s(t):
     """ANN suite: LSH (old s39), IVF (old s40), and PQ (ADC + re-rank)
     top-10 recall measured in-engine against the exact scan (s38).  Emits one row per
@@ -1560,6 +1623,8 @@ _BUILDERS.update(
         "s38_cosine_topk": _s38,
         "s39_lsh_topk": _s39,
         "s40_ivf_topk": _s40,
+        "s41_pq_topk": _s41,
+        "d92_embedding_dedup_incremental": _d92,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -2930,6 +2995,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
                TRUE AS no_false_positives, TRUE AS recall_ok
         FROM p
+    """
+    out["d92_embedding_dedup_incremental"] = """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v WHERE vec_id >= 300) AS n_batch,
+               (SELECT count(*) FROM p WHERE id_b >= 300) > 0 AS found_dups,
+               TRUE AS no_false_positives, TRUE AS recall_ok
     """
     out["s39_ann_suite"] = """
         WITH q AS (SELECT vec_id AS query_id,
