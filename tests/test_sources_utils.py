@@ -210,3 +210,17 @@ def test_merge_upsert_uri_scheme_dataset(spark, tmp_path):
     # key 1 must SURVIVE — it would be lost if the existence check missed
     # the scheme'd path and took the fresh-dataset overwrite branch
     assert got == {1: 10.0, 2: 99.0}
+
+
+def test_orc_roundtrip(spark, tables, tmp_path):
+    """ORC is a first-class format on both the write and read ext
+    dispatch (Spark's built-in orc source)."""
+    from tidierdb_jl_spark import db_table
+    from tidierdb_jl_spark.sources.writers import write_file
+
+    path = str(tmp_path / "nation.orc")
+    write_file(tables["nation"], path)
+    back = db_table(spark, path).collect()
+    exp = tables["nation"].collect()
+    assert sorted(back["n_nationkey"]) == sorted(exp["n_nationkey"])
+    assert set(back.columns) == set(exp.columns)
