@@ -573,3 +573,27 @@ def test_diagnose_skew_empty_frame(spark):
     rep = diagnose_skew(TidyFrame(df), "k")
     assert rep.empty
     assert list(rep.columns) == ["k", "count", "share", "suggested_salt"]
+
+
+def test_new_ann_and_incremental_plans_are_scale_healthy(tables):
+    """Plan guards for the r5 ops: PQ search and incremental embedding
+    dedup must never plan a cartesian/nested-loop join — candidate
+    generation stays equi-join/broadcast shaped, top-k gets the
+    map-side WindowGroupLimit."""
+    from tidierdb_jl_spark import plan_summary
+    from tidierdb_jl_spark.llm.dedup import embedding_dedup_incremental
+    from tidierdb_jl_spark.llm.simsearch import pq_cosine_topk
+
+    emb = tables["embeddings"]
+    pq = pq_cosine_topk(emb, emb.filter("vec_id < 5"), k=10)
+    ps = plan_summary(pq)
+    assert ps["nested_loop_joins"] == 0
+    assert ps["window_group_limits"] > 0  # map-side top-k before shuffle
+    assert "CartesianProduct" not in pq.df._jdf.queryExecution().executedPlan().toString()
+
+    inc = embedding_dedup_incremental(
+        emb.filter("vec_id >= 300"), emb.filter("vec_id < 300"), threshold=0.4
+    )
+    pi = plan_summary(inc)
+    assert pi["nested_loop_joins"] == 0
+    assert "CartesianProduct" not in inc.df._jdf.queryExecution().executedPlan().toString()
