@@ -51,6 +51,30 @@ def db_table(
 ) -> TidyFrame:
     """Create a lazy TidyFrame from a table name, path, glob, list of paths,
     or a pandas DataFrame (``/root/reference/src/TidierDB.jl:155-307``)."""
+    if isinstance(source, str) and source.startswith("jdbc:"):
+        # external DB backends (the reference's Postgres/MySQL/SQLite/...
+        # connections, /root/reference/src/TidierDB.jl:28-41) map to
+        # Spark's jdbc source: filters and column pruning push down to the
+        # remote DB, partitioned reads via partitionColumn/numPartitions
+        table = options.pop("table", None) or options.pop("dbtable", None)
+        query = options.pop("query", None)
+        if bool(table) == bool(query):
+            raise ValueError("jdbc source needs exactly one of table= or query=")
+        reader = spark.read.format("jdbc").option("url", source)
+        reader = reader.option("dbtable", table) if table else reader.option("query", query)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        try:
+            out = TidyFrame(reader.load())
+        except Exception as e:  # driver jar for this URL not on classpath
+            raise RuntimeError(
+                f"JDBC read from {source.split(':', 2)[1]!r} failed — add the "
+                "driver jar to spark.jars (Spark bundles only Derby); "
+                f"underlying error: {type(e).__name__}"
+            ) from e
+        if alias:
+            out.df.createOrReplaceTempView(alias)
+        return out
     if iceberg or delta:
         fmt_name = "iceberg" if iceberg else "delta"
         try:
