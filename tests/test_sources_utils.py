@@ -255,3 +255,18 @@ def test_db_table_jdbc_roundtrip_and_gating(spark, tmp_path):
         db_table(spark, "jdbc:derby:nowhere")
     with pytest.raises(RuntimeError, match="driver jar"):
         db_table(spark, "jdbc:postgresql://localhost/none", table="t")
+
+
+def test_copy_to_jdbc_write(spark, tables, tmp_path):
+    """copy_to with jdbc_url materializes INTO the external DB (the
+    reference writes into its connected backend); read back via the
+    jdbc source to close the loop."""
+    from tidierdb_jl_spark import copy_to, db_table
+
+    url = f"jdbc:derby:{tmp_path}/wdb;create=true"
+    copy_to(spark, tables["region"], "regions_out", jdbc_url=url)
+    back = db_table(spark, f"jdbc:derby:{tmp_path}/wdb", table="regions_out").collect()
+    exp = tables["region"].collect()
+    assert len(back) == len(exp)
+    assert sorted(back["R_REGIONKEY" if "R_REGIONKEY" in back.columns else "r_regionkey"]) \
+        == sorted(exp["r_regionkey"])

@@ -120,11 +120,37 @@ def _reader_opts(fmt: str, options: dict, path: str = "") -> dict:
     return opts
 
 
-def copy_to(spark: SparkSession, source, name: str, overwrite: bool = True) -> None:
+def copy_to(
+    spark: SparkSession,
+    source,
+    name: str,
+    overwrite: bool = True,
+    jdbc_url: str | None = None,
+    **jdbc_options,
+) -> None:
     """Materialize a DataFrame/path into a named table
-    (``/root/reference/src/TidierDB.jl:316-371``)."""
+    (``/root/reference/src/TidierDB.jl:316-371``).  With ``jdbc_url`` the
+    table is written INTO the external database (the reference writes into
+    whatever backend the connection points at); otherwise into the Spark
+    catalog."""
     tf = source if isinstance(source, TidyFrame) else db_table(spark, source)
-    tf.df.write.saveAsTable(name, mode="overwrite" if overwrite else "errorifexists")
+    mode = "overwrite" if overwrite else "errorifexists"
+    if jdbc_url:
+        writer = tf.df.write.format("jdbc").option("url", jdbc_url).option(
+            "dbtable", name
+        )
+        for k, v in jdbc_options.items():
+            writer = writer.option(k, str(v))
+        try:
+            writer.mode(mode).save()
+        except Exception as e:
+            raise RuntimeError(
+                f"JDBC write to {jdbc_url.split(':', 2)[1]!r} failed — add the "
+                "driver jar to spark.jars (Spark bundles only Derby); "
+                f"underlying error: {type(e).__name__}"
+            ) from e
+        return
+    tf.df.write.saveAsTable(name, mode=mode)
 
 
 def show_tables(spark: SparkSession):
