@@ -127,3 +127,71 @@ def test_random_string_literal_detect_matches_duckdb(tables, ddb, data):
         f"SELECT c_custkey, c_name LIKE '%{sql_lit}%' AS hit FROM customer",
         f"detect[{pat!r}]",
     )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_case_when_matches_duckdb(tables, ddb, data):
+    """Randomized conditional buckets: case_when with 2 random numeric
+    cut points + if_else on a random predicate must agree with DuckDB's
+    CASE WHEN on every row."""
+    col = data.draw(st.sampled_from(NUM_COLS))
+    c1 = data.draw(st.integers(min_value=1, max_value=25))
+    c2 = c1 + data.draw(st.integers(min_value=1, max_value=25))
+    pcol = data.draw(st.sampled_from(INT_COLS))
+    pv = data.draw(st.integers(min_value=0, max_value=100))
+
+    q = (
+        tables["lineitem"]
+        .mutate(
+            bucket=f"case_when({col} < {c1}, 'lo', {col} < {c2}, 'mid', 'hi')",
+            flag=f"if_else({pcol} % 7 > {pv % 7}, 1, 0)",
+        )
+        .select("l_orderkey", "l_linenumber", "l_partkey", "bucket", "flag")
+    )
+    sql = f"""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CASE WHEN {col} < {c1} THEN 'lo'
+                    WHEN {col} < {c2} THEN 'mid' ELSE 'hi' END AS bucket,
+               CASE WHEN {pcol} % 7 > {pv % 7} THEN 1 ELSE 0 END AS flag
+        FROM lineitem
+    """
+    assert_matches_duckdb(q, ddb, sql, f"case_when[{col} {c1}/{c2}; {pcol}%7>{pv%7}]")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_date_arithmetic_matches_duckdb(tables, ddb, data):
+    """Random date truncation grain + interval offset over l_shipdate
+    must agree with DuckDB (both engines speak ANSI date_trunc /
+    INTERVAL)."""
+    grain = data.draw(st.sampled_from(["year", "quarter", "month", "week"]))
+    n = data.draw(st.integers(min_value=1, max_value=24))
+    unit = data.draw(st.sampled_from(["DAY", "MONTH"]))
+
+    # compare as ISO strings: pandas renders DuckDB DATEs as midnight
+    # timestamps, so a raw DATE column false-mismatches on type
+    q = (
+        tables["lineitem"]
+        .mutate(
+            g=f"CAST(CAST(date_trunc('{grain}', l_shipdate) AS DATE) AS STRING)",
+            shifted=f"CAST(CAST(l_shipdate + INTERVAL {n} {unit} AS DATE) AS STRING)",
+        )
+        .group_by("g")
+        .summarize(n_rows="n()", max_shift="max(shifted)")
+    )
+    sql = f"""
+        SELECT CAST(CAST(date_trunc('{grain}', l_shipdate) AS DATE) AS VARCHAR) AS g,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               max(CAST(CAST(l_shipdate + INTERVAL {n} {unit} AS DATE) AS VARCHAR)) AS max_shift
+        FROM lineitem GROUP BY 1
+    """
+    assert_matches_duckdb(q, ddb, sql, f"date[{grain} +{n} {unit}]")
