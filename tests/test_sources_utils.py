@@ -270,3 +270,30 @@ def test_copy_to_jdbc_write(spark, tables, tmp_path):
     assert len(back) == len(exp)
     assert sorted(back["R_REGIONKEY" if "R_REGIONKEY" in back.columns else "r_regionkey"]) \
         == sorted(exp["r_regionkey"])
+
+
+def test_lint_plan_flags_scale_hazards(spark, tables):
+    """lint_plan: clean equi-join plans lint empty; a theta join trips
+    nested_loop; a row-at-a-time Python UDF trips python_row_udf."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidierdb_jl_spark import TidyFrame, lint_plan
+
+    clean = (
+        tables["orders"]
+        .inner_join(tables["customer"], by="o_custkey == c_custkey")
+        .group_by("c_mktsegment")
+        .summarize(n="n()")
+    )
+    assert [f for f in lint_plan(clean) if f["severity"] == "error"] == []
+    assert all(f["rule"] != "nested_loop" for f in lint_plan(clean))
+
+    theta = tables["orders"].inner_join(
+        tables["customer"], by="o_custkey > c_custkey"
+    )
+    assert any(f["rule"] == "nested_loop" for f in lint_plan(theta))
+
+    slow = F.udf(lambda x: x + 1, T.LongType())
+    row_udf = TidyFrame(tables["orders"].df.select(slow("o_orderkey").alias("x")))
+    assert any(f["rule"] == "python_row_udf" for f in lint_plan(row_udf))

@@ -15,7 +15,7 @@ from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register
 from .session import connect, get_spark, register_testdata
 from .sources.readers import copy_to, db_table, dt, show_tables
 from .sources.writers import create_table, drop_view, write_file
-from .plans.show import plan_summary, show_query
+from .plans.show import lint_plan, plan_summary, show_query
 
 __all__ = [
     "TidyFrame",
@@ -35,6 +35,7 @@ __all__ = [
     "write_file",
     "plan_summary",
     "show_query",
+    "lint_plan",
     "release_caches",
 ]
 

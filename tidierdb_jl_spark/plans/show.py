@@ -10,7 +10,7 @@ from __future__ import annotations
 import contextlib
 import io
 
-__all__ = ["show_query", "plan_summary"]
+__all__ = ["show_query", "plan_summary", "lint_plan"]
 
 
 def show_query(tf, mode: str = "formatted") -> str:
@@ -42,3 +42,67 @@ def plan_summary(tf) -> dict:
         "window_group_limits": text.count("WindowGroupLimit"),
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
     }
+
+
+def lint_plan(tf) -> list[dict]:
+    """Scale-health linter: scan the physical plan for the patterns that
+    break at 100× the data and return findings as
+    ``[{rule, severity, detail}, ...]`` (empty = clean).  The
+    machine-checkable half of the "would this plan survive a scale-up"
+    review — run it in CI against your pipeline's plans the same way
+    ``tests/test_scale_ops.py`` guards this repo's contract queries.
+
+    Rules:
+    - ``cartesian``: CartesianProduct — O(|L|·|R|), almost never intended.
+    - ``nested_loop``: BroadcastNestedLoopJoin — a non-equi join; fine for
+      a bounded 1-row/scalar attach, quadratic against a real table
+      (consider ``range_join`` or adding an equality key).
+    - ``python_row_udf``: BatchEvalPython — row-at-a-time Python in the
+      plan; switch to a pandas UDF (ArrowEvalPython) or a builtin.
+    - ``no_pushdown``: a parquet scan whose PushedFilters is empty while
+      the plan contains a Filter — the predicate didn't reach the scan
+      (often a UDF or a cast around the filter column).
+    - ``single_partition_exchange``: Exchange SinglePartition outside a
+      final top-N/aggregate — serializes the whole dataset through one
+      task.
+    """
+    text = show_query(tf, "formatted")
+    findings: list[dict] = []
+
+    def add(rule, severity, detail):
+        findings.append({"rule": rule, "severity": severity, "detail": detail})
+
+    n = text.count("CartesianProduct")
+    if n:
+        add("cartesian", "error", f"{n} CartesianProduct node(s)")
+    n = text.count("BroadcastNestedLoopJoin")
+    if n:
+        add(
+            "nested_loop", "warn",
+            f"{n} BroadcastNestedLoopJoin node(s) — bounded scalar attach is "
+            "fine; a real table on both sides is quadratic",
+        )
+    n = text.count("BatchEvalPython")
+    if n:
+        add(
+            "python_row_udf", "warn",
+            f"{n} row-at-a-time Python eval node(s); use pandas_udf "
+            "(ArrowEvalPython) or builtins",
+        )
+    if (
+        "PushedFilters: []" in text
+        and ("Filter (" in text or "Filter [" in text)
+    ):
+        add(
+            "no_pushdown", "info",
+            "a scan has empty PushedFilters while the plan filters — check "
+            "for casts/UDFs around the filter column",
+        )
+    n = text.count("Exchange SinglePartition")
+    if n > 1:
+        add(
+            "single_partition_exchange", "info",
+            f"{n} single-partition exchanges — fine for final top-N/scalar "
+            "aggregates, a serialization point otherwise",
+        )
+    return findings
