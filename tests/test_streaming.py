@@ -167,10 +167,12 @@ def test_transform_with_state_gated_or_runs(spark, stream_dir):
 
     st = read_stream(spark, stream_dir)
     if not _tws_available():
+        # explicit tws engine must fail fast with a clear message
         with pytest.raises(RuntimeError, match="protobuf"):
-            stateful_topk(st, "user_id", "value", k=3)
-        return
+            stateful_topk(st, "user_id", "value", k=3, engine="tws")
 
+    # auto engine always works: tws when protobuf exists, else classic
+    # applyInPandasWithState running the identical fold
     res = stateful_topk(st, "user_id", "value", k=3)
     out = run_to_memory(res, "tws_topk", mode="update").toPandas()
     batch = (

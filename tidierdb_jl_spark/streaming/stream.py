@@ -346,11 +346,57 @@ def _make_topk_processor(key_names: list, value_col: str, k: int):
     return _TopK()
 
 
-def stateful_topk(tf: TidyFrame, keys, value_col: str, k: int = 3) -> TidyFrame:
+def _stateful_topk_classic(
+    tf: TidyFrame, keys: list, value_col: str, k: int
+) -> TidyFrame:
+    """``applyInPandasWithState`` engine for the running top-k: same
+    per-batch fold (``_topk_fold``), state is one ``array<double>`` of at
+    most k values per key.  Works on any Spark 3.4+/4.x without the
+    transformWithState protobuf protocol."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    key_fields = [tf.df.schema[kn] for kn in keys]
+    out_schema = T.StructType(
+        key_fields + [T.StructField("topk", T.ArrayType(T.DoubleType()))]
+    )
+    state_schema = T.StructType(
+        [T.StructField("topk", T.ArrayType(T.DoubleType()))]
+    )
+
+    def fold(key, pdfs, state):
+        cur = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            cur = _topk_fold(cur, pdf[value_col].dropna(), k)
+        state.update((cur,))
+        row = dict(zip(keys, key))
+        row["topk"] = cur
+        yield pd.DataFrame([row])
+
+    out = tf.df.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return TidyFrame(out)
+
+
+def stateful_topk(
+    tf: TidyFrame, keys, value_col: str, k: int = 3, engine: str = "auto"
+) -> TidyFrame:
     """Per-key running top-k values across micro-batches — not expressible
     with built-in streaming aggregations (no streaming window-rank).
-    Emits one row per key per batch with the top-k *after* that batch."""
+    Emits one row per key per batch with the top-k *after* that batch.
+
+    ``engine``: "tws" = transformWithStateInPandas (Spark 4.x named-state
+    API + RocksDB store — the scale path, needs protobuf), "classic" =
+    ``applyInPandasWithState`` (no extra deps), "auto" = tws when its
+    protobuf protocol is importable, else classic.  Both engines run the
+    identical ``_topk_fold``, so results match bit-for-bit."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if engine == "auto":
+        engine = "tws" if _tws_available() else "classic"
+    if engine == "classic":
+        return _stateful_topk_classic(tf, keys, value_col, k)
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in tf.df.schema
