@@ -1602,6 +1602,28 @@ def _e58(t):
     return stream_join(sig, pur, "user_id", "ts", "p_ts", "30 minutes")
 
 
+def _d93(t):
+    """Bloom-filter anti-join (blocklist/seen-set primitive): drop every
+    document whose key is in the seen set, EXACTLY — bloom-negative rows
+    pass through a scan-side Filter (zero shuffle, zero join), only the
+    bloom-positive slice is anti-verified with a real join.  No false
+    negatives makes the result exact, so a plain SQL anti-join is the
+    oracle.  The filter itself is a portable hex artifact that OR-merges
+    across ingest batches (`bloom_merge`)."""
+    from tidierdb_jl_spark.operators.bloom import bloom_anti_join
+
+    seen = t["documents"].filter("doc_id % 7 = 0").select("doc_id")
+    n = seen.df.count()  # bounded driver action: sizes the filter
+    return bloom_anti_join(
+        t["documents"].select("doc_id", "lang", "source"),
+        seen,
+        "cast(doc_id as string)",
+        keys_key="cast(doc_id as string)",
+        expected_items=max(n, 16),
+        fpp=0.01,
+    )
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -1625,6 +1647,7 @@ _BUILDERS.update(
         "s40_ivf_topk": _s40,
         "s41_pq_topk": _s41,
         "d92_embedding_dedup_incremental": _d92,
+        "d93_bloom_anti_join": _d93,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -2964,6 +2987,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fingerprint FROM batch
         WHERE fingerprint NOT IN
               (SELECT fingerprint FROM fp WHERE doc_id < 250)
+    """
+    out["d93_bloom_anti_join"] = """
+        SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
     """
     out["e54_rollup_merge_hll"] = """
         SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,

@@ -1,0 +1,251 @@
+"""Explicit, portable bloom filters for membership-style joins at corpus
+scale.
+
+The use case (LLM ingest pipelines): drop every document whose key (URL,
+doc hash, benchmark id) appears in a *large* "seen" set — 10⁸-10⁹ keys —
+without shuffling the 100 TB corpus.  A broadcast-hash semi-join ships the
+raw keys to every executor (30+ GB for 10⁹ urls); a shuffled semi-join
+shuffles the corpus.  A bloom filter broadcast is ~1.2 GB at 1% FPR for
+10⁹ keys, and because a bloom filter has **no false negatives** the exact
+result is recoverable by re-verifying only the tiny bloom-positive slice
+with a real join:
+
+    ``bloom_anti_join(corpus, seen)``  =  negatives pass through (a pure
+    scan-side Filter, zero shuffle)  ∪  positives anti-verified against
+    ``seen`` (a join whose probe input is ~FPR × |corpus| + |true hits|).
+
+Spark injects its own *runtime* bloom filters into shuffled joins
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``), but that is
+per-query, optimizer-thresholded, and not reusable.  This module makes
+the filter a first-class user artifact:
+
+- built distributedly (per-partition word bitmaps OR-merged by a narrow
+  64-bit-word aggregation; driver memory bounded by ``num_bits/8``);
+- stored as a plain hex string → persists to disk, ships across sessions,
+  and OR-merges (``bloom_merge``) for incremental ingest: keep yesterday's
+  filter, build today's batch filter, merge, probe tomorrow;
+- probed with pure JVM expressions (``xxhash64`` + ``conv``/``substring``
+  bit tests on one string literal) — whole-stage codegen, no Python, no
+  shuffle, no join for the negative path.
+
+The reference has no bloom surface; this is a beyond-reference scale op
+(SURVEY "LLM-pipeline" family).  Design follows the classic Bloom (1970)
+construction with k independent hashes via ``xxhash64(col, i)``.
+
+Bitmap layout (fixed contract between build/probe/merge): bit position
+``p`` lives in hex character ``p // 4`` of the artifact (most-significant
+nibble first is NOT used — character n encodes bits 4n..4n+3, where bit
+offset ``o = p % 4`` is tested as ``(nibble >> o) & 1``).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_size",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_mark",
+    "bloom_semi_join",
+    "bloom_anti_join",
+]
+
+# 16 MiB of hex chars = 2^26 bits ≈ 6.7e6 keys at 1% FPR.  Above this the
+# plan literal (and its broadcast) gets heavy; callers can override but
+# should know what they are doing.
+_MAX_BITS_DEFAULT = 1 << 26
+
+
+def bloom_size(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: optimal ``(num_bits, num_hashes)`` for an expected
+    item count at a target false-positive probability.
+    m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    if expected_items <= 0:
+        raise ValueError("expected_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _positions(col, num_bits: int, num_hashes: int):
+    """k bit positions for a key: ``pmod(xxhash64(col, i), m)``.
+    ``xxhash64`` with the extra literal arg is a fresh independent hash
+    per i (the literal participates in the hashed tuple)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df,
+    key,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Build a bloom filter over ``key`` (a column name or SQL expression)
+    and return a portable artifact ``{"bits": hexstr, "m": int, "k": int}``.
+
+    Size it either explicitly (``num_bits`` + ``num_hashes``) or via
+    ``expected_items`` + ``fpp`` (→ ``bloom_size``).  NULL keys are
+    skipped (probe treats NULL as a non-member, matching SQL join-key
+    semantics where NULL never equals anything).
+
+    Scale shape: one narrow shuffle of (word_index, mask) pairs — k rows
+    per input row pre-combine, map-side ``bit_or`` partial aggregation
+    collapses them — then a driver collect bounded by ``num_bits / 64``
+    rows (8 bytes of payload each): the driver holds the *bitmap*, never
+    the keys.  For the default cap (2^26 bits) that is ≤ 1M rows / 16 MiB
+    of hex — the same order as broadcasting the artifact itself.
+    """
+    if num_bits is None or num_hashes is None:
+        if expected_items is None:
+            raise ValueError(
+                "size the filter: pass num_bits+num_hashes or expected_items"
+            )
+        m, k = bloom_size(expected_items, fpp)
+        num_bits = num_bits or m
+        num_hashes = num_hashes or k
+    num_bits = (num_bits + 63) // 64 * 64
+    if num_bits > _MAX_BITS_DEFAULT:
+        warnings.warn(
+            f"bloom filter of {num_bits} bits -> {num_bits // 4 / 1e6:.0f} MB "
+            "hex literal in every probing plan; consider sharding the seen-set "
+            "or raising fpp",
+            stacklevel=2,
+        )
+    sdf = df.df if hasattr(df, "df") else df
+    kc = F.expr(key) if isinstance(key, str) else key
+    pos = F.explode(F.array(*_positions(kc, num_bits, num_hashes))).alias("p")
+    words = (
+        sdf.where(kc.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # call_function: the SQL shiftleft takes column shift amounts
+            # (the Python wrapper's numBits is int-only)
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    nibbles = bytearray(b"0" * (num_bits // 4))
+    for row in words:
+        w, val = int(row.w), int(row.bits)
+        base = w * 16
+        for j in range(16):
+            nib = (val >> (4 * j)) & 0xF
+            if nib:
+                nibbles[base + j] = ord("0123456789abcdef"[nib])
+    return {"bits": nibbles.decode("ascii"), "m": num_bits, "k": num_hashes}
+
+
+def bloom_merge(*filters: dict) -> dict:
+    """OR-merge filters built with identical (m, k) — the incremental
+    ingest primitive: union of key sets == OR of bitmaps, exactly."""
+    if not filters:
+        raise ValueError("nothing to merge")
+    m, k = filters[0]["m"], filters[0]["k"]
+    for f in filters[1:]:
+        if f["m"] != m or f["k"] != k:
+            raise ValueError("bloom_merge requires identical (m, k) sizing")
+    n_nibbles = m // 4
+    acc = bytearray(n_nibbles)
+    for i in range(n_nibbles):
+        v = 0
+        for f in filters:
+            v |= int(f["bits"][i], 16)
+        acc[i] = ord("0123456789abcdef"[v])
+    return {"bits": acc.decode("ascii"), "m": m, "k": k}
+
+
+def _probe_expr(bits_col, key_col, num_bits: int, num_hashes: int):
+    """Pure-JVM membership test: for each of the k positions, pick the hex
+    nibble (`substring`), decode it (`conv`), test the bit.  AND of k
+    single-character lookups — O(k) per row inside whole-stage codegen,
+    independent of filter size (substring on a string literal is O(1))."""
+    cond = key_col.isNotNull()
+    for p in _positions(key_col, num_bits, num_hashes):
+        nib = F.conv(F.call_function("substring", bits_col, (p / 4).cast("int") + 1, F.lit(1)), 16, 10)
+        bit = F.call_function(
+            "shiftright", nib.cast("int"), (p % 4).cast("int")
+        ).bitwiseAND(1)
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_mark(tf, key, bloom: dict, into: str = "bloom_hit"):
+    """Append a boolean column: might the key be in the filter?  False is
+    definitive (no false negatives); True is probabilistic at the filter's
+    FPR.  Zero shuffle — a scan-side projection."""
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    kc = F.expr(key) if isinstance(key, str) else key
+    out = sdf.withColumn(
+        into, _probe_expr(F.lit(bloom["bits"]), kc, bloom["m"], bloom["k"])
+    )
+    groups = getattr(tf, "groups", None)
+    return TidyFrame(out, groups=groups)
+
+
+def _exact_pair(tf, keys_tf, key, keys_key, bloom):
+    from ..core import TidyFrame
+
+    big = tf.df if hasattr(tf, "df") else tf
+    keys_df = keys_tf.df if hasattr(keys_tf, "df") else keys_tf
+    kk = keys_key or key
+    marked = bloom_mark(TidyFrame(big), key, bloom, into="__bloom_hit").df
+    pos = marked.where(F.col("__bloom_hit")).drop("__bloom_hit")
+    neg = marked.where(~F.col("__bloom_hit")).drop("__bloom_hit")
+    seen = keys_df.selectExpr(f"{kk} AS __bloom_key").where(
+        F.col("__bloom_key").isNotNull()
+    ).distinct()
+    key_expr = F.expr(key) if isinstance(key, str) else key
+    return pos, neg, seen, key_expr
+
+
+def bloom_semi_join(tf, keys_tf, key, keys_key: str | None = None, bloom: dict | None = None, **size_kw):
+    """EXACT semi-join (keep rows whose ``key`` appears in ``keys_tf``)
+    with bloom pre-filtering: only the bloom-positive slice — true matches
+    plus ~FPR of the corpus — enters the verifying join; everything else
+    is eliminated by a scan-side Filter.  Pass a prebuilt ``bloom`` (the
+    incremental path) or sizing kwargs for ``bloom_build`` on
+    ``keys_tf``."""
+    from ..core import TidyFrame
+
+    if bloom is None:
+        bloom = bloom_build(keys_tf, keys_key or key, **size_kw)
+    pos, _neg, seen, key_expr = _exact_pair(tf, keys_tf, key, keys_key, bloom)
+    out = pos.join(seen, key_expr == F.col("__bloom_key"), "left_semi")
+    return TidyFrame(out, groups=getattr(tf, "groups", None))
+
+
+def bloom_anti_join(tf, keys_tf, key, keys_key: str | None = None, bloom: dict | None = None, **size_kw):
+    """EXACT anti-join (drop rows whose ``key`` appears in ``keys_tf``) —
+    the blocklist/seen-set primitive.  Bloom-negative rows (the vast
+    majority when the hit rate is low) pass through WITHOUT touching the
+    join; only bloom-positives are anti-verified.  NULL keys are kept,
+    matching left-anti semantics."""
+    from ..core import TidyFrame
+
+    if bloom is None:
+        bloom = bloom_build(keys_tf, keys_key or key, **size_kw)
+    pos, neg, seen, key_expr = _exact_pair(tf, keys_tf, key, keys_key, bloom)
+    # NULL keys probe to a definitive False (isNotNull() AND ... is plain
+    # false, never NULL, in 3VL), so `neg` already carries them — matching
+    # left-anti semantics (NULL never equals anything, row is kept).
+    verified = pos.join(seen, key_expr == F.col("__bloom_key"), "left_anti")
+    out = neg.unionByName(verified)
+    return TidyFrame(out, groups=getattr(tf, "groups", None))
