@@ -1624,6 +1624,30 @@ def _d93(t):
     )
 
 
+def _t99(t):
+    """URL canonicalization for web-corpus dedup: parts extraction +
+    normalization (case-fold scheme/host, strip www/default-port/fragment/
+    tracking params, sort query params).  Messy URLs are built
+    deterministically from the documents table so the canonical form is
+    independently constructible by the oracle.  Pure JVM regexp/array
+    expressions — scan-fused, zero shuffle."""
+    from tidierdb_jl_spark.llm.urls import normalize_url, with_url_parts
+
+    messy = """
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('HTTPS://WWW.', source, '.Example.CO.UK:443/Docs/',
+                             doc_id, '/?utm_source=x&b=', doc_id % 3, '&a=1#frag')
+          WHEN 1 THEN concat('http://', source, '.example.com:80/')
+          WHEN 2 THEN concat('https://', source, '.example.com')
+          ELSE concat('http://a.b.', source, '.example.org/x/?fbclid=', doc_id)
+        END
+    """
+    built = t["documents"].select("doc_id", "source").mutate(u=messy)
+    return normalize_url(with_url_parts(built, "u"), "u", into="url_norm").select(
+        "doc_id", "url_scheme", "url_host", "url_domain", "url_norm"
+    )
+
+
 def _m40(t):
     from tidierdb_jl_spark.llm.multimodal import attach_media_metadata, decode_image
 
@@ -1648,6 +1672,7 @@ _BUILDERS.update(
         "s41_pq_topk": _s41,
         "d92_embedding_dedup_incremental": _d92,
         "d93_bloom_anti_join": _d93,
+        "t99_url_normalize": _t99,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -2990,6 +3015,31 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["t99_url_normalize"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'https' WHEN 2 THEN 'https'
+                    ELSE 'http' END AS url_scheme,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN concat('www.', lower(source), '.example.co.uk')
+                 WHEN 1 THEN concat(lower(source), '.example.com')
+                 WHEN 2 THEN concat(lower(source), '.example.com')
+                 ELSE concat('a.b.', lower(source), '.example.org')
+               END AS url_host,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'example.co.uk'
+                 WHEN 1 THEN 'example.com'
+                 WHEN 2 THEN 'example.com'
+                 ELSE 'example.org'
+               END AS url_domain,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN concat('https://', lower(source), '.example.co.uk/Docs/',
+                                    doc_id, '?a=1&b=', doc_id % 3)
+                 WHEN 1 THEN concat('http://', lower(source), '.example.com')
+                 WHEN 2 THEN concat('https://', lower(source), '.example.com')
+                 ELSE concat('http://a.b.', lower(source), '.example.org/x')
+               END AS url_norm
+        FROM documents
     """
     out["e54_rollup_merge_hll"] = """
         SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
