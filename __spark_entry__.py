@@ -1624,6 +1624,15 @@ def _d93(t):
     )
 
 
+def _t98v(t):
+    """Corpus vocabulary: top-50 tokens by term frequency with document
+    frequency — canonical word-count shape (map-side combine before the
+    one token shuffle, TakeOrdered top-k, never a global sort)."""
+    from tidierdb_jl_spark.llm.vocab import top_tokens
+
+    return top_tokens(t["documents"], k=50)
+
+
 def _t99(t):
     """URL canonicalization for web-corpus dedup: parts extraction +
     normalization (case-fold scheme/host, strip www/default-port/fragment/
@@ -1673,6 +1682,7 @@ _BUILDERS.update(
         "d92_embedding_dedup_incremental": _d92,
         "d93_bloom_anti_join": _d93,
         "t99_url_normalize": _t99,
+        "t98_vocab_topk": _t98v,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -3015,6 +3025,18 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["t98_vocab_topk"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+        tfreq AS (SELECT token, count(*) AS term_freq FROM toks GROUP BY token),
+        dfreq AS (SELECT token, count(*) AS doc_freq
+                  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token)
+        SELECT t.token, t.term_freq, d.doc_freq
+        FROM tfreq t JOIN dfreq d USING (token)
+        ORDER BY term_freq DESC, token LIMIT 50
     """
     out["t99_url_normalize"] = """
         SELECT doc_id,

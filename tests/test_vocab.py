@@ -1,0 +1,98 @@
+"""Corpus vocabulary ops: frequency table and top-k vs DuckDB, coverage
+accounting identity, BPE-ish tokenizer consistency with the per-doc
+counter, and the TakeOrdered plan shape for top-k."""
+
+import pytest
+
+from tidierdb_jl_spark.llm.vocab import token_frequencies, top_tokens, vocab_coverage
+
+from helpers import assert_matches_duckdb
+
+_DUCK_TOKS = r"""
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+"""
+
+
+def test_token_frequencies_vs_duckdb(tables, ddb):
+    freq = token_frequencies(tables["documents"])
+    assert_matches_duckdb(
+        freq,
+        ddb,
+        f"""
+        WITH toks AS ({_DUCK_TOKS}),
+        tfreq AS (SELECT token, count(*) AS term_freq FROM toks GROUP BY token),
+        dfreq AS (SELECT token, count(*) AS doc_freq
+                  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token)
+        SELECT t.token, t.term_freq, d.doc_freq
+        FROM tfreq t JOIN dfreq d USING (token)
+        """,
+        "token_frequencies",
+    )
+
+
+def test_top_tokens_vs_duckdb(tables, ddb):
+    top = top_tokens(tables["documents"], k=50)
+    assert_matches_duckdb(
+        top,
+        ddb,
+        f"""
+        WITH toks AS ({_DUCK_TOKS}),
+        tfreq AS (SELECT token, count(*) AS term_freq FROM toks GROUP BY token),
+        dfreq AS (SELECT token, count(*) AS doc_freq
+                  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token)
+        SELECT t.token, t.term_freq, d.doc_freq
+        FROM tfreq t JOIN dfreq d USING (token)
+        ORDER BY term_freq DESC, token LIMIT 50
+        """,
+        "top_tokens",
+    )
+
+
+def test_min_count_filter(tables):
+    all_freq = token_frequencies(tables["documents"])
+    floor = token_frequencies(tables["documents"], min_count=5)
+    assert floor.df.count() == all_freq.df.filter("term_freq >= 5").count()
+    assert floor.df.filter("term_freq < 5").count() == 0
+
+
+def test_vocab_coverage_accounting(tables):
+    """Coverage of the FULL vocabulary must be exactly 1.0 with 0 OOV
+    types, and in/out token counts must partition the total."""
+    full = token_frequencies(tables["documents"])
+    cov = vocab_coverage(tables["documents"], full).collect().iloc[0]
+    assert cov["coverage"] == 1.0 and cov["oov_types"] == 0
+    assert cov["in_vocab_tokens"] == cov["total_tokens"]
+
+    top10 = top_tokens(tables["documents"], k=10)
+    part = vocab_coverage(tables["documents"], top10).collect().iloc[0]
+    assert 0.0 < part["coverage"] < 1.0
+    assert part["total_tokens"] == cov["total_tokens"]
+
+
+def test_bpeish_tokenizer_agrees_with_per_doc_counter(tables):
+    """Corpus-wide BPE-ish token total == sum of the per-doc counter
+    (t43's op) — the two surfaces must agree on what a token is."""
+    from tidierdb_jl_spark.llm.textstats import with_bpe_token_count
+
+    per_doc = (
+        with_bpe_token_count(tables["documents"])
+        .df.agg({"n_tokens_bpe": "sum"})
+        .collect()[0][0]
+    )
+    corpus = (
+        token_frequencies(tables["documents"], tokenizer="bpeish")
+        .df.agg({"term_freq": "sum"})
+        .collect()[0][0]
+    )
+    assert per_doc == corpus
+
+
+def test_top_tokens_plan_uses_take_ordered(tables):
+    plan = top_tokens(tables["documents"], k=10).df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bad_tokenizer_rejected(tables):
+    with pytest.raises(ValueError, match="tokenizer"):
+        token_frequencies(tables["documents"], tokenizer="nope")

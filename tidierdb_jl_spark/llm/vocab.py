@@ -1,0 +1,115 @@
+"""Corpus-level vocabulary statistics: token frequency tables, top-k
+vocabularies, and vocabulary-coverage scoring.
+
+The per-document token ops live in ``textstats``; this module is the
+corpus-wide aggregation used to train/evaluate tokenizers and to build
+frequency-filtered vocabularies for quality scoring.  Scale shape is the
+canonical Spark word-count: explode multiplies rows by tokens-per-doc,
+but partial (map-side) aggregation collapses each partition's counts
+BEFORE the single hash shuffle on ``token``, so skewed tokens ("the",
+"of") arrive pre-combined — one long per (partition, hot-token), not one
+row per occurrence.  Top-k uses a global TakeOrdered (no full sort).
+
+Tokenization reuses ``textstats.tokenize_expr`` (whitespace) or the
+GPT-2-ish ``BPE_ISH_PATTERN`` pre-tokenizer so per-doc counts and corpus
+vocab agree on what a token is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .textstats import BPE_ISH_PATTERN, tokenize_expr
+
+__all__ = ["token_frequencies", "top_tokens", "vocab_coverage"]
+
+
+def _token_array(col: str, tokenizer: str):
+    if tokenizer == "whitespace":
+        return F.expr(tokenize_expr(col))
+    if tokenizer == "bpeish":
+        pat = BPE_ISH_PATTERN.replace("'", "''")
+        return F.expr(
+            f"CASE WHEN {col} IS NULL THEN array() "
+            f"ELSE regexp_extract_all({col}, '{pat}', 0) END"
+        )
+    raise ValueError(f"unknown tokenizer {tokenizer!r}: use whitespace|bpeish")
+
+
+def token_frequencies(
+    tf,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    min_count: int = 1,
+):
+    """Corpus frequency table: one row per distinct token with
+    ``term_freq`` (total occurrences) and ``doc_freq`` (documents
+    containing it).  Both aggregates shuffle once on ``token`` with
+    map-side combine; the join between them reuses that partitioning, so
+    the whole op is one logical shuffle of pre-combined counts."""
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    toks = _token_array(col, tokenizer)
+    tfreq = (
+        sdf.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    dfreq = (
+        sdf.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    out = tfreq.join(dfreq, "token")
+    if min_count > 1:
+        out = out.where(F.col("term_freq") >= min_count)
+    return TidyFrame(out)
+
+
+def top_tokens(
+    tf,
+    k: int = 1000,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+):
+    """Top-k vocabulary by term frequency (ties broken by token for
+    determinism).  ``orderBy().limit()`` plans a TakeOrdered — each
+    partition keeps only its local top-k, the driver merges k-sized
+    heaps; no global sort materializes."""
+    freq = token_frequencies(tf, col=col, tokenizer=tokenizer)
+    out = freq.df.orderBy(F.desc("term_freq"), F.asc("token")).limit(k)
+    from ..core import TidyFrame
+
+    return TidyFrame(out)
+
+
+def vocab_coverage(
+    tf,
+    vocab,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+):
+    """One-row coverage report of a vocabulary over the corpus:
+    ``total_tokens``, ``in_vocab_tokens``, ``coverage`` (fraction of
+    token occurrences covered), ``oov_types`` (distinct uncovered
+    tokens).  ``vocab`` is a DataFrame/TidyFrame whose FIRST column is
+    the token — broadcast, so the corpus explode never shuffles."""
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    vdf = vocab.df if hasattr(vocab, "df") else vocab
+    vtab = F.broadcast(
+        vdf.selectExpr(f"{vdf.columns[0]} AS __v_token").distinct()
+    )
+    toks = sdf.select(F.explode(_token_array(col, tokenizer)).alias("token"))
+    joined = toks.join(vtab, toks["token"] == F.col("__v_token"), "left")
+    out = joined.agg(
+        F.count("*").alias("total_tokens"),
+        F.count("__v_token").alias("in_vocab_tokens"),
+        (F.count("__v_token") / F.count("*")).alias("coverage"),
+        F.count_distinct(
+            F.when(F.col("__v_token").isNull(), F.col("token"))
+        ).alias("oov_types"),
+    )
+    return TidyFrame(out)
