@@ -1624,6 +1624,18 @@ def _d93(t):
     )
 
 
+def _q97(t):
+    """Scale-safe ordered global row index (the reference's `rowid`
+    re-expressed for a cluster): range-partition + per-partition offsets
+    + local enumeration — NEVER the single-task global-window plan
+    row_number() would give.  Oracle: DuckDB row_number() - 1."""
+    from tidierdb_jl_spark.operators.rowindex import with_row_index
+
+    return with_row_index(
+        t["lineitem"], order_by=["l_orderkey", "l_linenumber"], num_partitions=8
+    ).select("l_orderkey", "l_linenumber", "row_index")
+
+
 def _t98v(t):
     """Corpus vocabulary: top-50 tokens by term frequency with document
     frequency — canonical word-count shape (map-side combine before the
@@ -1683,6 +1695,7 @@ _BUILDERS.update(
         "d93_bloom_anti_join": _d93,
         "t99_url_normalize": _t99,
         "t98_vocab_topk": _t98v,
+        "q97_row_index": _q97,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -3025,6 +3038,12 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["q97_row_index"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                    AS BIGINT) AS row_index
+        FROM lineitem
     """
     out["t98_vocab_topk"] = r"""
         WITH toks AS (

@@ -363,7 +363,9 @@ IDENT_REWRITES = {
     # /root/reference/docs/examples/UserGuide/udfs_ex.jl:31-39).  Spark has
     # no stable row id; monotonically_increasing_id() is unique and
     # increasing per partition but NOT dense or reproducible across plans
-    # (documented divergence, SURVEY §4.3).
+    # (documented divergence, SURVEY §4.3).  For a dense, contiguous,
+    # order-defined index use operators.rowindex.with_row_index — the
+    # scale-safe two-pass construction (never a single-task global window).
     "rowid": "monotonically_increasing_id()",
 }
 
