@@ -1624,6 +1624,16 @@ def _d93(t):
     )
 
 
+def _t85t(t):
+    """Sparse TF-IDF in long format (one row per doc×token — never a
+    dense |vocab|-wide vector): explode → map-side-combined (doc,token)
+    count → token-keyed join with the doc-freq table; rounded to 6dp for
+    cross-engine ln() bit-stability."""
+    from tidierdb_jl_spark.llm.vocab import with_tfidf
+
+    return with_tfidf(t["documents"])
+
+
 def _q97(t):
     """Scale-safe ordered global row index (the reference's `rowid`
     re-expressed for a cluster): range-partition + per-partition offsets
@@ -1696,6 +1706,7 @@ _BUILDERS.update(
         "t99_url_normalize": _t99,
         "t98_vocab_topk": _t98v,
         "q97_row_index": _q97,
+        "t85_tfidf": _t85t,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -3038,6 +3049,19 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["t85_tfidf"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        per_doc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        SELECT p.doc_id, p.token, p.tf,
+               round(ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0, 6) AS idf,
+               round(p.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0), 6) AS tfidf
+        FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n
     """
     out["q97_row_index"] = """
         SELECT l_orderkey, l_linenumber,

@@ -96,3 +96,40 @@ def test_top_tokens_plan_uses_take_ordered(tables):
 def test_bad_tokenizer_rejected(tables):
     with pytest.raises(ValueError, match="tokenizer"):
         token_frequencies(tables["documents"], tokenizer="nope")
+
+
+_DUCK_TFIDF = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    per_doc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT p.doc_id, p.token, p.tf,
+           round(ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0, 6) AS idf,
+           round(p.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0), 6) AS tfidf
+    FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n
+"""
+
+
+def test_tfidf_vs_duckdb(tables, ddb):
+    from tidierdb_jl_spark.llm.vocab import with_tfidf
+
+    assert_matches_duckdb(
+        with_tfidf(tables["documents"]), ddb, _DUCK_TFIDF, "tfidf"
+    )
+
+
+def test_tfidf_l2_normalized_unit_norm(tables):
+    import pyspark.sql.functions as F
+
+    from tidierdb_jl_spark.llm.vocab import with_tfidf
+
+    l2 = with_tfidf(tables["documents"], l2_normalize=True, round_to=None).df
+    worst = (
+        l2.groupBy("doc_id")
+        .agg(F.sum(F.col("tfidf") ** 2).alias("ss"))
+        .selectExpr("max(abs(ss - 1)) AS m")
+        .collect()[0].m
+    )
+    assert worst < 1e-9

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .textstats import BPE_ISH_PATTERN, tokenize_expr
 
-__all__ = ["token_frequencies", "top_tokens", "vocab_coverage"]
+__all__ = ["token_frequencies", "top_tokens", "vocab_coverage", "with_tfidf"]
 
 
 def _token_array(col: str, tokenizer: str):
@@ -82,6 +82,67 @@ def top_tokens(
     from ..core import TidyFrame
 
     return TidyFrame(out)
+
+
+def with_tfidf(
+    tf,
+    col: str = "text",
+    doc_id: str = "doc_id",
+    tokenizer: str = "whitespace",
+    smooth: bool = True,
+    l2_normalize: bool = False,
+    round_to: int | None = 6,
+):
+    """Sparse TF-IDF in long format: one row per (doc, token) with
+    ``tf`` (in-doc count), ``idf``, ``tfidf``.  ``smooth`` uses the
+    sklearn-style ``ln((N+1)/(df+1)) + 1`` (never zero/negative);
+    otherwise plain ``ln(N/df)``.  ``l2_normalize`` scales each document's
+    weights to unit norm (ready for cosine similarity / dedup).
+
+    Scale shape: explode → per-(doc,token) count (one shuffle, map-side
+    combined) → join against the |vocab|-row doc-freq table keyed by
+    token → per-doc norm via a window keyed by doc (co-partitioned with
+    nothing extra when l2 off).  N (total docs) is a bounded driver
+    action injected as a literal.  Long/sparse output — never a dense
+    |vocab|-wide vector column.
+
+    ``round_to`` rounds idf/tfidf for cross-engine bit-stability in
+    differential tests (ln differs by ulps across runtimes); pass None
+    for full precision.
+    """
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    toks = _token_array(col, tokenizer)
+    n_docs = sdf.select(doc_id).distinct().count()
+
+    per_doc = (
+        sdf.select(F.col(doc_id), F.explode(toks).alias("token"))
+        .groupBy(doc_id, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        sdf.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    if smooth:
+        idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    else:
+        idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    joined = per_doc.join(dfreq, "token").withColumn("idf", idf)
+    weight = F.col("tf") * F.col("idf")
+    if l2_normalize:
+        from pyspark.sql import Window
+
+        norm = F.sqrt(F.sum(weight * weight).over(Window.partitionBy(doc_id)))
+        weight = weight / norm
+    out = joined.withColumn("tfidf", weight).drop("df")
+    if round_to is not None:
+        out = out.withColumn("idf", F.round("idf", round_to)).withColumn(
+            "tfidf", F.round("tfidf", round_to)
+        )
+    return TidyFrame(out.select(doc_id, "token", "tf", "idf", "tfidf"))
 
 
 def vocab_coverage(
