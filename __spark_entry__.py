@@ -1634,6 +1634,17 @@ def _t85t(t):
     return with_tfidf(t["documents"])
 
 
+def _d87(t):
+    """TF-IDF cosine similarity pairs via the token inverted index —
+    graded (real-valued) near-dup detection complementing MinHash set
+    overlap.  Exact (no doc-freq cap) so the quadratic SQL formulation is
+    the oracle; production uses max_doc_freq to cap hot tokens, which
+    only underestimates (precision never lost — subset-tested)."""
+    from tidierdb_jl_spark.llm.vocab import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(t["documents"], threshold=0.9, max_doc_freq=None)
+
+
 def _q97(t):
     """Scale-safe ordered global row index (the reference's `rowid`
     re-expressed for a cluster): range-partition + per-partition offsets
@@ -1707,6 +1718,7 @@ _BUILDERS.update(
         "t98_vocab_topk": _t98v,
         "q97_row_index": _q97,
         "t85_tfidf": _t85t,
+        "d87_tfidf_cosine": _d87,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -3049,6 +3061,26 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["d87_tfidf_cosine"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        per_doc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        w AS (SELECT p.doc_id, p.token,
+                     p.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0) AS wt
+              FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n),
+        nrm AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nn FROM w GROUP BY 1),
+        l2 AS (SELECT w.doc_id, w.token, w.wt / nrm.nn AS wt
+               FROM w JOIN nrm USING (doc_id)),
+        c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(sum(a.wt*b.wt), 6) AS cosine
+              FROM l2 a JOIN l2 b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT * FROM c WHERE cosine >= 0.9
     """
     out["t85_tfidf"] = r"""
         WITH toks AS (

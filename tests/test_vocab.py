@@ -133,3 +133,53 @@ def test_tfidf_l2_normalized_unit_norm(tables):
         .collect()[0].m
     )
     assert worst < 1e-9
+
+
+_DUCK_COSINE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    per_doc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    w AS (SELECT p.doc_id, p.token,
+                 p.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0) AS wt
+          FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nn FROM w GROUP BY 1),
+    l2 AS (SELECT w.doc_id, w.token, w.wt / nrm.nn AS wt
+           FROM w JOIN nrm USING (doc_id)),
+    c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(sum(a.wt*b.wt), 6) AS cosine
+          FROM l2 a JOIN l2 b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT * FROM c WHERE cosine >= {thr}
+"""
+
+
+def test_tfidf_cosine_pairs_exact_vs_duckdb(tables, ddb):
+    from tidierdb_jl_spark.llm.vocab import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(tables["documents"], threshold=0.9, max_doc_freq=None)
+    assert_matches_duckdb(
+        pairs, ddb, _DUCK_COSINE.format(thr=0.9), "tfidf_cosine_exact"
+    )
+
+
+def test_tfidf_cosine_cap_never_adds_pairs(tables):
+    """Capping hot tokens only UNDERESTIMATES cosine: the capped pair set
+    must be a subset of the exact one, and every surviving pair's capped
+    cosine must be <= its exact cosine."""
+    from tidierdb_jl_spark.llm.vocab import tfidf_cosine_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            tables["documents"], threshold=0.5, max_doc_freq=None
+        ).df.collect()
+    }
+    capped = tfidf_cosine_pairs(
+        tables["documents"], threshold=0.5, max_doc_freq=50
+    ).df.collect()
+    for r in capped:
+        assert (r.id_a, r.id_b) in exact
+        assert r.cosine <= exact[(r.id_a, r.id_b)] + 1e-6

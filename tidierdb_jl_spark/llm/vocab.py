@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from .textstats import BPE_ISH_PATTERN, tokenize_expr
 
-__all__ = ["token_frequencies", "top_tokens", "vocab_coverage", "with_tfidf"]
+__all__ = [
+    "token_frequencies",
+    "top_tokens",
+    "vocab_coverage",
+    "with_tfidf",
+    "tfidf_cosine_pairs",
+]
 
 
 def _token_array(col: str, tokenizer: str):
@@ -92,6 +98,7 @@ def with_tfidf(
     smooth: bool = True,
     l2_normalize: bool = False,
     round_to: int | None = 6,
+    keep_doc_freq: bool = False,
 ):
     """Sparse TF-IDF in long format: one row per (doc, token) with
     ``tf`` (in-doc count), ``idf``, ``tfidf``.  ``smooth`` uses the
@@ -137,12 +144,73 @@ def with_tfidf(
 
         norm = F.sqrt(F.sum(weight * weight).over(Window.partitionBy(doc_id)))
         weight = weight / norm
-    out = joined.withColumn("tfidf", weight).drop("df")
+    out = joined.withColumn("tfidf", weight)
     if round_to is not None:
         out = out.withColumn("idf", F.round("idf", round_to)).withColumn(
             "tfidf", F.round("tfidf", round_to)
         )
-    return TidyFrame(out.select(doc_id, "token", "tf", "idf", "tfidf"))
+    cols = [doc_id, "token", "tf", "idf", "tfidf"] + (
+        ["df"] if keep_doc_freq else []
+    )
+    return TidyFrame(out.select(*cols))
+
+
+def tfidf_cosine_pairs(
+    tf,
+    col: str = "text",
+    doc_id: str = "doc_id",
+    threshold: float = 0.8,
+    tokenizer: str = "whitespace",
+    max_doc_freq: int | None = 200,
+    round_to: int | None = 6,
+):
+    """Document pairs with TF-IDF cosine similarity ≥ ``threshold`` —
+    the real-valued complement to MinHash/SimHash dedup (graded
+    similarity instead of set overlap).
+
+    Inverted-index shape, NEVER all-pairs: L2-normalized weights join on
+    ``token``, so each token contributes ``df²`` candidate rows and the
+    per-pair sum of weight products IS the cosine.  ``max_doc_freq``
+    (default 200, ``None`` opt-out) drops hotter tokens from the JOIN
+    (not from the norms) — the one place this plan could go quadratic —
+    and TF-IDF is the best-case setting for that cap: the dropped tokens
+    are exactly the low-idf ones, so the computed cosine is a tight
+    UNDERESTIMATE (missing only stop-token mass) and precision is never
+    lost, only borderline recall.  With ``max_doc_freq=None`` the result
+    is exact and a quadratic SQL oracle can verify it.
+
+    Output: ``id_a < id_b``, ``cosine`` (rounded to ``round_to`` for
+    cross-engine sum-order stability).
+    """
+    from ..core import TidyFrame
+
+    w = with_tfidf(
+        tf,
+        col=col,
+        doc_id=doc_id,
+        tokenizer=tokenizer,
+        l2_normalize=True,
+        round_to=None,
+        keep_doc_freq=True,
+    ).df.select(F.col(doc_id).alias("__d"), "token", "tfidf", "df")
+    postings = w if max_doc_freq is None else w.where(F.col("df") <= max_doc_freq)
+    a = postings.select(
+        F.col("__d").alias("id_a"), "token", F.col("tfidf").alias("w_a")
+    )
+    b = postings.select(
+        F.col("__d").alias("id_b"), "token", F.col("tfidf").alias("w_b")
+    )
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("cosine"))
+    )
+    if round_to is not None:
+        # round BEFORE thresholding: membership of borderline pairs must
+        # not depend on summation order (ulp drift across engines/runs)
+        pairs = pairs.withColumn("cosine", F.round("cosine", round_to))
+    return TidyFrame(pairs.where(F.col("cosine") >= threshold))
 
 
 def vocab_coverage(
