@@ -1513,6 +1513,63 @@ def _t97(t):
     return chunk_documents(t["documents"], max_tokens=64, overlap=8)
 
 
+def _d94(t):
+    """Round-5 ops suite (tagged union, one driver row for the new
+    surface): bloom-filter anti-join (d93), URL canonicalization (t99),
+    corpus vocabulary top-k (t98), sparse TF-IDF (t85), TF-IDF cosine
+    pairs (d87), and the scale-safe ordered row index (q97).  Shared
+    schema (op, id1, id2, s, num); every leg is individually
+    oracle-backed by its own row, this suite puts them all inside the
+    driver-checked prefix."""
+    from tidierdb_jl_spark import cache
+
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+    tracked_before = len(cache._TRACKED)
+
+    bloom = (
+        _d93(t)
+        .mutate(op="'bloom'", id1="doc_id", id2=nlb, s="lang", num=nld)
+        .select(*cols)
+    )
+    url = (
+        _t99(t)
+        .mutate(op="'url'", id1="doc_id", id2=nlb, s="url_norm", num=nld)
+        .select(*cols)
+    )
+    vocab = (
+        _t98v(t)
+        .mutate(op="'vocab'", id1="term_freq", id2="doc_freq", s="token", num=nld)
+        .select(*cols)
+    )
+    tfidf = (
+        _t85t(t)
+        .mutate(op="'tfidf'", id1="doc_id", id2="tf", s="token", num="tfidf")
+        .select(*cols)
+    )
+    cos = (
+        _d87(t)
+        .mutate(op="'cos'", id1="id_a", id2="id_b", s=nls, num="cosine")
+        .select(*cols)
+    )
+    rix = (
+        _q97(t)
+        .mutate(op="'rix'", id1="l_orderkey", id2="row_index",
+                s="CAST(l_linenumber AS STRING)", num=nld)
+        .select(*cols)
+    )
+    out = bloom.union_all(url).union_all(vocab).union_all(tfidf)
+    out = out.union_all(cos).union_all(rix)
+    # the row-index leg pins a tracked persist; localCheckpoint the union
+    # so the cache can be released even though the caller collects later.
+    # Release ONLY this builder's persists — other pending lazy plans may
+    # still rely on theirs.
+    res = type(out)(out.df.localCheckpoint(eager=True))
+    while len(cache._TRACKED) > tracked_before:
+        cache._TRACKED.pop().unpersist()
+    return res
+
+
 def _d99(t):
     """Round-4 ops suite (tagged union): incremental exact dedup (d91),
     cross-table similarity join (d98), token-window chunking (t97),
@@ -1657,6 +1714,16 @@ def _q97(t):
     ).select("l_orderkey", "l_linenumber", "row_index")
 
 
+def _e55(t):
+    """Equi-width histogram over events.value: one bounds action, one
+    map-side-combined count aggregation, broadcast bucket grid so empty
+    buckets appear.  Bucket arithmetic is plain double math — identical
+    in any engine, hence directly oracle-able."""
+    from tidierdb_jl_spark.operators.histogram import histogram
+
+    return histogram(t["events"], "value", bins=16)
+
+
 def _t98v(t):
     """Corpus vocabulary: top-50 tokens by term frequency with document
     frequency — canonical word-count shape (map-side combine before the
@@ -1719,6 +1786,7 @@ _BUILDERS.update(
         "q97_row_index": _q97,
         "t85_tfidf": _t85t,
         "d87_tfidf_cosine": _d87,
+        "e55_histogram": _e55,
         "t43_bpe_tokens": _t43,
         "t44_rolling_fingerprint": _t44,
         "d41_embedding_dedup_exact": _d41,
@@ -2354,6 +2422,7 @@ _BUILDERS.update(
         "d91_dedup_incremental": _d91,
         "t97_chunk_documents": _t97,
         "d99_r4_ops_suite": _d99,
+        "d94_r5_ops_suite": _d94,
         "d98_similarity_join": _d98,
     }
 )
@@ -2421,7 +2490,9 @@ _DRIVER_PRIORITY = [
     "d42_embedding_dedup_lsh",
     "d61_training_prep_e2e",
     "d86_dup_clusters",
-    "s38_cosine_topk",
+    # s38_cosine_topk rotated out (s39_ann_suite re-runs the exact
+    # brute-force top-k as its recall baseline) for the round-5 ops suite
+    "d94_r5_ops_suite",
     "s39_ann_suite",
 ]
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
@@ -3061,6 +3132,79 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d93_bloom_anti_join"] = """
         SELECT doc_id, lang, source FROM documents WHERE doc_id % 7 != 0
+    """
+    out["e55_histogram"] = """
+        WITH b AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+                          max(CAST(value AS DOUBLE)) AS hi FROM events),
+        assigned AS (
+          SELECT CASE WHEN v >= hi THEN 15
+                      WHEN v <= lo THEN 0
+                      ELSE CAST(floor((v - lo) / (hi - lo) * 16) AS INT) END AS bucket
+          FROM (SELECT CAST(value AS DOUBLE) AS v FROM events
+                WHERE value IS NOT NULL)
+               CROSS JOIN b),
+        counts AS (SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket),
+        grid AS (SELECT CAST(g AS INT) AS bucket,
+                        lo + g * ((hi - lo) / 16) AS lo_edge,
+                        lo + (g + 1) * ((hi - lo) / 16) AS hi_edge
+                 FROM generate_series(0, 15) AS t(g) CROSS JOIN b)
+        SELECT grid.bucket, lo_edge, hi_edge, COALESCE(counts.n, 0) AS n
+        FROM grid LEFT JOIN counts USING (bucket)
+    """
+    out["d94_r5_ops_suite"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        per_doc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        w AS (SELECT p.doc_id, p.token, p.tf,
+                     p.tf * (ln((n.n_docs + 1.0) / (d.df + 1)) + 1.0) AS wt
+              FROM per_doc p JOIN dfreq d USING (token) CROSS JOIN n),
+        nrm AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nn FROM w GROUP BY 1),
+        l2 AS (SELECT w.doc_id, w.token, w.wt / nrm.nn AS wt
+               FROM w JOIN nrm USING (doc_id)),
+        cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          round(sum(a.wt*b.wt), 6) AS cosine
+                   FROM l2 a JOIN l2 b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        tfreq AS (SELECT token, count(*) AS term_freq FROM toks GROUP BY token),
+        docfr AS (SELECT token, count(*) AS doc_freq
+                  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        vocab50 AS (SELECT t.token, t.term_freq, d.doc_freq
+                    FROM tfreq t JOIN docfr d USING (token)
+                    ORDER BY term_freq DESC, token LIMIT 50)
+        SELECT 'bloom' AS op, doc_id AS id1, CAST(NULL AS BIGINT) AS id2,
+               lang AS s, CAST(NULL AS DOUBLE) AS num
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT 'url', doc_id, CAST(NULL AS BIGINT),
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN concat('https://', lower(source), '.example.co.uk/Docs/',
+                                    doc_id, '?a=1&b=', doc_id % 3)
+                 WHEN 1 THEN concat('http://', lower(source), '.example.com')
+                 WHEN 2 THEN concat('https://', lower(source), '.example.com')
+                 ELSE concat('http://a.b.', lower(source), '.example.org/x')
+               END,
+               CAST(NULL AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'vocab', term_freq, doc_freq, token, CAST(NULL AS DOUBLE)
+        FROM vocab50
+        UNION ALL
+        SELECT 'tfidf', w.doc_id, w.tf, w.token,
+               round(w.wt, 6)
+        FROM w
+        UNION ALL
+        SELECT 'cos', id_a, id_b, CAST(NULL AS VARCHAR), cosine
+        FROM cpairs WHERE cosine >= 0.9
+        UNION ALL
+        SELECT 'rix', l_orderkey,
+               CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                    AS BIGINT),
+               CAST(l_linenumber AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM lineitem
     """
     out["d87_tfidf_cosine"] = r"""
         WITH toks AS (
