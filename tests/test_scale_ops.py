@@ -597,3 +597,37 @@ def test_new_ann_and_incremental_plans_are_scale_healthy(tables):
     pi = plan_summary(inc)
     assert pi["nested_loop_joins"] == 0
     assert "CartesianProduct" not in inc.df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r5_ops_plans_are_scale_healthy(spark, tables):
+    """lint_plan gate over the round-5 surface: bloom joins, URL
+    normalization, vocab/TF-IDF, cosine pairs, histogram, row index —
+    no cartesian, no nested-loop joins, no row-at-a-time Python, no
+    lost pushdown."""
+    from tidierdb_jl_spark import TidyFrame, lint_plan, release_caches
+    from tidierdb_jl_spark.llm.urls import normalize_url
+    from tidierdb_jl_spark.llm.vocab import tfidf_cosine_pairs, token_frequencies
+    from tidierdb_jl_spark.operators.bloom import bloom_anti_join, bloom_build
+    from tidierdb_jl_spark.operators.histogram import histogram
+    from tidierdb_jl_spark.operators.rowindex import with_row_index
+
+    docs = tables["documents"]
+    seen = TidyFrame(docs.df.filter("doc_id % 7 = 0").select("doc_id"))
+    bf = bloom_build(seen, "cast(doc_id as string)", expected_items=100)
+    plans = {
+        "bloom_anti": bloom_anti_join(
+            docs, seen, "cast(doc_id as string)",
+            keys_key="cast(doc_id as string)", bloom=bf,
+        ),
+        "url_norm": normalize_url(docs.mutate(u="concat('http://x.com/', doc_id)"), "u"),
+        "token_freq": token_frequencies(docs),
+        "tfidf_cos": tfidf_cosine_pairs(docs, threshold=0.9),
+        "histogram": histogram(tables["events"], "value", bins=8),
+        "row_index": with_row_index(tables["region"], order_by="r_regionkey"),
+    }
+    for name, tf in plans.items():
+        findings = [f for f in lint_plan(tf) if f["severity"] == "error"]
+        assert findings == [], (name, findings)
+        warns = [f for f in lint_plan(tf) if f["rule"] == "nested_loop"]
+        assert warns == [], (name, warns)
+    release_caches()
