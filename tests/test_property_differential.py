@@ -195,3 +195,79 @@ def test_random_date_arithmetic_matches_duckdb(tables, ddb, data):
         FROM lineitem GROUP BY 1
     """
     assert_matches_duckdb(q, ddb, sql, f"date[{grain} +{n} {unit}]")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_histogram_matches_duckdb(tables, ddb, data):
+    """Random bin counts and optional winsorizing bounds: the histogram's
+    double-arithmetic bucket contract must agree with DuckDB exactly."""
+    from tidierdb_jl_spark.operators.histogram import histogram
+
+    bins = data.draw(st.integers(min_value=1, max_value=40))
+    col = data.draw(st.sampled_from(["value", "user_id", "event_id"]))
+    explicit = data.draw(st.booleans())
+    lo, hi = (None, None)
+    if explicit:
+        lo = float(data.draw(st.integers(min_value=-5, max_value=3)))
+        hi = lo + float(data.draw(st.integers(min_value=1, max_value=10)))
+    h = histogram(tables["events"], col, bins=bins, lo=lo, hi=hi)
+    if not explicit:
+        bounds = f"(SELECT min(CAST({col} AS DOUBLE)) AS lo, max(CAST({col} AS DOUBLE)) AS hi FROM events)"
+    else:
+        bounds = f"(SELECT CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi)"
+    oracle = f"""
+        WITH b AS {bounds},
+        assigned AS (
+          SELECT CASE WHEN v >= hi THEN {bins} - 1
+                      WHEN v <= lo THEN 0
+                      ELSE CAST(floor((v - lo) / (hi - lo) * {bins}) AS INT) END AS bucket
+          FROM (SELECT CAST({col} AS DOUBLE) AS v FROM events
+                WHERE {col} IS NOT NULL) CROSS JOIN b),
+        counts AS (SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket),
+        grid AS (SELECT CAST(g AS INT) AS bucket,
+                        lo + g * ((hi - lo) / {bins}) AS lo_edge,
+                        lo + (g + 1) * ((hi - lo) / {bins}) AS hi_edge
+                 FROM generate_series(0, {bins} - 1) AS t(g) CROSS JOIN b)
+        SELECT grid.bucket, lo_edge, hi_edge, COALESCE(counts.n, 0) AS n
+        FROM grid LEFT JOIN counts USING (bucket)
+    """
+    assert_matches_duckdb(h, ddb, oracle, f"hist:{col}:{bins}:{lo}:{hi}")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_bloom_never_false_negative(tables, data):
+    """Random key expressions, sizings, and member subsets: a bloom probe
+    must NEVER miss a member, and the exact anti-join recovery must equal
+    the plain anti-join regardless of FPR (even a deliberately tiny,
+    FP-heavy filter)."""
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.operators.bloom import bloom_anti_join, bloom_build, bloom_mark
+
+    mod = data.draw(st.integers(min_value=2, max_value=13))
+    key = data.draw(st.sampled_from(
+        ["cast(doc_id as string)", "concat(lang, '-', doc_id)", "cast(doc_id % 100 as string)"]
+    ))
+    num_bits = data.draw(st.sampled_from([128, 1024, 4096]))
+    k = data.draw(st.integers(min_value=1, max_value=8))
+    docs = tables["documents"]
+    seen = TidyFrame(docs.df.filter(f"doc_id % {mod} = 0").selectExpr(f"{key} AS k"))
+    bf = bloom_build(seen, "k", num_bits=num_bits, num_hashes=k)
+    marked = bloom_mark(docs, key, bf)
+    assert marked.df.filter(f"doc_id % {mod} = 0 AND NOT bloom_hit").count() == 0
+    aj = bloom_anti_join(docs, seen, key, keys_key="k", bloom=bf)
+    want = (
+        docs.df.selectExpr("doc_id", f"{key} AS __k")
+        .join(seen.df.withColumnRenamed("k", "__k").distinct(), "__k", "left_anti")
+        .count()
+    )
+    assert aj.df.count() == want
