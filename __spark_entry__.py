@@ -2428,6 +2428,114 @@ _BUILDERS.update(
 )
 
 
+def _t86(t):
+    """Bigram-LM perplexity scoring (the CCNet/Gopher quality signal):
+    train add-k=0.5 bigram counts on the corpus (one map-side-combined
+    shuffle), score every document's cross-entropy (bigram-key join +
+    per-doc re-agg).  The per-doc log-prob sum is decimal-cast so it is
+    bit-stable under any partition order; 6dp rounding absorbs
+    cross-engine log2() ulps (same discipline as d87's cosine)."""
+    from tidierdb_jl_spark.llm.lm import score_perplexity, train_ngram_lm
+
+    docs = t["documents"]
+    model, meta = train_ngram_lm(docs)
+    return (
+        score_perplexity(docs.select("doc_id", "text"), model, meta)
+        .mutate(ce6="round(cross_entropy, 6)")
+        .select("doc_id", "n_bigrams", "ce6")
+    )
+
+
+def _t87(t):
+    """Repeated-passage detection (Lee et al. 2022 substring dedup,
+    window approximation): 5-token rolling windows, xxhash64 inverted
+    index, census of windows shared by >= 2 docs, per-doc duplicated
+    fraction.  The oracle groups by the window *string* — identical
+    result because the census is collision-free at test scale."""
+    from tidierdb_jl_spark.llm.passages import repeated_passage_stats
+
+    return (
+        repeated_passage_stats(t["documents"], window=5)
+        .mutate(dup_frac6="round(dup_fraction, 6)")
+        .select("doc_id", "n_windows", "n_dup_windows", "dup_frac6")
+    )
+
+
+def _t88(t):
+    """Relative-threshold quality gate: keep documents at or above the
+    corpus 25th percentile of n_chars.  The exact interpolated percentile
+    is attached via the lazy-broadcast scalar pattern (one job, no driver
+    round-trip); oracle is the scalar-subquery formulation."""
+    from tidierdb_jl_spark.llm.pipeline import filter_by_quantile
+
+    return filter_by_quantile(
+        t["documents"].select("doc_id", "n_chars"), "n_chars", 0.25
+    )
+
+
+def _q98(t):
+    """ANALYZE-shaped column profile of orders: one single-pass
+    aggregation job computing every column's row/null/distinct counts and
+    numeric min/max (exact distincts here so the oracle is COUNT
+    DISTINCT); driver action is exactly 1 row."""
+    from tidierdb_jl_spark.operators.stats import column_stats
+
+    return column_stats(
+        t["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        exact=True,
+    ).mutate(min_num="round(min_num, 6)", max_num="round(max_num, 6)")
+
+
+def _t89(t):
+    """Round-5b ops suite (tagged union, one driver row): bigram-LM
+    perplexity (t86), repeated-passage stats (t87), quantile-threshold
+    filter (t88), and the column-stats profile (q98, two legs for
+    min/max).  Shared schema (op, id1, id2, s, num); every leg is
+    individually oracle-backed by its own registered row."""
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+
+    lm = (
+        _t86(t)
+        .mutate(op="'lm'", id1="doc_id", id2="n_bigrams", s=nls, num="ce6")
+        .select(*cols)
+    )
+    pas = (
+        _t87(t)
+        .mutate(op="'pass'", id1="doc_id", id2="n_windows",
+                s="CAST(n_dup_windows AS STRING)", num="dup_frac6")
+        .select(*cols)
+    )
+    qf = (
+        _t88(t)
+        .mutate(op="'qf'", id1="doc_id", id2="CAST(n_chars AS BIGINT)",
+                s=nls, num=nld)
+        .select(*cols)
+    )
+    stats = _q98(t)
+    smin = stats.mutate(
+        op="'stats_min'", id1="n_rows", id2="n_distinct",
+        s="concat(column, ':', CAST(n_null AS STRING))", num="min_num",
+    ).select(*cols)
+    smax = stats.mutate(
+        op="'stats_max'", id1="n_rows", id2="n_distinct",
+        s="concat(column, ':', CAST(n_null AS STRING))", num="max_num",
+    ).select(*cols)
+    return lm.union_all(pas).union_all(qf).union_all(smin).union_all(smax)
+
+
+_BUILDERS.update(
+    {
+        "t86_lm_perplexity": _t86,
+        "t87_repeated_passages": _t87,
+        "t88_quantile_filter": _t88,
+        "q98_column_stats": _q98,
+        "t89_r5b_ops_suite": _t89,
+    }
+)
+
+
 # The driver's correctness gate checks the FIRST 50 ``_BUILDERS`` entries
 # in insertion order.  Order them so that prefix carries the maximum
 # verified surface: the tagged-union suites (each subsumes several
@@ -2478,7 +2586,9 @@ _DRIVER_PRIORITY = [
     # LLM pipeline ops (oracle- or invariant-backed)
     "t30_textstats_suite",
     "t52_clean_corpus",
-    "t60_hash_split",
+    # t60_hash_split rotated out (d61_training_prep_e2e ends with the same
+    # split_by_hash and is oracle-checked) for the round-5b ops suite
+    "t89_r5b_ops_suite",
     "t68_segment_dedup",
     "t78_mixing_suite",
     "t84_pack_sequences",
@@ -2712,6 +2822,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (explicit casts align DuckDB result types with Spark's)
 # ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE prefixes for the round-5b oracles.  The LM pairs CTE
+# mirrors lm._with_pairs exactly: whitespace tokens, chr(1)||'bos'
+# sentinel context (collision-proof against real tokens), one (c, w) row
+# per adjacent pair.
+_LM_PAIRS_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS a
+          FROM documents),
+        padded AS (
+          SELECT doc_id, list_prepend(chr(1) || 'bos', a) AS pad FROM toks),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(pad)),
+                        i -> struct_pack(c := pad[i], w := pad[i + 1]))) AS p
+          FROM padded WHERE len(pad) >= 2),
+        px AS (SELECT doc_id, p.c AS c, p.w AS w FROM pairs)
+"""
+
+# 5-token rolling windows (passages.repeated_passage_stats, window=5).
+_WINS5_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS a
+          FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(a) - 5 + 2),
+                        i -> array_to_string(a[i:i+4], ' '))) AS passage
+          FROM toks WHERE len(a) >= 5)
+"""
+
+# Per-column stats over orders (operators.stats.column_stats, exact=True).
+_COLSTATS_BODY = r"""
+          SELECT 'o_orderkey' AS colname, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 count(DISTINCT o_orderkey) AS n_distinct,
+                 round(CAST(min(o_orderkey) AS DOUBLE), 6) AS mn,
+                 round(CAST(max(o_orderkey) AS DOUBLE), 6) AS mx FROM orders
+          UNION ALL
+          SELECT 'o_custkey', count(*),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_custkey),
+                 round(CAST(min(o_custkey) AS DOUBLE), 6),
+                 round(CAST(max(o_custkey) AS DOUBLE), 6) FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*),
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_orderstatus),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', count(*),
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT o_totalprice),
+                 round(CAST(min(o_totalprice) AS DOUBLE), 6),
+                 round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders
+"""
+
+_COLSTATS_SQL = "WITH st AS (" + _COLSTATS_BODY + ")"
+
 
 def oracle_sql() -> dict[str, str]:
     out = dict(_LLM_ORACLES)
@@ -3256,6 +3429,97 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.token, t.term_freq, d.doc_freq
         FROM tfreq t JOIN dfreq d USING (token)
         ORDER BY term_freq DESC, token LIMIT 50
+    """
+    out["t86_lm_perplexity"] = _LM_PAIRS_SQL + r"""
+        , pc AS (SELECT c, w, count(*) AS pair_count FROM px GROUP BY c, w),
+        cc AS (SELECT c, count(*) AS ctx_count FROM px GROUP BY c),
+        v AS (SELECT count(DISTINCT w) AS v FROM px),
+        scored AS (
+          SELECT px.doc_id,
+                 log2((coalesce(pc.pair_count, 0) + 0.5)
+                      / (coalesce(cc.ctx_count, 0) + 0.5 * v.v)) AS logp
+          FROM px LEFT JOIN pc USING (c, w) LEFT JOIN cc USING (c)
+          CROSS JOIN v),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CAST(logp AS DECIMAL(28,10))) AS DOUBLE) AS s
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+               round(-a.s / a.n_bigrams, 6) AS ce6
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    out["t87_repeated_passages"] = _WINS5_SQL + r"""
+        , dup AS (
+          SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM wins)
+          GROUP BY passage HAVING count(*) >= 2),
+        wagg AS (
+          SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(d.passage) AS BIGINT) AS n_dup_windows
+          FROM wins w LEFT JOIN dup d USING (passage) GROUP BY w.doc_id)
+        SELECT t.doc_id, coalesce(a.n_windows, 0) AS n_windows,
+               coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+               coalesce(round(a.n_dup_windows * 1.0 / a.n_windows, 6), 0.0)
+                 AS dup_frac6
+        FROM toks t LEFT JOIN wagg a USING (doc_id)
+    """
+    out["t88_quantile_filter"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+    """
+    out["q98_column_stats"] = _COLSTATS_SQL + """
+        SELECT colname AS column, n_rows, n_null, n_distinct,
+               mn AS min_num, mx AS max_num
+        FROM st
+    """
+    out["t89_r5b_ops_suite"] = _LM_PAIRS_SQL + r"""
+        , pc AS (SELECT c, w, count(*) AS pair_count FROM px GROUP BY c, w),
+        cc AS (SELECT c, count(*) AS ctx_count FROM px GROUP BY c),
+        v AS (SELECT count(DISTINCT w) AS v FROM px),
+        scored AS (
+          SELECT px.doc_id,
+                 log2((coalesce(pc.pair_count, 0) + 0.5)
+                      / (coalesce(cc.ctx_count, 0) + 0.5 * v.v)) AS logp
+          FROM px LEFT JOIN pc USING (c, w) LEFT JOIN cc USING (c)
+          CROSS JOIN v),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CAST(logp AS DECIMAL(28,10))) AS DOUBLE) AS s
+          FROM scored GROUP BY doc_id),
+        wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(a) - 5 + 2),
+                        i -> array_to_string(a[i:i+4], ' '))) AS passage
+          FROM toks WHERE len(a) >= 5),
+        dup AS (
+          SELECT passage FROM (SELECT DISTINCT doc_id, passage FROM wins)
+          GROUP BY passage HAVING count(*) >= 2),
+        wagg AS (
+          SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(d.passage) AS BIGINT) AS n_dup
+          FROM wins w LEFT JOIN dup d USING (passage) GROUP BY w.doc_id),
+        st AS (""" + _COLSTATS_BODY + r""")
+        SELECT 'lm' AS op, d.doc_id AS id1,
+               coalesce(a.n_bigrams, 0) AS id2, CAST(NULL AS VARCHAR) AS s,
+               round(-a.s / a.n_bigrams, 6) AS num
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        UNION ALL
+        SELECT 'pass', t.doc_id, coalesce(w2.n_windows, 0),
+               CAST(coalesce(w2.n_dup, 0) AS VARCHAR),
+               coalesce(round(w2.n_dup * 1.0 / w2.n_windows, 6), 0.0)
+        FROM toks t LEFT JOIN wagg w2 USING (doc_id)
+        UNION ALL
+        SELECT 'qf', doc_id, CAST(n_chars AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM documents
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+        UNION ALL
+        SELECT 'stats_min', n_rows, n_distinct,
+               concat(colname, ':', CAST(n_null AS VARCHAR)), mn
+        FROM st
+        UNION ALL
+        SELECT 'stats_max', n_rows, n_distinct,
+               concat(colname, ':', CAST(n_null AS VARCHAR)), mx
+        FROM st
     """
     out["t99_url_normalize"] = """
         SELECT doc_id,

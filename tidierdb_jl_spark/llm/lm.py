@@ -1,0 +1,199 @@
+"""Count-based n-gram language models for corpus quality filtering.
+
+CCNet (Wenzek et al. 2020) and Gopher (Rae et al. 2021) filter web text
+by language-model perplexity: documents whose tokens are poorly predicted
+by a model trained on a trusted corpus are boilerplate, gibberish, or the
+wrong language.  A full neural LM is out of scope for a SQL engine, but a
+Kneser-Ney-shaped *count* LM is exactly the kind of thing Spark excels
+at, and the resulting filter behaves the same way in practice: natural
+prose scores low perplexity, keyboard-mash scores high.
+
+Two ops:
+
+``train_ngram_lm``
+    bigram + context(unigram) counts with add-k smoothing parameters.
+    Scale shape: the canonical word-count — explode adjacent-token pairs,
+    partial (map-side) aggregation collapses each partition's counts
+    before ONE hash shuffle on the (context, token) key.  The model is a
+    DataFrame, so it can be written to parquet and reused across ingest
+    batches like the MinHash signature store (``dedup.py``).
+
+``score_perplexity``
+    per-document cross-entropy / perplexity under a trained model.
+    Scale shape: explode each document's bigrams (one narrow map), join
+    to the model on the bigram key (broadcast when the model was trained
+    with a capped vocab, else a hash join on the token key), then
+    re-aggregate per document.  The log-prob sum is decimal-cast so the
+    per-doc score is bit-identical regardless of partition order — the
+    same stability pattern the TPC-H money sums use.
+
+Smoothing: add-k over a closed vocabulary.  p(w | c) =
+(count(c,w) + k) / (count(c) + k*V); unseen contexts back off to the
+uniform 1/V.  Kneser-Ney would be better ranked, but add-k is exactly
+SQL-expressible, which keeps the DuckDB oracle byte-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .vocab import _token_array
+
+__all__ = ["train_ngram_lm", "score_perplexity"]
+
+# Sentinel prepended to every document so the first real token has a
+# context; kept out of the vocabulary.  The \x01 control-char prefix
+# makes it collision-proof against any whitespace-tokenized real token
+# (oracle side: chr(1) || 'bos').
+_BOS = "bos"
+
+
+def _bigram_expr(col: str, tokenizer: str):
+    """array<struct<c,w>> of (context, token) pairs with a BOS context."""
+    toks = _token_array(col, tokenizer)
+    padded = F.concat(F.array(F.lit(_BOS)), toks)
+    n = F.size(padded)
+    return F.when(n < 2, F.expr("array()")).otherwise(
+        F.expr(
+            # slice is 1-based; pair i = (padded[i], padded[i+1])
+            "transform(sequence(1, size_m1), i -> "
+            "named_struct('c', element_at(pad, i), 'w', element_at(pad, i + 1)))"
+        )
+    )
+
+
+def _with_pairs(sdf, col: str, tokenizer: str):
+    toks = _token_array(col, tokenizer)
+    return (
+        sdf.withColumn("pad", F.concat(F.array(F.lit(_BOS)), toks))
+        .withColumn("size_m1", F.size(F.col("pad")) - F.lit(1))
+        .withColumn("pairs", _bigram_expr(col, tokenizer))
+        .drop("pad", "size_m1")
+    )
+
+
+def train_ngram_lm(
+    tf,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    k: float = 0.5,
+    min_count: int = 1,
+):
+    """Train an add-k bigram LM; returns ``(model_tf, meta)``.
+
+    ``model_tf`` has one row per observed (context, token) bigram:
+    ``c, w, pair_count, ctx_count`` — everything scoring needs except the
+    two scalars in ``meta``: ``{"vocab_size": V, "k": k}``.  ``min_count``
+    prunes rare bigrams (their mass falls into the smoothing floor),
+    which bounds model size on a 100 TB corpus: the model then scales
+    with the *distinct frequent* bigram count, not the corpus.
+
+    One shuffle for the pair counts, one for the context counts, and the
+    model join reuses the context hash partitioning.  The only driver
+    action is the 1-row vocab-size aggregate (same bounded-scalar shape
+    as ``zorder``'s min/max probe).
+    """
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    pairs = _with_pairs(sdf, col, tokenizer).select(
+        F.explode("pairs").alias("p")
+    ).select(F.col("p.c").alias("c"), F.col("p.w").alias("w"))
+
+    pair_counts = pairs.groupBy("c", "w").agg(F.count("*").alias("pair_count"))
+    if min_count > 1:
+        pair_counts = pair_counts.where(F.col("pair_count") >= min_count)
+    ctx_counts = pairs.groupBy("c").agg(F.count("*").alias("ctx_count"))
+    model = pair_counts.join(ctx_counts, "c")
+
+    # Vocabulary = distinct *tokens* (BOS is a context only).  Bounded
+    # 1-row driver action.
+    vocab_size = pairs.select(F.countDistinct("w").alias("v")).first()["v"]
+    meta = {"vocab_size": int(vocab_size or 1), "k": float(k)}
+    return TidyFrame(model), meta
+
+
+def score_perplexity(
+    tf,
+    model,
+    meta: dict,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    out: str = "perplexity",
+    broadcast_model: bool = False,
+):
+    """Per-document cross-entropy + perplexity under a trained bigram LM.
+
+    Adds ``n_bigrams``, ``cross_entropy`` (bits/token, base-2) and
+    ``out`` (2**cross_entropy) to ``tf``.  Documents with no bigrams
+    (empty / 0-1 tokens after tokenization) score NULL.
+
+    Unseen bigram under a seen context: (k) / (ctx_count + k*V).  Unseen
+    context: uniform 1/V.  Both fall out of ONE left join on (c, w) plus
+    a context-count lookup folded into the same model row — no second
+    join against the context table, because ``train_ngram_lm`` already
+    denormalized ``ctx_count`` onto every model row; for bigrams whose
+    context was seen but pair wasn't, the context count is recovered via
+    a (c)-keyed left join against the distinct contexts.
+
+    Set ``broadcast_model=True`` when the model was pruned small enough
+    (``min_count``/capped vocab) to broadcast — then the whole score is
+    two broadcast hash joins and one re-aggregation shuffle on doc id.
+
+    The per-doc sum of log-probs is decimal-cast (DECIMAL(28,10)) so the
+    result is bit-stable under any partition order — sums of doubles are
+    not associative; sums of decimals are.
+    """
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    v = int(meta["vocab_size"])
+    k = float(meta["k"])
+
+    mdl = model.df if hasattr(model, "df") else model
+    ctx = mdl.select("c", "ctx_count").distinct()
+    if broadcast_model:
+        mdl, ctx = F.broadcast(mdl), F.broadcast(ctx)
+
+    row_cols = sdf.columns
+    pairs = (
+        _with_pairs(sdf, col, tokenizer)
+        .select(*row_cols, F.posexplode_outer("pairs").alias("_i", "p"))
+        .select(*row_cols, F.col("p.c").alias("c"), F.col("p.w").alias("w"))
+    )
+    scored = (
+        pairs.join(mdl.select("c", "w", "pair_count"), ["c", "w"], "left")
+        .join(ctx, ["c"], "left")
+        .withColumn(
+            "_logp",
+            F.when(
+                F.col("c").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.log2(
+                    (F.coalesce(F.col("pair_count"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("ctx_count"), F.lit(0)) + F.lit(k * v))
+                )
+            ),
+        )
+    )
+    agg = (
+        scored.groupBy(*row_cols)
+        .agg(
+            F.count("_logp").alias("n_bigrams"),
+            # decimal sum: order-independent, hence hash-stable
+            F.sum(F.col("_logp").cast("decimal(28,10)")).alias("_sum_logp"),
+        )
+        .withColumn(
+            "cross_entropy",
+            F.when(
+                F.col("n_bigrams") > 0,
+                (-F.col("_sum_logp").cast("double")) / F.col("n_bigrams"),
+            ),
+        )
+        .withColumn(
+            out,
+            F.when(F.col("n_bigrams") > 0, F.pow(F.lit(2.0), F.col("cross_entropy"))),
+        )
+        .drop("_sum_logp")
+    )
+    return TidyFrame(agg)

@@ -24,6 +24,7 @@ __all__ = [
     "gopher_filter",
     "clean_corpus",
     "split_by_hash",
+    "filter_by_quantile",
     "prepare_training_corpus",
 ]
 
@@ -118,6 +119,41 @@ def split_by_hash(
     return tf.mutate(
         **{out: f"if_else({prefix} < '{threshold}', 'train', 'test')"}
     )
+
+
+def filter_by_quantile(
+    tf: TidyFrame,
+    col: str,
+    q: float,
+    keep: str = "above",
+    out: str | None = None,
+) -> TidyFrame:
+    """Keep rows whose ``col`` is above (or below) the corpus q-quantile —
+    the relative-threshold quality gate ("drop the bottom decile by
+    quality score") that complements the absolute gates of
+    ``quality_filter``/``gopher_filter``.
+
+    The threshold is the exact interpolated percentile, attached with the
+    lazy-broadcast scalar pattern (:meth:`TidyFrame.with_scalar`): one
+    aggregation job produces a 1-row frame that is broadcast-cross-joined
+    into the filter, so Catalyst plans a single job and the corpus scan
+    happens once — no driver round-trip, no second pass.  ``keep="above"``
+    keeps ``col >= threshold`` (ties survive), ``"below"`` keeps
+    ``col <= threshold``.  ``out`` optionally retains the threshold as a
+    column for audit.
+    """
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above'|'below', got {keep!r}")
+    thr = tf.summarize(__thr=f"percentile({col}, {q})")
+    name = out or "__quantile_thr"
+    res = tf.with_scalar(**{name: thr}).filter(
+        f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
+    )
+    if out is None:
+        res = res.select(f"!{name}")
+    return res
 
 
 def quality_filter(tf: TidyFrame, col: str = "text", **gates) -> TidyFrame:
