@@ -296,3 +296,32 @@ def test_filter_by_quantile_validation(tables):
         filter_by_quantile(tables["documents"], "n_chars", 1.5)
     with pytest.raises(ValueError, match="keep must be"):
         filter_by_quantile(tables["documents"], "n_chars", 0.5, keep="nope")
+
+
+def test_r5b_ops_plans_are_scale_healthy(spark, tables):
+    """lint_plan gate over the round-5b surface: LM train/score,
+    passage stats, quantile filter — no cartesian, no row-at-a-time
+    Python, no lost pushdown.  The quantile filter's 1-row broadcast
+    scalar attach is the one place a nested-loop join IS the intended
+    plan (same bounded shape as with_scalar / q76), so it is exempt
+    from the nested-loop check but still must not go cartesian."""
+    from tidierdb_jl_spark import lint_plan
+
+    docs = tables["documents"]
+    model, meta = train_ngram_lm(docs, min_count=2)
+    plans = {
+        "lm_model": model,
+        "lm_score": score_perplexity(docs.select("doc_id", "text"), model, meta),
+        "passage_stats": repeated_passage_stats(docs, window=5),
+        "quantile_filter": filter_by_quantile(
+            docs.select("doc_id", "n_chars"), "n_chars", 0.25
+        ),
+    }
+    bounded_bnlj = {"quantile_filter"}
+    for name, tf in plans.items():
+        findings = lint_plan(tf)
+        errors = [f for f in findings if f["severity"] == "error"]
+        assert errors == [], (name, errors)
+        if name not in bounded_bnlj:
+            warns = [f for f in findings if f["rule"] == "nested_loop"]
+            assert warns == [], (name, warns)
