@@ -2525,6 +2525,18 @@ def _t89(t):
     return lm.union_all(pas).union_all(qf).union_all(smin).union_all(smax)
 
 
+def _t91(t):
+    """Token PMI co-occurrence (collocation mining / contamination
+    forensics): document-level pair counts over a top-20 frequency vocab.
+    The quadratic per-doc pair build is capped by construction — tokens
+    semi-join a broadcast top-k vocabulary first, so the output keyspace
+    is vocab² and the (a,b) aggregation map-side-combines regardless of
+    corpus size.  Top-k ties break on token asc in both engines."""
+    from tidierdb_jl_spark.llm.vocab import token_cooccurrence
+
+    return token_cooccurrence(t["documents"], max_vocab=20, min_pair_count=2)
+
+
 _BUILDERS.update(
     {
         "t86_lm_perplexity": _t86,
@@ -2532,6 +2544,7 @@ _BUILDERS.update(
         "t88_quantile_filter": _t88,
         "q98_column_stats": _q98,
         "t89_r5b_ops_suite": _t89,
+        "t91_token_pmi": _t91,
     }
 )
 
@@ -3520,6 +3533,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'stats_max', n_rows, n_distinct,
                concat(colname, ':', CAST(n_null AS VARCHAR)), mx
         FROM st
+    """
+    out["t91_token_pmi"] = r"""
+        WITH rawtoks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+        toks AS (SELECT DISTINCT doc_id, token FROM rawtoks),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS df_ FROM toks GROUP BY token
+            ORDER BY df_ DESC, token LIMIT 20)),
+        ptoks AS (SELECT t.doc_id, t.token FROM toks t
+                  WHERE t.token IN (SELECT token FROM vocab)),
+        dfq AS (SELECT token, count(*) AS n_tok FROM ptoks GROUP BY token),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        pr AS (SELECT a.token AS a, b.token AS b, count(*) AS n_ab
+               FROM ptoks a JOIN ptoks b
+                 ON a.doc_id = b.doc_id AND a.token < b.token
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT pr.a, pr.b, pr.n_ab, da.n_tok AS n_a, db.n_tok AS n_b,
+               round(log2(pr.n_ab * nd.n * 1.0 / (da.n_tok * db.n_tok)), 6) AS pmi
+        FROM pr JOIN dfq da ON pr.a = da.token
+                JOIN dfq db ON pr.b = db.token CROSS JOIN nd
     """
     out["t99_url_normalize"] = """
         SELECT doc_id,

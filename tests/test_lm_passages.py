@@ -325,3 +325,26 @@ def test_r5b_ops_plans_are_scale_healthy(spark, tables):
         if name not in bounded_bnlj:
             warns = [f for f in findings if f["rule"] == "nested_loop"]
             assert warns == [], (name, warns)
+
+
+def test_perplexity_filter_composition(tables):
+    """perplexity_filter == score -> drop NULLs -> keep ppl <= q-quantile,
+    with original columns + perplexity and nothing else."""
+    from tidierdb_jl_spark.llm.lm import perplexity_filter
+
+    docs = tables["documents"]
+    model, meta = train_ngram_lm(docs)
+    kept = perplexity_filter(docs, model, meta, q=0.8)
+    assert kept.df.columns == docs.df.columns + ["perplexity"]
+
+    scored = score_perplexity(docs, model, meta)
+    vals = sorted(r["perplexity"] for r in scored.df.collect()
+                  if r["perplexity"] is not None)
+    import math
+    pos = (len(vals) - 1) * 0.8
+    lo, hi = vals[math.floor(pos)], vals[math.ceil(pos)]
+    thr = lo + (hi - lo) * (pos - math.floor(pos))
+    expect = {r["doc_id"] for r in scored.df.collect()
+              if r["perplexity"] is not None and r["perplexity"] <= thr}
+    got = {r["doc_id"] for r in kept.df.select("doc_id").collect()}
+    assert got == expect and len(got) > 0

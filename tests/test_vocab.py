@@ -183,3 +183,50 @@ def test_tfidf_cosine_cap_never_adds_pairs(tables):
     for r in capped:
         assert (r.id_a, r.id_b) in exact
         assert r.cosine <= exact[(r.id_a, r.id_b)] + 1e-6
+
+
+def test_token_cooccurrence_pmi_vs_duckdb(tables, ddb):
+    from tidierdb_jl_spark.llm.vocab import token_cooccurrence
+
+    co = token_cooccurrence(tables["documents"], max_vocab=20, min_pair_count=2)
+    assert_matches_duckdb(
+        co,
+        ddb,
+        f"""
+        WITH rawtoks AS ({_DUCK_TOKS}),
+        toks AS (SELECT DISTINCT doc_id, token FROM rawtoks),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS df_ FROM toks GROUP BY token
+            ORDER BY df_ DESC, token LIMIT 20)),
+        ptoks AS (SELECT t.doc_id, t.token FROM toks t
+                  WHERE t.token IN (SELECT token FROM vocab)),
+        dfq AS (SELECT token, count(*) AS n_tok FROM ptoks GROUP BY token),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        pr AS (SELECT a.token AS a, b.token AS b, count(*) AS n_ab
+               FROM ptoks a JOIN ptoks b
+                 ON a.doc_id = b.doc_id AND a.token < b.token
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT pr.a, pr.b, pr.n_ab, da.n_tok AS n_a, db.n_tok AS n_b,
+               round(log2(pr.n_ab * nd.n * 1.0 / (da.n_tok * db.n_tok)), 6) AS pmi
+        FROM pr JOIN dfq da ON pr.a = da.token
+                JOIN dfq db ON pr.b = db.token CROSS JOIN nd
+        """,
+        "token_cooccurrence",
+    )
+
+
+def test_token_cooccurrence_caps(spark):
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.vocab import token_cooccurrence
+
+    docs = TidyFrame(spark.createDataFrame(
+        [(1, "x y rare1"), (2, "x y rare2"), (3, "x y"), (4, "x y")],
+        "doc_id INT, text STRING",
+    ))
+    # vocab capped to the 2 hottest tokens: pairs only among {x, y}
+    rows = token_cooccurrence(docs, max_vocab=2, min_pair_count=1).df.collect()
+    assert [(r["a"], r["b"], r["n_ab"]) for r in rows] == [("x", "y", 4)]
+    # min_pair_count prunes singleton pairs
+    rows = token_cooccurrence(docs, max_vocab=None, min_pair_count=2).df.collect()
+    assert {(r["a"], r["b"]) for r in rows} == {("x", "y")}

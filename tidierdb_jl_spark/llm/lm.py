@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .vocab import _token_array
 
-__all__ = ["train_ngram_lm", "score_perplexity"]
+__all__ = ["train_ngram_lm", "score_perplexity", "perplexity_filter"]
 
 # Sentinel prepended to every document so the first real token has a
 # context; kept out of the vocabulary.  The \x01 control-char prefix
@@ -197,3 +197,31 @@ def score_perplexity(
         .drop("_sum_logp")
     )
     return TidyFrame(agg)
+
+
+def perplexity_filter(
+    tf,
+    model,
+    meta: dict,
+    q: float = 0.9,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    broadcast_model: bool = False,
+):
+    """The end-to-end CCNet gate: score every document's perplexity under
+    a trained LM, then keep the docs at or below the corpus q-quantile
+    (drop the worst (1-q) tail).  Composition of :func:`score_perplexity`
+    and :func:`pipeline.filter_by_quantile` — still one lazy plan: the
+    quantile threshold rides in as a broadcast scalar.  Documents with no
+    bigrams (NULL perplexity) are dropped (nothing to judge them by).
+    Returns the original columns plus ``perplexity``.
+    """
+    from .pipeline import filter_by_quantile
+
+    scored = score_perplexity(
+        tf, model, meta, col=col, tokenizer=tokenizer,
+        broadcast_model=broadcast_model,
+    ).filter("perplexity IS NOT NULL")
+    return filter_by_quantile(scored, "perplexity", q, keep="below").select(
+        "!n_bigrams", "!cross_entropy"
+    )

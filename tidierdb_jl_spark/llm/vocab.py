@@ -27,6 +27,7 @@ __all__ = [
     "vocab_coverage",
     "with_tfidf",
     "tfidf_cosine_pairs",
+    "token_cooccurrence",
 ]
 
 
@@ -240,5 +241,76 @@ def vocab_coverage(
         F.count_distinct(
             F.when(F.col("__v_token").isNull(), F.col("token"))
         ).alias("oov_types"),
+    )
+    return TidyFrame(out)
+
+
+def token_cooccurrence(
+    tf,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    max_vocab: int = 1000,
+    min_pair_count: int = 2,
+    id_col: str = "doc_id",
+):
+    """Document-level token co-occurrence with PMI (pointwise mutual
+    information) — the corpus-association statistic behind collocation
+    mining, topic drift checks, and contamination forensics ("which
+    benchmark terms co-travel in my corpus?").
+
+    One row per unordered token pair (``a < b``) appearing together in
+    >= ``min_pair_count`` documents: ``a, b, n_ab, n_a, n_b, pmi`` where
+    ``pmi = log2(n_ab * N / (n_a * n_b))`` over document frequencies.
+
+    Scale shape: the per-document pair build is inherently quadratic in
+    *distinct tokens per document*, so it is capped by construction:
+    tokens are first semi-joined against the top-``max_vocab`` frequency
+    vocabulary (broadcast — it is small by definition), bounding the
+    per-doc fan-out at ``min(distinct_tokens, max_vocab)²`` and, far
+    more importantly at corpus scale, bounding the *output* keyspace at
+    ``max_vocab²`` so the (a, b) count aggregation map-side-combines into
+    a small table no matter how many documents stream through.  Pass
+    ``max_vocab=None`` only for oracle/differential runs.
+    """
+    from ..core import TidyFrame
+
+    sdf = tf.df if hasattr(tf, "df") else tf
+    toks = _token_array(col, tokenizer)
+    per_doc = sdf.select(
+        F.col(id_col).alias("_doc"), F.explode(F.array_distinct(toks)).alias("tok")
+    )
+    if max_vocab is not None:
+        vocab = (
+            per_doc.groupBy("tok").agg(F.count("*").alias("df_"))
+            .orderBy(F.desc("df_"), "tok").limit(int(max_vocab)).select("tok")
+        )
+        per_doc = per_doc.join(F.broadcast(vocab), "tok", "left_semi")
+
+    dfreq = per_doc.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    n_docs = sdf.select(F.countDistinct(id_col).alias("n")).first()["n"] or 1
+
+    left = per_doc.select("_doc", F.col("tok").alias("a"))
+    right = per_doc.select("_doc", F.col("tok").alias("b"))
+    pairs = (
+        left.join(right, "_doc")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_pair_count))
+    )
+    out = (
+        pairs.join(dfreq.withColumnRenamed("tok", "a")
+                   .withColumnRenamed("n_tok", "n_a"), "a")
+        .join(dfreq.withColumnRenamed("tok", "b")
+              .withColumnRenamed("n_tok", "n_b"), "b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log2(F.col("n_ab") * F.lit(float(n_docs))
+                       / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ),
+        )
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi")
     )
     return TidyFrame(out)
