@@ -2537,6 +2537,44 @@ def _t91(t):
     return token_cooccurrence(t["documents"], max_vocab=20, min_pair_count=2)
 
 
+def _q99(t):
+    """Per-group z-score outlier scoring on lineitem quantity: grouped
+    stats via ONE map-side-combined aggregation joined back on the (tiny,
+    broadcast) group key — no partitioned window, no per-group sort.
+    Zero-variance groups score NULL."""
+    from tidierdb_jl_spark.operators.stats import with_outlier_scores
+
+    return (
+        with_outlier_scores(
+            t["lineitem"].select(
+                "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+            ),
+            "l_quantity",
+            by="l_returnflag",
+        )
+        .mutate(z6="round(l_quantity_outlier, 6)")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "z6")
+    )
+
+
+def _t92(t):
+    """PSI drift between two lineitem snapshots (odd keys shifted +10):
+    equi-width buckets over the expected side's range, one aggregation
+    per side, totals from the bins-row table so each corpus is scanned
+    exactly once.  eps-floored so empty buckets stay finite."""
+    from tidierdb_jl_spark.operators.stats import psi_drift
+
+    li = t["lineitem"]
+    expected = li.filter("l_orderkey % 2 = 0")
+    actual = li.filter("l_orderkey % 2 = 1").mutate(l_quantity="l_quantity + 10")
+    return (
+        psi_drift(expected, actual, "l_quantity", bins=8)
+        .mutate(pe6="round(p_expected, 6)", pa6="round(p_actual, 6)",
+                psi6="round(psi_contrib, 6)")
+        .select("bucket", "n_expected", "n_actual", "pe6", "pa6", "psi6")
+    )
+
+
 _BUILDERS.update(
     {
         "t86_lm_perplexity": _t86,
@@ -2545,6 +2583,8 @@ _BUILDERS.update(
         "q98_column_stats": _q98,
         "t89_r5b_ops_suite": _t89,
         "t91_token_pmi": _t91,
+        "q99_outlier_scores": _q99,
+        "t92_psi_drift": _t92,
     }
 )
 
@@ -3556,6 +3596,45 @@ def oracle_sql() -> dict[str, str]:
                round(log2(pr.n_ab * nd.n * 1.0 / (da.n_tok * db.n_tok)), 6) AS pmi
         FROM pr JOIN dfq da ON pr.a = da.token
                 JOIN dfq db ON pr.b = db.token CROSS JOIN nd
+    """
+    out["q99_outlier_scores"] = """
+        WITH s AS (
+          SELECT l_returnflag, avg(l_quantity) AS mu,
+                 stddev_samp(l_quantity) AS sd
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+               CASE WHEN s.sd > 0
+                    THEN round((l.l_quantity - s.mu) / s.sd, 6) END AS z6
+        FROM lineitem l JOIN s USING (l_returnflag)
+    """
+    out["t92_psi_drift"] = """
+        WITH e AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+                   WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 0),
+        a AS (SELECT CAST(l_quantity + 10 AS DOUBLE) AS x FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_orderkey % 2 = 1),
+        b AS (SELECT min(x) AS mn,
+                     CASE WHEN max(x) = min(x) THEN min(x) + 1.0 ELSE max(x) END AS mx
+              FROM e),
+        eb AS (SELECT least(7, greatest(0,
+                 CAST(floor((e.x - b.mn) / (b.mx - b.mn) * 8) AS INT))) AS bucket,
+                 count(*) AS n FROM e CROSS JOIN b GROUP BY 1),
+        ab AS (SELECT least(7, greatest(0,
+                 CAST(floor((a.x - b.mn) / (b.mx - b.mn) * 8) AS INT))) AS bucket,
+                 count(*) AS n FROM a CROSS JOIN b GROUP BY 1),
+        grid AS (SELECT CAST(unnest(range(8)) AS INT) AS bucket),
+        j AS (SELECT g.bucket,
+                     CAST(coalesce(eb.n, 0) AS BIGINT) AS n_expected,
+                     CAST(coalesce(ab.n, 0) AS BIGINT) AS n_actual
+              FROM grid g LEFT JOIN eb USING (bucket) LEFT JOIN ab USING (bucket)),
+        tot AS (SELECT sum(n_expected) AS ne, sum(n_actual) AS na FROM j)
+        SELECT j.bucket, j.n_expected, j.n_actual,
+               round(greatest(1e-6, j.n_expected / tot.ne), 6) AS pe6,
+               round(greatest(1e-6, j.n_actual / tot.na), 6) AS pa6,
+               round((greatest(1e-6, j.n_actual / tot.na)
+                      - greatest(1e-6, j.n_expected / tot.ne))
+                     * ln(greatest(1e-6, j.n_actual / tot.na)
+                          / greatest(1e-6, j.n_expected / tot.ne)), 6) AS psi6
+        FROM j CROSS JOIN tot
     """
     out["t99_url_normalize"] = """
         SELECT doc_id,
