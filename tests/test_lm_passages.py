@@ -348,3 +348,28 @@ def test_perplexity_filter_composition(tables):
               if r["perplexity"] is not None and r["perplexity"] <= thr}
     got = {r["doc_id"] for r in kept.df.select("doc_id").collect()}
     assert got == expect and len(got) > 0
+
+
+def test_filter_by_quantile_grouped_vs_duckdb(tables, ddb):
+    kept = filter_by_quantile(
+        tables["documents"].select("doc_id", "lang", "n_chars"),
+        "n_chars", 0.5, by="lang",
+    )
+    assert_matches_duckdb(
+        kept,
+        ddb,
+        """
+        WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.5) AS t
+                     FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN thr USING (lang)
+        WHERE d.n_chars >= thr.t
+        """,
+        "filter_by_quantile_grouped",
+    )
+    # per-group bar keeps ~half of EVERY language, not half overall
+    from collections import Counter
+    langs_all = Counter(r["lang"] for r in tables["documents"].df.collect())
+    langs_kept = Counter(r["lang"] for r in kept.df.collect())
+    for lang, n in langs_all.items():
+        assert 0.3 <= langs_kept[lang] / n <= 0.7, (lang, langs_kept[lang], n)

@@ -271,3 +271,93 @@ def test_random_bloom_never_false_negative(tables, data):
         .count()
     )
     assert aj.df.count() == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_corpus_bigram_lm_matches_reference(spark, data):
+    """Random tiny corpora through train_ngram_lm + score_perplexity must
+    agree with a from-scratch Python bigram LM (counts exact, per-doc
+    cross-entropy to 1e-9)."""
+    import math
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.lm import _BOS, score_perplexity, train_ngram_lm
+
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=10),
+        min_size=1, max_size=6,
+    ))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    tf = TidyFrame(spark.createDataFrame(rows, "doc_id INT, text STRING"))
+
+    model, meta = train_ngram_lm(tf)
+    # reference: pair/context counts over the same corpus
+    pairs = []
+    for _, text in rows:
+        toks = [w for w in text.split() if w]
+        padded = [_BOS] + toks
+        pairs += list(zip(padded, padded[1:]))
+    from collections import Counter
+    pc, cc = Counter(pairs), Counter(c for c, _ in pairs)
+    vocab = {w for _, w in pairs}
+    got_model = {(r["c"], r["w"]): (r["pair_count"], r["ctx_count"])
+                 for r in model.df.collect()}
+    assert got_model == {k: (n, cc[k[0]]) for k, n in pc.items()}
+    assert meta["vocab_size"] == max(len(vocab), 1)
+
+    k, v = meta["k"], meta["vocab_size"]
+    scored = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+              for r in score_perplexity(tf, model, meta).df.collect()}
+    for i, text in rows:
+        toks = [w for w in text.split() if w]
+        padded = [_BOS] + toks
+        ps = list(zip(padded, padded[1:]))
+        n, ce = scored[i]
+        assert n == len(ps)
+        if not ps:
+            assert ce is None
+            continue
+        ref = -sum(math.log2((pc[p] + k) / (cc[p[0]] + k * v)) for p in ps) / len(ps)
+        assert abs(ce - ref) < 1e-9, (i, ce, ref)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_corpus_passage_stats_match_reference(spark, data):
+    """Random corpora through repeated_passage_stats must agree with a
+    brute-force Python window census (window=3, stride drawn 1-2)."""
+    from collections import Counter
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.passages import repeated_passage_stats
+
+    stride = data.draw(st.sampled_from([1, 2]))
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), max_size=9),
+        min_size=1, max_size=6,
+    ))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    tf = TidyFrame(spark.createDataFrame(rows, "doc_id INT, text STRING"))
+
+    def windows(toks):
+        return [" ".join(toks[i:i + 3]) for i in range(0, len(toks) - 2, stride)]
+
+    per_doc = {i: windows(t.split()) for i, t in rows}
+    doc_freq = Counter()
+    for i, ws in per_doc.items():
+        for w in set(ws):
+            doc_freq[w] += 1
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in repeated_passage_stats(tf, window=3, stride=stride).df.collect()}
+    for i, ws in per_doc.items():
+        dup = sum(1 for w in ws if doc_freq[w] >= 2)
+        assert got[i] == (len(ws), dup), (i, got[i], (len(ws), dup))

@@ -15,6 +15,8 @@ small.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..core import TidyFrame
 from .textstats import with_language_id, with_text_stats
 
@@ -127,18 +129,24 @@ def filter_by_quantile(
     q: float,
     keep: str = "above",
     out: str | None = None,
+    by=None,
 ) -> TidyFrame:
-    """Keep rows whose ``col`` is above (or below) the corpus q-quantile —
+    """Keep rows whose ``col`` is above (or below) the q-quantile —
     the relative-threshold quality gate ("drop the bottom decile by
     quality score") that complements the absolute gates of
-    ``quality_filter``/``gopher_filter``.
+    ``quality_filter``/``gopher_filter``.  ``by`` (a column name or list)
+    makes the threshold per-group — e.g. a per-language quality bar, so a
+    low-resource language isn't wiped out by a global cutoff.
 
-    The threshold is the exact interpolated percentile, attached with the
+    Global case: the exact interpolated percentile is attached with the
     lazy-broadcast scalar pattern (:meth:`TidyFrame.with_scalar`): one
     aggregation job produces a 1-row frame that is broadcast-cross-joined
     into the filter, so Catalyst plans a single job and the corpus scan
-    happens once — no driver round-trip, no second pass.  ``keep="above"``
-    keeps ``col >= threshold`` (ties survive), ``"below"`` keeps
+    happens once — no driver round-trip, no second pass.  Grouped case:
+    per-group percentiles come from one map-side-combined aggregation
+    joined back on the (tiny, broadcast) group key — no partitioned
+    window, no per-group sort.  ``keep="above"`` keeps
+    ``col >= threshold`` (ties survive), ``"below"`` keeps
     ``col <= threshold``.  ``out`` optionally retains the threshold as a
     column for audit.
     """
@@ -146,11 +154,22 @@ def filter_by_quantile(
         raise ValueError(f"q must be in [0, 1], got {q}")
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above'|'below', got {keep!r}")
-    thr = tf.summarize(__thr=f"percentile({col}, {q})")
     name = out or "__quantile_thr"
-    res = tf.with_scalar(**{name: thr}).filter(
-        f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
-    )
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if keys:
+        thr = (
+            tf.df.groupBy(*keys)
+            .agg(F.expr(f"percentile({col}, {q})").alias(name))
+        )
+        joined = tf.df.join(thr, keys).select(*tf.df.columns, name)
+        res = TidyFrame(joined).filter(
+            f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
+        )
+    else:
+        thr = tf.summarize(**{"__thr": f"percentile({col}, {q})"})
+        res = tf.with_scalar(**{name: thr}).filter(
+            f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
+        )
     if out is None:
         res = res.select(f"!{name}")
     return res
