@@ -2438,7 +2438,9 @@ def _t86(t):
     from tidierdb_jl_spark.llm.lm import score_perplexity, train_ngram_lm
 
     docs = t["documents"]
-    model, meta = train_ngram_lm(docs)
+    # lazy_vocab: the vocab-size scalar rides the plan as a 1-row
+    # broadcast, so build time is zero jobs and train+score is one job
+    model, meta = train_ngram_lm(docs, lazy_vocab=True)
     return (
         score_perplexity(docs.select("doc_id", "text"), model, meta)
         .mutate(ce6="round(cross_entropy, 6)")
@@ -2575,6 +2577,27 @@ def _t92(t):
     )
 
 
+def _t93(t):
+    """Token-distribution drift (KL + Jensen-Shannon) between the
+    even/odd-doc halves of the corpus: one map-side-combined token count
+    per side, full-outer merge of the two count tables, TakeOrdered
+    top-50 vocab cut AFTER totals (so probabilities are over true corpus
+    mass), window totals over the tiny result — each corpus scanned
+    exactly once.  9dp rounding absorbs cross-engine ln() ulps."""
+    from tidierdb_jl_spark.llm.vocab import token_divergence
+
+    docs = t["documents"]
+    return (
+        token_divergence(
+            docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+            max_vocab=50,
+        )
+        .mutate(pe9="round(p_expected, 9)", pa9="round(p_actual, 9)",
+                kl9="round(kl_contrib, 9)", js9="round(js_contrib, 9)")
+        .select("token", "n_expected", "n_actual", "pe9", "pa9", "kl9", "js9")
+    )
+
+
 _BUILDERS.update(
     {
         "t86_lm_perplexity": _t86,
@@ -2585,6 +2608,7 @@ _BUILDERS.update(
         "t91_token_pmi": _t91,
         "q99_outlier_scores": _q99,
         "t92_psi_drift": _t92,
+        "t93_token_divergence": _t93,
     }
 )
 
@@ -3635,6 +3659,35 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(1e-6, j.n_actual / tot.na)
                           / greatest(1e-6, j.n_expected / tot.ne)), 6) AS psi6
         FROM j CROSS JOIN tot
+    """
+    out["t93_token_divergence"] = r"""
+        WITH etoks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+            AND doc_id % 2 = 0),
+        atoks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+            AND doc_id % 2 = 1),
+        ec AS (SELECT token, count(*) AS n_e FROM etoks GROUP BY 1),
+        ac AS (SELECT token, count(*) AS n_a FROM atoks GROUP BY 1),
+        m AS (SELECT coalesce(ec.token, ac.token) AS token,
+                     CAST(coalesce(n_e, 0) AS BIGINT) AS n_expected,
+                     CAST(coalesce(n_a, 0) AS BIGINT) AS n_actual
+              FROM ec FULL JOIN ac ON ec.token = ac.token),
+        tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM m),
+        cut AS (SELECT * FROM m
+                ORDER BY (n_expected + n_actual) DESC, token LIMIT 50),
+        p AS (SELECT c.token, c.n_expected, c.n_actual,
+                     greatest(1e-9, c.n_expected / greatest(1, tot.te)) AS pe,
+                     greatest(1e-9, c.n_actual / greatest(1, tot.ta)) AS pa
+              FROM cut c CROSS JOIN tot)
+        SELECT token, n_expected, n_actual,
+               round(pe, 9) AS pe9, round(pa, 9) AS pa9,
+               round(pe * ln(pe / pa), 9) AS kl9,
+               round((pe * ln(pe / ((pe + pa) / 2))
+                      + pa * ln(pa / ((pe + pa) / 2))) / 2, 9) AS js9
+        FROM p
     """
     out["t99_url_normalize"] = """
         SELECT doc_id,

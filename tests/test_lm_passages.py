@@ -373,3 +373,22 @@ def test_filter_by_quantile_grouped_vs_duckdb(tables, ddb):
     langs_kept = Counter(r["lang"] for r in kept.df.collect())
     for lang, n in langs_all.items():
         assert 0.3 <= langs_kept[lang] / n <= 0.7, (lang, langs_kept[lang], n)
+
+
+def test_lazy_vocab_identical_and_single_job(tables):
+    """lazy_vocab folds the vocab-size scalar into the scoring plan:
+    results bit-identical to the eager path, and building the plan
+    triggers zero Spark jobs (no driver barrier)."""
+    docs = tables["documents"]
+    m_e, meta_e = train_ngram_lm(docs)
+    sc = docs.df.sparkSession.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    m_l, meta_l = train_ngram_lm(docs, lazy_vocab=True)
+    lazy_plan = score_perplexity(docs.select("doc_id", "text"), m_l, meta_l)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert meta_l["vocab_size"] is None
+    assert len(after) == len(before), "lazy train+plan ran a Spark job"
+    eager = {r["doc_id"]: r["cross_entropy"]
+             for r in score_perplexity(docs.select("doc_id", "text"), m_e, meta_e).df.collect()}
+    lazy = {r["doc_id"]: r["cross_entropy"] for r in lazy_plan.df.collect()}
+    assert eager == lazy  # decimal sums -> bit-identical, not just close

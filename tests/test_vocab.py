@@ -230,3 +230,68 @@ def test_token_cooccurrence_caps(spark):
     # min_pair_count prunes singleton pairs
     rows = token_cooccurrence(docs, max_vocab=None, min_pair_count=2).df.collect()
     assert {(r["a"], r["b"]) for r in rows} == {("x", "y")}
+
+
+def test_token_divergence_vs_duckdb(tables, ddb):
+    from tidierdb_jl_spark.llm.vocab import token_divergence
+
+    docs = tables["documents"]
+    e = docs.filter("doc_id % 2 = 0")
+    a = docs.filter("doc_id % 2 = 1")
+    d = token_divergence(e, a, max_vocab=50).mutate(
+        pe9="round(p_expected, 9)", pa9="round(p_actual, 9)",
+        kl9="round(kl_contrib, 9)", js9="round(js_contrib, 9)",
+    ).select("token", "n_expected", "n_actual", "pe9", "pa9", "kl9", "js9")
+    assert_matches_duckdb(
+        d,
+        ddb,
+        r"""
+        WITH etoks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+            AND doc_id % 2 = 0),
+        atoks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+            AND doc_id % 2 = 1),
+        ec AS (SELECT token, count(*) AS n_e FROM etoks GROUP BY 1),
+        ac AS (SELECT token, count(*) AS n_a FROM atoks GROUP BY 1),
+        m AS (SELECT coalesce(ec.token, ac.token) AS token,
+                     CAST(coalesce(n_e, 0) AS BIGINT) AS n_expected,
+                     CAST(coalesce(n_a, 0) AS BIGINT) AS n_actual
+              FROM ec FULL JOIN ac ON ec.token = ac.token),
+        tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM m),
+        cut AS (SELECT * FROM m
+                ORDER BY (n_expected + n_actual) DESC, token LIMIT 50),
+        p AS (SELECT c.token, c.n_expected, c.n_actual,
+                     greatest(1e-9, c.n_expected / greatest(1, tot.te)) AS pe,
+                     greatest(1e-9, c.n_actual / greatest(1, tot.ta)) AS pa
+              FROM cut c CROSS JOIN tot)
+        SELECT token, n_expected, n_actual,
+               round(pe, 9) AS pe9, round(pa, 9) AS pa9,
+               round(pe * ln(pe / pa), 9) AS kl9,
+               round((pe * ln(pe / ((pe + pa) / 2))
+                      + pa * ln(pa / ((pe + pa) / 2))) / 2, 9) AS js9
+        FROM p
+        """,
+        "token_divergence",
+    )
+
+
+def test_token_divergence_identity_and_onesided(spark):
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.vocab import token_divergence
+
+    docs = TidyFrame(spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id INT, text STRING"))
+    same = token_divergence(docs, docs, max_vocab=None)
+    tot = same.summarize(kl="sum(kl_contrib)", js="sum(js_contrib)").df.first()
+    assert abs(tot["kl"]) < 1e-12 and abs(tot["js"]) < 1e-12
+    only_a = TidyFrame(spark.createDataFrame([(3, "zzz")], "doc_id INT, text STRING"))
+    d = token_divergence(docs, only_a, max_vocab=None)
+    rows = {r["token"]: r for r in d.df.collect()}
+    assert rows["zzz"]["n_expected"] == 0 and rows["zzz"]["n_actual"] == 1
+    # one-sided tokens stay finite (eps floor), JS bounded by ln(2)
+    import math
+    assert all(r["js_contrib"] is not None and r["js_contrib"] <= math.log(2) + 1e-9
+               for r in rows.values())

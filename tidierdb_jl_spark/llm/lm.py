@@ -48,28 +48,26 @@ __all__ = ["train_ngram_lm", "score_perplexity", "perplexity_filter"]
 _BOS = "bos"
 
 
-def _bigram_expr(col: str, tokenizer: str):
-    """array<struct<c,w>> of (context, token) pairs with a BOS context."""
-    toks = _token_array(col, tokenizer)
-    padded = F.concat(F.array(F.lit(_BOS)), toks)
-    n = F.size(padded)
-    return F.when(n < 2, F.expr("array()")).otherwise(
-        F.expr(
-            # slice is 1-based; pair i = (padded[i], padded[i+1])
-            "transform(sequence(1, size_m1), i -> "
-            "named_struct('c', element_at(pad, i), 'w', element_at(pad, i + 1)))"
-        )
-    )
-
-
 def _with_pairs(sdf, col: str, tokenizer: str):
+    """Adds ``pairs``: array<struct<0,1>> of adjacent (context, token)
+    pairs over the BOS-padded token array — as a zip of two shifted
+    slices, NOT a ``transform(sequence, named_struct(element_at(...)))``
+    lambda: project-collapse inlines the padded-array alias into every
+    lambda element, making the indexed form O(tokens²) per document
+    (measured ~10x slower at sf0.1).  Empty/1-token docs zip to [].
+    """
     toks = _token_array(col, tokenizer)
     return (
         sdf.withColumn("pad", F.concat(F.array(F.lit(_BOS)), toks))
-        .withColumn("size_m1", F.size(F.col("pad")) - F.lit(1))
-        .withColumn("pairs", _bigram_expr(col, tokenizer))
-        .drop("pad", "size_m1")
+        .withColumn(
+            "pairs",
+            F.expr("arrays_zip(slice(pad, 1, size(pad) - 1), "
+                   "slice(pad, 2, size(pad) - 1))"),
+        )
+        .drop("pad")
     )
+
+
 
 
 def train_ngram_lm(
@@ -78,6 +76,7 @@ def train_ngram_lm(
     tokenizer: str = "whitespace",
     k: float = 0.5,
     min_count: int = 1,
+    lazy_vocab: bool = False,
 ):
     """Train an add-k bigram LM; returns ``(model_tf, meta)``.
 
@@ -89,16 +88,27 @@ def train_ngram_lm(
     with the *distinct frequent* bigram count, not the corpus.
 
     One shuffle for the pair counts, one for the context counts, and the
-    model join reuses the context hash partitioning.  The only driver
-    action is the 1-row vocab-size aggregate (same bounded-scalar shape
-    as ``zorder``'s min/max probe).
+    model join reuses the context hash partitioning.  By default the
+    vocab size is an eager 1-row driver action (same bounded-scalar
+    shape as ``zorder``'s min/max probe); ``lazy_vocab=True`` instead
+    returns it as a 1-row frame in ``meta["vocab"]``
+    (``meta["vocab_size"]`` is None) that :func:`score_perplexity`
+    broadcast-cross-joins into the scoring plan — no separate job, no
+    driver barrier, so train+score stays ONE Spark job end-to-end.
     """
     from ..core import TidyFrame
 
     sdf = tf.df if hasattr(tf, "df") else tf
-    pairs = _with_pairs(sdf, col, tokenizer).select(
-        F.explode("pairs").alias("p")
-    ).select(F.col("p.c").alias("c"), F.col("p.w").alias("w"))
+    # explode_outer, NOT explode: the plain generator plans an implicit
+    # emptiness pre-check that re-evaluates the whole pairs transform()
+    # expression per row (measured ~14x slower); outer + null-filter
+    # evaluates it once
+    pairs = (
+        _with_pairs(sdf, col, tokenizer)
+        .select(F.explode_outer("pairs").alias("p"))
+        .select(F.col("p")["0"].alias("c"), F.col("p")["1"].alias("w"))
+        .where(F.col("c").isNotNull())
+    )
 
     pair_counts = pairs.groupBy("c", "w").agg(F.count("*").alias("pair_count"))
     if min_count > 1:
@@ -106,10 +116,12 @@ def train_ngram_lm(
     ctx_counts = pairs.groupBy("c").agg(F.count("*").alias("ctx_count"))
     model = pair_counts.join(ctx_counts, "c")
 
-    # Vocabulary = distinct *tokens* (BOS is a context only).  Bounded
-    # 1-row driver action.
-    vocab_size = pairs.select(F.countDistinct("w").alias("v")).first()["v"]
-    meta = {"vocab_size": int(vocab_size or 1), "k": float(k)}
+    # Vocabulary = distinct *tokens* (BOS is a context only).
+    vocab = pairs.select(F.greatest(F.lit(1), F.countDistinct("w")).alias("__v"))
+    if lazy_vocab:
+        meta = {"vocab_size": None, "k": float(k), "vocab": TidyFrame(vocab)}
+    else:
+        meta = {"vocab_size": int(vocab.first()["__v"]), "k": float(k)}
     return TidyFrame(model), meta
 
 
@@ -147,7 +159,6 @@ def score_perplexity(
     from ..core import TidyFrame
 
     sdf = tf.df if hasattr(tf, "df") else tf
-    v = int(meta["vocab_size"])
     k = float(meta["k"])
 
     mdl = model.df if hasattr(model, "df") else model
@@ -159,8 +170,17 @@ def score_perplexity(
     pairs = (
         _with_pairs(sdf, col, tokenizer)
         .select(*row_cols, F.posexplode_outer("pairs").alias("_i", "p"))
-        .select(*row_cols, F.col("p.c").alias("c"), F.col("p.w").alias("w"))
+        .select(*row_cols, F.col("p")["0"].alias("c"), F.col("p")["1"].alias("w"))
     )
+    if meta.get("vocab_size") is None:
+        # lazy vocab: 1-row broadcast cross join keeps train+score one job
+        vdf = meta["vocab"]
+        pairs = pairs.crossJoin(
+            F.broadcast(vdf.df if hasattr(vdf, "df") else vdf)
+        )
+        kv = F.lit(k) * F.col("__v")
+    else:
+        kv = F.lit(k * int(meta["vocab_size"]))
     scored = (
         pairs.join(mdl.select("c", "w", "pair_count"), ["c", "w"], "left")
         .join(ctx, ["c"], "left")
@@ -171,7 +191,7 @@ def score_perplexity(
             ).otherwise(
                 F.log2(
                     (F.coalesce(F.col("pair_count"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("ctx_count"), F.lit(0)) + F.lit(k * v))
+                    / (F.coalesce(F.col("ctx_count"), F.lit(0)) + kv)
                 )
             ),
         )

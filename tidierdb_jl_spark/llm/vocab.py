@@ -28,6 +28,7 @@ __all__ = [
     "with_tfidf",
     "tfidf_cosine_pairs",
     "token_cooccurrence",
+    "token_divergence",
 ]
 
 
@@ -312,5 +313,87 @@ def token_cooccurrence(
             ),
         )
         .select("a", "b", "n_ab", "n_a", "n_b", "pmi")
+    )
+    return TidyFrame(out)
+
+
+def token_divergence(
+    expected,
+    actual,
+    col: str = "text",
+    tokenizer: str = "whitespace",
+    max_vocab: int = 10000,
+    eps: float = 1e-9,
+):
+    """Token-distribution drift between two corpus snapshots: per-token
+    probabilities under each side plus KL and Jensen-Shannon
+    contributions — the vocabulary complement to ``psi_drift``'s numeric
+    buckets ("did the incoming batch's language shift?").
+
+    One row per token in the top-``max_vocab`` union vocabulary (ranked
+    by combined count, ties on token asc): ``token, n_expected,
+    n_actual, p_expected, p_actual, kl_contrib, js_contrib``.  Sum
+    ``kl_contrib`` for KL(expected || actual) and ``js_contrib`` for the
+    (symmetric, bounded) Jensen-Shannon divergence; both eps-floored so
+    one-sided tokens stay finite.  Probabilities are over each side's
+    total token count (not just the kept vocab), so truncation never
+    inflates a probability.
+
+    Scale shape: one map-side-combined token count per side, a
+    full-outer join of the two (small) count tables, a TakeOrdered
+    top-``max_vocab`` cut, and window totals over the tiny result —
+    each corpus is scanned exactly once, and nothing bigger than the
+    vocabulary ever reaches the driver or a single task.
+    """
+    from pyspark.sql import Window
+
+    from ..core import TidyFrame
+
+    e_sdf = expected.df if hasattr(expected, "df") else expected
+    a_sdf = actual.df if hasattr(actual, "df") else actual
+
+    def counts(sdf, label):
+        toks = _token_array(col, tokenizer)
+        return (
+            sdf.select(F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(label))
+        )
+
+    ec, ac = counts(e_sdf, "n_expected"), counts(a_sdf, "n_actual")
+    merged = (
+        ec.join(ac, "token", "full_outer")
+        .fillna({"n_expected": 0, "n_actual": 0})
+    )
+    # totals BEFORE the vocab cut, so p is over the true corpus mass
+    w = Window.partitionBy()
+    merged = (
+        merged.withColumn("__te", F.sum("n_expected").over(w))
+        .withColumn("__ta", F.sum("n_actual").over(w))
+    )
+    if max_vocab is not None:
+        merged = merged.orderBy(
+            F.desc(F.col("n_expected") + F.col("n_actual")), "token"
+        ).limit(int(max_vocab))
+
+    pe = F.greatest(F.lit(float(eps)),
+                    F.col("n_expected") / F.greatest(F.lit(1), F.col("__te")))
+    pa = F.greatest(F.lit(float(eps)),
+                    F.col("n_actual") / F.greatest(F.lit(1), F.col("__ta")))
+    out = (
+        merged.withColumn("p_expected", pe)
+        .withColumn("p_actual", pa)
+        .withColumn(
+            "kl_contrib",
+            F.col("p_expected") * F.log(F.col("p_expected") / F.col("p_actual")),
+        )
+        .withColumn("__m", (F.col("p_expected") + F.col("p_actual")) / 2)
+        .withColumn(
+            "js_contrib",
+            (F.col("p_expected") * F.log(F.col("p_expected") / F.col("__m"))
+             + F.col("p_actual") * F.log(F.col("p_actual") / F.col("__m"))) / 2,
+        )
+        .select("token", "n_expected", "n_actual",
+                "p_expected", "p_actual", "kl_contrib", "js_contrib")
     )
     return TidyFrame(out)

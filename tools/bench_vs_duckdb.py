@@ -41,7 +41,15 @@ def main() -> None:
     # d36's oracle is an invariant ANCHOR (a doc count), not the
     # equivalent simhash computation — timing it would be meaningless
     skip = {"d36_simhash_pairs"}
+    # round-5b ops: not in the driver-total HEADLINE (keeps BENCH totals
+    # comparable across rounds) but head-to-head-worthy — their oracles
+    # are the full equivalent computation
+    extra = [
+        "t86_lm_perplexity", "t87_repeated_passages", "t88_quantile_filter",
+        "t91_token_pmi", "q99_outlier_scores", "t92_psi_drift",
+    ]
     names = [n for n in HEADLINE if n in qs and n in osql and n not in skip]
+    names += [n for n in extra if n in qs and n in osql]
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
