@@ -2577,6 +2577,25 @@ def _t92(t):
     )
 
 
+def _d88(t):
+    """Quality-policy duplicate resolution: the d86 clusters, but the
+    survivor is the cluster's LONGEST document (max n_chars, ties to the
+    smallest id) instead of the smallest id — the production choice when
+    a cluster holds one clean original and several truncated mirrors.
+    Oracle: d86's recursive-CTE closure + the same argmax in SQL."""
+    from tidierdb_jl_spark.llm.dedup import ngram_jaccard_pairs, resolve_duplicates
+
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.3,
+        block_cols=("lang",),
+    )
+    return (
+        resolve_duplicates(t["documents"], pairs, "doc_id", score_col="n_chars")
+        .select("doc_id", "n_chars", "cluster_id", "canonical_id")
+        .arrange("doc_id")
+    )
+
+
 def _t93(t):
     """Token-distribution drift (KL + Jensen-Shannon) between the
     even/odd-doc halves of the corpus: one map-side-combined token count
@@ -2609,6 +2628,7 @@ _BUILDERS.update(
         "q99_outlier_scores": _q99,
         "t92_psi_drift": _t92,
         "t93_token_divergence": _t93,
+        "d88_resolve_duplicates": _d88,
     }
 )
 
@@ -3659,6 +3679,41 @@ def oracle_sql() -> dict[str, str]:
                      * ln(greatest(1e-6, j.n_actual / tot.na)
                           / greatest(1e-6, j.n_expected / tot.ne)), 6) AS psi6
         FROM j CROSS JOIN tot
+    """
+    out["d88_resolve_duplicates"] = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))) END AS s
+          FROM t),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e) s0
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src),
+        comp AS (SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src),
+        lab AS (
+          SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+        best AS (SELECT cluster_id, max(n_chars) AS b FROM lab GROUP BY 1),
+        win AS (SELECT l.cluster_id, min(l.doc_id) AS canonical_id
+                FROM lab l JOIN best USING (cluster_id)
+                WHERE l.n_chars = best.b GROUP BY 1)
+        SELECT l.doc_id, l.n_chars, l.cluster_id, w.canonical_id
+        FROM lab l JOIN win w USING (cluster_id)
+        ORDER BY l.doc_id
     """
     out["t93_token_divergence"] = r"""
         WITH etoks AS (

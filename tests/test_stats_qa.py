@@ -131,3 +131,50 @@ def test_psi_empty_actual_and_validation(spark):
     assert all(r["psi_contrib"] is not None for r in rows)  # eps floor, finite
     with pytest.raises(ValueError, match="bins must be"):
         psi_drift(e, a, "x", bins=0)
+
+
+def test_resolve_duplicates_keep_best_vs_reference(tables):
+    """resolve_duplicates picks the highest-score doc per transitive
+    cluster (ties -> smallest id) — checked against a Python union-find
+    over the same ngram-Jaccard pair list."""
+    from tidierdb_jl_spark.llm.dedup import ngram_jaccard_pairs, resolve_duplicates
+
+    docs = tables["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    res = resolve_duplicates(docs, pairs, "doc_id", score_col="n_chars")
+    got = {r["doc_id"]: (r["cluster_id"], r["canonical_id"])
+           for r in res.df.collect()}
+
+    # python reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    plist = [(r["id_a"], r["id_b"]) for r in pairs.df.collect()]
+    assert plist, "test corpus should contain near-dup pairs"
+    for a, b in plist:
+        union(a, b)
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.df.collect()}
+    from collections import defaultdict
+    members = defaultdict(list)
+    for d in chars:
+        members[find(d) if d in parent else d].append(d)
+    for root, ids in members.items():
+        best = max(chars[i] for i in ids)
+        winner = min(i for i in ids if chars[i] == best)
+        for i in ids:
+            assert got[i] == (root, winner), (i, got[i], (root, winner))
+
+    # score_col=None degenerates to min-id (dup_clusters semantics)
+    res0 = resolve_duplicates(docs, pairs, "doc_id")
+    got0 = {r["doc_id"]: r["canonical_id"] for r in res0.df.collect()}
+    for root, ids in members.items():
+        for i in ids:
+            assert got0[i] == root

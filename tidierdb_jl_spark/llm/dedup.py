@@ -40,6 +40,7 @@ __all__ = [
     "minhash_dedup",
     "connected_components",
     "dup_clusters",
+    "resolve_duplicates",
     "exact_dedup_incremental",
     "minhash_dedup_incremental",
     "similarity_join",
@@ -609,6 +610,59 @@ def dup_clusters(tf, pairs_tf, id_col: str, id_a: str = "id_a", id_b: str = "id_
     )
     from ..core import TidyFrame
 
+    return TidyFrame(out)
+
+
+def resolve_duplicates(
+    tf,
+    pairs_tf,
+    id_col: str,
+    score_col: str | None = None,
+    keep: str = "max",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+):
+    """Pick ONE canonical document per duplicate cluster by a quality
+    policy — the production refinement of min-id dedup: when a cluster
+    holds a clean original and three truncated mirrors, keep the best
+    one, not the smallest id.
+
+    Returns the input columns plus ``cluster_id`` (transitive-closure
+    label from :func:`connected_components`; singletons get their own
+    id) and ``canonical_id`` (the chosen survivor's id) — filter
+    ``{id} == canonical_id`` to materialize the deduped corpus.
+    ``score_col=None`` keeps the smallest id (same survivor set as
+    :func:`dup_clusters`); otherwise the cluster's ``max`` (or ``min``)
+    score wins, ties broken deterministically by smallest id.
+
+    Scale shape: after clustering, one aggregation for the per-cluster
+    best score, one membership equi-join, and one aggregation for the
+    deterministic tie-break — everything keyed on ``cluster_id``, no
+    windows, no sorts of the corpus.
+    """
+    from ..core import TidyFrame
+
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max'|'min', got {keep!r}")
+    clustered = dup_clusters(tf, pairs_tf, id_col, id_a, id_b).df.withColumnRenamed(
+        "keep_id", "cluster_id"
+    )
+    if score_col is None:
+        out = clustered.withColumn("canonical_id", F.col("cluster_id"))
+        return TidyFrame(out)
+
+    agg = F.max(score_col) if keep == "max" else F.min(score_col)
+    best = clustered.groupBy("cluster_id").agg(agg.alias("__best"))
+    winners = (
+        clustered.join(best, "cluster_id")
+        .where(F.col(score_col) == F.col("__best"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+    out = clustered.join(winners, "cluster_id").select(
+        *[c for c in clustered.columns if c != "cluster_id"],
+        "cluster_id", "canonical_id",
+    )
     return TidyFrame(out)
 
 
