@@ -2492,9 +2492,11 @@ def _q98(t):
 def _t89(t):
     """Round-5b ops suite (tagged union, one driver row): bigram-LM
     perplexity (t86), repeated-passage stats (t87), quantile-threshold
-    filter (t88), and the column-stats profile (q98, two legs for
-    min/max).  Shared schema (op, id1, id2, s, num); every leg is
-    individually oracle-backed by its own registered row."""
+    filter (t88), the column-stats profile (q98, two legs for min/max),
+    PMI co-occurrence (t91), z-score outliers (q99), PSI drift (t92),
+    and KL/JS token divergence (t93).  Shared schema
+    (op, id1, id2, s, num); every leg is individually oracle-backed by
+    its own registered row."""
     nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
     cols = ("op", "id1", "id2", "s", "num")
 
@@ -2524,7 +2526,40 @@ def _t89(t):
         op="'stats_max'", id1="n_rows", id2="n_distinct",
         s="concat(column, ':', CAST(n_null AS STRING))", num="max_num",
     ).select(*cols)
-    return lm.union_all(pas).union_all(qf).union_all(smin).union_all(smax)
+    pmi = (
+        _t91(t)
+        .mutate(op="'pmi'", id1="n_ab", id2="n_a",
+                s="concat(a, ' ', b, ' ', CAST(n_b AS STRING))", num="pmi")
+        .select(*cols)
+    )
+    outl = (
+        _q99(t)
+        .mutate(op="'outlier'", id1="l_orderkey", id2="l_linenumber",
+                s="l_returnflag", num="z6")
+        .select(*cols)
+    )
+    psi = (
+        _t92(t)
+        .mutate(op="'psi'", id1="CAST(bucket AS BIGINT)", id2="n_expected",
+                s="CAST(n_actual AS STRING)", num="psi6")
+        .select(*cols)
+    )
+    # two divergence legs: doubles never stringified (engine formatting)
+    div_kl = (
+        _t93(t)
+        .mutate(op="'div_kl'", id1="n_expected", id2="n_actual",
+                s="token", num="kl9")
+        .select(*cols)
+    )
+    div_js = (
+        _t93(t)
+        .mutate(op="'div_js'", id1="n_expected", id2="n_actual",
+                s="token", num="js9")
+        .select(*cols)
+    )
+    out = lm.union_all(pas).union_all(qf).union_all(smin).union_all(smax)
+    out = out.union_all(pmi).union_all(outl).union_all(psi)
+    return out.union_all(div_kl).union_all(div_js)
 
 
 def _t91(t):
@@ -4769,4 +4804,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
     })
+    # t89 suite legs for the later round-5b ops, composed from their own
+    # standalone oracles as derived tables (DuckDB allows WITH inside a
+    # parenthesized subquery) — one driver row covers them all.
+    out["t89_r5b_ops_suite"] += f"""
+        UNION ALL
+        SELECT 'pmi', z.n_ab, z.n_a,
+               concat(z.a, ' ', z.b, ' ', CAST(z.n_b AS VARCHAR)), z.pmi
+        FROM ({out["t91_token_pmi"]}) z
+        UNION ALL
+        SELECT 'outlier', z.l_orderkey, z.l_linenumber, z.l_returnflag, z.z6
+        FROM ({out["q99_outlier_scores"]}) z
+        UNION ALL
+        SELECT 'psi', CAST(z.bucket AS BIGINT), z.n_expected,
+               CAST(z.n_actual AS VARCHAR), z.psi6
+        FROM ({out["t92_psi_drift"]}) z
+        UNION ALL
+        SELECT 'div_kl', z.n_expected, z.n_actual, z.token, z.kl9
+        FROM ({out["t93_token_divergence"]}) z
+        UNION ALL
+        SELECT 'div_js', z.n_expected, z.n_actual, z.token, z.js9
+        FROM ({out["t93_token_divergence"]}) z
+    """
     return out
