@@ -2612,6 +2612,22 @@ def _t92(t):
     )
 
 
+def _t94(t):
+    """Trigram (n=3) LM perplexity: two-token contexts via
+    array_join(slice(...)) windows zipped against the target slice —
+    same one-shuffle train / join+re-agg score shape as the bigram t86,
+    sharper scores.  Decimal-cast sum, 6dp rounding, lazy vocab."""
+    from tidierdb_jl_spark.llm.lm import score_perplexity, train_ngram_lm
+
+    docs = t["documents"]
+    model, meta = train_ngram_lm(docs, n=3, lazy_vocab=True)
+    return (
+        score_perplexity(docs.select("doc_id", "text"), model, meta)
+        .mutate(ce6="round(cross_entropy, 6)")
+        .select("doc_id", "n_bigrams", "ce6")
+    )
+
+
 def _d88(t):
     """Quality-policy duplicate resolution: the d86 clusters, but the
     survivor is the cluster's LONGEST document (max n_chars, ties to the
@@ -2664,6 +2680,7 @@ _BUILDERS.update(
         "t92_psi_drift": _t92,
         "t93_token_divergence": _t93,
         "d88_resolve_duplicates": _d88,
+        "t94_trigram_lm": _t94,
     }
 )
 
@@ -3564,6 +3581,40 @@ def oracle_sql() -> dict[str, str]:
     """
     out["t86_lm_perplexity"] = _LM_PAIRS_SQL + r"""
         , pc AS (SELECT c, w, count(*) AS pair_count FROM px GROUP BY c, w),
+        cc AS (SELECT c, count(*) AS ctx_count FROM px GROUP BY c),
+        v AS (SELECT count(DISTINCT w) AS v FROM px),
+        scored AS (
+          SELECT px.doc_id,
+                 log2((coalesce(pc.pair_count, 0) + 0.5)
+                      / (coalesce(cc.ctx_count, 0) + 0.5 * v.v)) AS logp
+          FROM px LEFT JOIN pc USING (c, w) LEFT JOIN cc USING (c)
+          CROSS JOIN v),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CAST(logp AS DECIMAL(28,10))) AS DOUBLE) AS s
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+               round(-a.s / a.n_bigrams, 6) AS ce6
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    out["t94_trigram_lm"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS a
+          FROM documents),
+        padded AS (
+          SELECT doc_id,
+                 list_concat([chr(1) || 'bos', chr(1) || 'bos'], a) AS pad
+          FROM toks),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(pad) - 1),
+                        i -> struct_pack(c := array_to_string(pad[i:i+1], ' '),
+                                         w := pad[i + 2]))) AS p
+          FROM padded WHERE len(pad) >= 3),
+        px AS (SELECT doc_id, p.c AS c, p.w AS w FROM pairs),
+        pc AS (SELECT c, w, count(*) AS pair_count FROM px GROUP BY c, w),
         cc AS (SELECT c, count(*) AS ctx_count FROM px GROUP BY c),
         v AS (SELECT count(DISTINCT w) AS v FROM px),
         scored AS (

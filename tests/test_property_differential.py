@@ -288,6 +288,7 @@ def test_random_corpus_bigram_lm_matches_reference(spark, data):
     from tidierdb_jl_spark.core import TidyFrame
     from tidierdb_jl_spark.llm.lm import _BOS, score_perplexity, train_ngram_lm
 
+    ngram = data.draw(st.sampled_from([2, 3]))
     docs = data.draw(st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=10),
         min_size=1, max_size=6,
@@ -295,13 +296,17 @@ def test_random_corpus_bigram_lm_matches_reference(spark, data):
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     tf = TidyFrame(spark.createDataFrame(rows, "doc_id INT, text STRING"))
 
-    model, meta = train_ngram_lm(tf)
-    # reference: pair/context counts over the same corpus
-    pairs = []
-    for _, text in rows:
+    model, meta = train_ngram_lm(tf, n=ngram)
+
+    def doc_pairs(text):
         toks = [w for w in text.split() if w]
-        padded = [_BOS] + toks
-        pairs += list(zip(padded, padded[1:]))
+        if not toks:
+            return []
+        padded = [_BOS] * (ngram - 1) + toks
+        return [(" ".join(padded[i:i + ngram - 1]), padded[i + ngram - 1])
+                for i in range(len(padded) - ngram + 1)]
+
+    pairs = [p for _, text in rows for p in doc_pairs(text)]
     from collections import Counter
     pc, cc = Counter(pairs), Counter(c for c, _ in pairs)
     vocab = {w for _, w in pairs}
@@ -314,16 +319,14 @@ def test_random_corpus_bigram_lm_matches_reference(spark, data):
     scored = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
               for r in score_perplexity(tf, model, meta).df.collect()}
     for i, text in rows:
-        toks = [w for w in text.split() if w]
-        padded = [_BOS] + toks
-        ps = list(zip(padded, padded[1:]))
+        ps = doc_pairs(text)
         n, ce = scored[i]
         assert n == len(ps)
         if not ps:
             assert ce is None
             continue
         ref = -sum(math.log2((pc[p] + k) / (cc[p[0]] + k * v)) for p in ps) / len(ps)
-        assert abs(ce - ref) < 1e-9, (i, ce, ref)
+        assert abs(ce - ref) < 1e-9, (i, ngram, ce, ref)
 
 
 @settings(

@@ -48,24 +48,40 @@ __all__ = ["train_ngram_lm", "score_perplexity", "perplexity_filter"]
 _BOS = "bos"
 
 
-def _with_pairs(sdf, col: str, tokenizer: str):
-    """Adds ``pairs``: array<struct<0,1>> of adjacent (context, token)
-    pairs over the BOS-padded token array — as a zip of two shifted
-    slices, NOT a ``transform(sequence, named_struct(element_at(...)))``
-    lambda: project-collapse inlines the padded-array alias into every
-    lambda element, making the indexed form O(tokens²) per document
-    (measured ~10x slower at sf0.1).  Empty/1-token docs zip to [].
+def _with_pairs(sdf, col: str, tokenizer: str, n: int = 2):
+    """Adds ``pairs``: array<struct<0,1>> of (context, token) where the
+    context is the space-joined preceding ``n-1`` tokens over a
+    (n-1)×BOS-padded token array.
+
+    The n=2 path is a zip of two shifted slices, NOT a
+    ``transform(sequence, named_struct(element_at(...)))`` lambda:
+    project-collapse inlines the padded-array alias into every lambda
+    element, making the indexed form O(tokens²) per document (measured
+    ~10x slower at sf0.1).  For n>=3 contexts are (n-1)-token windows via
+    ``array_join(slice(...))`` — a slice per element (the window shape
+    the passage ops use, measured linear), zipped against the target
+    slice.  Docs with no real tokens zip to [].
     """
     toks = _token_array(col, tokenizer)
-    return (
-        sdf.withColumn("pad", F.concat(F.array(F.lit(_BOS)), toks))
-        .withColumn(
-            "pairs",
-            F.expr("arrays_zip(slice(pad, 1, size(pad) - 1), "
-                   "slice(pad, 2, size(pad) - 1))"),
+    bos = F.array(*[F.lit(_BOS)] * (n - 1))
+    sdf = sdf.withColumn("pad", F.concat(bos, toks))
+    if n == 2:
+        pairs = F.expr(
+            "arrays_zip(slice(pad, 1, size(pad) - 1), "
+            "slice(pad, 2, size(pad) - 1))"
         )
-        .drop("pad")
-    )
+    else:
+        m = n - 1
+        pairs = F.expr(
+            f"arrays_zip("
+            f"transform(sequence(1, greatest(0, size(pad) - {m})), "
+            f"i -> array_join(slice(pad, i, {m}), ' ')), "
+            f"slice(pad, {n}, greatest(0, size(pad) - {m})))"
+        )
+    return sdf.withColumn(
+        "pairs",
+        F.when(F.size("pad") > (n - 1), pairs).otherwise(F.expr("array()")),
+    ).drop("pad")
 
 
 
@@ -77,8 +93,12 @@ def train_ngram_lm(
     k: float = 0.5,
     min_count: int = 1,
     lazy_vocab: bool = False,
+    n: int = 2,
 ):
-    """Train an add-k bigram LM; returns ``(model_tf, meta)``.
+    """Train an add-k n-gram LM (default bigram); returns
+    ``(model_tf, meta)``.  ``n=3`` uses two-token contexts (trigram) —
+    sharper scores at the cost of a bigger model; contexts are
+    space-joined token windows, so the scale shape is unchanged.
 
     ``model_tf`` has one row per observed (context, token) bigram:
     ``c, w, pair_count, ctx_count`` — everything scoring needs except the
@@ -98,13 +118,15 @@ def train_ngram_lm(
     """
     from ..core import TidyFrame
 
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
     sdf = tf.df if hasattr(tf, "df") else tf
     # explode_outer, NOT explode: the plain generator plans an implicit
     # emptiness pre-check that re-evaluates the whole pairs transform()
     # expression per row (measured ~14x slower); outer + null-filter
     # evaluates it once
     pairs = (
-        _with_pairs(sdf, col, tokenizer)
+        _with_pairs(sdf, col, tokenizer, n)
         .select(F.explode_outer("pairs").alias("p"))
         .select(F.col("p")["0"].alias("c"), F.col("p")["1"].alias("w"))
         .where(F.col("c").isNotNull())
@@ -119,9 +141,11 @@ def train_ngram_lm(
     # Vocabulary = distinct *tokens* (BOS is a context only).
     vocab = pairs.select(F.greatest(F.lit(1), F.countDistinct("w")).alias("__v"))
     if lazy_vocab:
-        meta = {"vocab_size": None, "k": float(k), "vocab": TidyFrame(vocab)}
+        meta = {"vocab_size": None, "k": float(k), "n": int(n),
+                "vocab": TidyFrame(vocab)}
     else:
-        meta = {"vocab_size": int(vocab.first()["__v"]), "k": float(k)}
+        meta = {"vocab_size": int(vocab.first()["__v"]), "k": float(k),
+                "n": int(n)}
     return TidyFrame(model), meta
 
 
@@ -168,7 +192,7 @@ def score_perplexity(
 
     row_cols = sdf.columns
     pairs = (
-        _with_pairs(sdf, col, tokenizer)
+        _with_pairs(sdf, col, tokenizer, int(meta.get("n", 2)))
         .select(*row_cols, F.posexplode_outer("pairs").alias("_i", "p"))
         .select(*row_cols, F.col("p")["0"].alias("c"), F.col("p")["1"].alias("w"))
     )
