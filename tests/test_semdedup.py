@@ -1,0 +1,81 @@
+"""SemDeDup (cluster-scoped embedding dedup) invariants.
+
+The synthetic embeddings table plants near-dup pairs at cosine ~0.4-0.48,
+so threshold 0.4 exercises real duplicate groups.  Invariants mirror the
+d42 discipline: removals are exact-verified (zero false removals), one
+survivor per duplicate group, and the keep policy is checked against the
+reported centroid similarities.
+"""
+
+from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs, semantic_dedup
+
+
+def _exact_pairs(emb, slack=1e-9):
+    ex = embedding_cosine_pairs(
+        emb, "vec_id", threshold=0.4 - slack, method="exact"
+    ).collect()
+    return set(zip(ex["id_a"], ex["id_b"]))
+
+
+def test_semantic_dedup_invariants(tables):
+    emb = tables["embeddings"]
+    out = semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8).collect()
+    n = emb.df.count()
+    assert len(out) == n
+    assert out["vec_id"].nunique() == n
+
+    eset = _exact_pairs(emb)
+    edocs = {i for p in eset for i in p}
+
+    removed = out[out["vec_id"] != out["canonical_id"]]
+    # zero false removals: every removed doc is a genuine exact near-dup
+    for vid in removed["vec_id"]:
+        assert vid in edocs, f"{vid} removed but has no exact near-dup"
+    # one survivor per cluster
+    kept = out[out["vec_id"] == out["canonical_id"]]
+    assert kept.groupby("cluster_id").size().max() == 1
+    # every cluster's canonical is a member of the cluster
+    for cid, grp in out.groupby("cluster_id"):
+        canon = set(grp["canonical_id"])
+        assert len(canon) == 1
+        assert canon.pop() in set(grp["vec_id"])
+
+
+def test_semantic_dedup_keep_policies(tables):
+    emb = tables["embeddings"]
+    far = semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8, keep="farthest").collect()
+    multi = far.groupby("cluster_id").filter(lambda g: len(g) > 1)
+    assert len(multi) > 0, "synthetic corpus should contain duplicate groups"
+    for cid, grp in multi.groupby("cluster_id"):
+        canon = grp["canonical_id"].iloc[0]
+        best = grp["centroid_sim"].min()
+        winners = grp[grp["centroid_sim"] == best]["vec_id"]
+        assert canon == winners.min()  # farthest from centroid, ties -> min id
+
+    min_id = semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8, keep="min_id").collect()
+    for cid, grp in min_id.groupby("cluster_id"):
+        if len(grp) > 1:
+            assert grp["canonical_id"].iloc[0] == grp["vec_id"].min()
+
+
+def test_semantic_dedup_deterministic_and_recall(tables):
+    emb = tables["embeddings"]
+    a = semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8).collect()
+    b = semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8).collect()
+    ka = dict(zip(a["vec_id"], a["canonical_id"]))
+    kb = dict(zip(b["vec_id"], b["canonical_id"]))
+    assert ka == kb
+    # clustering recall: near-identical vectors should mostly share a cell,
+    # so a healthy fraction of exact-dup docs actually get deduped
+    eset = _exact_pairs(emb)
+    edocs = {i for p in eset for i in p}
+    n_removed = sum(1 for v, c in ka.items() if v != c)
+    assert n_removed >= 0.3 * max(1, len(edocs) - len(eset))
+
+
+def test_semantic_dedup_plan_is_equi_join(tables):
+    plan = semantic_dedup(
+        tables["embeddings"], "vec_id", threshold=0.4, nlist=8
+    ).df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -48,6 +48,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_cosine_pairs",
     "embedding_dedup_incremental",
+    "semantic_dedup",
     "segment_dedup",
     "flag_contaminated",
 ]
@@ -839,6 +840,119 @@ def embedding_dedup_incremental(
     from ..core import TidyFrame
 
     return TidyFrame(out)
+
+
+def _make_cell_sim_udf(centroids):
+    """Assign each unit vector to its argmax-cosine centroid AND return the
+    cosine to that centroid — one numpy matmul per Arrow batch."""
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(v: pandas.Series) -> pandas.DataFrame:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        cell = np.argmax(sims, axis=1)
+        return pandas.DataFrame(
+            {"cell": cell.astype("int32"), "sim": sims[np.arange(len(X)), cell]}
+        )
+
+    assign.__annotations__ = {"v": pandas.Series, "return": pandas.DataFrame}
+    return F.pandas_udf("cell INT, sim DOUBLE")(assign)
+
+
+def semantic_dedup(
+    tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    refine_iters: int = 5,
+    sample_cap: int = 4096,
+    keep: str = "farthest",
+):
+    """**SemDeDup** — semantic deduplication by cluster-scoped embedding
+    similarity (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"; public method).
+
+    Pipeline: spherical k-means clusters the embeddings (FAISS-style
+    bounded-sample training — see ``simsearch._train_centroids_sample``),
+    exact cosine runs ONLY within a cluster (pairs form via an equi-join
+    on the cell id, never all-pairs), and each duplicate group keeps one
+    representative:
+
+    - ``keep="farthest"`` (the paper's policy): the member with the
+      LOWEST cosine to its centroid survives — prune prototypical
+      redundancy, keep the most diverse example.
+    - ``keep="closest"``: highest centroid cosine survives.
+    - ``keep="min_id"``: smallest id (bit-deterministic baseline).
+
+    Returns the input columns plus ``cell`` (cluster), ``centroid_sim``,
+    ``cluster_id`` (transitive duplicate-group label; singletons keep
+    their own id) and ``canonical_id`` — filter ``{id} == canonical_id``
+    to materialize the deduped corpus.
+
+    Scale shape: ONE bounded driver collect (the training sample), one
+    Arrow assignment pass, and a self-equi-join keyed on ``cell`` whose
+    cost is Σ|cell|² — with ``nlist ∝ corpus_size / target_cell_size``
+    (the paper uses ~√n clusters) each cell stays small and the join
+    shuffles on a dense int key.  Ties in every policy break on smallest
+    id, so results are engine-deterministic.
+    """
+    from .simsearch import _dot, _to_double, _train_centroids_sample
+
+    if keep not in ("farthest", "closest", "min_id"):
+        raise ValueError(f"keep must be farthest|closest|min_id, got {keep!r}")
+
+    vec = tf.df.select(
+        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    centroids = _train_centroids_sample(vec, nlist, refine_iters, sample_cap)
+    assign = _make_cell_sim_udf(centroids)
+    unit = vec.select(
+        "vec_id",
+        F.expr(
+            "transform(__cv, x -> x / sqrt(aggregate(__cv, 0.0D, (a, y) -> a + y * y)))"
+        ).alias("__u"),
+        assign(F.col("__cv")).alias("__a"),
+    ).select(
+        "vec_id", "__u", F.col("__a.cell").alias("cell"),
+        F.col("__a.sim").alias("centroid_sim"),
+    )
+    unit = track(unit)
+
+    l, r = unit.alias("l"), unit.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.expr(_dot("l.__u", "r.__u")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+    annotated = tf.df.join(
+        unit.select("vec_id", "cell", "centroid_sim"),
+        tf.df[id_col] == F.col("vec_id"),
+    ).drop("vec_id") if id_col != "vec_id" else tf.df.join(
+        unit.select("vec_id", "cell", "centroid_sim"), "vec_id"
+    )
+    from ..core import TidyFrame
+
+    score = {"farthest": "min", "closest": "max", "min_id": None}[keep]
+    return resolve_duplicates(
+        TidyFrame(annotated),
+        TidyFrame(pairs),
+        id_col,
+        score_col="centroid_sim" if score else None,
+        keep=score or "max",
+    )
 
 
 # ---------------------------------------------------------------------------
