@@ -2668,8 +2668,180 @@ def _t93(t):
     )
 
 
+def _t95(t):
+    """BPE tokenizer training + encoding (``llm/bpe.py``): train a merge
+    table on the corpus word-frequency dict (bounded driver collect —
+    the Sennrich 2016 recipe), encode in one Arrow pass, and verify the
+    LOSSLESS ROUND-TRIP invariant — stripping the end-of-word marker from
+    the learned-subword encoding reproduces the concatenated pre-tokens,
+    which the oracle recomputes independently from raw text with the same
+    regex.  ``n_ok`` pins the per-word 1..len+1 token-count sandwich.
+    Merge-table correctness vs a from-scratch recount reference is pinned
+    in tests/test_bpe.py (property-tested on random corpora)."""
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.bpe import bpe_encode, bpe_train
+
+    docs = t["documents"]
+    model = bpe_train(docs, num_merges=80)
+    enc = bpe_encode(docs, model).df
+    pre = (
+        "regexp_extract_all(coalesce(text, ''), "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"
+    )
+    out = enc.selectExpr(
+        "doc_id",
+        "array_join(transform(bpe_tokens, x -> replace(x, '</w>', '')), '') AS detok",
+        f"bpe_tokens_n BETWEEN size({pre}) "
+        f"AND length(array_join({pre}, '')) + size({pre}) AS n_ok",
+    ).orderBy("doc_id")
+    return TidyFrame(out)
+
+
+def _d38(t):
+    """SemDeDup (cluster-scoped embedding dedup, ``dedup.semantic_dedup``)
+    invariants, d42-style: zero false removals (every removed doc is an
+    exact near-dup of something, slack 1e-9 for normalized-vector fp
+    rounding), exactly one survivor per duplicate cluster, and ≥1 removal
+    on the planted-dup corpus; ``n_docs``/``n_exact_pairs`` anchor the row
+    to the data through the DuckDB quadratic oracle."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.cache import track
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs, semantic_dedup
+
+    emb = t["embeddings"]
+    sd = track(semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8).df)
+    scored = track(
+        embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4 - 1e-9, method="exact"
+        ).df
+    )
+    exact = scored.filter("cosine >= 0.4")
+    removed = sd.filter("vec_id != canonical_id").select("vec_id")
+    dup_ids = (
+        scored.selectExpr("id_a AS vec_id")
+        .union(scored.selectExpr("id_b AS vec_id"))
+        .distinct()
+    )
+    false_removed = removed.join(dup_ids, "vec_id", "left_anti")
+    kept_per_cluster = sd.filter("vec_id = canonical_id").groupBy("cluster_id").count()
+    summary = (
+        sd.agg(F.count("*").alias("n_docs"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact_pairs")))
+        .crossJoin(false_removed.agg(F.count("*").alias("__nfr")))
+        .crossJoin(kept_per_cluster.agg(F.max("count").alias("__mx")))
+        .crossJoin(removed.agg(F.count("*").alias("__nrem")))
+        .select(
+            "n_docs",
+            "n_exact_pairs",
+            (F.col("__nfr") == 0).alias("no_false_removals"),
+            (F.col("__mx") <= 1).alias("one_survivor_per_cluster"),
+            (F.col("__nrem") >= 1).alias("found_dups"),
+        )
+    )
+    return TidyFrame(summary)
+
+
+def _q60(t):
+    """Dataset snapshot diff (``operators/diff.py``): two deterministic
+    versions of orders (keys %7!=0 vs %5!=0, price bumped on %3==0) →
+    added/removed/changed/unchanged per key + the changed column list.
+    ONE full-outer join on the key; the oracle recomputes the whole
+    classification with IS DISTINCT FROM."""
+    from tidierdb_jl_spark.operators.diff import snapshot_diff
+
+    old = t["orders"].filter("o_orderkey % 7 != 0").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        t["orders"]
+        .filter("o_orderkey % 5 != 0")
+        .mutate(
+            o_totalprice="if_else(o_orderkey % 3 == 0, o_totalprice + 1.0, o_totalprice)"
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    return snapshot_diff(old, new, "o_orderkey").mutate(
+        changed_cols="array_join(changed_cols, ',')"
+    )
+
+
+def _t96s(t):
+    """Leakage-safe train/test split (``pipeline.leakage_safe_split``):
+    hash-split on the duplicate-CLUSTER id (transitive closure of exact
+    trigram-Jaccard pairs — d86's machinery) so near-duplicate docs never
+    straddle the train/test boundary.  Oracle: recursive-CTE reachability
+    for the cluster label + the documented md5 split rule on it."""
+    from tidierdb_jl_spark.llm.dedup import ngram_jaccard_pairs
+    from tidierdb_jl_spark.llm.pipeline import leakage_safe_split
+
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.3, block_cols=("lang",)
+    )
+    return (
+        leakage_safe_split(t["documents"], pairs, "doc_id", train_frac=0.8)
+        .select("doc_id", "cluster_id", "split")
+        .arrange("doc_id")
+    )
+
+
+def _d95(t):
+    """Round-5c ops suite (tagged union, one driver row for the new
+    surface): BPE round-trip (t95), SemDeDup invariants (d38), snapshot
+    diff (q60), and the leakage-safe split (t96).  Shared schema
+    (op, id1, id2, s, num); every leg is individually oracle-backed by
+    its own registered row — this suite puts them all inside the
+    driver-checked prefix."""
+    from tidierdb_jl_spark import cache
+
+    nlb, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+    tracked_before = len(cache._TRACKED)
+
+    bpe = (
+        _t95(t)
+        .mutate(op="'bpe'", id1="doc_id", id2="CAST(n_ok AS BIGINT)", s="detok", num=nld)
+        .select(*cols)
+    )
+    sem = (
+        _d38(t)
+        .mutate(
+            op="'sem'", id1="n_docs", id2="n_exact_pairs",
+            s=(
+                "if_else(no_false_removals AND one_survivor_per_cluster "
+                "AND found_dups, 'ok', 'bad')"
+            ),
+            num=nld,
+        )
+        .select(*cols)
+    )
+    diff = (
+        _q60(t)
+        .mutate(op="'diff'", id1="o_orderkey", id2=nlb,
+                s="concat(status, ':', changed_cols)", num=nld)
+        .select(*cols)
+    )
+    split = (
+        _t96s(t)
+        .mutate(op="'split'", id1="doc_id", id2="cluster_id", s="split", num=nld)
+        .select(*cols)
+    )
+    out = bpe.union_all(sem).union_all(diff).union_all(split)
+    # pin the result, then release ONLY this builder's persists (d94 pattern)
+    res = type(out)(out.df.localCheckpoint(eager=True))
+    while len(cache._TRACKED) > tracked_before:
+        cache._TRACKED.pop().unpersist()
+    return res
+
+
 _BUILDERS.update(
     {
+        "t95_bpe_roundtrip": _t95,
+        "d38_semantic_dedup": _d38,
+        "q60_snapshot_diff": _q60,
+        "t96_leakage_split": _t96s,
+        "d95_r5c_ops_suite": _d95,
         "t86_lm_perplexity": _t86,
         "t87_repeated_passages": _t87,
         "t88_quantile_filter": _t88,
@@ -2741,7 +2913,10 @@ _DRIVER_PRIORITY = [
     "t68_segment_dedup",
     "t78_mixing_suite",
     "t84_pack_sequences",
-    "d34_dedup_exact",
+    # d34_dedup_exact rotated out (the same fingerprint dedup is
+    # oracle-exercised inside t52_clean_corpus, d61_training_prep_e2e and
+    # d99's incremental-exact leg) for the round-5c ops suite
+    "d95_r5c_ops_suite",
     "d35_minhash_pairs",
     "d36_simhash_pairs",
     "d37_ngram_jaccard",
@@ -3527,6 +3702,127 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT),
                CAST(l_linenumber AS VARCHAR), CAST(NULL AS DOUBLE)
         FROM lineitem
+    """
+    _BPE_PRE = (
+        "regexp_extract_all(coalesce(text, ''), "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"
+    )
+    out["t95_bpe_roundtrip"] = f"""
+        SELECT doc_id,
+               coalesce(array_to_string({_BPE_PRE}, ''), '') AS detok,
+               TRUE AS n_ok
+        FROM documents ORDER BY doc_id
+    """
+    out["d38_semantic_dedup"] = """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_exact_pairs,
+               TRUE AS no_false_removals, TRUE AS one_survivor_per_cluster,
+               TRUE AS found_dups
+    """
+    _DIFF_OLD_NEW = """
+        old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 7 != 0),
+        new AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 5 != 0)
+    """
+    _DIFF_STATUS = """
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         THEN 'changed'
+                    ELSE 'unchanged' END
+    """
+    _DIFF_CHANGED = """
+               CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+                    ELSE coalesce(array_to_string(list_filter(
+                      [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END,
+                       CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END],
+                      x -> x IS NOT NULL), ','), '') END
+    """
+    out["q60_snapshot_diff"] = f"""
+        WITH {_DIFF_OLD_NEW}
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               {_DIFF_STATUS} AS status,
+               {_DIFF_CHANGED} AS changed_cols
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    """
+    # trigram-Jaccard duplicate clusters (d86's reachability CTE) + the
+    # documented md5 split rule on the CLUSTER id (0.8 → 0xcccccccc).
+    _CLUSTER_CTES = r"""
+        t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))) END AS s
+          FROM t),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3),
+        e AS (SELECT id_a AS src, id_b AS dst FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+        reach(src, node) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e) s0
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src),
+        comp AS (SELECT src AS doc_id, min(node) AS comp FROM reach GROUP BY src)
+    """
+    _SPLIT_EXPR = """
+               CASE WHEN substring(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8)
+                         < 'cccccccc'
+                    THEN 'train' ELSE 'test' END
+    """
+    out["t96_leakage_split"] = f"""
+        WITH RECURSIVE {_CLUSTER_CTES}
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
+               {_SPLIT_EXPR} AS split
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    out["d95_r5c_ops_suite"] = f"""
+        WITH RECURSIVE {_CLUSTER_CTES},
+        v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+        ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM v a JOIN v b ON a.vec_id < b.vec_id
+               WHERE list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4),
+        {_DIFF_OLD_NEW}
+        SELECT 'bpe' AS op, doc_id AS id1, CAST(1 AS BIGINT) AS id2,
+               coalesce(array_to_string({_BPE_PRE}, ''), '') AS s,
+               CAST(NULL AS DOUBLE) AS num
+        FROM documents
+        UNION ALL
+        SELECT 'sem', (SELECT count(*) FROM embeddings),
+               (SELECT count(*) FROM ep), 'ok', CAST(NULL AS DOUBLE)
+        UNION ALL
+        SELECT 'diff', coalesce(o.o_orderkey, n.o_orderkey), CAST(NULL AS BIGINT),
+               concat({_DIFF_STATUS}, ':', {_DIFF_CHANGED}), CAST(NULL AS DOUBLE)
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        UNION ALL
+        SELECT 'split', d.doc_id, coalesce(c.comp, d.doc_id),
+               {_SPLIT_EXPR}, CAST(NULL AS DOUBLE)
+        FROM documents d LEFT JOIN comp c USING (doc_id)
     """
     out["d87_tfidf_cosine"] = r"""
         WITH toks AS (

@@ -631,3 +631,35 @@ def test_r5_ops_plans_are_scale_healthy(spark, tables):
         warns = [f for f in lint_plan(tf) if f["rule"] == "nested_loop"]
         assert warns == [], (name, warns)
     release_caches()
+
+
+def test_r5c_ops_plans_are_scale_healthy(spark, tables):
+    """lint_plan gate over the round-5c surface: BPE encoding, SemDeDup,
+    snapshot diff, leakage-safe split — no cartesian/nested-loop joins,
+    no row-at-a-time Python, no lost pushdown."""
+    from tidierdb_jl_spark import lint_plan, release_caches
+    from tidierdb_jl_spark.llm.bpe import BpeModel, bpe_encode
+    from tidierdb_jl_spark.llm.dedup import ngram_jaccard_pairs, semantic_dedup
+    from tidierdb_jl_spark.llm.pipeline import leakage_safe_split
+    from tidierdb_jl_spark.operators.diff import snapshot_diff
+
+    docs, emb = tables["documents"], tables["embeddings"]
+    model = BpeModel(merges=[("t", "h"), ("th", "e</w>")], vocab=["t", "h", "e"])
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
+                                block_cols=("lang",))
+    plans = {
+        "bpe_encode": bpe_encode(docs, model),
+        "semantic_dedup": semantic_dedup(emb, "vec_id", threshold=0.4, nlist=8),
+        "snapshot_diff": snapshot_diff(
+            tables["orders"].filter("o_orderkey % 7 != 0"),
+            tables["orders"].filter("o_orderkey % 5 != 0"),
+            "o_orderkey",
+        ),
+        "leakage_split": leakage_safe_split(docs, pairs, "doc_id"),
+    }
+    for name, tf in plans.items():
+        findings = [f for f in lint_plan(tf) if f["severity"] == "error"]
+        assert findings == [], (name, findings)
+        warns = [f for f in lint_plan(tf) if f["rule"] == "nested_loop"]
+        assert warns == [], (name, warns)
+    release_caches()

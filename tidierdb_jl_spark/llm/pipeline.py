@@ -26,6 +26,7 @@ __all__ = [
     "gopher_filter",
     "clean_corpus",
     "split_by_hash",
+    "leakage_safe_split",
     "filter_by_quantile",
     "prepare_training_corpus",
 ]
@@ -121,6 +122,35 @@ def split_by_hash(
     return tf.mutate(
         **{out: f"if_else({prefix} < '{threshold}', 'train', 'test')"}
     )
+
+
+def leakage_safe_split(
+    tf: TidyFrame,
+    pairs_tf,
+    id_col: str,
+    train_frac: float = 0.9,
+    out: str = "split",
+    salt: str = "",
+) -> TidyFrame:
+    """Train/test split that NEVER separates near-duplicates — the guard
+    against test-set contamination: a doc in test whose near-dup sits in
+    train silently inflates eval scores.
+
+    Mechanism: label each doc with its duplicate-cluster id (transitive
+    closure of ``pairs_tf`` via
+    :func:`~tidierdb_jl_spark.llm.dedup.dup_clusters`; singletons keep
+    their own id), then hash-split on the CLUSTER id — every member of a
+    dup group lands on the same side, with the same determinism and
+    re-run stability as :func:`split_by_hash`.
+
+    Pass any pair source: minhash/simhash pairs, embedding cosine pairs,
+    or a pre-built edge list.  Returns the input columns plus
+    ``cluster_id`` and ``out``.
+    """
+    from .dedup import dup_clusters
+
+    clustered = dup_clusters(tf, pairs_tf, id_col).rename(cluster_id="keep_id")
+    return split_by_hash(clustered, "cluster_id", train_frac, out, salt)
 
 
 def filter_by_quantile(

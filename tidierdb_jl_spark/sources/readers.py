@@ -12,10 +12,11 @@ image).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..core import TidyFrame
 
-__all__ = ["db_table", "dt", "copy_to", "show_tables"]
+__all__ = ["db_table", "dt", "copy_to", "show_tables", "read_with_provenance"]
 
 _EXT_READERS = {
     ".parquet": "parquet",
@@ -156,3 +157,41 @@ def copy_to(
 def show_tables(spark: SparkSession):
     """(``/root/reference/src/TidierDB_macros.jl:686-688``)."""
     return spark.sql("SHOW TABLES")
+
+
+def read_with_provenance(
+    spark: SparkSession,
+    source,
+    *,
+    fmt: str | None = None,
+    file_col: str = "source_file",
+    row_col: str = "source_row",
+    full_path: bool = False,
+    **options,
+) -> TidyFrame:
+    """Read files with **row-level provenance**: every row carries the file
+    it came from (``file_col``) and its 0-based row index within that file
+    (``row_col``) — the lineage columns a training-data pipeline needs to
+    trace any example back to its source shard (audits, takedown requests,
+    contamination forensics).
+
+    Built on Spark's hidden ``_metadata`` file-source column (public API,
+    Spark ≥3.5 for ``row_index``), so provenance costs NO extra scan, no
+    window, no shuffle — the values materialize during the normal read.
+    ``full_path=True`` keeps the whole URI; the default records just the
+    file name (stable across bucket/cluster relocations).
+
+    Only file sources carry ``_metadata`` — table names and pandas inputs
+    raise.
+    """
+    if not isinstance(source, (str, list, tuple)):
+        raise ValueError("read_with_provenance needs a file path / glob / list")
+    if isinstance(source, str) and not ("/" in source or "." in source or "*" in source):
+        raise ValueError("read_with_provenance reads files, not catalog tables")
+    tf = db_table(spark, source, fmt=fmt, **options)
+    df = tf.df.select(
+        "*",
+        (F.col("_metadata.file_path") if full_path else F.col("_metadata.file_name")).alias(file_col),
+        F.col("_metadata.row_index").alias(row_col),
+    )
+    return TidyFrame(df)
