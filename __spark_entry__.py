@@ -2835,8 +2835,22 @@ def _d95(t):
     return res
 
 
+def _t61(t):
+    """Curriculum ordering (``mixing.curriculum_order``): exact-quantile
+    difficulty stages (lazy 1-row broadcast cut points — never a global
+    ntile window) + md5 within-stage shuffle.  The oracle recomputes the
+    stages from quantile_cont and the shuffle key from the same md5 rule;
+    stage + key + id fully determine the training order."""
+    from tidierdb_jl_spark.llm.mixing import curriculum_order
+
+    return curriculum_order(
+        t["documents"], "n_chars", "doc_id", n_stages=4
+    ).select("doc_id", "stage", "shuffle_key")
+
+
 _BUILDERS.update(
     {
+        "t61_curriculum_order": _t61,
         "t95_bpe_roundtrip": _t95,
         "d38_semantic_dedup": _d38,
         "q60_snapshot_diff": _q60,
@@ -3702,6 +3716,14 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT),
                CAST(l_linenumber AS VARCHAR), CAST(NULL AS DOUBLE)
         FROM lineitem
+    """
+    out["t61_curriculum_order"] = """
+        WITH c AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cuts
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(c.cuts, x -> d.n_chars > x)) AS INT) AS stage,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        FROM documents d CROSS JOIN c
     """
     _BPE_PRE = (
         "regexp_extract_all(coalesce(text, ''), "

@@ -144,3 +144,32 @@ def test_deterministic_shuffle_stable_and_seed_independent(tables):
     # a different seed yields an independent order over the same rows
     d = deterministic_shuffle(docs, "doc_id", seed="ep2").collect()["doc_id"].tolist()
     assert sorted(a) == sorted(d) and a != d
+
+
+def test_curriculum_order_stages_and_determinism(tables):
+    from tidierdb_jl_spark.llm.mixing import curriculum_order
+
+    docs = tables["documents"]
+    out = curriculum_order(docs, "n_chars", "doc_id", n_stages=4).collect()
+    assert len(out) == docs.df.count()
+    assert set(out["stage"]) <= {0, 1, 2, 3}
+    # roughly quartile-sized stages (exact quantiles; ties may skew a bit)
+    sizes = out.groupby("stage").size()
+    assert sizes.min() > 0.1 * len(out)
+    # easy-first: stage means are monotonic in the score
+    means = out.groupby("stage")["n_chars"].mean()
+    assert means.is_monotonic_increasing
+    # descending flips the stages exactly
+    rev = curriculum_order(docs, "n_chars", "doc_id", n_stages=4, ascending=False).collect()
+    flip = dict(zip(rev["doc_id"], rev["stage"]))
+    for did, st in zip(out["doc_id"], out["stage"]):
+        assert flip[did] == 3 - st
+    # a new seed reshuffles within stages but never across them
+    s2 = curriculum_order(docs, "n_chars", "doc_id", n_stages=4, seed="v2").collect()
+    assert dict(zip(s2["doc_id"], s2["stage"])) == dict(zip(out["doc_id"], out["stage"]))
+    assert list(s2["doc_id"]) != list(out["doc_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curriculum_order(docs, "n_chars", "doc_id", n_stages=1)

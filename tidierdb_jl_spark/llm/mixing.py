@@ -27,6 +27,7 @@ __all__ = [
     "sample_strata",
     "upsample_by_weight",
     "deterministic_shuffle",
+    "curriculum_order",
 ]
 
 
@@ -56,6 +57,51 @@ def deterministic_shuffle(
 
     df = tf.df.withColumn(key_col, F.expr(_hash_u32(id_col, seed)))
     return TidyFrame(df.orderBy(key_col, id_col))
+
+
+def curriculum_order(
+    tf: TidyFrame,
+    score_col: str,
+    id_col: str,
+    n_stages: int = 4,
+    ascending: bool = True,
+    seed: str = "",
+    stage_col: str = "stage",
+    key_col: str = "shuffle_key",
+) -> TidyFrame:
+    """Curriculum training order: bucket the corpus into ``n_stages``
+    difficulty stages by EXACT score quantiles, then shuffle
+    deterministically within each stage — easy examples first
+    (``ascending=True``: low scores → stage 0), hard later, with the
+    within-stage order as reproducible as :func:`deterministic_shuffle`
+    (same md5(id||seed) key; a new ``seed`` reshuffles within stages
+    without moving anything across stages).
+
+    Scale shape: the n-1 cut points come from ONE ``percentile``
+    aggregation attached as a lazy 1-row broadcast — NOT a global
+    ``ntile`` window, which would funnel the whole corpus through a
+    single-task sort.  Stage assignment is a pure JVM fold over the
+    broadcast cut array (ties at a cut go to the lower stage); the final
+    ordering is one range-partitioned sort on (stage, hash, id).  NULL
+    scores compare false against every cut and land in the first stage
+    emitted.
+    """
+    from pyspark.sql import functions as F
+
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    fracs = ", ".join(f"{i / n_stages}D" for i in range(1, n_stages))
+    cuts = tf.summarize(__cuts=f"percentile({score_col}, array({fracs}))")
+    rank = f"aggregate(__cuts, 0, (acc, c) -> acc + IF({score_col} > c, 1, 0))"
+    if not ascending:
+        rank = f"{n_stages - 1} - ({rank})"
+    df = (
+        tf.with_scalar(__cuts=cuts)
+        .df.withColumn(stage_col, F.expr(rank))
+        .drop("__cuts")
+        .withColumn(key_col, F.expr(_hash_u32(id_col, seed)))
+    )
+    return TidyFrame(df.orderBy(stage_col, key_col, id_col))
 
 
 def cap_per_key(
