@@ -2848,9 +2848,89 @@ def _t61(t):
     ).select("doc_id", "stage", "shuffle_key")
 
 
+def _t62(t):
+    """K-fold assignment (``pipeline.kfold_by_hash``): fold = count of
+    equal-spaced hex thresholds at or below md5(id) — the portable
+    string-comparison idiom shared with split_by_hash, recomputed verbatim
+    by the oracle."""
+    from tidierdb_jl_spark.llm.pipeline import kfold_by_hash
+
+    return kfold_by_hash(t["documents"], "doc_id", k=5).select("doc_id", "fold")
+
+
+def _t63(t):
+    """Corpus datasheet (``pipeline.corpus_report``): size totals, exact
+    word-count quantiles, per-language counts, exact-dup rate — one long
+    (section, name, value) frame the oracle fully recomputes."""
+    from tidierdb_jl_spark.llm.pipeline import corpus_report
+
+    return corpus_report(t["documents"], lang_col="lang").mutate(
+        value="round(value, 9)"
+    )
+
+
+def _d39(t):
+    """Semantic train/test contamination
+    (``dedup.flag_contaminated_semantic``): bench = embeddings with
+    vec_id < 50, corpus = all.  d42-style invariants — zero false
+    positives (every flagged doc exact-verifies >= threshold against its
+    bench match; 1e-9 slack for normalized-vector rounding) and a recall
+    floor vs the exact cross-scored contaminated set, anchored by the
+    oracle's quadratic count (self-matches included: bench docs are
+    contaminated by definition)."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.cache import track
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import flag_contaminated_semantic
+    from tidierdb_jl_spark.llm.simsearch import _dot, _norm, _to_double
+
+    emb = t["embeddings"]
+    bench = emb.filter("vec_id < 50")
+    flagged = track(
+        flag_contaminated_semantic(emb, bench, threshold=0.4, nbits=6)
+        .df.select("vec_id", "is_contaminated")
+    )
+    c = emb.df.select(
+        F.col("vec_id").alias("cid"), F.expr(_to_double("embedding")).alias("cv")
+    )
+    b = emb.df.filter("vec_id < 50").select(
+        F.col("vec_id").alias("bid"), F.expr(_to_double("embedding")).alias("bv")
+    )
+    scored = track(
+        c.join(F.broadcast(b)).select(
+            "cid",
+            (
+                F.expr(_dot("cv", "bv")) / (F.expr(_norm("cv")) * F.expr(_norm("bv")))
+            ).alias("cos"),
+        )
+    )
+    strict = scored.filter("cos >= 0.4").select("cid").distinct()
+    loose = scored.filter("cos >= 0.4 - 1e-9").select("cid").distinct()
+    fl = flagged.filter("is_contaminated").select(F.col("vec_id").alias("cid"))
+    fp = fl.join(loose, "cid", "left_anti")
+    hit = fl.join(strict, "cid", "left_semi")
+    summary = (
+        strict.agg(F.count("*").alias("n_exact_contaminated"))
+        .crossJoin(fp.agg(F.count("*").alias("__nfp")))
+        .crossJoin(hit.agg(F.count("*").alias("__nhit")))
+        .select(
+            "n_exact_contaminated",
+            (F.col("__nfp") == 0).alias("no_false_positives"),
+            (F.col("__nhit") >= 0.4 * F.col("n_exact_contaminated")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+    return TidyFrame(summary)
+
+
 _BUILDERS.update(
     {
         "t61_curriculum_order": _t61,
+        "t62_kfold": _t62,
+        "t63_corpus_report": _t63,
+        "d39_semantic_contamination": _d39,
         "t95_bpe_roundtrip": _t95,
         "d38_semantic_dedup": _d38,
         "q60_snapshot_diff": _q60,
@@ -3716,6 +3796,51 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT),
                CAST(l_linenumber AS VARCHAR), CAST(NULL AS DOUBLE)
         FROM lineitem
+    """
+    _KF_CUTS = " + ".join(
+        "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= "
+        f"'{format(int(i / 5 * 0xFFFFFFFF), '08x')}' THEN 1 ELSE 0 END"
+        for i in range(1, 5)
+    )
+    out["t62_kfold"] = f"""
+        SELECT doc_id, CAST({_KF_CUTS} AS INT) AS fold FROM documents
+    """
+    out["t63_corpus_report"] = r"""
+        WITH s AS (
+          SELECT doc_id, text, lang,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+                 length(text) AS n_chars,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents),
+        g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+                     CAST(sum(n_words) AS DOUBLE) AS total_words,
+                     CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+                     quantile_cont(n_words, [0.1, 0.5, 0.9]) AS q,
+                     round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 9) AS dup_rate
+              FROM s)
+        SELECT 'size' AS section, 'n_docs' AS name, n_docs AS value FROM g
+        UNION ALL SELECT 'size', 'n_empty', n_empty FROM g
+        UNION ALL SELECT 'size', 'total_words', total_words FROM g
+        UNION ALL SELECT 'size', 'total_chars', total_chars FROM g
+        UNION ALL SELECT 'length', 'p10', round(q[1], 9) FROM g
+        UNION ALL SELECT 'length', 'p50', round(q[2], 9) FROM g
+        UNION ALL SELECT 'length', 'p90', round(q[3], 9) FROM g
+        UNION ALL SELECT 'lang', coalesce(lang, '<null>'),
+                         CAST(count(*) AS DOUBLE) FROM s GROUP BY lang
+        UNION ALL SELECT 'dup', 'exact_dup_rate', dup_rate FROM g
+    """
+    out["d39_semantic_contamination"] = """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        p AS (SELECT DISTINCT a.vec_id AS cid
+              FROM v a JOIN v b ON b.vec_id < 50
+              WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_exact_contaminated,
+               TRUE AS no_false_positives, TRUE AS recall_ok
     """
     out["t61_curriculum_order"] = """
         WITH c AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cuts

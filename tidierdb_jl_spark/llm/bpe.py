@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from .textstats import BPE_ISH_PATTERN
 
-__all__ = ["BpeModel", "bpe_word_counts", "bpe_train", "bpe_encode"]
+__all__ = [
+    "BpeModel", "bpe_word_counts", "bpe_train", "bpe_encode",
+    "bpe_save", "bpe_load",
+]
 
 _EOW = "</w>"
 
@@ -234,3 +237,24 @@ def bpe_encode(
     from ..core import TidyFrame
 
     return TidyFrame(df)
+
+
+def bpe_save(model: BpeModel, path: str) -> None:
+    """Persist a learned tokenizer as JSON — train once on the big corpus,
+    reuse across ingest batches and sessions (the tokenizer must stay
+    frozen for token counts/packing to be comparable over time)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {"merges": [list(p) for p in model.merges], "vocab": model.vocab}, fh
+        )
+
+
+def bpe_load(path: str) -> BpeModel:
+    """Load a tokenizer saved by :func:`bpe_save`."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    return BpeModel(merges=[tuple(p) for p in d["merges"]], vocab=d["vocab"])

@@ -51,6 +51,7 @@ __all__ = [
     "semantic_dedup",
     "segment_dedup",
     "flag_contaminated",
+    "flag_contaminated_semantic",
 ]
 
 # Universal-hash parameters: h_j(x) = (a_j*x + b_j) mod p, p prime > 2^32.
@@ -1135,4 +1136,78 @@ def flag_contaminated(
         .withColumn(out, F.coalesce(F.col("__bad"), F.lit(False)))
         .drop("__bad")
     )
+    return TidyFrame(flagged)
+
+
+def flag_contaminated_semantic(
+    corpus_tf,
+    bench_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    threshold: float = 0.95,
+    nbits: int = 4,
+    bands: int = 16,
+    out: str = "is_contaminated",
+):
+    """SEMANTIC train/test contamination: flag corpus docs whose embedding
+    is near-identical (cosine >= threshold) to any benchmark example —
+    catches the paraphrased/reformatted eval leakage the 8-gram check
+    (:func:`flag_contaminated`) misses.
+
+    Adds ``out`` (bool) and ``matched_bench_id`` (smallest matching
+    benchmark id, NULL when clean).  Candidates come from the shared
+    deterministic random-hyperplane banding (same planes both sides —
+    near-identical vectors agree on nearly every sign bit), then exact
+    cosine verifies every candidate: zero false positives at the stated
+    threshold.
+
+    Scale shape: the benchmark side (tiny vs a training corpus) is
+    BROADCAST twice — banded signatures into the candidate join, vectors
+    into the verify — so the corpus shuffles nothing: one signature pass
+    + one flag join.  Same contract as ``embedding_dedup_incremental``,
+    with roles fixed (bench = seen, corpus = new).
+    """
+    from .simsearch import _dot, _hyperplanes, _make_sig_udf, _to_double
+
+    bid = bench_id_col or id_col
+    dim = len(corpus_tf.df.select(vec_col).first()[0])
+    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+
+    def prep(df, idc, alias):
+        unit = df.select(
+            F.col(idc).alias(alias),
+            F.expr(
+                f"transform({_to_double(vec_col)}, "
+                f"x -> x / sqrt(aggregate({_to_double(vec_col)}, 0.0D, (a, y) -> a + y * y)))"
+            ).alias(f"__u_{alias}"),
+        )
+        banded = unit.select(
+            alias, F.posexplode_outer(sig_udf(F.col(f"__u_{alias}"))).alias("__band", "__sig")
+        )
+        return unit, banded
+
+    cu, cb = prep(corpus_tf.df, id_col, "__cid")
+    bu, bb = prep(bench_tf.df, bid, "__bid")
+    cand = (
+        cb.join(F.broadcast(bb), ["__band", "__sig"])
+        .select("__cid", "__bid")
+        .dropDuplicates(["__cid", "__bid"])
+    )
+    hits = (
+        cand.join(cu, "__cid")
+        .join(F.broadcast(bu), "__bid")
+        .where(F.expr(_dot("__u___cid", "__u___bid")) >= threshold)
+        .groupBy("__cid")
+        .agg(F.min("__bid").alias("matched_bench_id"))
+    )
+    flagged = (
+        corpus_tf.df.join(
+            F.broadcast(hits), corpus_tf.df[id_col] == F.col("__cid"), "left"
+        )
+        .drop("__cid")
+        .withColumn(out, F.col("matched_bench_id").isNotNull())
+    )
+    from ..core import TidyFrame
+
     return TidyFrame(flagged)

@@ -27,6 +27,8 @@ __all__ = [
     "clean_corpus",
     "split_by_hash",
     "leakage_safe_split",
+    "kfold_by_hash",
+    "corpus_report",
     "filter_by_quantile",
     "prepare_training_corpus",
 ]
@@ -151,6 +153,111 @@ def leakage_safe_split(
 
     clustered = dup_clusters(tf, pairs_tf, id_col).rename(cluster_id="keep_id")
     return split_by_hash(clustered, "cluster_id", train_frac, out, salt)
+
+
+def corpus_report(
+    tf: TidyFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    quantiles: tuple = (0.1, 0.5, 0.9),
+) -> TidyFrame:
+    """One-call corpus datasheet — the numbers a dataset card starts from,
+    in long format ``(section, name, value)``:
+
+    - ``size``: n_docs, n_empty (NULL/blank), total_words, total_chars
+    - ``length``: exact word-count quantiles (``p10``/``p50``/``p90`` …)
+    - ``lang``: per-language doc counts (``lang_col``, or the built-in
+      n-gram language ID when none is given)
+    - ``dup``: exact_dup_rate — fraction of docs whose normalized-text
+      fingerprint appears more than once
+
+    Scale shape: three aggregation jobs over one cached stats scan — a
+    global aggregate (quantiles ride in the same pass), a language
+    group-count, and a fingerprint distinct-count; no windows, no joins
+    back to the corpus.  Everything is exact (and hence oracle-checkable)
+    — swap in sketches via ``time_rollup``-style measures when 100 TB
+    exactness isn't worth the shuffle.
+    """
+    from ..cache import track
+    from .textstats import with_fingerprint, with_language_id, with_text_stats
+
+    lang = lang_col or "lang_pred"
+    base = with_text_stats(tf, text_col)
+    if lang_col is None:
+        base = with_language_id(base, text_col)
+    base = track(
+        with_fingerprint(base, text_col, "__fp").df.select(
+            text_col, "n_words", "n_chars", lang, "__fp"
+        )
+    )
+
+    qs = ", ".join(f"{q}D" for q in quantiles)
+    g = base.selectExpr(
+        "CAST(count(*) AS DOUBLE) AS n_docs",
+        f"CAST(sum(IF({text_col} IS NULL OR trim({text_col}) = '', 1, 0)) AS DOUBLE)"
+        " AS n_empty",
+        "CAST(sum(n_words) AS DOUBLE) AS total_words",
+        "CAST(sum(n_chars) AS DOUBLE) AS total_chars",
+        f"percentile(n_words, array({qs})) AS __q",
+    )
+    # every scalar metric leaves the 1-row aggregate in ONE stack()
+    # projection — the aggregate is never recomputed per metric
+    stack_args = [
+        "'size'", "'n_docs'", "n_docs",
+        "'size'", "'n_empty'", "n_empty",
+        "'size'", "'total_words'", "total_words",
+        "'size'", "'total_chars'", "total_chars",
+    ]
+    for i, q in enumerate(quantiles):
+        stack_args += ["'length'", f"'p{int(q * 100)}'", f"element_at(__q, {i + 1})"]
+    scalar_rows = g.selectExpr(
+        f"stack({4 + len(quantiles)}, {', '.join(stack_args)}) "
+        "AS (section, name, value)"
+    )
+    lang_rows = (
+        base.groupBy(F.col(lang).alias("name"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .selectExpr("'lang' AS section", "coalesce(name, '<null>') AS name", "value")
+    )
+    dup = base.selectExpr(
+        "'dup' AS section", "'exact_dup_rate' AS name",
+        "CAST(count(*) - count(DISTINCT __fp) AS DOUBLE) / count(*) AS value",
+    )
+    return TidyFrame(scalar_rows.unionAll(lang_rows).unionAll(dup))
+
+
+def kfold_by_hash(
+    tf: TidyFrame,
+    id_col: str,
+    k: int = 5,
+    out: str = "fold",
+    salt: str = "",
+    pairs_tf=None,
+) -> TidyFrame:
+    """Deterministic K-fold assignment (fold 0..k-1) — cross-validation's
+    version of :func:`split_by_hash`: folds are equal-probability hash
+    buckets of the id, stable under re-runs, repartitions, and appends.
+
+    The fold is the count of k-1 equal-spaced hex thresholds at or below
+    md5(id||salt) — the same portable string-comparison idiom as every
+    split/sample op here (no engine-specific hex→int casts), so any
+    engine with md5 reproduces the assignment.  ``pairs_tf`` makes the
+    folds leakage-safe: ids are replaced by their duplicate-cluster label
+    first (see :func:`leakage_safe_split`), so near-duplicates share a
+    fold; the ``cluster_id`` column is kept for audit.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = id_col
+    if pairs_tf is not None:
+        from .dedup import dup_clusters
+
+        tf = dup_clusters(tf, pairs_tf, id_col).rename(cluster_id="keep_id")
+        key = "cluster_id"
+    h = f"substring(md5(concat(CAST({key} AS STRING), '{salt}')), 1, 8)"
+    cuts = [format(int(i / k * 0xFFFFFFFF), "08x") for i in range(1, k)]
+    fold = " + ".join(f"if_else({h} >= '{c}', 1, 0)" for c in cuts)
+    return tf.mutate(**{out: f"({fold})"})
 
 
 def filter_by_quantile(
