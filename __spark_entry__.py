@@ -2925,12 +2925,51 @@ def _d39(t):
     return TidyFrame(summary)
 
 
+_HTML_WRAP = (
+    "concat('<html><head><script>var x=1;</script><style>p{}</style></head>"
+    "<body><h1>T</h1><p>', text, '</p><!-- c --> &amp; tail</body></html>')"
+)
+
+
+def _t64(t):
+    """HTML text extraction (``scrub.strip_html``): deterministic markup
+    wrapped around each document, stripped by the chained
+    regexp_replace/entity-decode pipeline; every pattern lives in the
+    Java-regex/RE2 common subset so the oracle runs the identical
+    strings (with DuckDB's explicit 'g' flag)."""
+    from tidierdb_jl_spark.llm.scrub import strip_html
+
+    return strip_html(
+        t["documents"].select("doc_id", "text").mutate(h=_HTML_WRAP), "h"
+    ).select("doc_id", "h")
+
+
+# decomposed é (e + U+0301) and fullwidth Hi — NFC composes the accent
+# and keeps the compatibility chars, in unicodedata and DuckDB alike
+_NFC_PREFIX = "Café Ｈｉ "
+
+
+def _t65(t):
+    """Unicode NFC normalization (``scrub.normalize_text``): a decomposed-
+    accent + fullwidth prefix is attached to every document and normalized
+    by the Arrow unicodedata pass; the oracle applies DuckDB's
+    nfc_normalize to the same construction (both implement UAX #15)."""
+    from tidierdb_jl_spark.llm.scrub import normalize_text
+
+    built = t["documents"].select("doc_id", "text").mutate(
+        u=f"concat('{_NFC_PREFIX}', coalesce(text, ''))"
+    )
+    return normalize_text(built, "u").select("doc_id", "u")
+
+
 _BUILDERS.update(
     {
         "t61_curriculum_order": _t61,
         "t62_kfold": _t62,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
+        "t64_strip_html": _t64,
+        "t65_normalize_nfc": _t65,
         "t95_bpe_roundtrip": _t95,
         "d38_semantic_dedup": _d38,
         "q60_snapshot_diff": _q60,
@@ -3796,6 +3835,21 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT),
                CAST(l_linenumber AS VARCHAR), CAST(NULL AS DOUBLE)
         FROM lineitem
+    """
+    from tidierdb_jl_spark.llm.scrub import _HTML_BLOCK_PATTERNS, _HTML_ENTITIES
+
+    _h = _HTML_WRAP
+    for _pat in _HTML_BLOCK_PATTERNS:
+        _h = f"regexp_replace({_h}, '{_pat}', ' ', 'g')"
+    for _ent, _ch in _HTML_ENTITIES:
+        _h = f"replace({_h}, '{_ent}', '{_ch.replace(chr(39), chr(39) * 2)}')"
+    out["t64_strip_html"] = rf"""
+        SELECT doc_id, trim(regexp_replace({_h}, '\s+', ' ', 'g')) AS h
+        FROM documents
+    """
+    out["t65_normalize_nfc"] = f"""
+        SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
+        FROM documents
     """
     _KF_CUTS = " + ".join(
         "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= "

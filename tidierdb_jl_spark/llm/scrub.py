@@ -12,7 +12,10 @@ oracle applies the very same strings.
 
 from __future__ import annotations
 
-__all__ = ["PII_PATTERNS", "scrub_pii", "scrub_expr"]
+__all__ = [
+    "PII_PATTERNS", "scrub_pii", "scrub_expr",
+    "strip_html", "strip_html_expr", "normalize_text",
+]
 
 # (name, pattern, replacement) applied in order.  Longest/most-specific
 # first so e.g. an email is not half-eaten by a later pattern.
@@ -56,3 +59,117 @@ def scrub_pii(tf, col: str = "text", out: str | None = None, patterns=PII_PATTER
     own ``(name, regex, replacement)`` triples to extend — the regex must
     avoid lookaround to stay portable across engines."""
     return tf.mutate(**{out or col: scrub_expr(col, patterns)})
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping (web-corpus text extraction)
+# ---------------------------------------------------------------------------
+
+# Applied in order; all patterns live in the common Java-regex/RE2 subset
+# (inline (?is) flags + non-greedy quantifiers are fine, backreferences and
+# lookaround are not) so the DuckDB oracle runs the identical strings.
+_HTML_BLOCK_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+)
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so "&amp;lt;" decodes to "&lt;" not "<"
+)
+
+
+def strip_html_expr(col: str) -> str:
+    """SQL expression extracting visible text from HTML: drop
+    script/style/comment blocks, then all tags, decode the common
+    entities, collapse whitespace, trim."""
+    expr = col
+    for pat in _HTML_BLOCK_PATTERNS:
+        quoted = pat.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{quoted}', ' ')"
+    for ent, ch in _HTML_ENTITIES:
+        c = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{c}')"
+    return f"trim(regexp_replace({expr}, '\\\\s+', ' '))"
+
+
+def strip_html(tf, col: str = "text", out: str | None = None):
+    """Extract visible text from an HTML column — the first step of a
+    web-corpus pipeline (C4/RefinedWeb operate on extracted text, not
+    raw markup).  Script/style/comment payloads are REMOVED (their
+    content is not prose); remaining tags become spaces so adjacent text
+    does not concatenate; the six standard entities decode; whitespace
+    collapses.
+
+    Pure chained JVM ``regexp_replace``/``replace`` — fuses into the
+    scan, zero shuffles, and every pattern is RE2-compatible so the
+    DuckDB oracle applies the same strings.  This is a lightweight
+    regex extractor, not a full HTML5 parser: pathological markup
+    (unclosed script tags, CDATA) degrades to extra whitespace, never to
+    dropped documents.
+    """
+    target = out or col
+    return tf.mutate(**{target: strip_html_expr(col)})
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(
+    tf,
+    col: str = "text",
+    out: str | None = None,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+):
+    """Unicode-normalize a text column — the canonicalization pass that
+    makes dedup fingerprints and token counts stable across sources that
+    encode the "same" text differently (composed vs decomposed accents,
+    fullwidth forms, ligatures).
+
+    ``form`` is any of NFC/NFD/NFKC/NFKD; ``strip_accents`` removes
+    combining marks after NFD (``café`` → ``cafe``); ``lowercase``
+    applies Python's full casefold-free ``str.lower``.  Spark has no
+    built-in Unicode normalizer, so this is a vectorized Arrow pass over
+    ``unicodedata`` (stdlib) — the sanctioned Pandas-UDF slow path; at
+    100 TB run it ONCE at ingest and persist the normalized column.
+    NULLs pass through.
+    """
+    import unicodedata
+
+    from pyspark.sql import functions as F
+    import pandas
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC|NFD|NFKC|NFKD, got {form!r}")
+
+    def norm_one(s):
+        if s is None:
+            return None
+        t = unicodedata.normalize(form, s)
+        if strip_accents:
+            t = "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(ch)
+            )
+            t = unicodedata.normalize(form, t)
+        return t.lower() if lowercase else t
+
+    def norm(s: pandas.Series) -> pandas.Series:
+        return s.map(norm_one)
+
+    norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    udf = F.pandas_udf("string")(norm)
+    target = out or col
+    from ..core import TidyFrame
+
+    return TidyFrame(tf.df.withColumn(target, udf(F.col(col))))

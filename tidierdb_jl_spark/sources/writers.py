@@ -6,7 +6,10 @@ TO path`` with format by extension; CREATE [OR REPLACE] TABLE/VIEW AS).
 
 from __future__ import annotations
 
-__all__ = ["write_file", "create_table", "drop_view", "merge_upsert"]
+__all__ = [
+    "write_file", "create_table", "drop_view", "merge_upsert",
+    "compact_files", "dataset_size_bytes",
+]
 
 _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
 
@@ -163,3 +166,59 @@ def drop_view(spark, name: str) -> bool:
     """Drop a temp view (``/root/reference/src/view_compute.jl:40-42``).
     Falls back to global temp views; returns whether anything was dropped."""
     return spark.catalog.dropTempView(name) or spark.catalog.dropGlobalTempView(name)
+
+
+def dataset_size_bytes(spark, path: str) -> int:
+    """Total bytes of the non-hidden files under ``path`` (recursive),
+    via the Hadoop FileSystem API — works for local, hdfs://, s3a://."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += st.getLen()
+    return total
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str | None = None,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+):
+    """Rewrite a dataset into right-sized files — the small-files fix: a
+    100 TB table accreted from per-batch appends ends up as millions of
+    KB-scale files whose per-file open/footer overhead dominates scans;
+    compaction rewrites it as ``ceil(total_bytes / target_mb)`` files.
+
+    The output file count comes from the dataset's ACTUAL on-disk bytes
+    (Hadoop FS metadata — no data read), so the result lands near
+    ``target_mb`` per file regardless of row width.  ``coalesce`` (not
+    ``repartition``) does the narrowing — no shuffle, each output task
+    reads a contiguous set of input files.  In-place compaction
+    (``dest_path=None``) pins the rows with a ``localCheckpoint`` before
+    overwriting the files being read — the same self-overwrite discipline
+    as ``merge_upsert``.  Returns (TidyFrame of the compacted dataset,
+    n_output_files).
+    """
+    from ..core import TidyFrame
+
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    total = dataset_size_bytes(spark, src_path)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = getattr(spark.read, fmt)(src_path)
+    in_place = dest_path is None or dest_path == src_path
+    if in_place:
+        df = df.localCheckpoint(eager=True)
+    out = df.coalesce(n_out)
+    getattr(out.write.mode("overwrite"), fmt)(dest_path or src_path)
+    final = getattr(spark.read, fmt)(dest_path or src_path)
+    return TidyFrame(final), n_out
