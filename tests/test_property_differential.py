@@ -364,3 +364,117 @@ def test_random_corpus_passage_stats_match_reference(spark, data):
     for i, ws in per_doc.items():
         dup = sum(1 for w in ws if doc_freq[w] >= 2)
         assert got[i] == (len(ws), dup), (i, got[i], (len(ws), dup))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_snapshot_diff_matches_duckdb(tables, ddb, data):
+    """snapshot_diff under random version pairs: random key filters on
+    each side and a random price perturbation — the full-outer
+    classification and changed-column list must match DuckDB."""
+    from tidierdb_jl_spark.operators.diff import snapshot_diff
+
+    m_old = data.draw(st.integers(min_value=2, max_value=9))
+    m_new = data.draw(st.integers(min_value=2, max_value=9))
+    m_chg = data.draw(st.integers(min_value=2, max_value=5))
+    bump = data.draw(st.sampled_from(["1.0", "0.5", "100.0"]))
+
+    old = tables["orders"].filter(f"o_orderkey % {m_old} != 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = (
+        tables["orders"]
+        .filter(f"o_orderkey % {m_new} != 0")
+        .mutate(
+            o_totalprice=f"if_else(o_orderkey % {m_chg} == 0, o_totalprice + {bump}, o_totalprice)"
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+    out = snapshot_diff(old, new, "o_orderkey").mutate(
+        changed_cols="array_join(changed_cols, ',')"
+    )
+    sql = f"""
+        WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % {m_old} != 0),
+        new AS (SELECT o_orderkey,
+                       CASE WHEN o_orderkey % {m_chg} = 0
+                            THEN o_totalprice + {bump} ELSE o_totalprice END
+                       AS o_totalprice
+                FROM orders WHERE o_orderkey % {m_new} != 0)
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' ELSE '' END AS changed_cols
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    """
+    assert_matches_duckdb(out, ddb, sql, f"diff %{m_old}/%{m_new}/%{m_chg}+{bump}")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_kfold_matches_duckdb(tables, ddb, data):
+    """kfold_by_hash for random k and salt: the hex-threshold-count rule
+    recomputed verbatim in DuckDB."""
+    from tidierdb_jl_spark.llm.pipeline import kfold_by_hash
+
+    k = data.draw(st.integers(min_value=2, max_value=12))
+    salt = data.draw(st.sampled_from(["", "v2", "epoch3"]))
+    out = kfold_by_hash(tables["documents"], "doc_id", k=k, salt=salt).select(
+        "doc_id", "fold"
+    )
+    cases = " + ".join(
+        "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '" + salt + "'), 1, 8)"
+        f" >= '{format(int(i / k * 0xFFFFFFFF), '08x')}' THEN 1 ELSE 0 END"
+        for i in range(1, k)
+    )
+    assert_matches_duckdb(
+        out, ddb,
+        f"SELECT doc_id, CAST({cases} AS INT) AS fold FROM documents",
+        f"kfold k={k} salt={salt!r}",
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_html_strip_matches_duckdb(tables, ddb, data):
+    """strip_html over randomized markup templates built from corpus text:
+    Spark (Java regex) and DuckDB (RE2) must extract identical text —
+    the cross-engine guard for the (?is)/non-greedy pattern subset."""
+    from tests.test_scrub_extras import _duck_strip_html_expr
+    from tidierdb_jl_spark.llm.scrub import strip_html
+
+    # NOTE: fragments must be valid single-quoted SQL literals in BOTH
+    # engines (escape rules differ: Spark backslash vs DuckDB doubling),
+    # so attribute quotes are spelled with double quotes
+    pre = data.draw(st.sampled_from([
+        '<div class="a">', "<script>if (1<2) { x(); }</script>",
+        "<style>a{b:c}</style>", "<!-- <p>ghost</p> -->", "&amp;&nbsp;",
+    ]))
+    post = data.draw(st.sampled_from([
+        "</div>", "<br/>tail", "&lt;tag&gt;", "<SCRIPT>s</SCRIPT>", "",
+    ]))
+    html = f"concat('{pre}', text, '{post}')"
+    out = strip_html(
+        tables["documents"].select("doc_id", "text").mutate(h=html), "h"
+    ).select("doc_id", "h")
+    assert_matches_duckdb(
+        out, ddb,
+        f"SELECT doc_id, {_duck_strip_html_expr(html)} AS h FROM documents",
+        f"html {pre!r}..{post!r}",
+    )
