@@ -2962,10 +2962,36 @@ def _t65(t):
     return normalize_text(built, "u").select("doc_id", "u")
 
 
+def _e56(t):
+    """Equi-DEPTH histogram (``operators/histogram.py``): quantile edges
+    from ONE aggregate, bucket assignment as a fold over the edge list —
+    the skew-proof profile.  Exact interpolated percentiles, fully
+    recomputed by the oracle."""
+    from tidierdb_jl_spark.operators.histogram import equi_depth_histogram
+
+    return equi_depth_histogram(t["events"], "value", bins=8).mutate(
+        lo_edge="round(lo_edge, 9)", hi_edge="round(hi_edge, 9)"
+    )
+
+
+def _t66(t):
+    """Deterministic importance sampling (``mixing.importance_sample``):
+    keep-probability ∝ weight (DSIR-style), decided by the portable
+    md5-vs-hex-threshold rule with a decimal-summed mean (bit-stable
+    across engines/partitionings).  The oracle recomputes every verdict."""
+    from tidierdb_jl_spark.llm.mixing import importance_sample
+
+    return importance_sample(t["documents"], "n_chars", 0.4, "doc_id").select(
+        "doc_id", "sampled"
+    )
+
+
 _BUILDERS.update(
     {
         "t61_curriculum_order": _t61,
         "t62_kfold": _t62,
+        "e56_equi_depth": _e56,
+        "t66_importance_sample": _t66,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -3850,6 +3876,37 @@ def oracle_sql() -> dict[str, str]:
     out["t65_normalize_nfc"] = f"""
         SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
         FROM documents
+    """
+    _ED_FR = ", ".join(str(i / 8) for i in range(1, 8))
+    out["e56_equi_depth"] = f"""
+        WITH c AS (SELECT min(CAST(value AS DOUBLE)) AS lo,
+                          max(CAST(value AS DOUBLE)) AS hi,
+                          quantile_cont(CAST(value AS DOUBLE), [{_ED_FR}]) AS cuts
+                   FROM events),
+        c2 AS (SELECT lo, hi, list_transform(cuts, e -> round(e, 9)) AS cuts FROM c),
+        assigned AS (
+          SELECT len(list_filter(c2.cuts, e -> CAST(value AS DOUBLE) > e)) AS bucket
+          FROM events, c2 WHERE value IS NOT NULL),
+        grid AS (
+          SELECT i AS bucket,
+                 round(CASE WHEN i = 0 THEN c2.lo ELSE c2.cuts[i] END, 9) AS lo_edge,
+                 round(CASE WHEN i = 7 THEN c2.hi ELSE c2.cuts[i + 1] END, 9) AS hi_edge
+          FROM range(8) t(i), c2)
+        SELECT CAST(g.bucket AS INT) AS bucket, g.lo_edge, g.hi_edge,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN (SELECT bucket, count(*) AS n
+                               FROM assigned GROUP BY bucket) a USING (bucket)
+    """
+    out["t66_importance_sample"] = """
+        WITH m AS (SELECT CAST(sum(CAST(greatest(0.0, coalesce(CAST(n_chars AS DOUBLE), 0.0))
+                                        AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+                          AS mw FROM documents)
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               lpad(lower(to_hex(CAST(floor(
+                 least(1.0, 0.4 * greatest(0.0, coalesce(CAST(n_chars AS DOUBLE), 0.0))
+                       / m.mw) * 4294967295.0) AS BIGINT))), 8, '0') AS sampled
+        FROM documents, m
     """
     _KF_CUTS = " + ".join(
         "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= "

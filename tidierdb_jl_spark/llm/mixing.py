@@ -28,6 +28,7 @@ __all__ = [
     "upsample_by_weight",
     "deterministic_shuffle",
     "curriculum_order",
+    "importance_sample",
 ]
 
 
@@ -209,3 +210,54 @@ def upsample_by_weight(
         out.mutate(**{copy_col: f"explode(sequence(0, __n - 1))"})
         .select("!__n")
     )
+
+
+def importance_sample(
+    tf: TidyFrame,
+    weight_col: str,
+    target_frac: float,
+    id_col: str,
+    out: str = "sampled",
+    salt: str = "",
+) -> TidyFrame:
+    """Deterministic IMPORTANCE sampling: keep row *i* with probability
+    ``p_i = min(1, target_frac * w_i / mean(w))`` — the DSIR-style
+    quality-weighted downsampling move (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"; public method): keep
+    ~``target_frac`` of the corpus, high-weight documents
+    proportionally more often.
+
+    The accept decision is the house hash rule — md5(id||salt) as a
+    32-bit hex draw compared against the per-row threshold
+    ``hex(p_i * (2^32-1))`` — so the sample is stable under re-runs,
+    repartitions, and appends, reproducible in any md5 engine, and a new
+    ``salt`` draws an independent sample.  NULL/negative weights count
+    as 0 (never kept).  Rows at the ``p=1`` cap are kept modulo the
+    2^-32 top-of-range edge shared with ``split_by_hash``; when many
+    rows cap, realized fraction drops below ``target_frac`` (the mass
+    has nowhere to go) — exactly the standard algorithm's behavior.
+
+    Scale shape: mean weight attaches as a lazy 1-row broadcast
+    (:meth:`TidyFrame.with_scalar`) and everything else is scan-fused
+    JVM expressions — one aggregation job, zero shuffles of the corpus.
+    Adds boolean ``out``; filter it to materialize the sample.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+    if not (0.0 < target_frac <= 1.0):
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    w = f"greatest(0.0D, coalesce(CAST({weight_col} AS DOUBLE), 0.0D))"
+    # decimal-summed mean (the repo's bit-stability pattern): a plain
+    # avg() sums doubles in partition order, and a 1-ulp drift flips the
+    # verdict of threshold-adjacent rows across engines/runs
+    mw = tf.summarize(
+        __mw=f"CAST(sum(CAST({w} AS DECIMAL(28,10))) AS DOUBLE) / count(*)"
+    )
+    p = f"least(1.0D, {target_frac}D * {w} / __mw)"
+    # explicit floor: Spark's double->bigint CAST truncates but DuckDB's
+    # rounds, so the cast alone is not engine-portable
+    thr = f"lpad(lower(hex(CAST(floor({p} * 4294967295.0D) AS BIGINT))), 8, '0')"
+    flagged = tf.with_scalar(__mw=mw).mutate(
+        **{out: f"{_hash_u32(id_col, salt)} < {thr}"}
+    )
+    return flagged.select("!__mw")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["histogram"]
+__all__ = ["histogram", "equi_depth_histogram"]
 
 
 def histogram(
@@ -67,6 +67,66 @@ def histogram(
         F.col("id").cast("int").alias("bucket"),
         (F.lit(lo) + F.col("id") * F.lit((hi - lo) / bins)).alias("lo_edge"),
         (F.lit(lo) + (F.col("id") + 1) * F.lit((hi - lo) / bins)).alias("hi_edge"),
+    )
+    out = (
+        grid.join(counts, "bucket", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .select("bucket", "lo_edge", "hi_edge", "n")
+    )
+    return TidyFrame(out)
+
+
+def equi_depth_histogram(
+    tf,
+    col: str,
+    bins: int = 10,
+):
+    """Equi-DEPTH histogram: bucket edges at exact quantiles, so every
+    bucket holds ~the same row count — the right profile for skewed
+    columns, where equi-width collapses most mass into one bar.
+
+    Returns ``bins`` rows (bucket, lo_edge, hi_edge, n).  Edges come from
+    ONE aggregate (min, max, interior percentiles — a 1-row driver
+    action, same cost as equi-width's bounds probe); bucket assignment
+    is a pure fold over the edge list (count of interior edges strictly
+    below x — ties collapse into the lower bucket, so heavy duplicate
+    values leave later buckets legitimately empty).  Exact interpolated
+    percentiles, hence engine-portable and oracle-checkable.
+    """
+    from ..core import TidyFrame
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    sdf = tf.df if hasattr(tf, "df") else tf
+    x = (F.expr(col) if isinstance(col, str) else col).cast("double")
+    fr = ", ".join(f"{i / bins}D" for i in range(1, bins))
+    cuts_expr = f"percentile(CAST(({col}) AS DOUBLE), array({fr}))" if bins > 1 else None
+    aggs = [F.min(x).alias("lo"), F.max(x).alias("hi")]
+    if cuts_expr:
+        aggs.append(F.expr(cuts_expr).alias("cuts"))
+    row = sdf.agg(*aggs).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:  # all-NULL or empty
+        lo, hi = 0.0, 1.0
+    # cuts round to 9 decimals BEFORE assignment: an interpolated cut that
+    # lands on a duplicated data value can differ by 1 ulp across engines
+    # ((1-g)*v + g*v evaluation order), which would flip every duplicate
+    # of that value into the neighboring bucket on one engine only
+    cuts = [round(float(c), 9) for c in row["cuts"]] if cuts_expr else []
+    edges = [float(lo)] + cuts + [float(hi)]
+
+    bucket_terms = " + ".join(f"IF(__x > {c!r}D, 1, 0)" for c in cuts) or "0"
+    counts = (
+        sdf.where(x.isNotNull())
+        .select(x.alias("__x"))
+        .selectExpr(f"CAST({bucket_terms} AS INT) AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    spark = sdf.sparkSession
+    grid = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(bins)],
+        "bucket INT, lo_edge DOUBLE, hi_edge DOUBLE",
     )
     out = (
         grid.join(counts, "bucket", "left")
