@@ -2986,12 +2986,60 @@ def _t66(t):
     )
 
 
+def _t67(t):
+    """Whole-document FFD packing (``packing.pack_documents_ffd``):
+    best-fit-decreasing bins per hash shard, no doc ever split.
+    Invariant summary row — every doc assigned once, fills exact and
+    capped (oversize singletons excepted), bin count within 1.5x the
+    per-shard lower bound — anchored by the oracle's n_docs and
+    total_tokens recomputation."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.cache import track
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.packing import pack_documents_ffd
+
+    block = 120
+    out = track(pack_documents_ffd(t["documents"], "doc_id", block, n_shards=4).df)
+    per_bin = out.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("__sum"),
+        F.max("bin_fill").alias("__fill"),
+        F.min("bin_fill").alias("__fill2"),
+        F.count("*").alias("__m"),
+        F.max(F.col("oversize").cast("int")).alias("__over"),
+    )
+    bad = per_bin.filter(
+        "(__fill != __sum) OR (__fill != __fill2) "
+        f"OR (__fill > {block} AND NOT (__m = 1 AND __over = 1))"
+    )
+    lower = out.groupBy("shard").agg(
+        F.ceil(F.sum("n_tokens") / F.lit(block)).alias("__lb")
+    )
+    summary = (
+        out.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(bad.agg(F.count("*").alias("__nbad")))
+        .crossJoin(per_bin.agg(F.count("*").alias("__nbins")))
+        .crossJoin(lower.agg(F.sum("__lb").alias("__lbsum")))
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("__nbad") == 0).alias("bins_valid"),
+            (F.col("__nbins") <= 1.5 * F.col("__lbsum") + 4).alias("fill_ok"),
+        )
+    )
+    return TidyFrame(summary)
+
+
 _BUILDERS.update(
     {
         "t61_curriculum_order": _t61,
         "t62_kfold": _t62,
         "e56_equi_depth": _e56,
         "t66_importance_sample": _t66,
+        "t67_pack_ffd": _t67,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -3876,6 +3924,17 @@ def oracle_sql() -> dict[str, str]:
     out["t65_normalize_nfc"] = f"""
         SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
         FROM documents
+    """
+    out["t67_pack_ffd"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+          FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               TRUE AS bins_valid, TRUE AS fill_ok
+        FROM toks
     """
     _ED_FR = ", ".join(str(i / 8) for i in range(1, 8))
     out["e56_equi_depth"] = f"""

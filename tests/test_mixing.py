@@ -173,3 +173,41 @@ def test_curriculum_order_stages_and_determinism(tables):
 
     with pytest.raises(ValueError):
         curriculum_order(docs, "n_chars", "doc_id", n_stages=1)
+
+
+def test_pack_documents_ffd_invariants(tables):
+    from tidierdb_jl_spark.llm.packing import pack_documents_ffd
+
+    docs = tables["documents"]
+    block = 120
+    out = pack_documents_ffd(docs, "doc_id", block, n_shards=4).collect()
+    # every document assigned exactly once
+    assert sorted(out["doc_id"]) == sorted(
+        r[0] for r in docs.df.select("doc_id").collect()
+    )
+    # bin_fill is the exact sum of member lengths; never exceeds the cap
+    # except flagged oversize singletons
+    g = out.groupby(["shard", "bin_id"])
+    for (sh, b), grp in g:
+        assert grp["bin_fill"].nunique() == 1
+        fill = grp["bin_fill"].iloc[0]
+        assert fill == grp["n_tokens"].sum()
+        if fill > block:
+            assert len(grp) == 1 and grp["oversize"].all()
+    # packing efficiency: bins within 1.5x the per-shard lower bound
+    n_bins = g.ngroups
+    lower = sum(
+        -(-int(s) // block)
+        for s in out.groupby("shard")["n_tokens"].sum()
+    )
+    assert n_bins <= 1.5 * lower + 4
+    # deterministic
+    again = pack_documents_ffd(docs, "doc_id", block, n_shards=4).collect()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_documents_ffd(docs, "doc_id", 0)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from ..core import TidyFrame
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "pack_documents_ffd"]
 
 
 def pack_sequences(
@@ -174,3 +174,96 @@ def chunk_documents(
         .select(id_col, "chunk_id", "chunk_start", "chunk_text", "chunk_n_tokens")
     )
     return TidyFrame(df)
+
+
+def pack_documents_ffd(
+    tf: TidyFrame,
+    id_col: str,
+    block_size: int,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_shards: int = 8,
+):
+    """Whole-document packing: assign each document to a block of at most
+    ``block_size`` tokens WITHOUT ever splitting a document — the
+    T5-style alternative to :func:`pack_sequences` for tasks where an
+    example must stay contiguous (SFT, long-context eval).  Documents
+    longer than ``block_size`` get a solo block flagged ``oversize``
+    (chunk them first with ``chunk_documents`` if that's not acceptable).
+
+    Algorithm: best-fit-DECREASING bin packing (sort by length desc, put
+    each doc into the fullest bin it still fits; guaranteed ≤ 11/9·OPT+1
+    bins — Johnson 1973, public result), run independently per hash
+    shard so the packing parallelizes: memory per task is one shard's
+    (id, length) pairs, never the corpus, and the bisect-based best-fit
+    is O(d log d) per shard.  Deterministic: hash sharding, (length desc,
+    id asc) order, smallest-remaining-then-smallest-bin tie-breaks.
+
+    Returns (id, n_tokens, shard, bin_id, bin_fill, oversize) — join
+    back on the id to materialize block contents.  One shuffle (the
+    shard groupBy); lengths travel, documents don't.
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    import pandas
+    from pyspark.sql import functions as F
+
+    from .textstats import tokenize_expr
+
+    toks = tokens_col or tokenize_expr(text_col)
+    h = f"md5(CAST({id_col} AS STRING))"
+    nib = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    shard = (
+        f"pmod(({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)}), "
+        f"{n_shards})"
+    )
+    narrow = tf.df.selectExpr(
+        f"{id_col} AS __id",
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        f"CAST({shard} AS INT) AS shard",
+    )
+    id_type = narrow.schema["__id"].dataType.simpleString()
+    out_schema = (
+        f"__id {id_type}, n_tokens BIGINT, shard INT, bin_id BIGINT, "
+        "bin_fill BIGINT, oversize BOOLEAN"
+    )
+
+    def pack(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(["n_tokens", "__id"], ascending=[False, True])
+        keys = []  # sorted (remaining, bin_id)
+        fills: dict = {}
+        assign = []
+        next_bin = 0
+        for n in pdf["n_tokens"].to_numpy():
+            n = int(n)
+            if n > block_size:
+                b = next_bin
+                next_bin += 1
+                fills[b] = n
+                assign.append(b)
+                continue
+            i = bisect.bisect_left(keys, (n, -1))
+            if i < len(keys):
+                rem, b = keys.pop(i)
+                rem -= n
+            else:
+                b = next_bin
+                next_bin += 1
+                rem = block_size - n
+            fills[b] = fills.get(b, 0) + n
+            bisect.insort(keys, (rem, b))
+            assign.append(b)
+        pdf = pdf.assign(bin_id=assign)
+        pdf["bin_fill"] = pdf["bin_id"].map(fills)
+        pdf["oversize"] = pdf["n_tokens"] > block_size
+        return pdf
+
+    packed = narrow.groupBy("shard").applyInPandas(pack, out_schema)
+    return TidyFrame(
+        packed.selectExpr(
+            f"__id AS {id_col}", "n_tokens", "shard", "bin_id", "bin_fill",
+            "oversize",
+        )
+    )
