@@ -3033,6 +3033,82 @@ def _t67(t):
     return TidyFrame(summary)
 
 
+def _d96(t):
+    """Round-5d ops suite (tagged union, one driver row for the newest
+    surface): curriculum ordering (t61), k-fold splits (t62), corpus
+    datasheet (t63), HTML stripping (t64), NFC normalization (t65),
+    importance sampling (t66), whole-doc FFD packing (t67), equi-depth
+    histogram (e56), and semantic contamination (d39).  Shared schema
+    (op, id1, id2, s, num); every leg is individually oracle-backed by
+    its own registered row — the suite puts them all inside the
+    driver-checked prefix."""
+    from tidierdb_jl_spark import cache
+
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+    tracked_before = len(cache._TRACKED)
+
+    cur = (
+        _t61(t)
+        .mutate(op="'cur'", id1="CAST(doc_id AS BIGINT)", id2="CAST(stage AS BIGINT)",
+                s="shuffle_key", num=nld)
+        .select(*cols)
+    )
+    kf = (
+        _t62(t)
+        .mutate(op="'kfold'", id1="doc_id", id2="CAST(fold AS BIGINT)", s=nls, num=nld)
+        .select(*cols)
+    )
+    rep = (
+        _t63(t)
+        .mutate(op="'report'", id1=nlb, id2=nlb, s="concat(section, ':', name)",
+                num="value")
+        .select(*cols)
+    )
+    html = (
+        _t64(t).mutate(op="'html'", id1="doc_id", id2=nlb, s="h", num=nld).select(*cols)
+    )
+    nfc = (
+        _t65(t).mutate(op="'nfc'", id1="doc_id", id2=nlb, s="u", num=nld).select(*cols)
+    )
+    samp = (
+        _t66(t)
+        .mutate(op="'samp'", id1="doc_id", id2="CAST(sampled AS BIGINT)", s=nls, num=nld)
+        .select(*cols)
+    )
+    ffd = (
+        _t67(t)
+        .mutate(op="'ffd'", id1="n_docs", id2="total_tokens",
+                s="if_else(bins_valid AND fill_ok, 'ok', 'bad')", num=nld)
+        .select(*cols)
+    )
+    hist = _e56(t)
+    histlo = (
+        hist.mutate(op="'histlo'", id1="CAST(bucket AS BIGINT)", id2="n", s="'lo'",
+                    num="lo_edge")
+        .select(*cols)
+    )
+    histhi = (
+        hist.mutate(op="'histhi'", id1="CAST(bucket AS BIGINT)", id2="n", s="'hi'",
+                    num="hi_edge")
+        .select(*cols)
+    )
+    cont = (
+        _d39(t)
+        .mutate(op="'cont'", id1="n_exact_contaminated", id2=nlb,
+                s="if_else(no_false_positives AND recall_ok, 'ok', 'bad')", num=nld)
+        .select(*cols)
+    )
+    out = cur.union_all(kf).union_all(rep).union_all(html).union_all(nfc)
+    out = out.union_all(samp).union_all(ffd).union_all(histlo).union_all(histhi)
+    out = out.union_all(cont)
+    # pin the result, then release ONLY this builder's persists (d94 pattern)
+    res = type(out)(out.df.localCheckpoint(eager=True))
+    while len(cache._TRACKED) > tracked_before:
+        cache._TRACKED.pop().unpersist()
+    return res
+
+
 _BUILDERS.update(
     {
         "t61_curriculum_order": _t61,
@@ -3040,6 +3116,7 @@ _BUILDERS.update(
         "e56_equi_depth": _e56,
         "t66_importance_sample": _t66,
         "t67_pack_ffd": _t67,
+        "d96_r5d_ops_suite": _d96,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -3126,7 +3203,10 @@ _DRIVER_PRIORITY = [
     "d95_r5c_ops_suite",
     "d35_minhash_pairs",
     "d36_simhash_pairs",
-    "d37_ngram_jaccard",
+    # d37_ngram_jaccard rotated out (the same exact-Jaccard pair machinery
+    # is oracle-exercised through d86_dup_clusters and d95's leakage-split
+    # leg, both driver-checked) for the round-5d ops suite
+    "d96_r5d_ops_suite",
     "d41_embedding_dedup_exact",
     "d42_embedding_dedup_lsh",
     "d61_training_prep_e2e",
@@ -5489,5 +5569,44 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'div_js', z.n_expected, z.n_actual, z.token, z.js9
         FROM ({out["t93_token_divergence"]}) z
+    """
+    out["d96_r5d_ops_suite"] = f"""
+        SELECT 'cur' AS op, z.doc_id AS id1, CAST(z.stage AS BIGINT) AS id2,
+               z.shuffle_key AS s, CAST(NULL AS DOUBLE) AS num
+        FROM ({out["t61_curriculum_order"]}) z
+        UNION ALL
+        SELECT 'kfold', z.doc_id, CAST(z.fold AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM ({out["t62_kfold"]}) z
+        UNION ALL
+        SELECT 'report', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               concat(z.section, ':', z.name), z.value
+        FROM ({out["t63_corpus_report"]}) z
+        UNION ALL
+        SELECT 'html', z.doc_id, CAST(NULL AS BIGINT), z.h, CAST(NULL AS DOUBLE)
+        FROM ({out["t64_strip_html"]}) z
+        UNION ALL
+        SELECT 'nfc', z.doc_id, CAST(NULL AS BIGINT), z.u, CAST(NULL AS DOUBLE)
+        FROM ({out["t65_normalize_nfc"]}) z
+        UNION ALL
+        SELECT 'samp', z.doc_id, CAST(z.sampled AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM ({out["t66_importance_sample"]}) z
+        UNION ALL
+        SELECT 'ffd', z.n_docs, z.total_tokens,
+               CASE WHEN z.bins_valid AND z.fill_ok THEN 'ok' ELSE 'bad' END,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["t67_pack_ffd"]}) z
+        UNION ALL
+        SELECT 'histlo', CAST(z.bucket AS BIGINT), z.n, 'lo', z.lo_edge
+        FROM ({out["e56_equi_depth"]}) z
+        UNION ALL
+        SELECT 'histhi', CAST(z.bucket AS BIGINT), z.n, 'hi', z.hi_edge
+        FROM ({out["e56_equi_depth"]}) z
+        UNION ALL
+        SELECT 'cont', z.n_exact_contaminated, CAST(NULL AS BIGINT),
+               CASE WHEN z.no_false_positives AND z.recall_ok THEN 'ok' ELSE 'bad' END,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["d39_semantic_contamination"]}) z
     """
     return out
