@@ -79,3 +79,23 @@ def test_semantic_dedup_plan_is_equi_join(tables):
     ).df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_empty_input_guards(tables):
+    """Empty frames degrade gracefully: no k-means/dim probes on nothing."""
+    from tidierdb_jl_spark.llm.dedup import flag_contaminated_semantic
+
+    empty = tables["embeddings"].filter("vec_id < 0")
+    out = semantic_dedup(empty, "vec_id", threshold=0.4).collect()
+    assert len(out) == 0
+    assert {"cell", "centroid_sim", "cluster_id", "canonical_id"} <= set(out.columns)
+
+    flagged = flag_contaminated_semantic(
+        empty, tables["embeddings"].filter("vec_id < 10")
+    ).collect()
+    assert len(flagged) == 0
+    assert {"is_contaminated", "matched_bench_id"} <= set(flagged.columns)
+
+    # empty BENCH: everything is clean
+    clean = flag_contaminated_semantic(tables["embeddings"], empty).collect()
+    assert (~clean["is_contaminated"]).all()

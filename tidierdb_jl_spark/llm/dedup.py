@@ -909,6 +909,16 @@ def semantic_dedup(
     vec = tf.df.select(
         F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
     )
+    if vec.isEmpty():  # no training sample exists; k-means would crash
+        from ..core import TidyFrame
+
+        out = (
+            tf.df.withColumn("cell", F.lit(None).cast("int"))
+            .withColumn("centroid_sim", F.lit(None).cast("double"))
+            .withColumn("cluster_id", F.col(id_col))
+            .withColumn("canonical_id", F.col(id_col))
+        )
+        return TidyFrame(out)
     centroids = _train_centroids_sample(vec, nlist, refine_iters, sample_cap)
     assign = _make_cell_sim_udf(centroids)
     unit = vec.select(
@@ -1171,7 +1181,18 @@ def flag_contaminated_semantic(
     from .simsearch import _dot, _hyperplanes, _make_sig_udf, _to_double
 
     bid = bench_id_col or id_col
-    dim = len(corpus_tf.df.select(vec_col).first()[0])
+    first = corpus_tf.df.select(vec_col).first()
+    if first is None:  # empty corpus: nothing to flag, dim unknowable
+        from ..core import TidyFrame
+
+        bid_type = dict(
+            (f.name, f.dataType) for f in bench_tf.df.schema.fields
+        ).get(bid, corpus_tf.df.schema[id_col].dataType)
+        clean = corpus_tf.df.withColumn(
+            "matched_bench_id", F.lit(None).cast(bid_type)
+        ).withColumn(out, F.lit(False))
+        return TidyFrame(clean)
+    dim = len(first[0])
     sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
 
     def prep(df, idc, alias):
