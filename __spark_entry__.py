@@ -3033,6 +3033,21 @@ def _t67(t):
     return TidyFrame(summary)
 
 
+def _t72s(t):
+    """Sentence segmentation (``textstats.split_sentences``): capture-
+    group-replace to an ASCII record separator then split — no
+    lookbehind, so DuckDB recomputes the identical logic with RE2's
+    ``\\1`` backreference spelling.  Sentences join on chr(30) for the
+    hash compare (array columns stringify engine-differently)."""
+    from tidierdb_jl_spark.llm.textstats import split_sentences
+
+    return (
+        split_sentences(t["documents"], "text")
+        .mutate(sentences="array_join(sentences, char(30))")
+        .select("doc_id", "sentences", "n_sentences")
+    )
+
+
 def _d96(t):
     """Round-5d ops suite (tagged union, one driver row for the newest
     surface): curriculum ordering (t61), k-fold splits (t62), corpus
@@ -3117,6 +3132,7 @@ _BUILDERS.update(
         "t66_importance_sample": _t66,
         "t67_pack_ffd": _t67,
         "d96_r5d_ops_suite": _d96,
+        "t72_sentence_split": _t72s,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -4004,6 +4020,19 @@ def oracle_sql() -> dict[str, str]:
     out["t65_normalize_nfc"] = f"""
         SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
         FROM documents
+    """
+    out["t72_sentence_split"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   string_split(regexp_replace(coalesce(text, ''),
+                                               '([.!?])\s+', '\1' || chr(30), 'g'),
+                   chr(30)), x -> trim(x)), x -> x != '') AS sl
+          FROM documents)
+        SELECT doc_id,
+               coalesce(array_to_string(sl, chr(30)), '') AS sentences,
+               CAST(len(sl) AS INT) AS n_sentences
+        FROM s
     """
     out["t67_pack_ffd"] = r"""
         WITH toks AS (

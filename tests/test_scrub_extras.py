@@ -125,3 +125,52 @@ def test_compact_files_roundtrip_and_in_place(spark, tables, tmp_path):
         compact_files(spark, src, target_mb=0)
     with pytest.raises(FileNotFoundError):
         dataset_size_bytes(spark, str(tmp_path / "missing"))
+
+
+def test_split_sentences_unit_and_duckdb(spark, tables, ddb):
+    from tidierdb_jl_spark.llm.textstats import split_sentences
+
+    cases = {
+        "One. Two! Three? Four": ["One.", "Two!", "Three?", "Four"],
+        "No trailing punct": ["No trailing punct"],
+        # a simple segmenter treats ellipsis as a sentence end — fine for
+        # dedup granularity, and identical across engines
+        "Dots... everywhere. End": ["Dots...", "everywhere.", "End"],
+        "  spaced .  out  ": ["spaced .", "out"],
+        "": [],
+        None: [],
+    }
+    out = split_sentences(_docs(spark, list(cases)), "text").collect()
+    got = dict(zip(out["doc_id"], out["sentences"]))
+    for i, (src, want) in enumerate(cases.items()):
+        assert list(got[i]) == want, f"{src!r}: {list(got[i])} != {want}"
+
+    # cross-engine: same logic, RE2 backreference spelling
+    res = split_sentences(tables["documents"], "text").select("doc_id", "sentences")
+    from tests.helpers import assert_matches_duckdb
+
+    assert_matches_duckdb(
+        res.mutate(sentences="array_join(sentences, char(30))"),
+        ddb,
+        r"""
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 list_filter(list_transform(
+                   string_split(regexp_replace(coalesce(text, ''),
+                                              '([.!?])\s+', '\1' || chr(30), 'g'),
+                   chr(30)), s -> trim(s)), s -> s != ''), chr(30)), '') AS sentences
+        FROM documents
+        """,
+    )
+
+
+def test_sentence_segment_dedup_composes(tables):
+    from tidierdb_jl_spark.llm.dedup import segment_dedup
+    from tidierdb_jl_spark.llm.textstats import sentence_expr
+
+    out = segment_dedup(
+        tables["documents"], "doc_id", "text",
+        segments_expr=sentence_expr("text"), joiner=" ",
+    ).collect()
+    assert len(out) > 0
+    assert (out["n_seg_kept"] <= out["n_seg_total"]).all()

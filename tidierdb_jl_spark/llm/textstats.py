@@ -24,6 +24,8 @@ __all__ = [
     "with_fingerprint",
     "with_rolling_fingerprint",
     "STOPWORDS",
+    "sentence_expr",
+    "split_sentences",
 ]
 
 # GPT-2-style pre-tokenizer, ASCII flavor: a token is an optional leading
@@ -195,4 +197,31 @@ def with_repetition_stats(
     )
     return out.select(
         *[c for c in tf.columns], f"{prefix}n_ngrams", f"{prefix}dup_ngram_frac"
+    )
+
+
+def sentence_expr(col: str) -> str:
+    """SQL expression splitting text into sentences (array<string>):
+    sentence-ending punctuation (. ! ?) followed by whitespace ends a
+    sentence, keeping the punctuation with its sentence.  Implemented as
+    capture-group replace to an ASCII record-separator then split — no
+    lookbehind, so the same logic is expressible in RE2 engines (DuckDB
+    spells the backreference ``\\1`` where Java spells it ``$1``).
+    Blank/NULL text gives an empty array; whitespace around sentences is
+    trimmed; empty fragments drop."""
+    marked = f"regexp_replace({col}, '([.!?])\\\\s+', '$1\\u001E')"
+    return (
+        f"CASE WHEN {col} IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"filter(transform(split({marked}, '\\u001E'), s -> trim(s)), s -> s != '') END"
+    )
+
+
+def split_sentences(tf, col: str = "text", out: str = "sentences"):
+    """Add ``out`` (array<string> of sentences) — the segmenter for
+    C4-style sentence-level dedup: pass ``sentence_expr(col)`` as
+    ``segment_dedup(segments_expr=...)`` to dedup boilerplate at
+    sentence granularity, or use this directly for per-sentence ops.
+    Pure JVM expression, scan-fused."""
+    return tf.mutate(**{out: sentence_expr(col)}).mutate(
+        **{f"n_{out}": f"size({out})"}
     )

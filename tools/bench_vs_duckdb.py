@@ -47,6 +47,12 @@ def main() -> None:
     extra = [
         "t86_lm_perplexity", "t87_repeated_passages", "t88_quantile_filter",
         "t91_token_pmi", "q99_outlier_scores", "t92_psi_drift",
+        # round-5c/5d ops whose oracles are the full equivalent
+        # computation (t95/d38/d39 excluded: round-trip / invariant
+        # anchors, not equivalent work)
+        "q60_snapshot_diff", "t96_leakage_split", "t61_curriculum_order",
+        "t62_kfold", "t63_corpus_report", "t64_strip_html",
+        "t65_normalize_nfc", "t66_importance_sample", "e56_equi_depth",
     ]
     names = [n for n in HEADLINE if n in qs and n in osql and n not in skip]
     names += [n for n in extra if n in qs and n in osql]
@@ -98,31 +104,39 @@ def main() -> None:
         "| query | spark (s) | duckdb (s) | spark/duckdb |",
         "|---|---|---|---|",
     ]
+    # algorithm-class rows: the SQL-expressible formulation is a different
+    # (asymptotically worse) ALGORITHM, not the same work running slower
+    ALGO = {"d35_minhash_pairs", "t96_leakage_split"}
     for name, s, d in rows:
-        note = " †" if name == "d35_minhash_pairs" else ""
+        note = " †" if name in ALGO else ""
         lines.append(f"| {name}{note} | {s:.3f} | {d:.3f} | {s / d:.2f}x |")
     ts_total = sum(r[1] for r in rows)
     td_total = sum(r[2] for r in rows)
-    no35 = [r for r in rows if r[0] != "d35_minhash_pairs"]
-    ts_n, td_n = sum(r[1] for r in no35), sum(r[2] for r in no35)
+    noalgo = [r for r in rows if r[0] not in ALGO]
+    ts_n, td_n = sum(r[1] for r in noalgo), sum(r[2] for r in noalgo)
     lines += [
         f"| **total** | **{ts_total:.2f}** | **{td_total:.2f}** | "
         f"**{ts_total / td_total:.2f}x** |",
-        f"| **total excl. d35** | **{ts_n:.2f}** | **{td_n:.2f}** | "
-        f"**{ts_n / td_n:.2f}x** |",
+        f"| **total excl. † algorithm-class** | **{ts_n:.2f}** | "
+        f"**{td_n:.2f}** | **{ts_n / td_n:.2f}x** |",
         "",
-        "† d35 produces the IDENTICAL pair set both sides; DuckDB runs the "
-        "exact all-pairs formulation (the only way to express it in SQL — "
-        "the reference has no MinHash/LSH operator at all), our engine the "
-        "banded-LSH + exact-verify plan. The gap is the algorithm, and it "
-        "is the point: at 100 TB the quadratic path does not exist.",
+        "† identical RESULTS both sides, different algorithm class — the "
+        "only SQL-expressible formulation is asymptotically worse. d35: "
+        "banded-LSH + exact-verify vs the quadratic all-pairs MinHash "
+        "check (the reference has no MinHash/LSH operator at all). t96: "
+        "min-label-propagation connected components (a few bounded "
+        "rounds) vs a recursive-CTE transitive closure that materializes "
+        "every (node, reachable-node) pair. The gaps ARE the point: at "
+        "100 TB the quadratic paths do not exist.",
         "",
         "Reading the rest: DuckDB wins small relational aggregates by its "
         "near-zero per-query overhead (Spark pays task scheduling that "
         "amortizes away at scale — the same queries hold their absolute "
         "times as data grows 10x); Spark already wins on the LLM-pipeline "
-        "class on a single node (t52 cleaning ~19x, t71 contamination "
-        "~3.6x, windows q13/q14 ~9x) — the workload this engine targets.",
+        "class on a single node (t52 cleaning ~19x, q13/q14 windows ~6-10x, "
+        "t87 passages ~7x, t71 contamination ~3x, t64 HTML ~2.4x) — the "
+        "workload this engine targets. The r4 t86 LM-perplexity gap is "
+        "closed by the O(n) pair-build rewrite (0.95x, was 7.7x).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH_VS_DUCKDB.md")
