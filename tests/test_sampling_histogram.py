@@ -105,3 +105,23 @@ def test_importance_sample_matches_duckdb(tables, ddb):
         FROM documents, m
         """,
     )
+
+
+def test_approx_quantile_modes(tables):
+    """approx=True swaps the exact value-buffering percentile for the
+    bounded-memory sketch; results stay close and all plumbing holds."""
+    from tidierdb_jl_spark.llm.mixing import curriculum_order
+    from tidierdb_jl_spark.llm.pipeline import filter_by_quantile
+
+    docs = tables["documents"]
+    exact = filter_by_quantile(docs, "n_chars", 0.5, keep="above")
+    approx = filter_by_quantile(docs, "n_chars", 0.5, keep="above", approx=True)
+    ne, na = exact.df.count(), approx.df.count()
+    assert abs(ne - na) <= 0.05 * docs.df.count()
+
+    hist = equi_depth_histogram(tables["events"], "value", bins=8, approx=True).collect()
+    assert len(hist) == 8 and hist["n"].sum() > 0
+
+    cur = curriculum_order(docs, "n_chars", "doc_id", n_stages=4, approx=True).collect()
+    sizes = cur.groupby("stage").size()
+    assert sizes.min() > 0.15 * len(cur)

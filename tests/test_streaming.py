@@ -380,3 +380,35 @@ def test_streaming_ingest_incremental_dedup_upsert(spark, tables, tmp_path):
     for r in sorted(both.itertuples(), key=lambda r: r.doc_id):
         first_seen.setdefault(fp(r.text), int(r.doc_id))
     assert sorted(got["doc_id"]) == sorted(first_seen.values())
+
+
+def test_stateless_cleaning_pipeline_runs_on_stream(spark, tables):
+    """The corpus-cleaning surface is stream-compatible where it should
+    be: quality gates, PII scrub, HTML strip, hash split, k-fold, and
+    importance-free mixing predicates are pure scan expressions, so the
+    SAME TidyFrame code runs on a readStream and matches the batch
+    result row-for-row."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.pipeline import kfold_by_hash, quality_filter, split_by_hash
+    from tidierdb_jl_spark.llm.scrub import scrub_pii, strip_html
+
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    tables["documents"].df.write.mode("overwrite").parquet(d)
+
+    def pipeline(tf):
+        cleaned = quality_filter(tf, min_words=10)
+        cleaned = scrub_pii(cleaned, "text")
+        cleaned = strip_html(cleaned, "text")
+        cleaned = split_by_hash(cleaned, "doc_id", 0.8)
+        return kfold_by_hash(cleaned, "doc_id", k=5).select(
+            "doc_id", "n_words", "split", "fold"
+        )
+
+    batch = pipeline(tables["documents"]).collect()
+    st = read_stream(spark, d)
+    streamed = run_to_memory(pipeline(st), "clean_stream")
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.itertuples(index=False)))
+    assert got == want
+    assert len(got) > 0

@@ -69,6 +69,7 @@ def curriculum_order(
     seed: str = "",
     stage_col: str = "stage",
     key_col: str = "shuffle_key",
+    approx: bool | int = False,
 ) -> TidyFrame:
     """Curriculum training order: bucket the corpus into ``n_stages``
     difficulty stages by EXACT score quantiles, then shuffle
@@ -92,7 +93,16 @@ def curriculum_order(
     if n_stages < 2:
         raise ValueError(f"n_stages must be >= 2, got {n_stages}")
     fracs = ", ".join(f"{i / n_stages}D" for i in range(1, n_stages))
-    cuts = tf.summarize(__cuts=f"percentile({score_col}, array({fracs}))")
+    # approx=True (or an int accuracy): percentile_approx's bounded-memory
+    # sketch instead of the exact value-buffering aggregate — the 100 TB
+    # setting (stage boundaries shift by the sketch's rank error; oracle
+    # rows keep exact mode)
+    acc = 10000 if approx is True else int(approx) if approx else 0
+    pct = (
+        f"percentile_approx({score_col}, array({fracs}), {acc})" if acc
+        else f"percentile({score_col}, array({fracs}))"
+    )
+    cuts = tf.summarize(__cuts=pct)
     rank = f"aggregate(__cuts, 0, (acc, c) -> acc + IF({score_col} > c, 1, 0))"
     if not ascending:
         rank = f"{n_stages - 1} - ({rank})"

@@ -267,6 +267,7 @@ def filter_by_quantile(
     keep: str = "above",
     out: str | None = None,
     by=None,
+    approx: bool | int = False,
 ) -> TidyFrame:
     """Keep rows whose ``col`` is above (or below) the q-quantile —
     the relative-threshold quality gate ("drop the bottom decile by
@@ -286,24 +287,37 @@ def filter_by_quantile(
     ``col >= threshold`` (ties survive), ``"below"`` keeps
     ``col <= threshold``.  ``out`` optionally retains the threshold as a
     column for audit.
+
+    ``approx``: exact ``percentile`` buffers every value of the
+    aggregation group in executor memory — fine per-group or at test
+    scale, but a GLOBAL exact quantile over 100 TB is a memory hazard.
+    ``approx=True`` (or an int accuracy, default 10000 ≈ ±0.01%-ile
+    rank error) switches to ``percentile_approx``'s bounded-memory
+    KLL-style sketch — the setting a corpus-scale gate should run with;
+    thresholds become engine-specific, so oracle rows keep exact mode.
     """
     if not (0.0 <= q <= 1.0):
         raise ValueError(f"q must be in [0, 1], got {q}")
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above'|'below', got {keep!r}")
     name = out or "__quantile_thr"
+    acc = 10000 if approx is True else int(approx) if approx else 0
+    pct = (
+        f"percentile_approx({col}, {q}, {acc})" if acc
+        else f"percentile({col}, {q})"
+    )
     keys = [by] if isinstance(by, str) else list(by or [])
     if keys:
         thr = (
             tf.df.groupBy(*keys)
-            .agg(F.expr(f"percentile({col}, {q})").alias(name))
+            .agg(F.expr(pct).alias(name))
         )
         joined = tf.df.join(thr, keys).select(*tf.df.columns, name)
         res = TidyFrame(joined).filter(
             f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
         )
     else:
-        thr = tf.summarize(**{"__thr": f"percentile({col}, {q})"})
+        thr = tf.summarize(**{"__thr": pct})
         res = tf.with_scalar(**{name: thr}).filter(
             f"{col} >= {name}" if keep == "above" else f"{col} <= {name}"
         )

@@ -80,6 +80,7 @@ def equi_depth_histogram(
     tf,
     col: str,
     bins: int = 10,
+    approx: bool | int = False,
 ):
     """Equi-DEPTH histogram: bucket edges at exact quantiles, so every
     bucket holds ~the same row count — the right profile for skewed
@@ -100,7 +101,14 @@ def equi_depth_histogram(
     sdf = tf.df if hasattr(tf, "df") else tf
     x = (F.expr(col) if isinstance(col, str) else col).cast("double")
     fr = ", ".join(f"{i / bins}D" for i in range(1, bins))
-    cuts_expr = f"percentile(CAST(({col}) AS DOUBLE), array({fr}))" if bins > 1 else None
+    # approx: percentile_approx's bounded-memory sketch for corpus-scale
+    # profiling (edges move by the sketch's rank error; oracles use exact)
+    acc = 10000 if approx is True else int(approx) if approx else 0
+    pfn = (
+        f"percentile_approx(CAST(({col}) AS DOUBLE), array({fr}), {acc})" if acc
+        else f"percentile(CAST(({col}) AS DOUBLE), array({fr}))"
+    )
+    cuts_expr = pfn if bins > 1 else None
     aggs = [F.min(x).alias("lo"), F.max(x).alias("hi")]
     if cuts_expr:
         aggs.append(F.expr(cuts_expr).alias("cuts"))
