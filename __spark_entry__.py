@@ -3048,6 +3048,41 @@ def _t72s(t):
     )
 
 
+def _t73(t):
+    """fastText-style quality classifier (``llm/classifier.py``): train
+    marker-token-vs-rest on the corpus (deterministic bounded-sample
+    logistic regression), score every doc in one Arrow pass, and report
+    accuracy/separation invariants anchored by the oracle's class-count
+    recomputation.  (The synthetic corpus shares one vocabulary across
+    its metadata labels, so the separable classes are content-defined.)"""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.classifier import score_quality, train_quality_classifier
+
+    docs = t["documents"]
+    pos_pred = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+    model = train_quality_classifier(
+        docs.filter(pos_pred), docs.filter(f"NOT ({pos_pred})"),
+        id_col="doc_id", dim=1024,
+    )
+    scored = score_quality(docs.mutate(__pos=pos_pred), model).df
+    summary = scored.agg(
+        F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+        F.sum((~F.col("__pos")).cast("long")).alias("n_neg"),
+        F.avg(
+            ((F.col("quality_score") >= 0.5) == F.col("__pos")).cast("double")
+        ).alias("__acc"),
+        F.avg(F.when(F.col("__pos"), F.col("quality_score"))).alias("__mp"),
+        F.avg(F.when(~F.col("__pos"), F.col("quality_score"))).alias("__mn"),
+    ).select(
+        "n_pos", "n_neg",
+        (F.col("__acc") >= 0.9).alias("acc_ok"),
+        ((F.col("__mp") >= 0.7) & (F.col("__mn") <= 0.45)).alias("separation_ok"),
+    )
+    return TidyFrame(summary)
+
+
 def _d96(t):
     """Round-5d ops suite (tagged union, one driver row for the newest
     surface): curriculum ordering (t61), k-fold splits (t62), corpus
@@ -3133,6 +3168,7 @@ _BUILDERS.update(
         "t67_pack_ffd": _t67,
         "d96_r5d_ops_suite": _d96,
         "t72_sentence_split": _t72s,
+        "t73_quality_classifier": _t73,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -4020,6 +4056,16 @@ def oracle_sql() -> dict[str, str]:
     out["t65_normalize_nfc"] = f"""
         SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
         FROM documents
+    """
+    out["t73_quality_classifier"] = r"""
+        WITH c AS (
+          SELECT list_contains(string_split_regex(lower(trim(text)), '\s+'),
+                               'spark') AS pos
+          FROM documents)
+        SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+               TRUE AS acc_ok, TRUE AS separation_ok
+        FROM c
     """
     out["t72_sentence_split"] = r"""
         WITH s AS (
