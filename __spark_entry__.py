@@ -3088,10 +3088,11 @@ def _d96(t):
     surface): curriculum ordering (t61), k-fold splits (t62), corpus
     datasheet (t63), HTML stripping (t64), NFC normalization (t65),
     importance sampling (t66), whole-doc FFD packing (t67), equi-depth
-    histogram (e56), and semantic contamination (d39).  Shared schema
-    (op, id1, id2, s, num); every leg is individually oracle-backed by
-    its own registered row — the suite puts them all inside the
-    driver-checked prefix."""
+    histogram (e56), semantic contamination (d39), sentence
+    segmentation (t72), and the classifier quality gate (t73).  Shared
+    schema (op, id1, id2, s, num); every leg is individually
+    oracle-backed by its own registered row — the suite puts them all
+    inside the driver-checked prefix."""
     from tidierdb_jl_spark import cache
 
     nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
@@ -3149,9 +3150,21 @@ def _d96(t):
                 s="if_else(no_false_positives AND recall_ok, 'ok', 'bad')", num=nld)
         .select(*cols)
     )
+    sent = (
+        _t72s(t)
+        .mutate(op="'sent'", id1="doc_id", id2="CAST(n_sentences AS BIGINT)",
+                s="sentences", num=nld)
+        .select(*cols)
+    )
+    clf = (
+        _t73(t)
+        .mutate(op="'clf'", id1="n_pos", id2="n_neg",
+                s="if_else(acc_ok AND separation_ok, 'ok', 'bad')", num=nld)
+        .select(*cols)
+    )
     out = cur.union_all(kf).union_all(rep).union_all(html).union_all(nfc)
     out = out.union_all(samp).union_all(ffd).union_all(histlo).union_all(histhi)
-    out = out.union_all(cont)
+    out = out.union_all(cont).union_all(sent).union_all(clf)
     # pin the result, then release ONLY this builder's persists (d94 pattern)
     res = type(out)(out.df.localCheckpoint(eager=True))
     while len(cache._TRACKED) > tracked_before:
@@ -5683,5 +5696,14 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN z.no_false_positives AND z.recall_ok THEN 'ok' ELSE 'bad' END,
                CAST(NULL AS DOUBLE)
         FROM ({out["d39_semantic_contamination"]}) z
+        UNION ALL
+        SELECT 'sent', z.doc_id, CAST(z.n_sentences AS BIGINT), z.sentences,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["t72_sentence_split"]}) z
+        UNION ALL
+        SELECT 'clf', z.n_pos, z.n_neg,
+               CASE WHEN z.acc_ok AND z.separation_ok THEN 'ok' ELSE 'bad' END,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["t73_quality_classifier"]}) z
     """
     return out
