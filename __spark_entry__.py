@@ -3048,6 +3048,19 @@ def _t72s(t):
     )
 
 
+def _s42(t):
+    """Hard-negative mining (``simsearch.mine_hard_negatives``): exact
+    top-k minus presumed positives + hash-deterministic random
+    negatives; the oracle recomputes both legs, deriving the pool
+    threshold from the corpus count so the row holds at any SF."""
+    from tidierdb_jl_spark.llm.simsearch import mine_hard_negatives
+
+    emb = t["embeddings"]
+    return mine_hard_negatives(
+        emb, emb.filter("vec_id < 5"), k_hard=3, skip_top=1, n_random=2
+    )
+
+
 def _t73(t):
     """fastText-style quality classifier (``llm/classifier.py``): train
     marker-token-vs-rest on the corpus (deterministic bounded-sample
@@ -3182,6 +3195,7 @@ _BUILDERS.update(
         "d96_r5d_ops_suite": _d96,
         "t72_sentence_split": _t72s,
         "t73_quality_classifier": _t73,
+        "s42_hard_negatives": _s42,
         "t63_corpus_report": _t63,
         "d39_semantic_contamination": _d39,
         "t64_strip_html": _t64,
@@ -4069,6 +4083,42 @@ def oracle_sql() -> dict[str, str]:
     out["t65_normalize_nfc"] = f"""
         SELECT doc_id, nfc_normalize(concat('{_NFC_PREFIX}', coalesce(text, ''))) AS u
         FROM documents
+    """
+    out["s42_hard_negatives"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC NULLS LAST, vec_id) AS r
+          FROM scored),
+        hard AS (SELECT query_id, vec_id, 'hard' AS kind, cosine,
+                        CAST(r - 1 AS BIGINT) AS rank
+                 FROM ranked WHERE r > 1 AND r <= 4),
+        thr AS (SELECT lpad(lower(to_hex(CAST(floor(
+                  least(1.0, 16.0 / greatest(1, (SELECT count(*) FROM embeddings)))
+                  * 4294967295.0) AS BIGINT))), 8, '0') AS h),
+        pool AS (SELECT vec_id FROM embeddings, thr
+                 WHERE substring(md5(CAST(vec_id AS VARCHAR) || 'pool'), 1, 8) < thr.h),
+        rnd AS (
+          SELECT query_id, vec_id, 'random' AS kind, CAST(NULL AS DOUBLE) AS cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY md5(CAST(query_id AS VARCHAR) || ':' ||
+                                CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rank
+          FROM (SELECT query_id FROM q) CROSS JOIN pool
+          WHERE query_id != vec_id)
+        SELECT * FROM hard
+        UNION ALL
+        SELECT * FROM rnd WHERE rank <= 2
     """
     out["t73_quality_classifier"] = r"""
         WITH c AS (

@@ -869,3 +869,65 @@ def test_embedding_dedup_incremental_matches_full_corpus(tables):
     hits = sum(got.get(nid) == pid for nid, pid in expect.items())
     assert hits >= 0.5 * len(expect), (hits, len(expect))
     assert len(inc) == new.collect().shape[0]
+
+
+def test_mine_hard_negatives(tables, ddb):
+    """Hard negatives: exact top-k minus presumed positives; random
+    negatives: deterministic hash draw — both recomputed by DuckDB."""
+    from tests.helpers import assert_matches_duckdb
+    from tidierdb_jl_spark.llm.simsearch import mine_hard_negatives
+
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 5")
+    out = mine_hard_negatives(
+        emb, queries, k_hard=3, skip_top=1, n_random=2, pool_factor=8
+    )
+    pdf = out.collect()
+    assert set(pdf["kind"]) == {"hard", "random"}
+    per_q = pdf.groupby(["query_id", "kind"]).size()
+    assert (per_q.xs("hard", level="kind") == 3).all()
+    assert (per_q.xs("random", level="kind") == 2).all()
+    assert pdf[pdf["kind"] == "random"]["cosine"].isna().all()
+    assert (pdf["query_id"] != pdf["vec_id"]).all()
+
+    n_corpus = emb.df.count()
+    frac = min(1.0, 16 / n_corpus)
+    thr = format(int(frac * 0xFFFFFFFF), "08x")
+    assert_matches_duckdb(
+        out,
+        ddb,
+        f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC NULLS LAST, vec_id) AS r
+          FROM scored),
+        hard AS (SELECT query_id, vec_id, 'hard' AS kind, cosine,
+                        CAST(r - 1 AS BIGINT) AS rank
+                 FROM ranked WHERE r > 1 AND r <= 4),
+        pool AS (SELECT vec_id FROM embeddings
+                 WHERE substring(md5(CAST(vec_id AS VARCHAR) || 'pool'), 1, 8)
+                       < '{thr}'),
+        rnd AS (
+          SELECT query_id, vec_id, 'random' AS kind, CAST(NULL AS DOUBLE) AS cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY md5(CAST(query_id AS VARCHAR) || ':' ||
+                                CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rank
+          FROM (SELECT query_id FROM q) CROSS JOIN pool
+          WHERE query_id != vec_id)
+        SELECT * FROM hard
+        UNION ALL
+        SELECT * FROM rnd WHERE rank <= 2
+        """,
+    )

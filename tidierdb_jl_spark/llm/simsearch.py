@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "knn_classify",
-    "pq_encode", "pq_cosine_topk",
+    "pq_encode", "pq_cosine_topk", "mine_hard_negatives",
 ]
 
 
@@ -572,3 +572,88 @@ def pq_cosine_topk(
     from ..core import TidyFrame
 
     return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
+
+def mine_hard_negatives(
+    corpus_tf,
+    queries_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_hard: int = 5,
+    skip_top: int = 1,
+    n_random: int = 5,
+    pool_factor: int = 8,
+    seed: str = "",
+    query_id_col: str | None = None,
+):
+    """Construct retrieval-training pairs: for each query, the ``skip_top``
+    nearest corpus vectors are presumed positives/duplicates (skipped),
+    the next ``k_hard`` are HARD negatives (close but wrong — the
+    examples contrastive training needs most), and ``n_random``
+    hash-deterministic random negatives complete the mix (public recipe:
+    in-batch + hard negatives à la DPR, Karpukhin et al. 2020).
+
+    Returns (query_id, vec_id, kind 'hard'|'random', cosine, rank) —
+    cosine is NULL for random negatives (they are never scored; scoring
+    them would re-scan the corpus for no training value).
+
+    Scale shape: hard negatives inherit :func:`cosine_topk`'s broadcast-
+    queries/one-corpus-scan plan.  Random negatives NEVER cross-join the
+    corpus: a hash-thresholded pool of ~``pool_factor * n_random`` rows
+    (deterministic md5 rule, corpus-size-aware) broadcasts against the
+    queries and a per-query md5 rank picks ``n_random`` — stable under
+    re-runs/appends; a new ``seed`` redraws.
+    """
+    from pyspark.sql import functions as F
+
+    if k_hard < 1 or n_random < 0 or skip_top < 0:
+        raise ValueError("k_hard >= 1, n_random >= 0, skip_top >= 0 required")
+    qid = query_id_col or id_col
+    topk = cosine_topk(
+        corpus_tf, queries_tf, id_col, vec_col,
+        k=skip_top + k_hard, query_id_col=query_id_col,
+    ).df
+    hard = (
+        topk.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+            ),
+        )
+        .filter(F.col("rank") > skip_top)
+        .select("query_id", "vec_id", F.lit("hard").alias("kind"),
+                "cosine", (F.col("rank") - skip_top).alias("rank"))
+    )
+    if n_random == 0:
+        from ..core import TidyFrame
+
+        return TidyFrame(hard)
+
+    n_corpus = corpus_tf.df.count()  # one cheap count to size the pool
+    frac = min(1.0, (pool_factor * n_random) / max(1, n_corpus))
+    thr = format(int(frac * 0xFFFFFFFF), "08x")
+    pool = corpus_tf.df.selectExpr(f"{id_col} AS vec_id").filter(
+        f"substring(md5(concat(CAST(vec_id AS STRING), 'pool{seed}')), 1, 8) < '{thr}'"
+    )
+    qids = queries_tf.df.selectExpr(f"{qid} AS query_id")
+    rand = (
+        qids.join(F.broadcast(pool), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "__h",
+            F.expr(
+                "md5(concat(CAST(query_id AS STRING), ':', "
+                f"CAST(vec_id AS STRING), '{seed}'))"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.expr("row_number() OVER (PARTITION BY query_id ORDER BY __h, vec_id)"),
+        )
+        .filter(F.col("rank") <= n_random)
+        .select("query_id", "vec_id", F.lit("random").alias("kind"),
+                F.lit(None).cast("double").alias("cosine"), "rank")
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(hard.unionAll(rand))
