@@ -3102,7 +3102,8 @@ def _d96(t):
     datasheet (t63), HTML stripping (t64), NFC normalization (t65),
     importance sampling (t66), whole-doc FFD packing (t67), equi-depth
     histogram (e56), semantic contamination (d39), sentence
-    segmentation (t72), and the classifier quality gate (t73).  Shared
+    segmentation (t72), the classifier quality gate (t73), and
+    hard-negative mining (s42).  Shared
     schema (op, id1, id2, s, num); every leg is individually
     oracle-backed by its own registered row — the suite puts them all
     inside the driver-checked prefix."""
@@ -3175,9 +3176,15 @@ def _d96(t):
                 s="if_else(acc_ok AND separation_ok, 'ok', 'bad')", num=nld)
         .select(*cols)
     )
+    hn = (
+        _s42(t)
+        .mutate(op="'hn'", id1="query_id", id2="vec_id",
+                s="concat(kind, ':', rank)", num="cosine")
+        .select(*cols)
+    )
     out = cur.union_all(kf).union_all(rep).union_all(html).union_all(nfc)
     out = out.union_all(samp).union_all(ffd).union_all(histlo).union_all(histhi)
-    out = out.union_all(cont).union_all(sent).union_all(clf)
+    out = out.union_all(cont).union_all(sent).union_all(clf).union_all(hn)
     # pin the result, then release ONLY this builder's persists (d94 pattern)
     res = type(out)(out.df.localCheckpoint(eager=True))
     while len(cache._TRACKED) > tracked_before:
@@ -5755,5 +5762,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN z.acc_ok AND z.separation_ok THEN 'ok' ELSE 'bad' END,
                CAST(NULL AS DOUBLE)
         FROM ({out["t73_quality_classifier"]}) z
+        UNION ALL
+        SELECT 'hn', z.query_id, z.vec_id, concat(z.kind, ':', z.rank), z.cosine
+        FROM ({out["s42_hard_negatives"]}) z
     """
     return out
