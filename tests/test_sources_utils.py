@@ -297,3 +297,23 @@ def test_lint_plan_flags_scale_hazards(spark, tables):
     slow = F.udf(lambda x: x + 1, T.LongType())
     row_udf = TidyFrame(tables["orders"].df.select(slow("o_orderkey").alias("x")))
     assert any(f["rule"] == "python_row_udf" for f in lint_plan(row_udf))
+
+
+def test_xml_roundtrip(spark, tables, tmp_path):
+    """Spark 4's native XML source through the ext dispatch: write_file
+    .xml -> db_table .xml roundtrips rows (schema inference makes types
+    engine-chosen, so compare values as strings)."""
+    from tidierdb_jl_spark.sources.readers import db_table
+    from tidierdb_jl_spark.sources.writers import write_file
+
+    p = str(tmp_path / "nation.xml")
+    write_file(tables["nation"], p)
+    back = db_table(spark, p)
+    want = sorted(
+        (str(r["n_nationkey"]), str(r["n_name"]))
+        for r in tables["nation"].df.collect()
+    )
+    got = sorted(
+        (str(r["n_nationkey"]), str(r["n_name"])) for r in back.df.collect()
+    )
+    assert got == want

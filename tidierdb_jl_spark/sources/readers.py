@@ -27,6 +27,7 @@ _EXT_READERS = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".orc": "orc",
+    ".xml": "xml",
 }
 
 
@@ -99,7 +100,8 @@ def db_table(
     elif isinstance(source, str) and ("/" in source or "." in source.rsplit("/", 1)[-1] or "*" in source):
         f = _format_for(source, fmt)
         reader = spark.read.options(**_reader_opts(f, options, source))
-        df = getattr(reader, f)(source)
+        df = (reader.format(f).load(source) if f == "xml"
+              else getattr(reader, f)(source))
         out = TidyFrame(df)
     else:
         out = TidyFrame(spark.table(str(source)))
@@ -113,6 +115,10 @@ dt = db_table
 
 def _reader_opts(fmt: str, options: dict, path: str = "") -> dict:
     opts = dict(options)
+    if fmt == "xml":
+        # Spark's native XML source (4.0+) requires a row tag; "row" is
+        # its own writer default, overridable via db_table(rowTag=...)
+        opts.setdefault("rowTag", "row")
     if fmt == "csv":
         opts.setdefault("header", "true")
         opts.setdefault("inferSchema", "true")

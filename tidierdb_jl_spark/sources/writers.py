@@ -11,7 +11,7 @@ __all__ = [
     "compact_files", "dataset_size_bytes",
 ]
 
-_EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+_EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc", ".xml": "xml"}
 
 
 def write_file(
@@ -36,6 +36,9 @@ def write_file(
         writer = writer.partitionBy(*([partition_by] if isinstance(partition_by, str) else partition_by))
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer.option("rowTag", "row").format("xml").save(path)
+        return
     getattr(writer, fmt)(path)
 
 
