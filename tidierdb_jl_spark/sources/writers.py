@@ -206,10 +206,12 @@ def compact_files(
     ``target_mb`` per file regardless of row width.  ``coalesce`` (not
     ``repartition``) does the narrowing — no shuffle, each output task
     reads a contiguous set of input files.  In-place compaction
-    (``dest_path=None``) pins the rows with a ``localCheckpoint`` before
-    overwriting the files being read — the same self-overwrite discipline
-    as ``merge_upsert``.  Returns (TidyFrame of the compacted dataset,
-    n_output_files).
+    (``dest_path=None``) writes to a sibling temp directory and swaps it
+    in with Hadoop FS delete+rename — rows stream disk-to-disk, NEVER
+    through executor memory (a ``localCheckpoint`` pin would cache the
+    whole dataset, which does not survive 100 TB), and a mid-write crash
+    leaves the original intact.  Returns (TidyFrame of the compacted
+    dataset, n_output_files).
     """
     from ..core import TidyFrame
 
@@ -219,9 +221,19 @@ def compact_files(
     n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = getattr(spark.read, fmt)(src_path)
     in_place = dest_path is None or dest_path == src_path
+    write_to = (src_path.rstrip("/") + "._compact_tmp") if in_place else dest_path
+    getattr(df.coalesce(n_out).write.mode("overwrite"), fmt)(write_to)
     if in_place:
-        df = df.localCheckpoint(eager=True)
-    out = df.coalesce(n_out)
-    getattr(out.write.mode("overwrite"), fmt)(dest_path or src_path)
+        jvm = spark._jvm
+        src = jvm.org.apache.hadoop.fs.Path(src_path)
+        tmp = jvm.org.apache.hadoop.fs.Path(write_to)
+        fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.delete(src, True):
+            raise IOError(f"could not remove {src_path} for in-place swap")
+        if not fs.rename(tmp, src):
+            raise IOError(
+                f"rename {write_to} -> {src_path} failed; compacted data "
+                f"remains at {write_to}"
+            )
     final = getattr(spark.read, fmt)(dest_path or src_path)
     return TidyFrame(final), n_out
