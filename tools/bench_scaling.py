@@ -35,6 +35,11 @@ QUERIES = [
     "t86_lm_perplexity",
     "t95_bpe_roundtrip",
     "t96_leakage_split",
+    "t64_strip_html",
+    "t66_importance_sample",
+    "t67_pack_ffd",
+    "e56_equi_depth",
+    "s42_hard_negatives",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 RUNS = 3
