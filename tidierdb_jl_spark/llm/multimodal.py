@@ -36,6 +36,7 @@ __all__ = [
     "resize_image",
     "extract_audio_features",
     "frame_sample",
+    "read_media_files",
 ]
 
 # ---------------------------------------------------------------------------
@@ -338,3 +339,45 @@ def frame_sample(tf, content_col: str = "content", every_ms: int = 1000, fake: b
     from ..core import TidyFrame
 
     return TidyFrame(tf.df.mapInPandas(run, out_schema))
+
+
+def read_media_files(
+    spark,
+    path,
+    kind: str = "image",
+    mime: str = "application/octet-stream",
+    recursive: bool = False,
+    path_glob: str | None = None,
+):
+    """Ingest raw media FILES into the multimodal pipeline: Spark's
+    native ``binaryFile`` source reads each file as one row — (path,
+    modificationTime, length, content bytes) — renamed here to
+    (media_path, media_mtime, media_bytes, content) and wrapped with the
+    standard metadata struct, ready for :func:`decode_image` /
+    :func:`extract_audio_features`.
+
+    The 100 TB shape: binaryFile is a real file source — listing scales
+    through the driver's parallel file listing, rows stream per file
+    (never driver-collected), and column pruning means a query that only
+    touches ``media_path``/``media_bytes`` never materializes what it
+    doesn't read.  Guard rails: files stream WHOLE (one row per file),
+    so cap inputs with ``spark.sql.files.maxPartitionBytes``-scale
+    expectations — shard multi-GB videos upstream.
+
+    ``path_glob`` maps to the source's ``pathGlobFilter`` (e.g.
+    ``"*.ppm"``), ``recursive`` to ``recursiveFileLookup``.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path).selectExpr(
+        "path AS media_path",
+        "modificationTime AS media_mtime",
+        "length AS media_bytes",
+        "content",
+    )
+    from ..core import TidyFrame
+
+    return attach_media_metadata(TidyFrame(df), "content", kind, mime)
