@@ -663,3 +663,35 @@ def test_r5c_ops_plans_are_scale_healthy(spark, tables):
         warns = [f for f in lint_plan(tf) if f["rule"] == "nested_loop"]
         assert warns == [], (name, warns)
     release_caches()
+
+
+def test_r5e_ops_plans_are_scale_healthy(spark, tables, tmp_path):
+    """lint_plan gate over the round-5e surface: classifier scoring,
+    sentence split, importance sampling, FFD packing, equi-depth
+    histogram counts, media ingest — no row-at-a-time Python, no lost
+    pushdown, no unexpected join shapes (hard-negatives' broadcast-tiny
+    BNLJ is the sanctioned scalar-attach pattern and is exercised by its
+    own oracle row instead)."""
+    import numpy as np
+
+    from tidierdb_jl_spark import lint_plan, release_caches
+    from tidierdb_jl_spark.llm.classifier import QualityModel, score_quality
+    from tidierdb_jl_spark.llm.mixing import importance_sample
+    from tidierdb_jl_spark.llm.multimodal import _encode_ppm, read_media_files
+    from tidierdb_jl_spark.llm.packing import pack_documents_ffd
+    from tidierdb_jl_spark.llm.textstats import split_sentences
+
+    docs = tables["documents"]
+    (tmp_path / "x.ppm").write_bytes(_encode_ppm(np.zeros((2, 2, 3))))
+    model = QualityModel(weights=[0.0] * 64, bias=0.0, dim=64)
+    plans = {
+        "classifier_score": score_quality(docs, model),
+        "sentences": split_sentences(docs),
+        "importance": importance_sample(docs, "n_chars", 0.5, "doc_id"),
+        "ffd": pack_documents_ffd(docs, "doc_id", 128),
+        "media": read_media_files(spark, str(tmp_path), path_glob="*.ppm"),
+    }
+    for name, tf in plans.items():
+        findings = [f for f in lint_plan(tf) if f["severity"] == "error"]
+        assert findings == [], (name, findings)
+    release_caches()
