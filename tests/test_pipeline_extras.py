@@ -104,3 +104,33 @@ def test_bpe_save_load_roundtrip(tables, tmp_path):
     a = bpe_encode(docs.head(20), model).collect()
     b = bpe_encode(docs.head(20), loaded).collect()
     assert list(map(list, a["bpe_tokens"])) == list(map(list, b["bpe_tokens"]))
+
+
+def test_prepare_training_corpus_modern_options(tables):
+    """The optional modern stages compose without changing the classic
+    default path: classifier gate shrinks the corpus, sampling shrinks it
+    further, and leakage_safe keeps pair-mates on one side."""
+    from tidierdb_jl_spark.llm.classifier import train_quality_classifier
+    from tidierdb_jl_spark.llm.pipeline import prepare_training_corpus
+
+    docs, emb = tables["documents"], tables["embeddings"]
+    classic = prepare_training_corpus(docs, emb, cosine_threshold=0.45)
+    base_n = classic.df.count()
+    assert base_n > 0
+
+    pos = "array_contains(split(lower(trim(text)), '\\\\s+'), 'spark')"
+    model = train_quality_classifier(
+        docs.filter(pos), docs.filter(f"NOT ({pos})"), id_col="doc_id", dim=512,
+        iters=500,
+    )
+    modern = prepare_training_corpus(
+        docs, emb, cosine_threshold=0.45,
+        classifier_model=model, classifier_threshold=0.2,
+        sample_frac=0.8, leakage_safe=True,
+    )
+    pdf = modern.collect()
+    assert 0 < len(pdf) <= base_n
+    assert {"cluster_id", "split"} <= set(pdf.columns)
+    # cluster members share a side by construction
+    for cid, grp in pdf.groupby("cluster_id"):
+        assert grp["split"].nunique() == 1

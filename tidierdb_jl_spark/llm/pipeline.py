@@ -383,6 +383,11 @@ def prepare_training_corpus(
     train_frac: float = 0.9,
     lang: str | None = "en",
     pair_method: str = "lsh",
+    classifier_model=None,
+    classifier_threshold: float = 0.5,
+    sample_frac: float | None = None,
+    sample_weight: str = "n_words",
+    leakage_safe: bool = False,
     **gates,
 ) -> TidyFrame:
     """End-to-end training-data preparation — the capstone composition:
@@ -402,17 +407,55 @@ def prepare_training_corpus(
     ``pair_method="lsh"`` the candidate set is LSH-bucketed, never
     all-pairs (``pair_method="exact"`` is the quadratic oracle path; use
     it only for small corpora / differential harnesses).
+
+    Optional modern-pipeline stages (defaults preserve the classic
+    three-step recipe bit-for-bit):
+
+    - ``classifier_model``: a trained
+      :class:`~tidierdb_jl_spark.llm.classifier.QualityModel` gates the
+      cleaned corpus at ``classifier_threshold`` (fastText-style third
+      filter class);
+    - ``sample_frac``: importance-sample the survivors to ~this
+      fraction, keep-probability ∝ ``sample_weight`` (DSIR-style);
+    - ``leakage_safe=True``: split on the duplicate-CLUSTER id derived
+      from the cosine pairs instead of the doc id, so near-dups that
+      survived the greedy drop can never straddle train/test.
     """
     from ..operators.skew import semi_reduce
     from .dedup import embedding_cosine_pairs
 
     cleaned = clean_corpus(docs, id_col=id_col, lang=lang, **gates)
+    if classifier_model is not None:
+        from .classifier import quality_classifier_filter
+
+        cleaned = quality_classifier_filter(
+            cleaned, classifier_model, classifier_threshold
+        )
+    if sample_frac is not None:
+        from .mixing import importance_sample
+
+        cleaned = (
+            importance_sample(cleaned, sample_weight, sample_frac, id_col)
+            .filter("sampled")
+            .select("!sampled")
+        )
+    # ``cleaned`` feeds the semi-join reduction, the anti-join, and (with
+    # leakage_safe) the cluster labeling — persist it once so the gated/
+    # sampled corpus scan does not re-execute per consumer (tracked:
+    # ``release_caches()`` returns the storage tier to baseline)
+    from ..cache import track
+
+    cleaned = TidyFrame(track(cleaned.df))
     emb_c = semi_reduce(embeddings, cleaned, f"{vec_id} == {id_col}")
     pairs = embedding_cosine_pairs(
         emb_c, vec_id, vec_col, threshold=cosine_threshold, method=pair_method
     )
     dupes = pairs.distinct("id_b")
     kept = cleaned.anti_join(dupes, by=f"{id_col} == id_b")
+    if leakage_safe:
+        return leakage_safe_split(kept, pairs, id_col, train_frac).select(
+            id_col, "n_words", "lang_pred", "cluster_id", "split"
+        )
     return split_by_hash(kept, id_col, train_frac).select(
         id_col, "n_words", "lang_pred", "split"
     )
