@@ -412,3 +412,56 @@ def test_stateless_cleaning_pipeline_runs_on_stream(spark, tables):
     want = sorted(map(tuple, batch.itertuples(index=False)))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_ingest_semantic_dedup_upsert(spark, tables, tmp_path):
+    """Second E2E ingest composition, vector edition: file stream of
+    embedding rows -> foreach_batch (embedding_dedup_incremental against
+    the accumulated vector store) -> merge_upsert. Drop 2 re-sends a
+    third of drop 1: every re-sent vector must be flagged as a duplicate
+    of its stored self (cosine 1.0 >= any threshold) and never re-enter
+    the store."""
+    import os
+
+    from tidierdb_jl_spark.llm.dedup import embedding_dedup_incremental
+    from tidierdb_jl_spark.sources.writers import merge_upsert
+    from tidierdb_jl_spark.streaming.stream import foreach_batch, read_stream
+
+    inbox = str(tmp_path / "vec_inbox")
+    store = str(tmp_path / "vec_store")
+    ckpt = str(tmp_path / "vec_ckpt")
+    os.makedirs(inbox)
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    drop1 = emb.filter("vec_id < 60").df
+    drop2 = emb.filter("vec_id >= 40 AND vec_id < 90").df  # 40-59 repeat
+
+    def ingest(batch_df, batch_id):
+        batch = TidyFrame(batch_df)
+        if os.path.exists(store) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(store)
+        ):
+            seen = TidyFrame(spark.read.parquet(store))
+            flagged = embedding_dedup_incremental(
+                batch, seen, "vec_id", threshold=0.99
+            )
+        else:
+            flagged = batch.mutate(dup_of="CAST(NULL AS BIGINT)")
+        fresh = flagged.filter("dup_of IS NULL").select("vec_id", "embedding")
+        merge_upsert(spark, store, fresh, "vec_id")
+
+    drop1.write.mode("append").parquet(inbox)
+    st = read_stream(spark, inbox)
+    q = foreach_batch(st, ingest, checkpoint=ckpt, mode="append")
+    try:
+        q.processAllAvailable()
+        drop2.write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(store).toPandas()
+    # re-sent ids 40-59 arrived as exact self-duplicates -> dropped;
+    # the store holds exactly drop1 ∪ (drop2 minus the repeats)
+    assert sorted(got["vec_id"]) == list(range(90))
+    assert got["vec_id"].is_unique
