@@ -796,13 +796,135 @@ def test_multimodal_real_codecs(spark):
         zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
         assert feats.loc[k, "zero_crossings"] == zc, k
 
-    # unsupported magic still raises the clear codec error
+    # unsupported magic (JPEG) still raises the clear codec error
     import pytest as _pytest
 
-    bad = spark.createDataFrame([(1, bytearray(b"\x89PNG1234"))], "i long, content binary")
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))], "i long, content binary"
+    )
     with _pytest.raises(Exception) as ei:
         decode_image(TidyFrame(bad)).collect()
     assert "fake=True" in str(ei.value) or "unsupported" in str(ei.value)
+
+
+def _ref_png_encode(arr, ctype, filters, palette=None):
+    """Independent PNG writer for the decoder oracle: encodes with an
+    EXPLICIT per-scanline filter choice so every unfilter path
+    (None/Sub/Up/Average/Paeth) is exercised.  Written from RFC 2083
+    directly — shares no code with the decoder under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    pix = arr.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    raw = b""
+    for y in range(h):
+        row = pix[y]
+        prev = pix[y - 1] if y > 0 else np.zeros_like(row)
+        ft = filters[y % len(filters)]
+        enc = np.zeros_like(row)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(raw))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_real(spark):
+    """8-bit PNG decodes for REAL through the vendored zlib+unfilter
+    codec: RGB / RGBA / grayscale / gray+alpha / palette, every filter
+    type, verified pixel-exact against an independently-written RFC 2083
+    encoder + numpy expectations (mirrors the PPM oracle test)."""
+    import numpy as np
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.multimodal import (
+        _decode_image_blob,
+        decode_image,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    rgba = rng.randint(0, 256, (7, 11, 4)).astype(np.uint8)
+    gray = rng.randint(0, 256, (8, 6, 1)).astype(np.uint8)
+    graya = rng.randint(0, 256, (5, 5, 2)).astype(np.uint8)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    pidx = rng.randint(0, 16, (6, 10, 1)).astype(np.uint8)
+
+    cases = {
+        1: (_ref_png_encode(rgb, 2, [0, 1, 2, 3, 4]), rgb),
+        2: (_ref_png_encode(rgba, 6, [4, 3, 2, 1, 0]), rgba[..., :3]),
+        3: (_ref_png_encode(gray, 0, [1, 4]), np.repeat(gray, 3, axis=2)),
+        4: (_ref_png_encode(graya, 4, [2, 4]), np.repeat(graya[..., :1], 3, axis=2)),
+        5: (_ref_png_encode(pidx, 3, [0, 1], palette=palette), palette[pidx[..., 0]]),
+    }
+    # driver-side: pixel-exact decode
+    for k, (blob, want) in cases.items():
+        got = _decode_image_blob(blob)
+        assert got.shape == want.shape, k
+        assert (got == want).all(), f"case {k}: pixel mismatch"
+
+    # distributed: features through decode_image match numpy oracle
+    df = spark.createDataFrame(
+        [(k, bytearray(v[0])) for k, v in cases.items()],
+        "img_id long, content binary",
+    )
+    out = decode_image(TidyFrame(df)).collect().set_index("img_id")
+    for k, (_, want) in cases.items():
+        assert (out.loc[k, "height"], out.loc[k, "width"]) == want.shape[:2], k
+        r, g, b = (want[..., i].astype(float) for i in range(3))
+        luma = float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)
+        assert abs(out.loc[k, "mean_luma"] - luma) < 1e-12, k
+
+    # resize accepts PNG input end-to-end (re-encoded as PPM)
+    rs = resize_image(TidyFrame(df), width=4, height=3).collect().set_index("img_id")
+    for k, (_, want) in cases.items():
+        got = _decode_image_blob(bytes(rs.loc[k, "content"]))
+        sh, sw = want.shape[:2]
+        ys = np.minimum((np.arange(3) + 0.5) * sh / 3, sh - 1).astype(int)
+        xs = np.minimum((np.arange(4) + 0.5) * sw / 4, sw - 1).astype(int)
+        assert (got == want[ys][:, xs]).all(), k
+
+    # unsupported PNG variants fail loudly, not wrongly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_image_blob(_ref_png_encode(rgb, 2, [0])[:8] + b"\x00" * 4)  # no IHDR
+    interlaced = bytearray(_ref_png_encode(rgb, 2, [0]))
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
+    with _pytest.raises(NotImplementedError):
+        _decode_image_blob(bytes(interlaced))
 
 
 def test_pq_recall_and_encode(tables):

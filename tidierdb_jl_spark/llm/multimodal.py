@@ -11,8 +11,9 @@ Decoding/feature extraction runs as Arrow-batched ``mapInPandas`` — one
 Python worker per partition, batches of rows, never per-row UDF overhead.
 
 Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
-P3 ASCII), 24-bit uncompressed BMP, and PCM16 WAV — real decode paths
-testable in any environment.  Full-codec formats (JPEG/PNG/MP3/video)
+P3 ASCII), 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + scanline
+unfilter — gray/RGB/RGBA/palette), and PCM16 WAV — real decode paths
+testable in any environment.  Full-codec formats (JPEG/MP3/video)
 need libraries NOT in this container, so those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
@@ -45,17 +46,111 @@ __all__ = [
 
 
 def _decode_image_blob(blob: bytes) -> "np.ndarray":
-    """bytes → HxWx3 uint8 array for PPM P6/P3 and 24-bit uncompressed
-    BMP.  Raises NotImplementedError for anything else (JPEG/PNG need a
-    codec library this container doesn't ship)."""
+    """bytes → HxWx3 uint8 array for PPM P6/P3, 24-bit uncompressed BMP,
+    and 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette).  Raises
+    NotImplementedError for anything else (JPEG needs a DCT codec
+    library this container doesn't ship)."""
     if blob[:2] in (b"P6", b"P3"):
         return _decode_ppm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(blob)
     raise NotImplementedError(
         f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
-        "covers PPM P6/P3 and BMP-24 — pass fake=True for other formats"
+        "covers PPM P6/P3, BMP-24 and PNG-8 — pass fake=True for other formats"
     )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int, rowbytes: int) -> "np.ndarray":
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) on the inflated byte stream.  Filter types 0/2 are
+    vectorized; 1/3/4 carry a within-row data dependency and run as a
+    per-byte loop over ``memoryview``s (test-scale images; a production
+    deployment would vendor a C codec)."""
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=pos).copy()
+        pos += rowbytes
+        prev = out[y - 1] if y > 0 else np.zeros(rowbytes, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 1:  # Sub
+            for i in range(bpp, rowbytes):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowbytes):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowbytes):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = row
+    return out
+
+
+def _decode_png(blob: bytes) -> "np.ndarray":
+    """Pure-Python PNG decode: stdlib ``zlib`` inflate + scanline
+    unfilter.  Supports bit depth 8, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.  Alpha is
+    dropped and gray replicated so every image lands HxWx3 like the
+    other codecs."""
+    import zlib
+
+    pos = 8
+    idat, plte = b"", None
+    w = h = depth = ctype = interlace = None
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    raw = zlib.decompress(idat)
+    rowbytes = w * channels
+    arr = _png_unfilter(raw, w, h, channels, rowbytes).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG missing PLTE")
+        return plte[arr[..., 0]]
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(arr[..., :1], 3, axis=2)
+    if ctype == 6:
+        return arr[..., :3].copy()
+    return arr
 
 
 def _decode_ppm(blob: bytes) -> "np.ndarray":
@@ -172,8 +267,8 @@ def decode_image(tf, content_col: str = "content", fake: bool = False):
     """Decode image bytes → (width, height, mean_luma) features via
     Arrow-batched mapInPandas.
 
-    PPM (P6/P3) and 24-bit BMP decode for real through the vendored
-    pure-Python codec; other formats raise ``NotImplementedError``
+    PPM (P6/P3), 24-bit BMP and 8-bit PNG decode for real through the
+    vendored pure-Python codec; other formats raise ``NotImplementedError``
     unless ``fake=True``, which substitutes a deterministic stand-in
     (md5-derived "dimensions") so the distributed plumbing can be
     exercised and benchmarked with any payload.

