@@ -478,12 +478,61 @@ def _s38(t):
     return cosine_topk(t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10)
 
 
-def _s39(t):
-    from tidierdb_jl_spark.llm.simsearch import lsh_cosine_topk
+def _ann_invariant_row(t, method: str):
+    """Shared shape for the raw ANN rows (s39/s40/s41): one row per query
+    with the DuckDB-anchored exact top-1 neighbor plus an in-engine
+    recall@10 floor vs the exact scan.  This makes each raw row
+    invariant-backed (the r5 verdict's 'rows-only' cleanup): the oracle
+    pins exact_top1 to the data, and any banding/probing regression that
+    drops recall below 5/10 flips recall_ok and hash-mismatches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
-    return lsh_cosine_topk(
-        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10
+    from tidierdb_jl_spark.cache import track
+    from tidierdb_jl_spark.llm.simsearch import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        pq_cosine_topk,
     )
+
+    corpus, queries = t["embeddings"], t["embeddings"].filter("vec_id < 5")
+    exact = track(cosine_topk(corpus, queries, k=10).df.select(
+        "query_id", "vec_id", "cosine"
+    ))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    top1 = (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("query_id", F.col("vec_id").alias("exact_top1"))
+    )
+    if method == "lsh":
+        approx = lsh_cosine_topk(corpus, queries, k=10).df
+    elif method == "ivf":
+        approx = ivf_cosine_topk(corpus, queries, k=10, nlist=8, nprobe=3).df
+    else:
+        approx = pq_cosine_topk(corpus, queries, k=10).df
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__h"))
+    )
+    out = top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        (F.coalesce("__h", F.lit(0)) >= 5).alias("recall_ok"),
+    )
+    from tidierdb_jl_spark.core import TidyFrame
+
+    return TidyFrame(out)
+
+
+def _s39(t):
+    # LSH ANN, invariant-backed (was rows-only through r5)
+    return _ann_invariant_row(t, "lsh")
 
 
 def _t43(t):
@@ -551,20 +600,13 @@ def _d42(t):
 
 
 def _s40(t):
-    from tidierdb_jl_spark.llm.simsearch import ivf_cosine_topk
-
-    return ivf_cosine_topk(
-        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10, nlist=8, nprobe=3
-    )
+    # IVF ANN, invariant-backed (was rows-only through r5)
+    return _ann_invariant_row(t, "ivf")
 
 
 def _s41(t):
-    # product-quantization ANN: ADC over m-byte codes + exact re-rank
-    from tidierdb_jl_spark.llm.simsearch import pq_cosine_topk
-
-    return pq_cosine_topk(
-        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10
-    )
+    # product-quantization ANN (ADC + exact re-rank), invariant-backed
+    return _ann_invariant_row(t, "pq")
 
 
 def _d92(t):
@@ -3504,6 +3546,33 @@ _LLM_ORACLES = {
         SELECT query_id, vec_id, cosine FROM ranked WHERE r <= 10
     """,
 }
+
+# Raw ANN rows (s39/s40/s41): the oracle computes the exact brute-force
+# top-1 per query (data-anchored); recall_ok is the in-engine recall@10
+# floor vs the exact scan — the contract is that it always holds, so the
+# oracle pins it TRUE and any ANN regression hash-mismatches.
+_ANN_INVARIANT_SQL = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+          FROM scored)
+        SELECT query_id, vec_id AS exact_top1, TRUE AS recall_ok
+        FROM ranked WHERE r = 1
+    """
+_LLM_ORACLES["s39_lsh_topk"] = _ANN_INVARIANT_SQL
+_LLM_ORACLES["s40_ivf_topk"] = _ANN_INVARIANT_SQL
+_LLM_ORACLES["s41_pq_topk"] = _ANN_INVARIANT_SQL
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
