@@ -465,3 +465,143 @@ def test_streaming_ingest_semantic_dedup_upsert(spark, tables, tmp_path):
     # the store holds exactly drop1 ∪ (drop2 minus the repeats)
     assert sorted(got["vec_id"]) == list(range(90))
     assert got["vec_id"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# late-data / out-of-order semantics: the watermark boundary itself
+# ---------------------------------------------------------------------------
+
+
+def _write_batch(path, rows):
+    """One parquet file = one micro-batch (files written between
+    processAllAvailable() calls arrive as separate batches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    ts = pa.array(
+        [np.datetime64(f"2024-01-01T{t}", "us") for t, _, _ in rows],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table({"ts": ts,
+                  "k": pa.array([k for _, k, _ in rows]),
+                  "v": pa.array([float(v) for _, _, v in rows])}),
+        path,
+    )
+
+
+def test_watermark_drops_late_rows_exact_boundary(spark, tmp_path):
+    """Deliberately-late events vs a 10-minute watermark on a 10-minute
+    tumbling window, with controlled micro-batch boundaries.  Batch 1
+    advances the watermark to 00:48; batch 2 then carries one row at
+    00:07 (its window [00:00,00:10) closed at 00:10 <= 00:48 -> DROPPED)
+    and one at 00:41 (window [00:40,00:50) still open: 00:50 > 00:48 ->
+    KEPT).  Asserts the exact kept/dropped row sets via the per-batch
+    update stream, not just end-state parity."""
+    import os
+
+    from pyspark.sql import types as T
+
+    d = tmp_path / "late_tumbling"
+    os.makedirs(d)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    _write_batch(str(d / "b1.parquet"), [
+        ("00:05:00", "a", 1.0),   # window 00:00
+        ("00:12:00", "a", 1.0),   # window 00:10
+        ("00:58:00", "a", 1.0),   # window 00:50; max ts -> watermark 00:48
+    ])
+
+    st = read_stream(spark, str(d), schema=schema)
+    res = tumbling_window(
+        with_watermark(st, "ts", "10 minutes"), "ts", "10 minutes"
+    ).summarize(n="n()")
+
+    q = (res.df.writeStream.outputMode("update")
+         .format("memory").queryName("late_tumbling").start())
+    try:
+        q.processAllAvailable()
+        batch1 = spark.sql("SELECT * FROM late_tumbling").collect()
+        _write_batch(str(d / "b2.parquet"), [
+            ("00:07:00", "a", 1.0),  # LATE: window end 00:10 <= wm 00:48
+            ("00:41:00", "a", 1.0),  # window end 00:50 >  wm 00:48: kept
+            ("00:59:00", "a", 1.0),  # on-time
+        ])
+        q.processAllAvailable()
+        full = spark.sql("SELECT * FROM late_tumbling").collect()
+    finally:
+        q.stop()
+
+    def winset(rows):
+        return {(str(r["window"].start)[11:16], r["n"]) for r in rows}
+
+    assert winset(batch1) == {("00:00", 1), ("00:10", 1), ("00:50", 1)}
+    batch2 = full[len(batch1):]
+    # the late 00:07 row updated NOTHING: window 00:00 absent from batch-2
+    # updates; 00:41 survived (n=1); 00:59 joined 00:58 (n=2)
+    assert winset(batch2) == {("00:40", 1), ("00:50", 2)}
+
+
+def test_stream_join_state_eviction_late_probe(spark, tmp_path):
+    """Stream-stream join state eviction: a right-side row arriving after
+    the watermark passed its event time finds the matching left row's
+    state evicted -> no output, while the identical data in BATCH mode
+    does produce the pair.  The kept/dropped boundary follows watermark
+    arithmetic: wm after batch 1 = 00:58 - 10 min = 00:48; the late probe
+    at 00:06 < 00:48 is dropped, a probe inside the bound matches."""
+    import os
+
+    from pyspark.sql import types as T
+
+    ld, rd = tmp_path / "sj_left", tmp_path / "sj_right"
+    os.makedirs(ld), os.makedirs(rd)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    _write_batch(str(ld / "b1.parquet"), [
+        ("00:05:00", "k1", 1.0),   # state for this is evicted once wm>00:10
+        ("00:55:00", "k2", 2.0),
+        ("00:58:00", "clock", 0.0),
+    ])
+    _write_batch(str(rd / "b1.parquet"), [
+        ("00:58:00", "k2", 20.0),  # within 5 min of left k2 -> match
+        ("00:58:00", "clock2", 0.0),
+    ])
+
+    from tidierdb_jl_spark.streaming.stream import stream_join
+
+    sl = with_watermark(read_stream(spark, str(ld), schema=schema), "ts", "10 minutes")
+    sr = with_watermark(read_stream(spark, str(rd), schema=schema), "ts", "10 minutes")
+    joined = stream_join(sl, sr, "k", "ts", "ts", "5 minutes")
+
+    q = (joined.df.writeStream.outputMode("append")
+         .format("memory").queryName("sj_late").start())
+    try:
+        q.processAllAvailable()
+        _write_batch(str(rd / "b2.parquet"), [
+            ("00:06:00", "k1", 10.0),  # 42 min late: left state evicted
+        ])
+        q.processAllAvailable()
+        got = spark.sql("SELECT k, v, v_right FROM sj_late").collect()
+    finally:
+        q.stop()
+
+    assert {(r.k, r.v, r.v_right) for r in got} == {("k2", 2.0, 20.0)}
+
+    # contrast: batch mode (no watermark, infinite state) DOES pair k1
+    lb = TidyFrame(spark.createDataFrame(
+        [("2024-01-01 00:05:00", "k1", 1.0), ("2024-01-01 00:55:00", "k2", 2.0)],
+        "ts string, k string, v double").selectExpr("CAST(ts AS TIMESTAMP) ts", "k", "v"))
+    rb = TidyFrame(spark.createDataFrame(
+        [("2024-01-01 00:06:00", "k1", 10.0), ("2024-01-01 00:58:00", "k2", 20.0)],
+        "ts string, k string, v double").selectExpr("CAST(ts AS TIMESTAMP) ts", "k", "v"))
+    from tidierdb_jl_spark.streaming.stream import stream_join as sj
+    batch_pairs = sj(lb, rb, "k", "ts", "ts", "5 minutes").df
+    assert {(r.k, r.v, r.v_right) for r in batch_pairs.collect()} == {
+        ("k1", 1.0, 10.0), ("k2", 2.0, 20.0)}
