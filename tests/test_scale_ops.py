@@ -695,3 +695,57 @@ def test_r5e_ops_plans_are_scale_healthy(spark, tables, tmp_path):
         findings = [f for f in lint_plan(tf) if f["severity"] == "error"]
         assert findings == [], (name, findings)
     release_caches()
+
+
+def test_dynamic_partition_pruning_read_side(spark, tables, tmp_path):
+    """The READ-side payoff of partition_by at 100 TB: a selective join
+    against a date/key-partitioned table must (a) plan a
+    dynamicpruningexpression on the fact scan and (b) at runtime read
+    only the surviving partitions' files — proven from the SQL status
+    store's files-read metric, pruned vs unpruned."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.plans.metrics import run_with_scan_metrics
+    from tidierdb_jl_spark.plans.show import plan_summary
+    from tidierdb_jl_spark.sources.writers import write_file
+
+    fact_path = str(tmp_path / "orders_by_year")
+    write_file(tables["orders"].mutate(o_year="year(o_orderdate)"),
+               fact_path, partition_by="o_year")
+    dim_path = str(tmp_path / "year_dim")
+    spark.createDataFrame(
+        [(y, "keep" if y == 1997 else "drop") for y in range(1995, 2002)],
+        "d_year int, tag string",
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter("tag = 'keep'")
+    joined = TidyFrame(fact.join(dim, fact.o_year == dim.d_year))
+
+    # (a) plan: DPP subquery present on the partitioned scan
+    assert plan_summary(joined)["dpp_filters"] >= 1
+
+    # (b) runtime: files read drops to the selected partition only
+    n_pruned, scans = run_with_scan_metrics(joined)
+    fact_scan = max((s for s in scans if s["files"]), key=lambda s: s["rows"])
+    assert fact_scan["partitions"] == 1
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        unpruned = TidyFrame(fact.join(dim, fact.o_year == dim.d_year))
+        assert plan_summary(unpruned)["dpp_filters"] == 0
+        n_full, scans_full = run_with_scan_metrics(unpruned)
+        full_scan = max((s for s in scans_full if s["files"]), key=lambda s: s["rows"])
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+    assert n_pruned == n_full  # same answer,
+    assert fact_scan["files"] < full_scan["files"]  # a fraction of the I/O
+    assert full_scan["partitions"] == 7
+    assert fact_scan["rows"] < full_scan["rows"]
+
+    # static partition pruning on a literal filter prunes too (baseline)
+    lit = TidyFrame(fact.filter(F.col("o_year") == 1997))
+    _, lit_scans = run_with_scan_metrics(lit)
+    assert max(s["partitions"] or 0 for s in lit_scans) == 1

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..core import TidyFrame
 from ..functions.registry import rewrite
 
-__all__ = ["with_metrics", "collect_with_metrics"]
+__all__ = ["with_metrics", "collect_with_metrics", "run_with_scan_metrics"]
 
 
 def _metric_cols(metrics: dict):
@@ -40,3 +40,56 @@ def collect_with_metrics(tf: TidyFrame, name: str, **metrics: str):
     df = tf.df.observe(obs, *_metric_cols(metrics))
     out = df.toPandas()
     return out, obs.get
+
+
+def run_with_scan_metrics(tf: TidyFrame, action: str = "count"):
+    """Execute the frame and return ``(result, scans)`` where ``scans``
+    lists each file-scan's RUNTIME I/O from the SQL status store:
+    ``{name, files, partitions, rows}``.  The read-side proof of data
+    layout — a partitioned/clustered table is only paying off if the
+    files-read number actually drops under a selective join or filter
+    (dynamic partition pruning, min/max skipping).  Driver-side plan
+    objects always report 0 for these metrics; the status store holds
+    the post-execution truth.
+
+    ``action``: "count" (default) or "collect"."""
+    import time
+
+    df = tf.df
+    spark = df.sparkSession
+    result = df.count() if action == "count" else df.collect()
+    store = spark._jsparkSession.sharedState().statusStore()
+    eid = store.executionsList().last().executionId()
+    scans = []
+    for _ in range(50):  # status-store updates are async; poll briefly
+        vals = {}
+        it = store.executionMetrics(eid).iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2()
+        scans = []
+        nodes = store.planGraph(eid).allNodes().iterator()
+        while nodes.hasNext():
+            n = nodes.next()
+            if "Scan" not in n.name():
+                continue
+            mets, d = n.metrics().iterator(), {}
+            while mets.hasNext():
+                m = mets.next()
+                if m.accumulatorId() in vals:
+                    d[m.name()] = vals[m.accumulatorId()]
+
+            def num(key):
+                v = d.get(key)
+                return int(v.replace(",", "")) if v is not None else None
+
+            scans.append({
+                "name": n.name().strip(),
+                "files": num("number of files read"),
+                "partitions": num("number of partitions read"),
+                "rows": num("number of output rows"),
+            })
+        if any(s["files"] is not None for s in scans):
+            break
+        time.sleep(0.1)
+    return result, scans

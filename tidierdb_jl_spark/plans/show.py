@@ -41,6 +41,9 @@ def plan_summary(tf) -> dict:
         "exchanges": text.count("Exchange"),
         "window_group_limits": text.count("WindowGroupLimit"),
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        # dynamic partition pruning subqueries on partitioned scans — the
+        # read-side payoff of create_table(partition_by=) at 100 TB
+        "dpp_filters": text.lower().count("dynamicpruningexpression"),
     }
 
 
