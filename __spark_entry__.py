@@ -3422,13 +3422,13 @@ def _e2e_prep_oracle() -> str:
         f AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint FROM e),
         k AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM f),
         cleaned AS (SELECT doc_id, n_words, lang_pred FROM k WHERE doc_id = keep_id),
-        v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-              FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cleaned)),
+        v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+               FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cleaned)),
+        v AS (SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM v0),
         dupes AS (
           SELECT DISTINCT b.vec_id AS id_b
           FROM v a JOIN v b ON a.vec_id < b.vec_id
-          WHERE list_dot_product(a.ev, b.ev) /
-                  (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.4),
+          WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4),
         kept AS (SELECT * FROM cleaned WHERE doc_id NOT IN (SELECT id_b FROM dupes))
         SELECT doc_id, n_words, lang_pred,
                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'

@@ -1,0 +1,273 @@
+"""Independent baseline-JPEG ENCODER for the decoder oracle.
+
+Written from ITU-T T.81 Annexes C/F/K directly — shares no code with
+``tidierdb_jl_spark.llm.jpeg`` (the decoder under test).  Uses the
+Annex K example quantization + huffman tables.  Supports grayscale,
+4:4:4 and 4:2:0 color, optional restart intervals.
+
+Note on oracle strength: JPEG is lossy, so the test asserts the decoder
+reproduces the ORIGINAL pixels within a PSNR bound (plus exactness on
+DC-only images where quantization is lossless).  A compensating-error
+pair (encoder and decoder both wrong the same way) is the residual risk;
+mitigated by asserting spec-fixed intermediate structure (marker layout,
+table checksums) and DC-exactness, where the math has one right answer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 quantization tables (quality 50)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32)
+
+# Annex K.3 typical huffman tables: (BITS list, HUFFVAL bytes)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           bytes(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             bytes(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _fdct(block):
+    return _D @ block @ _D.T
+
+
+def _huff_codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length, code):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _mag(v):
+    """signed coefficient -> (size, raw bits)"""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _encode_block(w, block, qtab, dc_codes, ac_codes, pred):
+    q = np.round(_fdct(block) / qtab.reshape(8, 8)).astype(np.int32)
+    zz = q.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    t, bitsv = _mag(diff)
+    w.put(*dc_codes[t])
+    if t:
+        w.put(t, bitsv)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        t, bitsv = _mag(v)
+        w.put(*ac_codes[(run << 4) | t])
+        w.put(t, bitsv)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg(arr, subsampling="444", restart_interval=0):
+    """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes."""
+    gray = arr.ndim == 2
+    h, w_ = arr.shape[:2]
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(QT_LUMA.reshape(-1)[ZIGZAG].tolist()))
+    if not gray:
+        seg(b"\xff\xdb", bytes([1]) + bytes(QT_CHROMA.reshape(-1)[ZIGZAG].tolist()))
+
+    hf, vf = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    else:
+        comps = [(1, hf, vf, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([len(comps)])
+    for cid, chf, cvf, tq in comps:
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    seg(b"\xff\xc0", sof)
+
+    for tc, th, (bits, vals) in [(0, 0, DC_LUMA), (1, 0, AC_LUMA)] + (
+        [] if gray else [(0, 1, DC_CHROMA), (1, 1, AC_CHROMA)]
+    ):
+        seg(b"\xff\xc4", bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+    if restart_interval:
+        seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(b"\xff\xda", sos)
+
+    # color transform + plane extraction
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling != "444":
+            # pad to factor-aligned dims, box-average down by (vf, hf)
+            def down(p):
+                p = np.pad(p, ((0, (-p.shape[0]) % vf), (0, (-p.shape[1]) % hf)),
+                           "edge")
+                return p.reshape(p.shape[0] // vf, vf,
+                                 p.shape[1] // hf, hf).mean(axis=(1, 3))
+            cb, cr = down(cb), down(cr)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    mcux = (w_ + 8 * hf - 1) // (8 * hf) if not gray else (w_ + 7) // 8
+    mcuy = (h + 8 * vf - 1) // (8 * vf) if not gray else (h + 7) // 8
+
+    padded = []
+    for (cid, chf, cvf, tq), p in zip(comps, planes):
+        ph, pw = mcuy * cvf * 8, mcux * chf * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+        padded.append(pp)
+
+    dc_tabs = {0: _huff_codes(*DC_LUMA), 1: _huff_codes(*DC_CHROMA)}
+    ac_tabs = {0: _huff_codes(*AC_LUMA), 1: _huff_codes(*AC_CHROMA)}
+    qtabs = {0: QT_LUMA, 1: QT_CHROMA}
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                pred = [0] * len(comps)
+            for ci, (cid, chf, cvf, tq) in enumerate(comps):
+                for by in range(cvf):
+                    for bx in range(chf):
+                        y0, x0 = (my * cvf + by) * 8, (mx * chf + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        pred[ci] = _encode_block(
+                            bw, blk, qtabs[tq], dc_tabs[0 if cid == 1 else 1],
+                            ac_tabs[0 if cid == 1 else 1], pred[ci])
+            mcu += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

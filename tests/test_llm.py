@@ -1090,3 +1090,74 @@ def test_read_media_files_e2e_real_decode(spark, tmp_path):
     for i, (w, h) in enumerate(sizes):
         assert got[f"img{i}.ppm"] == (w, h)
     assert decoded["mean_luma"].between(0, 1).all()
+
+
+def test_jpeg_decode_real(spark):
+    """Baseline JPEG decodes for REAL through the vendored huffman+IDCT
+    codec (llm/jpeg.py), verified against an independently-written
+    T.81 encoder (tests/jpeg_ref.py): grayscale / 4:4:4 / 4:2:2 / 4:2:0,
+    restart intervals, PSNR floors vs the pre-compression pixels, and an
+    exactness case where quantization is lossless."""
+    import numpy as np
+
+    from jpeg_ref import encode_jpeg
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.jpeg import decode_jpeg
+    from tidierdb_jl_spark.llm.multimodal import _decode_image_blob, decode_image
+
+    rng = np.random.RandomState(5)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    yy, xx = np.mgrid[0:24, 0:31]
+    smooth = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 5 + 40) % 256, ((yy + xx) * 2 + 60) % 256], 2
+    ).astype(np.uint8)
+    noise = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+
+    # PSNR floors vs ORIGINAL pixels (encoder and decoder written
+    # independently, so a shared systematic error can't hide: a zigzag or
+    # dequant mismatch craters PSNR to ~10-15 dB)
+    for img, sub, rst, floor in [
+        (smooth, "444", 0, 38.0),
+        (smooth, "422", 0, 36.0),
+        (smooth, "420", 0, 36.0),
+        (smooth, "420", 2, 36.0),  # restart markers every 2 MCUs
+        (noise, "444", 0, 15.0),   # noise: JPEG floor, sanity only
+    ]:
+        got = decode_jpeg(encode_jpeg(img, subsampling=sub, restart_interval=rst))
+        assert got.shape == img.shape, (sub, rst)
+        assert psnr(img, got) >= floor, (sub, rst, psnr(img, got))
+
+    # grayscale lands replicated to 3 channels
+    g3 = decode_jpeg(encode_jpeg(gray))
+    assert g3.shape == (24, 31, 3)
+    assert psnr(np.stack([gray] * 3, 2), g3) >= 40.0
+    assert (g3[..., 0] == g3[..., 1]).all()
+
+    # DC-lossless case: flat 138-gray -> luma DC (138-128)*8/16 = 5
+    # exactly, chroma 0; the decode must be bit-exact (one right answer,
+    # immune to compensating encoder/decoder errors)
+    flat = np.full((16, 16, 3), 138, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat)) == flat).all()
+
+    # distributed path: decode_image dispatches on the FFD8 magic
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(smooth, subsampling="420")))],
+        "img_id long, content binary",
+    )
+    out = decode_image(TidyFrame(df)).collect()
+    assert (int(out.loc[0, "height"]), int(out.loc[0, "width"])) == (24, 31)
+
+    # unsupported JPEG flavors fail loudly: progressive (SOF2)
+    blob = bytearray(encode_jpeg(smooth))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        _decode_image_blob(bytes(blob))
+    assert "baseline" in str(ei.value)

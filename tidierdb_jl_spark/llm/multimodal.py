@@ -12,9 +12,11 @@ Python worker per partition, batches of rows, never per-row UDF overhead.
 
 Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
 P3 ASCII), 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + scanline
-unfilter — gray/RGB/RGBA/palette), and PCM16 WAV — real decode paths
-testable in any environment.  Full-codec formats (JPEG/MP3/video)
-need libraries NOT in this container, so those blobs raise
+unfilter — gray/RGB/RGBA/palette), baseline sequential JPEG (huffman +
+dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), and PCM16 WAV — real
+decode paths testable in any environment.  Remaining full-codec formats
+(progressive JPEG/MP3/video) need libraries NOT in this container, so
+those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
 (schemas, batch iteration, partitioning) is identical either way.
@@ -47,18 +49,23 @@ __all__ = [
 
 def _decode_image_blob(blob: bytes) -> "np.ndarray":
     """bytes → HxWx3 uint8 array for PPM P6/P3, 24-bit uncompressed BMP,
-    and 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette).  Raises
-    NotImplementedError for anything else (JPEG needs a DCT codec
-    library this container doesn't ship)."""
+    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), and baseline
+    sequential JPEG (see :mod:`.jpeg`).  Raises NotImplementedError for
+    anything else (progressive JPEG, MP3, video ...)."""
     if blob[:2] in (b"P6", b"P3"):
         return _decode_ppm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp24(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
-        "covers PPM P6/P3, BMP-24 and PNG-8 — pass fake=True for other formats"
+        "covers PPM P6/P3, BMP-24, PNG-8 and baseline JPEG — pass fake=True "
+        "for other formats"
     )
 
 

@@ -107,14 +107,44 @@ def main() -> None:
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
+    out_path = os.path.join(REPO, "SF1_CORRECTNESS.json")
+
+    def checkpoint():
+        n_ok = sum(1 for r in results.values()
+                   if r.get("hash_match") or r.get("pass"))
+        with open(out_path, "w") as fh:
+            json.dump({"sf": 1.0, "sf_dir": SF1, "n_checks": len(results),
+                       "n_ok": n_ok, "results": results}, fh, indent=1)
+        return n_ok
+
+    def oracle_with_watchdog(sql, budget_s=420):
+        """DuckDB has no statement timeout; interrupt() from a watchdog
+        thread bounds a pathological oracle so one query can't eat the
+        whole run."""
+        import threading
+
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget_s):
+                con.interrupt()
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            done.set()
 
     for name in ORACLE_QUERIES:
         t0 = time.perf_counter()
         try:
             ours = qs[name](spark, SF1).toPandas()
             t_spark = time.perf_counter() - t0
+            print(f"... {name}: spark {t_spark:.1f}s, oracle running",
+                  file=sys.stderr, flush=True)
             t0 = time.perf_counter()
-            oracle = con.execute(osql[name]).fetchdf()
+            oracle = oracle_with_watchdog(osql[name])
             t_ddb = time.perf_counter() - t0
             ocols, orows = canonical_rows(ours)
             dcols, drows = canonical_rows(oracle)
@@ -133,7 +163,8 @@ def main() -> None:
                              "hash_match": False, "err": f"{type(e).__name__}: {e}"[:300]}
         r = results[name]
         status = "OK" if r.get("hash_match") else "FAIL"
-        print(f"{status} {name}: {json.dumps(r)}", file=sys.stderr)
+        print(f"{status} {name}: {json.dumps(r)}", file=sys.stderr, flush=True)
+        checkpoint()
 
     # ---- class 2: planted ground truth ------------------------------
     with open(os.path.join(SF1, "_planted_dups.json")) as fh:
@@ -170,7 +201,8 @@ def main() -> None:
         "pass": exact_found == len(exact_pairs) and near_recall >= 0.95,
     }
     print(f"d35_planted_recall: {json.dumps(results['d35_planted_recall'])}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
+    checkpoint()
 
     t0 = time.perf_counter()
     split_pdf = qs["t96_leakage_split"](spark, SF1).toPandas()
@@ -185,14 +217,10 @@ def main() -> None:
         "leaked": len(leaks), "spark_sec": round(t_t96, 2),
         "pass": len(leaks) == 0 and len(same_lang_exact) > 0,
     }
-    print(f"t96_no_leakage: {json.dumps(results['t96_no_leakage'])}", file=sys.stderr)
+    print(f"t96_no_leakage: {json.dumps(results['t96_no_leakage'])}",
+          file=sys.stderr, flush=True)
 
-    n_ok = sum(1 for r in results.values()
-               if r.get("hash_match") or r.get("pass"))
-    out = {"sf": 1.0, "sf_dir": SF1, "n_checks": len(results), "n_ok": n_ok,
-           "results": results}
-    with open(os.path.join(REPO, "SF1_CORRECTNESS.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    n_ok = checkpoint()
     print(f"\n{n_ok}/{len(results)} checks green -> SF1_CORRECTNESS.json")
     if n_ok != len(results):
         sys.exit(1)
