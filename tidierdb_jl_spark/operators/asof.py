@@ -48,6 +48,17 @@ def asof_join(
 ) -> DataFrame:
     if op not in (">=", ">", "<=", "<"):
         raise ValueError(f"unsupported as-of operator {op!r}")
+    # Validate every referenced column up front: the union below uses
+    # allowMissingColumns=True, which would otherwise null-fill a typo'd
+    # key and silently match nothing instead of erroring.
+    for c, df, side_name in (
+        *[(lc, ldf, "left") for lc, _ in eq],
+        *[(rc, rdf, "right") for _, rc in eq],
+        (l_on, ldf, "left"),
+        (r_on, rdf, "right"),
+    ):
+        if c not in df.columns:
+            raise KeyError(f"asof_join: no column {c!r} on the {side_name} side")
     backward = op in (">=", ">")
     inclusive = op in (">=", "<=")
 
@@ -71,7 +82,10 @@ def asof_join(
         F.lit(0).alias(_L),
         F.lit(1).alias(_HIT),
     ]
-    r_part = rdf.select(*r_sel)
+    # A null as-of key can never satisfy the inequality (DuckDB ASOF JOIN
+    # ignores such rows too) — and left out of the union it can't sit at a
+    # sort boundary where the running fill would spuriously pick it up.
+    r_part = rdf.select(*r_sel).filter(F.col(_T).isNotNull())
 
     l_part = ldf.select(
         "*",
@@ -82,24 +96,26 @@ def asof_join(
 
     unioned = l_part.unionByName(r_part, allowMissingColumns=True)
 
-    # Tie-break at equal as-of values: inclusive → right rows sort on the
-    # matching side of left rows; strict → the other side.
+    # Tie-break at equal as-of values: inclusive → right rows sort before
+    # left rows (so the left row's running frame already contains them);
+    # strict → after.  BOTH directions use the unbounded-PRECEDING running
+    # frame: Spark evaluates it incrementally (O(n) per partition), whereas
+    # an unbounded-FOLLOWING frame is recomputed from scratch per row —
+    # O(n²) per partition, measured 115 s vs <2 s on a 1.5M-row forward
+    # join at sf1.  A forward join is therefore expressed as a backward
+    # fill over the DESCENDING as-of order.
     if backward:
         side = F.col(_L).asc() if inclusive else F.col(_L).desc()
-        w = (
-            Window.partitionBy(*[lc for lc, _ in eq])
-            .orderBy(F.col(_T).asc_nulls_first(), side)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        order = [F.col(_T).asc_nulls_first(), side]
     else:
-        side = F.col(_L).desc() if inclusive else F.col(_L).asc()
-        w = (
-            Window.partitionBy(*[lc for lc, _ in eq])
-            .orderBy(F.col(_T).asc_nulls_last(), side)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        side = F.col(_L).asc() if inclusive else F.col(_L).desc()
+        order = [F.col(_T).desc_nulls_first(), side]
+    w = (
+        Window.partitionBy(*[lc for lc, _ in eq])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
 
     filled = unioned.select(
         "*",

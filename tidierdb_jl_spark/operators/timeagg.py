@@ -221,9 +221,18 @@ def gapfill(
     )
     out = grid.join(df, [bucket_col, *keys], "left")
 
+    # Both fills use the unbounded-PRECEDING running frame (evaluated
+    # incrementally, O(n) per partition).  The "next neighbor" lookup runs
+    # over the DESCENDING bucket order instead of an unbounded-FOLLOWING
+    # frame, which Spark recomputes per row (O(n²) on long time grids).
     w = Window.partitionBy(*keys).orderBy(bucket_col) if keys else Window.orderBy(bucket_col)
+    w_rev = (
+        Window.partitionBy(*keys).orderBy(F.col(bucket_col).desc())
+        if keys
+        else Window.orderBy(F.col(bucket_col).desc())
+    )
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    w_next = w_rev.rowsBetween(Window.unboundedPreceding, 0)
     for col, how in fill.items():
         if how == "locf":
             out = out.withColumn(col, F.last(col, ignorenulls=True).over(w_prev))
@@ -239,7 +248,7 @@ def gapfill(
                 ),
             )
             prev = F.last(pair, ignorenulls=True).over(w_prev)
-            nxt = F.first(pair, ignorenulls=True).over(w_next)
+            nxt = F.last(pair, ignorenulls=True).over(w_next)
             t = F.unix_timestamp(F.col(bucket_col))
             interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
                 nxt["t"] - prev["t"]
