@@ -49,9 +49,10 @@ __all__ = [
 
 def _decode_image_blob(blob: bytes) -> "np.ndarray":
     """bytes → HxWx3 uint8 array for PPM P6/P3, 24-bit uncompressed BMP,
-    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), and baseline
-    sequential JPEG (see :mod:`.jpeg`).  Raises NotImplementedError for
-    anything else (progressive JPEG, MP3, video ...)."""
+    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), baseline
+    sequential JPEG (see :mod:`.jpeg`), and GIF87a/89a first frame (see
+    :mod:`.gif`).  Raises NotImplementedError for anything else
+    (progressive JPEG, MP3, video ...)."""
     if blob[:2] in (b"P6", b"P3"):
         return _decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -62,10 +63,14 @@ def _decode_image_blob(blob: bytes) -> "np.ndarray":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(blob)
     raise NotImplementedError(
         f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
-        "covers PPM P6/P3, BMP-24, PNG-8 and baseline JPEG — pass fake=True "
-        "for other formats"
+        "covers PPM P6/P3, BMP-24, PNG-8, baseline JPEG and GIF — pass "
+        "fake=True for other formats"
     )
 
 
