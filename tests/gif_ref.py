@@ -142,3 +142,46 @@ def expected_rgb(
     else:
         region[:] = frame[: region.shape[0], : region.shape[1]]
     return canvas
+
+
+def encode_animated_gif(
+    frames,
+    palette: np.ndarray,
+    screen: tuple[int, int],
+) -> bytes:
+    """Multi-frame GIF89a: ``frames`` is a list of dicts with keys
+    ``idx`` (h,w uint8), ``delay_ms``, ``disposal`` (0-3), ``offset``
+    (left, top), ``transparent`` (index or -1).  Global color table only.
+    """
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = palette
+    sw, sh = screen
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    for fr in frames:
+        idx = fr["idx"]
+        h, w = idx.shape
+        left, top = fr.get("offset", (0, 0))
+        trans = fr.get("transparent", -1)
+        flags = (fr.get("disposal", 0) & 0x07) << 2
+        if trans >= 0:
+            flags |= 0x01
+        out += b"\x21\xf9" + struct.pack(
+            "<BBHBB", 4, flags, fr.get("delay_ms", 0) // 10, max(trans, 0), 0
+        )
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x00)
+        min_code = max(2, bits)
+        out.append(min_code)
+        data = _lzw_encode(idx.astype(np.uint8).tobytes(), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -23,7 +23,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_gif"]
+__all__ = ["decode_gif", "iter_gif_frames"]
 
 _MAX_CODE_WIDTH = 12
 
@@ -87,8 +87,17 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_gif(blob: bytes) -> np.ndarray:
-    """bytes → HxWx3 uint8 RGB array (logical screen, first frame)."""
+def iter_gif_frames(blob: bytes):
+    """Yield ``(delay_ms, HxWx3 uint8 canvas)`` per animation frame.
+
+    Each yielded canvas is the fully composited logical screen at that
+    frame, honoring per-frame Graphic Control Extensions: delay,
+    transparent index, and disposal methods 0/1 (keep), 2 (restore to
+    background) and 3 (restore to previous).  Single-image GIFs yield
+    exactly one frame.  This is the real decode path behind
+    ``frame_sample`` — animated GIF is the one video-like format
+    decodable with stdlib+numpy alone.
+    """
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", blob, 6)
@@ -99,20 +108,24 @@ def decode_gif(blob: bytes) -> np.ndarray:
         gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
 
-    transparent = -1
+    bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    transparent, delay_ms, disposal = -1, 0, 0
+    yielded = False
     while pos < len(blob):
         block = blob[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
+        if block == 0x3B:  # trailer
+            break
         if block == 0x21:  # extension
             label = blob[pos]
             pos += 1
-            if label == 0xF9:  # graphic control: transparency for next frame
+            if label == 0xF9:  # graphic control for the NEXT frame
                 size = blob[pos]
-                flags, _delay, tidx = struct.unpack_from("<BHB", blob, pos + 1)
-                if flags & 0x01:
-                    transparent = tidx
+                flags, delay_cs, tidx = struct.unpack_from("<BHB", blob, pos + 1)
+                transparent = tidx if flags & 0x01 else -1
+                disposal = (flags >> 2) & 0x07
+                delay_ms = delay_cs * 10
                 pos += 1 + size
             while blob[pos]:  # skip (remaining) sub-blocks
                 pos += 1 + blob[pos]
@@ -146,16 +159,28 @@ def decode_gif(blob: bytes) -> np.ndarray:
         if fpacked & 0x40:
             idx = _deinterlace(idx)
 
-        # Composite the first frame onto the logical screen: background
-        # color where the frame doesn't cover (and under transparency).
-        bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
-        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
-        frame = ct[np.minimum(idx, len(ct) - 1)]
         region = canvas[top : top + fh, left : left + fw]
+        saved = region.copy() if disposal == 3 else None
+        frame = ct[np.minimum(idx, len(ct) - 1)]
         if transparent >= 0:
             opaque = (idx != transparent)[: region.shape[0], : region.shape[1], None]
             np.copyto(region, frame[: region.shape[0], : region.shape[1]], where=opaque)
         else:
             region[:] = frame[: region.shape[0], : region.shape[1]]
+        yield delay_ms, canvas.copy()
+        yielded = True
+
+        if disposal == 2:  # restore the frame region to background
+            region[:] = bg
+        elif disposal == 3 and saved is not None:  # restore to previous
+            region[:] = saved
+        transparent, delay_ms, disposal = -1, 0, 0
+    if not yielded:
+        raise ValueError("GIF contains no image data")
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB array (logical screen, first frame)."""
+    for _delay, canvas in iter_gif_frames(blob):
         return canvas
-    raise ValueError("corrupt GIF: truncated before image data")
+    raise ValueError("GIF contains no image data")

@@ -411,13 +411,24 @@ def extract_audio_features(tf, content_col: str = "content", fake: bool = False)
 
 
 def frame_sample(tf, content_col: str = "content", every_ms: int = 1000, fake: bool = False):
-    """Sample frames from video bytes → one row per frame with
-    ``frame_idx`` and a (stub) frame fingerprint.  Same mapInPandas
-    pattern; deterministic fake derives a frame count from the blob hash."""
+    """Sample frames from video bytes → one row per sampled frame with
+    ``frame_idx``, ``frame_ms`` (presentation time) and a frame
+    fingerprint (md5 of the composited RGB pixels).
+
+    REAL decode path for animated GIF — the one video-like container
+    decodable with stdlib+numpy (:func:`..gif.iter_gif_frames`, honoring
+    per-frame delays and disposal): the frame on screen at t = 0,
+    ``every_ms``, 2·``every_ms``, ... is emitted once per sample tick.
+    Other containers (MP4/WebM...) need codec libraries absent from this
+    environment and raise unless ``fake=True``, which derives a
+    deterministic frame count from the blob hash.  Same mapInPandas
+    pattern as the image ops: Arrow batches in, one output row per frame.
+    """
     out_schema = T.StructType(
         list(tf.df.schema.fields)
         + [
             T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.LongType()),
             T.StructField("frame_fp", T.StringType()),
         ]
     )
@@ -425,22 +436,47 @@ def frame_sample(tf, content_col: str = "content", every_ms: int = 1000, fake: b
     def run(batches):
         import pandas as pd
 
+        from .gif import iter_gif_frames
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codec not available in this environment; "
-                    "pass fake=True to exercise the pipeline"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 blob = bytes(row[content_col]) if row[content_col] is not None else b""
-                h = hashlib.md5(blob).digest()
-                n_frames = 1 + h[0] % 4
-                for i in range(n_frames):
-                    d = dict(row)
-                    d["frame_idx"] = i
-                    d["frame_fp"] = hashlib.md5(blob + bytes([i])).hexdigest()
-                    rows.append(d)
+                if blob[:6] in (b"GIF87a", b"GIF89a"):
+                    # real path: cumulative-delay timeline, one sample per tick
+                    frames = []  # (start_ms, fp)
+                    t = 0
+                    for delay_ms, canvas in iter_gif_frames(blob):
+                        frames.append((t, hashlib.md5(canvas.tobytes()).hexdigest()))
+                        t += delay_ms
+                    total = t
+                    tick, fi = 0, 0
+                    while True:
+                        while fi + 1 < len(frames) and frames[fi + 1][0] <= tick:
+                            fi += 1
+                        d = dict(row)
+                        d["frame_idx"] = fi
+                        d["frame_ms"] = tick
+                        d["frame_fp"] = frames[fi][1]
+                        rows.append(d)
+                        tick += every_ms
+                        if tick >= total:
+                            break
+                elif not fake:
+                    raise NotImplementedError(
+                        "video codec not available in this environment "
+                        "(real decode covers animated GIF); pass fake=True "
+                        "to exercise the pipeline"
+                    )
+                else:
+                    h = hashlib.md5(blob).digest()
+                    n_frames = 1 + h[0] % 4
+                    for i in range(n_frames):
+                        d = dict(row)
+                        d["frame_idx"] = i
+                        d["frame_ms"] = i * every_ms
+                        d["frame_fp"] = hashlib.md5(blob + bytes([i])).hexdigest()
+                        rows.append(d)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     from ..core import TidyFrame
