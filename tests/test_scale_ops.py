@@ -749,3 +749,37 @@ def test_dynamic_partition_pruning_read_side(spark, tables, tmp_path):
     lit = TidyFrame(fact.filter(F.col("o_year") == 1997))
     _, lit_scans = run_with_scan_metrics(lit)
     assert max(s["partitions"] or 0 for s in lit_scans) == 1
+
+
+def test_lint_flags_unbounded_following_frame(spark, tables):
+    """The unbounded_following_frame lint rule: flags per-row-recomputed
+    frames (O(n²) per partition), stays quiet on whole-partition frames
+    (computed once) and on the fixed as-of join plan (which expresses its
+    forward fill as a descending running frame precisely to avoid this)."""
+    from pyspark.sql import Window, functions as F
+
+    from tidierdb_jl_spark import TidyFrame, lint_plan
+
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    w_bad = (
+        Window.partitionBy("k").orderBy("id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_whole = (
+        Window.partitionBy("k").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bad = TidyFrame(df.withColumn("x", F.first("id").over(w_bad)))
+    whole = TidyFrame(df.withColumn("x", F.max("id").over(w_whole)))
+    assert "unbounded_following_frame" in {f["rule"] for f in lint_plan(bad)}
+    assert "unbounded_following_frame" not in {f["rule"] for f in lint_plan(whole)}
+
+    q12 = (
+        tables["orders"].mutate(uid="o_custkey % 50")
+        .select("o_orderkey", "uid", "o_orderdate")
+        .asof_join(
+            tables["events"].select("user_id", "ts", "value").rename(ev_value="value"),
+            by=["uid == user_id", "closest(o_orderdate <= ts)"],
+        )
+    )
+    assert "unbounded_following_frame" not in {f["rule"] for f in lint_plan(q12)}

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 __all__ = ["show_query", "plan_summary", "lint_plan"]
 
@@ -68,6 +69,11 @@ def lint_plan(tf) -> list[dict]:
     - ``single_partition_exchange``: Exchange SinglePartition outside a
       final top-N/aggregate — serializes the whole dataset through one
       task.
+    - ``unbounded_following_frame``: a window frame ending at UNBOUNDED
+      FOLLOWING — Spark recomputes that frame from scratch per row, O(n²)
+      per partition (a running UNBOUNDED-PRECEDING frame is incremental);
+      express it as the mirrored fill over the DESCENDING order instead
+      (see ``operators/asof.py``, measured 115 s → 4 s at sf1).
     """
     text = show_query(tf, "formatted")
     findings: list[dict] = []
@@ -100,6 +106,23 @@ def lint_plan(tf) -> list[dict]:
             "no_pushdown", "info",
             "a scan has empty PushedFilters while the plan filters — check "
             "for casts/UDFs around the filter column",
+        )
+    # frames ENDING at unbounded-following are per-row recomputed (O(n²)
+    # per partition); whole-partition frames (unboundedpreceding →
+    # unboundedfollowing) are computed once per partition and are fine
+    n = len(
+        re.findall(
+            r"specifiedwindowframe\(\w+, (?!unboundedpreceding)[^,]+, unboundedfollowing",
+            text,
+        )
+    )
+    if n:
+        add(
+            "unbounded_following_frame", "warn",
+            f"{n} window frame(s) ending at UNBOUNDED FOLLOWING — Spark "
+            "recomputes these per row (O(n²) per partition); mirror the "
+            "fill over the DESCENDING order to get the incremental "
+            "running frame",
         )
     n = text.count("Exchange SinglePartition")
     if n > 1:
