@@ -3351,6 +3351,58 @@ _BUILDERS = {
 }
 
 
+def _w50(t):
+    """WARC ingest roundtrip (Common Crawl's format): writes the first
+    200 documents as real .warc / .warc.gz files (one gzip member per
+    record — the Common Crawl multi-member layout) into a scratch dir
+    (fresh per call — retry-safe; 200-row driver collect is the bounded
+    fixture-build action), reads them back DISTRIBUTED via
+    ``sources.warc.read_warc`` (binaryFile → mapInPandas record split +
+    HTTP parse + charset decode), and returns the parsed records.  The
+    oracle recomputes the relation logically from ``documents`` — so a
+    hash match proves record framing, gzip member handling, HTTP status/
+    header parsing and utf-8 body decoding are all lossless."""
+    import gzip
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.sources.warc import read_warc
+
+    docs = t["documents"].filter("doc_id < 200").select("doc_id", "text").collect()
+    plain, gz = [], []
+    for r in docs.itertuples(index=False):
+        body = r.text.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+            + body
+        )
+        did = str(int(r.doc_id)).encode()
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://corpus.test/" + did + b"\r\n"
+            b"WARC-Record-ID: <urn:doc:" + did + b">\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        (plain if int(r.doc_id) % 2 == 0 else gz).append(rec)
+    d = tempfile.mkdtemp(prefix="r6_warc_")
+    with open(os.path.join(d, "part0.warc"), "wb") as fh:
+        fh.write(b"".join(plain))
+    with open(os.path.join(d, "part1.warc.gz"), "wb") as fh:
+        fh.write(b"".join(gzip.compress(x, mtime=0) for x in gz))
+
+    spark = t["documents"].df.sparkSession
+    return (
+        read_warc(spark, d, warc_types=("response",), keep_payload=False)
+        .mutate(doc_id="CAST(regexp_extract(target_uri, '([0-9]+)$', 1) AS BIGINT)")
+        .select("doc_id", "target_uri", "http_status", "text")
+    )
+
+
+_BUILDERS["w50_warc_ingest"] = _w50
+
+
 def _lang_score_parts() -> tuple[list, str]:
     """Shared DuckDB SQL pieces for the stopword language heuristic:
     (per-language score column exprs over ``toks``, the CASE picking the
@@ -5834,5 +5886,13 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'hn', z.query_id, z.vec_id, concat(z.kind, ':', z.rank), z.cosine
         FROM ({out["s42_hard_negatives"]}) z
+    """
+    out["w50_warc_ingest"] = r"""
+        SELECT doc_id,
+               'http://corpus.test/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               200 AS http_status,
+               text
+        FROM documents
+        WHERE doc_id < 200
     """
     return out

@@ -317,3 +317,97 @@ def test_xml_roundtrip(spark, tables, tmp_path):
         (str(r["n_nationkey"]), str(r["n_name"])) for r in back.df.collect()
     )
     assert got == want
+
+
+def _warc_record(rtype, body, uri=None, rec_id="<urn:uuid:1>", extra=()):
+    """Independent WARC record construction, by hand from ISO 28500."""
+    hdr = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+    if uri:
+        hdr.append(b"WARC-Target-URI: " + uri.encode())
+    hdr += [
+        b"WARC-Record-ID: " + rec_id.encode(),
+        b"WARC-Date: 2024-01-02T03:04:05Z",
+        *extra,
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http_response(body, ctype="text/html; charset=utf-8", status=b"200 OK"):
+    return (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype.encode()
+        + b"\r\nServer: x\r\n\r\n" + body
+    )
+
+
+def test_read_warc(spark, tmp_path):
+    """WARC / multi-member WARC.GZ ingest: record splitting, named-field
+    parsing, embedded HTTP status + charset decoding, type filtering and
+    payload pruning — fixture bytes constructed independently, by hand."""
+    import gzip
+
+    from tidierdb_jl_spark.sources.warc import parse_warc_records, read_warc
+
+    utf8_body = "héllo wörld ünïcode".encode("utf-8")
+    latin_body = "café au lait".encode("latin-1")
+    png_body = b"\x89PNG\r\n\x1a\nbinarybits"
+    records = [
+        _warc_record("warcinfo", b"software: test\r\n",
+                     extra=(b"Content-Type: application/warc-fields",)),
+        _warc_record("request", b"GET / HTTP/1.1\r\nHost: a\r\n\r\n",
+                     uri="http://a.test/"),
+        _warc_record("response", _http_response(utf8_body), uri="http://a.test/"),
+        _warc_record("response",
+                     _http_response(latin_body, "text/plain; charset=latin-1"),
+                     uri="http://b.test/x"),
+        _warc_record("response",
+                     _http_response(png_body, "image/png"), uri="http://c.test/i.png"),
+        _warc_record("response",
+                     _http_response(b"HTTP/1.1 \xff\xfe broken", "text/plain"),
+                     uri="http://d.test/", extra=(b"X-Custom: yes",)),
+    ]
+    plain = b"".join(records)
+    (tmp_path / "a.warc").write_bytes(plain)
+    # Common Crawl layout: one gzip member PER RECORD, concatenated
+    gz = b"".join(gzip.compress(r) for r in records)
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+
+    # driver-side core: both layouts parse to identical records
+    p_recs = list(parse_warc_records("a", plain))
+    g_recs = list(parse_warc_records("b", gz))
+    assert len(p_recs) == len(g_recs) == 6
+    for a, b in zip(p_recs, g_recs):
+        assert {k: v for k, v in a.items() if k not in ("warc_file", "record_offset")} \
+            == {k: v for k, v in b.items() if k not in ("warc_file", "record_offset")}
+
+    # distributed: both files through binaryFile + mapInPandas
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 12
+    resp = out[(out["warc_type"] == "response")
+               & (out["warc_file"].str.endswith("a.warc"))]
+    by_uri = resp.set_index("target_uri")
+    assert by_uri.loc["http://a.test/", "text"] == "héllo wörld ünïcode"
+    assert by_uri.loc["http://a.test/", "http_status"] == 200
+    assert by_uri.loc["http://b.test/x", "text"] == "café au lait"
+    # binary content: payload kept, no text
+    assert by_uri.loc["http://c.test/i.png", "text"] is None
+    assert bytes(by_uri.loc["http://c.test/i.png", "payload"]) == png_body
+    assert by_uri.loc["http://c.test/i.png", "http_content_type"] == "image/png"
+    # undecodable-as-utf8 text/plain falls back to latin-1, never fails
+    assert by_uri.loc["http://d.test/", "text"] is not None
+    # warcinfo text decoded via its WARC content type
+    info = out[out["warc_type"] == "warcinfo"].iloc[0]
+    assert info["text"] == "software: test\r\n"
+
+    # type filter + payload pruning (column absent from the schema)
+    only = read_warc(spark, str(tmp_path), warc_types=("response",),
+                     keep_payload=False, path_glob="*.warc.gz")
+    pdf = only.collect()
+    assert set(pdf["warc_type"]) == {"response"} and len(pdf) == 4
+    assert "payload" not in pdf.columns
+
+    # corrupt input fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(parse_warc_records("x", b"NOT A WARC FILE AT ALL"))
