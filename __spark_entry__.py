@@ -1752,7 +1752,7 @@ def _q97(t):
     from tidierdb_jl_spark.operators.rowindex import with_row_index
 
     return with_row_index(
-        t["lineitem"], order_by=["l_orderkey", "l_linenumber"], num_partitions=8
+        t["lineitem"], order_by=["l_orderkey", "l_linenumber"]
     ).select("l_orderkey", "l_linenumber", "row_index")
 
 
