@@ -3403,6 +3403,23 @@ def _w50(t):
 _BUILDERS["w50_warc_ingest"] = _w50
 
 
+def _t74(t):
+    """Token-budget corpus selection: greedily keep the highest-priority
+    documents until the inclusive running token total exceeds the budget
+    — SQL's global-window cumsum, built scale-safe (range-partition +
+    driver prefix-sums + local Arrow cumsum; never a single-partition
+    window).  Oracle: the literal window formulation."""
+    from tidierdb_jl_spark.llm.mixing import take_token_budget
+
+    return take_token_budget(
+        t["documents"], 50_000, tokens="n_chars",
+        order_by=["-n_chars", "doc_id"], into="cum_tokens",
+    ).select("doc_id", "n_chars", "cum_tokens")
+
+
+_BUILDERS["t74_token_budget"] = _t74
+
+
 def _lang_score_parts() -> tuple[list, str]:
     """Shared DuckDB SQL pieces for the stopword language heuristic:
     (per-language score column exprs over ``toks``, the CASE picking the
@@ -5886,6 +5903,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'hn', z.query_id, z.vec_id, concat(z.kind, ':', z.rank), z.cosine
         FROM ({out["s42_hard_negatives"]}) z
+    """
+    out["t74_token_budget"] = r"""
+        SELECT doc_id, n_chars, cum_tokens FROM (
+          SELECT doc_id, n_chars,
+                 CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+          FROM documents)
+        WHERE cum_tokens <= 50000
     """
     out["w50_warc_ingest"] = r"""
         SELECT doc_id,

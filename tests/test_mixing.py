@@ -211,3 +211,57 @@ def test_pack_documents_ffd_invariants(tables):
 
     with pytest.raises(ValueError):
         pack_documents_ffd(docs, "doc_id", 0)
+
+
+def test_take_token_budget(spark, tables, ddb):
+    """Greedy token-budget selection matches the global-window cumsum
+    oracle at boundary-adjacent budgets, keeps the partition-parallel
+    plan (no single-partition window), and releases its pinned cache."""
+    from tidierdb_jl_spark import release_caches, show_query
+    from tidierdb_jl_spark.llm.mixing import take_token_budget
+
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    def run(budget):
+        return (
+            take_token_budget(
+                tables["documents"], budget, tokens="n_chars",
+                order_by=["-n_chars", "doc_id"], into="cum",
+            )
+            .select("doc_id", "n_chars", "cum")
+            .collect()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    oracle_sql = """
+        SELECT doc_id, n_chars, cum FROM (
+          SELECT doc_id, n_chars,
+                 SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents) WHERE cum <= {b} ORDER BY doc_id"""
+    total = int(ddb.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0])
+    # an exact-boundary budget: the cumsum of the first 7 kept docs
+    edge = int(ddb.execute(
+        "SELECT SUM(n_chars) FROM (SELECT n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 7)").fetchone()[0])
+    for budget in (edge, edge - 1, 40_000, total, total + 1, 1):
+        got = run(budget)
+        want = ddb.execute(oracle_sql.format(b=budget)).df()
+        assert len(got) == len(want), budget
+        assert (got["doc_id"].values == want["doc_id"].values).all(), budget
+        assert (got["cum"].astype("int64").values
+                == want["cum"].astype("int64").values).all(), budget
+
+    # plan shape: the cut runs per-partition — no single-partition window
+    q = take_token_budget(tables["documents"], 10_000, tokens="n_chars",
+                          order_by=["-n_chars", "doc_id"])
+    assert "Window" not in show_query(q, "formatted")
+
+    release_caches(blocking=True)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= base
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        take_token_budget(tables["documents"], 10, tokens="n_chars")

@@ -29,6 +29,7 @@ __all__ = [
     "deterministic_shuffle",
     "curriculum_order",
     "importance_sample",
+    "take_token_budget",
 ]
 
 
@@ -271,3 +272,88 @@ def importance_sample(
         **{out: f"{_hash_u32(id_col, salt)} < {thr}"}
     )
     return flagged.select("!__mw")
+
+
+def take_token_budget(
+    tf,
+    budget: int,
+    tokens: str = "n_tokens",
+    order_by=(),
+    into: str = "cum_tokens",
+):
+    """Fill a training-token budget greedily by priority: keep each
+    document whose INCLUSIVE running token total, in ``order_by`` order,
+    is ≤ ``budget`` — SQL's ``SUM(tokens) OVER (ORDER BY ...) <= budget``.
+
+    That window, written naively, is the same 100 TB trap as global
+    ``row_number()``: no PARTITION BY → Catalyst plans a single-partition
+    window and the whole corpus funnels through one task.  This uses the
+    :mod:`..operators.rowindex` two-pass shape instead: range-partition +
+    local sort by the priority keys (the one shuffle any global order
+    costs), per-partition token sums prefix-summed on the driver
+    (``n_partitions`` longs), then a local Arrow cumsum + filter — full
+    parallelism, no second shuffle.
+
+    ``order_by``: priority columns, ``"-col"`` for descending (highest
+    quality first).  Include a unique tie-break key (e.g. ``doc_id``) —
+    ties are otherwise kept in an arbitrary engine order, which is
+    correctness-relevant exactly at the budget boundary.  ``tokens`` may
+    be any SQL expression.  The kept rows carry ``into`` = their
+    inclusive cumulative total (useful for auditing the cut).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    from ..cache import track
+    from ..core import TidyFrame
+
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not keys:
+        raise ValueError("take_token_budget needs order_by priority keys")
+    cols = [
+        F.col(k[1:]).desc() if k.startswith("-") else F.col(k).asc() for k in keys
+    ]
+
+    sdf = tf.df.withColumn("__tb_n", F.expr(f"CAST(({tokens}) AS BIGINT)"))
+    sdf = sdf.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    # pin the layout: the sum pass and the cumsum pass must see identical
+    # partitions (AQE may otherwise re-plan between jobs)
+    pinned = track(sdf.withColumn("__tb_pid", F.spark_partition_id()))
+    sums = {
+        r["__tb_pid"]: r["s"]
+        for r in pinned.groupBy("__tb_pid").agg(F.sum("__tb_n").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+
+    out_schema = T.StructType(
+        [f for f in pinned.schema.fields if f.name != "__tb_pid"]
+        + [T.StructField(into, T.LongType())]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def cut(batches):
+        import pandas as pd  # noqa: F401
+
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__tb_pid"].iloc[0])]
+            if base >= budget:  # whole partition past the cut: emit nothing
+                return
+            cum = base + seen + pdf["__tb_n"].cumsum()
+            seen += int(pdf["__tb_n"].sum())
+            pdf[into] = cum.astype("int64")
+            kept = pdf[cum <= budget]
+            if len(kept):
+                yield kept[names]
+            if seen + base > budget:
+                return
+
+    out = pinned.mapInPandas(cut, schema=out_schema).drop("__tb_n")
+    return TidyFrame(out, groups=getattr(tf, "groups", None))
