@@ -3420,6 +3420,37 @@ def _t74(t):
 _BUILDERS["t74_token_budget"] = _t74
 
 
+# boilerplate-heavy page skeleton wrapped around each document: nav +
+# tag-cloud + footer are link-dominated (dropped), the body prose is the
+# document text (kept) — the same wrap-and-recompute pattern as t64
+_MC_WRAP = (
+    "concat('<html><head><script>nav()</script></head><body>"
+    "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">More</a></div>"
+    "<h1>Shared Heading Of The Page</h1><p>', text, '</p>"
+    "<ul><li><a href=\"1\">tag</a></li><li><a href=\"2\">cloud</a></li></ul>"
+    "<footer><a href=\"p\">Privacy</a> <a href=\"t\">Terms</a></footer></body></html>')"
+)
+
+
+def _t75(t):
+    """Boilerplate removal (``scrub.extract_main_content``): jusText-
+    style block scoring — split at block-level tags, keep blocks by word
+    count and link density.  A deterministic boilerplate-heavy skeleton
+    wraps each document; the op must keep the heading + prose and drop
+    nav/tag-cloud/footer.  One expression builder emits both the Spark
+    and the DuckDB formulation (``main_content_expr(dialect=)``), so the
+    oracle runs the SAME definition, not a hand-kept mirror."""
+    from tidierdb_jl_spark.llm.scrub import extract_main_content
+
+    return extract_main_content(
+        t["documents"].select("doc_id", "text").mutate(h=_MC_WRAP), "h",
+        out="main_text",
+    ).select("doc_id", "main_text")
+
+
+_BUILDERS["t75_main_content"] = _t75
+
+
 def _lang_score_parts() -> tuple[list, str]:
     """Shared DuckDB SQL pieces for the stopword language heuristic:
     (per-language score column exprs over ``toks``, the CASE picking the
@@ -5912,6 +5943,13 @@ def oracle_sql() -> dict[str, str]:
                    AS cum_tokens
           FROM documents)
         WHERE cum_tokens <= 50000
+    """
+    from tidierdb_jl_spark.llm.scrub import main_content_expr as _mce
+
+    out["t75_main_content"] = f"""
+        SELECT doc_id,
+               {_mce(_MC_WRAP, dialect="duckdb")} AS main_text
+        FROM documents
     """
     out["w50_warc_ingest"] = r"""
         SELECT doc_id,

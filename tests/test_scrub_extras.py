@@ -174,3 +174,71 @@ def test_sentence_segment_dedup_composes(tables):
     ).collect()
     assert len(out) > 0
     assert (out["n_seg_kept"] <= out["n_seg_total"]).all()
+
+
+def test_extract_main_content(spark, ddb):
+    """Boilerplate removal: body prose and headings survive, link-
+    dominated nav/tag-cloud/footer blocks drop, plain text passes
+    through, and the DuckDB formulation emitted by the SAME builder
+    (main_content_expr(dialect='duckdb')) is value-identical on every
+    case — including the empty-list traps (all-boilerplate page, empty
+    string, NULL)."""
+    import pandas as pd
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.scrub import extract_main_content, main_content_expr
+
+    html = (
+        '<html><head><script>nav()</script><style>a{}</style></head><body>'
+        '<div class="nav"><a href="/">Home</a> | <a href="/a">About</a> | '
+        '<a href="/c">Contact</a></div>'
+        '<h1>The Article Title Here</h1>'
+        '<p>This is the first real paragraph of body prose with enough words '
+        'to keep.</p>'
+        '<p>Second paragraph &amp; more content, including an inline '
+        '<a href="x">link</a> inside prose text here.</p>'
+        '<ul><li><a href="1">tag1</a></li><li><a href="2">tag2</a></li></ul>'
+        '<footer><a href="p">Privacy</a> <a href="t">Terms</a> copyright</footer>'
+        '</body></html>'
+    )
+    cases = [
+        (1, html),
+        (2, "plain text with no markup at all here"),
+        (3, None),
+        (4, '<div><a href="a">only</a> <a href="b">links</a> '
+            '<a href="c">here now</a></div>'),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(cases, "i long, text string")
+    got = (
+        extract_main_content(TidyFrame(df))
+        .collect()
+        .set_index("i")["text"]
+    )
+
+    kept = got.loc[1].split("\n")
+    assert kept[0] == "The Article Title Here"
+    assert kept[1].startswith("This is the first real paragraph")
+    assert "Second paragraph & more content" in kept[2]  # entity decoded
+    assert "Home" not in got.loc[1] and "Privacy" not in got.loc[1]
+    assert "tag1" not in got.loc[1]
+    assert got.loc[2] == "plain text with no markup at all here"
+    assert got.loc[4] == "" and got.loc[5] == ""  # all-boilerplate / empty
+
+    ddb.execute("CREATE OR REPLACE TABLE __mc (i BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO __mc VALUES (?, ?)", cases)
+    want = ddb.execute(
+        f"SELECT i, {main_content_expr('text', dialect='duckdb')} AS m "
+        "FROM __mc ORDER BY i"
+    ).df().set_index("i")["m"]
+    for i, _ in cases:
+        a = got.loc[i] if i in got.index else None
+        b = want.loc[i]
+        a = None if pd.isna(a) else a
+        b = None if pd.isna(b) else b
+        assert a == b, (i, a, b)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        main_content_expr("text", dialect="postgres")

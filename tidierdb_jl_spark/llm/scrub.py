@@ -15,6 +15,7 @@ from __future__ import annotations
 __all__ = [
     "PII_PATTERNS", "scrub_pii", "scrub_expr",
     "strip_html", "strip_html_expr", "normalize_text",
+    "extract_main_content", "main_content_expr",
 ]
 
 # (name, pattern, replacement) applied in order.  Longest/most-specific
@@ -173,3 +174,110 @@ def normalize_text(
     from ..core import TidyFrame
 
     return TidyFrame(tf.df.withColumn(target, udf(F.col(col))))
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# Block-level boundary tags: HTML splits into candidate text blocks at
+# these.  One leading (?i) governs the whole alternation.  Kept in the
+# Java-regex/RE2 common subset (see _HTML_BLOCK_PATTERNS note).
+_BLOCK_SPLIT_PATTERN = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+    r"section|article|header|footer|nav|aside|blockquote|main|form|figure|"
+    r"fieldset|pre)[^>]*>|(?i)<br[^>]*>"
+)
+_LINK_TEXT_PATTERN = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def main_content_expr(
+    col: str,
+    min_words: int = 3,
+    max_link_density: float = 0.33,
+    dialect: str = "spark",
+) -> str:
+    """SQL expression for jusText/trafilatura-style boilerplate removal:
+
+    1. drop script/style/comment payloads;
+    2. split the page into blocks at block-level tag boundaries;
+    3. score each block: word count and LINK DENSITY (chars of anchor
+       text / chars of visible text — navigation chrome, footers and
+       tag clouds are mostly links, body prose is not);
+    4. keep blocks with ≥ ``min_words`` words and link density ≤
+       ``max_link_density``; join the survivors with newlines.
+
+    Entirely JVM expressions (split + higher-order filter/transform over
+    the block array) — fuses into the scan, zero shuffles, no UDF.  The
+    same builder emits the DuckDB formulation (``dialect="duckdb"``) so
+    oracles run ONE definition, not a hand-kept mirror.  Heuristic, not
+    a DOM parser: the published extractors (jusText, Pomikálek 2011;
+    trafilatura) are heuristics over the same two signals.
+    """
+    duck = dialect == "duckdb"
+    if not duck and dialect != "spark":
+        raise ValueError(f"dialect must be spark|duckdb, got {dialect!r}")
+    g = ", 'g'" if duck else ""
+    ws = r"\s+" if duck else r"\\s+"
+
+    cleaned = col
+    for pat in _HTML_BLOCK_PATTERNS[:3]:  # script / style / comments
+        q = pat if duck else pat.replace("\\", "\\\\")
+        cleaned = f"regexp_replace({cleaned}, '{q}', ' '{g})"
+    split_pat = _BLOCK_SPLIT_PATTERN
+    blocks = (
+        f"regexp_split_to_array({cleaned}, '{split_pat}')"
+        if duck
+        else f"split({cleaned}, '{split_pat}')"
+    )
+
+    # visible text of one block (lambda var b): tags → space, entities,
+    # whitespace collapse
+    t = "regexp_replace(b, '<[^>]+>', ' '{})".format(g)
+    for ent, ch in _HTML_ENTITIES:
+        t = f"replace({t}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    t = f"trim(regexp_replace({t}, '{ws}', ' '{g}))"
+
+    link_list = f"regexp_extract_all(b, '{_LINK_TEXT_PATTERN}', 1)"
+    # DuckDB's array_to_string returns NULL for an empty list (Spark's
+    # concat_ws/array_join return '') — coalesce to keep the two
+    # formulations value-identical
+    lk = (
+        f"coalesce(length(array_to_string({link_list}, '')), 0)"
+        if duck
+        else f"length(concat_ws('', {link_list}))"
+    )
+    nwords = (
+        f"len(string_split_regex({t}, '{ws}'))"
+        if duck
+        else f"size(split({t}, '{ws}'))"
+    )
+    keep = (
+        f"b -> length({t}) > 0 AND {nwords} >= {int(min_words)} "
+        f"AND {lk} <= {max_link_density} * length({t})"
+    )
+    if duck:
+        kept = f"list_filter({blocks}, {keep})"
+        joined = f"array_to_string(list_transform({kept}, b -> {t}), chr(10))"
+        return (
+            f"CASE WHEN {col} IS NULL THEN NULL ELSE coalesce({joined}, '') END"
+        )
+    kept = f"filter({blocks}, {keep})"
+    return f"array_join(transform({kept}, b -> {t}), chr(10))"
+
+
+def extract_main_content(
+    tf,
+    col: str = "text",
+    out: str | None = None,
+    min_words: int = 3,
+    max_link_density: float = 0.33,
+):
+    """Boilerplate removal for web pages — keep body prose, drop nav /
+    footer / link-farm blocks (see :func:`main_content_expr`).  The step
+    between raw WARC HTML and :func:`strip_html`-grade clean text in a
+    C4/RefinedWeb-style pipeline; scan-fused, zero shuffles."""
+    target = out or col
+    return tf.mutate(
+        **{target: main_content_expr(col, min_words, max_link_density)}
+    )
