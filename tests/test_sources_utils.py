@@ -411,3 +411,65 @@ def test_read_warc(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         list(parse_warc_records("x", b"NOT A WARC FILE AT ALL"))
+
+
+def test_warc_wet_and_web_pipeline(spark, tmp_path):
+    """(1) WET coverage: Common Crawl's text sidecar format is WARC with
+    `conversion` records (Content-Type: text/plain) — they must come out
+    with decoded text.  (2) The full web-ingest path composes: read_warc
+    → extract_main_content (boilerplate off) → clean_corpus (quality +
+    lang + dedup), WARC bytes in, clean training documents out."""
+    import gzip
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.pipeline import clean_corpus
+    from tidierdb_jl_spark.llm.scrub import extract_main_content
+    from tidierdb_jl_spark.sources.warc import read_warc
+
+    # WET-style conversion records
+    wet = b"".join(
+        _warc_record(
+            "conversion",
+            f"the quick brown fox document number {i} with some more words".encode(),
+            uri=f"http://wet.test/{i}",
+            extra=(b"Content-Type: text/plain",),
+        )
+        for i in range(3)
+    )
+    (tmp_path / "c.warc.wet.gz").write_bytes(gzip.compress(wet))
+    out = read_warc(spark, str(tmp_path), path_glob="*.wet.gz").collect()
+    assert list(out["warc_type"].unique()) == ["conversion"]
+    assert len(out) == 3
+    assert out["text"].str.contains("quick brown fox").all()
+
+    # full pipeline: HTML pages wrapped in boilerplate -> clean docs
+    prose = [
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the green fields every single morning before breakfast time",
+        "a completely different second document with enough distinct english "
+        "words to pass the quality gates and the language identifier checks",
+    ]
+    pages = []
+    for i, p in enumerate(prose + [prose[0]]):  # third page = exact dup
+        html = (
+            '<html><body><div><a href="/">Home</a> <a href="/x">More</a></div>'
+            f"<p>{p}</p><footer><a href=\"t\">Terms</a></footer></body></html>"
+        )
+        pages.append(
+            _warc_record("response", _http_response(html.encode()),
+                         uri=f"http://site{i}.test/")
+        )
+    (tmp_path / "pages.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in pages)
+    )
+    docs = (
+        read_warc(spark, str(tmp_path), path_glob="pages.warc.gz",
+                  warc_types=("response",), keep_payload=False)
+        .mutate(doc_id="CAST(substring(target_uri, 12, 1) AS BIGINT)")
+    )
+    main = extract_main_content(docs, "text")
+    clean = clean_corpus(main, min_words=10).collect()
+    # boilerplate gone, dup page deduped to the lower doc_id, lang=en kept
+    assert sorted(clean["doc_id"]) == [0, 1]
+    assert clean["text"].str.startswith(("the quick", "a completely")).all()
+    assert not clean["text"].str.contains("Home").any()
