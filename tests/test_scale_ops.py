@@ -783,3 +783,30 @@ def test_lint_flags_unbounded_following_frame(spark, tables):
         )
     )
     assert "unbounded_following_frame" not in {f["rule"] for f in lint_plan(q12)}
+
+
+def test_driver_prefix_plans_lint_clean(spark):
+    """Full lint sweep over the driver-checked prefix (the 50 queries the
+    correctness gate runs): no error-severity findings (cartesian) and no
+    per-row-recomputed UNBOUNDED FOLLOWING frames in ANY of their plans.
+    Warn-level nested-loop findings are allowed — the with_scalar 1-row
+    broadcast attach is the intended bounded plan — but quadratic frame
+    regressions anywhere in the verified surface fail here first."""
+    import __spark_entry__ as entry_mod
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.plans.show import lint_plan
+
+    qs = entry_mod.queries()
+    prefix = entry_mod._DRIVER_PRIORITY
+    assert len(prefix) == 50
+    bad = {}
+    for name in prefix:
+        tf = qs[name](spark, "/root/testdata/sf0.001")
+        tf = TidyFrame(tf) if not hasattr(tf, "df") else tf
+        findings = [
+            f for f in lint_plan(tf)
+            if f["severity"] == "error" or f["rule"] == "unbounded_following_frame"
+        ]
+        if findings:
+            bad[name] = findings
+    assert not bad, bad
