@@ -473,3 +473,36 @@ def test_warc_wet_and_web_pipeline(spark, tmp_path):
     assert sorted(clean["doc_id"]) == [0, 1]
     assert clean["text"].str.startswith(("the quick", "a completely")).all()
     assert not clean["text"].str.contains("Home").any()
+
+
+def test_warc_charset_detection(spark, tmp_path):
+    """Browser-order charset resolution: BOM beats everything, the
+    Content-Type param beats <meta charset>, the meta declaration rescues
+    legacy pages (windows-1252 declared only in markup), and the
+    utf-8→latin-1 fallback still never fails."""
+    from tidierdb_jl_spark.sources.warc import parse_warc_records
+
+    w1252 = ("snow man café — dash").encode("windows-1252")
+    meta_page = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1252"></head><body>'
+        + w1252 + b"</body></html>"
+    )
+    bom_utf8 = b"\xef\xbb\xbf" + "böm text".encode("utf-8")
+    cases = [
+        # (content-type header, body, expected substring)
+        ("text/html", meta_page, "café — dash"),       # meta rescues
+        ("text/html; charset=utf-8", b"plain ascii", "plain ascii"),
+        ("text/plain", bom_utf8, "böm text"),               # BOM wins
+        # header wrong + meta absent -> utf-8 fails -> latin-1 fallback
+        ("text/plain; charset=utf-8", b"caf\xe9", "café"),
+    ]
+    records = b"".join(
+        _warc_record("response", _http_response(body, ctype),
+                     uri=f"http://cs.test/{i}")
+        for i, (ctype, body, _) in enumerate(cases)
+    )
+    recs = {r["target_uri"]: r for r in parse_warc_records("x", records)}
+    for i, (_, _, want) in enumerate(cases):
+        got = recs[f"http://cs.test/{i}"]["text"]
+        assert got is not None and want in got, (i, want, got)

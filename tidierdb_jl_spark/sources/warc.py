@@ -132,10 +132,18 @@ def _parse_http(payload: bytes):
     return status, ctype, payload[hdr_end + 4 :]
 
 
+_META_CHARSET = __import__("re").compile(
+    rb"""(?is)<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9_.:-]+)"""
+)
+
+
 def _decode_text(body: bytes, content_type: str | None) -> str | None:
-    """Charset-decode a textual body: the Content-Type ``charset=`` param
-    first, utf-8 then latin-1 (never fails) as fallbacks; None for
-    non-text content types."""
+    """Charset-decode a textual body.  Priority order mirrors what
+    browsers do: BOM, Content-Type ``charset=`` param, HTML
+    ``<meta charset>`` / ``http-equiv`` declaration (sniffed in the first
+    1024 bytes — where legacy windows-1252/shift_jis pages actually
+    declare it), then utf-8 and latin-1 (never fails) as fallbacks.
+    None for non-text content types."""
     if content_type is not None and not (
         content_type.startswith("text/")
         or "json" in content_type
@@ -143,9 +151,17 @@ def _decode_text(body: bytes, content_type: str | None) -> str | None:
         or "javascript" in content_type
     ):
         return None
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16", "replace")
     charset = None
     if content_type and "charset=" in content_type:
         charset = content_type.split("charset=", 1)[1].split(";")[0].strip(" \"'")
+    if charset is None:
+        m = _META_CHARSET.search(body[:1024])
+        if m:
+            charset = m.group(1).decode("ascii", "replace")
     for enc in filter(None, (charset, "utf-8", "latin-1")):
         try:
             return body.decode(enc)
