@@ -13,10 +13,12 @@ Python worker per partition, batches of rows, never per-row UDF overhead.
 Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
 P3 ASCII), 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + scanline
 unfilter — gray/RGB/RGBA/palette), baseline sequential JPEG (huffman +
-dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), and PCM16 WAV — real
-decode paths testable in any environment.  Remaining full-codec formats
-(progressive JPEG/MP3/video) need libraries NOT in this container, so
-those blobs raise
+dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), GIF87a/89a including
+animation (variable-width LZW + disposal compositing, see :mod:`.gif` —
+``frame_sample`` walks real animated-GIF timelines), and PCM16 WAV —
+real decode paths testable in any environment.  Remaining full-codec
+formats (progressive JPEG/WebP/MP3/MP4) need libraries NOT in this
+container, so those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
 (schemas, batch iteration, partitioning) is identical either way.

@@ -80,6 +80,9 @@ ORACLE_QUERIES = [
     "t66_importance_sample",# DSIR
     "t67_pack_ffd",         # FFD packing
     "d61_training_prep_e2e",# end-to-end corpus prep
+    "t74_token_budget",     # scale-safe global-cumsum budget cut (r6)
+    "t75_main_content",     # boilerplate removal, dual-dialect expr (r6)
+    "w50_warc_ingest",      # WARC/WARC.GZ roundtrip (r6)
 ]
 
 
