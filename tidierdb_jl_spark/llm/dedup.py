@@ -701,22 +701,64 @@ def embedding_cosine_pairs(
     vec = track(vec)
 
     if method == "exact":
-        l, r = vec.alias("l"), vec.alias("r")
-        out = (
-            l.join(r, F.col("l.__id") < F.col("r.__id"))
-            .select(
-                F.col("l.__id").alias("id_a"),
-                F.col("r.__id").alias("id_b"),
-                (
-                    F.expr(_dot("l.__v", "r.__v"))
-                    / (F.expr(_norm("l.__v")) * F.expr(_norm("r.__v")))
-                ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= threshold)
-        )
+        # BLAS-tiled exact scoring.  The obvious theta-join formulation
+        # (l.__id < r.__id, per-pair interpreted array HOFs) measured 15
+        # MINUTES at 50k vectors; the same O(n²d) flops as block matrix
+        # multiplies against a broadcast row-normalized matrix run in
+        # seconds.  Exact mode is the oracle/small-corpus path by
+        # contract — its broadcast is O(n·d) — so gathering the vectors
+        # once to the driver is its bounded action; at corpus scale use
+        # method="lsh" (banded equi-join, never all-pairs).
+        import numpy as np
+
         from ..core import TidyFrame
 
-        return TidyFrame(out)
+        spark = tf.df.sparkSession
+        id_type = vec.schema["__id"].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+        rows = vec.collect()
+        if not rows:
+            return TidyFrame(spark.createDataFrame([], out_schema))
+        order = sorted(range(len(rows)), key=lambda i: rows[i]["__id"])
+        ids = [rows[i]["__id"] for i in order]
+        M = np.array([rows[i]["__v"] for i in order], dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors match nothing (cosine 0)
+        M /= norms
+        n = len(ids)
+        bc = spark.sparkContext.broadcast((ids, M))
+        par = spark.sparkContext.defaultParallelism
+        block = max(128, -(-n // max(1, 2 * par)))
+        starts = list(range(0, n, block))
+        blocks_df = spark.createDataFrame(
+            [(s,) for s in starts], "start long"
+        ).repartition(len(starts))
+
+        thr = float(threshold)
+
+        def score(batches):
+            import pandas as pd
+
+            b_ids, b_M = bc.value
+            nn = len(b_ids)
+            for pdf in batches:
+                for s in pdf["start"]:
+                    s = int(s)
+                    e = min(s + block, nn)
+                    sims = b_M[s:e] @ b_M.T  # (e-s, n) one BLAS call
+                    for li in range(e - s):
+                        gi = s + li
+                        js = np.nonzero(sims[li, gi + 1 :] >= thr)[0] + gi + 1
+                        if len(js):
+                            yield pd.DataFrame(
+                                {
+                                    "id_a": [b_ids[gi]] * len(js),
+                                    "id_b": [b_ids[j] for j in js],
+                                    "cosine": sims[li, js],
+                                }
+                            )
+
+        return TidyFrame(blocks_df.mapInPandas(score, out_schema))
 
     if method != "lsh":
         raise ValueError(f"unknown method {method!r} (expected 'exact' or 'lsh')")
