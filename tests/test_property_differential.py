@@ -478,3 +478,41 @@ def test_random_html_strip_matches_duckdb(tables, ddb, data):
         f"SELECT doc_id, {_duck_strip_html_expr(html)} AS h FROM documents",
         f"html {pre!r}..{post!r}",
     )
+
+
+def test_token_budget_random_budgets(spark, tables, ddb):
+    """Property sweep for take_token_budget: 12 budgets spanning the full
+    cumulative range (plus both exact boundaries and off-by-ones around a
+    random kept-set edge) all hash-match DuckDB's literal global-window
+    cumsum.  The boundary is where a partition-parallel prefix-sum
+    implementation would break first."""
+    import random
+
+    from tidierdb_jl_spark.llm.mixing import take_token_budget
+
+    rng = random.Random(61)
+    total = int(ddb.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0])
+    edges = ddb.execute(
+        "SELECT CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM documents"
+    ).df()["c"].tolist()
+    k = rng.randrange(1, len(edges) - 1)
+    budgets = {edges[k], edges[k] - 1, edges[k] + 1, 0, total, total + 7}
+    while len(budgets) < 12:
+        budgets.add(rng.randrange(1, total))
+    for b in sorted(budgets):
+        got = (
+            take_token_budget(tables["documents"], b, tokens="n_chars",
+                              order_by=["-n_chars", "doc_id"], into="cum")
+            .select("doc_id", "cum").collect().sort_values("doc_id")
+        )
+        want = ddb.execute(
+            "SELECT doc_id, cum FROM (SELECT doc_id, "
+            "CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM documents) "
+            f"WHERE cum <= {b} ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(want), b
+        assert (got["doc_id"].values == want["doc_id"].values).all(), b
+        assert (got["cum"].astype("int64").values
+                == want["cum"].astype("int64").values).all(), b
