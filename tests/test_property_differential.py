@@ -516,3 +516,56 @@ def test_token_budget_random_budgets(spark, tables, ddb):
         assert (got["doc_id"].values == want["doc_id"].values).all(), b
         assert (got["cum"].astype("int64").values
                 == want["cum"].astype("int64").values).all(), b
+
+
+def test_main_content_random_pages(spark, ddb):
+    """Property sweep for extract_main_content: 40 randomly composed
+    pages (random block tags, link densities, entities, nesting, empty
+    blocks, unicode) must decode IDENTICALLY through the Spark and
+    DuckDB formulations emitted by the one expression builder — the
+    regex/HOF dialect seams are exactly where the two engines could
+    silently drift."""
+    import random
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.scrub import extract_main_content, main_content_expr
+
+    rng = random.Random(17)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima café naïve &amp; x").split()
+    tags = ["p", "div", "li", "h2", "td", "section", "blockquote"]
+
+    def block():
+        tag = rng.choice(tags)
+        n = rng.randrange(0, 12)
+        toks = [rng.choice(words) for _ in range(n)]
+        # sprinkle anchors over a random subset of tokens
+        out = []
+        for w in toks:
+            if rng.random() < 0.4:
+                out.append(f'<a href="/{rng.randrange(9)}">{w}</a>')
+            else:
+                out.append(w)
+        inner = " ".join(out)
+        if rng.random() < 0.15:
+            inner += "<script>junk()</script>"
+        if rng.random() < 0.15:
+            inner = f"<!-- {rng.choice(words)} -->" + inner
+        return f"<{tag}>{inner}</{tag}>"
+
+    pages = [
+        (i, "<html><body>" + "".join(block() for _ in range(rng.randrange(1, 9)))
+            + "</body></html>")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pages, "i long, text string")
+    got = extract_main_content(TidyFrame(df)).collect().set_index("i")["text"]
+
+    ddb.execute("CREATE OR REPLACE TABLE __mcp (i BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO __mcp VALUES (?, ?)", pages)
+    want = ddb.execute(
+        f"SELECT i, {main_content_expr('text', dialect='duckdb')} AS m "
+        "FROM __mcp ORDER BY i"
+    ).df().set_index("i")["m"]
+    for i, _ in pages:
+        assert got.loc[i] == want.loc[i], (i, got.loc[i], want.loc[i])
