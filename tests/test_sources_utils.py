@@ -506,3 +506,51 @@ def test_warc_charset_detection(spark, tmp_path):
     for i, (_, _, want) in enumerate(cases):
         got = recs[f"http://cs.test/{i}"]["text"]
         assert got is not None and want in got, (i, want, got)
+
+
+def test_warc_parser_robustness():
+    """Fuzz the WARC record parser: random corruptions (truncations, bit
+    flips, garbage prefixes/suffixes, broken gzip members) must either
+    parse a valid record subset or raise ValueError/zlib.error — never
+    hang, never return malformed records, never raise anything else."""
+    import gzip
+    import random
+    import zlib
+
+    from tidierdb_jl_spark.sources.warc import parse_warc_records
+
+    rng = random.Random(23)
+    base = b"".join(
+        _warc_record("response", _http_response(f"body number {i}".encode()),
+                     uri=f"http://f.test/{i}")
+        for i in range(4)
+    )
+    gz = b"".join(gzip.compress(r) for r in [base[:len(base) // 2]]) 
+
+    field_names = {"warc_file", "record_offset", "warc_type", "warc_record_id",
+                   "warc_date", "target_uri", "warc_content_type",
+                   "http_status", "http_content_type", "payload", "text"}
+    for trial in range(200):
+        blob = bytearray(base if trial % 2 == 0 else gzip.compress(base))
+        op = trial % 5
+        if op == 0:
+            blob = blob[: rng.randrange(len(blob))]          # truncate
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):             # bit flips
+                blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        elif op == 2:
+            blob = bytearray(rng.randbytes(rng.randrange(40))) + blob
+        elif op == 3:
+            blob += rng.randbytes(rng.randrange(40))
+        else:
+            i = rng.randrange(len(blob))                     # splice
+            blob = blob[:i] + blob[i + rng.randrange(1, 30):]
+        try:
+            recs = list(parse_warc_records("f", bytes(blob)))
+        except (ValueError, zlib.error, OverflowError):
+            continue
+        for r in recs:
+            assert set(r) == field_names
+    # sanity: the uncorrupted inputs still parse fully
+    assert len(list(parse_warc_records("f", base))) == 4
+    assert len(list(parse_warc_records("f", gzip.compress(base)))) == 4
