@@ -53,6 +53,9 @@ def main() -> None:
         "q60_snapshot_diff", "t96_leakage_split", "t61_curriculum_order",
         "t62_kfold", "t63_corpus_report", "t64_strip_html",
         "t65_normalize_nfc", "t66_importance_sample", "e56_equi_depth",
+        # round-6 ops (w50 excluded: the oracle recomputes from the
+        # documents view, not equivalent file-ingest work)
+        "t74_token_budget", "t75_main_content", "d61_training_prep_e2e",
     ]
     names = [n for n in HEADLINE if n in qs and n in osql and n not in skip]
     names += [n for n in extra if n in qs and n in osql]
