@@ -1,4 +1,4 @@
-"""Independent baseline-JPEG ENCODER for the decoder oracle.
+"""Independent JPEG ENCODER (baseline + progressive) for the decoder oracle.
 
 Written from ITU-T T.81 Annexes C/F/K directly — shares no code with
 ``tidierdb_jl_spark.llm.jpeg`` (the decoder under test).  Uses the
@@ -270,4 +270,301 @@ def encode_jpeg(arr, subsampling="444", restart_interval=0):
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — T.81 Annex G, written independently of the
+# decoder under test.  Emits a full successive-approximation scan script
+# (DC first + refine, per-band AC first + refine with real EOB runs and
+# buffered correction bits) over the SAME quantized coefficients the
+# baseline encoder produces, so progressive-vs-baseline decode must be
+# pixel-identical.  Huffman tables are built per scan from the actual
+# symbol set (canonical, fixed length, all-ones codeword avoided).
+# ---------------------------------------------------------------------------
+
+
+def _quantized_components(arr, subsampling):
+    """Shared front half of encoding: color transform, subsample, pad,
+    FDCT + quantize.  Returns (comps_meta, list of (bh, bw, 64) zigzag
+    int arrays, (h, w))."""
+    gray = arr.ndim == 2
+    h, w_ = arr.shape[:2]
+    hf, vf = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [arr.astype(np.float64) - 128.0]
+        hf = vf = 1
+    else:
+        comps = [(1, hf, vf, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling != "444":
+            def down(p):
+                p = np.pad(p, ((0, (-p.shape[0]) % vf), (0, (-p.shape[1]) % hf)),
+                           "edge")
+                return p.reshape(p.shape[0] // vf, vf,
+                                 p.shape[1] // hf, hf).mean(axis=(1, 3))
+            cb, cr = down(cb), down(cr)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    mcux = (w_ + 8 * hf - 1) // (8 * hf)
+    mcuy = (h + 8 * vf - 1) // (8 * vf)
+    qtabs = {0: QT_LUMA, 1: QT_CHROMA}
+    out = []
+    for (cid, chf, cvf, tq), p in zip(comps, planes):
+        ph, pw = mcuy * cvf * 8, mcux * chf * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+        bh, bw = ph // 8, pw // 8
+        zz = np.zeros((bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                q = np.round(
+                    _fdct(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+                    / qtabs[tq].reshape(8, 8)
+                ).astype(np.int32)
+                zz[by, bx] = q.reshape(-1)[ZIGZAG]
+        out.append(zz)
+    return comps, out, (h, w_), (mcux, mcuy)
+
+
+class _OpStream:
+    """Scan emission buffer: huffman symbols + raw bits + restarts are
+    recorded first, the per-scan huffman table is built from the symbols
+    actually used, then everything serializes through _BitWriter."""
+
+    def __init__(self):
+        self.ops = []
+
+    def sym(self, s):
+        self.ops.append(("h", s))
+
+    def bits(self, n, v):
+        if n:
+            self.ops.append(("b", n, v & ((1 << n) - 1)))
+
+    def rst(self, i):
+        self.ops.append(("r", i % 8))
+
+    def table(self):
+        syms = sorted({o[1] for o in self.ops if o[0] == "h"})
+        k = len(syms)
+        L = max(2, (k + 1).bit_length())  # all-ones codeword never assigned
+        bits = [0] * 16
+        bits[L - 1] = k
+        return bits, bytes(syms), {s: (L, i) for i, s in enumerate(syms)}
+
+    def serialize(self, codes):
+        out = bytearray()
+        w = _BitWriter()
+        for op in self.ops:
+            if op[0] == "h":
+                w.put(*codes[op[1]])
+            elif op[0] == "b":
+                w.put(op[1], op[2])
+            else:
+                w.flush()
+                out.extend(w.out)
+                w = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + op[1]]))
+        w.flush()
+        out.extend(w.out)
+        return bytes(out)
+
+
+def _pt_ac(v, al):
+    """AC point transform: magnitude shift, truncation toward zero."""
+    return (abs(int(v)) >> al) * (1 if v > 0 else -1)
+
+
+def encode_jpeg_progressive(
+    arr, subsampling="444", restart_interval=0, al_dc=1, al_ac=1,
+    bands=((1, 63),),
+):
+    """HxWx3 uint8 RGB (or HxW gray) -> progressive (SOF2) JPEG bytes.
+
+    Scan script: interleaved DC first (Al=al_dc) + one DC refinement per
+    bit; then per component and per spectral band, AC first (Al=al_ac)
+    followed by AC refinements down to Al=0."""
+    comps, zzs, (h, w_), (mcux, mcuy) = _quantized_components(arr, subsampling)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(QT_LUMA.reshape(-1)[ZIGZAG].tolist()))
+    if len(comps) > 1:
+        seg(b"\xff\xdb", bytes([1]) + bytes(QT_CHROMA.reshape(-1)[ZIGZAG].tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([len(comps)])
+    for cid, chf, cvf, tq in comps:
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    seg(b"\xff\xc2", sof)
+    if restart_interval:
+        seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+
+    def emit_scan(ops, scomps, ss, se, ah, al, tc):
+        bits, vals, codes = ops.table()
+        seg(b"\xff\xc4", bytes([(tc << 4) | 0]) + bytes(bits) + vals)
+        sos = bytes([len(scomps)])
+        for cid in scomps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(b"\xff\xda", sos)
+        out.extend(ops.serialize(codes))
+
+    # ---- DC first scan (interleaved, arithmetic shift by al_dc) ----
+    ops = _OpStream()
+    pred = [0] * len(comps)
+    cnt = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and cnt and cnt % restart_interval == 0:
+                ops.rst(cnt // restart_interval - 1)
+                pred = [0] * len(comps)
+            for ci, (_cid, chf, cvf, _tq) in enumerate(comps):
+                for by in range(cvf):
+                    for bx in range(chf):
+                        v = int(zzs[ci][my * cvf + by, mx * chf + bx, 0]) >> al_dc
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t, bv = _mag(diff)
+                        ops.sym(t)
+                        ops.bits(t, bv)
+            cnt += 1
+    emit_scan(ops, [c[0] for c in comps], 0, 0, 0, al_dc, 0)
+
+    # ---- DC refinement scans (one bit plane per scan) ----
+    for a in range(al_dc - 1, -1, -1):
+        ops = _OpStream()
+        cnt = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    ops.rst(cnt // restart_interval - 1)
+                for ci, (_cid, chf, cvf, _tq) in enumerate(comps):
+                    for by in range(cvf):
+                        for bx in range(chf):
+                            v = int(zzs[ci][my * cvf + by, mx * chf + bx, 0])
+                            ops.bits(1, (v >> a) & 1)
+                cnt += 1
+        emit_scan(ops, [c[0] for c in comps], 0, 0, a + 1, a, 0)
+
+    # ---- AC scans: non-interleaved, per component, per band ----
+    for ci, (cid, chf, cvf, _tq) in enumerate(comps):
+        bw_n = (-(-w_ * chf // max(c[1] for c in comps)) + 7) // 8
+        bh_n = (-(-h * cvf // max(c[2] for c in comps)) + 7) // 8
+        blocks = [(by, bx) for by in range(bh_n) for bx in range(bw_n)]
+
+        for ss, se in bands:
+            # first AC scan at precision al_ac, with EOB runs
+            ops = _OpStream()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    ops.sym(rr << 4)
+                    ops.bits(rr, eobrun - (1 << rr))
+                    eobrun = 0
+
+            cnt = 0
+            for by, bx in blocks:
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    flush_eob()
+                    ops.rst(cnt // restart_interval - 1)
+                cnt += 1
+                zz = zzs[ci][by, bx]
+                sh = [_pt_ac(zz[k], al_ac) for k in range(ss, se + 1)]
+                nz = [i for i, v in enumerate(sh) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = sh[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.sym(0xF0)
+                        run -= 16
+                    t, bv = _mag(v)
+                    ops.sym((run << 4) | t)
+                    ops.bits(t, bv)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+            flush_eob()
+            emit_scan(ops, [cid], ss, se, 0, al_ac, 1)
+
+            # refinement scans al_ac-1 .. 0, buffered correction bits
+            for a in range(al_ac - 1, -1, -1):
+                ops = _OpStream()
+                eobrun = 0
+                br_global = []
+
+                def flush_eob_r():
+                    nonlocal eobrun, br_global
+                    if eobrun:
+                        rr = eobrun.bit_length() - 1
+                        ops.sym(rr << 4)
+                        ops.bits(rr, eobrun - (1 << rr))
+                        for bit in br_global:
+                            ops.bits(1, bit)
+                        br_global = []
+                        eobrun = 0
+
+                cnt = 0
+                for by, bx in blocks:
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        flush_eob_r()
+                        ops.rst(cnt // restart_interval - 1)
+                    cnt += 1
+                    zz = zzs[ci][by, bx]
+                    t = [abs(int(zz[k])) >> a for k in range(ss, se + 1)]
+                    sgn = [1 if zz[k] > 0 else -1 for k in range(ss, se + 1)]
+                    newly = [i for i, tv in enumerate(t) if tv == 1]
+                    # mirror the decoder's walk EXACTLY: correction bits
+                    # interleave in position order — after each symbol,
+                    # only the bits for positions that symbol's advance
+                    # traverses (through the placing/16th zero-history
+                    # position), not everything buffered so far
+                    i = 0
+                    if newly:
+                        flush_eob_r()
+                    for j in newly:
+                        zh = [p for p in range(i, j) if t[p] == 0]
+                        run = len(zh)
+                        while run > 15:
+                            boundary = zh[15]  # ZRL spans 16 zero-history
+                            ops.sym(0xF0)
+                            for p in range(i, boundary + 1):
+                                if t[p] > 1:
+                                    ops.bits(1, t[p] & 1)
+                            i = boundary + 1
+                            zh = zh[16:]
+                            run -= 16
+                        ops.sym((run << 4) | 1)
+                        ops.bits(1, 1 if sgn[j] > 0 else 0)
+                        for p in range(i, j):
+                            if t[p] > 1:
+                                ops.bits(1, t[p] & 1)
+                        i = j + 1
+                    eob = (newly[-1] + 1) if newly else 0
+                    if eob <= se - ss:
+                        eobrun += 1
+                        for p in range(eob, se - ss + 1):
+                            if t[p] > 1:
+                                br_global.append(t[p] & 1)
+                        if eobrun == 32767:
+                            flush_eob_r()
+                flush_eob_r()
+                emit_scan(ops, [cid], ss, se, a + 1, a, 1)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -1152,15 +1152,15 @@ def test_jpeg_decode_real(spark):
     out = decode_image(TidyFrame(df)).collect()
     assert (int(out.loc[0, "height"]), int(out.loc[0, "width"])) == (24, 31)
 
-    # unsupported JPEG flavors fail loudly: progressive (SOF2)
+    # unsupported JPEG flavors fail loudly: lossless (SOF3)
     blob = bytearray(encode_jpeg(smooth))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2
+    blob[sof + 1] = 0xC3
     import pytest as _pytest
 
     with _pytest.raises(Exception) as ei:
         _decode_image_blob(bytes(blob))
-    assert "baseline" in str(ei.value)
+    assert "SOF3" in str(ei.value)
 
 
 def test_gif_decode_real(spark):
@@ -1294,3 +1294,54 @@ def test_gif_animation_and_frame_sample(spark):
         (0, 0), (1, 100), (2, 200), (2, 300), (3, 400)]
     fps = [hashlib.md5(c.tobytes()).hexdigest() for _, c in frames]
     assert list(out["frame_fp"]) == [fps[0], fps[1], fps[2], fps[2], fps[3]]
+
+
+def test_jpeg_progressive_decode_real(spark):
+    """Progressive JPEG (SOF2) decodes for REAL: an independently written
+    T.81 Annex G encoder (tests/jpeg_ref.py) emits full successive-
+    approximation scan scripts — interleaved DC first + per-bit DC
+    refinement, per-band AC first with genuine cross-block EOB runs, AC
+    refinement with position-ordered correction bits, restart markers —
+    over the SAME quantized coefficients as its baseline mode, so
+    progressive decode must equal baseline decode PIXEL-EXACTLY (one
+    right answer; a single misread bit desyncs the whole scan)."""
+    import numpy as np
+
+    from jpeg_ref import encode_jpeg, encode_jpeg_progressive
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.jpeg import decode_jpeg
+    from tidierdb_jl_spark.llm.multimodal import decode_image
+
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:24, 0:31]
+    smooth = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 5 + 40) % 256, ((yy + xx) * 2 + 60) % 256], 2
+    ).astype(np.uint8)
+    gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    noise = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+
+    cases = [
+        (gray, "444", dict()),
+        (smooth, "444", dict()),
+        (smooth, "420", dict()),
+        (smooth, "422", dict()),
+        (noise, "444", dict()),
+        (smooth, "444", dict(bands=((1, 5), (6, 63)))),       # spectral bands
+        (smooth, "444", dict(al_ac=2, al_dc=2)),              # 2-bit SA
+        (noise, "444", dict(restart_interval=2)),             # RSTn in scans
+        (noise, "420", dict(bands=((1, 2), (3, 20), (21, 63)),
+                            al_ac=2, restart_interval=3)),    # everything
+    ]
+    for i, (img, sub, kw) in enumerate(cases):
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub, **kw))
+        assert prog.shape == base.shape, i
+        assert (prog == base).all(), f"case {i}: progressive != baseline"
+
+    # distributed: the FFD8 dispatch handles progressive streams too
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(smooth, subsampling="420")))],
+        "img_id long, content binary",
+    )
+    out = decode_image(TidyFrame(df)).collect()
+    assert (int(out.loc[0, "height"]), int(out.loc[0, "width"])) == (24, 31)

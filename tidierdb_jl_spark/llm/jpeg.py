@@ -1,19 +1,22 @@
-"""Pure-Python baseline JPEG decoder (ITU-T T.81 sequential DCT, 8-bit).
+"""Pure-Python JPEG decoder (ITU-T T.81, 8-bit DCT).
 
 Closes the last common image format that previously required
 ``fake=True`` in :mod:`multimodal`: web corpora are dominated by
 JPEG/PNG, and this container ships no codec library.  Scope:
 
-- baseline sequential DCT (SOF0), 8-bit precision
+- baseline sequential DCT (SOF0/SOF1), 8-bit precision
+- progressive DCT (SOF2): spectral selection, successive approximation
+  (DC and AC first + refinement scans, EOB runs — T.81 Annex G)
 - 1 (grayscale) or 3 (YCbCr) components
 - chroma subsampling 4:4:4, 4:2:2, 4:2:0 (h/v factors 1-2)
 - restart intervals (DRI/RSTn), multiple DQT/DHT segments
-- progressive (SOF2), arithmetic coding, 12-bit: ``NotImplementedError``
+- hierarchical, lossless, arithmetic coding, 12-bit:
+  ``NotImplementedError``
 
-The hot loop is per-coefficient Python (fine for test-scale images; a
-production deployment vendors libjpeg-turbo), but the IDCT runs as one
-numpy basis-matrix sandwich per block and the color transform is one
-vectorized pass per image.
+The entropy hot loop is per-coefficient Python (fine for test-scale
+images; a production deployment vendors libjpeg-turbo), but the final
+reconstruction (dezigzag, dequant, IDCT, color) runs as vectorized
+numpy over all blocks at once.
 """
 
 from __future__ import annotations
@@ -136,6 +139,8 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) where comps = [(id, hf, vf, tq), ...]
+    progressive = False
+    coeff = None  # per-comp (blocks_y, blocks_x, 64) int32, zigzag order
     n = len(blob)
 
     while pos < n:
@@ -168,7 +173,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 vals = seg[o + 17 : o + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
@@ -177,10 +182,12 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential supported"
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential and "
+                "progressive supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -193,11 +200,23 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 ci = next(j for j, c in enumerate(frame[2]) if c[0] == cs)
                 scan.append((ci, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                blob, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    blob, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coeff is None:
+                coeff = _alloc_coeff(frame)
+            pos = _decode_prog_scan(
+                blob, pos + seglen, frame, scan, ss, se, ahal >> 4,
+                ahal & 0xF, coeff, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coeff is not None:
+        return _reconstruct(frame, coeff, qt)
     raise ValueError("JPEG: no SOS marker found")
 
 
@@ -254,6 +273,204 @@ def _decode_scan(blob, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     # upsample each component to full MCU-grid resolution, crop to (h, w)
     full = []
     for (cid, hf, vf, tq), plane in zip(comps, planes):
+        if hf != hmax or vf != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vf, 0), hmax // hf, 1)
+        full.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coeff(frame):
+    """Per-component coefficient store spanning the padded MCU grid
+    (zigzag order) — progressive scans accumulate into these across the
+    whole file, reconstruction happens once at EOI."""
+    _h, _w, comps = frame
+    _hm, _vm, mcux, mcuy = _geometry(frame)
+    return [
+        np.zeros((mcuy * vf, mcux * hf, 64), np.int32)
+        for _cid, hf, vf, _tq in comps
+    ]
+
+
+def _scan_resume_pos(r):
+    """Byte position for the marker loop to resume at after an
+    entropy-coded scan: if the reader already consumed a marker, back up
+    so the loop sees it; otherwise resume at the read head (the loop
+    itself skips pad bytes while searching for 0xFF)."""
+    return r.pos - 2 if r.marker is not None else r.pos
+
+
+def _decode_prog_scan(
+    blob, pos, frame, scan, ss, se, ah, al, coeff, huff_dc, huff_ac,
+    restart_interval,
+):
+    """One progressive scan (T.81 Annex G.2): DC or AC band, first or
+    refinement pass, into the persistent ``coeff`` arrays.  Returns the
+    blob position for the marker loop to resume at."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    r = _BitReader(blob, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    def reset():
+        state["eobrun"] = 0
+        state["pred"] = [0] * len(comps)
+
+    def dc_unit(ci, dct, by, bx):
+        c = coeff[ci][by, bx]
+        if ah == 0:
+            t = _huff_decode(r, huff_dc[dct])
+            diff = _extend(r.read(t), t) if t else 0
+            state["pred"][ci] += diff
+            c[0] = state["pred"][ci] << al
+        else:
+            if r.read(1):
+                c[0] |= 1 << al
+
+    def ac_first(ci, act, by, bx):
+        c = coeff[ci][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, huff_ac[act])
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:
+                    state["eobrun"] = (1 << rr) - 1
+                    if rr:
+                        state["eobrun"] += r.read(rr)
+                    break
+                k += 16  # ZRL
+            else:
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG: AC index past band end")
+                c[k] = _extend(r.read(s), s) << al
+                k += 1
+
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(c, k):
+        """Correction bit for a coefficient with nonzero history."""
+        if r.read(1) and (c[k] & p1) == 0:
+            c[k] += p1 if c[k] >= 0 else m1
+
+    def ac_refine(ci, act, by, bx):
+        c = coeff[ci][by, bx]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(r, huff_ac[act])
+                rr, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rr < 15:
+                        state["eobrun"] = 1 << rr
+                        if rr:
+                            state["eobrun"] += r.read(rr)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if r.read(1) else m1
+                else:
+                    raise ValueError("JPEG: invalid AC refinement symbol")
+                # advance past rr zero-history coefficients, emitting
+                # correction bits for any nonzero-history ones passed over
+                while k <= se:
+                    if c[k] != 0:
+                        refine_nonzero(c, k)
+                    else:
+                        if rr == 0:
+                            if s:
+                                c[k] = val
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if state["eobrun"] > 0:
+            # EOB span covers the rest of this block: correction bits only
+            while k <= se:
+                if c[k] != 0:
+                    refine_nonzero(c, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: DC scan with Se != 0")
+        unit = dc_unit
+    else:
+        if len(scan) != 1:
+            raise ValueError("JPEG: interleaved AC progressive scan")
+        unit = ac_first if ah == 0 else ac_refine
+
+    count = 0
+
+    def maybe_restart():
+        nonlocal count
+        if restart_interval and count and count % restart_interval == 0:
+            r.sync_rst()
+            reset()
+        count += 1
+
+    if len(scan) > 1:
+        # interleaved (DC scans over multiple components): MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, dct, _act in scan:
+                    _cid, hf, vf, _tq = comps[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            dc_unit(ci, dct, my * vf + by, mx * hf + bx)
+    else:
+        # non-interleaved: the component's own block grid, NOMINAL size
+        # (ceil of scaled dims — not padded to the MCU grid)
+        ci, dct, act = scan[0]
+        _cid, hf, vf, _tq = comps[ci]
+        bw_n = (-(-w * hf // hmax) + 7) // 8
+        bh_n = (-(-h * vf // vmax) + 7) // 8
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                maybe_restart()
+                if ss == 0:
+                    dc_unit(ci, dct, by, bx)
+                else:
+                    unit(ci, act, by, bx)
+    return _scan_resume_pos(r)
+
+
+def _reconstruct(frame, coeff, qt):
+    """Dequantize + IDCT + upsample + color for accumulated coefficient
+    arrays — vectorized numpy over all blocks at once."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy = _geometry(frame)
+    full = []
+    for (cid, hf, vf, tq), ca in zip(comps, coeff):
+        bh, bw = ca.shape[:2]
+        deq = np.zeros((bh, bw, 64), np.float64)
+        deq[..., _ZIGZAG] = ca * qt[tq]
+        blocks = deq.reshape(bh, bw, 8, 8)
+        px = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if hf != hmax or vf != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vf, 0), hmax // hf, 1)
         full.append(plane[:h, :w])

@@ -12,12 +12,12 @@ Python worker per partition, batches of rows, never per-row UDF overhead.
 
 Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
 P3 ASCII), 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + scanline
-unfilter — gray/RGB/RGBA/palette), baseline sequential JPEG (huffman +
+unfilter — gray/RGB/RGBA/palette), baseline AND progressive JPEG (huffman +
 dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), GIF87a/89a including
 animation (variable-width LZW + disposal compositing, see :mod:`.gif` —
 ``frame_sample`` walks real animated-GIF timelines), and PCM16 WAV —
 real decode paths testable in any environment.  Remaining full-codec
-formats (progressive JPEG/WebP/MP3/MP4) need libraries NOT in this
+formats (WebP/MP3/MP4) need libraries NOT in this
 container, so those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
@@ -51,10 +51,10 @@ __all__ = [
 
 def _decode_image_blob(blob: bytes) -> "np.ndarray":
     """bytes → HxWx3 uint8 array for PPM P6/P3, 24-bit uncompressed BMP,
-    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), baseline
-    sequential JPEG (see :mod:`.jpeg`), and GIF87a/89a first frame (see
+    8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), baseline and
+    progressive JPEG (see :mod:`.jpeg`), and GIF87a/89a first frame (see
     :mod:`.gif`).  Raises NotImplementedError for anything else
-    (progressive JPEG, MP3, video ...)."""
+    (WebP, MP3, video ...)."""
     if blob[:2] in (b"P6", b"P3"):
         return _decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -71,7 +71,7 @@ def _decode_image_blob(blob: bytes) -> "np.ndarray":
         return decode_gif(blob)
     raise NotImplementedError(
         f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
-        "covers PPM P6/P3, BMP-24, PNG-8, baseline JPEG and GIF — pass "
+        "covers PPM P6/P3, BMP-24, PNG-8, JPEG (baseline+progressive) and GIF — pass "
         "fake=True for other formats"
     )
 
