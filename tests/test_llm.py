@@ -807,11 +807,13 @@ def test_multimodal_real_codecs(spark):
     assert "fake=True" in str(ei.value) or "unsupported" in str(ei.value)
 
 
-def _ref_png_encode(arr, ctype, filters, palette=None):
+def _ref_png_encode(arr, ctype, filters, palette=None, interlace=False):
     """Independent PNG writer for the decoder oracle: encodes with an
     EXPLICIT per-scanline filter choice so every unfilter path
-    (None/Sub/Up/Average/Paeth) is exercised.  Written from RFC 2083
-    directly — shares no code with the decoder under test."""
+    (None/Sub/Up/Average/Paeth) is exercised; ``interlace=True`` emits
+    the Adam7 seven-pass layout (each pass filtered independently).
+    Written from RFC 2083 directly — shares no code with the decoder
+    under test."""
     import struct
     import zlib
 
@@ -825,34 +827,51 @@ def _ref_png_encode(arr, ctype, filters, palette=None):
 
     h, w = arr.shape[:2]
     channels = arr.shape[2] if arr.ndim == 3 else 1
-    pix = arr.reshape(h, w * channels).astype(np.int32)
+    img = arr.reshape(h, w, channels).astype(np.int32)
     bpp = channels
-    raw = b""
-    for y in range(h):
-        row = pix[y]
-        prev = pix[y - 1] if y > 0 else np.zeros_like(row)
-        ft = filters[y % len(filters)]
-        enc = np.zeros_like(row)
-        for i in range(len(row)):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) >> 1
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            enc[i] = (row[i] - pred) & 0xFF
-        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+
+    def filter_rows(pix):
+        ph = pix.shape[0]
+        body = b""
+        for y in range(ph):
+            row = pix[y]
+            prev = pix[y - 1] if y > 0 else np.zeros_like(row)
+            ft = filters[y % len(filters)]
+            enc = np.zeros_like(row)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+            body += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        return body
+
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filter_rows(sub.reshape(sub.shape[0], -1))
+    else:
+        raw = filter_rows(img.reshape(h, w * channels))
     out = b"\x89PNG\r\n\x1a\n"
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += chunk(b"IHDR",
+                 struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace)))
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     out += chunk(b"IDAT", zlib.compress(raw))
@@ -921,10 +940,21 @@ def test_png_decode_real(spark):
 
     with _pytest.raises(NotImplementedError):
         _decode_image_blob(_ref_png_encode(rgb, 2, [0])[:8] + b"\x00" * 4)  # no IHDR
-    interlaced = bytearray(_ref_png_encode(rgb, 2, [0]))
-    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
-    with _pytest.raises(NotImplementedError):
-        _decode_image_blob(bytes(interlaced))
+    # Adam7 interlace decodes for real now: all five color types, every
+    # filter, odd dims exercising empty/partial passes — pixel-exact
+    for k, (arr2, ct, flt, pal, want) in {
+        6: (rgb, 2, [0, 1, 2, 3, 4], None, rgb),
+        7: (rgba, 6, [4, 3, 2, 1, 0], None, rgba[..., :3]),
+        8: (gray, 0, [1, 4], None, np.repeat(gray, 3, axis=2)),
+        9: (pidx, 3, [0, 1], palette, palette[pidx[..., 0]]),
+    }.items():
+        blob = _ref_png_encode(arr2, ct, flt, palette=pal, interlace=True)
+        got = _decode_image_blob(blob)
+        assert got.shape == want.shape, k
+        assert (got == want).all(), f"interlaced case {k}: pixel mismatch"
+    tiny = rng.randint(0, 256, (3, 2, 3)).astype(np.uint8)  # empty passes
+    assert (_decode_image_blob(_ref_png_encode(tiny, 2, [4], interlace=True))
+            == tiny).all()
 
 
 def test_pq_recall_and_encode(tables):

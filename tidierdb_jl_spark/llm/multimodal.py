@@ -146,14 +146,30 @@ def _decode_png(blob: bytes) -> "np.ndarray":
         raise NotImplementedError("PNG missing IHDR")
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype}")
     raw = zlib.decompress(idat)
-    rowbytes = w * channels
-    arr = _png_unfilter(raw, w, h, channels, rowbytes).reshape(h, w, channels)
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        arr = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = pw * channels
+            sub = _png_unfilter(
+                raw[pos : pos + ph * (1 + rb)], pw, ph, channels, rb
+            ).reshape(ph, pw, channels)
+            pos += ph * (1 + rb)
+            arr[y0::dy, x0::dx] = sub
+    else:
+        rowbytes = w * channels
+        arr = _png_unfilter(raw, w, h, channels, rowbytes).reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise NotImplementedError("palette PNG missing PLTE")
