@@ -180,7 +180,12 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hf_, vf_ = hv >> 4, hv & 0xF
+                if not (1 <= hf_ <= 4 and 1 <= vf_ <= 4):
+                    raise ValueError(f"JPEG: invalid sampling factors {hf_}x{vf_}")
+                comps.append((cid, hf_, vf_, tq))
+            if h == 0 or w == 0 or not comps:
+                raise ValueError("JPEG: empty frame")
             frame = (h, w, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -198,7 +203,11 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             scan = []  # (comp_idx, dc_tbl, ac_tbl)
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                ci = next(j for j, c in enumerate(frame[2]) if c[0] == cs)
+                ci = next(
+                    (j for j, c in enumerate(frame[2]) if c[0] == cs), None
+                )
+                if ci is None:
+                    raise ValueError(f"JPEG: scan references unknown component {cs}")
                 scan.append((ci, tt >> 4, tt & 0xF))
             if not progressive:
                 return _decode_scan(
