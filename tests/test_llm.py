@@ -1433,3 +1433,114 @@ def test_image_codecs_robust_to_corruption():
             continue
         assert isinstance(out, np.ndarray) and out.ndim == 3, trial
         assert out.dtype == np.uint8 and out.shape[2] == 3, trial
+
+
+def _ref_mp3_frames(specs, id3v2=0, id3v1=False):
+    """Independent MPEG-audio stream builder (ISO 11172-3 header layout):
+    ``specs`` = list of (version, layer, bitrate_kbps, sample_rate,
+    mono) frames with dummy payloads; optional ID3v2 prefix and ID3v1
+    trailer."""
+    V = {1: 3, 2: 2, 2.5: 0}
+    RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+             0: [11025, 12000, 8000]}
+    BR = {
+        (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+        (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+        (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+        (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+        (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+        (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    }
+    out = bytearray()
+    if id3v2:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3v2 >> 21) & 0x7F, (id3v2 >> 14) & 0x7F,
+             (id3v2 >> 7) & 0x7F, id3v2 & 0x7F]
+        ) + bytes(id3v2)
+    for ver, layer, kbps, rate, mono in specs:
+        vb = V[ver]
+        vgroup = 1 if vb == 3 else 2
+        br_idx = BR[(vgroup, layer)].index(kbps) + 1
+        sr_idx = RATES[vb].index(rate)
+        h = (0x7FF << 21) | (vb << 19) | ((4 - layer) << 17) | (1 << 16)
+        h |= (br_idx << 12) | (sr_idx << 10) | ((3 if mono else 0) << 6)
+        if layer == 1:
+            samples = 384
+            flen = (12 * kbps * 1000 // rate) * 4
+        else:
+            samples = 1152 if (layer == 2 or vb == 3) else 576
+            flen = (samples // 8) * kbps * 1000 // rate
+        out += h.to_bytes(4, "big") + bytes(flen - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def test_audio_metadata_mp3_and_wav(spark):
+    """Container-metadata extraction without sample decode: exact MP3
+    frame-walk duration (CBR + VBR, MPEG1/2/2.5, layers I-III, ID3v2/v1
+    skip), WAV header metadata, NULLs for unknown containers."""
+    import numpy as np
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.mp3 import parse_mp3
+    from tidierdb_jl_spark.llm.multimodal import extract_audio_metadata
+
+    # CBR MPEG1 Layer III stereo 44.1k: 40 frames x 1152 samples
+    cbr = _ref_mp3_frames([(1, 3, 128, 44100, False)] * 40)
+    m = parse_mp3(cbr)
+    assert m == {"duration_ms": round(40 * 1152 * 1000 / 44100),
+                 "sample_rate": 44100, "channels": 2, "bitrate_kbps": 128,
+                 "n_frames": 40, "vbr": False}
+
+    # VBR with ID3 tags both ends, mono
+    vbr = _ref_mp3_frames(
+        [(1, 3, 128, 44100, True)] * 10 + [(1, 3, 320, 44100, True)] * 10,
+        id3v2=77, id3v1=True,
+    )
+    m = parse_mp3(vbr)
+    assert m["vbr"] and m["n_frames"] == 20 and m["channels"] == 1
+    assert m["bitrate_kbps"] == (128 * 10 + 320 * 10) / 20
+    assert m["duration_ms"] == round(20 * 1152 * 1000 / 44100)
+
+    # every version/layer family parses with its own samples-per-frame
+    for ver, layer, kbps, rate, spf in [
+        (1, 1, 256, 48000, 384), (1, 2, 192, 32000, 1152),
+        (2, 3, 64, 22050, 576), (2.5, 3, 32, 8000, 576),
+        (2, 2, 80, 24000, 1152),
+    ]:
+        m = parse_mp3(_ref_mp3_frames([(ver, layer, kbps, rate, False)] * 7))
+        assert m["n_frames"] == 7 and m["sample_rate"] == rate
+        assert m["duration_ms"] == round(7 * spf * 1000 / rate), (ver, layer)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp3(b"\x00" * 64)
+
+    # distributed: WAV + MP3 + unknown through one mapInPandas pass
+    import struct as _struct
+    import wave as _wave
+    import io as _io
+
+    pcm = (np.sin(np.arange(8000) / 10) * 20000).astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+        wf.writeframes(pcm.tobytes())
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(vbr)),
+            (3, bytearray(b"OggS" + bytes(60))), (4, None)]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    out = extract_audio_metadata(TidyFrame(df)).collect().set_index("i")
+    assert out.loc[1, "codec"] == "wav" and out.loc[1, "duration_ms"] == 1000
+    assert out.loc[1, "sample_rate"] == 8000 and out.loc[1, "bitrate_kbps"] == 128.0
+    assert out.loc[2, "codec"] == "mp3" and bool(out.loc[2, "vbr"])
+    assert out.loc[2, "duration_ms"] == round(20 * 1152 * 1000 / 44100)
+    assert out.loc[3, "codec"] is None or pd_isna_safe(out.loc[3, "codec"])
+    assert out.loc[4, "codec"] is None or pd_isna_safe(out.loc[4, "codec"])
+
+
+def pd_isna_safe(v):
+    import pandas as pd
+
+    return pd.isna(v)

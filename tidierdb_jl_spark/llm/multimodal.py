@@ -16,9 +16,11 @@ unfilter — gray/RGB/RGBA/palette), baseline AND progressive JPEG (huffman +
 dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), GIF87a/89a including
 animation (variable-width LZW + disposal compositing, see :mod:`.gif` —
 ``frame_sample`` walks real animated-GIF timelines), and PCM16 WAV —
-real decode paths testable in any environment.  Remaining full-codec
-formats (WebP/MP3/MP4) need libraries NOT in this
-container, so those blobs raise
+real decode paths testable in any environment.  MPEG audio (MP3) gets
+real CONTAINER metadata — exact frame-walk duration/rate/VBR via
+:func:`extract_audio_metadata` (see :mod:`.mp3`) — without sample
+decode.  Remaining full-sample codecs (WebP/MP3 samples/MP4) need
+libraries NOT in this container, so those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
 (schemas, batch iteration, partitioning) is identical either way.
@@ -40,6 +42,7 @@ __all__ = [
     "decode_image",
     "resize_image",
     "extract_audio_features",
+    "extract_audio_metadata",
     "frame_sample",
     "read_media_files",
 ]
@@ -422,6 +425,77 @@ def extract_audio_features(tf, content_col: str = "content", fake: bool = False)
             pdf["duration_ms"] = pdf["duration_ms"].astype("int64")
             pdf["zero_crossings"] = pdf["zero_crossings"].astype("int64")
             yield pdf
+
+    from ..core import TidyFrame
+
+    return TidyFrame(tf.df.mapInPandas(run, out_schema))
+
+
+def extract_audio_metadata(tf, content_col: str = "content"):
+    """Audio bytes → CONTAINER metadata, no sample decode: (codec,
+    duration_ms, sample_rate, channels, bitrate_kbps, vbr).  Real for
+    PCM16 WAV (RIFF header) and MPEG audio / MP3 (frame-header walk with
+    ID3v2/v1 skip — see :mod:`.mp3`; exact VBR duration from per-frame
+    samples).  This is the filter/bucket pass an audio corpus runs over
+    everything — duration and rate gates don't need decoded samples.
+    Unknown containers yield NULL metadata rather than failing the batch
+    (a corpus scan must not die on one odd file)."""
+    out_schema = T.StructType(
+        list(tf.df.schema.fields)
+        + [
+            T.StructField("codec", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bitrate_kbps", T.DoubleType()),
+            T.StructField("vbr", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import wave
+
+        from .mp3 import parse_mp3
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("codec", "duration_ms", "sample_rate", "channels",
+                     "bitrate_kbps", "vbr")}
+
+            def put(codec=None, duration_ms=None, sample_rate=None,
+                    channels=None, bitrate_kbps=None, vbr=None):
+                rows["codec"].append(codec)
+                rows["duration_ms"].append(duration_ms)
+                rows["sample_rate"].append(sample_rate)
+                rows["channels"].append(channels)
+                rows["bitrate_kbps"].append(bitrate_kbps)
+                rows["vbr"].append(vbr)
+
+            for blob in pdf[content_col]:
+                src = bytes(blob) if blob is not None else b""
+                try:
+                    if src[:4] == b"RIFF" and src[8:12] == b"WAVE":
+                        with wave.open(io.BytesIO(src)) as wf:
+                            rate = wf.getframerate()
+                            nch = wf.getnchannels()
+                            nfr = wf.getnframes()
+                            width = wf.getsampwidth()
+                        put("wav", round(nfr * 1000 / rate), rate, nch,
+                            rate * nch * width * 8 / 1000.0, False)
+                    elif src[:3] == b"ID3" or (
+                        len(src) >= 2 and src[0] == 0xFF and src[1] & 0xE0 == 0xE0
+                    ):
+                        m = parse_mp3(src)
+                        put("mp3", m["duration_ms"], m["sample_rate"],
+                            m["channels"], float(m["bitrate_kbps"]), m["vbr"])
+                    else:
+                        put()
+                except Exception:
+                    put()
+            yield pdf.assign(**rows).astype(
+                {"duration_ms": "Int64", "sample_rate": "Int32",
+                 "channels": "Int32", "vbr": "boolean"}
+            )
 
     from ..core import TidyFrame
 
