@@ -1544,3 +1544,84 @@ def pd_isna_safe(v):
     import pandas as pd
 
     return pd.isna(v)
+
+
+def _ref_mp4(tracks, timescale=1000, duration=None, brand=b"isom"):
+    """Independent ISO-BMFF builder (ISO 14496-12 box layout): ``tracks``
+    = list of dicts with keys handler ('vide'/'soun'), codec (fourcc),
+    width/height."""
+    import struct as _s
+
+    def box(btype, payload):
+        return _s.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype, ver, flags, payload):
+        return box(btype, bytes([ver]) + flags.to_bytes(3, "big") + payload)
+
+    traks = b""
+    for t in tracks:
+        w, h = t.get("width", 0), t.get("height", 0)
+        # v0: 72 bytes (times/ids/layer/volume/matrix) between verflags
+        # and the 16.16 width/height — total payload 84 per ISO 14496-12
+        tkhd = full(b"tkhd", 0, 7, bytes(72) + _s.pack(">II", w << 16, h << 16))
+        hdlr = full(b"hdlr", 0, 0, bytes(4) + t["handler"].encode() + bytes(13))
+        entry = box(t["codec"].encode(), bytes(8))
+        stsd = full(b"stsd", 0, 0, _s.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdhd = full(b"mdhd", 0, 0, _s.pack(">IIIIHH", 0, 0, timescale,
+                                           duration or 0, 0x55C4, 0))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", 0, 0, _s.pack(">IIII", 0, 0, timescale, duration or 0)
+                + bytes(80))
+    moov = box(b"moov", mvhd + traks)
+    return box(b"ftyp", brand + bytes(4) + b"isomiso2") + moov + box(b"mdat", bytes(16))
+
+
+def test_video_metadata_mp4_and_gif(spark):
+    """Container-metadata extraction for video: MP4 box-tree walk
+    (duration from mvhd timescale, dimensions from tkhd 16.16 fixed
+    point, per-handler codec fourcc from stsd) and animated GIF (exact
+    summed frame delays); NULLs for unknown containers."""
+    import numpy as np
+
+    from gif_ref import encode_animated_gif
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.mp4 import parse_mp4
+    from tidierdb_jl_spark.llm.multimodal import extract_video_metadata
+
+    mp4 = _ref_mp4(
+        [dict(handler="vide", codec="avc1", width=640, height=360),
+         dict(handler="soun", codec="mp4a")],
+        timescale=600, duration=3300,  # 5.5 s
+    )
+    m = parse_mp4(mp4)
+    assert m["duration_ms"] == 5500 and m["timescale"] == 600
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_tracks"] == 2 and m["major_brand"] == "isom"
+    assert m["video_codec"] == "avc1" and m["audio_codec"] == "mp4a"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 64)
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    gif = encode_animated_gif(
+        [dict(idx=rng.randint(0, 8, (10, 12)).astype(np.uint8), delay_ms=100),
+         dict(idx=rng.randint(0, 8, (10, 12)).astype(np.uint8), delay_ms=250)],
+        pal, (12, 10),
+    )
+
+    rows = [(1, bytearray(mp4)), (2, bytearray(gif)),
+            (3, bytearray(b"RIFF" + bytes(20))), (4, None)]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    out = extract_video_metadata(TidyFrame(df)).collect().set_index("i")
+    assert out.loc[1, "container"] == "mp4" and out.loc[1, "duration_ms"] == 5500
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (640, 360)
+    assert out.loc[1, "video_codec"] == "avc1"
+    assert out.loc[2, "container"] == "gif" and out.loc[2, "duration_ms"] == 350
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (12, 10)
+    assert pd_isna_safe(out.loc[3, "container"]) and pd_isna_safe(out.loc[4, "container"])

@@ -19,7 +19,10 @@ animation (variable-width LZW + disposal compositing, see :mod:`.gif` —
 real decode paths testable in any environment.  MPEG audio (MP3) gets
 real CONTAINER metadata — exact frame-walk duration/rate/VBR via
 :func:`extract_audio_metadata` (see :mod:`.mp3`) — without sample
-decode.  Remaining full-sample codecs (WebP/MP3 samples/MP4) need
+decode; MP4/ISO-BMFF likewise gets real container metadata (duration,
+dimensions, codec fourcc via :func:`extract_video_metadata`, see
+:mod:`.mp4`).  Remaining full-sample codecs (WebP, MP3/AAC samples,
+H.264/H.265 frames) need
 libraries NOT in this container, so those blobs raise
 ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic stand-in (hash-derived pixels) — the Spark-side plumbing
@@ -43,6 +46,7 @@ __all__ = [
     "resize_image",
     "extract_audio_features",
     "extract_audio_metadata",
+    "extract_video_metadata",
     "frame_sample",
     "read_media_files",
 ]
@@ -495,6 +499,76 @@ def extract_audio_metadata(tf, content_col: str = "content"):
             yield pdf.assign(**rows).astype(
                 {"duration_ms": "Int64", "sample_rate": "Int32",
                  "channels": "Int32", "vbr": "boolean"}
+            )
+
+    from ..core import TidyFrame
+
+    return TidyFrame(tf.df.mapInPandas(run, out_schema))
+
+
+def extract_video_metadata(tf, content_col: str = "content"):
+    """Video-container bytes → metadata, no frame decode: (container,
+    duration_ms, width, height, n_tracks, video_codec, audio_codec).
+    Real for MP4/ISO-BMFF (box-tree walk, see :mod:`.mp4`) and animated
+    GIF (frame iteration, exact summed delays).  The gate/bucket pass a
+    video corpus runs over everything; unknown containers yield NULLs
+    rather than failing the batch."""
+    out_schema = T.StructType(
+        list(tf.df.schema.fields)
+        + [
+            T.StructField("container", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        from .gif import iter_gif_frames
+        from .mp4 import parse_mp4
+
+        for pdf in batches:
+            cols = {k: [] for k in ("container", "duration_ms", "width",
+                                    "height", "n_tracks", "video_codec",
+                                    "audio_codec")}
+
+            def put(container=None, duration_ms=None, width=None, height=None,
+                    n_tracks=None, video_codec=None, audio_codec=None):
+                cols["container"].append(container)
+                cols["duration_ms"].append(duration_ms)
+                cols["width"].append(width)
+                cols["height"].append(height)
+                cols["n_tracks"].append(n_tracks)
+                cols["video_codec"].append(video_codec)
+                cols["audio_codec"].append(audio_codec)
+
+            for blob in pdf[content_col]:
+                src = bytes(blob) if blob is not None else b""
+                try:
+                    if src[:6] in (b"GIF87a", b"GIF89a"):
+                        total = 0
+                        n = 0
+                        w = h = None
+                        for delay, canvas in iter_gif_frames(src):
+                            total += delay
+                            n += 1
+                            if w is None:
+                                h, w = canvas.shape[:2]
+                        put("gif", total, w, h, 1, "gif", None)
+                    elif src[4:8] in (b"ftyp", b"moov", b"mdat"):
+                        m = parse_mp4(src)
+                        put("mp4", m["duration_ms"], m["width"], m["height"],
+                            m["n_tracks"], m["video_codec"], m["audio_codec"])
+                    else:
+                        put()
+                except Exception:
+                    put()
+            yield pdf.assign(**cols).astype(
+                {"duration_ms": "Int64", "width": "Int32", "height": "Int32",
+                 "n_tracks": "Int32"}
             )
 
     from ..core import TidyFrame
