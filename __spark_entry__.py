@@ -3451,6 +3451,64 @@ def _t75(t):
 _BUILDERS["t75_main_content"] = _t75
 
 
+def _m41(t):
+    """Audio container metadata without sample decode: synthesize real
+    PCM16 WAV (even doc_ids: n_chars samples at 8 kHz mono) and MPEG1
+    Layer-III CBR streams ((doc_id mod 20)+1 frames at 44.1 kHz, with an
+    ID3v2 tag to skip) per document, run them through
+    ``extract_audio_metadata`` (RIFF header read / MP3 frame walk), and
+    return the parsed fields.  The oracle predicts every field in closed
+    form from doc_id/n_chars — a hash match proves the header arithmetic
+    (sample counts, frame lengths, tag skipping) end-to-end."""
+    import io
+    import wave
+
+    from pyspark.sql import types as T
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.multimodal import extract_audio_metadata
+
+    base = t["documents"].filter("doc_id < 200").select("doc_id", "n_chars")
+    schema = T.StructType(
+        list(base.df.schema.fields) + [T.StructField("content", T.BinaryType())]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if did % 2 == 0:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(bytes(2 * int(n_chars)))
+                    blobs.append(buf.getvalue())
+                else:
+                    # MPEG1 Layer III, 128 kbps, 44.1 kHz, mono:
+                    # header 0xFFFB9xC0, frame length 417 bytes
+                    frames = int(did) % 20 + 1
+                    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+                        | (9 << 12) | (0 << 10) | (3 << 6)
+                    frame = hdr.to_bytes(4, "big") + bytes(
+                        (1152 // 8) * 128 * 1000 // 44100 - 4
+                    )
+                    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+                    blobs.append(id3 + frame * frames)
+            yield pdf.assign(content=blobs)
+
+    media = TidyFrame(base.df.mapInPandas(build, schema))
+    return (
+        extract_audio_metadata(media)
+        .mutate(duration_ms="CAST(duration_ms AS BIGINT)")
+        .select("doc_id", "codec", "duration_ms", "sample_rate", "channels")
+    )
+
+
+_BUILDERS["m41_audio_metadata"] = _m41
+
+
 def _lang_score_parts() -> tuple[list, str]:
     """Shared DuckDB SQL pieces for the stopword language heuristic:
     (per-language score column exprs over ``toks``, the CASE picking the
@@ -5950,6 +6008,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {_mce(_MC_WRAP, dialect="duckdb")} AS main_text
         FROM documents
+    """
+    out["m41_audio_metadata"] = r"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS codec,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN round(n_chars * 1000.0 / 8000)
+                         ELSE round((doc_id % 20 + 1) * 1152 * 1000.0 / 44100)
+                    END AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 44100 END AS INT)
+                 AS sample_rate,
+               CAST(1 AS INT) AS channels
+        FROM documents
+        WHERE doc_id < 200
     """
     out["w50_warc_ingest"] = r"""
         SELECT doc_id,

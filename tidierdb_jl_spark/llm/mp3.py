@@ -103,7 +103,9 @@ def parse_mp3(blob: bytes) -> dict:
     if n_frames == 0 or rate is None:
         raise ValueError("MP3: no valid MPEG audio frames found")
     return {
-        "duration_ms": round(total_samples * 1000 / rate),
+        # half-up (not Python's half-even): matches SQL round(), keeping
+        # metadata oracle-comparable across engines
+        "duration_ms": int(total_samples * 1000 / rate + 0.5),
         "sample_rate": rate,
         "channels": channels,
         "bitrate_kbps": round(kbps_sum / n_frames, 3),

@@ -72,7 +72,7 @@ def parse_mp4(blob: bytes) -> dict:
                     ts, dur = struct.unpack_from(">II", blob, ps + 12)
                 out["timescale"] = ts
                 if ts:
-                    out["duration_ms"] = round(dur * 1000 / ts)
+                    out["duration_ms"] = int(dur * 1000 / ts + 0.5)
             elif btype == b"trak":
                 out["n_tracks"] += 1
                 walk(ps, pe, depth + 1)

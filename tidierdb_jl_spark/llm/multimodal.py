@@ -484,7 +484,7 @@ def extract_audio_metadata(tf, content_col: str = "content"):
                             nch = wf.getnchannels()
                             nfr = wf.getnframes()
                             width = wf.getsampwidth()
-                        put("wav", round(nfr * 1000 / rate), rate, nch,
+                        put("wav", int(nfr * 1000 / rate + 0.5), rate, nch,
                             rate * nch * width * 8 / 1000.0, False)
                     elif src[:3] == b"ID3" or (
                         len(src) >= 2 and src[0] == 0xFF and src[1] & 0xE0 == 0xE0
