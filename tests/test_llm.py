@@ -1625,3 +1625,51 @@ def test_video_metadata_mp4_and_gif(spark):
     assert out.loc[2, "container"] == "gif" and out.loc[2, "duration_ms"] == 350
     assert (out.loc[2, "width"], out.loc[2, "height"]) == (12, 10)
     assert pd_isna_safe(out.loc[3, "container"]) and pd_isna_safe(out.loc[4, "container"])
+
+
+def test_media_metadata_parsers_robust():
+    """Fuzz parse_mp3 / parse_mp4: corruptions and hostile inputs
+    (including deeply nested boxes) must parse a subset or raise
+    ValueError — never hang, recurse out, or return malformed dicts."""
+    import random
+    import struct as _s
+
+    from tidierdb_jl_spark.llm.mp3 import parse_mp3
+    from tidierdb_jl_spark.llm.mp4 import parse_mp4
+
+    rng = random.Random(41)
+    mp3 = _ref_mp3_frames([(1, 3, 128, 44100, False)] * 12, id3v2=30, id3v1=True)
+    mp4 = _ref_mp4([dict(handler="vide", codec="avc1", width=64, height=48)],
+                   timescale=1000, duration=2500)
+    # hostile: 64 levels of nested moov boxes
+    bomb = b""
+    for _ in range(64):
+        bomb = _s.pack(">I", len(bomb) + 8) + b"moov" + bomb
+    bomb = _s.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4) + bomb
+    try:
+        parse_mp4(bomb)
+    except ValueError:
+        pass
+
+    for trial in range(200):
+        seed, parse = (mp3, parse_mp3) if trial % 2 else (mp4, parse_mp4)
+        blob = bytearray(seed)
+        op = trial % 4
+        if op == 0:
+            blob = blob[: rng.randrange(1, len(blob))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        elif op == 2:
+            i = rng.randrange(len(blob))
+            blob = blob[:i] + blob[i + rng.randrange(1, 30):]
+        else:
+            blob += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 30)))
+        try:
+            out = parse(bytes(blob))
+        except (ValueError, IndexError, OverflowError):
+            continue
+        assert isinstance(out, dict)
+    # uncorrupted still parse
+    assert parse_mp3(mp3)["n_frames"] == 12
+    assert parse_mp4(mp4)["duration_ms"] == 2500

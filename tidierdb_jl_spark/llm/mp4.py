@@ -61,6 +61,8 @@ def parse_mp4(blob: bytes) -> dict:
     }
 
     def walk(start, end, depth=0):
+        if depth > 16:  # hostile nesting: real files are ~5 deep
+            return
         for btype, ps, pe in _boxes(blob, start, end):
             if btype == b"ftyp":
                 out["major_brand"] = blob[ps : ps + 4].decode("ascii", "replace")
