@@ -3509,6 +3509,74 @@ def _m41(t):
 _BUILDERS["m41_audio_metadata"] = _m41
 
 
+def _m42(t):
+    """Video container metadata: synthesize animated GIFs per document —
+    (doc_id mod 5)+1 frames of (doc_id mod 7 + 1)*10 ms each, 8x6 logical
+    screen, minimal 2-entry color table — run them through
+    ``extract_video_metadata`` (real multi-frame GIF walk), and return
+    the parsed fields; the oracle predicts duration/dimensions in closed
+    form.  Proves the animation timeline arithmetic (per-frame GCE delay
+    parsing + summation) end-to-end in one driver-checkable row."""
+    import struct as _s
+
+    from pyspark.sql import types as T
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.multimodal import extract_video_metadata
+
+    base = t["documents"].filter("doc_id < 200").select("doc_id")
+    schema = T.StructType(
+        list(base.df.schema.fields) + [T.StructField("content", T.BinaryType())]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = did % 5 + 1
+                delay_cs = did % 7 + 1  # GIF delays are centiseconds
+                out = bytearray(b"GIF89a")
+                out += _s.pack("<HHBBB", 8, 6, 0x80, 0, 0)  # 2-color GCT
+                out += bytes([0, 0, 0, 255, 255, 255])
+                # 8x6 of palette index (frame parity): LZW min code 2,
+                # literal codes with an initial clear (4=clear, 5=end)
+                for f in range(n_frames):
+                    out += b"\x21\xf9" + _s.pack("<BBHBB", 4, 0, delay_cs, 0, 0)
+                    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 8, 6, 0)
+                    out.append(2)  # min code size
+                    # bit-pack 3-bit codes LSB-first; a CLEAR before every
+                    # literal keeps the decoder's table below the 3->4 bit
+                    # growth threshold (the uncompressed-GIF idiom)
+                    acc = nacc = 0
+                    data = bytearray()
+                    for code in [4, f % 2] * 48 + [5]:
+                        acc |= code << nacc
+                        nacc += 3
+                        while nacc >= 8:
+                            data.append(acc & 0xFF)
+                            acc >>= 8
+                            nacc -= 8
+                    if nacc:
+                        data.append(acc & 0xFF)
+                    out.append(len(data))
+                    out += data
+                    out.append(0)
+                out += b"\x3b"
+                blobs.append(bytes(out))
+            yield pdf.assign(content=blobs)
+
+    media = TidyFrame(base.df.mapInPandas(build, schema))
+    return (
+        extract_video_metadata(media)
+        .mutate(duration_ms="CAST(duration_ms AS BIGINT)")
+        .select("doc_id", "container", "duration_ms", "width", "height", "n_tracks")
+    )
+
+
+_BUILDERS["m42_video_metadata"] = _m42
+
+
 def _lang_score_parts() -> tuple[list, str]:
     """Shared DuckDB SQL pieces for the stopword language heuristic:
     (per-language score column exprs over ``toks``, the CASE picking the
@@ -6008,6 +6076,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {_mce(_MC_WRAP, dialect="duckdb")} AS main_text
         FROM documents
+    """
+    out["m42_video_metadata"] = r"""
+        SELECT doc_id, 'gif' AS container,
+               CAST((doc_id % 5 + 1) * (doc_id % 7 + 1) * 10 AS BIGINT)
+                 AS duration_ms,
+               CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+               CAST(1 AS INT) AS n_tracks
+        FROM documents
+        WHERE doc_id < 200
     """
     out["m41_audio_metadata"] = r"""
         SELECT doc_id,
