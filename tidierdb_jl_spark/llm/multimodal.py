@@ -12,8 +12,10 @@ Python worker per partition, batches of rows, never per-row UDF overhead.
 
 Codec support: a vendored pure-Python decoder handles PPM (P6 binary /
 P3 ASCII), 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + scanline
-unfilter — gray/RGB/RGBA/palette), baseline AND progressive JPEG (huffman +
-dequant + numpy IDCT + YCbCr, see :mod:`.jpeg`), GIF87a/89a including
+unfilter — gray/RGB/RGBA/palette, Adam7 interlace), baseline AND
+progressive JPEG (huffman + dequant + numpy IDCT + YCbCr, see
+:mod:`.jpeg`), WebP lossless (VP8L: prefix codes + color cache + LZ77 +
+all four transforms, see :mod:`.webp`), GIF87a/89a including
 animation (variable-width LZW + disposal compositing, see :mod:`.gif` —
 ``frame_sample`` walks real animated-GIF timelines), and PCM16 WAV —
 real decode paths testable in any environment.  MPEG audio (MP3) gets
@@ -59,9 +61,9 @@ __all__ = [
 def _decode_image_blob(blob: bytes) -> "np.ndarray":
     """bytes → HxWx3 uint8 array for PPM P6/P3, 24-bit uncompressed BMP,
     8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), baseline and
-    progressive JPEG (see :mod:`.jpeg`), and GIF87a/89a first frame (see
-    :mod:`.gif`).  Raises NotImplementedError for anything else
-    (WebP, MP3, video ...)."""
+    progressive JPEG (see :mod:`.jpeg`), GIF87a/89a first frame (see
+    :mod:`.gif`), and WebP lossless / VP8L (see :mod:`.webp`).  Raises
+    NotImplementedError for anything else (lossy WebP, MP3, video ...)."""
     if blob[:2] in (b"P6", b"P3"):
         return _decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -76,10 +78,14 @@ def _decode_image_blob(blob: bytes) -> "np.ndarray":
         from .gif import decode_gif
 
         return decode_gif(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(blob)
     raise NotImplementedError(
         f"unsupported image format (magic {blob[:2]!r}); pure-Python decode "
-        "covers PPM P6/P3, BMP-24, PNG-8, JPEG (baseline+progressive) and GIF — pass "
-        "fake=True for other formats"
+        "covers PPM P6/P3, BMP-24, PNG-8, JPEG (baseline+progressive), GIF "
+        "and WebP lossless (VP8L) — pass fake=True for other formats"
     )
 
 
