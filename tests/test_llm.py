@@ -1731,3 +1731,74 @@ def test_webp_lossless_decode_real(spark):
     with _pytest.raises(NotImplementedError) as ei:
         _decode_image_blob(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
     assert "fake=True" in str(ei.value)
+
+
+def test_webp_predictor13_c_truncation():
+    """ADVICE r6: ClampAddSubtractHalf divides by 2 with C semantics
+    (truncate toward zero), not Python floor — they differ by 1 when
+    (ave - TL) is negative and odd.  Hand-computed case: TL=109, L=T=100
+    → ave=100, d=-9 → libwebp predicts 100 + trunc(-9/2) = 96 (the floor
+    bug gave 95).  The roundtrip oracle can't see this (encoder and
+    decoder shared the formula), so this pins the spec value directly."""
+    import numpy as np
+
+    from tidierdb_jl_spark.llm.webp import _inverse_predictor
+
+    # desired decoded pixels (A,R,G,B); residuals derived per the scan
+    # order: p00 pred=[255,0,0,0], row-0 pred=left, col-0 pred=above
+    res = np.zeros((2, 2, 4), np.int32)
+    res[0, 0] = [0, 109, 109, 109]          # -> [255,109,109,109] (TL)
+    res[0, 1] = [0, 247, 247, 247]          # 109-9 mod 256 -> 100 (T)
+    res[1, 0] = [0, 247, 247, 247]          # -> 100 (L)
+    res[1, 1] = [0, 0, 0, 0]                # pure prediction
+    modes = np.full((1, 1), 13, np.uint8)
+    out = _inverse_predictor(res, modes, shift=2)
+    assert tuple(out[1, 1]) == (255, 96, 96, 96), (
+        f"mode-13 must truncate toward zero, got {out[1, 1]}"
+    )
+
+
+def test_webp_vp8x_container_with_vp8l():
+    """ADVICE r6: a VP8X extended container (EXIF/ICC metadata) wrapping
+    a lossless VP8L chunk must decode — only pure lossy (VP8 ) rejects."""
+    import struct
+
+    import numpy as np
+
+    from tidierdb_jl_spark.llm.webp import decode_webp
+    from webp_ref import encode_webp_lossless
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    enc = encode_webp_lossless(img)
+    vp8l_chunk = enc[12:]  # tag + size + payload (+pad)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_webp(wrapped)
+    assert (got == img).all()
+
+
+def test_jpeg_multiscan_baseline_gated():
+    """ADVICE r6: a baseline SOS covering only SOME frame components
+    (multi-scan non-interleaved file) must gate loudly instead of
+    returning the first scan as a garbage partial image."""
+    import struct
+
+    import pytest
+
+    from tidierdb_jl_spark.llm.jpeg import decode_jpeg
+
+    # SOI + SOF0 (3 components) + SOS naming only component 1
+    sof_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos_body = bytes([1, 1, 0x00, 0, 63, 0])
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+        + b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+        decode_jpeg(blob)

@@ -99,3 +99,38 @@ def test_empty_input_guards(tables):
     # empty BENCH: everything is clean
     clean = flag_contaminated_semantic(tables["embeddings"], empty).collect()
     assert (~clean["is_contaminated"]).all()
+
+
+def test_exact_cosine_zero_vectors_and_cap(spark, monkeypatch):
+    """ADVICE r6: exact mode must (a) never emit pairs involving zero
+    vectors — cosine is undefined, not 0.0, so even threshold <= 0 keeps
+    them out — and (b) refuse driver-collect beyond EXACT_DRIVER_CAP with
+    an error that points at method='lsh'."""
+    import pytest
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm import dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),        # exact dup of 1
+        (3, [0.0, 0.0]),        # zero vector
+        (4, [0.0, 0.0]),        # zero vector
+        (5, [-1.0, 0.0]),       # anti-parallel to 1
+    ]
+    emb = TidyFrame(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    # threshold below zero would admit every defined pair — zero vectors
+    # must still contribute none (neither (3,4) nor (3, anything))
+    out = dedup.embedding_cosine_pairs(
+        emb, "vec_id", threshold=-2.0, method="exact"
+    ).collect()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert pairs == {(1, 2), (1, 5), (2, 5)}
+    assert not any(3 in p or 4 in p for p in pairs)
+
+    # the driver-collect cap raises a clear, actionable error
+    monkeypatch.setattr(dedup, "EXACT_DRIVER_CAP", 3)
+    with pytest.raises(ValueError, match="method='lsh'"):
+        dedup.embedding_cosine_pairs(emb, "vec_id", method="exact")

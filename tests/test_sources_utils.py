@@ -377,8 +377,8 @@ def test_read_warc(spark, tmp_path):
     g_recs = list(parse_warc_records("b", gz))
     assert len(p_recs) == len(g_recs) == 6
     for a, b in zip(p_recs, g_recs):
-        assert {k: v for k, v in a.items() if k not in ("warc_file", "record_offset")} \
-            == {k: v for k, v in b.items() if k not in ("warc_file", "record_offset")}
+        assert {k: v for k, v in a.items() if k not in ("warc_file", "member_offset", "record_offset")} \
+            == {k: v for k, v in b.items() if k not in ("warc_file", "member_offset", "record_offset")}
 
     # distributed: both files through binaryFile + mapInPandas
     out = read_warc(spark, str(tmp_path)).collect()
@@ -527,7 +527,7 @@ def test_warc_parser_robustness():
     )
     gz = b"".join(gzip.compress(r) for r in [base[:len(base) // 2]]) 
 
-    field_names = {"warc_file", "record_offset", "warc_type", "warc_record_id",
+    field_names = {"warc_file", "member_offset", "record_offset", "warc_type", "warc_record_id",
                    "warc_date", "target_uri", "warc_content_type",
                    "http_status", "http_content_type", "payload", "text"}
     for trial in range(200):
@@ -554,3 +554,38 @@ def test_warc_parser_robustness():
     # sanity: the uncorrupted inputs still parse fully
     assert len(list(parse_warc_records("f", base))) == 4
     assert len(list(parse_warc_records("f", gzip.compress(base)))) == 4
+
+
+def test_warc_offsets_are_separate_units():
+    """ADVICE r6: member_offset (compressed-stream position of the gzip
+    member) and record_offset (UNCOMPRESSED position within the member)
+    are separate columns — never summed into a mixed-unit value.  For
+    plain input member_offset is 0 and record_offset is the real file
+    offset; for a gzip member holding several records the member_offset
+    repeats while record_offset walks the uncompressed bytes."""
+    import gzip
+
+    from tidierdb_jl_spark.sources.warc import parse_warc_records
+
+    recs = [
+        _warc_record("response", _http_response(b"one"), uri="http://x/1"),
+        _warc_record("response", _http_response(b"two"), uri="http://x/2"),
+        _warc_record("response", _http_response(b"three"), uri="http://x/3"),
+    ]
+    plain = b"".join(recs)
+
+    # plain file: record_offset == actual byte position of each record
+    got = list(parse_warc_records("p", plain))
+    offs = [r["record_offset"] for r in got]
+    assert offs == [0, len(recs[0]), len(recs[0]) + len(recs[1])]
+    assert all(r["member_offset"] == 0 for r in got)
+    for r in got:
+        assert plain[r["record_offset"]:].startswith(b"WARC/1.0")
+
+    # two members: member 1 = records 0-1, member 2 = record 2
+    m1 = gzip.compress(recs[0] + recs[1], mtime=0)
+    m2 = gzip.compress(recs[2], mtime=0)
+    got = list(parse_warc_records("g", m1 + m2))
+    assert [r["member_offset"] for r in got] == [0, 0, len(m1)]
+    # within-member uncompressed offsets restart per member
+    assert [r["record_offset"] for r in got] == [0, len(recs[0]), 0]

@@ -431,7 +431,8 @@ def encode_webp_lossless(
                             10: a2(a2(L, TL), a2(T, TR)),
                             11: L if np.abs(T - TL).sum() < np.abs(L - TL).sum() else T,
                             12: np.clip(L + T - TL, 0, 255),
-                            13: np.clip(a2(L, T) + (a2(L, T) - TL) // 2, 0, 255),
+                            13: np.clip(a2(L, T) + np.sign(a2(L, T) - TL)
+                                        * (np.abs(a2(L, T) - TL) // 2), 0, 255),
                         }[mode]
                     res[y, x] = (dec[y, x] - pred) & 0xFF
             packed = res

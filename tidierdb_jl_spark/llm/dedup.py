@@ -61,6 +61,10 @@ __all__ = [
 _P = 4294967311
 _A_MAX = 1 << 30
 
+# rows embedding_cosine_pairs(method="exact") will gather to the driver;
+# beyond this the O(n·d) broadcast and O(n²) scoring are the wrong tool
+EXACT_DRIVER_CAP = 200_000
+
 
 def _perm_params(k: int) -> list[tuple[int, int]]:
     params, state = [], 88172645463325252
@@ -716,17 +720,27 @@ def embedding_cosine_pairs(
         spark = tf.df.sparkSession
         id_type = vec.schema["__id"].dataType.simpleString()
         out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
-        rows = vec.collect()
+        cap = EXACT_DRIVER_CAP
+        capped = vec.limit(cap + 1).collect()
+        if len(capped) > cap:
+            raise ValueError(
+                f"embedding_cosine_pairs(method='exact') gathers all "
+                f"vectors to the driver; input exceeds {cap} rows — "
+                f"use method='lsh' (distributed banded equi-join) for "
+                f"corpus-scale inputs"
+            )
+        rows = capped
         if not rows:
             return TidyFrame(spark.createDataFrame([], out_schema))
         order = sorted(range(len(rows)), key=lambda i: rows[i]["__id"])
         ids = [rows[i]["__id"] for i in order]
         M = np.array([rows[i]["__v"] for i in order], dtype=np.float64)
         norms = np.linalg.norm(M, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0  # zero vectors match nothing (cosine 0)
+        nz = norms.ravel() > 0  # zero vectors match nothing (no pair, not 0)
+        norms[norms == 0] = 1.0
         M /= norms
         n = len(ids)
-        bc = spark.sparkContext.broadcast((ids, M))
+        bc = spark.sparkContext.broadcast((ids, M, nz))
         par = spark.sparkContext.defaultParallelism
         block = max(128, -(-n // max(1, 2 * par)))
         starts = list(range(0, n, block))
@@ -739,7 +753,7 @@ def embedding_cosine_pairs(
         def score(batches):
             import pandas as pd
 
-            b_ids, b_M = bc.value
+            b_ids, b_M, b_nz = bc.value
             nn = len(b_ids)
             for pdf in batches:
                 for s in pdf["start"]:
@@ -748,7 +762,11 @@ def embedding_cosine_pairs(
                     sims = b_M[s:e] @ b_M.T  # (e-s, n) one BLAS call
                     for li in range(e - s):
                         gi = s + li
-                        js = np.nonzero(sims[li, gi + 1 :] >= thr)[0] + gi + 1
+                        if not b_nz[gi]:
+                            continue  # zero vector: cosine undefined
+                        js = np.nonzero(
+                            (sims[li, gi + 1 :] >= thr) & b_nz[gi + 1 :]
+                        )[0] + gi + 1
                         if len(js):
                             yield pd.DataFrame(
                                 {

@@ -210,6 +210,18 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                     raise ValueError(f"JPEG: scan references unknown component {cs}")
                 scan.append((ci, tt >> 4, tt & 0xF))
             if not progressive:
+                if ns != len(frame[2]):
+                    # a baseline scan that covers only some components
+                    # means a multi-scan (non-interleaved) baseline file;
+                    # decoding just this scan would emit garbage for the
+                    # rest — gate it honestly rather than return a partial
+                    # image (see T.81 §B.2.3: each component may appear in
+                    # its own scan, in nominal block-grid order)
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG (non-interleaved scans) "
+                        "not supported; re-encode interleaved or use a "
+                        "vendor decoder"
+                    )
                 return _decode_scan(
                     blob, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,

@@ -305,8 +305,13 @@ def _inverse_predictor(img, modes, shift):
                 elif mode == 12:  # ClampAddSubtractFull
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
+                    # spec/libwebp use C integer division (truncate toward
+                    # zero), NOT Python floor division — they differ by 1
+                    # for negative odd (ave - TL)
                     ave = _avg2(L, T)
-                    pred = np.clip(ave + (ave - TL) // 2, 0, 255)
+                    d = ave - TL
+                    pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2),
+                                   0, 255)
                 else:
                     raise ValueError(f"VP8L: bad predictor mode {mode}")
             out[y, x] = (out[y, x] + pred) & 0xFF
@@ -335,11 +340,13 @@ def decode_webp(blob: bytes) -> np.ndarray:
         if tag == b"VP8L":
             payload = blob[pos + 8 : pos + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
             raise NotImplementedError(
-                "lossy/extended WebP needs a VP8 video codec; only VP8L "
+                "lossy WebP needs a VP8 video codec; only VP8L "
                 "lossless decodes in pure Python — pass fake=True"
             )
+        # VP8X (extended container: EXIF/ICC/alpha metadata) commonly
+        # wraps a lossless VP8L chunk — skip it and keep scanning
         pos += 8 + size + (size & 1)
     if payload is None or payload[:1] != b"\x2f":
         raise ValueError("WebP: no VP8L chunk found")

@@ -38,6 +38,13 @@ __all__ = ["read_warc", "parse_warc_records"]
 _SCHEMA = T.StructType(
     [
         T.StructField("warc_file", T.StringType()),
+        # compressed-stream byte offset of the gzip member holding this
+        # record (0 for plain .warc input) — usable for HTTP range reads
+        T.StructField("member_offset", T.LongType()),
+        # UNCOMPRESSED byte offset of the record within its member (== the
+        # plain-file offset for non-gzip input).  Kept separate from
+        # member_offset because adding them would mix compressed and
+        # uncompressed units into a value that identifies no real position.
         T.StructField("record_offset", T.LongType()),
         T.StructField("warc_type", T.StringType()),
         T.StructField("warc_record_id", T.StringType()),
@@ -189,7 +196,8 @@ def parse_warc_records(path: str, blob: bytes):
                 text = None
             yield {
                 "warc_file": path,
-                "record_offset": member_off + rec_off,
+                "member_offset": member_off,
+                "record_offset": rec_off,
                 "warc_type": f.get("warc-type"),
                 "warc_record_id": f.get("warc-record-id"),
                 "warc_date": f.get("warc-date"),
