@@ -3335,7 +3335,11 @@ _DRIVER_PRIORITY = [
     # is oracle-exercised through d86_dup_clusters and d95's leakage-split
     # leg, both driver-checked) for the round-5d ops suite
     "d96_r5d_ops_suite",
-    "d41_embedding_dedup_exact",
+    # d41_embedding_dedup_exact rotated out (d61_training_prep_e2e runs
+    # the identical exact-pair embedding dedup — pair_method="exact" calls
+    # embedding_cosine_pairs(method="exact") — oracle-checked end-to-end;
+    # d42 keeps the LSH variant green) for the round-6 ops suite
+    "m43_r6_ops_suite",
     "d42_embedding_dedup_lsh",
     "d61_training_prep_e2e",
     "d86_dup_clusters",
@@ -3344,11 +3348,8 @@ _DRIVER_PRIORITY = [
     "d94_r5_ops_suite",
     "s39_ann_suite",
 ]
-assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
-_BUILDERS = {
-    **{k: _BUILDERS[k] for k in _DRIVER_PRIORITY},
-    **{k: v for k, v in _BUILDERS.items() if k not in set(_DRIVER_PRIORITY)},
-}
+# (the assert + priority reorder of _BUILDERS runs below, after the
+# round-6 builders referenced by m43_r6_ops_suite are registered)
 
 
 def _w50(t):
@@ -3575,6 +3576,165 @@ def _m42(t):
 
 
 _BUILDERS["m42_video_metadata"] = _m42
+
+
+def _w51_web_e2e_legs(t):
+    """Common-Crawl-style web pipeline end-to-end, the actual 100 TB use
+    case, as ONE verifiable relation: synthesize a multi-file .warc.gz
+    corpus (each document wrapped in the boilerplate-heavy ``_MC_WRAP``
+    page skeleton; every doc_id % 3 == 0 gets a PLANTED DUPLICATE record
+    under id 900000+doc_id, written into a *different* crawl file), then
+    run WARC ingest -> jusText-style main-content extraction ->
+    fingerprint -> corpus-global exact dedup (keep-first min id, copy
+    count) -> GPT-style 512-token sequence packing.  Returns the two
+    tagged legs ('webdedup', 'webpack') for the m43 suite.
+
+    The oracle recomputes the whole chain logically from ``documents``
+    (dup planting included) in DuckDB — a hash match proves the WARC
+    framing + gzip members + HTTP parse + charset decode + block scoring
+    + dedup + packing arithmetic are jointly lossless, and the n_copies
+    column proves the planted duplicates were INGESTED and then removed
+    (not silently dropped upstream)."""
+    import gzip
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.llm.packing import pack_sequences
+    from tidierdb_jl_spark.llm.scrub import extract_main_content
+    from tidierdb_jl_spark.llm.textstats import tokenize_expr, with_fingerprint
+    from tidierdb_jl_spark.sources.warc import read_warc
+
+    docs = (
+        t["documents"].filter("doc_id < 240").mutate(h=_MC_WRAP)
+        .select("doc_id", "h").collect()
+    )
+
+    def rec(uri_id: int, html: str) -> bytes:
+        body = html.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            b"\r\n\r\n" + body
+        )
+        u = str(uri_id).encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://corpus.test/" + u + b"\r\n"
+            b"WARC-Record-ID: <urn:doc:" + u + b">\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+
+    files: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in docs.itertuples(index=False):
+        did = int(r.doc_id)
+        files[did % 3].append(rec(did, r.h))
+        if did % 3 == 0:  # planted dup lands in a DIFFERENT crawl file
+            files[(did + 1) % 3].append(rec(900000 + did, r.h))
+    d = tempfile.mkdtemp(prefix="r7_web_e2e_")
+    for i, rs in files.items():
+        with open(os.path.join(d, f"crawl{i}.warc.gz"), "wb") as fh:
+            fh.write(b"".join(gzip.compress(x, mtime=0) for x in rs))
+
+    spark = t["documents"].df.sparkSession
+    ingest = (
+        read_warc(spark, d, warc_types=("response",), keep_payload=False)
+        .mutate(rec_id="CAST(regexp_extract(target_uri, '([0-9]+)$', 1) AS BIGINT)")
+        .select("rec_id", "text")
+    )
+    main = extract_main_content(ingest, "text", out="main_text")
+    deduped = (
+        with_fingerprint(main, "main_text")
+        .group_by("fingerprint")
+        .summarize(
+            doc_id="min(rec_id)", n_copies="n()", main_text="min(main_text)",
+        )
+    )
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+    dd = (
+        deduped
+        .mutate(op="'webdedup'", id1="doc_id", id2="n_copies", s=nls,
+                num=f"CAST(size({tokenize_expr('main_text')}) AS DOUBLE)")
+        .select(*cols)
+    )
+    pk = (
+        pack_sequences(deduped, "doc_id", 512, text_col="main_text")
+        .mutate(op="'webpack'", id1="CAST(shard AS BIGINT)",
+                id2="CAST(block_id AS BIGINT)",
+                s="md5(concat_ws(' ', tokens))",
+                num="CAST(n_tokens AS DOUBLE)")
+        .select(*cols)
+    )
+    return dd, pk
+
+
+def _m43(t):
+    """Round-6 ops suite (tagged union, one driver row for the round-6
+    surface): WARC/Common-Crawl ingest (w50), token-budget selection
+    (t74), jusText-style main-content extraction (t75), audio container
+    metadata (m41), video container metadata (m42) — plus the NEW
+    web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
+    main-content -> dedup-with-planted-dups -> sequence packing).  Shared
+    schema (op, id1, id2, s, num); each round-6 leg is individually
+    oracle-backed by its own registered row, this suite puts them all
+    inside the driver-checked prefix."""
+    from tidierdb_jl_spark import cache
+
+    nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
+    cols = ("op", "id1", "id2", "s", "num")
+    tracked_before = len(cache._TRACKED)
+
+    warc = (
+        _w50(t)
+        .mutate(op="'warc'", id1="doc_id", id2="CAST(http_status AS BIGINT)",
+                s="concat(target_uri, ' ', text)", num=nld)
+        .select(*cols)
+    )
+    budget = (
+        _t74(t)
+        .mutate(op="'budget'", id1="doc_id", id2="cum_tokens", s=nls,
+                num="CAST(n_chars AS DOUBLE)")
+        .select(*cols)
+    )
+    main = (
+        _t75(t)
+        .mutate(op="'main'", id1="doc_id", id2=nlb, s="main_text", num=nld)
+        .select(*cols)
+    )
+    audio = (
+        _m41(t)
+        .mutate(op="'audio'", id1="doc_id", id2="duration_ms",
+                s="concat(codec, ':', sample_rate, ':', channels)", num=nld)
+        .select(*cols)
+    )
+    video = (
+        _m42(t)
+        .mutate(op="'video'", id1="doc_id", id2="duration_ms",
+                s="concat(container, ':', width, 'x', height, ':', n_tracks)",
+                num=nld)
+        .select(*cols)
+    )
+    dd, pk = _w51_web_e2e_legs(t)
+
+    out = warc.union_all(budget).union_all(main).union_all(audio)
+    out = out.union_all(video).union_all(dd).union_all(pk)
+    # some legs pin tracked persists; localCheckpoint the union so those
+    # caches can be released even though the caller collects later.
+    # Release ONLY this builder's persists (the _d94 discipline).
+    res = type(out)(out.df.localCheckpoint(eager=True))
+    while len(cache._TRACKED) > tracked_before:
+        cache._TRACKED.pop().unpersist()
+    return res
+
+
+_BUILDERS["m43_r6_ops_suite"] = _m43
+
+assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
+_BUILDERS = {
+    **{k: _BUILDERS[k] for k in _DRIVER_PRIORITY},
+    **{k: v for k, v in _BUILDERS.items() if k not in set(_DRIVER_PRIORITY)},
+}
 
 
 def _lang_score_parts() -> tuple[list, str]:
@@ -6106,5 +6266,77 @@ def oracle_sql() -> dict[str, str]:
                text
         FROM documents
         WHERE doc_id < 200
+    """
+    # web-pipeline e2e (the _w51_web_e2e_legs chain): recompute WARC
+    # corpus -> main content -> fingerprint dedup (with the planted
+    # 900000+ duplicates) -> 512-token packing, all logically in DuckDB
+    _web_e2e = f"""
+        WITH w_src AS (
+          SELECT doc_id, {_MC_WRAP} AS h FROM documents WHERE doc_id < 240),
+        w_recs AS (
+          SELECT doc_id AS rec_id, h FROM w_src
+          UNION ALL
+          SELECT doc_id + 900000 AS rec_id, h FROM w_src WHERE doc_id % 3 = 0),
+        w_m AS (SELECT rec_id, {_mce("h", dialect="duckdb")} AS main_text
+                FROM w_recs),
+        w_f AS (SELECT rec_id, main_text,
+                       md5(lower(trim(regexp_replace(main_text, '\\s+', ' ', 'g'))))
+                         AS fingerprint
+                FROM w_m),
+        w_g AS (SELECT min(rec_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_copies,
+                       min(main_text) AS main_text
+                FROM w_f GROUP BY fingerprint),
+        w_dd AS (SELECT doc_id, n_copies,
+                        CASE WHEN trim(main_text) = '' OR main_text IS NULL THEN []
+                             ELSE string_split_regex(lower(trim(main_text)), '\\s+')
+                        END AS toks
+                 FROM w_g),
+        w_pb AS (SELECT doc_id, toks, len(toks) AS n,
+                        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 8 AS shard
+                 FROM w_dd WHERE len(toks) > 0),
+        w_po AS (SELECT doc_id, shard, toks,
+                        sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+                 FROM w_pb),
+        w_pe AS (SELECT shard, off + u.p - 1 AS gpos, u.tok
+                 FROM w_po, UNNEST(list_transform(range(1, len(toks) + 1),
+                                                  i -> struct_pack(p := i, tok := toks[i]))) AS t2(u))
+        SELECT 'webdedup' AS op, doc_id AS id1, n_copies AS id2,
+               CAST(NULL AS VARCHAR) AS s, CAST(len(toks) AS DOUBLE) AS num
+        FROM w_dd
+        UNION ALL
+        SELECT 'webpack', CAST(shard AS BIGINT), CAST(gpos // 512 AS BIGINT),
+               md5(string_agg(tok, ' ' ORDER BY gpos)),
+               CAST(count(*) AS DOUBLE)
+        FROM w_pe GROUP BY shard, gpos // 512
+    """
+    out["m43_r6_ops_suite"] = f"""
+        SELECT 'warc' AS op, z.doc_id AS id1,
+               CAST(z.http_status AS BIGINT) AS id2,
+               concat(z.target_uri, ' ', z.text) AS s,
+               CAST(NULL AS DOUBLE) AS num
+        FROM ({out["w50_warc_ingest"]}) z
+        UNION ALL
+        SELECT 'budget', z.doc_id, z.cum_tokens, CAST(NULL AS VARCHAR),
+               CAST(z.n_chars AS DOUBLE)
+        FROM ({out["t74_token_budget"]}) z
+        UNION ALL
+        SELECT 'main', z.doc_id, CAST(NULL AS BIGINT), z.main_text,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["t75_main_content"]}) z
+        UNION ALL
+        SELECT 'audio', z.doc_id, z.duration_ms,
+               concat(z.codec, ':', z.sample_rate, ':', z.channels),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["m41_audio_metadata"]}) z
+        UNION ALL
+        SELECT 'video', z.doc_id, z.duration_ms,
+               concat(z.container, ':', z.width, 'x', z.height, ':', z.n_tracks),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["m42_video_metadata"]}) z
+        UNION ALL
+        SELECT * FROM ({_web_e2e})
     """
     return out
