@@ -11,6 +11,7 @@ boundary.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,10 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Keep JVM side-effect files (spark-warehouse/, Derby's derby.log) out
+    # of the process cwd — saveAsTable output and the embedded-Derby JDBC
+    # tests otherwise litter the repo root.
+    scratch = os.environ.get("TIDY_SCRATCH") or tempfile.mkdtemp(prefix="tidy-spark-")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -64,6 +69,8 @@ def get_spark(
         # reject.  Session TZ is pinned UTC, so reading them as plain
         # TIMESTAMP is lossless and keeps event-time ops working.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,6 +36,9 @@ QUERIES = [
     "q72_tpch_q13",          # 15.8x
     "q56_tpch_q5",           # 15.0x
     "e53_time_rollup",       # 11.7x
+    "t74_token_budget",      # 253x at sf0.1 (r6) — all fixed cost: the
+                             # two-pass pinned-layout plan has no
+                             # single-partition window; sf1 must collapse
 ]
 RUNS = 5
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": os.path.join(REPO, "testdata_sf1")}

@@ -83,6 +83,7 @@ ORACLE_QUERIES = [
     "t74_token_budget",     # scale-safe global-cumsum budget cut (r6)
     "t75_main_content",     # boilerplate removal, dual-dialect expr (r6)
     "w50_warc_ingest",      # WARC/WARC.GZ roundtrip (r6)
+    "m43_r6_ops_suite",     # round-6 ops union + web-pipeline e2e (r7)
 ]
 
 
