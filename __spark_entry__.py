@@ -3669,12 +3669,85 @@ def _w51_web_e2e_legs(t):
     return dd, pk
 
 
+def _m44(t):
+    """Image HEADER metadata without pixel decode (the gate/bucket pass
+    an image corpus runs over everything): synthesize per-document
+    container headers — PNG IHDR / JPEG SOF0 / GIF screen descriptor /
+    WebP VP8L, dimensions+depth+channels all closed-form functions of
+    doc_id — and parse them back through ``extract_image_metadata``
+    (:mod:`tidierdb_jl_spark.llm.imagemeta`).  The oracle predicts every
+    field in SQL; a hash match proves the byte-level header arithmetic
+    (chunk walk, marker scan, bit packing) end-to-end.  Real-encoder
+    verification (jpeg_ref/webp_ref/gif_ref roundtrips) lives in
+    tests/test_llm.py::test_image_metadata_header_only."""
+    import struct as _s
+
+    from pyspark.sql import types as T
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.llm.multimodal import extract_image_metadata
+
+    base = t["documents"].filter("doc_id < 200").select("doc_id")
+    schema = T.StructType(
+        list(base.df.schema.fields) + [T.StructField("content", T.BinaryType())]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 53 + 4
+                h = did % 31 + 3
+                kind = did % 4
+                if kind == 0:  # PNG: sig + IHDR (crc unchecked by parser)
+                    ctype = 6 if did % 8 == 0 else 2
+                    blob = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + _s.pack(">I", 13) + b"IHDR"
+                        + _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+                        + bytes(4)
+                    )
+                elif kind == 1:  # JPEG: SOI + SOF0 + EOI
+                    ncomp = 1 if did % 5 == 0 else 3
+                    body = bytes([8]) + _s.pack(">HH", h, w) + bytes([ncomp])
+                    for c in range(ncomp):
+                        body += bytes([c + 1, 0x11, 0])
+                    blob = (
+                        b"\xff\xd8\xff\xc0"
+                        + _s.pack(">H", len(body) + 2) + body + b"\xff\xd9"
+                    )
+                elif kind == 2:  # GIF: header + logical screen descriptor
+                    bits = did % 8  # GCT size field -> bit_depth bits+1
+                    blob = b"GIF89a" + _s.pack("<HHBBB", w, h, 0x80 | bits, 0, 0)
+                else:  # WebP VP8L dimension header
+                    alpha = did % 2
+                    val = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+                    payload = bytes([0x2F]) + _s.pack("<I", val)
+                    blob = (
+                        b"RIFF" + _s.pack("<I", 4 + 8 + len(payload) + 1)
+                        + b"WEBP" + b"VP8L" + _s.pack("<I", len(payload))
+                        + payload + b"\x00"
+                    )
+                blobs.append(blob)
+            yield pdf.assign(content=blobs)
+
+    media = TidyFrame(base.df.mapInPandas(build, schema))
+    return extract_image_metadata(media).select(
+        "doc_id", "format", "width", "height", "bit_depth", "n_channels"
+    )
+
+
+_BUILDERS["m44_image_metadata"] = _m44
+
+
 def _m43(t):
     """Round-6 ops suite (tagged union, one driver row for the round-6
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
     (t74), jusText-style main-content extraction (t75), audio container
-    metadata (m41), video container metadata (m42) — plus the NEW
-    web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
+    metadata (m41), video container metadata (m42), image header
+    metadata (m44, r7) — plus the NEW web-pipeline end-to-end legs
+    (``_w51_web_e2e_legs``: WARC ->
     main-content -> dedup-with-planted-dups -> sequence packing).  Shared
     schema (op, id1, id2, s, num); each round-6 leg is individually
     oracle-backed by its own registered row, this suite puts them all
@@ -3715,10 +3788,19 @@ def _m43(t):
                 num=nld)
         .select(*cols)
     )
+    img = (
+        _m44(t)
+        .mutate(op="'imgmeta'", id1="doc_id",
+                id2="CAST(width AS BIGINT) * height",
+                s="concat(format, ':', width, 'x', height, ':', bit_depth, "
+                  "':', n_channels)",
+                num=nld)
+        .select(*cols)
+    )
     dd, pk = _w51_web_e2e_legs(t)
 
     out = warc.union_all(budget).union_all(main).union_all(audio)
-    out = out.union_all(video).union_all(dd).union_all(pk)
+    out = out.union_all(video).union_all(img).union_all(dd).union_all(pk)
     # some legs pin tracked persists; localCheckpoint the union so those
     # caches can be released even though the caller collects later.
     # Release ONLY this builder's persists (the _d94 discipline).
@@ -6267,6 +6349,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id < 200
     """
+    out["m44_image_metadata"] = r"""
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+               CAST(doc_id % 53 + 4 AS INT) AS width,
+               CAST(doc_id % 31 + 3 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 8 + 1 ELSE 8 END
+                    AS INT) AS bit_depth,
+               CAST(CASE doc_id % 4
+                      WHEN 0 THEN CASE WHEN doc_id % 8 = 0 THEN 4 ELSE 3 END
+                      WHEN 1 THEN CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END
+                      WHEN 2 THEN 3
+                      ELSE CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+                    END AS INT) AS n_channels
+        FROM documents
+        WHERE doc_id < 200
+    """
     # web-pipeline e2e (the _w51_web_e2e_legs chain): recompute WARC
     # corpus -> main content -> fingerprint dedup (with the planted
     # 900000+ duplicates) -> 512-token packing, all logically in DuckDB
@@ -6336,6 +6435,12 @@ def oracle_sql() -> dict[str, str]:
                concat(z.container, ':', z.width, 'x', z.height, ':', z.n_tracks),
                CAST(NULL AS DOUBLE)
         FROM ({out["m42_video_metadata"]}) z
+        UNION ALL
+        SELECT 'imgmeta', z.doc_id, CAST(z.width AS BIGINT) * z.height,
+               concat(z.format, ':', z.width, 'x', z.height, ':',
+                      z.bit_depth, ':', z.n_channels),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["m44_image_metadata"]}) z
         UNION ALL
         SELECT * FROM ({_web_e2e})
     """

@@ -1802,3 +1802,105 @@ def test_jpeg_multiscan_baseline_gated():
     )
     with pytest.raises(NotImplementedError, match="multi-scan baseline"):
         decode_jpeg(blob)
+
+
+def test_image_metadata_header_only(spark):
+    """Header-only image metadata (no pixel decode): dimensions /
+    depth / channels parsed from the first bytes of every container the
+    codecs decode — verified against REAL encoder output (jpeg_ref,
+    webp_ref, gif_ref, the RFC 2083 PNG encoder above) plus hand-built
+    VP8X / lossy-VP8 headers whose sample decode is codec-gated.  The
+    100 TB gate/bucket pass runs THIS, not decode_image."""
+    import struct as _s
+
+    import numpy as np
+
+    from gif_ref import encode_gif
+    from jpeg_ref import encode_jpeg, encode_jpeg_progressive
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.imagemeta import parse_image_header
+    from tidierdb_jl_spark.llm.multimodal import (
+        _encode_ppm,
+        extract_image_metadata,
+    )
+    from webp_ref import encode_webp_lossless
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (9, 31, 1)).astype(np.uint8)
+    rgba = rng.randint(0, 256, (6, 5, 4)).astype(np.uint8)
+
+    # real encoders -> exact header facts
+    assert parse_image_header(encode_jpeg(rgb)) == {
+        "format": "jpeg", "width": 17, "height": 24,
+        "bit_depth": 8, "n_channels": 3}
+    assert parse_image_header(encode_jpeg(gray[..., 0])) == {
+        "format": "jpeg", "width": 31, "height": 9,
+        "bit_depth": 8, "n_channels": 1}
+    assert parse_image_header(encode_jpeg_progressive(rgb)) == {
+        "format": "jpeg", "width": 17, "height": 24,
+        "bit_depth": 8, "n_channels": 3}
+    assert parse_image_header(_ref_png_encode(rgb, 2, [0])) == {
+        "format": "png", "width": 17, "height": 24,
+        "bit_depth": 8, "n_channels": 3}
+    assert parse_image_header(_ref_png_encode(rgba, 6, [4])) == {
+        "format": "png", "width": 5, "height": 6,
+        "bit_depth": 8, "n_channels": 4}
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (8, 12)).astype(np.uint8)
+    assert parse_image_header(encode_gif(idx, pal)) == {
+        "format": "gif", "width": 12, "height": 8,
+        "bit_depth": 8, "n_channels": 3}
+    assert parse_image_header(encode_webp_lossless(rgb)) == {
+        "format": "webp", "width": 17, "height": 24,
+        "bit_depth": 8, "n_channels": 3}
+    assert parse_image_header(_encode_ppm(rgb)) == {
+        "format": "ppm", "width": 17, "height": 24,
+        "bit_depth": 8, "n_channels": 3}
+
+    # hand-built containers (sample decode gated; header must parse)
+    def riff(*chunks):
+        body = b"WEBP"
+        for cc, payload in chunks:
+            body += cc + _s.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    lossy = riff((b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+                  + _s.pack("<HH", 640, 480) + bytes(16)))
+    assert parse_image_header(lossy) == {
+        "format": "webp", "width": 640, "height": 480,
+        "bit_depth": 8, "n_channels": 3}
+    vp8x = riff((b"VP8X", bytes([0x10]) + bytes(3)
+                 + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")))
+    assert parse_image_header(vp8x) == {
+        "format": "webp", "width": 1920, "height": 1080,
+        "bit_depth": 8, "n_channels": 4}
+    bmp = (b"BM" + _s.pack("<IHHI", 122, 0, 0, 122)
+           + _s.pack("<IiiHH", 40, 33, -21, 1, 24) + bytes(84))
+    assert parse_image_header(bmp) == {
+        "format": "bmp", "width": 33, "height": 21,
+        "bit_depth": 8, "n_channels": 3}
+
+    # never raises: truncations and garbage -> None (or partial parse)
+    for blob in (b"", b"\xff\xd8", b"\x89PNG\r\n\x1a\n\x00",
+                 b"GIF89a\x01", b"RIFF\x04\x00\x00\x00WEBP",
+                 b"BM" + bytes(10), b"P6 # comment", bytes(64)):
+        out = parse_image_header(blob)
+        assert out is None or isinstance(out, dict)
+    # JPEG with SOS before SOF (no dims recoverable) -> None
+    assert parse_image_header(b"\xff\xd8\xff\xda\x00\x04\x00\x00") is None
+
+    # distributed: mixed formats + unknown + NULL through one pass
+    rows = [(1, bytearray(encode_jpeg(rgb))),
+            (2, bytearray(_ref_png_encode(rgba, 6, [0]))),
+            (3, bytearray(lossy)),
+            (4, bytearray(b"not an image")),
+            (5, None)]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    out = extract_image_metadata(TidyFrame(df)).collect().set_index("i")
+    assert out.loc[1, "format"] == "jpeg" and out.loc[1, "width"] == 17
+    assert out.loc[2, "format"] == "png" and out.loc[2, "n_channels"] == 4
+    assert out.loc[3, "format"] == "webp" and out.loc[3, "width"] == 640
+    assert pd_isna_safe(out.loc[4, "format"]) and pd_isna_safe(out.loc[5, "width"])

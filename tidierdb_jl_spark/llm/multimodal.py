@@ -48,6 +48,7 @@ __all__ = [
     "resize_image",
     "extract_audio_features",
     "extract_audio_metadata",
+    "extract_image_metadata",
     "extract_video_metadata",
     "frame_sample",
     "read_media_files",
@@ -505,6 +506,48 @@ def extract_audio_metadata(tf, content_col: str = "content"):
             yield pdf.assign(**rows).astype(
                 {"duration_ms": "Int64", "sample_rate": "Int32",
                  "channels": "Int32", "vbr": "boolean"}
+            )
+
+    from ..core import TidyFrame
+
+    return TidyFrame(tf.df.mapInPandas(run, out_schema))
+
+
+def extract_image_metadata(tf, content_col: str = "content"):
+    """Image bytes → HEADER metadata, no pixel decode: (format, width,
+    height, bit_depth, n_channels).  O(1) per blob — dimensions live in
+    the first few hundred bytes of every container — so the
+    resolution/aspect/format gate pass an image corpus runs over
+    everything stays cheap at 100 TB regardless of image size.  Real for
+    JPEG (SOFn scan), PNG (IHDR), GIF, WebP (VP8L + VP8X + lossy VP8
+    frame header — dims parse even though VP8 sample decode is
+    codec-gated), BMP, PPM (:mod:`.imagemeta`).  Unknown containers
+    yield NULL metadata rather than failing the batch."""
+    out_schema = T.StructType(
+        list(tf.df.schema.fields)
+        + [
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from .imagemeta import parse_image_header
+
+        keys = ("format", "width", "height", "bit_depth", "n_channels")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for blob in pdf[content_col]:
+                src = bytes(blob) if blob is not None else b""
+                meta = parse_image_header(src) or {}
+                for k in keys:
+                    cols[k].append(meta.get(k))
+            yield pdf.assign(**cols).astype(
+                {"width": "Int32", "height": "Int32",
+                 "bit_depth": "Int32", "n_channels": "Int32"}
             )
 
     from ..core import TidyFrame
