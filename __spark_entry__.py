@@ -883,10 +883,15 @@ def _e67(t):
     )
 
 
+# 10-token chunks via a let-binding (transform(array(__toks), T -> ...)):
+# referencing __toks by name inside the position lambda re-tokenizes the
+# text once per chunk when Catalyst inlines the split chain (the
+# tokenizer_in_lambda lint rule; see textstats.ngram_array_expr)
 _CHUNK10 = (
     "CASE WHEN size(__toks) = 0 THEN array() "
-    "ELSE transform(sequence(1, CAST(ceil(size(__toks) / 10.0) AS INT)), "
-    "i -> array_join(slice(__toks, (i - 1) * 10 + 1, 10), ' ')) END"
+    "ELSE flatten(transform(array(__toks), T -> "
+    "transform(sequence(1, CAST(ceil(size(T) / 10.0) AS INT)), "
+    "i -> array_join(slice(T, (i - 1) * 10 + 1, 10), ' ')))) END"
 )
 
 

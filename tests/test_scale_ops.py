@@ -785,6 +785,44 @@ def test_lint_flags_unbounded_following_frame(spark, tables):
     assert "unbounded_following_frame" not in {f["rule"] for f in lint_plan(q12)}
 
 
+def test_lint_flags_tokenizer_in_lambda(spark, tables):
+    """The tokenizer_in_lambda lint rule: flags the per-element-retokenize
+    shingle form (split(...) ends up inside the transform lambda once the
+    tokenizer chain is inlined — O(words²) per row, measured 33.5s → ~1s
+    at sf1 on the t96 postings build), stays quiet on the zip form
+    (ngram_array_expr / _shingle_expr) and the let-binding window form
+    (passages), where every retained copy references the tokenizer only
+    at top level."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame, lint_plan
+    from tidierdb_jl_spark.llm.dedup import _shingle_expr, tokenize_expr
+    from tidierdb_jl_spark.llm.passages import passage_windows
+
+    docs = tables["documents"].df
+    toks = tokenize_expr("text")
+    old_form = (
+        f"CASE WHEN size({toks}) < 3 THEN array(concat_ws(' ', {toks})) "
+        f"ELSE array_distinct(transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', slice({toks}, i, 3)))) END"
+    )
+    bad = TidyFrame(
+        docs.withColumn("__sh", F.expr(old_form))
+        .select("doc_id", F.explode("__sh"))
+    )
+    assert "tokenizer_in_lambda" in {f["rule"] for f in lint_plan(bad)}
+
+    good = TidyFrame(
+        docs.withColumn("__sh", F.expr(_shingle_expr(toks, 3)))
+        .select("doc_id", F.explode("__sh"))
+    )
+    assert "tokenizer_in_lambda" not in {f["rule"] for f in lint_plan(good)}
+
+    pw = passage_windows(tables["documents"], "doc_id", "text",
+                         window=8, stride=2)
+    assert "tokenizer_in_lambda" not in {f["rule"] for f in lint_plan(pw)}
+
+
 def test_driver_prefix_plans_lint_clean(spark):
     """Full lint sweep over the driver-checked prefix (the 50 queries the
     correctness gate runs): no error-severity findings (cartesian) and no
@@ -805,7 +843,8 @@ def test_driver_prefix_plans_lint_clean(spark):
         tf = TidyFrame(tf) if not hasattr(tf, "df") else tf
         findings = [
             f for f in lint_plan(tf)
-            if f["severity"] == "error" or f["rule"] == "unbounded_following_frame"
+            if f["severity"] == "error"
+            or f["rule"] in ("unbounded_following_frame", "tokenizer_in_lambda")
         ]
         if findings:
             bad[name] = findings

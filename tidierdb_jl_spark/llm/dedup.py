@@ -128,12 +128,43 @@ def exact_dedup_incremental(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df):
+    """Raise a frame to the session's default parallelism when it has
+    fewer partitions — a single-file corpus scan (1-2 partitions) would
+    otherwise pin every downstream map-side stage (shingle explode,
+    candidate join, partial aggregation) to 1-2 tasks on a 32-core
+    session.  A no-op at real scale, where scans already carry more
+    partitions than cores."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def _shingle_expr(toks: str, n: int) -> str:
-    return (
-        f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
-        f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
-    )
+    """Word-``n``-gram shingles of a token-array expression.
+
+    The token array is referenced only at TOP level (``arrays_zip`` of
+    ``n`` shifted slices), never inside the ``transform`` lambda.  The
+    earlier formulation — ``transform(sequence(...), i -> concat_ws(' ',
+    slice({toks}, i, n)))`` — referenced ``{toks}`` per lambda element,
+    which is harmless while ``{toks}`` is a materialized column but
+    quadratic the moment Catalyst inlines the tokenizer into it: explode
+    sites trigger exactly that (``InferFiltersFromGenerate`` derives
+    ``size(shingles) > 0`` from the Generate, filter pushdown carries it
+    below every exchange to the scan, and the pushed copy substitutes the
+    full ``split(...)`` chain for ``{toks}`` inside the lambda — the text
+    is re-split once per shingle, O(words²) per document, executed at the
+    scan's file parallelism).  Measured at sf1 (50k docs): the postings
+    build for t96 dropped 33.5s → ~1s from this rewrite alone.  With the
+    zip form every derived/pushed/inlined copy stays O(n·words) per row.
+
+    Delegates to :func:`~tidierdb_jl_spark.llm.textstats.ngram_array_expr`
+    (the shared top-level-reference-only formulation) and adds the
+    ``array_distinct`` set semantics Jaccard needs; short docs fall back
+    to one whole-text shingle so near-identical short docs still collide.
+    """
+    from .textstats import ngram_array_expr
+
+    return f"array_distinct({ngram_array_expr(toks, n, short='whole')})"
 
 
 def similarity_join(
@@ -178,7 +209,7 @@ def similarity_join(
 
     def postings(tf, id_col, col, alias):
         toks = tokenize_expr(col)
-        return (
+        return _spread(
             tf.mutate(__t=toks)
             .mutate(__sh=_shingle_expr("__t", n))
             .df.selectExpr(f"{id_col} AS {alias}", f"size(__sh) AS {alias}_sz", "__sh")
@@ -246,6 +277,10 @@ def ngram_jaccard_pairs(
     post = docs.select(
         "__id", "__sz", *block_cols, F.explode("__sh").alias("__s")
     )
+    # the candidate join + partial pair-count aggregation run at THIS
+    # frame's parallelism once it is cached; a single-file corpus scan
+    # (1-2 partitions) would pin the quadratic-ish stage to 2 tasks
+    post = _spread(post)
     post = track(post)  # read by both sides of the self-join
     if max_doc_freq is not None:
         stop = post.groupBy("__s").count().filter(F.col("count") > max_doc_freq)
@@ -254,6 +289,12 @@ def ngram_jaccard_pairs(
     cond = (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    if threshold > 0:
+        # exact length filter (Arasu/Bayardo similarity-join standard):
+        # J(a,b) >= t  =>  t·max(|a|,|b|) <= min(|a|,|b|) — prunes
+        # size-mismatched candidates before the pair-count shuffle
+        cond = cond & (F.col("l.__sz") * threshold <= F.col("r.__sz"))
+        cond = cond & (F.col("r.__sz") * threshold <= F.col("l.__sz"))
     common = (
         l.join(r, cond)
         .groupBy(
@@ -553,10 +594,20 @@ def connected_components(
     loop exits after 2-4 rounds.
     """
     pdf = pairs_tf.df if hasattr(pairs_tf, "df") else pairs_tf
-    a, b = F.col(id_a), F.col(id_b)
+    # both edge directions from ONE pass over the pair list: a
+    # union(pairs, pairs.swapped) re-executes the (often expensive —
+    # similarity-join) pair pipeline once per branch; exploding a
+    # two-element struct array symmetrizes in the same scan
     edges = (
-        pdf.select(a.alias("__src"), b.alias("__dst"))
-        .union(pdf.select(b.alias("__src"), a.alias("__dst")))
+        pdf.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")),
+                    F.struct(F.col(id_b).alias("__src"), F.col(id_a).alias("__dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.__src", "__e.__dst")
         .distinct()
         .localCheckpoint()
     )

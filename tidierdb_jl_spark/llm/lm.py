@@ -72,10 +72,15 @@ def _with_pairs(sdf, col: str, tokenizer: str, n: int = 2):
         )
     else:
         m = n - 1
+        # the context windows reference `pad` through a let-binding
+        # (transform(array(pad), T -> ...)) so a pushed-down or inlined
+        # copy of this expression still builds `pad` once per row, not
+        # once per position (see textstats.ngram_array_expr)
         pairs = F.expr(
             f"arrays_zip("
-            f"transform(sequence(1, greatest(0, size(pad) - {m})), "
-            f"i -> array_join(slice(pad, i, {m}), ' ')), "
+            f"flatten(transform(array(pad), T -> "
+            f"transform(sequence(1, greatest(0, size(T) - {m})), "
+            f"i -> array_join(slice(T, i, {m}), ' ')))), "
             f"slice(pad, {n}, greatest(0, size(pad) - {m})))"
         )
     return sdf.withColumn(

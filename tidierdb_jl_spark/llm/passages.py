@@ -34,12 +34,25 @@ __all__ = ["passage_windows", "repeated_passage_stats", "filter_repeated_passage
 
 
 def _window_array(col: str, tokenizer: str, window: int, stride: int):
-    """array<string> of space-joined k-token windows at the given stride."""
+    """array<string> of space-joined k-token windows at the given stride.
+
+    The per-position ``slice`` references the token array through a
+    let-binding (outer ``transform(array(__toks), T -> ...)`` binds the
+    array to a lambda variable), not by name: when filter pushdown or
+    project collapse substitutes the tokenizer chain for ``__toks`` —
+    which ``InferFiltersFromGenerate`` does at the ``posexplode`` site —
+    a by-name reference inside the position lambda would re-tokenize the
+    text once per window position, O(words²/stride) per document at the
+    scan's file parallelism (see textstats.ngram_array_expr).  The bound
+    variable is a runtime value, so every substituted copy still
+    tokenizes once per row.
+    """
     toks = _token_array(col, tokenizer)
     return F.expr(
         f"CASE WHEN size(__toks) < {window} THEN array() ELSE "
-        f"transform(sequence(1, size(__toks) - {window} + 1, {stride}), "
-        f"i -> array_join(slice(__toks, i, {window}), ' ')) END"
+        f"flatten(transform(array(__toks), T -> "
+        f"transform(sequence(1, size(T) - {window} + 1, {stride}), "
+        f"i -> array_join(slice(T, i, {window}), ' ')))) END"
     ), toks
 
 

@@ -59,6 +59,36 @@ def tokenize_expr(col: str) -> str:
     )
 
 
+def ngram_array_expr(toks: str, n: int, short: str = "empty") -> str:
+    """Word ``n``-gram array over a token-array expression, with every
+    reference to ``{toks}`` at TOP level — ``arrays_zip`` of ``n``
+    shifted slices, mapped to joined strings.
+
+    Never reference the token array inside a ``transform`` lambda
+    (``transform(sequence(...), i -> slice({toks}, i, n))``): the moment
+    Catalyst substitutes the tokenizer chain for ``{toks}`` — which
+    ``InferFiltersFromGenerate`` + filter pushdown do at every explode
+    site, and which any inline (non-column) ``toks`` does directly — the
+    text is re-split once per n-gram position, O(words²) per document,
+    usually executed at the scan's file parallelism.  Measured at sf1:
+    the t96 postings build dropped 33.5s → ~1s from this rewrite.  In
+    the zip form each derived/pushed/inlined copy evaluates ``{toks}``
+    ~2n times per ROW — O(n·words), safe at any scale.
+
+    ``short`` picks the ``size < n`` fallback: ``"empty"`` → ``array()``
+    (stats/counting), ``"whole"`` → one whole-text shingle (dedup — so
+    short near-identical docs still collide).
+    """
+    L = f"size({toks}) - {n - 1}"
+    slices = ", ".join(f"slice({toks}, {i + 1}, {L})" for i in range(n))
+    fields = ", ".join(f"s['{i}']" for i in range(n))
+    fallback = f"array(concat_ws(' ', {toks}))" if short == "whole" else "array()"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN {fallback} "
+        f"ELSE transform(arrays_zip({slices}), s -> concat_ws(' ', {fields})) END"
+    )
+
+
 def with_token_count(tf, col: str = "text", out: str = "n_tokens"):
     """Whitespace token count."""
     toks = tokenize_expr(col)
@@ -179,11 +209,10 @@ def with_repetition_stats(
     and ``{prefix}dup_ngram_frac``; documents shorter than ``n`` words
     score 0.0.  Pure JVM array expressions — fuses into the scan."""
     toks = tokenize_expr(col)
-    grams = (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END"
-    )
+    # ngram_array_expr keeps {toks} out of the lambda body: the inline
+    # tokenizer otherwise re-splits the text once per n-gram position
+    # (O(words²) per document — measured 4.6x slope at the sf0.1→1 step)
+    grams = ngram_array_expr(toks, n, short="empty")
     tf2 = tf.mutate(__grams=grams)
     out = tf2.mutate(
         **{

@@ -74,6 +74,14 @@ def lint_plan(tf) -> list[dict]:
       per partition (a running UNBOUNDED-PRECEDING frame is incremental);
       express it as the mirrored fill over the DESCENDING order instead
       (see ``operators/asof.py``, measured 115 s → 4 s at sf1).
+    - ``tokenizer_in_lambda``: a higher-order-function lambda whose body
+      contains ``split(`` — the pattern that turns shingling O(words²)
+      per row once Catalyst inlines the tokenizer chain into the lambda
+      (``InferFiltersFromGenerate`` + pushdown do this at every explode
+      site; measured 33.5 s → ~1 s at sf1 on the t96 postings build).
+      Hoist the tokenizer to a top-level reference
+      (``textstats.ngram_array_expr``) or bind it to a lambda variable
+      (``passages._window_array``).
     """
     text = show_query(tf, "formatted")
     findings: list[dict] = []
@@ -131,4 +139,41 @@ def lint_plan(tf) -> list[dict]:
             f"{n} single-partition exchanges — fine for final top-N/scalar "
             "aggregates, a serialization point otherwise",
         )
+    # a lambda body that re-evaluates a string tokenizer per array element
+    # turns O(words) expressions into O(words²) per row the moment
+    # Catalyst inlines the tokenizer chain (InferFiltersFromGenerate +
+    # filter pushdown do this at every explode site).  Reference token
+    # arrays only at top level (textstats.ngram_array_expr) or through a
+    # let-binding lambda variable (passages._window_array).
+    n = sum("split(" in body for body in _lambda_bodies(text))
+    if n:
+        add(
+            "tokenizer_in_lambda", "warn",
+            f"{n} higher-order lambda(s) whose body re-tokenizes "
+            "(split(...) inside lambdafunction) — O(words²) per row once "
+            "pushdown inlines the chain; hoist the tokenizer to a "
+            "top-level reference (ngram_array_expr) or a let-binding",
+        )
     return findings
+
+
+def _lambda_bodies(text: str):
+    """Balanced-paren spans of every ``lambdafunction(...)`` in a plan
+    string (plans print expressions on one line, so a regex up to the
+    next ``split(`` would cross into sibling expressions)."""
+    start = 0
+    while True:
+        i = text.find("lambdafunction(", start)
+        if i < 0:
+            return
+        depth, j = 0, i + len("lambdafunction")
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        yield text[i:j]
+        start = i + 1
