@@ -324,23 +324,51 @@ def ngram_jaccard_pairs(
 
 
 def _make_minhash_udf(num_perm: int):
-    """(a*h+b) mod p folded over all permutations in one numpy pass per
-    Arrow batch.  Equivalent to ``num_perm`` interpreted
-    ``array_min(transform(...))`` expressions but ~30× faster: the
-    per-element lambda interpretation dominated the JVM version
-    (measured at sf0.1)."""
+    """(a*h+b) mod p folded over all permutations, vectorized ACROSS the
+    Arrow batch: documents are packed into groups of ~16M (shingle, perm)
+    cells, hashed in one numpy expression per group, and the per-document
+    minima come from one ``np.minimum.reduceat`` over the group's doc
+    boundaries.  The earlier per-document loop paid ~100 µs of numpy
+    dispatch per doc on (53, num_perm)-sized operands — overhead, not
+    math — which dominated the signature stage at 500k docs (sf10).
+    Deterministic (fixed params, no RNG); a*h < 2^30 · 2^32 = 2^62, so
+    int64 never overflows (same bound as the _A_MAX comment)."""
     params = _perm_params(num_perm)
     A = np.array([a for a, _ in params], dtype=np.int64)  # (k,)
     B = np.array([b for _, b in params], dtype=np.int64)
+    # ~1M (shingle, perm) cells per vector op: the (chunk, num_perm)
+    # temporaries stay ~8 MB — inside L3 — where a 16M-cell chunk's
+    # 128 MB temporaries ran 7x slower on pure memory traffic
+    chunk = max(1, 1_000_000 // num_perm)
 
     def mh(h: pandas.Series) -> pandas.Series:
-        out = []
-        for arr in h:
-            hv = np.asarray(arr, dtype=np.int64)[:, None]  # (n, 1)
-            out.append((hv * A + B) % _P if len(hv) else np.full(len(A), _P, np.int64))
-            # a*h < 2^30 * 2^32 = 2^62 — no int64 overflow (same bound as
-            # the ANSI-arithmetic comment on _A_MAX)
-        return pandas.Series([m.min(axis=0) if m.ndim == 2 else m for m in out])
+        arrs = [np.asarray(a, dtype=np.int64) for a in h]
+        empty = np.full(num_perm, _P, np.int64)
+        out: list = [None] * len(arrs)
+        i = 0
+        while i < len(arrs):
+            j, tot = i, 0
+            while j < len(arrs) and (tot == 0 or tot + len(arrs[j]) <= chunk):
+                tot += len(arrs[j])
+                j += 1
+            seg = [a for a in arrs[i:j] if len(a)]
+            if seg:
+                flat = np.concatenate(seg)
+                hashed = (flat[:, None] * A + B) % _P  # (tot, k)
+                lens = np.fromiter((len(a) for a in seg), np.int64,
+                                   count=len(seg))
+                starts = np.zeros(len(seg), np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                mins = np.minimum.reduceat(hashed, starts, axis=0)
+            mi = 0
+            for idx in range(i, j):
+                if len(arrs[idx]):
+                    out[idx] = mins[mi]
+                    mi += 1
+                else:
+                    out[idx] = empty
+            i = j
+        return pandas.Series(out)
 
     mh.__annotations__ = {"h": pandas.Series, "return": pandas.Series}
     return F.pandas_udf(T.ArrayType(T.LongType()))(mh)
@@ -357,30 +385,41 @@ def minhash_signature(
     JVM expressions; the ``num_perm``-way min-fold is one vectorized Arrow
     batch per task (deterministic — fixed params, no RNG).
     """
+    from ..core import TidyFrame
+
     toks = tokenize_expr(text_col)
     sh = _shingle_expr("__toks", shingle)
-    out = tf.mutate(__toks=toks).mutate(__sh=sh).mutate(
+    # _spread: the tokenize/shingle/base-hash chain and the Arrow min-fold
+    # run at the corpus scan's parallelism; a single documents.parquet
+    # (2-3 partitions) would pin the whole signature build to 3 cores
+    out = TidyFrame(_spread(tf.df)).mutate(__toks=toks).mutate(__sh=sh).mutate(
         __h=f"transform(__sh, s -> CAST(hash(s) AS BIGINT) + 2147483648L)"
     )
     udf = _make_minhash_udf(num_perm)
     out_df = out.df.withColumn("minhash", udf(F.col("__h")))
-    from ..core import TidyFrame
-
     return TidyFrame(out_df).select(*[c for c in tf.columns], "minhash")
 
 
 def _band_explode(sdf, bands: int, rows: int):
-    """(__id, minhash) → one row per LSH band: (__id, minhash, band, bh)."""
+    """(__id, minhash) → one NARROW row per LSH band: (__id, band, bh).
+
+    The signature array is deliberately NOT carried: the bucket self-join
+    shuffles ``bands`` rows per doc, and at num_perm=128 the array is
+    ~1 KB/row — carrying it turned the candidate join into a
+    multi-gigabyte shuffle (measured 16 GB at sf10) for data only needed
+    per CANDIDATE.  Verification joins signatures back from the persisted
+    (id, minhash) frame instead — fan-in |candidates|, not |corpus|·bands.
+    ``bh`` hashes the band's slice STRUCTURALLY (Spark's hash() over the
+    array) — no per-band string building."""
     return sdf.select(
         "__id",
-        "minhash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, hash(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS bh))"
+                f"b -> struct(b AS band, hash(slice(minhash, b * {rows} + 1, {rows})) AS bh))"
             )
         ).alias("bb"),
-    ).select("__id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
 def minhash_dedup_pairs(
@@ -428,25 +467,32 @@ def minhash_dedup_pairs(
 
     l = banded.alias("l")
     r = banded.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bh") == F.col("r.bh"))
-        & (F.col("l.__id") < F.col("r.__id")),
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     from ..core import TidyFrame
 
     if verify == "est":
+        sa = sdf.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__ma"))
+        sb = sdf.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__mb"))
         pairs = (
-            cand.select(
-                F.col("l.__id").alias("id_a"),
-                F.col("r.__id").alias("id_b"),
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
                 F.expr(
-                    "CAST(size(filter(zip_with(l.minhash, r.minhash, (x, y) -> x = y), v -> v)) AS DOUBLE)"
-                    " / size(l.minhash)"
+                    "CAST(size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+                    " / size(__ma)"
                 ).alias("est_jaccard"),
             )
-            .dropDuplicates(["id_a", "id_b"])
             .filter(F.col("est_jaccard") >= threshold)
         )
         return TidyFrame(pairs)
@@ -466,9 +512,7 @@ def minhash_dedup_pairs(
     a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     pairs = (
-        cand.select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .join(a, "id_a")
+        cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("__common", F.expr("size(array_intersect(__sha, __shb))"))
         .select(
@@ -540,24 +584,35 @@ def minhash_dedup_incremental(
     sb = sb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
 
     est = (
-        "CAST(size(filter(zip_with(l.minhash, r.minhash, (x, y) -> x = y), v -> v)) AS DOUBLE)"
-        " / size(l.minhash)"
+        "CAST(size(filter(zip_with(__ml, __mr, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        " / size(__ml)"
     )
+    ssd = seen_sig.df.select(F.col(id_col).alias("__id"), "minhash")
 
-    def partners(left, right, cond):
+    def partners(left, right, left_sig, right_sig, cond):
+        # band rows are narrow (see _band_explode); signatures join back
+        # per CANDIDATE from the (id, minhash) frames
         l, r = left.alias("l"), right.alias("r")
-        return (
+        cand = (
             l.join(r, (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.bh") == F.col("r.bh")) & cond)
             .select(F.col("l.__id").alias("__nid"),
-                    F.col("r.__id").alias("__pid"),
-                    F.expr(est).alias("__est"))
+                    F.col("r.__id").alias("__pid"))
             .dropDuplicates(["__nid", "__pid"])
+        )
+        ml = left_sig.select(F.col("__id").alias("__nid"),
+                             F.col("minhash").alias("__ml"))
+        mr = right_sig.select(F.col("__id").alias("__pid"),
+                              F.col("minhash").alias("__mr"))
+        return (
+            cand.join(ml, "__nid")
+            .join(mr, "__pid")
+            .select("__nid", "__pid", F.expr(est).alias("__est"))
             .filter(F.col("__est") >= threshold)
         )
 
-    vs_seen = partners(nb, sb, F.lit(True))
-    within = partners(nb, nb, F.col("r.__id") < F.col("l.__id"))
+    vs_seen = partners(nb, sb, nsd, ssd, F.lit(True))
+    within = partners(nb, nb, nsd, nsd, F.col("r.__id") < F.col("l.__id"))
     best = (
         vs_seen.unionAll(within)
         .groupBy("__nid")
@@ -836,10 +891,16 @@ def embedding_cosine_pairs(
     sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
     # pre-normalize once so the per-candidate verify is a single dot
     # product (three interpreted array passes -> one)
+    # let-binding: naming the norm inside the element lambda would
+    # re-run aggregate() once per component (O(d²) per row) after
+    # Catalyst inlines it; binding (vector, norm) to a lambda variable
+    # keeps it one aggregate per row
     norm = vec.select(
         "__id",
         F.expr(
-            "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
+            "flatten(transform("
+            "array(struct(__v AS v, sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)) AS n)), "
+            "s -> transform(s.v, x -> x / s.n)))"
         ).alias("__u"),
     )
     norm = track(norm)
@@ -1103,11 +1164,13 @@ def _simhash_udf():
 def simhash_signature(tf, text_col: str = "text", out: str = "simhash"):
     """64-bit SimHash: per-token xxhash64 (JVM), bit-vote per position,
     sign → bit — the vote fold is one vectorized Arrow batch per task."""
-    toks = tokenize_expr(text_col)
-    tf2 = tf.mutate(__th=f"transform({toks}, t -> xxhash64(t))")
-    df = tf2.df.withColumn(out, _simhash_udf()(F.col("__th")))
     from ..core import TidyFrame
 
+    toks = tokenize_expr(text_col)
+    tf2 = TidyFrame(_spread(tf.df)).mutate(
+        __th=f"transform({toks}, t -> xxhash64(t))"
+    )
+    df = tf2.df.withColumn(out, _simhash_udf()(F.col("__th")))
     return TidyFrame(df).select(*[c for c in tf.columns], out)
 
 
