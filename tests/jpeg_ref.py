@@ -153,6 +153,11 @@ def _mag(v):
 def _encode_block(w, block, qtab, dc_codes, ac_codes, pred):
     q = np.round(_fdct(block) / qtab.reshape(8, 8)).astype(np.int32)
     zz = q.reshape(-1)[ZIGZAG]
+    return _encode_zz_block(w, zz, dc_codes, ac_codes, pred)
+
+
+def _encode_zz_block(w, zz, dc_codes, ac_codes, pred):
+    """Emit one already-quantized zigzag block as baseline entropy data."""
     diff = int(zz[0]) - pred
     t, bitsv = _mag(diff)
     w.put(*dc_codes[t])
@@ -270,6 +275,68 @@ def encode_jpeg(arr, subsampling="444", restart_interval=0):
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(arr, subsampling="444", restart_interval=0):
+    """Baseline JFIF with one NON-INTERLEAVED scan per component (T.81
+    §B.2.3 multi-scan sequential): same headers/tables as ``encode_jpeg``
+    but each component's blocks arrive in their own SOS, iterated over the
+    component's NOMINAL block grid (ceil of scaled dims, not MCU-padded).
+    DC prediction and the restart counter reset per scan; in a
+    non-interleaved scan one data unit is one MCU for restart purposes.
+    Written independently of the decoder under test — same quantized
+    coefficients as ``encode_jpeg``, so decode must be pixel-identical."""
+    gray = arr.ndim == 2
+    comps, zzs, (h, w_), (_mcux, _mcuy) = _quantized_components(arr, subsampling)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(QT_LUMA.reshape(-1)[ZIGZAG].tolist()))
+    if not gray:
+        seg(b"\xff\xdb", bytes([1]) + bytes(QT_CHROMA.reshape(-1)[ZIGZAG].tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([len(comps)])
+    for cid, chf, cvf, tq in comps:
+        sof += bytes([cid, (chf << 4) | cvf, tq])
+    seg(b"\xff\xc0", sof)
+    for tc, th, (bits, vals) in [(0, 0, DC_LUMA), (1, 0, AC_LUMA)] + (
+        [] if gray else [(0, 1, DC_CHROMA), (1, 1, AC_CHROMA)]
+    ):
+        seg(b"\xff\xc4", bytes([(tc << 4) | th]) + bytes(bits) + vals)
+    if restart_interval:
+        seg(b"\xff\xdd", struct.pack(">H", restart_interval))
+
+    dc_tabs = {0: _huff_codes(*DC_LUMA), 1: _huff_codes(*DC_CHROMA)}
+    ac_tabs = {0: _huff_codes(*AC_LUMA), 1: _huff_codes(*AC_CHROMA)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for ci, (cid, chf, cvf, _tq) in enumerate(comps):
+        seg(b"\xff\xda", bytes([1, cid, 0x00 if cid == 1 else 0x11, 0, 63, 0]))
+        th = 0 if cid == 1 else 1
+        bw_n = (-(-w_ * chf // hmax) + 7) // 8
+        bh_n = (-(-h * cvf // vmax) + 7) // 8
+        bw = _BitWriter()
+        pred = 0
+        nunit = 0
+        rst = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                if restart_interval and nunit and nunit % restart_interval == 0:
+                    bw.flush()
+                    out.extend(bw.out)
+                    bw = _BitWriter()
+                    out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    pred = 0
+                pred = _encode_zz_block(
+                    bw, zzs[ci][by, bx], dc_tabs[th], ac_tabs[th], pred
+                )
+                nunit += 1
+        bw.flush()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 

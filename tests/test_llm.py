@@ -1779,29 +1779,42 @@ def test_webp_vp8x_container_with_vp8l():
     assert (got == img).all()
 
 
-def test_jpeg_multiscan_baseline_gated():
-    """ADVICE r6: a baseline SOS covering only SOME frame components
-    (multi-scan non-interleaved file) must gate loudly instead of
-    returning the first scan as a garbage partial image."""
-    import struct
+def test_jpeg_multiscan_baseline():
+    """Multi-scan (non-interleaved) baseline JPEG decodes for REAL
+    (was r6's loud gate): an independently written T.81 §B.2.3 encoder
+    (tests/jpeg_ref.py:encode_jpeg_multiscan) emits one SOS per component
+    over the component's NOMINAL block grid — the same quantized
+    coefficients as the interleaved encoder, so multi-scan decode must
+    equal interleaved decode PIXEL-EXACTLY, including subsampled chroma
+    (where nominal grid != padded MCU grid) and per-scan restart markers
+    (one data unit = one MCU in a non-interleaved scan)."""
+    import numpy as np
 
-    import pytest
-
+    from jpeg_ref import encode_jpeg, encode_jpeg_multiscan
     from tidierdb_jl_spark.llm.jpeg import decode_jpeg
 
-    # SOI + SOF0 (3 components) + SOS naming only component 1
-    sof_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
-        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
-    )
-    sos_body = bytes([1, 1, 0x00, 0, 63, 0])
-    blob = (
-        b"\xff\xd8"
-        + b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
-        + b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
-        + b"\xff\xd9"
-    )
-    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
-        decode_jpeg(blob)
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:24, 0:31]
+    smooth = np.stack(
+        [(yy * 3 + 20) % 256, (xx * 5 + 40) % 256, ((yy + xx) * 2 + 60) % 256], 2
+    ).astype(np.uint8)
+    gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    noise = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+
+    cases = [
+        (gray, "444", dict()),
+        (smooth, "444", dict()),
+        (smooth, "420", dict()),   # chroma nominal grid < padded MCU grid
+        (smooth, "422", dict()),
+        (noise, "444", dict()),
+        (noise, "420", dict(restart_interval=2)),  # RSTn per scan
+        (smooth, "422", dict(restart_interval=3)),
+    ]
+    for i, (img, sub, kw) in enumerate(cases):
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        multi = decode_jpeg(encode_jpeg_multiscan(img, subsampling=sub, **kw))
+        assert multi.shape == base.shape, i
+        assert (multi == base).all(), f"case {i}: multi-scan != interleaved"
 
 
 def test_image_metadata_header_only(spark):

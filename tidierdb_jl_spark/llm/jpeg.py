@@ -4,7 +4,8 @@ Closes the last common image format that previously required
 ``fake=True`` in :mod:`multimodal`: web corpora are dominated by
 JPEG/PNG, and this container ships no codec library.  Scope:
 
-- baseline sequential DCT (SOF0/SOF1), 8-bit precision
+- baseline sequential DCT (SOF0/SOF1), 8-bit precision, including
+  multi-scan files (non-interleaved component scans, T.81 §B.2.3)
 - progressive DCT (SOF2): spectral selection, successive approximation
   (DC and AC first + refinement scans, EOB runs — T.81 Annex G)
 - 1 (grayscale) or 3 (YCbCr) components
@@ -210,22 +211,24 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
                     raise ValueError(f"JPEG: scan references unknown component {cs}")
                 scan.append((ci, tt >> 4, tt & 0xF))
             if not progressive:
-                if ns != len(frame[2]):
-                    # a baseline scan that covers only some components
-                    # means a multi-scan (non-interleaved) baseline file;
-                    # decoding just this scan would emit garbage for the
-                    # rest — gate it honestly rather than return a partial
-                    # image (see T.81 §B.2.3: each component may appear in
-                    # its own scan, in nominal block-grid order)
-                    raise NotImplementedError(
-                        "multi-scan baseline JPEG (non-interleaved scans) "
-                        "not supported; re-encode interleaved or use a "
-                        "vendor decoder"
+                if ns == len(frame[2]) and coeff is None:
+                    # the common case: ONE interleaved scan covering every
+                    # component — decode and reconstruct in a single pass
+                    return _decode_scan(
+                        blob, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                        restart_interval,
                     )
-                return _decode_scan(
-                    blob, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                # multi-scan baseline (T.81 §B.2.3: components may arrive
+                # in separate scans, each over its own nominal block grid):
+                # accumulate every scan into the same coefficient store the
+                # progressive path uses, reconstruct once at the end
+                if coeff is None:
+                    coeff = _alloc_coeff(frame)
+                pos = _decode_seq_scan(
+                    blob, pos + seglen, frame, scan, coeff, huff_dc, huff_ac,
                     restart_interval,
                 )
+                continue
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if coeff is None:
@@ -236,7 +239,7 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             )
             continue
         pos += seglen
-    if progressive and coeff is not None:
+    if coeff is not None:  # progressive OR multi-scan baseline
         return _reconstruct(frame, coeff, qt)
     raise ValueError("JPEG: no SOS marker found")
 
@@ -328,6 +331,70 @@ def _alloc_coeff(frame):
         np.zeros((mcuy * vf, mcux * hf, 64), np.int32)
         for _cid, hf, vf, _tq in comps
     ]
+
+
+def _decode_seq_scan(
+    blob, pos, frame, scan, coeff, huff_dc, huff_ac, restart_interval
+):
+    """One baseline (sequential) scan of a multi-scan file (T.81 §B.2.3)
+    into the persistent ``coeff`` store: full DC+AC block decode per data
+    unit, interleaved MCU order when the scan carries several components,
+    the component's NOMINAL block grid (not MCU-padded) when it carries
+    one.  DC prediction and the restart counter are per-scan state.
+    Returns the blob position for the marker loop to resume at."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    r = _BitReader(blob, pos)
+    pred = [0] * len(comps)
+    count = 0
+
+    def maybe_restart():
+        nonlocal count, pred
+        if restart_interval and count and count % restart_interval == 0:
+            r.sync_rst()
+            pred = [0] * len(comps)
+        count += 1
+
+    def unit(ci, dct, act, by, bx):
+        c = coeff[ci][by, bx]
+        t = _huff_decode(r, huff_dc[dct])
+        diff = _extend(r.read(t), t) if t else 0
+        pred[ci] += diff
+        c[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, huff_ac[act])
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("JPEG: AC index overflow")
+            c[k] = _extend(r.read(s), s)
+            k += 1
+
+    if len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, dct, act in scan:
+                    _cid, hf, vf, _tq = comps[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            unit(ci, dct, act, my * vf + by, mx * hf + bx)
+    else:
+        ci, dct, act = scan[0]
+        _cid, hf, vf, _tq = comps[ci]
+        bw_n = (-(-w * hf // hmax) + 7) // 8
+        bh_n = (-(-h * vf // vmax) + 7) // 8
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                maybe_restart()
+                unit(ci, dct, act, by, bx)
+    return _scan_resume_pos(r)
 
 
 def _scan_resume_pos(r):
