@@ -486,6 +486,11 @@ def test_connected_components_transitive(spark):
             .itertuples(index=False))
     )
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    # diameter-4 chain: convergence diagnostic records the round count
+    # (propagation needs several rounds + one no-change confirmation)
+    from tidierdb_jl_spark.llm import dedup as dedup_mod
+
+    assert 2 <= dedup_mod.LAST_CC_ROUNDS <= 6
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 42]],
                                  "doc_id long")
     dc = dict(

@@ -32,6 +32,11 @@ from pyspark.sql import types as T
 from ..cache import track
 from .textstats import tokenize_expr, with_fingerprint
 
+# diagnostic: rounds the last connected_components call took to converge
+# (min-label propagation converges in O(component diameter) rounds — this
+# is the number to watch when asking "do rounds grow with corpus size?")
+LAST_CC_ROUNDS = 0
+
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -669,6 +674,7 @@ def connected_components(
     clusters in a real corpus have tiny diameters (a few hops), so the
     loop exits after 2-4 rounds.
     """
+    global LAST_CC_ROUNDS
     pdf = pairs_tf.df if hasattr(pairs_tf, "df") else pairs_tf
     # both edge directions from ONE pass over the pair list: a
     # union(pairs, pairs.swapped) re-executes the (often expensive —
@@ -693,7 +699,7 @@ def connected_components(
         .select("__id", F.col("__id").alias("__comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["__src"] == labels["__id"])
             .groupBy("__dst")
@@ -716,6 +722,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        LAST_CC_ROUNDS = it + 1
         if changed == 0:
             break
     from ..core import TidyFrame
