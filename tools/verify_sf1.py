@@ -25,6 +25,21 @@ Two evidence classes:
        the no-leakage contract.
 
 Writes SF1_CORRECTNESS.json.  Usage: python tools/verify_sf1.py  (~6 min)
+
+Also parameterized for other locally-generated scale factors:
+  python tools/verify_sf1.py --sf-dir testdata_sf10 --sf 10 \
+      --out SF10_CORRECTNESS.json --queries q01_tpch_q1,... --t96-pairs lsh
+`--t96-pairs lsh` runs the no-leakage ground-truth check over the
+minhash-LSH pair source (the corpus-scale configuration — the exact
+n-gram source is all-pairs on this vocabulary at 500k docs, see
+BENCH_SCALING.md); the planted-pair contract checked is identical.
+
+Known sf10 exclusion: q12_asof_join — DuckDB's native ASOF JOIN on
+15M orders x 10M events over 50 user keys ran >17 min at >20 GB RSS
+and did NOT honor connection.interrupt() (the watchdog fired but the
+operator never checks cancellation), so it cannot be bounded; the
+as-of oracle is covered at sf1 (green in SF1_CORRECTNESS.json) where
+Spark's own side takes 4s.
 """
 
 from __future__ import annotations
@@ -100,24 +115,37 @@ def _true_jaccard(a: str, b: str) -> float:
 
 
 def main() -> None:
+    import argparse
+
     from tidierdb_jl_spark import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF1)
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default="SF1_CORRECTNESS.json")
+    ap.add_argument("--queries", default=None,
+                    help="comma list; default = the representative set")
+    ap.add_argument("--t96-pairs", choices=("exact", "lsh"), default="exact")
+    args = ap.parse_args()
+    sf_dir = os.path.abspath(args.sf_dir)
+    queries = args.queries.split(",") if args.queries else ORACLE_QUERIES
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app="tidierdb-sf1", cpus=cpus, shuffle_partitions=int(cpus))
     con = duckdb.connect()
-    for p in sorted(glob.glob(os.path.join(SF1, "*.parquet"))):
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
-    out_path = os.path.join(REPO, "SF1_CORRECTNESS.json")
+    out_path = os.path.join(REPO, args.out)
 
     def checkpoint():
         n_ok = sum(1 for r in results.values()
                    if r.get("hash_match") or r.get("pass"))
         with open(out_path, "w") as fh:
-            json.dump({"sf": 1.0, "sf_dir": SF1, "n_checks": len(results),
+            json.dump({"sf": args.sf, "sf_dir": sf_dir, "n_checks": len(results),
                        "n_ok": n_ok, "results": results}, fh, indent=1)
         return n_ok
 
@@ -140,10 +168,10 @@ def main() -> None:
         finally:
             done.set()
 
-    for name in ORACLE_QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
         try:
-            ours = qs[name](spark, SF1).toPandas()
+            ours = qs[name](spark, sf_dir).toPandas()
             t_spark = time.perf_counter() - t0
             print(f"... {name}: spark {t_spark:.1f}s, oracle running",
                   file=sys.stderr, flush=True)
@@ -171,7 +199,7 @@ def main() -> None:
         checkpoint()
 
     # ---- class 2: planted ground truth ------------------------------
-    with open(os.path.join(SF1, "_planted_dups.json")) as fh:
+    with open(os.path.join(sf_dir, "_planted_dups.json")) as fh:
         planted = json.load(fh)
     docs = {
         int(r[0]): (r[1], r[2])
@@ -184,7 +212,7 @@ def main() -> None:
     t0 = time.perf_counter()
     found = {
         (min(a, b), max(a, b))
-        for a, b in qs["d35_minhash_pairs"](spark, SF1)
+        for a, b in qs["d35_minhash_pairs"](spark, sf_dir)
         .select("id_a", "id_b").toPandas().itertuples(index=False, name=None)
     }
     t_d35 = time.perf_counter() - t0
@@ -209,17 +237,37 @@ def main() -> None:
     checkpoint()
 
     t0 = time.perf_counter()
-    split_pdf = qs["t96_leakage_split"](spark, SF1).toPandas()
+    if args.t96_pairs == "exact":
+        split_pdf = qs["t96_leakage_split"](spark, sf_dir).toPandas()
+        # exact pairs are lang-blocked, so only same-lang planted pairs
+        # are guaranteed clustered
+        checked_pairs = [p for p in exact_pairs
+                         if docs[p[0]][1] == docs[p[1]][1]]
+    else:
+        # corpus-scale configuration: split over minhash-LSH pairs
+        # (unblocked — identical texts pair regardless of lang, so EVERY
+        # planted exact pair must land in one cluster and one split)
+        from tidierdb_jl_spark.llm.dedup import minhash_dedup_pairs
+        from tidierdb_jl_spark.llm.pipeline import leakage_safe_split
+        from tidierdb_jl_spark.sources.readers import db_table
+
+        docs_tf = db_table(spark, os.path.join(sf_dir, "documents.parquet"))
+        lsh_pairs = minhash_dedup_pairs(docs_tf, "doc_id", "text", threshold=0.8)
+        split_pdf = (
+            leakage_safe_split(docs_tf, lsh_pairs, "doc_id", train_frac=0.8)
+            .select("doc_id", "cluster_id", "split").df.toPandas()
+        )
+        checked_pairs = exact_pairs
     t_t96 = time.perf_counter() - t0
     smap = {int(r.doc_id): (int(r.cluster_id), r.split)
             for r in split_pdf.itertuples(index=False)}
-    same_lang_exact = [p for p in exact_pairs if docs[p[0]][1] == docs[p[1]][1]]
-    leaks = [p for p in same_lang_exact
+    leaks = [p for p in checked_pairs
              if smap[p[0]][1] != smap[p[1]][1] or smap[p[0]][0] != smap[p[1]][0]]
     results["t96_no_leakage"] = {
-        "same_lang_exact_pairs": len(same_lang_exact),
+        "pair_source": args.t96_pairs,
+        "checked_exact_pairs": len(checked_pairs),
         "leaked": len(leaks), "spark_sec": round(t_t96, 2),
-        "pass": len(leaks) == 0 and len(same_lang_exact) > 0,
+        "pass": len(leaks) == 0 and len(checked_pairs) > 0,
     }
     print(f"t96_no_leakage: {json.dumps(results['t96_no_leakage'])}",
           file=sys.stderr, flush=True)
