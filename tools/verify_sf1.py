@@ -34,12 +34,16 @@ minhash-LSH pair source (the corpus-scale configuration — the exact
 n-gram source is all-pairs on this vocabulary at 500k docs, see
 BENCH_SCALING.md); the planted-pair contract checked is identical.
 
-Known sf10 exclusion: q12_asof_join — DuckDB's native ASOF JOIN on
-15M orders x 10M events over 50 user keys ran >17 min at >20 GB RSS
-and did NOT honor connection.interrupt() (the watchdog fired but the
-operator never checks cancellation), so it cannot be bounded; the
-as-of oracle is covered at sf1 (green in SF1_CORRECTNESS.json) where
-Spark's own side takes 4s.
+Known sf10 exclusions (both sf1-oracle-green; the LIMIT is the
+driver-side compare, not the queries):
+- q12_asof_join — DuckDB's native ASOF JOIN on 15M orders x 10M events
+  over 50 user keys ran >17 min at >20 GB RSS and did NOT honor
+  connection.interrupt() (the watchdog fired but the operator never
+  checks cancellation), so its oracle cannot be bounded.
+- q13_windows — returns one windowed row per lineitem (~60M rows at
+  sf10); hauling that to the driver for the cell compare exceeds
+  spark.driver.maxResultSize.  The window family at sf10 is covered by
+  q16_slice_suite (WindowGroupLimit, 1.2M compared rows, green).
 """
 
 from __future__ import annotations
@@ -126,6 +130,10 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma list; default = the representative set")
     ap.add_argument("--t96-pairs", choices=("exact", "lsh"), default="exact")
+    ap.add_argument("--oracle-budget", type=int, default=420,
+                    help="seconds before a DuckDB oracle is interrupted "
+                         "(raise for big SFs: Spark distributes, the "
+                         "oracle is one process)")
     args = ap.parse_args()
     sf_dir = os.path.abspath(args.sf_dir)
     queries = args.queries.split(",") if args.queries else ORACLE_QUERIES
@@ -149,11 +157,13 @@ def main() -> None:
                        "n_ok": n_ok, "results": results}, fh, indent=1)
         return n_ok
 
-    def oracle_with_watchdog(sql, budget_s=420):
+    def oracle_with_watchdog(sql, budget_s=None):
         """DuckDB has no statement timeout; interrupt() from a watchdog
         thread bounds a pathological oracle so one query can't eat the
         whole run."""
         import threading
+
+        budget_s = budget_s or args.oracle_budget
 
         done = threading.Event()
 
@@ -273,7 +283,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     n_ok = checkpoint()
-    print(f"\n{n_ok}/{len(results)} checks green -> SF1_CORRECTNESS.json")
+    print(f"\n{n_ok}/{len(results)} checks green -> {args.out}")
     if n_ok != len(results):
         sys.exit(1)
 
