@@ -3674,6 +3674,44 @@ def _w51_web_e2e_legs(t):
     return dd, pk
 
 
+def _w52(t):
+    """Statistical-package ingest (the reference's read_stat dispatch,
+    /root/reference/src/TidierDB.jl:175-178): write the first 150
+    documents as THREE Stata .dta files (pandas' own writer — independent
+    of the reader under test; 150-row driver collect is the bounded
+    fixture-build action), read them back DISTRIBUTED via
+    ``sources.statfiles.read_stat`` (binaryFile one-file-per-task +
+    mapInPandas parse, per-file lineage column), and return the rows.
+    The oracle recomputes the relation logically from ``documents`` — a
+    hash match proves the .dta framing, dtype mapping, multi-file union
+    and lineage columns are lossless.  The SAS XPORT leg (independent
+    spec-written encoder) and the SPSS/Sheets gates live in
+    tests/test_statfiles.py."""
+    import os
+    import tempfile
+
+    from tidierdb_jl_spark.sources.statfiles import read_stat
+
+    docs = (
+        t["documents"].filter("doc_id < 150")
+        .select("doc_id", "lang", "n_chars").collect()
+    )
+    d = tempfile.mkdtemp(prefix="r7_stat_")
+    for i in range(3):
+        docs[docs["doc_id"] % 3 == i].to_stata(
+            os.path.join(d, f"part{i}.dta"), write_index=False
+        )
+    spark = t["documents"].df.sparkSession
+    return (
+        read_stat(spark, os.path.join(d, "*.dta"), file_col="src")
+        .mutate(doc_id="CAST(doc_id AS BIGINT)", n_chars="CAST(n_chars AS BIGINT)")
+        .select("doc_id", "lang", "n_chars", "src")
+    )
+
+
+_BUILDERS["w52_statfiles"] = _w52
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -3802,10 +3840,17 @@ def _m43(t):
                 num=nld)
         .select(*cols)
     )
+    stat = (
+        _w52(t)
+        .mutate(op="'stat'", id1="doc_id", id2="n_chars",
+                s="concat(lang, ':', src)", num=nld)
+        .select(*cols)
+    )
     dd, pk = _w51_web_e2e_legs(t)
 
     out = warc.union_all(budget).union_all(main).union_all(audio)
-    out = out.union_all(video).union_all(img).union_all(dd).union_all(pk)
+    out = out.union_all(video).union_all(img).union_all(stat)
+    out = out.union_all(dd).union_all(pk)
     # some legs pin tracked persists; localCheckpoint the union so those
     # caches can be released even though the caller collects later.
     # Release ONLY this builder's persists (the _d94 discipline).
@@ -6354,6 +6399,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id < 200
     """
+    out["w52_statfiles"] = r"""
+        SELECT doc_id, lang, n_chars,
+               'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta' AS src
+        FROM documents
+        WHERE doc_id < 150
+    """
     out["m44_image_metadata"] = r"""
         SELECT doc_id,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -6446,6 +6497,10 @@ def oracle_sql() -> dict[str, str]:
                       z.bit_depth, ':', z.n_channels),
                CAST(NULL AS DOUBLE)
         FROM ({out["m44_image_metadata"]}) z
+        UNION ALL
+        SELECT 'stat', z.doc_id, z.n_chars, concat(z.lang, ':', z.src),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["w52_statfiles"]}) z
         UNION ALL
         SELECT * FROM ({_web_e2e})
     """

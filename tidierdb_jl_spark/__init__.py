@@ -14,6 +14,7 @@ from .core import TidyFrame
 from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register_udf
 from .session import connect, get_spark, register_testdata
 from .sources.readers import copy_to, db_table, dt, show_tables
+from .sources.statfiles import read_gsheet, read_stat
 from .sources.writers import create_table, drop_view, write_file
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -28,6 +29,8 @@ __all__ = [
     "register_testdata",
     "db_table",
     "dt",
+    "read_stat",
+    "read_gsheet",
     "copy_to",
     "show_tables",
     "create_table",

@@ -77,6 +77,20 @@ def db_table(
         if alias:
             out.df.createOrReplaceTempView(alias)
         return out
+    if isinstance(source, str) and "docs.google." in source:
+        # Sheets URL dispatch (/root/reference/src/TidierDB.jl:170-174)
+        from .statfiles import read_gsheet
+
+        return read_gsheet(spark, source, alias=alias or "gsheet", **options)
+    if isinstance(source, str) and not (iceberg or delta):
+        from .statfiles import read_stat, stat_format_for
+
+        # .dta/.xpt/.sas7bdat/.sav/... dispatch (TidierDB.jl:175-178)
+        if stat_format_for(source):
+            out = read_stat(spark, source, **options)
+            if alias:
+                out.df.createOrReplaceTempView(alias)
+            return out
     if iceberg or delta:
         fmt_name = "iceberg" if iceberg else "delta"
         try:
@@ -89,6 +103,13 @@ def db_table(
         out = TidyFrame(df)
     elif isinstance(source, (list, tuple)):
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
+        from .statfiles import read_stat, stat_format_for
+
+        if source and stat_format_for(str(source[0])):
+            out = read_stat(spark, source, **options)
+            if alias:
+                out.df.createOrReplaceTempView(alias)
+            return out
         f = _format_for(str(source[0]), fmt)
         reader = spark.read.options(**_reader_opts(f, options, str(source[0])))
         # load() takes a list of paths; the per-format methods are varargs

@@ -1,0 +1,228 @@
+"""Statistical-package file readers + Google Sheets ingest.
+
+Reference surface: ``db_table`` dispatches ``.sas7bdat .xpt .sav .zsav
+.por .dta`` paths to a stat-file scan and ``docs.google.com`` URLs to a
+Sheets scan (``/root/reference/src/TidierDB.jl:170-178``, backed there by
+the ``read_stat`` / ``gsheets`` DuckDB community extensions).
+
+Spark mapping — these formats are NON-SPLITTABLE single-writer containers
+(row data is position-encoded against an in-file catalog), so the unit of
+parallelism is the FILE, exactly like ``.warc.gz``:
+
+* ``read_stat`` lists the input as a ``binaryFile`` scan (one file per
+  task, bytes never touch the driver) and parses each file inside one
+  Arrow ``mapInPandas`` stage — zero shuffles.  A 100 TB survey corpus is
+  tens of thousands of export files; this plan reads them at full cluster
+  parallelism.  The output schema comes from parsing ONE file (driver-side
+  peek, same contract as ``spark.read.csv(inferSchema=True)``) or from an
+  explicit ``schema=``; every task coerces to it, so ragged exports fail
+  loudly instead of silently unioning mismatched frames.
+* Stata (``.dta``) and SAS (``.xpt`` transport, ``.sas7bdat``) parse with
+  pandas' built-in readers (pure-Python, already in the image).  SPSS
+  (``.sav``/``.zsav``/``.por``) needs ``pyreadstat``, which is not in this
+  image — the dispatch is wired and raises a clear gated error (same
+  treatment as Iceberg/Delta in ``readers.py``).
+* ``read_gsheet`` resolves a Sheets URL to its CSV export endpoint.  A
+  sheet is hard-capped by Google at 10M cells, i.e. always driver-sized:
+  the right plan is ONE driver fetch + Arrow upload, never a distributed
+  read.  The fetch is injectable (``fetch=``) so the URL/parse logic is
+  testable offline; the default ``urllib`` path raises a gated error in
+  a no-network sandbox.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..core import TidyFrame
+
+__all__ = ["read_stat", "read_gsheet", "STAT_EXTENSIONS"]
+
+# extension -> (family, pandas format hint)
+STAT_EXTENSIONS = {
+    ".dta": ("stata", None),
+    ".xpt": ("sas", "xport"),
+    ".sas7bdat": ("sas", "sas7bdat"),
+    ".sav": ("spss", None),
+    ".zsav": ("spss", None),
+    ".por": ("spss", None),
+}
+
+
+def stat_format_for(path: str) -> tuple[str, str | None] | None:
+    low = path.lower()
+    for ext, fam in STAT_EXTENSIONS.items():
+        if low.endswith(ext):
+            return fam
+    return None
+
+
+def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) -> pd.DataFrame:
+    if family == "stata":
+        pdf = pd.read_stata(io.BytesIO(data), **options)
+    elif family == "sas":
+        pdf = pd.read_sas(io.BytesIO(data), format=sub, **options)
+        if sub == "xport":
+            # pandas' IBM-float parser has no zero special-case: the
+            # canonical all-zero IBM double (how SAS writes 0.0) decodes
+            # to ±2**-260 (= ±16**-65, below SAS's own numeric floor of
+            # ~1e-78).  Snap it back.
+            import numpy as np
+
+            tiny = 2.0 ** -260
+            for c in pdf.columns:
+                if pdf[c].dtype == float:
+                    vals = pdf[c].to_numpy()
+                    hits = np.abs(vals) == tiny
+                    if hits.any():
+                        vals[hits] = 0.0
+    else:  # spss — pandas delegates to pyreadstat, not in this image
+        try:
+            import pyreadstat  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "SPSS (.sav/.zsav/.por) parsing needs the pyreadstat wheel, "
+                "which is not in this image; ship it to the executors "
+                "(spark.submit.pyFiles / the image) to enable this path. "
+                ".dta and .xpt/.sas7bdat parse without it."
+            ) from e
+        import tempfile
+
+        # pyreadstat is path-only; spill the (file-sized) buffer locally
+        with tempfile.NamedTemporaryFile(suffix=".sav") as fh:
+            fh.write(data)
+            fh.flush()
+            pdf, _meta = pyreadstat.read_sav(fh.name, **options)
+    # normalize to Spark-stable dtypes: value-labelled categoricals ->
+    # their label strings, bytes (xport char fields) -> str
+    for c in pdf.columns:
+        s = pdf[c]
+        if isinstance(s.dtype, pd.CategoricalDtype):
+            pdf[c] = s.astype(str).where(s.notna(), None)
+        elif s.dtype == object:
+            pdf[c] = s.map(
+                lambda v: v.decode("latin-1").rstrip() if isinstance(v, (bytes, bytearray)) else v
+            )
+    return pdf
+
+
+def read_stat(
+    spark: SparkSession,
+    source,
+    *,
+    schema: T.StructType | None = None,
+    file_col: str | None = None,
+    **options,
+) -> TidyFrame:
+    """Distributed read of Stata/SAS/SPSS export files (one file per task).
+
+    ``source`` is a path, glob, or list of paths (mixing families in one
+    call is rejected — their schemas never line up anyway).  ``schema=``
+    skips the driver-side single-file peek; ``file_col=`` adds the source
+    file name to every row (non-splittable formats make per-file lineage
+    free — the task already knows its file).
+    """
+    paths = list(source) if isinstance(source, (list, tuple)) else [source]
+    fams = {stat_format_for(str(p)) for p in paths}
+    if len(fams) != 1 or None in fams:
+        raise ValueError(
+            f"read_stat needs one stat-file family per call; got {sorted(str(p) for p in paths)} "
+            f"(supported: {sorted(STAT_EXTENSIONS)})"
+        )
+    family, sub = fams.pop()
+
+    scan = spark.read.format("binaryFile").load(paths)
+    if schema is None:
+        first = scan.select("path").orderBy("path").limit(1).collect()
+        if not first:
+            raise FileNotFoundError(f"read_stat: no files matched {source!r}")
+        # driver-side peek at ONE file for the schema (the
+        # spark.read.csv(inferSchema) contract; bounded by one export file)
+        peek_bytes = (
+            scan.filter(scan.path == first[0].path).select("content").head()[0]
+        )
+        peek = _parse_stat_bytes(bytes(peek_bytes), family, sub, options)
+        schema = spark.createDataFrame(peek.head(10)).schema if len(peek) else spark.createDataFrame(peek).schema
+    names = [f.name for f in schema.fields]
+    out_schema = schema
+    if file_col:
+        out_schema = T.StructType(list(schema.fields) + [T.StructField(file_col, T.StringType())])
+
+    def parse(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                one = _parse_stat_bytes(bytes(content), family, sub, options)
+                missing = [c for c in names if c not in one.columns]
+                if missing:
+                    raise ValueError(
+                        f"read_stat: {path} lacks columns {missing} present in "
+                        "the inferred schema — pass schema= or split the read"
+                    )
+                one = one[names]
+                if file_col:
+                    one[file_col] = path.rsplit("/", 1)[-1]
+                yield one
+
+    return TidyFrame(scan.select("path", "content").mapInPandas(parse, out_schema))
+
+
+_GSHEET_ID = re.compile(r"/spreadsheets/d/([A-Za-z0-9_-]+)")
+_GSHEET_GID = re.compile(r"[#?&]gid=(\d+)")
+
+
+def gsheet_export_url(url: str) -> str:
+    """Resolve any docs.google.com spreadsheet URL (edit/view/share form)
+    to its CSV export endpoint, preserving the worksheet ``gid``."""
+    m = _GSHEET_ID.search(url)
+    if not m:
+        raise ValueError(f"not a Google Sheets URL: {url!r}")
+    gid = _GSHEET_GID.search(url)
+    return (
+        f"https://docs.google.com/spreadsheets/d/{m.group(1)}/export"
+        f"?format=csv&gid={gid.group(1) if gid else 0}"
+    )
+
+
+def _default_fetch(url: str) -> bytes:
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.read()
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(
+            "Google Sheets fetch needs outbound network access, which this "
+            "environment does not have; pass fetch= (url -> bytes) to "
+            "read_gsheet, or export the sheet to CSV and read that."
+        ) from e
+
+
+def read_gsheet(
+    spark: SparkSession,
+    url: str,
+    *,
+    fetch=None,
+    alias: str | None = "gsheet",
+    **csv_options,
+) -> TidyFrame:
+    """Read a (public / link-shared) Google Sheet as a TidyFrame
+    (``/root/reference/src/TidierDB.jl:170-174``).
+
+    Sheets are capped at 10M cells by Google, so the scale-correct plan is
+    one driver fetch of the CSV export + an Arrow upload — a sheet is a
+    DIMENSION input to 100 TB jobs (lookup/config tables), and the
+    resulting local DataFrame is exactly what ``broadcast()`` wants.
+    """
+    data = (fetch or _default_fetch)(gsheet_export_url(url))
+    pdf = pd.read_csv(io.BytesIO(data), **csv_options)
+    pdf.columns = [str(c) for c in pdf.columns]
+    out = TidyFrame(spark.createDataFrame(pdf))
+    if alias:
+        out.df.createOrReplaceTempView(alias)
+    return out
