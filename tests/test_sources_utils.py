@@ -589,3 +589,59 @@ def test_warc_offsets_are_separate_units():
     assert [r["member_offset"] for r in got] == [0, 0, len(m1)]
     # within-member uncompressed offsets restart per member
     assert [r["record_offset"] for r in got] == [0, len(recs[0]), 0]
+
+
+def test_read_warc_stream_incremental_pickup(spark, tmp_path):
+    """Streaming WARC ingest (read_warc_stream): files landing under a
+    directory are parsed with the SAME record stage as the batch reader,
+    picked up exactly once across micro-batches (file-source checkpoint
+    log), and compose with write_stream's availableNow drain."""
+    import gzip
+
+    from tidierdb_jl_spark.sources.warc import read_warc, read_warc_stream
+    from tidierdb_jl_spark.streaming.stream import write_stream
+
+    src = tmp_path / "crawl"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def shard(name, uris):
+        recs = [
+            _warc_record("response", _http_response(f"doc {u}".encode()),
+                         uri=f"http://{u}.test/")
+            for u in uris
+        ]
+        (src / name).write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    shard("s0.warc.gz", ["a", "b"])
+    shard("s1.warc.gz", ["c"])
+
+    stream = read_warc_stream(
+        spark, str(src), warc_types=("response",), keep_payload=False,
+        max_files_per_trigger=1,
+    )
+    assert stream.df.isStreaming
+    q = write_stream(stream, str(out), str(ckpt), trigger="availableNow")
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(str(out)).toPandas()
+    assert sorted(got1["target_uri"]) == [
+        "http://a.test/", "http://b.test/", "http://c.test/"
+    ]
+    assert sorted(got1["text"]) == ["doc a", "doc b", "doc c"]
+
+    # a new shard lands; the next drain processes ONLY it (exactly-once)
+    shard("s2.warc.gz", ["d", "e"])
+    q2 = write_stream(
+        read_warc_stream(spark, str(src), warc_types=("response",),
+                         keep_payload=False),
+        str(out), str(ckpt), trigger="availableNow",
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(out)).toPandas()
+    assert len(got2) == 5 and sorted(got2["text"])[-2:] == ["doc d", "doc e"]
+
+    # streaming result rows == batch reader rows over the same dir
+    batch = read_warc(spark, str(src), warc_types=("response",),
+                      keep_payload=False).collect()
+    assert sorted(batch["target_uri"]) == sorted(got2["target_uri"])

@@ -210,6 +210,32 @@ def parse_warc_records(path: str, blob: bytes):
             }
 
 
+def _parse_stage(keep_payload: bool, warc_types: tuple):
+    """Shared record-split stage for the batch and streaming readers:
+    (schema, mapInPandas generator) over a (path, content) frame."""
+    schema = _SCHEMA
+    if not keep_payload:
+        schema = T.StructType([f for f in schema.fields if f.name != "payload"])
+    cols = [f.name for f in schema.fields]
+    want = tuple(warc_types)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for rec in parse_warc_records(r["path"], bytes(r["content"])):
+                    if want and rec["warc_type"] not in want:
+                        continue
+                    if not keep_payload:
+                        rec.pop("payload")
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return schema, run
+
+
 def read_warc(
     spark,
     path,
@@ -233,25 +259,50 @@ def read_warc(
         reader = reader.option("recursiveFileLookup", "true")
     files = reader.load(path).select("path", "content")
 
-    schema = _SCHEMA
-    if not keep_payload:
-        schema = T.StructType([f for f in schema.fields if f.name != "payload"])
-    cols = [f.name for f in schema.fields]
-    want = tuple(warc_types)
+    schema, run = _parse_stage(keep_payload, warc_types)
 
-    def run(batches):
-        import pandas as pd
+    from ..core import TidyFrame
 
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                for rec in parse_warc_records(r["path"], bytes(r["content"])):
-                    if want and rec["warc_type"] not in want:
-                        continue
-                    if not keep_payload:
-                        rec.pop("payload")
-                    rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
+    return TidyFrame(files.mapInPandas(run, schema))
+
+
+def read_warc_stream(
+    spark,
+    path,
+    path_glob: str | None = "*.warc*",
+    keep_payload: bool = True,
+    warc_types: tuple = (),
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous WARC ingest: a STREAMING record-per-row TidyFrame over
+    crawl files as they land under ``path`` — the steady-state shape of a
+    Common-Crawl-scale pipeline (the crawler drops .warc.gz shards into
+    object storage; this source picks each file up exactly once, the same
+    one-file-per-task parse as :func:`read_warc`, checkpointed by
+    Structured Streaming's file-source log).
+
+    Compose with the rest of :mod:`tidierdb_jl_spark.streaming` —
+    watermarks/windows on ``warc_date``, ``dedup_within_watermark`` on
+    the fingerprint, ``write_stream``/``foreach_batch`` to land parquet.
+    ``max_files_per_trigger`` bounds per-microbatch work (files are the
+    unit of parallelism AND of admission — size it to cluster cores)."""
+    reader = spark.readStream.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # binaryFile's schema is fixed; streaming sources must declare it
+    src_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = reader.schema(src_schema).load(path).select("path", "content")
+
+    schema, run = _parse_stage(keep_payload, warc_types)
 
     from ..core import TidyFrame
 

@@ -56,7 +56,10 @@ SF10_DIR = os.path.join(REPO, "testdata_sf10")
 # rounds-grow-with-diameter, so these get a second 10x step at sf10
 # (generated on demand by gen_sf.py --sf 10, ~1.7 GB parquet)
 STEEP = ["t52_clean_corpus", "d35_minhash_pairs", "t68_segment_dedup",
-         "t96_leakage_split"]
+         "t96_leakage_split",
+         # r7: t67 had the second-steepest 0.1->1 slope (4.40x) after the
+         # four above — give it the second 10x step too
+         "t67_pack_ffd"]
 
 
 def median(xs):
