@@ -3789,8 +3789,8 @@ def _m43(t):
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
     (t74), jusText-style main-content extraction (t75), audio container
     metadata (m41), video container metadata (m42), image header
-    metadata (m44, r7) — plus the NEW web-pipeline end-to-end legs
-    (``_w51_web_e2e_legs``: WARC ->
+    metadata (m44, r7), statistical-package ingest (w52, r7) — plus the
+    NEW web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
     main-content -> dedup-with-planted-dups -> sequence packing).  Shared
     schema (op, id1, id2, s, num); each round-6 leg is individually
     oracle-backed by its own registered row, this suite puts them all

@@ -185,3 +185,22 @@ def test_read_stat_gzip_content_not_supported_hint():
     from tidierdb_jl_spark.sources.statfiles import STAT_EXTENSIONS
 
     assert set(STAT_EXTENSIONS) == {".dta", ".xpt", ".sas7bdat", ".sav", ".zsav", ".por"}
+
+
+def test_read_stat_empty_peek_file_clear_error(spark):
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="stat_empty_")
+    pd.DataFrame({"a": pd.Series([], dtype=float)}).to_stata(
+        os.path.join(d, "a_empty.dta"), write_index=False
+    )
+    pd.DataFrame({"a": [1.0]}).to_stata(os.path.join(d, "b.dta"), write_index=False)
+    # empty file sorts first -> schema peek must fail loudly, not crash
+    with pytest.raises(ValueError, match="0 rows.*schema"):
+        read_stat(spark, os.path.join(d, "*.dta"))
+    # explicit schema unblocks the same read
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("a", T.DoubleType())])
+    got = read_stat(spark, os.path.join(d, "*.dta"), schema=sch).collect()
+    assert got["a"].tolist() == [1.0]

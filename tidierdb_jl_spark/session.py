@@ -76,6 +76,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # binaryFile/glob loads probe the literal glob path for a
+        # streaming-sink metadata dir and log a full FileNotFound stack
+        # trace at WARN — expected and harmless; keep it out of user logs
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -147,7 +147,12 @@ def read_stat(
             scan.filter(scan.path == first[0].path).select("content").head()[0]
         )
         peek = _parse_stat_bytes(bytes(peek_bytes), family, sub, options)
-        schema = spark.createDataFrame(peek.head(10)).schema if len(peek) else spark.createDataFrame(peek).schema
+        if not len(peek):
+            raise ValueError(
+                f"read_stat: schema peek file {first[0].path} has 0 rows — "
+                "Spark cannot infer types from it; pass schema= explicitly"
+            )
+        schema = spark.createDataFrame(peek.head(10)).schema
     names = [f.name for f in schema.fields]
     out_schema = schema
     if file_col:
