@@ -1922,3 +1922,59 @@ def test_image_metadata_header_only(spark):
     assert out.loc[2, "format"] == "png" and out.loc[2, "n_channels"] == 4
     assert out.loc[3, "format"] == "webp" and out.loc[3, "width"] == 640
     assert pd_isna_safe(out.loc[4, "format"]) and pd_isna_safe(out.loc[5, "width"])
+
+
+def test_read_media_stream_incremental_pickup(spark, tmp_path):
+    """Streaming media ingest (read_media_stream): blobs landing under a
+    directory arrive exactly once through the same schema as the batch
+    reader, and header-only metadata extraction works on the stream's
+    output unchanged."""
+    import numpy as np
+
+    from tidierdb_jl_spark.llm.multimodal import (
+        _encode_ppm,
+        extract_image_metadata,
+        read_media_files,
+        read_media_stream,
+    )
+    from tidierdb_jl_spark.streaming.stream import write_stream
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+
+    def img(name, w, h):
+        arr = np.fromfunction(lambda y, x, c: (y + x + c) % 256, (h, w, 3))
+        (src / name).write_bytes(_encode_ppm(arr))
+
+    img("a.ppm", 4, 3)
+    img("b.ppm", 8, 2)
+
+    stream = read_media_stream(
+        spark, str(src), kind="image", mime="image/x-portable-pixmap",
+        path_glob="*.ppm", max_files_per_trigger=1,
+    )
+    assert stream.df.isStreaming
+    out, ckpt = tmp_path / "out", tmp_path / "ck"
+    q = write_stream(stream, str(out), str(ckpt), trigger="availableNow")
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == 2
+
+    img("c.ppm", 5, 5)  # a new blob lands; next drain picks up ONLY it
+    q2 = write_stream(
+        read_media_stream(spark, str(src), kind="image",
+                          mime="image/x-portable-pixmap", path_glob="*.ppm"),
+        str(out), str(ckpt), trigger="availableNow",
+    )
+    q2.awaitTermination(120)
+    from tidierdb_jl_spark.core import TidyFrame
+
+    landed = TidyFrame(spark.read.parquet(str(out)))
+    assert landed.df.count() == 3
+    # batch-reader parity + metadata extraction over the landed rows
+    meta = extract_image_metadata(landed).collect().sort_values("media_path")
+    assert list(meta["width"]) == [4, 8, 5]
+    assert list(meta["height"]) == [3, 2, 5]
+    batch = read_media_files(spark, str(src), kind="image",
+                             mime="image/x-portable-pixmap", path_glob="*.ppm")
+    assert batch.df.count() == 3

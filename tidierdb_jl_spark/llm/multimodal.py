@@ -739,3 +739,45 @@ def read_media_files(
     from ..core import TidyFrame
 
     return attach_media_metadata(TidyFrame(df), "content", kind, mime)
+
+
+def read_media_stream(
+    spark,
+    path,
+    kind: str = "image",
+    mime: str = "application/octet-stream",
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous media ingest: the STREAMING form of
+    :func:`read_media_files` — blobs landing under ``path`` are picked up
+    exactly once (Structured Streaming file-source checkpoint log) with
+    the same (media_path, media_mtime, media_bytes, content) + metadata
+    shape, so every downstream call (``extract_image_metadata``,
+    ``decode_image`` gates, bucketing) works unchanged on the stream.
+    ``max_files_per_trigger`` bounds per-microbatch admission — files are
+    whole-row units, so size it to executor memory, not row counts."""
+    from pyspark.sql import types as T
+
+    reader = spark.readStream.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = reader.schema(src_schema).load(path).selectExpr(
+        "path AS media_path",
+        "modificationTime AS media_mtime",
+        "length AS media_bytes",
+        "content",
+    )
+    from ..core import TidyFrame
+
+    return attach_media_metadata(TidyFrame(df), "content", kind, mime)
