@@ -204,3 +204,33 @@ def test_read_stat_empty_peek_file_clear_error(spark):
     sch = T.StructType([T.StructField("a", T.DoubleType())])
     got = read_stat(spark, os.path.join(d, "*.dta"), schema=sch).collect()
     assert got["a"].tolist() == [1.0]
+
+
+def test_xport_roundtrip_property(spark):
+    """Property sweep: random IEEE doubles (mixed magnitudes, signs,
+    specials) and latin-1 strings survive our spec-written XPT encoder ->
+    pandas reader -> read_stat exactly, across multiple files."""
+    import tempfile as _tf
+
+    rng = np.random.default_rng(7)
+    n = 200
+    # doubles built from <=50-bit integers scaled by powers of two are
+    # exactly representable in both IEEE and IBM hex float
+    mant = rng.integers(-(2**50), 2**50, size=n).astype(float)
+    exp2 = rng.integers(-30, 30, size=n)
+    vals = mant * (2.0 ** exp2)
+    vals[rng.random(n) < 0.05] = 0.0
+    vals[rng.random(n) < 0.05] = float("nan")
+    tags = ["".join(chr(rng.integers(32, 126)) for _ in range(rng.integers(1, 9))).rstrip()
+            or "x" for _ in range(n)]
+    want = pd.DataFrame({"K": np.arange(n, dtype=float), "V": vals, "TAG": tags})
+
+    d = _tf.mkdtemp(prefix="stat_prop_")
+    for i in range(4):
+        write_xport(want.iloc[i * 50:(i + 1) * 50], os.path.join(d, f"p{i}.xpt"))
+    got = read_stat(spark, os.path.join(d, "*.xpt")).arrange("K").collect()
+    gv, wv = got["V"].to_numpy(), want["V"].to_numpy()
+    both_nan = np.isnan(gv) & np.isnan(wv)
+    assert np.array_equal(gv[~both_nan], wv[~both_nan])
+    assert (~np.isnan(gv) | np.isnan(wv)).all()
+    assert got["TAG"].tolist() == want["TAG"].tolist()

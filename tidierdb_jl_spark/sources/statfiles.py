@@ -77,10 +77,11 @@ def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) 
             tiny = 2.0 ** -260
             for c in pdf.columns:
                 if pdf[c].dtype == float:
-                    vals = pdf[c].to_numpy()
+                    vals = pdf[c].to_numpy(copy=True)
                     hits = np.abs(vals) == tiny
                     if hits.any():
                         vals[hits] = 0.0
+                        pdf[c] = vals
     else:  # spss — pandas delegates to pyreadstat, not in this image
         try:
             import pyreadstat  # noqa: F401
