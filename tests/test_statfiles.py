@@ -161,9 +161,6 @@ def test_gsheet_url_resolution_and_offline_read(spark):
     # db_table URL dispatch (TidierDB.jl:171)
     assert db_table(spark, url, fetch=fetch).collect().shape == (2, 2)
 
-    def down(u):
-        raise OSError("no route to host")
-
     import urllib.request
 
     real = urllib.request.urlopen
@@ -234,3 +231,47 @@ def test_xport_roundtrip_property(spark):
     assert np.array_equal(gv[~both_nan], wv[~both_nan])
     assert (~np.isnan(gv) | np.isnan(wv)).all()
     assert got["TAG"].tolist() == want["TAG"].tolist()
+
+
+def test_review_guards_dispatch_and_schema(spark):
+    """Round-7 review fixes: (1) fmt= override beats the stat-extension
+    dispatch; (2) a local path merely CONTAINING 'docs.google' is not
+    hijacked to the Sheets reader; (3) extra columns in a shard fail as
+    loudly as missing ones; (4) file_col colliding with a data column is
+    rejected; (5) the oracle XPT encoder refuses out-of-range magnitudes
+    instead of silently corrupting the sign bit."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="stat_guard_")
+    # (1) a CSV misnamed .dta still reads as CSV under fmt="csv"
+    p = os.path.join(d, "notreally.dta")
+    with open(p, "w") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    got = db_table(spark, p, fmt="csv")
+    assert got.collect().shape == (2, 2)
+
+    # (2) local file named like a Sheets host is NOT routed to gsheet
+    p2 = os.path.join(d, "docs.google.com_export.csv")
+    with open(p2, "w") as fh:
+        fh.write("k,v\n1,2\n")
+    assert db_table(spark, p2).collect().shape == (1, 2)
+
+    # (3) extra columns fail loudly
+    pd.DataFrame({"a": [1.0]}).to_stata(os.path.join(d, "s0.dta"), write_index=False)
+    pd.DataFrame({"a": [2.0], "b": ["x"]}).to_stata(
+        os.path.join(d, "s1.dta"), write_index=False
+    )
+    with pytest.raises(Exception, match="extra"):
+        read_stat(spark, [os.path.join(d, "s0.dta"), os.path.join(d, "s1.dta")]).collect()
+
+    # (4) lineage-column collision
+    with pytest.raises(ValueError, match="collides"):
+        read_stat(spark, os.path.join(d, "s0.dta"), file_col="a")
+
+    # (5) encoder range clamp
+    from xpt_ref import ieee_to_ibm
+
+    with pytest.raises(ValueError, match="range"):
+        ieee_to_ibm(1e77)
+    with pytest.raises(ValueError, match="range"):
+        ieee_to_ibm(1e-100)

@@ -25,6 +25,10 @@ def ieee_to_ibm(x: float) -> bytes:
         return bytes(8)
     sign = 0x80 if x < 0 else 0
     x = abs(x)
+    if not (16.0 ** -65 <= x < 16.0 ** 63):
+        # IBM hex float range is 16**-65 .. 16**63; outside it the byte
+        # packing below would silently corrupt the sign/exponent
+        raise ValueError(f"value {x!r} outside IBM hex-float range")
     e = math.floor(math.log(x, 16)) + 1
     frac = x / (16.0 ** e)
     while frac >= 1.0:

@@ -757,22 +757,9 @@ def read_media_stream(
     ``decode_image`` gates, bucketing) works unchanged on the stream.
     ``max_files_per_trigger`` bounds per-microbatch admission — files are
     whole-row units, so size it to executor memory, not row counts."""
-    from pyspark.sql import types as T
+    from ..sources.readers import binary_file_stream
 
-    reader = spark.readStream.format("binaryFile")
-    if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    src_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("modificationTime", T.TimestampType()),
-            T.StructField("length", T.LongType()),
-            T.StructField("content", T.BinaryType()),
-        ]
-    )
-    df = reader.schema(src_schema).load(path).selectExpr(
+    df = binary_file_stream(spark, path, path_glob, max_files_per_trigger).selectExpr(
         "path AS media_path",
         "modificationTime AS media_mtime",
         "length AS media_bytes",

@@ -79,7 +79,10 @@ def get_spark(
     try:
         # binaryFile/glob loads probe the literal glob path for a
         # streaming-sink metadata dir and log a full FileNotFound stack
-        # trace at WARN — expected and harmless; keep it out of user logs
+        # trace at WARN — expected and harmless; keep it out of user logs.
+        # Tradeoff: genuine FileStreamSink warnings (rare; the sink mostly
+        # reports through StreamingQuery status/exceptions) are demoted
+        # too — this logger is dominated by the per-glob-read probe noise.
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.LogManager.getLogger(
             "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink"

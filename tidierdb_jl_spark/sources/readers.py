@@ -77,15 +77,22 @@ def db_table(
         if alias:
             out.df.createOrReplaceTempView(alias)
         return out
-    if isinstance(source, str) and "docs.google." in source:
-        # Sheets URL dispatch (/root/reference/src/TidierDB.jl:170-174)
+    if (
+        isinstance(source, str)
+        and source.startswith(("http://", "https://"))
+        and source.split("/", 3)[2].split(":")[0] == "docs.google.com"
+    ):
+        # Sheets URL dispatch (/root/reference/src/TidierDB.jl:170-174);
+        # requires a real docs.google.com URL — a local file whose NAME
+        # contains "docs.google" must still reach the file readers
         from .statfiles import read_gsheet
 
         return read_gsheet(spark, source, alias=alias or "gsheet", **options)
-    if isinstance(source, str) and not (iceberg or delta):
+    if isinstance(source, str) and not (iceberg or delta) and fmt is None:
         from .statfiles import read_stat, stat_format_for
 
-        # .dta/.xpt/.sas7bdat/.sav/... dispatch (TidierDB.jl:175-178)
+        # .dta/.xpt/.sas7bdat/.sav/... dispatch (TidierDB.jl:175-178);
+        # an explicit fmt= override wins over the extension
         if stat_format_for(source):
             out = read_stat(spark, source, **options)
             if alias:
@@ -105,7 +112,7 @@ def db_table(
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
         from .statfiles import read_stat, stat_format_for
 
-        if source and stat_format_for(str(source[0])):
+        if source and fmt is None and stat_format_for(str(source[0])):
             out = read_stat(spark, source, **options)
             if alias:
                 out.df.createOrReplaceTempView(alias)
@@ -132,6 +139,35 @@ def db_table(
 
 
 dt = db_table
+
+
+def binary_file_stream(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ``binaryFile`` source (shared by ``read_warc_stream`` /
+    ``read_media_stream``): files landing under ``path`` become (path,
+    modificationTime, length, content) rows exactly once per file
+    (Structured Streaming's file-source checkpoint log).  File sources
+    must declare a schema; binaryFile's is fixed."""
+    from pyspark.sql import types as T
+
+    reader = spark.readStream.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return reader.schema(schema).load(path)
 
 
 def _reader_opts(fmt: str, options: dict, path: str = "") -> dict:

@@ -157,6 +157,10 @@ def read_stat(
     names = [f.name for f in schema.fields]
     out_schema = schema
     if file_col:
+        if file_col in names:
+            raise ValueError(
+                f"read_stat: file_col={file_col!r} collides with a data column"
+            )
         out_schema = T.StructType(list(schema.fields) + [T.StructField(file_col, T.StringType())])
 
     def parse(batches):
@@ -164,10 +168,12 @@ def read_stat(
             for path, content in zip(pdf["path"], pdf["content"]):
                 one = _parse_stat_bytes(bytes(content), family, sub, options)
                 missing = [c for c in names if c not in one.columns]
-                if missing:
+                extra = [c for c in one.columns if c not in names]
+                if missing or extra:
                     raise ValueError(
-                        f"read_stat: {path} lacks columns {missing} present in "
-                        "the inferred schema — pass schema= or split the read"
+                        f"read_stat: {path} does not match the schema "
+                        f"(missing {missing}, extra {extra}) — ragged "
+                        "exports fail loudly; pass schema= or split the read"
                     )
                 one = one[names]
                 if file_col:
@@ -201,6 +207,13 @@ def _default_fetch(url: str) -> bytes:
     try:
         with urllib.request.urlopen(url, timeout=30) as resp:
             return resp.read()
+    except urllib.error.HTTPError as e:
+        # the server ANSWERED — not a connectivity problem
+        raise RuntimeError(
+            f"Google Sheets returned HTTP {e.code} for {url} — the sheet "
+            "is likely not link-shared (Anyone with the link can view) or "
+            "the id/gid is wrong."
+        ) from e
     except (urllib.error.URLError, OSError) as e:
         raise RuntimeError(
             "Google Sheets fetch needs outbound network access, which this "

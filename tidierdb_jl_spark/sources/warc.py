@@ -286,21 +286,11 @@ def read_warc_stream(
     the fingerprint, ``write_stream``/``foreach_batch`` to land parquet.
     ``max_files_per_trigger`` bounds per-microbatch work (files are the
     unit of parallelism AND of admission — size it to cluster cores)."""
-    reader = spark.readStream.format("binaryFile")
-    if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # binaryFile's schema is fixed; streaming sources must declare it
-    src_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("modificationTime", T.TimestampType()),
-            T.StructField("length", T.LongType()),
-            T.StructField("content", T.BinaryType()),
-        ]
-    )
-    files = reader.schema(src_schema).load(path).select("path", "content")
+    from .readers import binary_file_stream
+
+    files = binary_file_stream(
+        spark, path, path_glob, max_files_per_trigger
+    ).select("path", "content")
 
     schema, run = _parse_stage(keep_payload, warc_types)
 
