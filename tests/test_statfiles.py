@@ -107,6 +107,43 @@ def test_read_stat_xport_zero_roundtrip(spark):
     assert got["A"].tolist() == [0.0, 0.0, 2.0, 0.0]
 
 
+def test_read_stat_xport_zero_vs_minimal_ibm_float(spark):
+    """The all-zero IBM field (SAS 0.0) and the minimal normalized IBM
+    hex float 16**-65 both decode to 2**-260 under pandas; the byte-level
+    disambiguation must snap only the former."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="stat_tiny_")
+    tiny = 16.0 ** -65  # == 2**-260, genuinely representable
+    want = pd.DataFrame(
+        {"A": [0.0, tiny, -tiny, 3.5], "B": [tiny, 0.0, 7.0, -0.0]}
+    )
+    write_xport(want, os.path.join(d, "t.xpt"))
+    got = read_stat(spark, os.path.join(d, "t.xpt")).collect().sort_values("A")
+    assert sorted(got["A"].tolist()) == sorted([0.0, tiny, -tiny, 3.5])
+    assert sorted(got["B"].tolist()) == sorted([tiny, 0.0, 7.0, 0.0])
+
+
+def test_xpt_raw_field_parser_locates_numeric_bytes():
+    """Layout parser sanity: the located raw field for a known value must
+    equal the reference encoder's bytes for it (mixed char/num columns so
+    npos bookkeeping is exercised)."""
+    import tempfile as _tf
+
+    from tidierdb_jl_spark.sources.statfiles import _xpt_raw_numeric_fields
+
+    d = _tf.mkdtemp(prefix="stat_raw_")
+    df = pd.DataFrame({"S": ["abc", "de"], "A": [0.0, 16.0 ** -65]})
+    p = os.path.join(d, "r.xpt")
+    write_xport(df, p)
+    data = open(p, "rb").read()
+    fields = _xpt_raw_numeric_fields(data, ["A"], 2)
+    assert fields is not None
+    assert fields["A"][0] == bytes(8)
+    assert fields["A"][1] == ieee_to_ibm(16.0 ** -65)
+    assert fields["A"][1][1:] != bytes(7)  # mantissa distinguishes it
+
+
 def test_read_stat_rejects_mixed_families_and_missing(spark):
     with pytest.raises(ValueError, match="one stat-file family"):
         read_stat(spark, ["a.dta", "b.xpt"])
@@ -122,7 +159,7 @@ def test_read_stat_ragged_schema_fails_loudly(spark):
         os.path.join(d, "p0.dta"), write_index=False
     )
     pd.DataFrame({"a": [2.0]}).to_stata(os.path.join(d, "p1.dta"), write_index=False)
-    with pytest.raises(Exception, match="lacks columns|b"):
+    with pytest.raises(Exception, match=r"missing \['b'\]"):
         read_stat(spark, os.path.join(d, "*.dta")).collect()
 
 

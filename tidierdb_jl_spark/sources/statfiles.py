@@ -62,6 +62,54 @@ def stat_format_for(path: str) -> tuple[str, str | None] | None:
     return None
 
 
+def _xpt_raw_numeric_fields(data: bytes, cols, nrows: int):
+    """Locate the raw 8-byte fields of the named numeric variables in an
+    XPORT v5 byte stream (TS-140 layout: 80-byte records, NAMESTR catalog
+    with the variable count in the header's digit block, 140-byte NAMESTR
+    entries carrying ntype/nlng/nname/npos, data rows after the OBS header).
+
+    Returns ``{col: [bytes8, ...]}`` with one entry per data row, or
+    ``None`` when the stream doesn't match the single-member layout this
+    parser understands (caller falls back to value-level handling).
+    """
+    import struct
+
+    try:
+        ns_marker = b"HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!"
+        obs_marker = b"HEADER RECORD*******OBS     HEADER RECORD!!!!!!!"
+        mem_marker = b"HEADER RECORD*******MEMBER  HEADER RECORD!!!!!!!"
+        if data.count(mem_marker) != 1 or data.count(ns_marker) != 1:
+            return None  # multi-member files: one namestr block per member
+        mem_pos = data.index(mem_marker)
+        # member header digit block ends with the NAMESTR entry size
+        ns_size = int(data[mem_pos + 74 : mem_pos + 78])
+        ns_pos = data.index(ns_marker)
+        n_vars = int(data[ns_pos + 54 : ns_pos + 58])
+        cat = data[ns_pos + 80 :]
+        want = {str(c).strip().upper(): c for c in cols}
+        fields, row_len = {}, 0
+        for i in range(n_vars):
+            ent = cat[i * ns_size : (i + 1) * ns_size]
+            ntype, _, nlng = struct.unpack(">hhh", ent[0:6])
+            nname = ent[8:16].decode("latin-1").strip().upper()
+            npos = struct.unpack(">l", ent[84:88])[0]
+            row_len = max(row_len, npos + nlng)
+            if ntype == 1 and nlng == 8 and nname in want:
+                fields[want.pop(nname)] = npos
+        if want or row_len <= 0:
+            return None  # a requested column is absent or truncated (nlng<8)
+        obs_pos = data.index(obs_marker, ns_pos)
+        rows = data[obs_pos + 80 :]
+        if len(rows) < nrows * row_len:
+            return None
+        return {
+            c: [rows[r * row_len + p : r * row_len + p + 8] for r in range(nrows)]
+            for c, p in fields.items()
+        }
+    except (ValueError, struct.error):
+        return None
+
+
 def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) -> pd.DataFrame:
     if family == "stata":
         pdf = pd.read_stata(io.BytesIO(data), **options)
@@ -70,18 +118,33 @@ def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) 
         if sub == "xport":
             # pandas' IBM-float parser has no zero special-case: the
             # canonical all-zero IBM double (how SAS writes 0.0) decodes
-            # to ±2**-260 (= ±16**-65, below SAS's own numeric floor of
-            # ~1e-78).  Snap it back.
+            # to ±2**-260.  But 2**-260 == 16**-65 is ALSO the smallest
+            # genuinely representable normalized IBM hex float (exponent
+            # byte 0, mantissa 2**52), so the value alone is ambiguous.
+            # Disambiguate at the byte level: re-locate each hit's raw
+            # 8-byte field in the XPT record area and snap only fields
+            # whose mantissa is all-zero (a true SAS 0.0).
             import numpy as np
 
             tiny = 2.0 ** -260
-            for c in pdf.columns:
-                if pdf[c].dtype == float:
+            hit_cols = [
+                c
+                for c in pdf.columns
+                if pdf[c].dtype == float and (np.abs(pdf[c].to_numpy()) == tiny).any()
+            ]
+            if hit_cols:
+                raw_fields = _xpt_raw_numeric_fields(data, hit_cols, len(pdf))
+                for c in hit_cols:
                     vals = pdf[c].to_numpy(copy=True)
-                    hits = np.abs(vals) == tiny
-                    if hits.any():
-                        vals[hits] = 0.0
-                        pdf[c] = vals
+                    hits = np.flatnonzero(np.abs(vals) == tiny)
+                    for i in hits:
+                        fld = None if raw_fields is None else raw_fields.get(c, [None])[i]
+                        # fld is None when layout parsing failed — keep the
+                        # historical value-level snap (zeros vastly outnumber
+                        # true 16**-65 values in real exports)
+                        if fld is None or not any(fld[1:]):
+                            vals[i] = 0.0
+                    pdf[c] = vals
     else:  # spss — pandas delegates to pyreadstat, not in this image
         try:
             import pyreadstat  # noqa: F401
