@@ -1620,8 +1620,9 @@ def _d94(t):
 def _d99(t):
     """Round-4 ops suite (tagged union): incremental exact dedup (d91),
     cross-table similarity join (d98), token-window chunking (t97),
-    deterministic epoch shuffle (t90), and parquet MERGE upsert — the
-    ingest-pipeline primitives, one driver row.  The merge leg does the
+    deterministic epoch shuffle (t90), parquet MERGE upsert, and (r8) the
+    persistent bloom-gated DedupState (d45) — the ingest-pipeline
+    primitives, one driver row.  The merge leg does the
     REAL thing: writes a base dataset to a scratch dir (fresh per call —
     retry-safe), partition-scoped-upserts a derived batch, and returns
     the read-back result; the oracle recomputes the merged relation
@@ -1682,7 +1683,16 @@ def _d99(t):
                       s="o_orderstatus", num="o_totalprice")
         .select(*cols)
     )
-    return inc.union_all(sim).union_all(chk).union_all(shf).union_all(mrg)
+    dst = (
+        _d45(t)
+        .mutate(op="'dedupstate'", id1="CAST(batch AS BIGINT)", id2="doc_id",
+                s="fingerprint", num=nld)
+        .select(*cols)
+    )
+    return (
+        inc.union_all(sim).union_all(chk).union_all(shf).union_all(mrg)
+        .union_all(dst)
+    )
 
 
 def _t60(t):
@@ -3784,6 +3794,44 @@ def _m44(t):
 _BUILDERS["m44_image_metadata"] = _m44
 
 
+def _d45(t):
+    """Persistent incremental-dedup state (llm/dedupstate.py — beyond the
+    reference, whose only dedup verb is @distinct): three OVERLAPPING
+    ingestion batches flow through a fresh on-disk DedupState (bloom
+    sidecar gate -> partition-pruned anti-join -> append); the output is
+    every surviving (batch, doc) row.  The oracle replays the sequence
+    declaratively — a fingerprint survives at its first (batch, doc_id) —
+    so a hash match proves the bloom gate, the pruned state scan, the
+    within-batch keep-first and the append are JOINTLY exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.dedupstate import DedupState
+
+    spark = t["documents"].df.sparkSession
+    st = DedupState.create(
+        spark,
+        tempfile.mkdtemp(prefix="d45_state_") + "/st",
+        n_buckets=16,
+        expected_items=100_000,
+    )
+    out = None
+    for b, (lo, hi) in enumerate([(0, 200), (120, 360), (300, 600)], start=1):
+        batch = (
+            t["documents"].filter(f"doc_id >= {lo} AND doc_id < {hi}")
+            .select("doc_id", "text")
+        )
+        leg = (
+            st.ingest(batch, "doc_id")
+            .mutate(batch=f"CAST({b} AS INT)")
+            .select("batch", "doc_id", "fingerprint")
+        )
+        out = leg if out is None else out.union_all(leg)
+    return out
+
+
+_BUILDERS["d45_dedup_state"] = _d45
+
+
 def _m43(t):
     """Round-6 ops suite (tagged union, one driver row for the round-6
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
@@ -4106,6 +4154,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (explicit casts align DuckDB result types with Spark's)
 # ---------------------------------------------------------------------------
+
+# Sequential-ingestion replay for the DedupState rows (d45 + the d99
+# leg): a fingerprint survives at the FIRST (batch, doc_id) it appears —
+# exactly what bloom-gate -> pruned-anti-join -> keep-first -> append
+# computes batch by batch, but expressed declaratively over the union.
+_DEDUPSTATE_SQL = r"""
+        WITH batches AS (
+          SELECT 1 AS batch, doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+          FROM documents WHERE doc_id >= 0 AND doc_id < 200
+          UNION ALL
+          SELECT 2, doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+          FROM documents WHERE doc_id >= 120 AND doc_id < 360
+          UNION ALL
+          SELECT 3, doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+          FROM documents WHERE doc_id >= 300 AND doc_id < 600),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY batch, doc_id) AS rn
+          FROM batches)
+        SELECT CAST(batch AS INT) AS batch, doc_id, fingerprint
+        FROM ranked WHERE rn = 1
+"""
 
 # Shared DuckDB CTE prefixes for the round-5b oracles.  The LM pairs CTE
 # mirrors lm._with_pairs exactly: whitespace tokens, chr(1)||'bos'
@@ -4571,6 +4642,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'merge', o_orderkey, CAST(NULL AS BIGINT), o_orderstatus,
                o_totalprice FROM merged
+        UNION ALL
+        SELECT 'dedupstate', CAST(z.batch AS BIGINT), z.doc_id, z.fingerprint,
+               CAST(NULL AS DOUBLE)
+        FROM (""" + _DEDUPSTATE_SQL + r""") z
     """
     out["d91_dedup_incremental"] = r"""
         WITH fp AS (
@@ -6405,6 +6480,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id < 150
     """
+    out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["m44_image_metadata"] = r"""
         SELECT doc_id,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

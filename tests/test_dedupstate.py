@@ -1,0 +1,166 @@
+"""Persistent incremental-dedup state (llm/dedupstate.py): bloom-gated,
+partition-pruned, exactly-correct across batches.
+
+The reference's only dedup primitive is SQL DISTINCT
+(/root/reference/src/TidierDB.jl @distinct); the incremental 100 TB
+seen-set store is beyond-reference surface.  Correctness here is
+differential: every batch outcome is recomputed independently in pandas
+over the same inputs.
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from tidierdb_jl_spark import TidyFrame
+from tidierdb_jl_spark.llm.dedupstate import DedupState
+from tidierdb_jl_spark.llm.textstats import with_fingerprint
+
+
+def _docs_batch(tables, lo, hi):
+    return tables["documents"].filter(f"doc_id >= {lo} AND doc_id < {hi}").select(
+        "doc_id", "text"
+    )
+
+
+def _expected_new(spark_batch_pdf, seen_fps):
+    """Independent recomputation: normalize → md5 → first-per-fp minus seen."""
+    import hashlib
+    import re
+
+    pdf = spark_batch_pdf.copy()
+    pdf["fp"] = [
+        hashlib.md5(re.sub(r"\s+", " ", t).strip().lower().encode()).hexdigest()
+        for t in pdf["text"]
+    ]
+    pdf = pdf.sort_values("doc_id").drop_duplicates("fp", keep="first")
+    return pdf[~pdf["fp"].isin(seen_fps)], set(pdf["fp"])
+
+
+def test_dedupstate_multi_batch_exactness(spark, tables, tmp_path):
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=8, expected_items=10_000
+    )
+    seen: set = set()
+    for lo, hi in [(0, 60), (40, 120), (0, 200)]:  # overlapping batches
+        batch = _docs_batch(tables, lo, hi)
+        got = st.ingest(batch, "doc_id").collect().sort_values("doc_id")
+        want, batch_fps = _expected_new(batch.collect(), seen)
+        assert got["doc_id"].tolist() == want["doc_id"].sort_values().tolist(), (
+            lo,
+            hi,
+        )
+        assert set(got["fingerprint"]) == set(want["fp"])
+        seen |= batch_fps
+    assert st.stats()["n_fingerprints"] == len(seen)
+
+
+def test_dedupstate_exact_under_heavy_bloom_fp(spark, tables, tmp_path):
+    """A deliberately undersized bloom (near-saturated) must only change
+    which PATH rows take, never the answer — false positives are verified
+    against the real state."""
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=4, expected_items=4, fpp=0.5
+    )
+    b1 = _docs_batch(tables, 0, 80)
+    st.ingest(b1, "doc_id")
+    assert st.stats()["bloom_est_fpr"] > 0.5  # saturated, as intended
+    b2 = _docs_batch(tables, 50, 150)
+    got = st.ingest(b2, "doc_id").collect()
+    seen1 = set(with_fingerprint(b1, "text").collect()["fingerprint"])
+    want, _ = _expected_new(b2.collect(), seen1)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_dedupstate_partition_pruning_measured(spark, tables, tmp_path):
+    """The scale claim, measured: a small batch's verify scan reads only
+    the partitions its bloom-hit fingerprints hash to — files-read from
+    the SQL status store, not the plan."""
+    from tidierdb_jl_spark.plans.metrics import run_with_scan_metrics
+
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=16, expected_items=10_000
+    )
+    st.ingest(_docs_batch(tables, 0, 400), "doc_id")
+    n_dirs = len(glob.glob(os.path.join(st.path, "data", "fp_bucket=*")))
+    assert n_dirs > 8  # the state genuinely spans many partitions
+
+    # a 3-document batch, all already seen -> every row is a bloom hit,
+    # and the verify scan may touch at most 3 buckets
+    small = _docs_batch(tables, 10, 13)
+    out = st.filter_new(small, "doc_id")
+    rows, scans = run_with_scan_metrics(out, action="collect")
+    assert len(rows) == 0
+    pruned = [s for s in scans if (s["partitions"] or 0) > 0]
+    assert pruned, scans
+    assert max(s["partitions"] for s in pruned if s["partitions"]) <= 3, scans
+
+
+def test_dedupstate_append_idempotent(spark, tables, tmp_path):
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=4, expected_items=1_000
+    )
+    fps = with_fingerprint(_docs_batch(tables, 0, 50), "text")
+    n1 = st.append(fps)
+    n2 = st.append(fps)
+    assert n1 > 0 and n2 == 0
+    stored = spark.read.parquet(os.path.join(st.path, "data"))
+    assert stored.count() == stored.select("fingerprint").distinct().count() == n1
+
+
+def test_dedupstate_ingest_result_pinned(spark, tables, tmp_path):
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=4, expected_items=1_000
+    )
+    out = st.ingest(_docs_batch(tables, 0, 30), "doc_id")
+    # after append, a NAIVE recompute would anti-join against itself and
+    # return nothing; the pinned frame must still hold its rows
+    assert len(out.collect()) > 0
+    assert len(st.filter_new(_docs_batch(tables, 0, 30), "doc_id").collect()) == 0
+
+
+def test_dedupstate_compact_preserves_rows(spark, tables, tmp_path):
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=4, expected_items=1_000
+    )
+    for lo in range(0, 120, 30):  # several small appends -> many files
+        st.ingest(_docs_batch(tables, lo, lo + 30), "doc_id")
+    data = os.path.join(st.path, "data")
+    before = set(
+        spark.read.parquet(data).toPandas().itertuples(index=False, name=None)
+    )
+    files_before = len(glob.glob(os.path.join(data, "*", "*.parquet")))
+    st.compact()
+    after = set(
+        spark.read.parquet(data).toPandas().itertuples(index=False, name=None)
+    )
+    files_after = len(glob.glob(os.path.join(data, "*", "*.parquet")))
+    assert after == before
+    assert files_after < files_before
+    # partition layout preserved (pruning still works after compaction)
+    assert glob.glob(os.path.join(data, "fp_bucket=*"))
+
+
+def test_dedupstate_lifecycle_and_edges(spark, tables, tmp_path):
+    p = str(tmp_path / "st")
+    st = DedupState.create(spark, p, n_buckets=4, expected_items=100)
+    with pytest.raises(ValueError, match="already exists"):
+        DedupState.create(spark, p)
+    with pytest.raises(ValueError, match="fingerprint"):
+        st.append(tables["documents"].select("doc_id"))
+    # empty state: everything is new, no state scan attempted
+    out = st.filter_new(_docs_batch(tables, 0, 10), "doc_id").collect()
+    assert len(out) == 10
+    # reopen sees the same meta
+    st.ingest(_docs_batch(tables, 0, 10), "doc_id")
+    st2 = DedupState.open(spark, p)
+    assert st2.stats() == st.stats()
+    assert len(st2.filter_new(_docs_batch(tables, 0, 10), "doc_id").collect()) == 0
+    # over-capacity warns but stays correct
+    with pytest.warns(UserWarning, match="bloom capacity"):
+        st2.ingest(_docs_batch(tables, 10, 400), "doc_id")
+    assert (
+        len(st2.filter_new(_docs_batch(tables, 0, 400), "doc_id").collect()) == 0
+    )
