@@ -110,6 +110,24 @@ def test_dedupstate_append_idempotent(spark, tables, tmp_path):
     assert stored.count() == stored.select("fingerprint").distinct().count() == n1
 
 
+def test_dedupstate_public_append_updates_bloom_with_live_state(spark, tables, tmp_path):
+    """Regression: append() builds the batch bloom AFTER writing the state
+    path; if the batch's lineage (which anti-joins that path) is not
+    truncated first, the recompute sees its own fingerprints as 'seen',
+    blooms an EMPTY set, and every appended fingerprint becomes a bloom
+    false-negative — i.e. a future admitted duplicate."""
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=4, expected_items=1_000
+    )
+    a = with_fingerprint(_docs_batch(tables, 0, 40), "text")
+    b = with_fingerprint(_docs_batch(tables, 40, 90), "text")
+    st.append(a)
+    st.append(b)  # state exists -> the verify lineage reads the state path
+    # every fingerprint of b must now be gated out — including via the
+    # bloom-negative fast path, which is only correct if b made the bloom
+    assert len(st.filter_new(_docs_batch(tables, 40, 90), "doc_id").collect()) == 0
+
+
 def test_dedupstate_ingest_result_pinned(spark, tables, tmp_path):
     st = DedupState.create(
         spark, str(tmp_path / "st"), n_buckets=4, expected_items=1_000
@@ -141,6 +159,40 @@ def test_dedupstate_compact_preserves_rows(spark, tables, tmp_path):
     assert files_after < files_before
     # partition layout preserved (pruning still works after compaction)
     assert glob.glob(os.path.join(data, "fp_bucket=*"))
+
+
+def test_dedupstate_stream_ingest_across_microbatches(spark, tables, tmp_path):
+    """Streaming crawl ingest: two parquet files with overlapping content
+    arrive as separate micro-batches (maxFilesPerTrigger=1); the state
+    must dedup ACROSS them and the output must be exactly the sequential
+    ingest result."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _docs_batch(tables, 0, 80).df.coalesce(1).write.parquet(src)
+    _docs_batch(tables, 50, 150).df.coalesce(1).write.mode("append").parquet(src)
+
+    st = DedupState.create(
+        spark, str(tmp_path / "st"), n_buckets=8, expected_items=10_000
+    )
+    stream = read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1")
+    out = str(tmp_path / "out")
+    q = st.stream_ingest(
+        stream, "doc_id", out, str(tmp_path / "ck"), trigger="availableNow"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    # union of both windows, each fingerprint exactly once (first doc_id
+    # within the batch that introduced it)
+    all_docs = _docs_batch(tables, 0, 150).collect()
+    want_n = all_docs.assign(
+        fp=[__import__("hashlib").md5(
+            __import__("re").sub(r"\s+", " ", t).strip().lower().encode()
+        ).hexdigest() for t in all_docs["text"]]
+    )["fp"].nunique()
+    assert got["fingerprint"].nunique() == want_n
+    assert len(got) == got["fingerprint"].nunique()  # no double emission
+    assert st.stats()["n_fingerprints"] == want_n
 
 
 def test_dedupstate_lifecycle_and_edges(spark, tables, tmp_path):

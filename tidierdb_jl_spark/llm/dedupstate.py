@@ -156,40 +156,82 @@ class DedupState:
             df = df.where(F.col("fp_bucket").isin([int(b) for b in buckets]))
         return df.select("fingerprint")
 
+    def _keep_first(self, tf, id_col: str, text_col: str):
+        """Fingerprint + within-batch keep-first (one shuffle over the
+        BATCH); output: the batch's columns plus ``fingerprint``."""
+        cols = list(tf.columns)
+        return (
+            with_fingerprint(tf, text_col)
+            .mutate(**{"__keep": f"min({id_col})", "_by": "fingerprint"})
+            .filter(f"{id_col} = __keep")
+            .select(*cols, "fingerprint")
+        )
+
+    # above this many distinct bloom-positive fingerprints, stop shipping
+    # them as a scan-side IN filter (the plan literal would grow unbounded)
+    # and fall back to bucket-level pruning alone.  Matches get_spark's
+    # spark.sql.parquet.pushdown.inFilterThreshold — larger lists would be
+    # degraded to a min/max range check, which uniform hashes defeat.
+    _IN_PUSHDOWN_CAP = 4096
+
+    # per-column PARQUET bloom filters on the state files: the verify
+    # scan's IN probe then skips whole row groups whose bloom rejects all
+    # probed fingerprints (min/max stats are useless on uniform hashes —
+    # measured 100k rows read -> 0 for absent probes).  Adaptive sizing
+    # keeps the bloom proportional to the actual row-group NDV instead of
+    # the 1 MB default.
+    _BLOOM_FILE_OPTS = {
+        "parquet.bloom.filter.enabled#fingerprint": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+    }
+
+    def _resolve(self, marked):
+        """Split a bloom-marked frame (``__hit`` column) into
+        definitively-new rows plus verified bloom positives.  The distinct
+        (bucket, fingerprint) pairs of the positives — a driver collect
+        bounded by the CAP, never by data — drive two levels of state-scan
+        pruning: the bucket ids prune partitions (directory level), and,
+        when the positives are few (the normal case: true dups + ~FPR of
+        the batch), the fingerprints themselves are pushed as a parquet
+        ``In`` filter, so row-group min/max + dictionary stats skip nearly
+        every row of the surviving partitions too (files are written
+        sorted by fingerprint for exactly this)."""
+        neg = marked.where(~F.col("__hit")).drop("__hit")
+        pos = marked.where(F.col("__hit")).drop("__hit")
+        hit_rows = (
+            pos.select(F.expr(self._bucket_expr()).alias("b"), "fingerprint")
+            .distinct()
+            .limit(self._IN_PUSHDOWN_CAP + 1)
+            .collect()
+        )
+        if not hit_rows:
+            return neg
+        if len(hit_rows) <= self._IN_PUSHDOWN_CAP:
+            buckets = sorted({r[0] for r in hit_rows})
+            pruned = self._state_df(buckets=buckets).where(
+                F.col("fingerprint").isin([r[1] for r in hit_rows])
+            )
+        else:
+            buckets = [
+                r[0]
+                for r in pos.select(F.expr(self._bucket_expr()).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            pruned = self._state_df(buckets=buckets)
+        verified = pos.join(pruned, "fingerprint", "left_anti")
+        return neg.unionByName(verified)
+
     def filter_new(self, tf, id_col: str, text_col: str = "text") -> TidyFrame:
         """Rows of ``tf`` not yet in the state (plus within-batch
         first-keep by min ``id_col``).  Pure query — does NOT mutate the
         state; the frame recomputes consistently until ``append`` runs.
         Output columns: the batch's columns plus ``fingerprint``."""
-        cols = list(tf.columns)
-        fp = with_fingerprint(tf, text_col)
-        # within-batch keep-first: one shuffle over the BATCH
-        batch = (
-            fp.mutate(**{"__keep": f"min({id_col})", "_by": "fingerprint"})
-            .filter(f"{id_col} = __keep")
-            .select(*cols, "fingerprint")
-        )
-        state = self._state_df()  # unpruned; pruning happens below
-        if state is None:
+        batch = self._keep_first(tf, id_col, text_col)
+        if self._state_df() is None:
             return batch
-        bloom = self._meta["bloom"]
-        marked = bloom_mark(batch, "fingerprint", bloom, into="__hit")
-        neg = marked.filter("NOT __hit").df.drop("__hit")
-        pos = marked.filter("__hit").df.drop("__hit")
-        # static partition pruning: the distinct bucket ids of the bloom
-        # positives — a driver collect bounded by n_buckets ROWS, never by
-        # data — become partition filters on the state scan
-        hit_buckets = [
-            r[0]
-            for r in pos.select(F.expr(self._bucket_expr()).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not hit_buckets:
-            return TidyFrame(neg)
-        pruned = self._state_df(buckets=hit_buckets)
-        verified = pos.join(pruned, "fingerprint", "left_anti")
-        return TidyFrame(neg.unionByName(verified))
+        marked = bloom_mark(batch, "fingerprint", self._meta["bloom"], "__hit")
+        return TidyFrame(self._resolve(marked.df))
 
     def append(self, tf_or_df) -> int:
         """Record fingerprints as seen.  Accepts any frame with a
@@ -207,34 +249,67 @@ class DedupState:
         state = self._state_df()
         if state is not None:
             # idempotence across batches: never store a fingerprint twice
-            # (within-batch distinct is below, in the aggregate)
-            bloom = self._meta["bloom"]
-            marked = bloom_mark(TidyFrame(fps), "fingerprint", bloom, "__hit")
-            pos = marked.filter("__hit").df.drop("__hit")
-            buckets = [
-                r[0]
-                for r in pos.select(F.expr(self._bucket_expr()).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            fresh = marked.filter("NOT __hit").df.drop("__hit")
-            if buckets:
-                fresh = fresh.unionByName(
-                    pos.join(self._state_df(buckets), "fingerprint", "left_anti")
-                )
+            # (within-batch distinct is in _append_new's aggregate)
+            marked = bloom_mark(
+                TidyFrame(fps), "fingerprint", self._meta["bloom"], "__hit"
+            )
+            fresh = self._resolve(marked.df)
         else:
             fresh = fps
-        fresh = fresh.groupBy("fingerprint").agg(
-            F.expr(self._bucket_expr()).alias("fp_bucket")
-        ).select("fingerprint", "fp_bucket")
-        # count + write in ONE pass: the observe accumulator rides the
-        # write job, so the batch is not computed twice
+        return self._append_new(fresh)
+
+    def _append_new(self, fresh, pinned_unique: bool = False) -> int:
+        """Write fingerprints ALREADY KNOWN to be absent from the state
+        (``filter_new``/``_resolve`` output).  Distinct-per-batch via the
+        aggregate; ``repartition(n_buckets, fp_bucket)`` bounds the write
+        at ONE file per bucket per append — without it, every shuffle
+        partition writes into every bucket directory and the state
+        degrades into thousands of KB-files whose listing cost grows with
+        the number of appends (measured 6s -> 29s per batch over 10
+        appends at sf1).  Run ``compact()`` when the per-bucket file
+        count (one per append) gets large.
+
+        ``pinned_unique=True`` (the ``ingest`` fast path) promises the
+        input is a CHECKPOINTED frame of already-distinct, already-unseen
+        fingerprints: the dedup aggregate and the pre-write checkpoint
+        are skipped, and the row count rides the write job as an observe
+        accumulator — two Spark jobs total (write + bloom build)."""
         from pyspark.sql import Observation
 
+        fresh = fresh.where(F.col("fingerprint").isNotNull())
+        if pinned_unique:
+            fresh = (
+                fresh.select(
+                    "fingerprint", F.expr(self._bucket_expr()).alias("fp_bucket")
+                )
+                .repartition(self.n_buckets, "fp_bucket")
+                # sorted files -> tight fingerprint min/max + dictionary
+                # stats per row group, which is what lets _resolve's In
+                # pushdown skip nearly all state rows at verify time
+                .sortWithinPartitions("fp_bucket", "fingerprint")
+            )
+        else:
+            # localCheckpoint BEFORE the write: fresh's lineage may read
+            # the state path (the _resolve anti-join), and both consumers
+            # below run after the path is written — an un-truncated
+            # recompute would anti-join the new fingerprints against
+            # THEMSELVES, building the bloom over an empty set and turning
+            # every one of these fingerprints into a future bloom
+            # false-negative (= admitted duplicate).  The checkpoint is a
+            # narrow (fingerprint, bucket) frame, O(batch).
+            fresh = (
+                fresh.groupBy("fingerprint")
+                .agg(F.expr(self._bucket_expr()).alias("fp_bucket"))
+                .select("fingerprint", "fp_bucket")
+                .repartition(self.n_buckets, "fp_bucket")
+                .sortWithinPartitions("fp_bucket", "fingerprint")
+                .localCheckpoint(eager=True)
+            )
         obs = Observation()
         (
             fresh.observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("fp_bucket")
+            .options(**self._BLOOM_FILE_OPTS)
             .mode("append")
             .parquet(self._data_path())
         )
@@ -274,11 +349,68 @@ class DedupState:
         truncates the lineage so the returned frame no longer references
         the path at all.  The checkpoint is batch-sized (the surviving
         rows), never corpus-sized; for full laziness call ``filter_new``
-        and ``append`` yourself around your own write."""
-        fresh = self.filter_new(tf, id_col, text_col)
-        pinned = fresh.df.localCheckpoint(eager=True)
-        self.append(pinned)
+        and ``append`` yourself around your own write.
+
+        Two checkpoints structure the work so the batch pipeline
+        (fingerprint + keep-first window + bloom probe) runs exactly ONCE:
+        the bloom-marked batch is pinned first, then the bucket collect,
+        the verify anti-join, the state write and the bloom build all read
+        from pins instead of re-running it (the lazy composition ran it
+        4x — measured at sf1).  The append skips re-verification
+        (``_append_new``): filter_new's output is already proven absent."""
+        batch = self._keep_first(tf, id_col, text_col)
+        if self._state_df() is None:
+            pinned = batch.df.localCheckpoint(eager=True)
+        else:
+            marked = bloom_mark(
+                batch, "fingerprint", self._meta["bloom"], "__hit"
+            ).df.localCheckpoint(eager=True)
+            pinned = self._resolve(marked).localCheckpoint(eager=True)
+        self._append_new(pinned.select("fingerprint"), pinned_unique=True)
         return TidyFrame(pinned)
+
+    def stream_ingest(
+        self,
+        stream_tf,
+        id_col: str,
+        out_path: str,
+        checkpoint: str,
+        text_col: str = "text",
+        trigger: str | None = None,
+    ):
+        """Continuous ingestion: run every micro-batch of a streaming
+        frame through the state and append only the UNSEEN rows to
+        ``out_path`` (parquet) — the production shape for a crawl that
+        never stops (pair with ``sources.warc.read_warc_stream``).
+
+        Delivery semantics: the STATE converges exactly (a replayed
+        micro-batch's fingerprints are already recorded, so nothing is
+        double-counted — the replay path goes through the re-verifying
+        public ``append``, not the ingest fast path); the OUTPUT is
+        at-least-once, like any non-transactional foreachBatch file sink —
+        a crash between the output write and the state append can emit a
+        batch's rows twice.  Every output row carries ``fingerprint``, so
+        downstream exact re-dedup is one groupBy away.  Returns the
+        StreamingQuery.  ``trigger``: processing-time interval (e.g.
+        "10 seconds") or "availableNow" to drain what exists and stop."""
+        from ..core import TidyFrame as _TF
+
+        def _ingest_batch(batch_df, batch_id: int) -> None:
+            fresh = self.filter_new(_TF(batch_df), id_col, text_col)
+            pinned = fresh.df.localCheckpoint(eager=True)
+            pinned.write.mode("append").parquet(out_path)
+            self.append(pinned)
+
+        w = (
+            stream_tf.df.writeStream.outputMode("append")
+            .foreachBatch(_ingest_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger == "availableNow":
+            w = w.trigger(availableNow=True)
+        elif trigger:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
 
     def compact(self, target_mb: int = 128) -> None:
         """Rewrite the accreted per-batch files into right-sized ones —
@@ -307,7 +439,9 @@ class DedupState:
             df.withColumn("__s", F.pmod(F.xxhash64("fingerprint"), F.lit(per_bucket)))
             .repartition(self.n_buckets * per_bucket, "fp_bucket", "__s")
             .drop("__s")
+            .sortWithinPartitions("fp_bucket", "fingerprint")
             .write.partitionBy("fp_bucket")
+            .options(**self._BLOOM_FILE_OPTS)
             .mode("overwrite")
             .parquet(tmp)
         )

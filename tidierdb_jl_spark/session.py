@@ -69,6 +69,12 @@ def get_spark(
         # reject.  Session TZ is pinned UTC, so reading them as plain
         # TIMESTAMP is lossless and keeps event-time ops working.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # IN-list predicates up to this size reach parquet-mr as native
+        # IN (instead of a min/max range check, useless for uniform hash
+        # keys); with column bloom filters / dictionaries on the files it
+        # skips whole row groups — DedupState._resolve's verify path
+        # depends on it, and its cap matches this value.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )

@@ -103,6 +103,7 @@ ORACLE_QUERIES = [
     "t75_main_content",     # boilerplate removal, dual-dialect expr (r6)
     "w50_warc_ingest",      # WARC/WARC.GZ roundtrip (r6)
     "m43_r6_ops_suite",     # round-6 ops union + web-pipeline e2e (r7)
+    "d45_dedup_state",      # persistent bloom-gated dedup state (r8)
 ]
 
 
