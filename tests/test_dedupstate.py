@@ -216,3 +216,133 @@ def test_dedupstate_lifecycle_and_edges(spark, tables, tmp_path):
     assert (
         len(st2.filter_new(_docs_batch(tables, 0, 400), "doc_id").collect()) == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# NearDupState (MinHash-LSH persistent state)
+# ---------------------------------------------------------------------------
+
+
+def _planted_batches(tables, spark):
+    """Three DISJOINT-id batches where batches 2 and 3 contain renumbered
+    copies of earlier docs — cross-batch near-dups with known answers."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+
+    b1 = _docs_batch(tables, 0, 150)
+    copies2 = (
+        _docs_batch(tables, 10, 40).df
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    b2 = TidyFrame(
+        _docs_batch(tables, 150, 280).df.unionByName(copies2)
+    )
+    copies3 = (
+        _docs_batch(tables, 200, 230).df
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+    )
+    b3 = TidyFrame(
+        _docs_batch(tables, 280, 400).df.unionByName(copies3)
+    )
+    return [b1, b2, b3]
+
+
+def test_neardupstate_matches_incremental_chain(spark, tables, tmp_path):
+    """Differential: sequential NearDupState ingests must assign exactly
+    the dup_of that chaining minhash_dedup_incremental over accumulated
+    signature frames assigns (same num_perm/bands/shingle/threshold)."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import (
+        minhash_dedup_incremental,
+        minhash_signature,
+    )
+    from tidierdb_jl_spark.llm.dedupstate import NearDupState
+
+    st = NearDupState.create(
+        spark, str(tmp_path / "nd"), num_perm=64, bands=16, shingle=3,
+        n_buckets=16, expected_items=10_000,
+    )
+    seen_sig = None
+    total_kept = 0
+    for i, batch in enumerate(_planted_batches(tables, spark)):
+        got = (
+            st.ingest(batch, "doc_id", threshold=0.7)
+            .collect()[["doc_id", "dup_of"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if seen_sig is None:
+            # empty history with the right schema
+            seen_sig = TidyFrame(
+                minhash_signature(batch, "doc_id", "text", 64, 3)
+                .df.filter("false")
+                .select("doc_id", "minhash")
+            )
+        ref = (
+            minhash_dedup_incremental(
+                batch, seen_sig, "doc_id", num_perm=64, bands=16,
+                shingle=3, threshold=0.7,
+            )
+            .collect()[["doc_id", "dup_of"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        # accumulate KEPT signatures, as an ingest pipeline would
+        kept_ids = got[got["dup_of"].isna()]["doc_id"].tolist()
+        total_kept += len(kept_ids)
+        batch_sig = minhash_signature(batch, "doc_id", "text", 64, 3).df.select(
+            "doc_id", "minhash"
+        )
+        new_keep = batch_sig.where(F.col("doc_id").isin(kept_ids))
+        seen_sig = TidyFrame(
+            seen_sig.df.unionByName(new_keep).localCheckpoint(eager=True)
+        )
+        if i == 2:
+            # the renumbered copies MUST be flagged as dups of the original
+            copies = got[got["doc_id"] >= 200000]
+            assert copies["dup_of"].notna().all()
+    # the state recorded exactly the keepers (the 60 renumbered copies —
+    # and the corpus' own planted dups — all rejected, matching the ref)
+    assert st.stats()["n_docs"] == total_kept
+    # 460 rows total, of which the 60 renumbered copies must be rejected
+    assert total_kept <= 400
+
+
+def test_neardupstate_pinned_and_reopen(spark, tables, tmp_path):
+    from tidierdb_jl_spark.llm.dedupstate import NearDupState
+
+    p = str(tmp_path / "nd")
+    st = NearDupState.create(
+        spark, p, num_perm=64, bands=16, n_buckets=8, expected_items=1_000
+    )
+    out = st.ingest(_docs_batch(tables, 0, 60), "doc_id")
+    n1 = len(out.collect())
+    assert len(out.collect()) == n1  # stable after the state writes
+    st2 = NearDupState.open(spark, p)
+    assert st2.stats() == st.stats()
+    # exact re-ingest of the same texts under new ids: all dups
+    from pyspark.sql import functions as F
+    from tidierdb_jl_spark import TidyFrame
+
+    renum = TidyFrame(
+        _docs_batch(tables, 0, 60).df.withColumn(
+            "doc_id", F.col("doc_id") + 500000
+        )
+    )
+    got = st2.ingest(renum, "doc_id").collect()
+    assert got["dup_of"].notna().all()
+    assert st2.stats()["n_docs"] == st.stats()["n_docs"]
+
+
+def test_neardupstate_create_validates(spark, tmp_path):
+    from tidierdb_jl_spark.llm.dedupstate import NearDupState
+
+    with pytest.raises(ValueError, match="must divide"):
+        NearDupState.create(spark, str(tmp_path / "x"), num_perm=64, bands=10)
+    NearDupState.create(spark, str(tmp_path / "y"), n_buckets=4)
+    with pytest.raises(ValueError, match="already exists"):
+        NearDupState.create(spark, str(tmp_path / "y"))

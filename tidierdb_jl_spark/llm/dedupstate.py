@@ -49,7 +49,7 @@ from ..core import TidyFrame
 from ..operators.bloom import bloom_build, bloom_mark, bloom_merge, bloom_size
 from .textstats import with_fingerprint
 
-__all__ = ["DedupState"]
+__all__ = ["DedupState", "NearDupState"]
 
 _META = "_dedup_state.json"
 _DATA = "data"
@@ -451,3 +451,328 @@ class DedupState:
         os.rename(data, swap)
         os.rename(tmp, data)
         shutil.rmtree(swap)
+
+
+class NearDupState:
+    """Persistent MinHash-LSH state — the near-dup twin of
+    :class:`DedupState`, same pruned-read design.
+
+    On disk: a ``bands`` table of (band, bh, doc_id) LSH bucket rows,
+    directory-partitioned by a stable hash of the band key and written
+    with a parquet bloom filter on ``bh``; a ``sigs`` table of
+    (doc_id, minhash) signatures partitioned by a hash of ``doc_id`` with
+    a bloom on ``doc_id``; and a mergeable bloom sidecar over the band
+    keys.  History TEXT is never stored (~0.5 KB/doc at num_perm=64).
+
+    Per batch, the only state I/O is proportional to the batch's BAND
+    COLLISIONS, not the corpus: bloom-negative band keys (the vast
+    majority of a mostly-novel batch) are definitively collision-free and
+    never touch disk; positives read only their partitions, and the
+    parquet blooms skip row groups whose keys aren't probed.  Candidate
+    verification is est-Jaccard (signature-component agreement) against
+    signatures fetched with the same two-level pruning.
+
+    Semantics match :func:`tidierdb_jl_spark.llm.dedup.
+    minhash_dedup_incremental` exactly (differentially tested): ``ingest``
+    returns the batch plus ``minhash`` and ``dup_of`` (NULL → keep; else
+    the smallest paired id, history or batch), and only keepers' bands /
+    signatures enter the state — with monotonically growing ids the
+    running result equals a full-corpus :func:`minhash_dedup`.
+
+    Skew note: a boilerplate band key accumulates doc_ids across appends;
+    ``max_bucket`` caps each key's stored partners AT VERIFY TIME (a
+    row_number window over the pruned slice), bounding the candidate
+    join; the hot key's rows are still read, so genuinely pathological
+    keys should be cleaned upstream (the batch-level census cap of
+    ``minhash_dedup_pairs``).
+    """
+
+    _META = "_neardup_state.json"
+    _IN_PUSHDOWN_CAP = 4096
+    _BANDS_BLOOM_OPTS = {
+        "parquet.bloom.filter.enabled#bh": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+    }
+    _SIGS_BLOOM_OPTS = {
+        "parquet.bloom.filter.enabled#doc_id": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+    }
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = str(path)
+        self._meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        path: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle: int = 3,
+        n_buckets: int = 64,
+        expected_items: int = 1_000_000,
+        fpp: float = 0.01,
+    ) -> "NearDupState":
+        """``expected_items`` sizes the band-key bloom for the LIFETIME
+        number of stored docs (keys ≈ docs × bands; sized internally)."""
+        path = str(path)
+        if os.path.exists(os.path.join(path, cls._META)):
+            raise ValueError(f"NearDupState already exists at {path}")
+        if num_perm % bands:
+            raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+        m, k = bloom_size(expected_items * bands, fpp)
+        meta = {
+            "num_perm": int(num_perm),
+            "bands": int(bands),
+            "shingle": int(shingle),
+            "n_buckets": int(n_buckets),
+            "bloom": {"bits": "0" * (m // 4), "m": m, "k": k},
+            "expected_items": int(expected_items),
+            "n_docs": 0,
+            "n_appends": 0,
+        }
+        os.makedirs(path, exist_ok=True)
+        st = cls(spark, path, meta)
+        st._write_meta()
+        return st
+
+    @classmethod
+    def open(cls, spark, path: str) -> "NearDupState":
+        with open(os.path.join(str(path), cls._META)) as fh:
+            return cls(spark, str(path), json.load(fh))
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.path, self._META + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(self._meta, fh)
+        os.replace(tmp, os.path.join(self.path, self._META))
+
+    def stats(self) -> dict:
+        return {
+            "n_docs": self._meta["n_docs"],
+            "n_appends": self._meta["n_appends"],
+            "n_buckets": self._meta["n_buckets"],
+            "num_perm": self._meta["num_perm"],
+            "bands": self._meta["bands"],
+            "bloom_bits": self._meta["bloom"]["m"],
+        }
+
+    # band-key expressions (band is 0..bands-1, bh a 32-bit hash)
+    _KEY = "concat_ws(':', band, bh)"
+    _BB = "pmod(xxhash64(band, bh), {n})"
+    _SB = "pmod(xxhash64(doc_id), {n})"
+
+    def _read_pruned(self, sub: str, part_col: str, buckets):
+        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        if buckets is not None:
+            df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
+        return df
+
+    def ingest(
+        self,
+        tf,
+        id_col: str,
+        text_col: str = "text",
+        threshold: float = 0.7,
+        max_bucket: int = 200,
+    ) -> TidyFrame:
+        """Dedup the batch against the state AND itself; record keepers.
+        Returns the batch + ``minhash`` + ``dup_of`` (pinned — see
+        :meth:`DedupState.ingest` for why ``localCheckpoint``)."""
+        from .dedup import _band_explode, minhash_signature
+
+        meta = self._meta
+        n_bk = meta["n_buckets"]
+        rows = meta["num_perm"] // meta["bands"]
+        sig = minhash_signature(
+            tf, id_col, text_col, meta["num_perm"], meta["shingle"]
+        ).df.localCheckpoint(eager=True)
+        sd = sig.select(F.col(id_col).alias("__id"), "minhash")
+        nb = _band_explode(sd, meta["bands"], rows).localCheckpoint(eager=True)
+
+        est = (
+            "CAST(size(filter(zip_with(__ml, __mr, (x, y) -> x = y), v -> v))"
+            " AS DOUBLE) / size(__ml)"
+        )
+
+        vs_seen = None
+        if meta["n_appends"]:
+            marked = bloom_mark(
+                TidyFrame(nb), self._KEY, meta["bloom"], "__hit"
+            ).df
+            pos = marked.where(F.col("__hit")).drop("__hit")
+            hit = (
+                pos.select(
+                    F.expr(self._BB.format(n=n_bk)).alias("b"), "band", "bh"
+                )
+                .distinct()
+                .limit(self._IN_PUSHDOWN_CAP + 1)
+                .collect()
+            )
+            if hit:
+                if len(hit) <= self._IN_PUSHDOWN_CAP:
+                    bands_df = self._read_pruned(
+                        "bands", "bb", sorted({r[0] for r in hit})
+                    ).where(F.col("bh").isin([r[2] for r in hit]))
+                else:
+                    bks = [
+                        r[0]
+                        for r in pos.select(
+                            F.expr(self._BB.format(n=n_bk)).alias("b")
+                        ).distinct().collect()
+                    ]
+                    bands_df = self._read_pruned("bands", "bb", bks)
+                # verify-time skew cap: at most max_bucket stored partners
+                # per band key enter the candidate join
+                bands_df = bands_df.withColumn(
+                    "__rn",
+                    F.expr(
+                        "row_number() OVER (PARTITION BY band, bh ORDER BY doc_id)"
+                    ),
+                ).where(F.col("__rn") <= max_bucket).drop("__rn")
+                cand = (
+                    pos.alias("l")
+                    .join(
+                        bands_df.alias("r"),
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.bh") == F.col("r.bh")),
+                    )
+                    .select(
+                        F.col("l.__id").alias("__nid"),
+                        F.col("r.doc_id").alias("__pid"),
+                    )
+                    .dropDuplicates(["__nid", "__pid"])
+                    .localCheckpoint(eager=True)
+                )
+                pid_rows = (
+                    cand.select(
+                        F.expr(
+                            self._SB.format(n=n_bk).replace("doc_id", "__pid")
+                        ).alias("b"),
+                        "__pid",
+                    )
+                    .distinct()
+                    .limit(self._IN_PUSHDOWN_CAP + 1)
+                    .collect()
+                )
+                if pid_rows:
+                    if len(pid_rows) <= self._IN_PUSHDOWN_CAP:
+                        sigs_df = self._read_pruned(
+                            "sigs", "sb", sorted({r[0] for r in pid_rows})
+                        ).where(F.col("doc_id").isin([r[1] for r in pid_rows]))
+                    else:
+                        sbks = [
+                            r[0]
+                            for r in cand.select(
+                                F.expr(
+                                    self._SB.format(n=n_bk).replace(
+                                        "doc_id", "__pid"
+                                    )
+                                ).alias("b")
+                            ).distinct().collect()
+                        ]
+                        sigs_df = self._read_pruned("sigs", "sb", sbks)
+                    ml = sd.select(
+                        F.col("__id").alias("__nid"),
+                        F.col("minhash").alias("__ml"),
+                    )
+                    mr = sigs_df.select(
+                        F.col("doc_id").alias("__pid"),
+                        F.col("minhash").alias("__mr"),
+                    )
+                    vs_seen = (
+                        cand.join(ml, "__nid")
+                        .join(mr, "__pid")
+                        .select("__nid", "__pid", F.expr(est).alias("__est"))
+                        .filter(F.col("__est") >= threshold)
+                    )
+
+        # within-batch pairs (same cap + est verify as the state side)
+        hot = (
+            nb.groupBy("band", "bh").count().filter(F.col("count") > max_bucket)
+        )
+        nbc = nb.join(
+            F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti"
+        )
+        ml = sd.select(F.col("__id").alias("__nid"), F.col("minhash").alias("__ml"))
+        mr = sd.select(F.col("__id").alias("__pid"), F.col("minhash").alias("__mr"))
+        within = (
+            nbc.alias("l")
+            .join(
+                nbc.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("r.__id") < F.col("l.__id")),
+            )
+            .select(F.col("l.__id").alias("__nid"), F.col("r.__id").alias("__pid"))
+            .dropDuplicates(["__nid", "__pid"])
+            .join(ml, "__nid")
+            .join(mr, "__pid")
+            .select("__nid", "__pid", F.expr(est).alias("__est"))
+            .filter(F.col("__est") >= threshold)
+        )
+        pairs = within if vs_seen is None else vs_seen.unionAll(within)
+        best = pairs.groupBy("__nid").agg(F.min("__pid").alias("dup_of"))
+        out = (
+            sig.join(best, F.col(id_col) == F.col("__nid"), "left")
+            .drop("__nid")
+            .localCheckpoint(eager=True)
+        )
+
+        # record keepers: bands + signatures + sidecar bloom (all from
+        # pins — nothing below re-reads the state paths after the writes)
+        keep = out.where(F.col("dup_of").isNull()).select(
+            F.col(id_col).alias("doc_id"), "minhash"
+        )
+        kb = (
+            _band_explode(
+                keep.select(F.col("doc_id").alias("__id"), "minhash"),
+                meta["bands"],
+                rows,
+            )
+            .select(
+                F.col("__id").alias("doc_id"),
+                "band",
+                "bh",
+                F.expr(self._BB.format(n=n_bk)).alias("bb"),
+            )
+            .repartition(n_bk, "bb")
+            .sortWithinPartitions("bb", "bh")
+            .localCheckpoint(eager=True)
+        )
+        (
+            kb.write.partitionBy("bb")
+            .options(**self._BANDS_BLOOM_OPTS)
+            .mode("append")
+            .parquet(os.path.join(self.path, "bands"))
+        )
+        ks = (
+            keep.withColumn("sb", F.expr(self._SB.format(n=n_bk)))
+            .repartition(n_bk, "sb")
+            .sortWithinPartitions("sb", "doc_id")
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            ks.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy("sb")
+            .options(**self._SIGS_BLOOM_OPTS)
+            .mode("append")
+            .parquet(os.path.join(self.path, "sigs"))
+        )
+        n_kept = int(obs.get["n"])
+        if n_kept:
+            batch_bloom = bloom_build(
+                kb.selectExpr(f"{self._KEY} AS k"),
+                "k",
+                num_bits=meta["bloom"]["m"],
+                num_hashes=meta["bloom"]["k"],
+            )
+            self._meta["bloom"] = bloom_merge(meta["bloom"], batch_bloom)
+        self._meta["n_docs"] += n_kept
+        self._meta["n_appends"] += 1
+        self._write_meta()
+        return TidyFrame(out)
