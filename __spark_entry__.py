@@ -3832,6 +3832,76 @@ def _d45(t):
 _BUILDERS["d45_dedup_state"] = _d45
 
 
+def _d46(t):
+    """Persistent MinHash-LSH near-dup state (llm/dedupstate.NearDupState,
+    r8 — beyond the reference): three sequential batches flow through one
+    on-disk state at threshold=1.0.  Texts are synthetic and TOKEN-
+    DISJOINT across distinct source ids (doc i's tokens are 'w<i>_j'), so
+    est-Jaccard 1.0 can only mean 'renumbered exact copy' — natural-
+    corpus text cannot be used here because a planted near-dup pair at
+    Jaccard ~0.98 hits est=1.0 with probability 0.98^64 ≈ 0.27 per pair
+    (all 64 minhash components agreeing), making any set-equality oracle
+    wrong on real data.  Batches 2/3 carry exact copies (MUST be flagged,
+    dup_of = source id — the batch-1/2 keeper) and half-rewritten copies
+    (Jaccard ~0.3 vs source, MUST NOT be flagged at 1.0: collision odds
+    0.3^64; some bands still collide, exercising the fetch-and-reject
+    path).  The oracle states the closed-form answer; matching it proves
+    the band bloom gate, pruned bucket reads, signature fetch and est
+    verify jointly implement the semantics."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.dedupstate import NearDupState
+
+    spark = t["documents"].df.sparkSession
+    st = NearDupState.create(
+        spark,
+        tempfile.mkdtemp(prefix="d46_state_") + "/nd",
+        num_perm=64,
+        bands=16,
+        shingle=3,
+        n_buckets=16,
+        expected_items=100_000,
+    )
+    ids = t["documents"].filter("doc_id < 600").select("doc_id")
+    txt = (
+        "concat_ws(' ', transform(sequence(0, 19), "
+        "j -> concat('w', CAST(doc_id AS STRING), '_', CAST(j AS STRING))))"
+    )
+    mod = (
+        "concat_ws(' ', transform(sequence(0, 19), "
+        "j -> concat(if(j < 10, 'm', 'w'), CAST(doc_id AS STRING), '_', "
+        "CAST(j AS STRING))))"
+    )
+
+    def leg(lo, hi, text_expr=txt, shift=0):
+        return (
+            ids.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+            .mutate(text=text_expr)
+            .mutate(doc_id=f"doc_id + {shift}")
+            .select("doc_id", "text")
+        )
+
+    b1 = leg(0, 200)
+    b2 = (
+        leg(200, 400)
+        .union_all(leg(0, 30, shift=500000))
+        .union_all(leg(30, 60, text_expr=mod, shift=550000))
+    )
+    b3 = leg(400, 600).union_all(leg(210, 240, shift=600000))
+    out = None
+    for i, b in enumerate([b1, b2, b3], start=1):
+        got = (
+            st.ingest(b, "doc_id", threshold=1.0)
+            .mutate(batch=f"CAST({i} AS INT)")
+            .select("batch", "doc_id", "dup_of")
+        )
+        out = got if out is None else out.union_all(got)
+    return out
+
+
+_BUILDERS["d46_neardup_state"] = _d46
+
+
 def _m43(t):
     """Round-6 ops suite (tagged union, one driver row for the round-6
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
@@ -3895,10 +3965,16 @@ def _m43(t):
         .select(*cols)
     )
     dd, pk = _w51_web_e2e_legs(t)
+    ndp = (
+        _d46(t)
+        .mutate(op="'neardup'", id1="CAST(batch AS BIGINT)", id2="doc_id",
+                s=nls, num="CAST(dup_of AS DOUBLE)")
+        .select(*cols)
+    )
 
     out = warc.union_all(budget).union_all(main).union_all(audio)
     out = out.union_all(video).union_all(img).union_all(stat)
-    out = out.union_all(dd).union_all(pk)
+    out = out.union_all(dd).union_all(pk).union_all(ndp)
     # some legs pin tracked persists; localCheckpoint the union so those
     # caches can be released even though the caller collects later.
     # Release ONLY this builder's persists (the _d94 discipline).
@@ -4176,6 +4252,31 @@ _DEDUPSTATE_SQL = r"""
           FROM batches)
         SELECT CAST(batch AS INT) AS batch, doc_id, fingerprint
         FROM ranked WHERE rn = 1
+"""
+
+# NearDupState replay (d46 + the m43 leg): with token-disjoint synthetic
+# texts (see _d46's docstring) the answer is closed-form — exact copies
+# dup to their source, half-rewritten copies and originals keep NULL.
+_NEARDUP_SQL = r"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+        legs AS (
+          SELECT 1 AS batch, doc_id, CAST(NULL AS BIGINT) AS dup_of
+          FROM ids WHERE doc_id < 200
+          UNION ALL
+          SELECT 2, doc_id, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 200 AND doc_id < 400
+          UNION ALL
+          SELECT 2, doc_id + 500000, doc_id FROM ids WHERE doc_id < 30
+          UNION ALL
+          SELECT 2, doc_id + 550000, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 30 AND doc_id < 60
+          UNION ALL
+          SELECT 3, doc_id, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 400 AND doc_id < 600
+          UNION ALL
+          SELECT 3, doc_id + 600000, doc_id
+          FROM ids WHERE doc_id >= 210 AND doc_id < 240)
+        SELECT CAST(batch AS INT) AS batch, doc_id, dup_of FROM legs
 """
 
 # Shared DuckDB CTE prefixes for the round-5b oracles.  The LM pairs CTE
@@ -6481,6 +6582,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id < 150
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
+    out["d46_neardup_state"] = _NEARDUP_SQL
     out["m44_image_metadata"] = r"""
         SELECT doc_id,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -6579,5 +6681,9 @@ def oracle_sql() -> dict[str, str]:
         FROM ({out["w52_statfiles"]}) z
         UNION ALL
         SELECT * FROM ({_web_e2e})
+        UNION ALL
+        SELECT 'neardup', CAST(z.batch AS BIGINT), z.doc_id,
+               CAST(NULL AS VARCHAR), CAST(z.dup_of AS DOUBLE)
+        FROM ({_NEARDUP_SQL}) z
     """
     return out
