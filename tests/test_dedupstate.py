@@ -346,3 +346,100 @@ def test_neardupstate_create_validates(spark, tmp_path):
     NearDupState.create(spark, str(tmp_path / "y"), n_buckets=4)
     with pytest.raises(ValueError, match="already exists"):
         NearDupState.create(spark, str(tmp_path / "y"))
+
+
+# ---------------------------------------------------------------------------
+# EmbeddingDedupState (vector near-dup persistent state)
+# ---------------------------------------------------------------------------
+
+
+def test_embeddingdedupstate_matches_incremental_chain(spark, tables, tmp_path):
+    """Differential: sequential EmbeddingDedupState ingests must assign
+    the same dup_of as chaining embedding_dedup_incremental over the
+    accumulated keeper-vector frames (same hyperplanes/threshold)."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.dedup import embedding_dedup_incremental
+    from tidierdb_jl_spark.llm.dedupstate import EmbeddingDedupState
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+
+    def rng(lo, hi, shift=0):
+        return TidyFrame(
+            emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").df.withColumn(
+                "vec_id", F.col("vec_id") + shift
+            )
+        )
+
+    # batches 2/3 re-present earlier vectors under new ids: exact
+    # cross-batch dups (cosine 1.0) with known sources
+    batches = [
+        rng(0, 150),
+        TidyFrame(rng(150, 300).df.unionByName(rng(0, 40, shift=500000).df)),
+        TidyFrame(rng(300, 500).df.unionByName(rng(200, 240, shift=600000).df)),
+    ]
+    st = EmbeddingDedupState.create(
+        spark, str(tmp_path / "ed"), nbits=4, bands=16, n_buckets=16,
+        expected_items=10_000,
+    )
+    seen = None
+    for i, b in enumerate(batches):
+        got = (
+            st.ingest(b, "vec_id", "embedding", threshold=0.95)
+            .collect()[["vec_id", "dup_of"]]
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        if seen is None:
+            seen = TidyFrame(b.df.filter("false").select("vec_id", "embedding"))
+        ref = (
+            embedding_dedup_incremental(
+                b, seen, "vec_id", "embedding", threshold=0.95
+            )
+            .collect()[["vec_id", "dup_of"]]
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+        kept = got[got["dup_of"].isna()]["vec_id"].tolist()
+        seen = TidyFrame(
+            seen.df.unionByName(
+                b.df.where(F.col("vec_id").isin(kept)).select(
+                    "vec_id", "embedding"
+                )
+            ).localCheckpoint(eager=True)
+        )
+        if i > 0:
+            # every renumbered exact copy must be flagged with its source
+            copies = got[got["vec_id"] >= 500000]
+            assert copies["dup_of"].notna().all()
+            assert (
+                copies["dup_of"] == copies["vec_id"] % 100000
+            ).all() or (copies["dup_of"] < 500000).all()
+    assert st.stats()["n_vecs"] == 150 + 150 + 200
+    assert st.stats()["dim"] == 64
+
+
+def test_embeddingdedupstate_dim_guard_and_reopen(spark, tables, tmp_path):
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.dedupstate import EmbeddingDedupState
+
+    p = str(tmp_path / "ed")
+    st = EmbeddingDedupState.create(spark, p, n_buckets=4, expected_items=1000)
+    emb = tables["embeddings"].filter("vec_id < 50").select("vec_id", "embedding")
+    st.ingest(emb, "vec_id", "embedding")
+    st2 = EmbeddingDedupState.open(spark, p)
+    assert st2.stats() == st.stats() and st2.stats()["dim"] == 64
+    bad = TidyFrame(
+        emb.df.selectExpr("vec_id + 900000 AS vec_id", "slice(embedding, 1, 8) AS embedding")
+    )
+    with pytest.raises(ValueError, match="dim=64"):
+        st2.ingest(bad, "vec_id", "embedding")
+    # exact re-ingest under new ids: all dups, nothing new stored
+    from pyspark.sql import functions as F
+
+    renum = TidyFrame(emb.df.withColumn("vec_id", F.col("vec_id") + 700000))
+    got = st2.ingest(renum, "vec_id", "embedding").collect()
+    assert got["dup_of"].notna().all()
+    assert st2.stats()["n_vecs"] == st.stats()["n_vecs"]

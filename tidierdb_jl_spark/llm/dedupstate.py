@@ -49,7 +49,7 @@ from ..core import TidyFrame
 from ..operators.bloom import bloom_build, bloom_mark, bloom_merge, bloom_size
 from .textstats import with_fingerprint
 
-__all__ = ["DedupState", "NearDupState"]
+__all__ = ["DedupState", "EmbeddingDedupState", "NearDupState"]
 
 _META = "_dedup_state.json"
 _DATA = "data"
@@ -773,6 +773,317 @@ class NearDupState:
             )
             self._meta["bloom"] = bloom_merge(meta["bloom"], batch_bloom)
         self._meta["n_docs"] += n_kept
+        self._meta["n_appends"] += 1
+        self._write_meta()
+        return TidyFrame(out)
+
+
+class EmbeddingDedupState:
+    """Persistent random-hyperplane-LSH state for EMBEDDING near-dups —
+    the third member of the state family (exact :class:`DedupState`,
+    text :class:`NearDupState`, vectors here).
+
+    On disk: a ``bands`` table of (band, sig, vec_id) LSH postings
+    partitioned by a hash of the band key with a parquet bloom on
+    ``sig``; a ``vecs`` table of UNIT vectors (vec_id, unit) partitioned
+    by a hash of ``vec_id`` with a bloom on ``vec_id``; and a mergeable
+    band-key bloom sidecar.  The hyperplanes are deterministic seeded
+    literals (:func:`~tidierdb_jl_spark.llm.simsearch._hyperplanes`), so
+    signatures computed in different sessions collide correctly; the
+    vector dimension is captured at the first ingest and enforced after.
+
+    Per batch, state I/O is bounded by the batch's band collisions
+    (bloom-negative keys never touch disk; positives read pruned
+    partitions/row-groups), and every candidate is EXACT-cosine verified
+    against fetched unit vectors — no false positives.  Semantics match
+    :func:`~tidierdb_jl_spark.llm.dedup.embedding_dedup_incremental`
+    (differentially tested): ``ingest`` returns the batch + ``dup_of``,
+    and only keepers enter the state."""
+
+    _META = "_embdedup_state.json"
+    _IN_PUSHDOWN_CAP = 4096
+    _BANDS_BLOOM_OPTS = {
+        "parquet.bloom.filter.enabled#sig": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+    }
+    _VECS_BLOOM_OPTS = {
+        "parquet.bloom.filter.enabled#vec_id": "true",
+        "parquet.bloom.filter.adaptive.enabled": "true",
+    }
+    _KEY = "concat_ws(':', __band, __sig)"
+    _BB = "pmod(xxhash64(__band, __sig), {n})"
+    _VB = "pmod(xxhash64(vec_id), {n})"
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = str(path)
+        self._meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        path: str,
+        nbits: int = 4,
+        bands: int = 16,
+        n_buckets: int = 64,
+        expected_items: int = 1_000_000,
+        fpp: float = 0.01,
+    ) -> "EmbeddingDedupState":
+        path = str(path)
+        if os.path.exists(os.path.join(path, cls._META)):
+            raise ValueError(f"EmbeddingDedupState already exists at {path}")
+        m, k = bloom_size(expected_items * bands, fpp)
+        meta = {
+            "nbits": int(nbits),
+            "bands": int(bands),
+            "dim": None,  # captured at first ingest
+            "n_buckets": int(n_buckets),
+            "bloom": {"bits": "0" * (m // 4), "m": m, "k": k},
+            "expected_items": int(expected_items),
+            "n_vecs": 0,
+            "n_appends": 0,
+        }
+        os.makedirs(path, exist_ok=True)
+        st = cls(spark, path, meta)
+        st._write_meta()
+        return st
+
+    @classmethod
+    def open(cls, spark, path: str) -> "EmbeddingDedupState":
+        with open(os.path.join(str(path), cls._META)) as fh:
+            return cls(spark, str(path), json.load(fh))
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.path, self._META + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(self._meta, fh)
+        os.replace(tmp, os.path.join(self.path, self._META))
+
+    def stats(self) -> dict:
+        return {
+            "n_vecs": self._meta["n_vecs"],
+            "n_appends": self._meta["n_appends"],
+            "n_buckets": self._meta["n_buckets"],
+            "dim": self._meta["dim"],
+            "nbits": self._meta["nbits"],
+            "bands": self._meta["bands"],
+            "bloom_bits": self._meta["bloom"]["m"],
+        }
+
+    def _read_pruned(self, sub: str, part_col: str, buckets):
+        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        if buckets is not None:
+            df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
+        return df
+
+    def ingest(
+        self,
+        tf,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+    ) -> TidyFrame:
+        """Dedup the batch against the state AND itself; record keepers.
+        Returns the batch + ``dup_of`` (pinned; see
+        :meth:`DedupState.ingest`)."""
+        from .simsearch import _dot, _hyperplanes, _make_sig_udf, _to_double
+
+        meta = self._meta
+        n_bk = meta["n_buckets"]
+        dim = len(tf.df.select(vec_col).first()[0])
+        if meta["dim"] is None:
+            meta["dim"] = dim
+        elif meta["dim"] != dim:
+            raise ValueError(
+                f"state at {self.path} holds dim={meta['dim']} vectors; "
+                f"batch has dim={dim}"
+            )
+        sig_udf = _make_sig_udf(
+            _hyperplanes(dim, meta["nbits"] * meta["bands"]),
+            meta["nbits"],
+            meta["bands"],
+        )
+        unit = (
+            "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
+        )
+        nvec = (
+            tf.df.select(
+                F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
+            )
+            .select("__id", F.expr(unit).alias("__u"))
+            .localCheckpoint(eager=True)
+        )
+        nb = (
+            nvec.select("__id", sig_udf(F.col("__u")).alias("__sigs"))
+            .select("__id", F.posexplode_outer("__sigs").alias("__band", "__sig"))
+            .localCheckpoint(eager=True)
+        )
+
+        vs_seen = None
+        if meta["n_appends"]:
+            marked = bloom_mark(
+                TidyFrame(nb), self._KEY, meta["bloom"], "__hit"
+            ).df
+            pos = marked.where(F.col("__hit")).drop("__hit")
+            hit = (
+                pos.select(
+                    F.expr(self._BB.format(n=n_bk)).alias("b"), "__band", "__sig"
+                )
+                .distinct()
+                .limit(self._IN_PUSHDOWN_CAP + 1)
+                .collect()
+            )
+            if hit:
+                if len(hit) <= self._IN_PUSHDOWN_CAP:
+                    bands_df = self._read_pruned(
+                        "bands", "bb", sorted({r[0] for r in hit})
+                    ).where(F.col("sig").isin([r[2] for r in hit]))
+                else:
+                    bks = [
+                        r[0]
+                        for r in pos.select(
+                            F.expr(self._BB.format(n=n_bk)).alias("b")
+                        ).distinct().collect()
+                    ]
+                    bands_df = self._read_pruned("bands", "bb", bks)
+                cand = (
+                    pos.alias("l")
+                    .join(
+                        bands_df.alias("r"),
+                        (F.col("l.__band") == F.col("r.band"))
+                        & (F.col("l.__sig") == F.col("r.sig")),
+                    )
+                    .select(
+                        F.col("l.__id").alias("__nid"),
+                        F.col("r.vec_id").alias("__pid"),
+                    )
+                    .dropDuplicates(["__nid", "__pid"])
+                    .localCheckpoint(eager=True)
+                )
+                pid_rows = (
+                    cand.select(
+                        F.expr(
+                            self._VB.format(n=n_bk).replace("vec_id", "__pid")
+                        ).alias("b"),
+                        "__pid",
+                    )
+                    .distinct()
+                    .limit(self._IN_PUSHDOWN_CAP + 1)
+                    .collect()
+                )
+                if pid_rows:
+                    if len(pid_rows) <= self._IN_PUSHDOWN_CAP:
+                        vecs_df = self._read_pruned(
+                            "vecs", "vb", sorted({r[0] for r in pid_rows})
+                        ).where(F.col("vec_id").isin([r[1] for r in pid_rows]))
+                    else:
+                        vbks = [
+                            r[0]
+                            for r in cand.select(
+                                F.expr(
+                                    self._VB.format(n=n_bk).replace(
+                                        "vec_id", "__pid"
+                                    )
+                                ).alias("b")
+                            ).distinct().collect()
+                        ]
+                        vecs_df = self._read_pruned("vecs", "vb", vbks)
+                    la = nvec.select(
+                        F.col("__id").alias("__nid"), F.col("__u").alias("__ua")
+                    )
+                    rb = vecs_df.select(
+                        F.col("vec_id").alias("__pid"), F.col("unit").alias("__ub")
+                    )
+                    vs_seen = (
+                        cand.join(la, "__nid")
+                        .join(rb, "__pid")
+                        .select(
+                            "__nid", "__pid", F.expr(_dot("__ua", "__ub")).alias("__cos")
+                        )
+                        .filter(F.col("__cos") >= threshold)
+                    )
+
+        la = nvec.select(F.col("__id").alias("__nid"), F.col("__u").alias("__ua"))
+        rb = nvec.select(F.col("__id").alias("__pid"), F.col("__u").alias("__ub"))
+        within = (
+            nb.alias("l")
+            .join(
+                nb.alias("r"),
+                (F.col("l.__band") == F.col("r.__band"))
+                & (F.col("l.__sig") == F.col("r.__sig"))
+                & (F.col("r.__id") < F.col("l.__id")),
+            )
+            .select(F.col("l.__id").alias("__nid"), F.col("r.__id").alias("__pid"))
+            .dropDuplicates(["__nid", "__pid"])
+            .join(la, "__nid")
+            .join(rb, "__pid")
+            .select("__nid", "__pid", F.expr(_dot("__ua", "__ub")).alias("__cos"))
+            .filter(F.col("__cos") >= threshold)
+        )
+        pairs = within if vs_seen is None else vs_seen.unionAll(within)
+        best = pairs.groupBy("__nid").agg(F.min("__pid").alias("dup_of"))
+        out = (
+            tf.df.join(best, F.col(id_col) == F.col("__nid"), "left")
+            .drop("__nid")
+            .localCheckpoint(eager=True)
+        )
+
+        keep_ids = out.where(F.col("dup_of").isNull()).select(
+            F.col(id_col).alias("vec_id")
+        )
+        keep_vec = (
+            nvec.join(
+                keep_ids, nvec["__id"] == keep_ids["vec_id"], "left_semi"
+            ).select(F.col("__id").alias("vec_id"), F.col("__u").alias("unit"))
+        )
+        kb = (
+            nb.join(keep_ids, nb["__id"] == keep_ids["vec_id"], "left_semi")
+            .select(
+                F.col("__id").alias("vec_id"),
+                F.col("__band").alias("band"),
+                F.col("__sig").alias("sig"),
+                F.expr(
+                    self._BB.format(n=n_bk)
+                    .replace("__band", "band")
+                    .replace("__sig", "sig")
+                ).alias("bb"),
+            )
+            .repartition(n_bk, "bb")
+            .sortWithinPartitions("bb", "sig")
+            .localCheckpoint(eager=True)
+        )
+        (
+            kb.write.partitionBy("bb")
+            .options(**self._BANDS_BLOOM_OPTS)
+            .mode("append")
+            .parquet(os.path.join(self.path, "bands"))
+        )
+        kv = (
+            keep_vec.withColumn("vb", F.expr(self._VB.format(n=n_bk)))
+            .repartition(n_bk, "vb")
+            .sortWithinPartitions("vb", "vec_id")
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            kv.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy("vb")
+            .options(**self._VECS_BLOOM_OPTS)
+            .mode("append")
+            .parquet(os.path.join(self.path, "vecs"))
+        )
+        n_kept = int(obs.get["n"])
+        if n_kept:
+            batch_bloom = bloom_build(
+                kb.selectExpr("concat_ws(':', band, sig) AS k"),
+                "k",
+                num_bits=meta["bloom"]["m"],
+                num_hashes=meta["bloom"]["k"],
+            )
+            self._meta["bloom"] = bloom_merge(meta["bloom"], batch_bloom)
+        self._meta["n_vecs"] += n_kept
         self._meta["n_appends"] += 1
         self._write_meta()
         return TidyFrame(out)
