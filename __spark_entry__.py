@@ -3902,6 +3902,70 @@ def _d46(t):
 _BUILDERS["d46_neardup_state"] = _d46
 
 
+def _d47(t):
+    """Persistent embedding near-dup state (llm/dedupstate.
+    EmbeddingDedupState, r8 — beyond the reference): three sequential
+    batches of deterministic ±1 vectors (component j of doc i is
+    sign(xxhash64(i, j)) — DISTINCT ids have cosine ≈ 0 ± 0.125, so
+    crossing the 0.95 threshold needs 62+ of 64 matching signs, odds
+    ~1e-17; renumbered copies have cosine exactly 1).  Batch 2 also
+    carries half-flipped copies (cosine 0 vs source — must stay NULL,
+    exercising band-collision fetch-and-reject).  The oracle states the
+    closed-form answer; matching it proves the band bloom gate, pruned
+    posting/vector reads and the exact-cosine verify end-to-end."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.dedupstate import EmbeddingDedupState
+
+    spark = t["documents"].df.sparkSession
+    st = EmbeddingDedupState.create(
+        spark,
+        tempfile.mkdtemp(prefix="d47_state_") + "/ed",
+        nbits=4,
+        bands=16,
+        n_buckets=16,
+        expected_items=100_000,
+    )
+    ids = t["documents"].filter("doc_id < 400").select("doc_id")
+    base = (
+        "transform(sequence(0, 63), j -> CAST(if(pmod(xxhash64(doc_id, "
+        "CAST(j AS BIGINT)), 2) = 0, 1.0, -1.0) AS DOUBLE))"
+    )
+    flip = (
+        "transform(sequence(0, 63), j -> CAST(if(j < 32, -1.0, 1.0) * "
+        "if(pmod(xxhash64(doc_id, CAST(j AS BIGINT)), 2) = 0, 1.0, -1.0) "
+        "AS DOUBLE))"
+    )
+
+    def leg(lo, hi, vec=base, shift=0):
+        return (
+            ids.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+            .mutate(embedding=vec)
+            .mutate(doc_id=f"doc_id + {shift}")
+            .select("doc_id", "embedding")
+        )
+
+    b1 = leg(0, 150)
+    b2 = (
+        leg(150, 300)
+        .union_all(leg(0, 40, shift=500000))
+        .union_all(leg(40, 80, vec=flip, shift=550000))
+    )
+    b3 = leg(300, 400).union_all(leg(200, 240, shift=600000))
+    out = None
+    for i, b in enumerate([b1, b2, b3], start=1):
+        got = (
+            st.ingest(b, "doc_id", "embedding", threshold=0.95)
+            .mutate(batch=f"CAST({i} AS INT)")
+            .select("batch", "doc_id", "dup_of")
+        )
+        out = got if out is None else out.union_all(got)
+    return out
+
+
+_BUILDERS["d47_embdedup_state"] = _d47
+
+
 def _m43(t):
     """Round-6 ops suite (tagged union, one driver row for the round-6
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
@@ -4276,6 +4340,31 @@ _NEARDUP_SQL = r"""
           UNION ALL
           SELECT 3, doc_id + 600000, doc_id
           FROM ids WHERE doc_id >= 210 AND doc_id < 240)
+        SELECT CAST(batch AS INT) AS batch, doc_id, dup_of FROM legs
+"""
+
+# EmbeddingDedupState replay (d47): deterministic ±1 vectors make the
+# answer closed-form — exact copies dup to their source, half-flipped
+# copies (cosine 0) and originals keep NULL (see _d47's docstring).
+_EMBDEDUP_SQL = r"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        legs AS (
+          SELECT 1 AS batch, doc_id, CAST(NULL AS BIGINT) AS dup_of
+          FROM ids WHERE doc_id < 150
+          UNION ALL
+          SELECT 2, doc_id, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 150 AND doc_id < 300
+          UNION ALL
+          SELECT 2, doc_id + 500000, doc_id FROM ids WHERE doc_id < 40
+          UNION ALL
+          SELECT 2, doc_id + 550000, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 40 AND doc_id < 80
+          UNION ALL
+          SELECT 3, doc_id, CAST(NULL AS BIGINT)
+          FROM ids WHERE doc_id >= 300 AND doc_id < 400
+          UNION ALL
+          SELECT 3, doc_id + 600000, doc_id
+          FROM ids WHERE doc_id >= 200 AND doc_id < 240)
         SELECT CAST(batch AS INT) AS batch, doc_id, dup_of FROM legs
 """
 
@@ -6583,6 +6672,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
+    out["d47_embdedup_state"] = _EMBDEDUP_SQL
     out["m44_image_metadata"] = r"""
         SELECT doc_id,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
