@@ -664,11 +664,17 @@ def _d92(t):
 
 
 def _s39s(t):
-    """ANN suite: LSH (old s39), IVF (old s40), and PQ (ADC + re-rank)
-    top-10 recall measured in-engine against the exact scan (s38).  Emits one row per
+    """ANN suite: LSH (old s39), IVF (old s40), PQ (ADC + re-rank), and
+    (r8) the persistent IVF index ``VectorIndexState`` — queried twice:
+    ``pivf`` (nprobe=3, the partition-pruned approximate path, recall
+    floor >= 5/10) and ``pivf_full`` (nprobe=nlist, which by construction
+    must reproduce the exact scan — floor 10/10).  Top-10 recall is
+    measured in-engine against the exact scan (s38).  Emits one row per
     (method, query): the exact top-1 id (DuckDB-anchored) and a
     conservative recall floor check.  Hyperplanes/centroid training are
-    seeded & deterministic, so the booleans are stable run-to-run."""
+    seeded & deterministic, so the booleans are stable run-to-run.  The
+    persistent index is built across TWO adds (even ids then odd), so a
+    green row also certifies incremental add + frozen-centroid reuse."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -697,7 +703,7 @@ def _s39s(t):
     )
     exact_ids = exact.select("query_id", "vec_id")
 
-    def method_rows(name, approx_df):
+    def method_rows(name, approx_df, floor=5):
         hits = (
             approx_df.select("query_id", "vec_id")
             .join(exact_ids, ["query_id", "vec_id"], "left_semi")
@@ -708,18 +714,34 @@ def _s39s(t):
             F.lit(name).alias("method"),
             "query_id",
             "exact_top1",
-            (F.coalesce("__h", F.lit(0)) >= 5).alias("recall_ok"),
+            (F.coalesce("__h", F.lit(0)) >= floor).alias("recall_ok"),
         )
 
     lsh = lsh_cosine_topk(corpus, queries, k=10).df
     ivf = ivf_cosine_topk(corpus, queries, k=10, nlist=8, nprobe=3).df
     pq = pq_cosine_topk(corpus, queries, k=10).df
+
+    import tempfile
+
+    from tidierdb_jl_spark.llm.vectorindex import VectorIndexState
+
+    ix = VectorIndexState.create(
+        corpus.df.sparkSession,
+        tempfile.mkdtemp(prefix="s39_ix_") + "/ix",
+        nlist=8,
+    )
+    ix.add(corpus.filter("vec_id % 2 = 0"))
+    ix.add(corpus.filter("vec_id % 2 = 1"))
+    pivf = ix.query(queries, k=10, nprobe=3).df
+    pivf_full = ix.query(queries, k=10, nprobe=8).df
     from tidierdb_jl_spark.core import TidyFrame
 
     return TidyFrame(
         method_rows("lsh", lsh)
         .unionAll(method_rows("ivf", ivf))
         .unionAll(method_rows("pq", pq))
+        .unionAll(method_rows("pivf", pivf))
+        .unionAll(method_rows("pivf_full", pivf_full, floor=10))
     )
 
 
@@ -3971,8 +3993,10 @@ def _m43(t):
     surface): WARC/Common-Crawl ingest (w50), token-budget selection
     (t74), jusText-style main-content extraction (t75), audio container
     metadata (m41), video container metadata (m42), image header
-    metadata (m44, r7), statistical-package ingest (w52, r7) — plus the
-    NEW web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
+    metadata (m44, r7), statistical-package ingest (w52, r7), the
+    persistent text near-dup state replay (d46, r8), the persistent
+    embedding near-dup state replay (d47, r8) — plus the
+    web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
     main-content -> dedup-with-planted-dups -> sequence packing).  Shared
     schema (op, id1, id2, s, num); each round-6 leg is individually
     oracle-backed by its own registered row, this suite puts them all
@@ -4035,10 +4059,16 @@ def _m43(t):
                 s=nls, num="CAST(dup_of AS DOUBLE)")
         .select(*cols)
     )
+    edp = (
+        _d47(t)
+        .mutate(op="'embdedup'", id1="CAST(batch AS BIGINT)", id2="doc_id",
+                s=nls, num="CAST(dup_of AS DOUBLE)")
+        .select(*cols)
+    )
 
     out = warc.union_all(budget).union_all(main).union_all(audio)
     out = out.union_all(video).union_all(img).union_all(stat)
-    out = out.union_all(dd).union_all(pk).union_all(ndp)
+    out = out.union_all(dd).union_all(pk).union_all(ndp).union_all(edp)
     # some legs pin tracked persists; localCheckpoint the union so those
     # caches can be released even though the caller collects later.
     # Release ONLY this builder's persists (the _d94 discipline).
@@ -5607,7 +5637,9 @@ def oracle_sql() -> dict[str, str]:
         top1 AS (SELECT query_id, vec_id AS exact_top1 FROM ranked WHERE r = 1)
         SELECT m.method, t.query_id, t.exact_top1, TRUE AS recall_ok
         FROM top1 t CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
-                                UNION ALL SELECT 'pq') m
+                                UNION ALL SELECT 'pq'
+                                UNION ALL SELECT 'pivf'
+                                UNION ALL SELECT 'pivf_full') m
     """
     out["m40_multimodal_decode"] = """
         WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
@@ -6775,5 +6807,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'neardup', CAST(z.batch AS BIGINT), z.doc_id,
                CAST(NULL AS VARCHAR), CAST(z.dup_of AS DOUBLE)
         FROM ({_NEARDUP_SQL}) z
+        UNION ALL
+        SELECT 'embdedup', CAST(z.batch AS BIGINT), z.doc_id,
+               CAST(NULL AS VARCHAR), CAST(z.dup_of AS DOUBLE)
+        FROM ({_EMBDEDUP_SQL}) z
     """
     return out

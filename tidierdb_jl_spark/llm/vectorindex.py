@@ -1,0 +1,249 @@
+"""Persistent IVF vector index for cosine ANN over embedding corpora.
+
+The in-repo ANN searches (:func:`~tidierdb_jl_spark.llm.simsearch
+.ivf_cosine_topk` and friends) rebuild their index per call — the right
+shape for one-shot analytics, the wrong one for a serving corpus that is
+ingested once and queried thousands of times.  ``VectorIndexState`` is
+the persistent form, and the fourth member of the round-8 state family
+(exact :class:`~tidierdb_jl_spark.llm.dedupstate.DedupState`, text
+:class:`~tidierdb_jl_spark.llm.dedupstate.NearDupState`, vector near-dup
+:class:`~tidierdb_jl_spark.llm.dedupstate.EmbeddingDedupState`; this one
+answers *queries* instead of gating *ingest*).
+
+On disk it is the FAISS IVF layout re-expressed as a lake table:
+
+- ``vecs/cell=<i>/*.parquet`` — UNIT-normalized vectors, directory-
+  partitioned by their nearest-centroid cell, so a probe of ``nprobe``
+  cells is **static partition pruning** (an ``IN`` on the partition
+  column; only ``~nprobe/nlist`` of the corpus bytes are ever read).
+- ``_vecindex.json`` — the spherical-k-means centroids plus counters.
+  Centroids live driver-side (``nlist × dim`` doubles — ~8 MB at
+  nlist=1024, dim=1024; the practical driver bound is nlist ≲ 64k).
+
+``add`` is one Arrow-batched assignment pass + one partitioned append —
+per-batch cost is O(batch), never O(corpus).  ``query`` broadcasts the
+(bounded) query set into the pruned cells and exact-cosine re-ranks, so
+the expensive side — the corpus — is read once, shuffled never.  With
+``nprobe >= nlist`` the probe covers every cell and the result is
+EXACTLY the brute-force scan (tested; the recall knob degrades to the
+oracle, not past it).
+
+Centroids are trained once, FAISS-style, on a bounded deterministic
+sample of the FIRST ``add`` batch (see
+:func:`~tidierdb_jl_spark.llm.simsearch._train_centroids_sample`) —
+training cost is independent of corpus size, and later batches reuse the
+frozen centroids so cell assignment is stable across the index's life.
+The index is append-only (re-adding an id stores both copies — dedup is
+an ingest concern: compose with ``EmbeddingDedupState``).  Meta updates
+are atomic (tmp + rename); concurrent writers are out of scope (same
+contract as a non-transactional parquet table).
+
+Reference parity: the reference (TidierDB.jl) has no vector-index
+surface at all; this is beyond-reference, mirroring its persistent-table
+verbs (src/TidierDB.jl ``@create_table``) applied to ANN state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ..core import TidyFrame
+from .simsearch import _make_assign_udf, _to_double, _train_centroids_sample
+
+_UNIT = "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+class VectorIndexState:
+    """Persistent IVF index: ``create`` → ``add`` batches → ``query``."""
+
+    _META = "_vecindex.json"
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = str(path)
+        self._meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        path: str,
+        nlist: int = 64,
+        refine_iters: int = 5,
+        sample_cap: int = 4096,
+    ) -> "VectorIndexState":
+        path = str(path)
+        if os.path.exists(os.path.join(path, cls._META)):
+            raise ValueError(f"VectorIndexState already exists at {path}")
+        meta = {
+            "nlist": int(nlist),
+            "refine_iters": int(refine_iters),
+            "sample_cap": int(sample_cap),
+            "dim": None,  # captured at first add
+            "centroids": None,  # trained at first add
+            "n_vecs": 0,
+            "n_appends": 0,
+        }
+        os.makedirs(path, exist_ok=True)
+        st = cls(spark, path, meta)
+        st._write_meta()
+        return st
+
+    @classmethod
+    def open(cls, spark, path: str) -> "VectorIndexState":
+        with open(os.path.join(str(path), cls._META)) as fh:
+            return cls(spark, str(path), json.load(fh))
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.path, self._META + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(self._meta, fh)
+        os.replace(tmp, os.path.join(self.path, self._META))
+
+    def stats(self) -> dict:
+        c = self._meta["centroids"]
+        return {
+            "n_vecs": self._meta["n_vecs"],
+            "n_appends": self._meta["n_appends"],
+            "nlist": self._meta["nlist"],
+            "n_cells": len(c) if c else 0,
+            "dim": self._meta["dim"],
+        }
+
+    def _unit_vecs(self, tf, id_col: str, vec_col: str):
+        """(id, unit-normalized double vector) projection of a batch."""
+        return tf.df.select(
+            F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
+        ).select("__id", F.expr(_UNIT).alias("__u"))
+
+    def add(self, tf, id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+        """Assign the batch to cells and append it to the index.
+
+        The first ``add`` trains the centroids (bounded deterministic
+        sample, driver numpy — the FAISS recipe) and captures the
+        dimension; later batches reuse both.  Returns :meth:`stats`.
+        """
+        meta = self._meta
+        dim = len(tf.df.select(vec_col).first()[0])
+        if meta["dim"] is None:
+            meta["dim"] = dim
+        elif meta["dim"] != dim:
+            raise ValueError(
+                f"index at {self.path} holds dim={meta['dim']} vectors; "
+                f"batch has dim={dim}"
+            )
+        nvec = self._unit_vecs(tf, id_col, vec_col).localCheckpoint(eager=True)
+        if meta["centroids"] is None:
+            cvec = nvec.select(F.col("__id").alias("vec_id"), F.col("__u").alias("__cv"))
+            meta["centroids"] = _train_centroids_sample(
+                cvec, meta["nlist"], meta["refine_iters"], meta["sample_cap"]
+            )
+        assign = _make_assign_udf(meta["centroids"], 1)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            nvec.select(
+                F.col("__id").alias("vec_id"),
+                F.col("__u").alias("unit"),
+                assign(F.col("__u"))[0].alias("cell"),
+            )
+            .repartition(len(meta["centroids"]), "cell")
+            .sortWithinPartitions("cell", "vec_id")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(os.path.join(self.path, "vecs"))
+        )
+        meta["n_vecs"] += int(obs.get["n"])
+        meta["n_appends"] += 1
+        self._write_meta()
+        return self.stats()
+
+    def query(
+        self,
+        query_tf,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str | None = None,
+        exclude_self: bool = True,
+    ) -> TidyFrame:
+        """Top-``k`` cosine neighbors from the ``nprobe`` nearest cells.
+
+        Returns (query_id, vec_id, cosine) — ties broken by ``vec_id``
+        ascending, so results are deterministic.  The query set is the
+        bounded side (the ANN contract): its distinct probe cells (≤
+        nlist ints) drive static partition pruning on the index read,
+        and the probes broadcast into the pruned scan — the corpus is
+        read once (``~nprobe/nlist`` of its bytes), shuffled never.
+        ``nprobe >= nlist`` probes everything: exactly the brute-force
+        result.
+        """
+        meta = self._meta
+        if not meta["n_appends"]:
+            raise ValueError(f"index at {self.path} is empty — add() first")
+        qid = query_id_col or id_col
+        n_cells = len(meta["centroids"])
+        nprobe = min(int(nprobe), n_cells)
+        assign_q = _make_assign_udf(meta["centroids"], nprobe)
+        qvec = self._unit_vecs(query_tf, qid, vec_col)
+        # explode_outer: assign always returns nprobe cells; the plain
+        # explode would add a size>0 filter that re-evaluates the UDF
+        probes = qvec.select(
+            F.col("__id").alias("query_id"),
+            F.col("__u").alias("__qu"),
+            F.explode_outer(assign_q(F.col("__u"))).alias("cell"),
+        ).localCheckpoint(eager=True)
+        cells = [r[0] for r in probes.select("cell").distinct().collect()]
+        index = self.spark.read.parquet(os.path.join(self.path, "vecs"))
+        if len(cells) < n_cells:
+            index = index.where(F.col("cell").isin(cells))
+        scored = (
+            index.join(F.broadcast(probes), "cell")
+            .select(
+                "query_id",
+                "vec_id",
+                F.expr(_DOT.format(a="__qu", b="unit")).alias("cosine"),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        ranked = scored.select(
+            "*",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+            ).alias("__r"),
+        )
+        return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
+    def compact(self) -> dict:
+        """Rewrite each cell to one file (appends fragment cells).
+
+        Full-rewrite compaction — at production scale run it per-cell or
+        on the fragmented cells only; the layout (one directory per
+        cell) makes that a per-partition rewrite.
+        """
+        src = os.path.join(self.path, "vecs")
+        tmp = os.path.join(self.path, "vecs_tmp")
+        old = os.path.join(self.path, "vecs_old")
+        (
+            self.spark.read.parquet(src)
+            .repartition(len(self._meta["centroids"]), "cell")
+            .sortWithinPartitions("cell", "vec_id")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(src, old)
+        os.rename(tmp, src)
+        import shutil
+
+        shutil.rmtree(old)
+        return self.stats()
