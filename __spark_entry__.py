@@ -2573,7 +2573,8 @@ def _t89(t):
     perplexity (t86), repeated-passage stats (t87), quantile-threshold
     filter (t88), the column-stats profile (q98, two legs for min/max),
     PMI co-occurrence (t91), z-score outliers (q99), PSI drift (t92),
-    and KL/JS token divergence (t93).  Shared schema
+    KL/JS token divergence (t93), and (r8) exact Misra-Gries heavy
+    hitters (t98).  Shared schema
     (op, id1, id2, s, num); every leg is individually oracle-backed by
     its own registered row."""
     nlb, nls, nld = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)", "CAST(NULL AS DOUBLE)"
@@ -2636,9 +2637,14 @@ def _t89(t):
                 s="token", num="js9")
         .select(*cols)
     )
+    hh = (
+        _t98(t)
+        .mutate(op="'hh'", id1="count", id2=nlb, s="token", num=nld)
+        .select(*cols)
+    )
     out = lm.union_all(pas).union_all(qf).union_all(smin).union_all(smax)
     out = out.union_all(pmi).union_all(outl).union_all(psi)
-    return out.union_all(div_kl).union_all(div_js)
+    return out.union_all(div_kl).union_all(div_js).union_all(hh)
 
 
 def _t91(t):
@@ -2651,6 +2657,22 @@ def _t91(t):
     from tidierdb_jl_spark.llm.vocab import token_cooccurrence
 
     return token_cooccurrence(t["documents"], max_vocab=20, min_pair_count=2)
+
+
+def _t98(t):
+    """Exact heavy-hitter tokens via two-pass Misra-Gries (r8,
+    operators/heavyhitters.py — beyond the reference, whose closest is a
+    full ``@summarize`` group-by): per-partition bounded sketches pick
+    candidates WITHOUT shuffling the token stream, an MG-slack prefilter
+    prunes them, and a broadcast-semi recount reports exact counts.  The
+    oracle is the plain exact group-by + HAVING — the sketch must only
+    ever change what gets recounted, never the answer."""
+    from tidierdb_jl_spark.operators.heavyhitters import token_heavy_hitters
+
+    return token_heavy_hitters(t["documents"], "text", threshold_frac=0.002)
+
+
+_BUILDERS["t98_heavy_hitters"] = _t98
 
 
 def _q99(t):
@@ -6577,6 +6599,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
     })
+    # heavy hitters: the oracle is the EXACT full group-by + HAVING —
+    # the MG sketch may only decide what gets recounted, never the answer
+    out["t98_heavy_hitters"] = r"""
+        WITH toks AS (
+          SELECT unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                        ELSE string_split_regex(lower(trim(text)), '\s+')
+                        END) AS token
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT token, count(*) AS count
+        FROM toks, tot
+        GROUP BY token, tot.n
+        HAVING count(*) >= ceil(0.002 * tot.n)
+    """
     # t89 suite legs for the later round-5b ops, composed from their own
     # standalone oracles as derived tables (DuckDB allows WITH inside a
     # parenthesized subquery) — one driver row covers them all.
@@ -6598,6 +6634,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'div_js', z.n_expected, z.n_actual, z.token, z.js9
         FROM ({out["t93_token_divergence"]}) z
+        UNION ALL
+        SELECT 'hh', z.count, CAST(NULL AS BIGINT), z.token,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["t98_heavy_hitters"]}) z
     """
     out["d96_r5d_ops_suite"] = f"""
         SELECT 'cur' AS op, z.doc_id AS id1, CAST(z.stage AS BIGINT) AS id2,

@@ -95,6 +95,7 @@ ORACLE_QUERIES = [
     "e77_gapfill",          # gap-fill
     "e81_json_props",       # JSON extraction
     "s38_cosine_topk",      # brute-force ANN baseline
+    "s39_ann_suite",        # LSH/IVF/PQ + persistent-index recall (r8)
     "s42_hard_negatives",   # DPR-style mining
     "t66_importance_sample",# DSIR
     "t67_pack_ffd",         # FFD packing
