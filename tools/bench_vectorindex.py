@@ -4,11 +4,21 @@
 1. **add is O(batch)**: per-batch add time stays flat while the index
    grows (assignment is one Arrow pass over the batch; the append never
    reads existing state).
-2. **query reads ~nprobe/nlist of the corpus**: the probe becomes static
-   partition pruning, so index rows/files read scale with nprobe, not
-   with 1.0x the corpus — the brute-force scan is the nprobe=nlist
-   column.  Recall vs the exact scan is reported next to each cost so
-   the accuracy/IO trade is one table.
+2. **query cost scales with nprobe, not the corpus** — measured two
+   ways, because they bound different resources:
+
+   - **I/O (partition pruning)**: index rows/files READ, reported for a
+     small query set.  The scan reads the UNION of the batch's probed
+     cells, so pruning is strongest when queries are few or clustered;
+     a large diverse batch legitimately touches every cell once (and
+     amortizes that one scan across all its queries).
+   - **compute (candidate scoring)**: exact-cosine pairs scored per
+     query — ``sum over probed cells of |cell|`` — vs the brute-force
+     ``|corpus|``.  This is the nprobe/nlist reduction and it holds for
+     ANY batch size.
+
+   Recall vs the exact scan sits next to each cost so the
+   accuracy/cost trade is one table.
 
 Usage: python tools/bench_vectorindex.py [--sf-dir testdata_sf1]
            [--batches 10] [--nlist 16] [--queries 50] [--k 10]
@@ -90,7 +100,34 @@ def main() -> None:
             sum(s["files"] or 0 for s in st),
         )
 
-    print("\n| nprobe | query (s) | index rows read | files | recall@10 |")
+    # per-cell sizes (one tiny agg) -> scored pairs per query = sum of
+    # the probed cells' sizes; brute force scores |corpus| per query
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.llm.simsearch import _make_assign_udf, _to_double
+
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(_os.path.join(ix.path, "vecs"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    qvec = queries.df.select(F.expr(_to_double("embedding")).alias("__v"))
+
+    def scored_per_query(nprobe):
+        assign = _make_assign_udf(ix._meta["centroids"], nprobe)
+        cells = qvec.select(assign(F.col("__v")).alias("c")).collect()
+        tot = sum(cell_sizes.get(c, 0) for r in cells for c in r["c"])
+        return tot / len(cells)
+
+    print(
+        f"\nlarge-batch view ({args.queries} diverse queries — the scan "
+        "amortizes; compute is the lever):"
+    )
+    print("| nprobe | query (s) | scored pairs/query | vs brute | recall@10 |")
     print("|---|---|---|---|---|")
     for nprobe in [1, 2, 4, args.nlist // 2, args.nlist]:
         t0 = time.perf_counter()
@@ -102,10 +139,20 @@ def main() -> None:
         rec = sum(
             len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
         ) / len(exact)
+        spq = scored_per_query(nprobe)
         print(
-            f"| {nprobe} | {dt:.3f} | {rd} ({rd / n_vecs:.1%} of corpus) "
-            f"| {files} | {rec:.3f} |"
+            f"| {nprobe} | {dt:.3f} | {spq:.0f} | {spq / n_vecs:.1%} "
+            f"| {rec:.3f} |"
         )
+
+    print("\nsmall-batch view (3 queries — partition pruning on the scan):")
+    print("| nprobe | index rows read | files read (of "
+          f"{len(cell_sizes)} cells) |")
+    print("|---|---|---|")
+    q3 = emb.filter("vec_id < 3")
+    for nprobe in [1, 2, 4]:
+        _, rd, files = index_scan(ix.query(q3, k=args.k, nprobe=nprobe))
+        print(f"| {nprobe} | {rd} ({rd / n_vecs:.1%} of corpus) | {files} |")
 
 
 if __name__ == "__main__":
