@@ -1642,8 +1642,9 @@ def _d94(t):
 def _d99(t):
     """Round-4 ops suite (tagged union): incremental exact dedup (d91),
     cross-table similarity join (d98), token-window chunking (t97),
-    deterministic epoch shuffle (t90), parquet MERGE upsert, and (r8) the
-    persistent bloom-gated DedupState (d45) — the ingest-pipeline
+    deterministic epoch shuffle (t90), parquet MERGE upsert, (r8) the
+    persistent bloom-gated DedupState (d45), and (r8) the incremental
+    corpus-prep state composition (d48) — the ingest-pipeline
     primitives, one driver row.  The merge leg does the
     REAL thing: writes a base dataset to a scratch dir (fresh per call —
     retry-safe), partition-scoped-upserts a derived batch, and returns
@@ -1711,9 +1712,15 @@ def _d99(t):
                 s="fingerprint", num=nld)
         .select(*cols)
     )
+    cps = (
+        _d48(t)
+        .mutate(op="'corpus_prep'", id1="CAST(batch AS BIGINT)", id2="doc_id",
+                s="concat(lang_pred, ':', split)", num="CAST(n_words AS DOUBLE)")
+        .select(*cols)
+    )
     return (
         inc.union_all(sim).union_all(chk).union_all(shf).union_all(mrg)
-        .union_all(dst)
+        .union_all(dst).union_all(cps)
     )
 
 
@@ -3838,6 +3845,49 @@ def _m44(t):
 _BUILDERS["m44_image_metadata"] = _m44
 
 
+def _d48(t):
+    """Incremental corpus preparation over persistent state
+    (llm/corpusstate.CorpusPrepState, r8 — beyond the reference, which
+    has no pipeline or state surface): three OVERLAPPING document
+    batches flow through a fresh on-disk state (per-row quality gates +
+    language ID, exact DedupState gate, deterministic md5 split).  The
+    oracle recomputes the whole accretion declaratively — per-row gates
+    commute with batching, a fingerprint survives at its first
+    (batch, doc_id), and the split is the documented md5 rule — so a
+    hash match proves cleaning, the cross-batch state gate and the
+    split-stability contract JOINTLY.  (The near-dup/embedding gates
+    are the separately-certified d46/d47 states; this row certifies the
+    composition that is SQL-expressible.)"""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.corpusstate import CorpusPrepState
+
+    spark = t["documents"].df.sparkSession
+    st = CorpusPrepState.create(
+        spark,
+        tempfile.mkdtemp(prefix="d48_state_") + "/cp",
+        min_words=20,
+        expected_items=100_000,
+        n_buckets=16,
+    )
+    out = None
+    for i, (lo, hi) in enumerate([(0, 200), (120, 360), (300, 600)], start=1):
+        got = (
+            st.ingest(
+                t["documents"]
+                .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+                .select("doc_id", "text")
+            )
+            .mutate(batch=f"CAST({i} AS INT)")
+            .select("batch", "doc_id", "n_words", "lang_pred", "split")
+        )
+        out = got if out is None else out.union_all(got)
+    return out
+
+
+_BUILDERS["d48_corpus_prep_state"] = _d48
+
+
 def _d45(t):
     """Persistent incremental-dedup state (llm/dedupstate.py — beyond the
     reference, whose only dedup verb is @distinct): three OVERLAPPING
@@ -4145,6 +4195,57 @@ def _lang_oracle() -> str:
           FROM documents),
         s AS (SELECT doc_id, text, {', '.join(score_cols)} FROM t)
         SELECT doc_id, {case} AS lang_pred FROM s
+    """
+
+
+def _corpus_prep_state_oracle() -> str:
+    """DuckDB mirror of llm.corpusstate.CorpusPrepState over three
+    overlapping batches (min_words=20 gates, en, first-wins exact dedup
+    across (batch, doc_id), md5 hash split)."""
+    score_cols, case = _lang_score_parts()
+    thr = format(int(0.9 * 0xFFFFFFFF), "08x")
+    return f"""
+        WITH batches AS (
+          SELECT 1 AS batch, doc_id, text FROM documents
+          WHERE doc_id >= 0 AND doc_id < 200
+          UNION ALL
+          SELECT 2, doc_id, text FROM documents
+          WHERE doc_id >= 120 AND doc_id < 360
+          UNION ALL
+          SELECT 3, doc_id, text FROM documents
+          WHERE doc_id >= 300 AND doc_id < 600),
+        t AS (
+          SELECT batch, doc_id, text,
+                 CASE WHEN trim(text) = '' OR text IS NULL THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+          FROM batches),
+        s AS (
+          SELECT batch, doc_id, text, toks,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END AS avg_word_len,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio
+          FROM t),
+        g AS (
+          SELECT * FROM s
+          WHERE n_words >= 20 AND n_words <= 100000
+            AND avg_word_len >= 2.0 AND avg_word_len <= 15.0
+            AND punct_ratio <= 0.30 AND digit_ratio <= 0.30),
+        l AS (SELECT g.*, {', '.join(score_cols)} FROM g),
+        p AS (SELECT *, {case} AS lang_pred FROM l),
+        e AS (SELECT * FROM p WHERE lang_pred = 'en'),
+        f AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint FROM e),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY batch, doc_id) AS rn
+          FROM f)
+        SELECT CAST(batch AS INT) AS batch, doc_id, n_words, lang_pred,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM r WHERE rn = 1
     """
 
 
@@ -4488,6 +4589,7 @@ def oracle_sql() -> dict[str, str]:
     out["t33_lang_id"] = _lang_oracle()
     out["t52_clean_corpus"] = _clean_corpus_oracle()
     out["d61_training_prep_e2e"] = _e2e_prep_oracle()
+    out["d48_corpus_prep_state"] = _corpus_prep_state_oracle()
     out["e53_time_rollup"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
                CAST(count(*) AS BIGINT) AS n, sum(value) AS total
@@ -4888,6 +4990,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'dedupstate', CAST(z.batch AS BIGINT), z.doc_id, z.fingerprint,
                CAST(NULL AS DOUBLE)
         FROM (""" + _DEDUPSTATE_SQL + r""") z
+    """
+    out["d99_r4_ops_suite"] += f"""
+        UNION ALL
+        SELECT 'corpus_prep', CAST(z.batch AS BIGINT), z.doc_id,
+               concat(z.lang_pred, ':', z.split), CAST(z.n_words AS DOUBLE)
+        FROM ({out["d48_corpus_prep_state"]}) z
     """
     out["d91_dedup_incremental"] = r"""
         WITH fp AS (

@@ -425,7 +425,7 @@ def pq_encode(
     corpus_tf,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 8,
+    m: int = 16,
     nbits: int = 6,
     refine_iters: int = 8,
     sample_cap: int = 4096,
@@ -465,9 +465,9 @@ def pq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    m: int = 8,
+    m: int = 16,
     nbits: int = 6,
-    refine: int = 4,
+    refine: int = 16,
     refine_iters: int = 8,
     sample_cap: int = 4096,
     query_id_col: str | None = None,
@@ -486,6 +486,15 @@ def pq_cosine_topk(
     ``refine * k`` rows per query.  Recall rises with ``m``/``nbits``/
     ``refine``.  Deterministic end-to-end (seeded sample training, no
     RNG at search time).
+
+    Default calibration is a SCALE finding (sf1, 20k × 64-dim): the
+    original m=8 (8-dim subspaces) + refine=4 defaults recalled < 5/10
+    once the shortlist fell to 0.2% of the corpus — quantization error
+    dominated the 40-row re-rank.  m=16 (4-dim subspaces) + refine=16
+    recalls 10/10 there while codes stay 16 bytes (16× smaller than the
+    64-dim float32 vectors); measured in `SF1_CORRECTNESS.json`'s
+    s39_ann_suite row.  For other dimensions keep subspaces ~4-8 dims
+    and the shortlist ≥ a few hundred of a large corpus.
 
     Driver-side actions, both bounded: the training sample collect
     (``sample_cap`` rows) and the query-set collect (queries are small
