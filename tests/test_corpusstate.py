@@ -140,6 +140,47 @@ def test_corpusstate_embdedup_gate(spark, tables, tmp_path):
         st.ingest(_docs(tables, 200, 210))
 
 
+def test_corpusstate_stream_ingest(spark, tables, tmp_path):
+    """Streaming corpus prep: two overlapping crawl shards arrive as
+    separate micro-batches; the accreted output must equal the
+    sequential batch ingest over the same windows (cleaning + exact
+    cross-batch dedup + split), with fingerprints carried for
+    downstream at-least-once re-dedup."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _docs(tables, 0, 150).df.coalesce(1).write.parquet(src)
+    _docs(tables, 100, 300).df.coalesce(1).write.mode("append").parquet(src)
+
+    st = CorpusPrepState.create(spark, str(tmp_path / "cp"), min_words=20,
+                                expected_items=20_000, n_buckets=8)
+    stream = read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1")
+    out = str(tmp_path / "out")
+    q = st.stream_ingest(
+        stream, out, str(tmp_path / "ck"), trigger="availableNow"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+
+    ref = CorpusPrepState.create(spark, str(tmp_path / "cp2"), min_words=20,
+                                 expected_items=20_000, n_buckets=8)
+    import pandas as pd
+
+    want = pd.concat([
+        ref.ingest(_docs(tables, 0, 150)).collect(),
+        ref.ingest(_docs(tables, 100, 300)).collect(),
+    ]).sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got[["n_words", "lang_pred", "split"]].values.tolist() == \
+        want[["n_words", "lang_pred", "split"]].values.tolist()
+    assert got["fingerprint"].notna().all()
+    # neardup states refuse the stream path (appends can't be deferred)
+    nd = CorpusPrepState.create(spark, str(tmp_path / "cp3"), neardup=True,
+                                expected_items=20_000, n_buckets=8)
+    with pytest.raises(ValueError, match="exact gate only"):
+        nd.stream_ingest(stream, out, str(tmp_path / "ck3"))
+
+
 def test_corpusstate_split_stability(spark, tables, tmp_path):
     """A document's split never changes across batches/states."""
     st1 = CorpusPrepState.create(spark, str(tmp_path / "a"), min_words=5,

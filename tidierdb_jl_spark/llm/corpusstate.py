@@ -221,3 +221,72 @@ class CorpusPrepState:
         meta["n_kept"] += pinned.count()
         self._write_meta()
         return TidyFrame(pinned)
+
+    def stream_ingest(
+        self,
+        stream_tf,
+        out_path: str,
+        checkpoint: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        trigger: str | None = None,
+    ):
+        """Continuous corpus preparation: every micro-batch of a
+        streaming frame (pair with ``sources.warc.read_warc_stream``)
+        runs through :meth:`ingest` and the kept, split-assigned rows
+        append to ``out_path`` (parquet) — crawl shards land, the
+        training corpus accretes.
+
+        Delivery semantics match :meth:`DedupState.stream_ingest`: the
+        output is written BEFORE the state append (a crash in between
+        replays the batch as still-unseen, re-emitting rows —
+        at-least-once — never silently dropping them, which the reverse
+        order would), the STATE converges exactly under replay, and the
+        lifetime counters may overcount replayed batches — diagnostics,
+        not state.
+
+        Streaming supports the EXACT gate only: the near-dup/embedding
+        states expose no filter/append split, so their appends could not
+        be ordered after the output write — a crash would eat the batch.
+        Run near-dup passes as periodic batch jobs over the accreted
+        output (the production shape: global near-dedup is a compaction
+        step, not a per-micro-batch one)."""
+        if self._meta["embdedup"] or self._meta["neardup"]:
+            raise ValueError(
+                "stream_ingest supports the exact gate only (the near-dup/"
+                "embedding states cannot defer their appends past the "
+                "output write); create the streaming state with "
+                "neardup=False, embdedup=False and near-dedup in batch"
+            )
+
+        from .pipeline import clean_corpus, split_by_hash
+
+        meta = self._meta
+        ex, _, _ = self._states()
+
+        def _ingest_batch(batch_df, batch_id: int) -> None:
+            cleaned = clean_corpus(
+                TidyFrame(batch_df), id_col=id_col, col=text_col,
+                lang=meta["lang"], dedup=False, **meta["gates"]
+            )
+            fresh = ex.filter_new(cleaned, id_col, text_col)
+            out = split_by_hash(fresh, id_col, meta["train_frac"]).select(
+                id_col, "n_words", "lang_pred", "split", "fingerprint"
+            )
+            pinned = out.df.localCheckpoint(eager=True)
+            pinned.write.mode("append").parquet(out_path)
+            ex.append(pinned)
+            meta["n_batches"] += 1
+            meta["n_kept"] += pinned.count()
+            self._write_meta()
+
+        w = (
+            stream_tf.df.writeStream.outputMode("append")
+            .foreachBatch(_ingest_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger == "availableNow":
+            w = w.trigger(availableNow=True)
+        elif trigger:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
