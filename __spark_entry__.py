@@ -664,11 +664,14 @@ def _d92(t):
 
 
 def _s39s(t):
-    """ANN suite: LSH (old s39), IVF (old s40), PQ (ADC + re-rank), and
+    """ANN suite: LSH (old s39), IVF (old s40), PQ (ADC + re-rank),
     (r8) the persistent IVF index ``VectorIndexState`` — queried twice:
     ``pivf`` (nprobe=3, the partition-pruned approximate path, recall
     floor >= 5/10) and ``pivf_full`` (nprobe=nlist, which by construction
-    must reproduce the exact scan — floor 10/10).  Top-10 recall is
+    must reproduce the exact scan — floor 10/10) — and (r8) the
+    large-vs-large ``ivf_knn_join`` (``knnj``, cell equi-join, recall
+    floor; its full-probe exactness is the standalone s44 oracle row).
+    Top-10 recall is
     measured in-engine against the exact scan (s38).  Emits one row per
     (method, query): the exact top-1 id (DuckDB-anchored) and a
     conservative recall floor check.  Hyperplanes/centroid training are
@@ -734,6 +737,9 @@ def _s39s(t):
     ix.add(corpus.filter("vec_id % 2 = 1"))
     pivf = ix.query(queries, k=10, nprobe=3).df
     pivf_full = ix.query(queries, k=10, nprobe=8).df
+    from tidierdb_jl_spark.llm.simsearch import ivf_knn_join
+
+    knnj = ivf_knn_join(queries, corpus, k=10, nlist=8, nprobe=3).df
     from tidierdb_jl_spark.core import TidyFrame
 
     return TidyFrame(
@@ -742,7 +748,29 @@ def _s39s(t):
         .unionAll(method_rows("pq", pq))
         .unionAll(method_rows("pivf", pivf))
         .unionAll(method_rows("pivf_full", pivf_full, floor=10))
+        .unionAll(method_rows("knnj", knnj))
     )
+
+
+def _s44(t):
+    """Large-vs-large kNN join (llm/simsearch.ivf_knn_join, r8 — beyond
+    the reference): 40 left rows against the full embedding corpus with
+    nprobe=nlist, which by construction degrades to the brute-force kNN
+    join — the DuckDB oracle is the exact cross-join rank, so a hash
+    match proves the cell equi-join candidate generation loses nothing
+    when every cell is probed (cosine values compared bit-wise)."""
+    from tidierdb_jl_spark.llm.simsearch import ivf_knn_join
+
+    return ivf_knn_join(
+        t["embeddings"].filter("vec_id < 40"),
+        t["embeddings"],
+        k=3,
+        nlist=8,
+        nprobe=8,
+    )
+
+
+_BUILDERS["s44_knn_join"] = _s44
 
 
 def _t52(t):
@@ -5769,7 +5797,26 @@ def oracle_sql() -> dict[str, str]:
         FROM top1 t CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
                                 UNION ALL SELECT 'pq'
                                 UNION ALL SELECT 'pivf'
-                                UNION ALL SELECT 'pivf_full') m
+                                UNION ALL SELECT 'pivf_full'
+                                UNION ALL SELECT 'knnj') m
+    """
+    out["s44_knn_join"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 40),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM q, c WHERE query_id != vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+          FROM scored)
+        SELECT query_id, vec_id, cosine FROM ranked WHERE r <= 3
     """
     out["m40_multimodal_decode"] = """
         WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

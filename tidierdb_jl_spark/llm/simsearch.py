@@ -583,6 +583,78 @@ def pq_cosine_topk(
     return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
 
 
+def ivf_knn_join(
+    left_tf,
+    right_tf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 5,
+    sample_cap: int = 4096,
+    left_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> "TidyFrame":
+    """**kNN JOIN** — top-``k`` cosine neighbors from ``right`` for EVERY
+    row of ``left``, when BOTH sides are large.
+
+    :func:`cosine_topk` / :func:`ivf_cosine_topk` broadcast the query
+    set — the right contract for a bounded query batch, the wrong one
+    when the "queries" are themselves a corpus (hard-negative mining,
+    corpus-vs-corpus linkage, k-NN graphs).  Here neither side
+    broadcasts: centroids train on a bounded sample of ``right`` (one
+    driver collect, the FAISS recipe), ``right`` partitions into its
+    nearest cell, ``left`` explodes to its ``nprobe`` nearest cells, and
+    the candidate generation is ONE equi-join on the cell id — both
+    sides shuffle once by cell, candidates are scored with exact cosine,
+    and a per-left-row ``WindowGroupLimit`` keeps the top ``k``.
+
+    Candidate volume is ``|left| · nprobe · |right| / nlist`` — the
+    brute-force cross join cut by ``nlist / nprobe``; raise ``nlist``
+    with corpus size to hold the per-cell width.  A dense region makes a
+    hot cell (a skewed join key): AQE's skew-join split handles the
+    imbalance at runtime, and ``nlist`` is the planning-time lever.
+    ``nprobe >= nlist`` probes everything — exactly the brute-force kNN
+    join (the certification path).  Ties break on neighbor id ascending;
+    deterministic end-to-end (seeded sample training)."""
+    lid = left_id_col or id_col
+    rvec = right_tf.df.select(
+        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    )
+    centroids = _train_centroids_sample(rvec, nlist, refine_iters, sample_cap)
+    nprobe = min(int(nprobe), len(centroids))
+    assign_r = _make_assign_udf(centroids, 1)
+    assign_l = _make_assign_udf(centroids, nprobe)
+    indexed = rvec.withColumn("__cell", assign_r(F.col("__cv"))[0])
+    lvec = left_tf.df.select(
+        F.col(lid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    )
+    probes = lvec.select(
+        "query_id", "__qv", F.explode_outer(assign_l(F.col("__qv"))).alias("__cell")
+    )
+    scored = probes.join(indexed, "__cell").select(
+        "query_id",
+        "vec_id",
+        (
+            F.expr(_dot("__qv", "__cv"))
+            / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+        ).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    ranked = scored.select(
+        "*",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        ).alias("__r"),
+    )
+    from ..core import TidyFrame
+
+    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
+
 def mine_hard_negatives(
     corpus_tf,
     queries_tf,
