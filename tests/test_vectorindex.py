@@ -124,6 +124,32 @@ def test_vectorindex_reopen_and_errors(spark, tables, tmp_path):
         st2.add(bad)
 
 
+def test_vectorindex_knn_join_full_probe_is_exact(spark, tables, tmp_path):
+    """knn_join with nprobe=nlist equals the brute-force kNN join for
+    every left row, including left rows not in the index; the pruned
+    path keeps a recall floor and answers every left row with k rows."""
+    st = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=8)
+    st.add(_emb_batch(tables, 100, 400))
+    left = _emb_batch(tables, 0, 150)
+    got = st.knn_join(left, k=5, nprobe=8).collect()
+    want = _brute_topk(
+        _emb_batch(tables, 100, 400).collect(), left.collect(), k=5
+    )
+    assert set(got["query_id"]) == set(want)
+    for qid, grp in got.groupby("query_id"):
+        ids = grp.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert ids == want[qid], qid
+    pruned = st.knn_join(left, k=5, nprobe=3).collect()
+    assert (pruned.groupby("query_id").size() == 5).all()
+    recalls = [
+        len(set(grp["vec_id"]) & set(want[qid])) / 5
+        for qid, grp in pruned.groupby("query_id")
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
 def test_vectorindex_compact_preserves_results(spark, tables, tmp_path):
     st = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=4)
     for lo in range(0, 200, 40):  # several small appends -> many files

@@ -223,6 +223,57 @@ class VectorIndexState:
         )
         return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
 
+    def knn_join(
+        self,
+        left_tf,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+    ) -> TidyFrame:
+        """Top-``k`` neighbors from the index for EVERY row of a LARGE
+        left table — the persistent-index form of
+        :func:`~tidierdb_jl_spark.llm.simsearch.ivf_knn_join`.
+
+        Unlike :meth:`query` (bounded query batch → broadcast + pruned
+        scan), nothing here broadcasts or collects: the left side
+        explodes to its ``nprobe`` nearest cells (one Arrow pass over
+        frozen centroids) and joins the stored cell-partitioned vectors
+        on the cell id — both sides shuffle once, candidates =
+        ``|left| · nprobe · |index| / nlist``, AQE skew-split handles
+        hot cells.  The index is re-used across joins with no retraining
+        (same frozen centroids that partitioned it).  ``nprobe >=
+        nlist`` degrades to the brute-force kNN join."""
+        meta = self._meta
+        if not meta["n_appends"]:
+            raise ValueError(f"index at {self.path} is empty — add() first")
+        n_cells = len(meta["centroids"])
+        nprobe = min(int(nprobe), n_cells)
+        assign_l = _make_assign_udf(meta["centroids"], nprobe)
+        lvec = self._unit_vecs(left_tf, id_col, vec_col)
+        probes = lvec.select(
+            F.col("__id").alias("query_id"),
+            F.col("__u").alias("__qu"),
+            F.explode_outer(assign_l(F.col("__u"))).alias("cell"),
+        )
+        index = self.spark.read.parquet(os.path.join(self.path, "vecs"))
+        scored = probes.join(index, "cell").select(
+            "query_id",
+            "vec_id",
+            F.expr(_DOT.format(a="__qu", b="unit")).alias("cosine"),
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        ranked = scored.select(
+            "*",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id "
+                "ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+            ).alias("__r"),
+        )
+        return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+
     def compact(self) -> dict:
         """Rewrite each cell to one file (appends fragment cells).
 
