@@ -1,12 +1,18 @@
-"""Exact heavy hitters without shuffling the stream — two-pass
-Misra-Gries.
+"""Exact heavy hitters with BOUNDED state — two-pass Misra-Gries.
 
-``top_tokens`` / plain ``groupBy().count()`` shuffle every occurrence of
-every value; at 100 TB the token stream is trillions of rows and the
-shuffle dominates the job even though the *answer* — the values above a
-frequency threshold — is tiny.  ``heavy_hitters`` replaces that with the
-classic two-pass scheme (Misra & Gries 1982; the "MG summary" merge
-bound is Agarwal et al., PODS'12):
+What the plain ``groupBy().count()`` actually costs at scale is not the
+raw stream (map-side partial aggregation already collapses each
+partition to its DISTINCT values before the exchange — measured in
+``tools/bench_heavyhitters.py``): it is the *cardinality*.  The partial
+hash map holds every distinct value per partition, so a high-cardinality
+stream (n-grams, URLs, user-ids at 100 TB: billions of distincts)
+degenerates it — the hash aggregate falls back to sort-based spill, and
+the exchange carries ~every distinct value per partition.  ``heavy_
+hitters`` bounds BOTH with the classic two-pass scheme (Misra & Gries
+1982; the "MG summary" merge bound is Agarwal et al., PODS'12) — memory
+``O(1/threshold_frac)`` per partition and a shuffle of candidate rows
+only, REGARDLESS of cardinality.  For low-cardinality streams the plain
+group-by is already cheap; this operator is for the heavy tail:
 
 1. **Candidate pass (map-side only, zero shuffle of the stream)**: each
    partition keeps a Misra-Gries summary of capacity ``c = ceil(2 /
@@ -100,11 +106,15 @@ def heavy_hitters(
             f"partition (> {max_capacity}); per-partition memory is "
             "O(1/threshold_frac) — raise the threshold or max_capacity"
         )
-    from ..llm.dedup import _spread
-
     from pyspark.sql import types as T
 
-    df = _spread(tf.df if hasattr(tf, "df") else tf).select(col)
+    # NO repartition of the stream: the summary pass runs at the scan's
+    # parallelism (the whole point is never shuffling the stream — a
+    # "_spread" here would BE that shuffle; measured in
+    # tools/bench_heavyhitters.py before this was removed).  Callers
+    # with a single-file test corpus should spread the pre-explode rows
+    # (token_heavy_hitters does).
+    df = (tf.df if hasattr(tf, "df") else tf).select(col)
     field = df.schema[col]
     if not isinstance(
         field.dataType,
@@ -157,10 +167,14 @@ def token_heavy_hitters(
     (scan-fused, no shuffle) feeding :func:`heavy_hitters`.  Returns
     (``token``, ``count``) — exact counts of every token whose frequency
     is ≥ ``threshold_frac`` of all token occurrences."""
+    from ..llm.dedup import _spread
     from ..llm.vocab import _token_array
 
     df = tf.df if hasattr(tf, "df") else tf
-    toks = df.select(
+    # spread the DOCUMENT rows (cheap; no-op at real scale) so the
+    # tokenize/explode/summary map stage runs at session parallelism on
+    # single-file test corpora — never the exploded token stream
+    toks = _spread(df.select(text_col)).select(
         F.explode(_token_array(text_col, tokenizer)).alias("token")
     )
     return heavy_hitters(TidyFrame(toks), "token", threshold_frac, max_capacity)
