@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "e81_json_props",       # JSON extraction
     "s38_cosine_topk",      # brute-force ANN baseline
     "s39_ann_suite",        # LSH/IVF/PQ + persistent-index recall (r8)
+    "s44_knn_join",         # large-vs-large kNN join, full-probe exact (r8)
     "s42_hard_negatives",   # DPR-style mining
     "t66_importance_sample",# DSIR
     "t67_pack_ffd",         # FFD packing
@@ -150,13 +151,21 @@ def main() -> None:
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
     out_path = os.path.join(REPO, args.out)
+    # a targeted --queries run MERGES into the existing artifact (its
+    # other rows stay), so a single-row re-check never erases the full
+    # evidence; full runs still rewrite everything they re-measure
+    prior: dict[str, dict] = {}
+    if args.queries and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh).get("results", {})
 
     def checkpoint():
-        n_ok = sum(1 for r in results.values()
+        merged = {**prior, **results}
+        n_ok = sum(1 for r in merged.values()
                    if r.get("hash_match") or r.get("pass"))
         with open(out_path, "w") as fh:
-            json.dump({"sf": args.sf, "sf_dir": sf_dir, "n_checks": len(results),
-                       "n_ok": n_ok, "results": results}, fh, indent=1)
+            json.dump({"sf": args.sf, "sf_dir": sf_dir, "n_checks": len(merged),
+                       "n_ok": n_ok, "results": merged}, fh, indent=1)
         return n_ok
 
     def oracle_with_watchdog(sql, budget_s=None):
@@ -285,8 +294,9 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     n_ok = checkpoint()
-    print(f"\n{n_ok}/{len(results)} checks green -> {args.out}")
-    if n_ok != len(results):
+    n_total = len({**prior, **results})
+    print(f"\n{n_ok}/{n_total} checks green -> {args.out}")
+    if n_ok != n_total:
         sys.exit(1)
 
 
