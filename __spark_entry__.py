@@ -1535,8 +1535,9 @@ def _t80(t):
 
 def _t78s(t):
     """Corpus-mixing suite: domain cap (old t78) + stratified hash
-    sampling (old t79) + weighted upsampling (old t80), tagged union.
-    All three are md5-deterministic and shuffle-free except the cap's one
+    sampling (old t79) + weighted upsampling (old t80) + (r8)
+    temperature-based source rebalancing (t99), tagged union.
+    All md5-deterministic and shuffle-free except the cap's one
     windowed shuffle."""
     from tidierdb_jl_spark.llm.mixing import (
         cap_per_key,
@@ -1563,7 +1564,29 @@ def _t78s(t):
         .mutate(op="'upsample'", copy_n="CAST(copy_n AS BIGINT)")
         .select("op", "doc_id", "source", "copy_n")
     )
-    return cap.union_all(strata).union_all(ups)
+    tmx = (
+        _t77(t)
+        .mutate(op="'tmix'", copy_n="CAST(copy_n AS BIGINT)")
+        .select("op", "doc_id", "source", "copy_n")
+    )
+    return cap.union_all(strata).union_all(ups).union_all(tmx)
+
+
+def _t77(t):
+    """Temperature-based source mixing (llm/mixing.temperature_mix, r8 —
+    the mT5/XLM-R corpus recipe, beyond the reference): per-source
+    replication factors n_s^0.5-proportional, applied through the
+    md5-deterministic upsample rule.  The oracle recomputes the factors
+    in SQL (sqrt is IEEE-correctly-rounded, so both engines derive the
+    same thresholds) and replays the whole+fractional copy rule."""
+    from tidierdb_jl_spark.llm.mixing import temperature_mix
+
+    return temperature_mix(
+        t["documents"].select("doc_id", "source"), alpha=0.5, salt="tmix"
+    )
+
+
+_BUILDERS["t77_temperature_mix"] = _t77
 
 
 def _t90(t):
@@ -5934,6 +5957,33 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 1 END AS copies
           FROM documents) n
         JOIN (SELECT unnest(generate_series(0, 3)) AS c) g ON g.c < n.copies
+    """
+    # temperature mixing: both engines derive the SAME per-source factors
+    # (sqrt is IEEE-correctly-rounded; same operation order) and replay
+    # the documented whole+fractional md5 copy rule
+    out["t77_temperature_mix"] = """
+        WITH counts AS (SELECT source, count(*) AS n FROM documents
+                        GROUP BY source),
+        tot AS (SELECT sum(n) AS nt, sum(sqrt(n)) AS z FROM counts),
+        w AS (SELECT source, (nt * sqrt(n) / z) / n AS w FROM counts, tot),
+        x AS (SELECT d.doc_id, d.source,
+                     CAST(floor(w.w) AS BIGINT) AS whole,
+                     w.w - floor(w.w) AS frac,
+                     substring(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 8) AS u
+              FROM documents d JOIN w ON d.source = w.source),
+        y AS (SELECT doc_id, source,
+                     whole + CASE WHEN frac > 0 AND u < printf('%08x',
+                               CAST(floor(frac * 4294967295) AS BIGINT))
+                             THEN 1 ELSE 0 END AS copies
+              FROM x)
+        SELECT y.doc_id, y.source, CAST(g.c AS INT) AS copy_n
+        FROM y JOIN (SELECT unnest(generate_series(0, 63)) AS c) g
+          ON g.c < y.copies
+    """
+    out["t78_mixing_suite"] += f"""
+        UNION ALL
+        SELECT 'tmix', z.doc_id, z.source, CAST(z.copy_n AS BIGINT)
+        FROM ({out["t77_temperature_mix"]}) z
     """
     out["q87_tpch_q7"] = """
         SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue

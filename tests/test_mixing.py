@@ -265,3 +265,60 @@ def test_take_token_budget(spark, tables, ddb):
 
     with _pytest.raises(ValueError):
         take_token_budget(tables["documents"], 10, tokens="n_chars")
+
+
+def test_temperature_mix_exact_replay(tables):
+    """Deterministic exact replay in pandas: same counts -> same float
+    weights -> same md5 whole+fractional replication rule, row by row."""
+    import hashlib
+    import math
+
+    from tidierdb_jl_spark.llm.mixing import temperature_mix
+
+    docs = tables["documents"].select("doc_id", "source")
+    got = temperature_mix(docs, alpha=0.5, salt="tmix").collect()
+
+    pdf = docs.collect()
+    counts = pdf.groupby("source").size().to_dict()
+    total = sum(counts.values())
+    z = sum(n ** 0.5 for _, n in sorted(counts.items()))
+    weights = {k: (total * (n ** 0.5) / z) / n
+               for k, n in sorted(counts.items())}
+    want = []
+    for did, src in pdf.itertuples(index=False):
+        w = weights[src]
+        whole, frac = int(w), w - int(w)
+        u = hashlib.md5(f"{did}tmix".encode()).hexdigest()[:8]
+        n = whole + (1 if frac > 0 and u < format(
+            int(frac * 0xFFFFFFFF), "08x") else 0)
+        want.extend((did, src, c) for c in range(n))
+    got_t = sorted(map(tuple, got[["doc_id", "source", "copy_n"]].values.tolist()))
+    assert got_t == sorted(want)
+
+
+def test_temperature_mix_shares_and_edges(tables):
+    from tidierdb_jl_spark.llm.mixing import temperature_mix
+
+    docs = tables["documents"].select("doc_id", "source")
+    n_in = docs.df.count()
+    # alpha=1: natural proportions -> per-source counts preserved (+-2
+    # for the fractional-copy hash boundary)
+    ident = temperature_mix(docs, alpha=1.0).collect()
+    in_counts = docs.collect().groupby("source").size()
+    out_counts = ident.groupby("source").size()
+    for src, n in in_counts.items():
+        assert abs(out_counts.get(src, 0) - n) <= 2, src
+    # alpha=0: sources equalized around total/#sources
+    flat = temperature_mix(docs, alpha=0.0).collect()
+    fc = flat.groupby("source").size()
+    expect = n_in / len(in_counts)
+    for src in in_counts.index:
+        assert abs(fc.get(src, 0) - expect) < 6 * (expect ** 0.5), src
+    # target_total scales the output
+    half = temperature_mix(docs, alpha=0.5, target_total=n_in // 2).collect()
+    assert abs(len(half) - n_in // 2) < 6 * (n_in ** 0.5)
+    # validation
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, alpha=1.5)
+    with pytest.raises(ValueError, match="distinct"):
+        temperature_mix(docs, key="source", max_keys=2)

@@ -223,6 +223,60 @@ def upsample_by_weight(
     )
 
 
+def temperature_mix(
+    tf: TidyFrame,
+    key: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    copy_col: str = "copy_n",
+    salt: str = "tmix",
+    max_keys: int = 10_000,
+) -> TidyFrame:
+    """Temperature-based source rebalancing — the multilingual-corpus
+    recipe (mT5 / XLM-R / CCNet): source ``s`` with ``n_s`` rows gets an
+    expected output share of ``n_s^alpha / Σ n^alpha``.  ``alpha = 1``
+    keeps natural proportions; ``alpha = 0`` equalizes sources;
+    in-between damps the head and amplifies the tail.
+
+    The per-row replication factor ``f_s = target · p_s / n_s`` feeds
+    :func:`upsample_by_weight` — so thinning (``f < 1``) and replication
+    (``f > 1``) are both the documented md5-deterministic rules: stable
+    under re-runs, appends, and repartitioning, never a ``rand()``.
+
+    Scale shape: ONE tiny per-source count aggregation (collected —
+    bounded by the number of sources, capped at ``max_keys``), then a
+    map-side CASE + ``explode(sequence(...))`` — no shuffle of the
+    corpus, no UDF.  ``target_total`` defaults to the input size (pure
+    rebalancing)."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    cnt_df = tf.df.groupBy(key).count().limit(max_keys + 1).collect()
+    if len(cnt_df) > max_keys:
+        raise ValueError(
+            f"temperature_mix saw > {max_keys} distinct {key!r} values; "
+            "mixture keys are sources/domains, not ids — aggregate first "
+            "or raise max_keys"
+        )
+    counts = {r[0]: int(r[1]) for r in cnt_df}
+    if None in counts:
+        raise ValueError(f"{key!r} has NULL values; fill or filter them first")
+    if not counts:
+        return tf.mutate(**{copy_col: "CAST(0 AS INT)"}).filter("1 = 0")
+    total = sum(counts.values())
+    target = int(target_total) if target_total is not None else total
+    # deterministic float evaluation order (sorted keys) so the embedded
+    # CASE thresholds are identical run-to-run
+    z = sum(n ** alpha for _, n in sorted(counts.items()))
+    weights = {
+        k: (target * (n ** alpha) / z) / n for k, n in sorted(counts.items())
+    }
+    return upsample_by_weight(
+        tf, key, weights, id_col, copy_col=copy_col, default_weight=0.0,
+        salt=salt,
+    )
+
+
 def importance_sample(
     tf: TidyFrame,
     weight_col: str,
