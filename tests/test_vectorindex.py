@@ -150,6 +150,34 @@ def test_vectorindex_knn_join_full_probe_is_exact(spark, tables, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_vectorindex_stream_add(spark, tables, tmp_path):
+    """Embedding shards arriving as micro-batches build the same index
+    as sequential batch adds: same stats, and full-probe queries return
+    identical neighbors."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _emb_batch(tables, 0, 150).df.coalesce(1).write.parquet(src)
+    _emb_batch(tables, 150, 300).df.coalesce(1).write.mode("append").parquet(src)
+
+    st = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=8)
+    stream = read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1")
+    q = st.stream_add(stream, str(tmp_path / "ck"), trigger="availableNow")
+    q.awaitTermination(120)
+    assert st.stats()["n_vecs"] == 300
+    assert st.stats()["n_appends"] == 2
+
+    ref = VectorIndexState.create(spark, str(tmp_path / "ref"), nlist=8)
+    ref.add(_emb_batch(tables, 0, 150))
+    ref.add(_emb_batch(tables, 150, 300))
+    qs = _emb_batch(tables, 0, 4)
+    a = st.query(qs, k=8, nprobe=8).collect().sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+    b = ref.query(qs, k=8, nprobe=8).collect().sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
 def test_vectorindex_compact_preserves_results(spark, tables, tmp_path):
     st = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=4)
     for lo in range(0, 200, 40):  # several small appends -> many files

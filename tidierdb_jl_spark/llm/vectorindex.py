@@ -223,6 +223,45 @@ class VectorIndexState:
         )
         return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
 
+    def stream_add(
+        self,
+        stream_tf,
+        checkpoint: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        trigger: str | None = None,
+    ):
+        """Continuous index maintenance: every micro-batch of a streaming
+        frame (e.g. embedding shards landing under a path, read with
+        ``streaming.stream.read_stream``) runs through :meth:`add` — the
+        index accretes as vectors arrive, queries see each batch as soon
+        as its append commits.
+
+        Delivery: the file-source checkpoint gives exactly-once BATCH
+        pickup; the parquet append itself is the usual non-transactional
+        sink, so a crash between the append and the checkpoint commit
+        can replay a batch into duplicate index entries — duplicates
+        cost recall nothing (the same vector scores identically) and a
+        :meth:`compact` pass can rewrite them out.  Centroids train on
+        the FIRST micro-batch and freeze, same as batch :meth:`add`.
+        Returns the StreamingQuery."""
+
+        def _add_batch(batch_df, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.add(TidyFrame(batch_df), id_col=id_col, vec_col=vec_col)
+
+        w = (
+            stream_tf.df.writeStream.outputMode("append")
+            .foreachBatch(_add_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger == "availableNow":
+            w = w.trigger(availableNow=True)
+        elif trigger:
+            w = w.trigger(processingTime=trigger)
+        return w.start()
+
     def knn_join(
         self,
         left_tf,
