@@ -106,6 +106,9 @@ ORACLE_QUERIES = [
     "w50_warc_ingest",      # WARC/WARC.GZ roundtrip (r6)
     "m43_r6_ops_suite",     # round-6 ops union + web-pipeline e2e (r7)
     "d45_dedup_state",      # persistent bloom-gated dedup state (r8)
+    "t98_heavy_hitters",    # two-pass Misra-Gries, exact answer (r8)
+    "t77_temperature_mix",  # n^alpha source rebalancing (r8)
+    "d48_corpus_prep_state",# incremental corpus-prep composition (r8)
 ]
 
 
