@@ -443,3 +443,28 @@ def test_embeddingdedupstate_dim_guard_and_reopen(spark, tables, tmp_path):
     got = st2.ingest(renum, "vec_id", "embedding").collect()
     assert got["dup_of"].notna().all()
     assert st2.stats()["n_vecs"] == st.stats()["n_vecs"]
+
+
+def test_dedupstate_merge_from(spark, tables, tmp_path):
+    """Per-region states built independently fold into one global
+    seen-set: overlaps dedup exactly, geometries need not match, and the
+    merged state gates exactly like one built from the union."""
+    a = DedupState.create(spark, str(tmp_path / "a"), n_buckets=8,
+                          expected_items=10_000)
+    b = DedupState.create(spark, str(tmp_path / "b"), n_buckets=4,
+                          expected_items=500, fpp=0.2)  # different geometry
+    a.ingest(_docs_batch(tables, 0, 120), "doc_id")
+    b.ingest(_docs_batch(tables, 80, 250), "doc_id")  # overlaps a
+    n_a = a.stats()["n_fingerprints"]
+    n_new = a.merge_from(b)
+    union_fps = set(
+        with_fingerprint(_docs_batch(tables, 0, 250), "text")
+        .collect()["fingerprint"]
+    )
+    assert a.stats()["n_fingerprints"] == len(union_fps) == n_a + n_new
+    # the merged state gates the union exactly — nothing admitted twice,
+    # genuinely-new rows still pass
+    assert len(a.filter_new(_docs_batch(tables, 0, 250), "doc_id").collect()) == 0
+    fresh = a.filter_new(_docs_batch(tables, 250, 300), "doc_id").collect()
+    want, _ = _expected_new(_docs_batch(tables, 250, 300).collect(), union_fps)
+    assert sorted(fresh["doc_id"]) == sorted(want["doc_id"])

@@ -338,6 +338,25 @@ class DedupState:
             )
         return n_new
 
+    def merge_from(self, other: "DedupState") -> int:
+        """Fold another state's fingerprints into this one — distributed
+        crawl ingestion's fan-in (per-region/per-day states built
+        independently merge into the global seen-set).  Returns the
+        number of fingerprints that were new to this state.
+
+        Goes through the re-verifying public :meth:`append`, so overlaps
+        between the two states dedup exactly, this state's reads stay
+        bloom-gated and partition-pruned, and NOTHING requires the two
+        states to share ``n_buckets`` or bloom geometry (buckets and the
+        bloom contribution are recomputed for the incoming rows).  Cost
+        is O(|other|) regardless of |self|.  Exact-fingerprint states
+        merge losslessly because the seen-set is a plain set union; the
+        near-dup states have no such merge (two independently-built
+        keeper sets can near-duplicate EACH OTHER — fold one state's
+        corpus through the other's ``ingest`` instead)."""
+        df = self.spark.read.parquet(other._data_path()).select("fingerprint")
+        return self.append(df)
+
     def ingest(self, tf, id_col: str, text_col: str = "text") -> TidyFrame:
         """``filter_new`` + ``append`` in one call.  The returned frame is
         PINNED before the append so it does not re-filter against its own
