@@ -47,6 +47,11 @@ QUERIES = [
     "t67_pack_ffd",
     "e56_equi_depth",
     "s42_hard_negatives",
+    # r8 scale-path additions: bounded-sketch heavy hitters, n^alpha
+    # source mixing, cell-partitioned knn join (full-probe row)
+    "t98_heavy_hitters",
+    "t77_temperature_mix",
+    "s44_knn_join",
 ]
 RUNS = 3
 SF1_DIR = os.path.join(REPO, "testdata_sf1")
