@@ -174,11 +174,52 @@ def test_corpusstate_stream_ingest(spark, tables, tmp_path):
     assert got[["n_words", "lang_pred", "split"]].values.tolist() == \
         want[["n_words", "lang_pred", "split"]].values.tolist()
     assert got["fingerprint"].notna().all()
-    # neardup states refuse the stream path (appends can't be deferred)
-    nd = CorpusPrepState.create(spark, str(tmp_path / "cp3"), neardup=True,
+    # embdedup states refuse the stream path (the stream has no vectors)
+    eb = CorpusPrepState.create(spark, str(tmp_path / "cp3"), embdedup=True,
                                 expected_items=20_000, n_buckets=8)
-    with pytest.raises(ValueError, match="exact gate only"):
-        nd.stream_ingest(stream, out, str(tmp_path / "ck3"))
+    with pytest.raises(ValueError, match="embdedup=False"):
+        eb.stream_ingest(stream, out, str(tmp_path / "ck3"))
+
+
+def test_corpusstate_stream_ingest_neardup(spark, tables, tmp_path):
+    """The near-dup gate works in streaming too (check/record split):
+    two micro-batches where batch 2 carries whitespace-perturbed twins
+    of batch 1 — the twins must be near-dup-dropped, and the accreted
+    output must equal the sequential batch ingest."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _docs(tables, 0, 120).df.coalesce(1).write.parquet(src)
+    twins = (
+        _docs(tables, 0, 120)
+        .mutate(doc_id="doc_id + 100000", text="concat(text, ' ')")
+    )
+    twins.df.coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(neardup=True, neardup_threshold=0.9, min_words=5,
+              expected_items=20_000, n_buckets=8)
+    st = CorpusPrepState.create(spark, str(tmp_path / "cpn"), **kw)
+    stream = read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1")
+    out = str(tmp_path / "outn")
+    q = st.stream_ingest(
+        stream, out, str(tmp_path / "ckn"), trigger="availableNow"
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+
+    ref = CorpusPrepState.create(spark, str(tmp_path / "cpn2"), **kw)
+    import pandas as pd
+
+    want = pd.concat([
+        ref.ingest(_docs(tables, 0, 120)).collect(),
+        ref.ingest(twins).collect(),
+    ]).sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got[["n_words", "lang_pred", "split"]].values.tolist() == \
+        want[["n_words", "lang_pred", "split"]].values.tolist()
+    # every kept batch-1 doc's twin was near-dup-dropped
+    kept1 = {d for d in got["doc_id"] if d < 100000}
+    assert set(got["doc_id"]).isdisjoint({d + 100000 for d in kept1})
 
 
 def test_corpusstate_split_stability(spark, tables, tmp_path):

@@ -26,11 +26,22 @@ Semantics: first-wins across batches (the earliest ingested copy of a
 document survives; later exact/near duplicates are dropped), matching
 ``DedupState``/``NearDupState``/``EmbeddingDedupState`` replay — with
 monotonically increasing ids this equals the one-shot pipeline's
-min-id-wins convention.  Chain transitivity differs from the one-shot
-``prepare_training_corpus`` by design: dropped documents are NOT
-recorded, so a later document that near-dups only a DROPPED one is kept
-(the one-shot pair list would drop it) — the incremental store never
-grows with rejected data.
+min-id-wins convention.  **All gates run before any state append**, and
+only the FINAL kept set is recorded in each state (the
+``check``/``record`` split on the near-dup states): a document dropped
+by ANY gate is recorded in NO state.  Chain transitivity therefore
+differs from the one-shot ``prepare_training_corpus`` by design:
+dropped documents are not recorded, so a later document that near-dups
+only a DROPPED one is kept (the one-shot pair list would drop it) — the
+incremental store never grows with rejected data.  This holds uniformly:
+a document that passes the exact gate but is dropped by the near-dup or
+embedding gate leaves no fingerprint, no bands, no vectors behind (a
+future exact copy of it is then caught by the NEAR gate — identical
+text has an identical signature — not the exact one).
+
+Storage: metadata goes through the Hadoop FileSystem API
+(:mod:`tidierdb_jl_spark.sources.fsio`) like the member states — a state
+path can live on local disk, ``file://``, ``hdfs://`` or ``s3a://``.
 
 Reference parity: beyond the reference (TidierDB.jl has no pipeline or
 state surface); the composition mirrors its verb chaining
@@ -40,9 +51,15 @@ state surface); the composition mirrors its verb chaining
 from __future__ import annotations
 
 import json
-import os
 
 from ..core import TidyFrame
+from ..sources.fsio import (
+    fs_exists,
+    fs_mkdirs,
+    join_path,
+    read_text,
+    write_text_atomic,
+)
 
 _META = "_corpus_prep_state.json"
 
@@ -75,7 +92,7 @@ class CorpusPrepState:
         **gates,
     ) -> "CorpusPrepState":
         path = str(path)
-        if os.path.exists(os.path.join(path, _META)):
+        if fs_exists(spark, join_path(path, _META)):
             raise ValueError(f"CorpusPrepState already exists at {path}")
         meta = {
             "lang": lang,
@@ -89,26 +106,26 @@ class CorpusPrepState:
             "n_ingested": 0,
             "n_kept": 0,
         }
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(spark, path)
         st = cls(spark, path, meta)
         from .dedupstate import DedupState
 
         DedupState.create(
-            spark, os.path.join(path, "exact"),
+            spark, join_path(path, "exact"),
             n_buckets=n_buckets, expected_items=expected_items,
         )
         if neardup:
             from .dedupstate import NearDupState
 
             NearDupState.create(
-                spark, os.path.join(path, "near"),
+                spark, join_path(path, "near"),
                 n_buckets=n_buckets, expected_items=expected_items,
             )
         if embdedup:
             from .dedupstate import EmbeddingDedupState
 
             EmbeddingDedupState.create(
-                spark, os.path.join(path, "emb"),
+                spark, join_path(path, "emb"),
                 n_buckets=n_buckets, expected_items=expected_items,
             )
         st._write_meta()
@@ -116,25 +133,26 @@ class CorpusPrepState:
 
     @classmethod
     def open(cls, spark, path: str) -> "CorpusPrepState":
-        with open(os.path.join(str(path), _META)) as fh:
-            return cls(spark, str(path), json.load(fh))
+        meta = json.loads(
+            read_text(spark, join_path(str(path), _META), tmp_fallback=True)
+        )
+        return cls(spark, str(path), meta)
 
     def _write_meta(self) -> None:
-        tmp = os.path.join(self.path, _META + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(self._meta, fh)
-        os.replace(tmp, os.path.join(self.path, _META))
+        write_text_atomic(
+            self.spark, join_path(self.path, _META), json.dumps(self._meta)
+        )
 
     def _states(self):
         from .dedupstate import DedupState, EmbeddingDedupState, NearDupState
 
         if self._exact is None:
-            self._exact = DedupState.open(self.spark, os.path.join(self.path, "exact"))
+            self._exact = DedupState.open(self.spark, join_path(self.path, "exact"))
         if self._meta["neardup"] and self._near is None:
-            self._near = NearDupState.open(self.spark, os.path.join(self.path, "near"))
+            self._near = NearDupState.open(self.spark, join_path(self.path, "near"))
         if self._meta["embdedup"] and self._emb is None:
             self._emb = EmbeddingDedupState.open(
-                self.spark, os.path.join(self.path, "emb")
+                self.spark, join_path(self.path, "emb")
             )
         return self._exact, self._near, self._emb
 
@@ -168,6 +186,13 @@ class CorpusPrepState:
         ``embdedup`` configured, ``embeddings`` must carry vectors for
         (at least) the batch's documents; documents without a vector
         pass the embedding gate (they cannot be vector-dupped).
+
+        Gate-then-record ordering: every gate FILTERS first (the exact
+        gate via ``filter_new``, the near-dup/embedding gates via
+        ``check``), the final keeper set is fixed, and only then does
+        each state ``record``/append exactly that set — so a document
+        rejected by a LATER gate never pollutes an EARLIER state (see
+        the module docstring's contract).
         """
         from pyspark.sql import functions as F
 
@@ -186,36 +211,56 @@ class CorpusPrepState:
         )
         n_in = docs.df.count()
 
-        # exact gate: keep-first within the batch + unseen vs state
-        kept = ex.ingest(cleaned, id_col, text_col)
+        # ---- gates (filter only — no state is touched) ----
+        # exact: keep-first within the batch + unseen vs state (pinned:
+        # the appends below write into the state paths this plan read)
+        fresh = TidyFrame(
+            ex.filter_new(cleaned, id_col, text_col).df.localCheckpoint(eager=True)
+        )
+        kept = fresh
+        nd_token = em_token = None
         if nd is not None:
-            kept = nd.ingest(
+            nd_out, nd_token = nd.check(
                 kept, id_col, text_col, threshold=meta["neardup_threshold"]
-            ).filter("dup_of IS NULL").select("!dup_of", "!minhash")
+            )
+            kept = nd_out.filter("dup_of IS NULL").select("!dup_of", "!minhash")
         if em is not None:
             emb_batch = semi_reduce(
                 embeddings, kept, f"{vec_id} == {id_col}"
             )
-            if emb_batch.df.isEmpty():
-                emb_batch = None
-        if em is not None and emb_batch is not None:
-            emb_res = em.ingest(
-                emb_batch, vec_id, vec_col, threshold=meta["cosine_threshold"]
-            )
-            dup_ids = emb_res.filter("dup_of IS NOT NULL").select(vec_id)
-            kept = TidyFrame(
-                kept.df.join(
-                    F.broadcast(dup_ids.df),
-                    kept.df[id_col] == dup_ids.df[vec_id],
-                    "left_anti",
+            if not emb_batch.df.isEmpty():
+                em_out, em_token = em.check(
+                    emb_batch, vec_id, vec_col, threshold=meta["cosine_threshold"]
                 )
-            )
+                dup_ids = em_out.filter("dup_of IS NOT NULL").select(vec_id)
+                kept = TidyFrame(
+                    kept.df.join(
+                        F.broadcast(dup_ids.df),
+                        kept.df[id_col] == dup_ids.df[vec_id],
+                        "left_anti",
+                    )
+                )
 
         out = split_by_hash(
             TidyFrame(kept.df), id_col, meta["train_frac"]
         ).select(id_col, "n_words", "lang_pred", "split")
-        # pin: later state appends must not re-filter this result
+        # pin: the state appends below must not re-filter this result
         pinned = out.df.localCheckpoint(eager=True)
+        keep_ids = pinned.select(id_col)
+
+        # ---- record (only the FINAL kept set enters any state) ----
+        ex_keep = fresh.df.join(keep_ids, id_col, "left_semi").select(
+            "fingerprint"
+        )
+        # in-package fast path: filter_new proved these fingerprints
+        # absent and distinct, and both join sides are pins — safe to
+        # skip append()'s re-verification
+        ex._append_new(ex_keep, pinned_unique=True)
+        if nd_token is not None:
+            nd.record(nd_token, keep_ids)
+        if em_token is not None:
+            em.record(em_token, keep_ids)
+
         meta["n_batches"] += 1
         meta["n_ingested"] += int(n_in)
         meta["n_kept"] += pinned.count()
@@ -233,48 +278,68 @@ class CorpusPrepState:
     ):
         """Continuous corpus preparation: every micro-batch of a
         streaming frame (pair with ``sources.warc.read_warc_stream``)
-        runs through :meth:`ingest` and the kept, split-assigned rows
-        append to ``out_path`` (parquet) — crawl shards land, the
-        training corpus accretes.
+        runs through the gates and the kept, split-assigned rows append
+        to ``out_path`` (parquet) — crawl shards land, the training
+        corpus accretes.
 
-        Delivery semantics match :meth:`DedupState.stream_ingest`: the
-        output is written BEFORE the state append (a crash in between
-        replays the batch as still-unseen, re-emitting rows —
-        at-least-once — never silently dropping them, which the reverse
-        order would), the STATE converges exactly under replay, and the
-        lifetime counters may overcount replayed batches — diagnostics,
-        not state.
+        Supports the EXACT and NEAR-DUP text gates (the embedding gate
+        needs the batch's vectors, which a document stream does not
+        carry — run embedding dedup as a periodic batch job over the
+        accreted output).
 
-        Streaming supports the EXACT gate only: the near-dup/embedding
-        states expose no filter/append split, so their appends could not
-        be ordered after the output write — a crash would eat the batch.
-        Run near-dup passes as periodic batch jobs over the accreted
-        output (the production shape: global near-dedup is a compaction
-        step, not a per-micro-batch one)."""
-        if self._meta["embdedup"] or self._meta["neardup"]:
+        Delivery semantics: the output is written BEFORE any state
+        append (a crash in between replays the batch as still-unseen,
+        re-emitting rows — at-least-once — never silently dropping
+        them, which the reverse order would).  Among the state appends
+        the NEAR record runs before the EXACT append: if a crash lands
+        between them, the replayed batch's documents self-match their
+        own recorded bands (est-Jaccard 1.0) and are dropped as near-
+        dups — not re-emitted, and still gated forever after (an exact
+        copy of such a document is caught by the near gate, identical
+        text having an identical signature).  The reverse order would
+        leave documents fingerprinted but band-less: future NEAR
+        duplicates of them would be silently admitted.  Lifetime
+        counters may overcount replayed batches — diagnostics, not
+        state."""
+        if self._meta["embdedup"]:
             raise ValueError(
-                "stream_ingest supports the exact gate only (the near-dup/"
-                "embedding states cannot defer their appends past the "
-                "output write); create the streaming state with "
-                "neardup=False, embdedup=False and near-dedup in batch"
+                "stream_ingest supports the exact and near-dup text gates "
+                "only (the embedding gate needs the batch's vectors, which "
+                "a document stream does not carry); create the streaming "
+                "state with embdedup=False and run embedding dedup in batch"
             )
 
         from .pipeline import clean_corpus, split_by_hash
 
         meta = self._meta
-        ex, _, _ = self._states()
+        ex, nd, _ = self._states()
 
         def _ingest_batch(batch_df, batch_id: int) -> None:
             cleaned = clean_corpus(
                 TidyFrame(batch_df), id_col=id_col, col=text_col,
                 lang=meta["lang"], dedup=False, **meta["gates"]
             )
-            fresh = ex.filter_new(cleaned, id_col, text_col)
-            out = split_by_hash(fresh, id_col, meta["train_frac"]).select(
+            fresh = TidyFrame(
+                ex.filter_new(cleaned, id_col, text_col)
+                .df.localCheckpoint(eager=True)
+            )
+            kept = fresh
+            nd_token = None
+            if nd is not None:
+                nd_out, nd_token = nd.check(
+                    kept, id_col, text_col, threshold=meta["neardup_threshold"]
+                )
+                kept = nd_out.filter("dup_of IS NULL").select(
+                    "!dup_of", "!minhash"
+                )
+            out = split_by_hash(kept, id_col, meta["train_frac"]).select(
                 id_col, "n_words", "lang_pred", "split", "fingerprint"
             )
             pinned = out.df.localCheckpoint(eager=True)
             pinned.write.mode("append").parquet(out_path)
+            # near BEFORE exact — see the docstring's crash contract
+            if nd_token is not None:
+                nd.record(nd_token, pinned.select(id_col))
             ex.append(pinned)
             meta["n_batches"] += 1
             meta["n_kept"] += pinned.count()

@@ -34,19 +34,33 @@ bloom sidecar (blooms of identical geometry merge losslessly —
 ``bloom_merge``).  The bloom geometry is fixed at ``create`` time from
 ``expected_items``/``fpp``: exceeding the capacity degrades the gate's
 false-positive rate (more rows take the verify path) but NEVER
-correctness.  Meta updates are atomic (tmp + rename); concurrent writers
-are out of scope (same contract as a non-transactional parquet table).
+correctness.
+
+Storage: data AND metadata go through the Hadoop FileSystem API
+(:mod:`tidierdb_jl_spark.sources.fsio`), so a state path can live on any
+filesystem Spark reaches — local, ``file://``, ``hdfs://``, ``s3a://``.
+Meta updates are write-tmp-then-swap with a documented per-scheme
+atomicity contract and a tmp-fallback reader (see ``fsio``); concurrent
+writers are out of scope (same contract as a non-transactional parquet
+table).
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import functions as F
 
 from ..core import TidyFrame
 from ..operators.bloom import bloom_build, bloom_mark, bloom_merge, bloom_size
+from ..sources.fsio import (
+    fs_exists,
+    fs_mkdirs,
+    join_path,
+    read_text,
+    swap_dir,
+    write_text_atomic,
+)
 from .textstats import with_fingerprint
 
 __all__ = ["DedupState", "EmbeddingDedupState", "NearDupState"]
@@ -86,7 +100,7 @@ class DedupState:
         directory-partition fan-out (pick ~state_size / 1 GB at scale);
         ``expected_items`` sizes the bloom for the LIFETIME of the state."""
         path = str(path)
-        if os.path.exists(os.path.join(path, _META)):
+        if fs_exists(spark, join_path(path, _META)):
             raise ValueError(f"DedupState already exists at {path}")
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -98,21 +112,22 @@ class DedupState:
             "n_fingerprints": 0,
             "n_appends": 0,
         }
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(spark, path)
         st = cls(spark, path, meta)
         st._write_meta()
         return st
 
     @classmethod
     def open(cls, spark, path: str) -> "DedupState":
-        with open(os.path.join(str(path), _META)) as fh:
-            return cls(spark, str(path), json.load(fh))
+        meta = json.loads(
+            read_text(spark, join_path(str(path), _META), tmp_fallback=True)
+        )
+        return cls(spark, str(path), meta)
 
     def _write_meta(self) -> None:
-        tmp = os.path.join(self.path, _META + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(self._meta, fh)
-        os.replace(tmp, os.path.join(self.path, _META))
+        write_text_atomic(
+            self.spark, join_path(self.path, _META), json.dumps(self._meta)
+        )
 
     # -- introspection -----------------------------------------------------
 
@@ -143,7 +158,7 @@ class DedupState:
         return f"pmod(xxhash64(fingerprint), {self.n_buckets})"
 
     def _data_path(self) -> str:
-        return os.path.join(self.path, _DATA)
+        return join_path(self.path, _DATA)
 
     def _state_df(self, buckets=None):
         """The state's fingerprint frame, optionally pruned to ``buckets``
@@ -354,6 +369,10 @@ class DedupState:
         near-dup states have no such merge (two independently-built
         keeper sets can near-duplicate EACH OTHER — fold one state's
         corpus through the other's ``ingest`` instead)."""
+        if not other._meta["n_appends"]:
+            # a freshly created state has no data directory yet — merging
+            # zero fingerprints is a no-op, not a read error
+            return 0
         df = self.spark.read.parquet(other._data_path()).select("fingerprint")
         return self.append(df)
 
@@ -439,15 +458,12 @@ class DedupState:
         through a partitioned write)."""
         if not self._meta["n_appends"]:
             return
+        from ..sources.writers import dataset_size_bytes
+
         data = self._data_path()
         tmp = data + ".compact.tmp"
         df = self.spark.read.parquet(data)
-        total = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(data)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        total = dataset_size_bytes(self.spark, data)
         per_bucket = max(
             1, int(total / max(1, self.n_buckets) / (target_mb * 1024 * 1024)) + 1
         )
@@ -464,12 +480,7 @@ class DedupState:
             .mode("overwrite")
             .parquet(tmp)
         )
-        import shutil
-
-        swap = data + ".old"
-        os.rename(data, swap)
-        os.rename(tmp, data)
-        shutil.rmtree(swap)
+        swap_dir(self.spark, data, tmp)
 
 
 class NearDupState:
@@ -537,7 +548,7 @@ class NearDupState:
         """``expected_items`` sizes the band-key bloom for the LIFETIME
         number of stored docs (keys ≈ docs × bands; sized internally)."""
         path = str(path)
-        if os.path.exists(os.path.join(path, cls._META)):
+        if fs_exists(spark, join_path(path, cls._META)):
             raise ValueError(f"NearDupState already exists at {path}")
         if num_perm % bands:
             raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
@@ -552,21 +563,22 @@ class NearDupState:
             "n_docs": 0,
             "n_appends": 0,
         }
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(spark, path)
         st = cls(spark, path, meta)
         st._write_meta()
         return st
 
     @classmethod
     def open(cls, spark, path: str) -> "NearDupState":
-        with open(os.path.join(str(path), cls._META)) as fh:
-            return cls(spark, str(path), json.load(fh))
+        meta = json.loads(
+            read_text(spark, join_path(str(path), cls._META), tmp_fallback=True)
+        )
+        return cls(spark, str(path), meta)
 
     def _write_meta(self) -> None:
-        tmp = os.path.join(self.path, self._META + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(self._meta, fh)
-        os.replace(tmp, os.path.join(self.path, self._META))
+        write_text_atomic(
+            self.spark, join_path(self.path, self._META), json.dumps(self._meta)
+        )
 
     def stats(self) -> dict:
         return {
@@ -584,7 +596,7 @@ class NearDupState:
     _SB = "pmod(xxhash64(doc_id), {n})"
 
     def _read_pruned(self, sub: str, part_col: str, buckets):
-        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        df = self.spark.read.parquet(join_path(self.path, sub))
         if buckets is not None:
             df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
         return df
@@ -599,7 +611,31 @@ class NearDupState:
     ) -> TidyFrame:
         """Dedup the batch against the state AND itself; record keepers.
         Returns the batch + ``minhash`` + ``dup_of`` (pinned — see
-        :meth:`DedupState.ingest` for why ``localCheckpoint``)."""
+        :meth:`DedupState.ingest` for why ``localCheckpoint``).
+        ``check`` + ``record`` in one call; compose them yourself when a
+        downstream gate decides the final keeper set (the
+        ``CorpusPrepState`` pattern)."""
+        out, token = self.check(
+            tf, id_col, text_col=text_col, threshold=threshold,
+            max_bucket=max_bucket,
+        )
+        self.record(token)
+        return out
+
+    def check(
+        self,
+        tf,
+        id_col: str,
+        text_col: str = "text",
+        threshold: float = 0.7,
+        max_bucket: int = 200,
+    ):
+        """Gate WITHOUT recording: returns ``(out, token)`` where ``out``
+        is the pinned batch + ``minhash`` + ``dup_of`` and ``token`` is
+        an opaque handle for :meth:`record`.  The state is untouched —
+        dropping the token discards the check, so callers can run further
+        gates (embedding dedup, quality filters) and record only the
+        final survivors."""
         from .dedup import _band_explode, minhash_signature
 
         meta = self._meta
@@ -739,12 +775,34 @@ class NearDupState:
             .drop("__nid")
             .localCheckpoint(eager=True)
         )
+        return TidyFrame(out), {"out": out, "id_col": id_col}
 
-        # record keepers: bands + signatures + sidecar bloom (all from
-        # pins — nothing below re-reads the state paths after the writes)
+    def record(self, token, keep_ids=None) -> int:
+        """Append a :meth:`check`'s keepers — bands + signatures + sidecar
+        bloom (all from pins; nothing re-reads the state paths after the
+        writes).  ``keep_ids`` (optional single-column frame) restricts
+        the recorded keepers to a downstream gate's survivors: documents
+        it excludes are treated as dropped and never enter the state.
+        Returns the number of documents recorded."""
+        from .dedup import _band_explode
+
+        meta = self._meta
+        n_bk = meta["n_buckets"]
+        rows = meta["num_perm"] // meta["bands"]
+        out, id_col = token["out"], token["id_col"]
         keep = out.where(F.col("dup_of").isNull()).select(
             F.col(id_col).alias("doc_id"), "minhash"
         )
+        if keep_ids is not None:
+            kdf = keep_ids.df if hasattr(keep_ids, "df") else keep_ids
+            kcol = kdf.columns[0]
+            # no broadcast hint: keeper sets are batch-sized (can be
+            # large); AQE picks broadcast when the stats allow it
+            keep = keep.join(
+                kdf.select(F.col(kcol).alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
         kb = (
             _band_explode(
                 keep.select(F.col("doc_id").alias("__id"), "minhash"),
@@ -765,7 +823,7 @@ class NearDupState:
             kb.write.partitionBy("bb")
             .options(**self._BANDS_BLOOM_OPTS)
             .mode("append")
-            .parquet(os.path.join(self.path, "bands"))
+            .parquet(join_path(self.path, "bands"))
         )
         ks = (
             keep.withColumn("sb", F.expr(self._SB.format(n=n_bk)))
@@ -780,7 +838,7 @@ class NearDupState:
             .write.partitionBy("sb")
             .options(**self._SIGS_BLOOM_OPTS)
             .mode("append")
-            .parquet(os.path.join(self.path, "sigs"))
+            .parquet(join_path(self.path, "sigs"))
         )
         n_kept = int(obs.get["n"])
         if n_kept:
@@ -794,7 +852,7 @@ class NearDupState:
         self._meta["n_docs"] += n_kept
         self._meta["n_appends"] += 1
         self._write_meta()
-        return TidyFrame(out)
+        return n_kept
 
 
 class EmbeddingDedupState:
@@ -850,7 +908,7 @@ class EmbeddingDedupState:
         fpp: float = 0.01,
     ) -> "EmbeddingDedupState":
         path = str(path)
-        if os.path.exists(os.path.join(path, cls._META)):
+        if fs_exists(spark, join_path(path, cls._META)):
             raise ValueError(f"EmbeddingDedupState already exists at {path}")
         m, k = bloom_size(expected_items * bands, fpp)
         meta = {
@@ -863,21 +921,22 @@ class EmbeddingDedupState:
             "n_vecs": 0,
             "n_appends": 0,
         }
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(spark, path)
         st = cls(spark, path, meta)
         st._write_meta()
         return st
 
     @classmethod
     def open(cls, spark, path: str) -> "EmbeddingDedupState":
-        with open(os.path.join(str(path), cls._META)) as fh:
-            return cls(spark, str(path), json.load(fh))
+        meta = json.loads(
+            read_text(spark, join_path(str(path), cls._META), tmp_fallback=True)
+        )
+        return cls(spark, str(path), meta)
 
     def _write_meta(self) -> None:
-        tmp = os.path.join(self.path, self._META + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(self._meta, fh)
-        os.replace(tmp, os.path.join(self.path, self._META))
+        write_text_atomic(
+            self.spark, join_path(self.path, self._META), json.dumps(self._meta)
+        )
 
     def stats(self) -> dict:
         return {
@@ -891,7 +950,7 @@ class EmbeddingDedupState:
         }
 
     def _read_pruned(self, sub: str, part_col: str, buckets):
-        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        df = self.spark.read.parquet(join_path(self.path, sub))
         if buckets is not None:
             df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
         return df
@@ -905,7 +964,22 @@ class EmbeddingDedupState:
     ) -> TidyFrame:
         """Dedup the batch against the state AND itself; record keepers.
         Returns the batch + ``dup_of`` (pinned; see
-        :meth:`DedupState.ingest`)."""
+        :meth:`DedupState.ingest`).  ``check`` + ``record`` in one call;
+        compose them yourself when a downstream gate decides the final
+        keeper set."""
+        out, token = self.check(tf, id_col, vec_col, threshold)
+        self.record(token)
+        return out
+
+    def check(
+        self,
+        tf,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+    ):
+        """Gate WITHOUT recording: ``(out, token)``, state untouched —
+        same contract as :meth:`NearDupState.check`."""
         from .simsearch import _dot, _hyperplanes, _make_sig_udf, _to_double
 
         meta = self._meta
@@ -1047,10 +1121,31 @@ class EmbeddingDedupState:
             .drop("__nid")
             .localCheckpoint(eager=True)
         )
+        return TidyFrame(out), {
+            "out": out, "id_col": id_col, "nvec": nvec, "nb": nb
+        }
 
-        keep_ids = out.where(F.col("dup_of").isNull()).select(
+    def record(self, token, keep_ids=None) -> int:
+        """Append a :meth:`check`'s keepers — postings + unit vectors +
+        sidecar bloom.  ``keep_ids`` (optional single-column frame)
+        restricts the recorded keepers to a downstream gate's survivors.
+        Returns the number of vectors recorded."""
+        meta = self._meta
+        n_bk = meta["n_buckets"]
+        out, id_col = token["out"], token["id_col"]
+        nvec, nb = token["nvec"], token["nb"]
+        keep = out.where(F.col("dup_of").isNull()).select(
             F.col(id_col).alias("vec_id")
         )
+        if keep_ids is not None:
+            kdf = keep_ids.df if hasattr(keep_ids, "df") else keep_ids
+            kcol = kdf.columns[0]
+            keep = keep.join(
+                kdf.select(F.col(kcol).alias("vec_id")).distinct(),
+                "vec_id",
+                "left_semi",
+            )
+        keep_ids = keep
         keep_vec = (
             nvec.join(
                 keep_ids, nvec["__id"] == keep_ids["vec_id"], "left_semi"
@@ -1076,7 +1171,7 @@ class EmbeddingDedupState:
             kb.write.partitionBy("bb")
             .options(**self._BANDS_BLOOM_OPTS)
             .mode("append")
-            .parquet(os.path.join(self.path, "bands"))
+            .parquet(join_path(self.path, "bands"))
         )
         kv = (
             keep_vec.withColumn("vb", F.expr(self._VB.format(n=n_bk)))
@@ -1091,7 +1186,7 @@ class EmbeddingDedupState:
             .write.partitionBy("vb")
             .options(**self._VECS_BLOOM_OPTS)
             .mode("append")
-            .parquet(os.path.join(self.path, "vecs"))
+            .parquet(join_path(self.path, "vecs"))
         )
         n_kept = int(obs.get["n"])
         if n_kept:
@@ -1105,4 +1200,4 @@ class EmbeddingDedupState:
         self._meta["n_vecs"] += n_kept
         self._meta["n_appends"] += 1
         self._write_meta()
-        return TidyFrame(out)
+        return n_kept

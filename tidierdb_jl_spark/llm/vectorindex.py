@@ -34,9 +34,15 @@ sample of the FIRST ``add`` batch (see
 training cost is independent of corpus size, and later batches reuse the
 frozen centroids so cell assignment is stable across the index's life.
 The index is append-only (re-adding an id stores both copies — dedup is
-an ingest concern: compose with ``EmbeddingDedupState``).  Meta updates
-are atomic (tmp + rename); concurrent writers are out of scope (same
-contract as a non-transactional parquet table).
+an ingest concern: compose with ``EmbeddingDedupState``).  Data and
+metadata go through the Hadoop FileSystem API
+(:mod:`tidierdb_jl_spark.sources.fsio`) — a state path can be local,
+``file://``, ``hdfs://`` or ``s3a://``; meta updates are
+write-tmp-then-swap with fsio's per-scheme atomicity contract.
+Concurrent writers are out of scope (same contract as a
+non-transactional parquet table).  ``retrain`` is the growth escape
+hatch: an index that outgrows its first batch re-clusters on a fresh
+sample and rewrites the layout (see the method docstring).
 
 Reference parity: the reference (TidierDB.jl) has no vector-index
 surface at all; this is beyond-reference, mirroring its persistent-table
@@ -46,11 +52,18 @@ verbs (src/TidierDB.jl ``@create_table``) applied to ANN state.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import functions as F
 
 from ..core import TidyFrame
+from ..sources.fsio import (
+    fs_exists,
+    fs_mkdirs,
+    join_path,
+    read_text,
+    swap_dir,
+    write_text_atomic,
+)
 from .simsearch import _make_assign_udf, _to_double, _train_centroids_sample
 
 _UNIT = "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
@@ -77,7 +90,7 @@ class VectorIndexState:
         sample_cap: int = 4096,
     ) -> "VectorIndexState":
         path = str(path)
-        if os.path.exists(os.path.join(path, cls._META)):
+        if fs_exists(spark, join_path(path, cls._META)):
             raise ValueError(f"VectorIndexState already exists at {path}")
         meta = {
             "nlist": int(nlist),
@@ -88,21 +101,22 @@ class VectorIndexState:
             "n_vecs": 0,
             "n_appends": 0,
         }
-        os.makedirs(path, exist_ok=True)
+        fs_mkdirs(spark, path)
         st = cls(spark, path, meta)
         st._write_meta()
         return st
 
     @classmethod
     def open(cls, spark, path: str) -> "VectorIndexState":
-        with open(os.path.join(str(path), cls._META)) as fh:
-            return cls(spark, str(path), json.load(fh))
+        meta = json.loads(
+            read_text(spark, join_path(str(path), cls._META), tmp_fallback=True)
+        )
+        return cls(spark, str(path), meta)
 
     def _write_meta(self) -> None:
-        tmp = os.path.join(self.path, self._META + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(self._meta, fh)
-        os.replace(tmp, os.path.join(self.path, self._META))
+        write_text_atomic(
+            self.spark, join_path(self.path, self._META), json.dumps(self._meta)
+        )
 
     def stats(self) -> dict:
         c = self._meta["centroids"]
@@ -125,10 +139,17 @@ class VectorIndexState:
 
         The first ``add`` trains the centroids (bounded deterministic
         sample, driver numpy — the FAISS recipe) and captures the
-        dimension; later batches reuse both.  Returns :meth:`stats`.
+        dimension; later batches reuse both.  NULL vectors are skipped
+        (they cannot be assigned a cell); an all-NULL or empty batch is
+        a no-op returning :meth:`stats`.  Returns :meth:`stats`.
         """
         meta = self._meta
-        dim = len(tf.df.select(vec_col).first()[0])
+        probe = (
+            tf.df.select(vec_col).where(F.col(vec_col).isNotNull()).head(1)
+        )
+        if not probe:
+            return self.stats()  # empty / all-NULL batch: no-op
+        dim = len(probe[0][0])
         if meta["dim"] is None:
             meta["dim"] = dim
         elif meta["dim"] != dim:
@@ -136,12 +157,30 @@ class VectorIndexState:
                 f"index at {self.path} holds dim={meta['dim']} vectors; "
                 f"batch has dim={dim}"
             )
-        nvec = self._unit_vecs(tf, id_col, vec_col).localCheckpoint(eager=True)
-        if meta["centroids"] is None:
+        nvec = (
+            self._unit_vecs(
+                TidyFrame(tf.df.where(F.col(vec_col).isNotNull())),
+                id_col,
+                vec_col,
+            )
+            .localCheckpoint(eager=True)
+        )
+        first_add = meta["centroids"] is None
+        if first_add:
             cvec = nvec.select(F.col("__id").alias("vec_id"), F.col("__u").alias("__cv"))
             meta["centroids"] = _train_centroids_sample(
                 cvec, meta["nlist"], meta["refine_iters"], meta["sample_cap"]
             )
+            # persist centroids + dim BEFORE the first data append: a
+            # crash between the append and a later meta write would
+            # otherwise leave on-disk rows bucketed by centroids that
+            # were never saved — a retried first add retrains on ITS
+            # batch and the orphans are mis-bucketed under the new
+            # centroids, silently costing pruned-query recall.  With
+            # meta-first, replayed rows re-bucket under the SAME frozen
+            # centroids (duplicates, not corruption — compact() rewrites
+            # them out).  Counters still update after the append.
+            self._write_meta()
         assign = _make_assign_udf(meta["centroids"], 1)
         from pyspark.sql import Observation
 
@@ -157,7 +196,7 @@ class VectorIndexState:
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("cell")
             .mode("append")
-            .parquet(os.path.join(self.path, "vecs"))
+            .parquet(join_path(self.path, "vecs"))
         )
         meta["n_vecs"] += int(obs.get["n"])
         meta["n_appends"] += 1
@@ -201,7 +240,7 @@ class VectorIndexState:
             F.explode_outer(assign_q(F.col("__u"))).alias("cell"),
         ).localCheckpoint(eager=True)
         cells = [r[0] for r in probes.select("cell").distinct().collect()]
-        index = self.spark.read.parquet(os.path.join(self.path, "vecs"))
+        index = self.spark.read.parquet(join_path(self.path, "vecs"))
         if len(cells) < n_cells:
             index = index.where(F.col("cell").isin(cells))
         scored = (
@@ -296,7 +335,7 @@ class VectorIndexState:
             F.col("__u").alias("__qu"),
             F.explode_outer(assign_l(F.col("__u"))).alias("cell"),
         )
-        index = self.spark.read.parquet(os.path.join(self.path, "vecs"))
+        index = self.spark.read.parquet(join_path(self.path, "vecs"))
         scored = probes.join(index, "cell").select(
             "query_id",
             "vec_id",
@@ -320,9 +359,8 @@ class VectorIndexState:
         on the fragmented cells only; the layout (one directory per
         cell) makes that a per-partition rewrite.
         """
-        src = os.path.join(self.path, "vecs")
-        tmp = os.path.join(self.path, "vecs_tmp")
-        old = os.path.join(self.path, "vecs_old")
+        src = join_path(self.path, "vecs")
+        tmp = join_path(self.path, "vecs_tmp")
         (
             self.spark.read.parquet(src)
             .repartition(len(self._meta["centroids"]), "cell")
@@ -331,9 +369,5 @@ class VectorIndexState:
             .mode("overwrite")
             .parquet(tmp)
         )
-        os.rename(src, old)
-        os.rename(tmp, src)
-        import shutil
-
-        shutil.rmtree(old)
+        swap_dir(self.spark, src, tmp)
         return self.stats()

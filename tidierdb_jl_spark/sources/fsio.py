@@ -1,0 +1,150 @@
+"""Driver-side metadata I/O through the Hadoop FileSystem API.
+
+The persistent-state family (:mod:`tidierdb_jl_spark.llm.dedupstate`,
+:mod:`~tidierdb_jl_spark.llm.vectorindex`,
+:mod:`~tidierdb_jl_spark.llm.corpusstate`) keeps its DATA as Spark
+parquet writes — which already go through Hadoop and work on any
+filesystem Spark can reach — but its METADATA (the JSON sidecar holding
+bloom bitmaps / centroids / counters) and its compaction swaps used to
+be Python ``open()`` / ``os.rename`` / ``shutil.rmtree``: driver-local
+POSIX only.  A 100 TB state lives on object storage (``s3a://``,
+``abfss://``, ``gs://``) or HDFS, where those calls fail outright.
+This module is the port: every helper resolves the path's scheme
+through ``Path.getFileSystem(hadoopConf)``, so a plain ``/tmp/state``,
+a ``file:///`` URI, ``hdfs://`` and ``s3a://`` all behave the same
+(given the scheme's connector jars on the classpath).
+
+All helpers are DRIVER-side and metadata-sized (a JSON file, a rename)
+— never row data.  Row data stays in Spark jobs.
+
+Atomicity contract (documented, scheme-dependent):
+
+- ``write_text_atomic`` writes ``<path>.tmp`` fully, deletes ``<path>``,
+  renames the tmp over it.  On POSIX/HDFS the rename is atomic and the
+  only crash window is *between* delete and rename — which is why
+  ``read_text(..., tmp_fallback=True)`` recovers from the fully-written
+  tmp.  On S3-style object stores rename is copy+delete (not atomic),
+  but the same ordering still guarantees a reader sees either the old
+  meta, the new meta, or the recoverable tmp — never a torn file,
+  because every PUT is all-or-nothing at the object level.
+- ``swap_dir`` (compaction) renames ``src`` aside, moves ``tmp`` in,
+  deletes the old copy — the crash contract is spelled out per call
+  site; the invariant is that a fully-written replacement exists on
+  disk before the original is touched.
+
+Reference: beyond the reference (TidierDB.jl delegates all storage to
+its backends); the pattern follows ``sources/writers.py``'s
+``_dataset_exists`` / ``compact_files``.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "join_path",
+    "hadoop_fs",
+    "fs_exists",
+    "fs_mkdirs",
+    "fs_delete",
+    "fs_rename",
+    "read_text",
+    "write_text_atomic",
+    "swap_dir",
+]
+
+
+def join_path(base: str, *parts: str) -> str:
+    """Scheme-preserving path join: ``os.path.join`` mangles URI schemes
+    on some platforms and ignores them semantically; Hadoop paths always
+    use ``/``."""
+    out = str(base).rstrip("/")
+    for p in parts:
+        out += "/" + str(p).strip("/")
+    return out
+
+
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path``, resolved via the session's Hadoop
+    configuration — local paths get the local FS, ``hdfs://``/``s3a://``
+    their connectors."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark, path: str) -> bool:
+    fs, hpath = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_mkdirs(spark, path: str) -> None:
+    fs, hpath = hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def fs_delete(spark, path: str, recursive: bool = True) -> bool:
+    """Delete; returns False when the path did not exist."""
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, recursive))
+
+
+def fs_rename(spark, src: str, dst: str) -> None:
+    fs, hsrc = hadoop_fs(spark, src)
+    _, hdst = hadoop_fs(spark, dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def read_text(spark, path: str, tmp_fallback: bool = False) -> str:
+    """Read a whole (small, metadata-sized) UTF-8 file.  With
+    ``tmp_fallback`` a missing ``path`` recovers from ``<path>.tmp`` —
+    the fully-written temp that ``write_text_atomic`` leaves behind if a
+    crash lands between its delete and its rename."""
+    fs, hpath = hadoop_fs(spark, path)
+    if tmp_fallback and not fs.exists(hpath):
+        tmp = spark._jvm.org.apache.hadoop.fs.Path(str(path) + ".tmp")
+        if fs.exists(tmp):
+            hpath = tmp
+    stream = fs.open(hpath)
+    try:
+        out = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return out.toString("UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark, path: str, text: str) -> None:
+    """Write ``<path>.tmp`` fully, then swap it over ``path``.  See the
+    module docstring for the per-scheme atomicity contract; pair readers
+    with ``read_text(..., tmp_fallback=True)``."""
+    fs, hpath = hadoop_fs(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(str(path) + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"rename {path}.tmp -> {path} failed")
+
+
+def swap_dir(spark, src: str, tmp: str) -> None:
+    """Replace directory ``src`` with fully-written ``tmp`` (compaction's
+    commit step): ``src`` → ``src.old``, ``tmp`` → ``src``, delete
+    ``src.old``.  Crash contract: before the first rename both copies
+    exist (safe); between the renames the data lives at ``src.old`` +
+    ``tmp`` (recoverable by hand, loudly absent at ``src``); after the
+    second rename the state is committed and the ``.old`` delete is
+    garbage collection.  On object stores each rename is a non-atomic
+    copy+delete — run compaction from a single writer, which is the
+    state family's existing single-writer contract."""
+    old = str(src).rstrip("/") + ".old"
+    fs_delete(spark, old, recursive=True)
+    fs_rename(spark, src, old)
+    fs_rename(spark, tmp, src)
+    fs_delete(spark, old, recursive=True)
