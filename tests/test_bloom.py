@@ -123,3 +123,65 @@ def test_anti_join_verify_slice_is_bounded(tables, seen, bf):
     total = docs.df.count()
     true_hits = docs.df.filter("doc_id % 7 = 0").count()
     assert positives <= true_hits + math.ceil(0.05 * total)
+
+
+def test_broadcast_mode_matches_literal_exactly(tables, seen):
+    """Literal and broadcast probes answer bit-for-bit identically — the
+    artifact is mode-portable (same xxhash64 positions JVM-side)."""
+    bf = bloom_build(seen, "cast(doc_id as string)", expected_items=5000)
+    docs = tables["documents"]
+    lit = bloom_mark(docs, "cast(doc_id as string)", bf, mode="literal")
+    brd = bloom_mark(docs, "cast(doc_id as string)", bf, mode="broadcast")
+    a = lit.df.select("doc_id", "bloom_hit").toPandas().sort_values("doc_id")
+    b = brd.df.select("doc_id", "bloom_hit").toPandas().sort_values("doc_id")
+    assert a.values.tolist() == b.values.tolist()
+    with pytest.raises(ValueError, match="mode"):
+        bloom_mark(docs, "cast(doc_id as string)", bf, mode="huge")
+
+
+def test_big_filter_takes_broadcast_path_not_plan_literal(tables, seen):
+    """Above the 2^26-bit cap, auto mode must NOT embed the bitmap in the
+    plan: the plan string stays small and carries the Arrow probe stage;
+    membership semantics (no false negatives; NULL -> False) hold."""
+    from pyspark.sql import functions as F
+
+    big = bloom_build(
+        seen, "cast(doc_id as string)", num_bits=(1 << 27), num_hashes=5
+    )
+    assert big["m"] == (1 << 27) and len(big["bits"]) == (1 << 27) // 4
+    docs = tables["documents"]
+    marked = bloom_mark(docs, "cast(doc_id as string)", big)  # auto
+    qe = marked.df._jdf.queryExecution().toString()
+    assert len(qe) < 200_000, "plan embeds the 32 MB bitmap literal"
+    assert "ArrowEvalPython" in qe  # vectorized probe stage, not row-UDF
+    # no false negatives: every true member probes positive
+    n_members = docs.df.filter("doc_id % 7 = 0").count()
+    hits = marked.df.filter("bloom_hit AND doc_id % 7 = 0").count()
+    assert hits == n_members
+    # a NULL key probes definitively False
+    nulled = bloom_mark(
+        TidyFrame(docs.df.select(F.expr(
+            "IF(doc_id % 2 = 0, NULL, cast(doc_id as string))").alias("k"))),
+        "k", big,
+    )
+    assert nulled.df.filter("k IS NULL AND bloom_hit").count() == 0
+    # literal mode on the same filter warns loudly
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bloom_mark(docs, "cast(doc_id as string)", big, mode="literal")
+    assert any("broadcast" in str(r.message) for r in rec)
+
+
+def test_big_filter_merge_is_vectorized_and_exact(seen, tables):
+    """OR-merging two >2^26-bit filters equals building over the union
+    (numpy path) — the incremental-ingest contract at 10^8-key scale."""
+    docs = tables["documents"].df
+    s1 = TidyFrame(docs.filter("doc_id % 7 = 0 AND doc_id % 2 = 0").select("doc_id"))
+    s2 = TidyFrame(docs.filter("doc_id % 7 = 0 AND doc_id % 2 = 1").select("doc_id"))
+    kw = dict(num_bits=(1 << 27), num_hashes=5)
+    b1 = bloom_build(s1, "cast(doc_id as string)", **kw)
+    b2 = bloom_build(s2, "cast(doc_id as string)", **kw)
+    ball = bloom_build(seen, "cast(doc_id as string)", **kw)
+    assert bloom_merge(b1, b2)["bits"] == ball["bits"]

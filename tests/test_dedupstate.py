@@ -468,3 +468,27 @@ def test_dedupstate_merge_from(spark, tables, tmp_path):
     fresh = a.filter_new(_docs_batch(tables, 250, 300), "doc_id").collect()
     want, _ = _expected_new(_docs_batch(tables, 250, 300).collect(), union_fps)
     assert sorted(fresh["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_dedupstate_over_literal_cap_uses_broadcast_gate(spark, tables, tmp_path):
+    """A state sized for 10^7+ expected fingerprints (bloom m > 2^26 bits)
+    must keep its zero-I/O gate through the BROADCAST probe, never the
+    plan literal: the filter plan stays small, carries the Arrow probe
+    stage, and dedup semantics are unchanged."""
+    st = DedupState.create(
+        spark, str(tmp_path / "big"), n_buckets=8, expected_items=10_000_000
+    )
+    assert st._meta["bloom"]["m"] > (1 << 26)
+    k1 = st.ingest(_docs_batch(tables, 0, 150), "doc_id")
+    n1 = k1.df.count()
+    assert n1 > 0
+    fresh = st.filter_new(_docs_batch(tables, 100, 250), "doc_id")
+    qe = fresh.df._jdf.queryExecution().toString()
+    assert len(qe) < 500_000, "plan embeds the >2^26-bit bitmap as a literal"
+    assert "ArrowEvalPython" in qe
+    ids1 = {r[0] for r in k1.df.select("doc_id").collect()}
+    ids2 = {r[0] for r in fresh.df.select("doc_id").collect()}
+    assert ids2.isdisjoint(ids1)
+    # replayed batch fully deduped through the broadcast gate
+    assert st.ingest(_docs_batch(tables, 0, 250), "doc_id").df.count() == len(ids2)
+    assert st.filter_new(_docs_batch(tables, 0, 250), "doc_id").df.count() == 0

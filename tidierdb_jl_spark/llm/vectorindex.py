@@ -57,11 +57,11 @@ from pyspark.sql import functions as F
 
 from ..core import TidyFrame
 from ..sources.fsio import (
+    fs_delete,
     fs_exists,
     fs_mkdirs,
     join_path,
     read_text,
-    swap_dir,
     write_text_atomic,
 )
 from .simsearch import _make_assign_udf, _to_double, _train_centroids_sample
@@ -127,6 +127,17 @@ class VectorIndexState:
             "n_cells": len(c) if c else 0,
             "dim": self._meta["dim"],
         }
+
+    def _vecs_path(self) -> str:
+        """The CURRENT cell layout's directory.  Versioned
+        (``vecs_e<epoch>`` after a retrain/compact): the layout and the
+        centroids that define it must flip TOGETHER, and the atomic meta
+        write is the only commit primitive fsio guarantees on every
+        scheme — so the meta points at the directory instead of the
+        directory being swapped in place.  A crash mid-retrain leaves an
+        orphan directory (garbage, collected by the next retrain) and a
+        fully consistent index."""
+        return join_path(self.path, self._meta.get("data_dir", "vecs"))
 
     def _unit_vecs(self, tf, id_col: str, vec_col: str):
         """(id, unit-normalized double vector) projection of a batch."""
@@ -196,7 +207,7 @@ class VectorIndexState:
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("cell")
             .mode("append")
-            .parquet(join_path(self.path, "vecs"))
+            .parquet(self._vecs_path())
         )
         meta["n_vecs"] += int(obs.get["n"])
         meta["n_appends"] += 1
@@ -240,7 +251,7 @@ class VectorIndexState:
             F.explode_outer(assign_q(F.col("__u"))).alias("cell"),
         ).localCheckpoint(eager=True)
         cells = [r[0] for r in probes.select("cell").distinct().collect()]
-        index = self.spark.read.parquet(join_path(self.path, "vecs"))
+        index = self.spark.read.parquet(self._vecs_path())
         if len(cells) < n_cells:
             index = index.where(F.col("cell").isin(cells))
         scored = (
@@ -335,7 +346,7 @@ class VectorIndexState:
             F.col("__u").alias("__qu"),
             F.explode_outer(assign_l(F.col("__u"))).alias("cell"),
         )
-        index = self.spark.read.parquet(join_path(self.path, "vecs"))
+        index = self.spark.read.parquet(self._vecs_path())
         scored = probes.join(index, "cell").select(
             "query_id",
             "vec_id",
@@ -359,15 +370,88 @@ class VectorIndexState:
         on the fragmented cells only; the layout (one directory per
         cell) makes that a per-partition rewrite.
         """
-        src = join_path(self.path, "vecs")
-        tmp = join_path(self.path, "vecs_tmp")
+        src = self._vecs_path()
+        dst = self._next_layout_dir()
         (
             self.spark.read.parquet(src)
             .repartition(len(self._meta["centroids"]), "cell")
             .sortWithinPartitions("cell", "vec_id")
             .write.partitionBy("cell")
             .mode("overwrite")
-            .parquet(tmp)
+            .parquet(join_path(self.path, dst))
         )
-        swap_dir(self.spark, src, tmp)
+        self._commit_layout(dst, src)
+        return self.stats()
+
+    def _next_layout_dir(self) -> str:
+        return f"vecs_e{self._meta.get('layout_epoch', 0) + 1}"
+
+    def _commit_layout(self, new_dir: str, old_path: str) -> None:
+        """Atomically flip the index to a fully-written new layout: ONE
+        meta write commits data_dir (+ whatever centroid/nlist changes
+        the caller staged in self._meta); the old directory delete after
+        it is garbage collection.  Crash before the meta write: the old
+        index is untouched and the new directory is an orphan.  Crash
+        after: the new index is live and the orphan is the OLD dir,
+        removed by the next commit's sweep."""
+        self._meta["data_dir"] = new_dir
+        self._meta["layout_epoch"] = self._meta.get("layout_epoch", 0) + 1
+        self._write_meta()
+        fs_delete(self.spark, old_path, recursive=True)
+
+    def retrain(
+        self,
+        nlist: int | None = None,
+        refine_iters: int | None = None,
+        sample_cap: int | None = None,
+    ) -> dict:
+        """Re-cluster the index on a fresh bounded sample of the CURRENT
+        corpus and rewrite the cell layout — the growth escape hatch for
+        the frozen-first-batch-centroids design.
+
+        Why: frozen centroids keep cell assignment stable (appends are
+        O(batch)), but an index grown far past its first batch keeps its
+        original cell count — per-probe cost grows linearly with the
+        corpus — and an add stream whose distribution DRIFTS from batch 0
+        erodes pruned-probe recall against the stale centroids (measured
+        in BENCH_VECTORINDEX.md).  ``retrain`` is the FAISS re-train
+        recipe as a lake operation: deterministic bounded sample of the
+        stored unit vectors, spherical k-means, one Arrow re-assignment
+        pass over the corpus, one partitioned write, then the atomic
+        meta flip (:meth:`_commit_layout`) — centroids and layout change
+        together or not at all.  Cost: one full read+shuffle+write of
+        the index (run at compaction cadence, e.g. after the corpus
+        doubles); queries before the flip read the old layout
+        consistently.
+
+        ``nlist`` defaults to the stored value; pass a larger one as the
+        corpus grows (rule of thumb: ~sqrt(n_vecs), so per-probe work
+        stays ~sqrt(n) instead of linear).  Returns :meth:`stats`."""
+        meta = self._meta
+        if not meta["n_appends"]:
+            raise ValueError(f"index at {self.path} is empty — add() first")
+        nlist = int(nlist or meta["nlist"])
+        refine_iters = int(refine_iters or meta["refine_iters"])
+        sample_cap = int(sample_cap or meta["sample_cap"])
+        vecs = self.spark.read.parquet(self._vecs_path())
+        cvec = vecs.select("vec_id", F.col("unit").alias("__cv"))
+        centroids = _train_centroids_sample(
+            cvec, nlist, refine_iters, sample_cap
+        )
+        assign = _make_assign_udf(centroids, 1)
+        dst = self._next_layout_dir()
+        (
+            vecs.select(
+                "vec_id", "unit", assign(F.col("unit"))[0].alias("cell")
+            )
+            .repartition(len(centroids), "cell")
+            .sortWithinPartitions("cell", "vec_id")
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(join_path(self.path, dst))
+        )
+        old = self._vecs_path()
+        meta["centroids"] = centroids
+        meta["nlist"] = nlist
+        self._commit_layout(dst, old)
         return self.stats()

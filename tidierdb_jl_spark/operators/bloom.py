@@ -26,7 +26,15 @@ the filter a first-class user artifact:
   filter, build today's batch filter, merge, probe tomorrow;
 - probed with pure JVM expressions (``xxhash64`` + ``conv``/``substring``
   bit tests on one string literal) — whole-stage codegen, no Python, no
-  shuffle, no join for the negative path.
+  shuffle, no join for the negative path;
+- above the plan-literal cap (2^26 bits), probed via a BROADCAST
+  bitmap: the k bit positions are still computed JVM-side (identical
+  ``xxhash64`` — the artifact is mode-portable), and the bit tests run
+  in one Arrow-batched pandas UDF against a ``sparkContext.broadcast``
+  numpy nibble array.  The bitmap ships to each executor ONCE as data
+  (torrent broadcast) instead of riding inside every serialized task's
+  plan — at 10⁹ keys / 1% FPR that is a ~150 MB broadcast vs an
+  unusable 300 MB plan literal.  Still zero shuffle, zero state I/O.
 
 The reference has no bloom surface; this is a beyond-reference scale op
 (SURVEY "LLM-pipeline" family).  Design follows the classic Bloom (1970)
@@ -43,6 +51,7 @@ from __future__ import annotations
 import math
 import warnings
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -55,9 +64,29 @@ __all__ = [
 ]
 
 # 16 MiB of hex chars = 2^26 bits ≈ 6.7e6 keys at 1% FPR.  Above this the
-# plan literal (and its broadcast) gets heavy; callers can override but
-# should know what they are doing.
+# plan literal gets heavy, so bloom_mark's "auto" mode switches to the
+# broadcast-bitmap probe (same artifact, same hashes, same answers).
 _MAX_BITS_DEFAULT = 1 << 26
+
+_HEX = b"0123456789abcdef"
+
+
+def _nib_values(bits: str):
+    """Hex artifact -> numpy uint8 array of NIBBLE VALUES (index = hex
+    char position = bit_position // 4).  Vectorized: one take() over a
+    256-entry ASCII->value table."""
+    import numpy as np
+
+    table = np.zeros(256, dtype=np.uint8)
+    for i, c in enumerate(_HEX):
+        table[c] = i
+    return table[np.frombuffer(bits.encode("ascii"), dtype=np.uint8)]
+
+
+def _vals_to_hex(vals) -> str:
+    import numpy as np
+
+    return np.frombuffer(_HEX, dtype=np.uint8)[vals].tobytes().decode("ascii")
 
 
 def bloom_size(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -115,13 +144,6 @@ def bloom_build(
         num_bits = num_bits or m
         num_hashes = num_hashes or k
     num_bits = (num_bits + 63) // 64 * 64
-    if num_bits > _MAX_BITS_DEFAULT:
-        warnings.warn(
-            f"bloom filter of {num_bits} bits -> {num_bits // 4 / 1e6:.0f} MB "
-            "hex literal in every probing plan; consider sharding the seen-set "
-            "or raising fpp",
-            stacklevel=2,
-        )
     sdf = df.df if hasattr(df, "df") else df
     kc = F.expr(key) if isinstance(key, str) else key
     pos = F.explode(F.array(*_positions(kc, num_bits, num_hashes))).alias("p")
@@ -138,17 +160,19 @@ def bloom_build(
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toPandas()
     )
-    nibbles = bytearray(b"0" * (num_bits // 4))
-    for row in words:
-        w, val = int(row.w), int(row.bits)
-        base = w * 16
-        for j in range(16):
-            nib = (val >> (4 * j)) & 0xF
-            if nib:
-                nibbles[base + j] = ord("0123456789abcdef"[nib])
-    return {"bits": nibbles.decode("ascii"), "m": num_bits, "k": num_hashes}
+    # vectorized assembly: at 10^8+ keys most of the m/64 words are
+    # non-zero, and a per-nibble Python loop (16 ops x 10^7 rows) costs
+    # minutes; 16 numpy shifts cost milliseconds
+    import numpy as np
+
+    w = words["w"].to_numpy(dtype=np.int64)
+    v = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    vals = np.zeros(num_bits // 4, dtype=np.uint8)
+    for j in range(16):
+        vals[w * 16 + j] = (v >> np.uint64(4 * j)).astype(np.uint8) & 0xF
+    return {"bits": _vals_to_hex(vals), "m": num_bits, "k": num_hashes}
 
 
 def bloom_merge(*filters: dict) -> dict:
@@ -160,14 +184,10 @@ def bloom_merge(*filters: dict) -> dict:
     for f in filters[1:]:
         if f["m"] != m or f["k"] != k:
             raise ValueError("bloom_merge requires identical (m, k) sizing")
-    n_nibbles = m // 4
-    acc = bytearray(n_nibbles)
-    for i in range(n_nibbles):
-        v = 0
-        for f in filters:
-            v |= int(f["bits"][i], 16)
-        acc[i] = ord("0123456789abcdef"[v])
-    return {"bits": acc.decode("ascii"), "m": m, "k": k}
+    acc = _nib_values(filters[0]["bits"])
+    for f in filters[1:]:
+        acc |= _nib_values(f["bits"])
+    return {"bits": _vals_to_hex(acc), "m": m, "k": k}
 
 
 def _probe_expr(bits_col, key_col, num_bits: int, num_hashes: int):
@@ -185,17 +205,69 @@ def _probe_expr(bits_col, key_col, num_bits: int, num_hashes: int):
     return cond
 
 
-def bloom_mark(tf, key, bloom: dict, into: str = "bloom_hit"):
+def _probe_broadcast(sdf, kc, bloom: dict, into: str):
+    """Broadcast-bitmap probe for filters too big to ride the plan as a
+    literal.  Hash positions stay JVM-side (same ``_positions`` — the
+    artifact is mode-portable: literal and broadcast answers are
+    identical); only the k bit tests run in Python, Arrow-batched and
+    fully vectorized over each batch.  The bitmap broadcast lives for
+    the session (or until ``unpersist``); at 10⁹ keys / 1% FPR it is
+    ~300 MB of nibble values shipped once per executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    nib = _nib_values(bloom["bits"])
+    bc = sdf.sparkSession.sparkContext.broadcast(nib)
+    pos_arr = F.when(
+        kc.isNotNull(), F.array(*_positions(kc, bloom["m"], bloom["k"]))
+    )
+
+    @pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arr = bc.value
+        mask = pos.notna()
+        out = pd.Series(False, index=pos.index)
+        if mask.any():
+            mat = np.stack(pos[mask].to_numpy())  # (rows, k) int64
+            out[mask] = (((arr[mat // 4] >> (mat % 4)) & 1) == 1).all(axis=1)
+        return out
+
+    return sdf.withColumn(into, _probe(pos_arr))
+
+
+def bloom_mark(tf, key, bloom: dict, into: str = "bloom_hit", mode: str = "auto"):
     """Append a boolean column: might the key be in the filter?  False is
     definitive (no false negatives); True is probabilistic at the filter's
-    FPR.  Zero shuffle — a scan-side projection."""
+    FPR.  Zero shuffle — a scan-side projection.
+
+    ``mode``: "literal" embeds the bitmap in the plan (pure JVM,
+    whole-stage codegen — the fast path for filters ≤ 2^26 bits);
+    "broadcast" ships it as a spark broadcast probed by one Arrow-batched
+    UDF (the 10⁸-10⁹-key path — a plan literal that size is unusable);
+    "auto" (default) picks by ``m`` against the 2^26-bit cap.  Both modes
+    probe the identical positions — answers are bit-for-bit the same."""
     from ..core import TidyFrame
 
     sdf = tf.df if hasattr(tf, "df") else tf
     kc = F.expr(key) if isinstance(key, str) else key
-    out = sdf.withColumn(
-        into, _probe_expr(F.lit(bloom["bits"]), kc, bloom["m"], bloom["k"])
-    )
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+    if mode == "auto":
+        mode = "literal" if bloom["m"] <= _MAX_BITS_DEFAULT else "broadcast"
+    if mode == "broadcast":
+        out = _probe_broadcast(sdf, kc, bloom, into)
+    else:
+        if bloom["m"] > _MAX_BITS_DEFAULT:
+            warnings.warn(
+                f"literal-mode probe of a {bloom['m']}-bit filter embeds "
+                f"{bloom['m'] // 4 / 1e6:.0f} MB of hex in the plan; use "
+                "mode='broadcast' (or 'auto')",
+                stacklevel=2,
+            )
+        out = sdf.withColumn(
+            into, _probe_expr(F.lit(bloom["bits"]), kc, bloom["m"], bloom["k"])
+        )
     groups = getattr(tf, "groups", None)
     return TidyFrame(out, groups=groups)
 

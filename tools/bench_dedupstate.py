@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(REPO, "testdata_sf1"))
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--expected-items", type=int, default=None,
+        help="bloom sizing; above ~6.7e6 the gate runs in broadcast mode "
+             "(the 10^8-key path) instead of the plan literal",
+    )
     args = ap.parse_args()
 
     from tidierdb_jl_spark import get_spark, register_testdata
@@ -65,7 +70,12 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="bench_dedupstate_")
     st = DedupState.create(
         spark, os.path.join(root, "st"), n_buckets=args.n_buckets,
-        expected_items=n_docs,
+        expected_items=args.expected_items or n_docs,
+    )
+    print(
+        f"bloom m={st._meta['bloom']['m']} bits "
+        f"({'broadcast' if st._meta['bloom']['m'] > (1 << 26) else 'literal'} "
+        f"gate mode)"
     )
     print(
         "| batch | rows | state fps | ingest (s) | state rows read "
