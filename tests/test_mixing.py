@@ -322,3 +322,44 @@ def test_temperature_mix_shares_and_edges(tables):
         temperature_mix(docs, alpha=1.5)
     with pytest.raises(ValueError, match="distinct"):
         temperature_mix(docs, key="source", max_keys=2)
+
+
+def test_mixture_keys_with_quotes_are_safe(spark, tables):
+    """Data-derived mixture keys reach the CASE expressions unescaped in
+    the wild (crawl metadata): a key containing quotes/backslashes must
+    neither break parsing nor alter which rows replicate."""
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark import TidyFrame
+    from tidierdb_jl_spark.llm.mixing import (
+        sample_strata,
+        temperature_mix,
+        upsample_by_weight,
+    )
+
+    docs = tables["documents"].df.filter("doc_id < 300").select("doc_id")
+    evil = "it's'; DROP--\\"
+    df = TidyFrame(docs.withColumn(
+        "source",
+        F.expr("IF(doc_id % 3 = 0, \"it's'; DROP--\\\\\", "
+               "IF(doc_id % 3 = 1, 'clean', 'other'))"),
+    ))
+    n_evil = df.df.filter(F.col("source") == evil).count()
+    n_clean = df.df.filter(F.col("source") == "clean").count()
+    assert n_evil > 0
+
+    up = upsample_by_weight(df, "source", {evil: 3.0, "clean": 1.0},
+                            "doc_id", default_weight=0.0)
+    got = up.df.groupBy("source").count().collect()
+    by = {r[0]: r[1] for r in got}
+    assert by[evil] == 3 * n_evil       # exactly-3x, no silent rerouting
+    assert by["clean"] == n_clean
+    assert "other" not in by            # default_weight=0 drops it
+
+    st = sample_strata(df, "source", {evil: 0.0}, "doc_id", default_frac=1.0)
+    assert st.df.filter(F.col("source") == evil).count() == 0
+    assert st.df.count() == docs.count() - n_evil
+
+    # temperature_mix end-to-end over the hostile key (the ADVICE repro)
+    tm = temperature_mix(df, key="source", id_col="doc_id", alpha=0.5)
+    assert tm.df.filter(F.col("source") == evil).count() > 0

@@ -193,3 +193,60 @@ def test_vectorindex_compact_preserves_results(spark, tables, tmp_path):
     assert before["vec_id"].tolist() == after["vec_id"].tolist()
     assert np.allclose(before["cosine"], after["cosine"])
     assert files_after < files_before
+
+
+def test_retrain_grows_cells_and_preserves_exactness(spark, tables, tmp_path):
+    """retrain() re-clusters the CURRENT corpus: nlist can grow, the
+    full-probe result is EXACTLY the pre-retrain full-probe (same
+    vectors, brute-force-equal), the layout flip is atomic-by-meta
+    (old dir gone, versioned dir live), and orphan layout dirs from a
+    simulated crash are ignored by readers."""
+    import os
+
+    from tidierdb_jl_spark.llm.vectorindex import VectorIndexState
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    ix = VectorIndexState.create(spark, path, nlist=4, sample_cap=512)
+    ix.add(emb.filter("vec_id < 200"))
+    ix.add(emb.filter("vec_id >= 200 AND vec_id < 500"))
+    q = emb.filter("vec_id < 8")
+    before = ix.query(q, k=5, nprobe=999).collect().sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+
+    stats = ix.retrain(nlist=16)
+    assert stats["nlist"] == 16 and stats["n_cells"] == 16
+    assert stats["n_vecs"] == 500
+    after = ix.query(q, k=5, nprobe=999).collect().sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+    assert before.equals(after)
+
+    # layout flipped: versioned dir live, original gone
+    assert ix._meta["data_dir"].startswith("vecs_e")
+    assert os.path.isdir(os.path.join(path, ix._meta["data_dir"]))
+    assert not os.path.isdir(os.path.join(path, "vecs"))
+
+    # reopen sees the committed layout; adds keep working post-retrain
+    ix2 = VectorIndexState.open(spark, path)
+    ix2.add(emb.filter("vec_id < 100").mutate(vec_id="vec_id + 100000"))
+    assert ix2.stats()["n_vecs"] == 600
+
+    # a crash-orphan layout dir (written but never committed to meta)
+    # must be invisible to readers
+    os.makedirs(os.path.join(path, "vecs_e99"))
+    got = VectorIndexState.open(spark, path).query(q, k=5, nprobe=999)
+    assert got.df.count() == 8 * 5
+
+    # pruned probes after retrain: per-probe candidate pool shrank
+    # (16 cells vs 4), recall floor vs brute force holds on this data
+    brute = {
+        (r[0], r[1])
+        for r in ix2.query(q, k=5, nprobe=999).df.select(
+            "query_id", "vec_id").collect()
+    }
+    pruned = {
+        (r[0], r[1])
+        for r in ix2.query(q, k=5, nprobe=8).df.select(
+            "query_id", "vec_id").collect()
+    }
+    assert len(pruned & brute) / len(brute) >= 0.8

@@ -33,6 +33,16 @@ __all__ = [
 ]
 
 
+def _sql_str(v) -> str:
+    """A VALUE as a safe SQL string literal.  Mixture keys reach these
+    CASE expressions from two directions — caller dicts AND data-derived
+    distinct values (``temperature_mix`` feeds corpus ``source`` strings
+    straight in) — so quoting is a correctness/injection boundary, not a
+    formality: an unescaped quote in crawl metadata would break parsing
+    or silently change which rows replicate."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _hash_u32(id_col: str, salt: str) -> str:
     """First 8 hex chars of md5(id||salt) — a uniform 32-bit draw as a hex
     string; comparisons stay string-vs-string (portable, no bigint casts)."""
@@ -171,7 +181,8 @@ def sample_strata(
             raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
     u = _hash_u32(id_col, salt)
     branches = " ".join(
-        f"WHEN {key} = '{k}' THEN '{format(int(f * 0xFFFFFFFF), '08x')}'"
+        f"WHEN {key} = {_sql_str(k)} THEN "
+        f"'{format(int(f * 0xFFFFFFFF), '08x')}'"
         for k, f in fracs.items()
     )
     thr = (
@@ -211,7 +222,8 @@ def upsample_by_weight(
         return f"{whole} + if_else({u} < '{thr}', 1, 0)"
 
     branches = " ".join(
-        f"WHEN {key} = '{k}' THEN {n_copies(w)}" for k, w in weights.items()
+        f"WHEN {key} = {_sql_str(k)} THEN {n_copies(w)}"
+        for k, w in weights.items()
     )
     n_expr = f"CASE {branches} ELSE {n_copies(default_weight)} END"
     # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard n = 0 before

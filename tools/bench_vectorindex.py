@@ -110,7 +110,7 @@ def main() -> None:
 
     cell_sizes = {
         r["cell"]: r["n"]
-        for r in spark.read.parquet(_os.path.join(ix.path, "vecs"))
+        for r in spark.read.parquet(ix._vecs_path())
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
