@@ -3426,7 +3426,10 @@ _DRIVER_PRIORITY = [
     "d99_r4_ops_suite",
     "q28_sessionize",
     "q41_udf_grouped",
-    "q42_scalar_subquery",
+    # q42_scalar_subquery rotated out (the same with_scalar lazy-broadcast
+    # scalar is oracle-exercised twice inside q76_tpch_q22, driver-checked)
+    # for the persistent DedupState replay row (round 9)
+    "d45_dedup_state",
     # event-time / streaming
     "q29_tumbling_json",
     "e53_rollup_suite",
@@ -3441,7 +3444,10 @@ _DRIVER_PRIORITY = [
     "t89_r5b_ops_suite",
     "t68_segment_dedup",
     "t78_mixing_suite",
-    "t84_pack_sequences",
+    # t84_pack_sequences rotated out (the same pack_sequences window
+    # packing is oracle-exercised inside m43's w51 web-e2e leg,
+    # driver-checked) for the incremental CorpusPrepState row (round 9)
+    "d48_corpus_prep_state",
     # d34_dedup_exact rotated out (the same fingerprint dedup is
     # oracle-exercised inside t52_clean_corpus, d61_training_prep_e2e and
     # d99's incremental-exact leg) for the round-5c ops suite

@@ -236,3 +236,120 @@ def test_corpusstate_split_stability(spark, tables, tmp_path):
     both = pd.concat([p1, p2]).sort_values("doc_id").reset_index(drop=True)
     one = one.sort_values("doc_id").reset_index(drop=True)
     assert one.equals(both)
+
+
+def test_stream_crash_between_output_and_append_replays_at_least_once(
+    spark, tables, tmp_path
+):
+    """Failure injection for the documented stream_ingest crash window
+    (exact gate only): kill the micro-batch AFTER the output parquet
+    append but BEFORE the exact-state append, restart the stream on the
+    SAME checkpoint, and verify the at-least-once contract — nothing
+    dropped, duplicates exactly the crashed batch's keepers, each
+    duplicated at most once (one replay)."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _docs(tables, 0, 150).df.coalesce(1).write.parquet(src)
+    _docs(tables, 100, 300).df.coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(min_words=20, expected_items=20_000, n_buckets=8)
+    st = CorpusPrepState.create(spark, str(tmp_path / "cp"), **kw)
+    ex, _, _ = st._states()
+    real_append = ex.append
+    calls = {"n": 0}
+
+    def bomb(df):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second micro-batch: output already written
+            raise RuntimeError("injected crash: output written, append not")
+        return real_append(df)
+
+    ex.append = bomb
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = st.stream_ingest(
+        read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1"),
+        out, ck, trigger="availableNow",
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert calls["n"] == 2
+
+    # restart on the same checkpoint: the uncommitted batch replays
+    ex.append = real_append
+    q2 = st.stream_ingest(
+        read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1"),
+        out, ck, trigger="availableNow",
+    )
+    q2.awaitTermination(120)
+
+    ref = CorpusPrepState.create(spark, str(tmp_path / "cp2"), **kw)
+    want1 = ref.ingest(_docs(tables, 0, 150)).collect()
+    want2 = ref.ingest(_docs(tables, 100, 300)).collect()
+    got = spark.read.parquet(out).toPandas()
+
+    want_ids = sorted(want1["doc_id"].tolist() + want2["doc_id"].tolist())
+    assert sorted(set(got["doc_id"])) == want_ids  # nothing dropped
+    counts = got["doc_id"].value_counts()
+    dup_ids = set(counts[counts > 1].index)
+    # duplicates are exactly the crashed batch's keepers, each once more
+    assert dup_ids == set(want2["doc_id"])
+    assert (counts[list(dup_ids)] == 2).all()
+    # downstream exactly-once recovery is one dedup on the carried key
+    assert len(got.drop_duplicates("doc_id")) == len(want_ids)
+
+
+def test_stream_crash_after_near_record_does_not_duplicate(
+    spark, tables, tmp_path
+):
+    """Failure injection for the near-dup crash window: kill AFTER the
+    near-state record but BEFORE the exact append.  On restart the
+    replayed batch must self-match its own recorded bands and be
+    dropped — zero duplicate output rows, nothing missing (the
+    docstring's rationale for ordering NEAR before EXACT)."""
+    from tidierdb_jl_spark.streaming.stream import read_stream
+
+    src = str(tmp_path / "src")
+    _docs(tables, 0, 150).df.coalesce(1).write.parquet(src)
+    _docs(tables, 100, 300).df.coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(neardup=True, neardup_threshold=0.9, min_words=20,
+              expected_items=20_000, n_buckets=8)
+    st = CorpusPrepState.create(spark, str(tmp_path / "cpn"), **kw)
+    ex, _, _ = st._states()
+    real_append = ex.append
+    calls = {"n": 0}
+
+    def bomb(df):
+        calls["n"] += 1
+        if calls["n"] == 2:  # near bands recorded, exact append killed
+            raise RuntimeError("injected crash: near recorded, exact not")
+        return real_append(df)
+
+    ex.append = bomb
+    out, ck = str(tmp_path / "outn"), str(tmp_path / "ckn")
+    q = st.stream_ingest(
+        read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1"),
+        out, ck, trigger="availableNow",
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    ex.append = real_append
+    q2 = st.stream_ingest(
+        read_stream(spark, src, fmt="parquet", maxFilesPerTrigger="1"),
+        out, ck, trigger="availableNow",
+    )
+    q2.awaitTermination(120)
+
+    ref = CorpusPrepState.create(spark, str(tmp_path / "cpn2"), **kw)
+    import pandas as pd
+
+    want = pd.concat([
+        ref.ingest(_docs(tables, 0, 150)).collect(),
+        ref.ingest(_docs(tables, 100, 300)).collect(),
+    ])
+    got = spark.read.parquet(out).toPandas()
+    # self-match on replay: zero duplicates AND zero drops
+    assert not got["doc_id"].duplicated().any()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])

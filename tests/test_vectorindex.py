@@ -195,6 +195,36 @@ def test_vectorindex_compact_preserves_results(spark, tables, tmp_path):
     assert files_after < files_before
 
 
+def test_compact_removes_replay_duplicates(spark, tables, tmp_path):
+    """A replayed stream batch leaves exact duplicate (vec_id, unit)
+    rows; compact() rewrites them out — the documented stream_add crash
+    remedy — while a genuine id collision (same vec_id, DIFFERENT
+    vector) is caller data and survives."""
+    import pandas as pd
+
+    st = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=4)
+    st.add(_emb_batch(tables, 0, 120))
+    st.add(_emb_batch(tables, 40, 80))  # simulate a replayed micro-batch
+    dim = len(_emb_batch(tables, 0, 1).collect()["embedding"][0])
+    collide = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [7, 7],
+                      "embedding": [[1.0] * dim, [-1.0] * dim]})
+    )
+    from tidierdb_jl_spark.core import TidyFrame
+
+    st.add(TidyFrame(collide))
+    assert spark.read.parquet(st._vecs_path()).count() == 162  # 120+40+2
+    st.compact()
+    deduped = spark.read.parquet(st._vecs_path())
+    assert deduped.count() == 122  # replays gone, collision rows kept
+    assert deduped.filter("vec_id = 7").count() == 3  # 1 original + 2
+    # post-compact full probe returns each REPLAYED neighbor once (the
+    # id-colliding vec_id 7 may legitimately appear per distinct vector)
+    got = st.query(_emb_batch(tables, 0, 3), k=6, nprobe=4).collect()
+    reps = got[got["vec_id"] != 7]
+    assert not reps.duplicated(["query_id", "vec_id"]).any()
+
+
 def test_retrain_grows_cells_and_preserves_exactness(spark, tables, tmp_path):
     """retrain() re-clusters the CURRENT corpus: nlist can grow, the
     full-probe result is EXACTLY the pre-retrain full-probe (same

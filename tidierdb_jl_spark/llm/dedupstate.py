@@ -184,9 +184,12 @@ class DedupState:
 
     # above this many distinct bloom-positive fingerprints, stop shipping
     # them as a scan-side IN filter (the plan literal would grow unbounded)
-    # and fall back to bucket-level pruning alone.  Matches get_spark's
-    # spark.sql.parquet.pushdown.inFilterThreshold — larger lists would be
-    # degraded to a min/max range check, which uniform hashes defeat.
+    # and fall back to bucket-level pruning alone.  This bounds the driver
+    # collect and the InSet plan literal; parquet row-group skipping via
+    # the IN applies only up to get_spark's inFilterThreshold (512 — the
+    # pushed IN expands to a recursively-evaluated OR chain in parquet-mr,
+    # which stack-overflows around 1.5k values), beyond which the list
+    # still evaluates JVM-side (InSet) after bucket pruning.
     _IN_PUSHDOWN_CAP = 4096
 
     # per-column PARQUET bloom filters on the state files: the verify

@@ -366,6 +366,11 @@ class VectorIndexState:
     def compact(self) -> dict:
         """Rewrite each cell to one file (appends fragment cells).
 
+        Also drops exact duplicate rows (same ``vec_id`` AND same unit
+        vector) — the entries a replayed :meth:`stream_add` batch can
+        leave behind.  Distinct vectors sharing a ``vec_id`` are kept
+        (an id collision is the caller's data, not replay garbage).
+
         Full-rewrite compaction — at production scale run it per-cell or
         on the fragmented cells only; the layout (one directory per
         cell) makes that a per-partition rewrite.
@@ -374,6 +379,7 @@ class VectorIndexState:
         dst = self._next_layout_dir()
         (
             self.spark.read.parquet(src)
+            .dropDuplicates(["vec_id", "unit"])
             .repartition(len(self._meta["centroids"]), "cell")
             .sortWithinPartitions("cell", "vec_id")
             .write.partitionBy("cell")

@@ -69,12 +69,17 @@ def get_spark(
         # reject.  Session TZ is pinned UTC, so reading them as plain
         # TIMESTAMP is lossless and keeps event-time ops working.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # IN-list predicates up to this size reach parquet-mr as native
-        # IN (instead of a min/max range check, useless for uniform hash
-        # keys); with column bloom filters / dictionaries on the files it
-        # skips whole row groups — DedupState._resolve's verify path
-        # depends on it, and its cap matches this value.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # IN-list predicates up to this size reach parquet-mr as point
+        # filters (row-group skipping via dictionaries/column blooms —
+        # a min/max range check is useless for uniform hash keys).
+        # HARD CEILING: Spark expands the pushed IN into a left-deep
+        # OR-of-Eq chain that parquet-mr evaluates recursively — ~1.5k
+        # values overflows the task stack (measured: 1200 ok, 1500
+        # StackOverflowError; deeper codegen stages fail earlier), so
+        # keep this well under 1024.  Bigger lists still evaluate
+        # correctly (JVM-side InSet after the range check) — they just
+        # skip fewer row groups.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )
