@@ -195,6 +195,42 @@ def _q12(t):
     return lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate <= ts)"])
 
 
+# md5-keyed 1/256 deterministic sample, identical in Spark and DuckDB
+# (md5 of the key's decimal string) — the big-SF digest-compare device.
+_MD5_SAMPLE = "substr(md5(CAST({key} AS STRING)), 1, 2) = '00'"
+_MD5_SAMPLE_DDB = "substr(md5(CAST({key} AS VARCHAR)), 1, 2) = '00'"
+
+
+def _q12d(t):
+    """As-of digest for big-SF evidence (SF10_CORRECTNESS's q12 row):
+    the full q12 as-of join with the PROBE side cut to a deterministic
+    1/256 md5 key sample.  As-of is per-probe-row (each order matches
+    the latest event <= its date independently), so dropping other probe
+    rows changes nothing about the kept rows' matches — while bounding
+    both DuckDB's ASOF (15M probes -> ~59k at sf10; the unbounded-oracle
+    exclusion) and the driver-side cell compare.  The EVENTS side stays
+    complete."""
+    lhs = (
+        t["orders"]
+        .filter(_MD5_SAMPLE.format(key="o_orderkey"))
+        .mutate(uid="o_custkey % 50")
+        .select("o_orderkey", "uid", "o_orderdate")
+    )
+    rhs = t["events"].select("user_id", "ts", "value").rename(ev_value="value")
+    return lhs.asof_join(rhs, by=["uid == user_id", "closest(o_orderdate <= ts)"])
+
+
+def _q13d(t):
+    """Window digest for big-SF evidence (SF10_CORRECTNESS's q13 row):
+    the full q13s dual-window suite, then a deterministic 1/256 md5
+    sample of l_orderkey AFTER the windows.  Both engines compute the
+    complete windows over all rows (the per-supplier ma4 frame sees
+    every row), then keep the same sampled slice — so the compare stays
+    value-exact while the driver collect drops from ~60M rows at sf10
+    to ~230k."""
+    return _q13s(t).filter(_MD5_SAMPLE.format(key="l_orderkey"))
+
+
 def _q13(t):
     return (
         t["lineitem"]
@@ -3382,6 +3418,8 @@ _BUILDERS.update(
         "t93_token_divergence": _t93,
         "d88_resolve_duplicates": _d88,
         "t94_trigram_lm": _t94,
+        "q12d_asof_digest": _q12d,
+        "q13d_windows_digest": _q13d,
     }
 )
 
@@ -6373,6 +6411,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
               ON o.uid = e.user_id AND o.o_orderdate <= e.ts
         """,
+        "q12d_asof_digest": """
+            SELECT o.o_orderkey, o.uid, o.o_orderdate, e.ts, e.value AS ev_value
+            FROM (SELECT o_orderkey, o_custkey % 50 AS uid, o_orderdate FROM orders
+                  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) = '00') o
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events) e
+              ON o.uid = e.user_id AND o.o_orderdate <= e.ts
+        """,
         "q13_window_rank": """
             SELECT l_orderkey, l_linenumber,
                    CAST(row_number() OVER w AS BIGINT) AS rn,
@@ -6652,6 +6697,20 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
             FROM lineitem
             WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+        """,
+        "q13d_windows_digest": """
+            SELECT * FROM (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(row_number() OVER w AS BIGINT) AS rn,
+                     lag(l_quantity, 1) OVER w AS prev_qty,
+                     CAST(rank() OVER w AS BIGINT) AS qty_rank,
+                     l_suppkey, l_shipdate,
+                     avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+            ) WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) = '00'
         """,
         "q15_window_analytics": """
             SELECT o_orderkey, o_custkey,

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from ..core import TidyFrame
 from ..operators.bloom import bloom_build, bloom_mark, bloom_merge, bloom_size
+from ..operators.inlist import isin_chunked
 from ..sources.fsio import (
     fs_exists,
     fs_mkdirs,
@@ -168,7 +169,7 @@ class DedupState:
             return None
         df = self.spark.read.parquet(self._data_path())
         if buckets is not None:
-            df = df.where(F.col("fp_bucket").isin([int(b) for b in buckets]))
+            df = df.where(isin_chunked("fp_bucket", [int(b) for b in buckets]))
         return df.select("fingerprint")
 
     def _keep_first(self, tf, id_col: str, text_col: str):
@@ -184,12 +185,11 @@ class DedupState:
 
     # above this many distinct bloom-positive fingerprints, stop shipping
     # them as a scan-side IN filter (the plan literal would grow unbounded)
-    # and fall back to bucket-level pruning alone.  This bounds the driver
-    # collect and the InSet plan literal; parquet row-group skipping via
-    # the IN applies only up to get_spark's inFilterThreshold (512 — the
-    # pushed IN expands to a recursively-evaluated OR chain in parquet-mr,
-    # which stack-overflows around 1.5k values), beyond which the list
-    # still evaluates JVM-side (InSet) after bucket pruning.
+    # and fall back to bucket-level pruning alone.  Bounds the driver
+    # collect and the plan literal; the scan filter itself ships as
+    # ``isin_chunked`` (OR of <=500-value INs) so the full list reaches
+    # parquet-mr as shallow pushable chains — see operators/inlist.py for
+    # the stack-overflow ceiling that rules out one big IN.
     _IN_PUSHDOWN_CAP = 4096
 
     # per-column PARQUET bloom filters on the state files: the verify
@@ -227,7 +227,7 @@ class DedupState:
         if len(hit_rows) <= self._IN_PUSHDOWN_CAP:
             buckets = sorted({r[0] for r in hit_rows})
             pruned = self._state_df(buckets=buckets).where(
-                F.col("fingerprint").isin([r[1] for r in hit_rows])
+                isin_chunked("fingerprint", [r[1] for r in hit_rows])
             )
         else:
             buckets = [
@@ -601,7 +601,7 @@ class NearDupState:
     def _read_pruned(self, sub: str, part_col: str, buckets):
         df = self.spark.read.parquet(join_path(self.path, sub))
         if buckets is not None:
-            df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
+            df = df.where(isin_chunked(part_col, [int(b) for b in buckets]))
         return df
 
     def ingest(
@@ -673,7 +673,7 @@ class NearDupState:
                 if len(hit) <= self._IN_PUSHDOWN_CAP:
                     bands_df = self._read_pruned(
                         "bands", "bb", sorted({r[0] for r in hit})
-                    ).where(F.col("bh").isin([r[2] for r in hit]))
+                    ).where(isin_chunked("bh", [r[2] for r in hit]))
                 else:
                     bks = [
                         r[0]
@@ -719,7 +719,7 @@ class NearDupState:
                     if len(pid_rows) <= self._IN_PUSHDOWN_CAP:
                         sigs_df = self._read_pruned(
                             "sigs", "sb", sorted({r[0] for r in pid_rows})
-                        ).where(F.col("doc_id").isin([r[1] for r in pid_rows]))
+                        ).where(isin_chunked("doc_id", [r[1] for r in pid_rows]))
                     else:
                         sbks = [
                             r[0]
@@ -955,7 +955,7 @@ class EmbeddingDedupState:
     def _read_pruned(self, sub: str, part_col: str, buckets):
         df = self.spark.read.parquet(join_path(self.path, sub))
         if buckets is not None:
-            df = df.where(F.col(part_col).isin([int(b) for b in buckets]))
+            df = df.where(isin_chunked(part_col, [int(b) for b in buckets]))
         return df
 
     def ingest(
@@ -1034,7 +1034,7 @@ class EmbeddingDedupState:
                 if len(hit) <= self._IN_PUSHDOWN_CAP:
                     bands_df = self._read_pruned(
                         "bands", "bb", sorted({r[0] for r in hit})
-                    ).where(F.col("sig").isin([r[2] for r in hit]))
+                    ).where(isin_chunked("sig", [r[2] for r in hit]))
                 else:
                     bks = [
                         r[0]
@@ -1072,7 +1072,7 @@ class EmbeddingDedupState:
                     if len(pid_rows) <= self._IN_PUSHDOWN_CAP:
                         vecs_df = self._read_pruned(
                             "vecs", "vb", sorted({r[0] for r in pid_rows})
-                        ).where(F.col("vec_id").isin([r[1] for r in pid_rows]))
+                        ).where(isin_chunked("vec_id", [r[1] for r in pid_rows]))
                     else:
                         vbks = [
                             r[0]

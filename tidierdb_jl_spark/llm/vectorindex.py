@@ -253,7 +253,9 @@ class VectorIndexState:
         cells = [r[0] for r in probes.select("cell").distinct().collect()]
         index = self.spark.read.parquet(self._vecs_path())
         if len(cells) < n_cells:
-            index = index.where(F.col("cell").isin(cells))
+            from ..operators.inlist import isin_chunked
+
+            index = index.where(isin_chunked("cell", cells))
         scored = (
             index.join(F.broadcast(probes), "cell")
             .select(

@@ -186,6 +186,9 @@ def main() -> None:
     out = os.path.join(REPO, "BENCH_SCALING.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    from _evidence import stage
+
+    stage(out)
     print(f"wrote {out}")
 
 

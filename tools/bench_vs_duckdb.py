@@ -145,6 +145,9 @@ def main() -> None:
                        "BENCH_VS_DUCKDB.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
+    from _evidence import stage
+
+    stage(out)
     print(f"wrote {out}: spark total {ts_total:.2f}s, duckdb total {td_total:.2f}s")
 
 

@@ -34,16 +34,18 @@ minhash-LSH pair source (the corpus-scale configuration — the exact
 n-gram source is all-pairs on this vocabulary at 500k docs, see
 BENCH_SCALING.md); the planted-pair contract checked is identical.
 
-Known sf10 exclusions (both sf1-oracle-green; the LIMIT is the
-driver-side compare, not the queries):
-- q12_asof_join — DuckDB's native ASOF JOIN on 15M orders x 10M events
-  over 50 user keys ran >17 min at >20 GB RSS and did NOT honor
-  connection.interrupt() (the watchdog fired but the operator never
-  checks cancellation), so its oracle cannot be bounded.
-- q13_windows — returns one windowed row per lineitem (~60M rows at
-  sf10); hauling that to the driver for the cell compare exceeds
-  spark.driver.maxResultSize.  The window family at sf10 is covered by
-  q16_slice_suite (WindowGroupLimit, 1.2M compared rows, green).
+Big-SF digest rows (closing the former q12/q13 sf10 exclusions):
+- q12d_asof_digest — the q12 as-of join with the PROBE side cut to a
+  deterministic md5 1/256 key sample (as-of is per-probe-row, so the
+  kept rows' matches are unchanged).  Bounds DuckDB's ASOF (its 15M x
+  10M run at sf10 was >17 min and did not honor interrupt()) AND the
+  driver compare.
+- q13d_windows_digest — the q13s dual-window suite computed over ALL
+  rows in both engines, then the same md5 1/256 l_orderkey slice kept,
+  so the ~60M-row sf10 result compares as ~230k rows instead of
+  blowing spark.driver.maxResultSize.
+The full-result q12/q13 rows remain oracle-checked at sf0.01/sf1 where
+the compare is feasible.
 """
 
 from __future__ import annotations
@@ -80,6 +82,8 @@ ORACLE_QUERIES = [
     "q76_tpch_q22",         # anti-join + scalar subquery
     "q12_asof_join",        # as-of
     "q13_windows",          # window functions
+    "q12d_asof_digest",     # as-of md5-sample digest (the sf10 row)
+    "q13d_windows_digest",  # dual-window md5-sample digest (the sf10 row)
     "q16_slice_suite",      # WindowGroupLimit
     "q22_pivot_roundtrip",  # reshape
     "q45_grouping_suite",   # rollup/cube
@@ -169,6 +173,9 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump({"sf": args.sf, "sf_dir": sf_dir, "n_checks": len(merged),
                        "n_ok": n_ok, "results": merged}, fh, indent=1)
+        from _evidence import stage
+
+        stage(out_path)
         return n_ok
 
     def oracle_with_watchdog(sql, budget_s=None):
