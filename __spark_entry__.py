@@ -1730,8 +1730,9 @@ def _d99(t):
     """Round-4 ops suite (tagged union): incremental exact dedup (d91),
     cross-table similarity join (d98), token-window chunking (t97),
     deterministic epoch shuffle (t90), parquet MERGE upsert, (r8) the
-    persistent bloom-gated DedupState (d45), and (r8) the incremental
-    corpus-prep state composition (d48) — the ingest-pipeline
+    persistent bloom-gated DedupState (d45), (r8) the incremental
+    corpus-prep state composition (d48), and (r9) the persistent
+    corpus-stats state's exact report (d49) — the ingest-pipeline
     primitives, one driver row.  The merge leg does the
     REAL thing: writes a base dataset to a scratch dir (fresh per call —
     retry-safe), partition-scoped-upserts a derived batch, and returns
@@ -1805,9 +1806,15 @@ def _d99(t):
                 s="concat(lang_pred, ':', split)", num="CAST(n_words AS DOUBLE)")
         .select(*cols)
     )
+    cst = (  # (r9) persistent corpus-stats state: exact report rows
+        _d49(t)
+        .mutate(op="'corpus_stats'", id1=nlb, id2="n",
+                s="concat(kind, ':', key)", num=nld)
+        .select(*cols)
+    )
     return (
         inc.union_all(sim).union_all(chk).union_all(shf).union_all(mrg)
-        .union_all(dst).union_all(cps)
+        .union_all(dst).union_all(cps).union_all(cst)
     )
 
 
@@ -3983,6 +3990,36 @@ def _d48(t):
 _BUILDERS["d48_corpus_prep_state"] = _d48
 
 
+def _d49(t):
+    """Persistent corpus-statistics state (llm/statsstate.py, r9 — beyond
+    the reference): three disjoint document batches fold into a fresh
+    on-disk CorpusStatsState (exact additive counters + meta-resident
+    lang/source mixes + fixed-geometry token-length histogram; the
+    bounded Misra-Gries token sketch is invariant-tested in
+    tests/test_statsstate.py, not hash-compared — sketches are
+    approximate by contract).  The returned report() rows are EXACT and
+    batch-order-independent, so the oracle recomputes them declaratively
+    over the batch union."""
+    import tempfile
+
+    from tidierdb_jl_spark.llm.statsstate import CorpusStatsState
+
+    spark = t["documents"].df.sparkSession
+    st = CorpusStatsState.create(
+        spark, tempfile.mkdtemp(prefix="d49_state_") + "/st",
+        threshold_frac=0.01,
+    )
+    for lo, hi in ((0, 200), (200, 400), (400, 600)):
+        st.ingest(
+            t["documents"].filter(f"doc_id >= {lo} AND doc_id < {hi}")
+            .select("doc_id", "text", "lang", "source")
+        )
+    return st.report()
+
+
+_BUILDERS["d49_corpus_stats_state"] = _d49
+
+
 def _d45(t):
     """Persistent incremental-dedup state (llm/dedupstate.py — beyond the
     reference, whose only dedup verb is @distinct): three OVERLAPPING
@@ -4685,6 +4722,40 @@ def oracle_sql() -> dict[str, str]:
     out["t52_clean_corpus"] = _clean_corpus_oracle()
     out["d61_training_prep_e2e"] = _e2e_prep_oracle()
     out["d48_corpus_prep_state"] = _corpus_prep_state_oracle()
+    # CorpusStatsState exact report (d49): totals / lang / source /
+    # histogram recomputed declaratively over the three ingested batches
+    # (doc_id < 600).  Key strings must byte-match report()'s Python
+    # formatting ("[0,10)" ... "[110,inf)"), and empty histogram buckets
+    # are emitted with n=0 (report always returns all 12).
+    out["d49_corpus_stats_state"] = r"""
+        WITH t AS (
+          SELECT doc_id, text, lang, source,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+          FROM documents WHERE doc_id < 600),
+        s AS (SELECT lang, source, len(toks) AS nw,
+                     length(coalesce(text, '')) AS nc
+              FROM t),
+        hb AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 12) tbl(b)),
+        hc AS (SELECT least(nw // 10, 11) AS b, count(*) AS n
+               FROM s GROUP BY 1)
+        SELECT 'total' AS kind, 'docs' AS key, CAST(count(*) AS BIGINT) AS n FROM s
+        UNION ALL
+        SELECT 'total', 'tokens', CAST(coalesce(sum(nw), 0) AS BIGINT) FROM s
+        UNION ALL
+        SELECT 'total', 'chars', CAST(coalesce(sum(nc), 0) AS BIGINT) FROM s
+        UNION ALL
+        SELECT 'lang', lang, CAST(count(*) AS BIGINT) FROM s GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, CAST(count(*) AS BIGINT) FROM s GROUP BY source
+        UNION ALL
+        SELECT 'hist',
+               '[' || CAST(hb.b * 10 AS VARCHAR) || ',' ||
+               CASE WHEN hb.b = 11 THEN 'inf)'
+                    ELSE CAST((hb.b + 1) * 10 AS VARCHAR) || ')' END,
+               CAST(coalesce(hc.n, 0) AS BIGINT)
+        FROM hb LEFT JOIN hc ON hb.b = hc.b
+    """
     out["e53_time_rollup"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
                CAST(count(*) AS BIGINT) AS n, sum(value) AS total
@@ -5091,6 +5162,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'corpus_prep', CAST(z.batch AS BIGINT), z.doc_id,
                concat(z.lang_pred, ':', z.split), CAST(z.n_words AS DOUBLE)
         FROM ({out["d48_corpus_prep_state"]}) z
+        UNION ALL
+        SELECT 'corpus_stats', CAST(NULL AS BIGINT), z.n,
+               concat(z.kind, ':', z.key), CAST(NULL AS DOUBLE)
+        FROM ({out["d49_corpus_stats_state"]}) z
     """
     out["d91_dedup_incremental"] = r"""
         WITH fp AS (

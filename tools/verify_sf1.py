@@ -113,6 +113,7 @@ ORACLE_QUERIES = [
     "t98_heavy_hitters",    # two-pass Misra-Gries, exact answer (r8)
     "t77_temperature_mix",  # n^alpha source rebalancing (r8)
     "d48_corpus_prep_state",# incremental corpus-prep composition (r8)
+    "d49_corpus_stats_state",# persistent corpus-stats exact report (r9)
 ]
 
 
