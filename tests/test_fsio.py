@@ -186,3 +186,53 @@ def test_neardup_embdedup_state_file_uri(spark, tables, tmp_path):
     r2 = em2.ingest(vtwins, threshold=0.99)
     dup_v = set(r2.filter("dup_of IS NOT NULL").collect()["vec_id"])
     assert {v + 100000 for v in kept_v} <= dup_v
+
+
+def test_writer_lock_mutual_exclusion_and_release(spark, tmp_path):
+    import pytest
+
+    from tidierdb_jl_spark.sources.fsio import fs_exists, writer_lock
+
+    path = str(tmp_path / "st")
+    with writer_lock(spark, path, holder="a") as lock:
+        assert fs_exists(spark, lock)
+        with pytest.raises(RuntimeError, match="already held by a"):
+            with writer_lock(spark, path, holder="b"):
+                pass
+    assert not fs_exists(spark, lock)  # released on clean exit
+    # released on error too
+    with pytest.raises(ValueError, match="boom"):
+        with writer_lock(spark, path, holder="c"):
+            raise ValueError("boom")
+    assert not fs_exists(spark, lock)
+
+
+def test_writer_lock_breaks_stale_and_file_scheme(spark, tmp_path):
+    import json
+    import time
+
+    from tidierdb_jl_spark.sources.fsio import read_text, writer_lock
+
+    path = "file://" + str(tmp_path / "st")
+    # plant an abandoned lock from a "crashed" writer
+    with writer_lock(spark, path, holder="dead"):
+        import shutil
+
+        shutil.copy(str(tmp_path / "st" / "_writer.lock"),
+                    str(tmp_path / "planted"))
+    import shutil
+
+    shutil.copy(str(tmp_path / "planted"), str(tmp_path / "st" / "_writer.lock"))
+    # fresh lock is NOT stale -> refused
+    import pytest
+
+    with pytest.raises(RuntimeError, match="already held by dead"):
+        with writer_lock(spark, path, holder="new", stale_s=3600):
+            pass
+    # but with stale_s=0 it is reclaimed, loudly
+    time.sleep(0.01)
+    with writer_lock(spark, path, holder="new", stale_s=0.001) as lock:
+        body = json.loads(read_text(spark, lock))
+        assert body["holder"] == "new"
+        assert "reclaimed stale lock" in body["note"]
+        assert "dead" in body["note"]

@@ -49,6 +49,7 @@ __all__ = [
     "read_text",
     "write_text_atomic",
     "swap_dir",
+    "writer_lock",
 ]
 
 
@@ -148,3 +149,75 @@ def swap_dir(spark, src: str, tmp: str) -> None:
     fs_rename(spark, src, old)
     fs_rename(spark, tmp, src)
     fs_delete(spark, old, recursive=True)
+
+
+def writer_lock(spark, state_path: str, holder: str | None = None,
+                stale_s: float = 3600.0):
+    """Advisory single-writer lock for a state directory — a context
+    manager::
+
+        with writer_lock(spark, path, holder="ingest-job-42"):
+            state = DedupState.open(spark, path)
+            state.ingest(batch, "doc_id")
+
+    Creates ``<state_path>/_writer.lock`` with ``create(overwrite=
+    False)`` — atomic on POSIX/HDFS (a concurrent second writer gets a
+    clean ``already held`` error), check-then-create on S3-style object
+    stores (a narrow race window remains — hence ADVISORY; the state
+    family's correctness contract is still single-writer-by-orchestration
+    and the lock is a guard rail, not a fence).  A lock older than
+    ``stale_s`` is presumed abandoned by a crashed writer and is broken
+    with a loud reclaim note in the new lock's body.  The lock is
+    released on exit, including on error."""
+    import contextlib
+    import getpass
+    import json as _json
+    import socket
+    import time as _time
+
+    @contextlib.contextmanager
+    def _ctx():
+        fs, _ = hadoop_fs(spark, str(state_path))
+        lock = join_path(str(state_path), "_writer.lock")
+        hlock = spark._jvm.org.apache.hadoop.fs.Path(lock)
+        who = holder or f"{getpass.getuser()}@{socket.gethostname()}"
+
+        def _try_create(note: str = "") -> bool:
+            try:
+                stream = fs.create(hlock, False)  # overwrite=False
+            except Exception:  # noqa: BLE001 — FileAlreadyExists et al.
+                return False
+            try:
+                stream.write(bytearray(_json.dumps(
+                    {"holder": who, "ts": _time.time(), "note": note}
+                ).encode("utf-8")))
+            finally:
+                stream.close()
+            return True
+
+        if not _try_create():
+            try:
+                prev = _json.loads(read_text(spark, lock))
+            except Exception:  # noqa: BLE001 — torn/foreign lock file
+                prev = {}
+            age = _time.time() - float(prev.get("ts", 0))
+            if age <= stale_s:
+                raise RuntimeError(
+                    f"writer lock on {state_path} already held by "
+                    f"{prev.get('holder', '<unknown>')} ({age:.0f}s old, "
+                    f"stale after {stale_s:.0f}s); the state family is "
+                    "single-writer — wait, or break the lock by deleting "
+                    "_writer.lock if the holder is known dead"
+                )
+            fs_delete(spark, lock, recursive=False)
+            if not _try_create(note=f"reclaimed stale lock "
+                                    f"({prev.get('holder', '?')}, {age:.0f}s)"):
+                raise RuntimeError(
+                    f"writer lock on {state_path}: lost the reclaim race"
+                )
+        try:
+            yield lock
+        finally:
+            fs_delete(spark, lock, recursive=False)
+
+    return _ctx()
