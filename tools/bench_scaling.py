@@ -52,6 +52,15 @@ QUERIES = [
     "t98_heavy_hitters",
     "t77_temperature_mix",
     "s44_knn_join",
+    # r9 additions: the as-of digest (probe side = a 1/256 key sample
+    # that GROWS with SF; the events build side grows too) and the
+    # dual-window digest (the windows compute over ALL rows, the output
+    # slice is sampled).  d49_corpus_stats_state is deliberately NOT
+    # here: it folds a fixed 600-doc slice at every SF, so its cells
+    # would be flat by construction — its scaling evidence is
+    # BENCH_STATSSTATE.md's growing-batch study.
+    "q12d_asof_digest",
+    "q13d_windows_digest",
 ]
 RUNS = 3
 SF1_DIR = os.path.join(REPO, "testdata_sf1")
@@ -65,6 +74,20 @@ STEEP = ["t52_clean_corpus", "d35_minhash_pairs", "t68_segment_dedup",
          # r7: t67 had the second-steepest 0.1->1 slope (4.40x) after the
          # four above — give it the second 10x step too
          "t67_pack_ffd"]
+
+
+def consume(df):
+    """Timing action that defeats column pruning: hash EVERY output
+    column into one aggregated value, so computed columns (window
+    functions, regex extracts) actually execute.  A bare ``count()``
+    lets Catalyst prune unused projections — a window-heavy query would
+    time as a scan (caught in round 9; q13_windows' earlier cells
+    measured exactly that)."""
+    from pyspark.sql import functions as F
+
+    df = df.df if hasattr(df, "df") else df
+    df.select(F.hash(*[F.col(c) for c in df.columns]).alias("__h")) \
+      .agg(F.sum("__h")).collect()
 
 
 def median(xs):
@@ -113,7 +136,7 @@ def main() -> None:
     spark = get_spark(app="tidierdb-scaling", cpus=cpus, shuffle_partitions=int(cpus))
     qs = entry_mod.queries()
     names = [n for n in QUERIES if n in qs]
-    qs[names[0]](spark, "/root/testdata/sf0.001").count()  # warm-up
+    consume(qs[names[0]](spark, "/root/testdata/sf0.001"))  # warm-up
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     for sf, sf_dir in sf_dirs.items():
@@ -121,7 +144,7 @@ def main() -> None:
             samples = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                consume(qs[name](spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
             results[name][sf] = round(median(samples), 3)
             print(f"# sf{sf} {name}: {results[name][sf]:.3f}s", file=sys.stderr)
@@ -132,7 +155,7 @@ def main() -> None:
             samples = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                fn(spark, SF10_DIR).count()
+                consume(fn(spark, SF10_DIR))
                 samples.append(time.perf_counter() - t0)
             results[name]["10"] = round(median(samples), 3)
             print(f"# sf10 {name}: {results[name]['10']:.3f}s", file=sys.stderr)
@@ -145,6 +168,11 @@ def main() -> None:
         "",
         f"Median of {RUNS} end-to-end runs per cell, local[{cpus}], "
         "AQE on, shuffle partitions = cores.",
+        "Timing action: hash EVERY output column into one aggregated",
+        "value (not a bare count(), which lets Catalyst column-prune",
+        "unused projections — window-heavy queries would time as scans;",
+        "round-9 fix, so window rows run slower-but-honest vs earlier",
+        "editions of this file).",
         "sf0.001-0.1 are the driver's testdata; sf1 is generated by",
         "`tools/gen_sf.py` (same schema/distributions, ~6.0M lineitem rows,",
         "~165 MB parquet — the driver does not ship sf1).  `slope` columns",
