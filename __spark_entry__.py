@@ -3875,6 +3875,81 @@ def _w52(t):
 _BUILDERS["w52_statfiles"] = _w52
 
 
+def _w53(t):
+    """Delta Lake roundtrip WITHOUT connector jars (sources/delta.py —
+    reference scans Delta via DuckDB's delta_scan,
+    /root/reference/src/TidierDB.jl:166-169,209-212): builds a real
+    partitioned Delta table in a scratch dir from ``documents`` — data
+    files + the protocol's JSON transaction log — commits an UPDATE
+    (remove the en partition's file, re-add a truncated one), then reads
+    the snapshot back through ``db_table(..., delta=True)``, which falls
+    back to the pure log-replay reader in this jar-free image.  The
+    oracle recomputes the post-update relation logically, so a hash
+    match proves log listing, checkpointless replay, remove/add
+    semantics and partition-value re-attachment are all exact.  The
+    300-row driver collect is the bounded fixture-build action (the w50
+    convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w53_delta_") + "/tbl"
+    src = t["documents"].filter("doc_id < 300").select("doc_id", "text", "lang")
+    full_schema = src.df.schema.json()
+    pdf = src.collect()
+
+    def write_file(rows, rel):
+        dest = os.path.join(root, rel)
+        tmp = dest + ".tmpdir"
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(tmp)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+
+    def add(p, lang):
+        return {"add": {"path": p, "partitionValues": {"lang": lang},
+                        "size": 1, "modificationTime": 1, "dataChange": True}}
+
+    adds0, en_file = [], None
+    for lang, grp in pdf.groupby("lang"):
+        rel = f"lang={lang}/" + _uuid.uuid4().hex + ".parquet"
+        write_file(list(grp[["doc_id", "text"]].itertuples(index=False,
+                                                           name=None)), rel)
+        adds0.append(add(rel, lang))
+        if lang == "en":
+            en_file = rel
+    en_cut = pdf[(pdf["lang"] == "en") & (pdf["doc_id"] < 150)]
+    rel1 = "lang=en/" + _uuid.uuid4().hex + ".parquet"
+    write_file(list(en_cut[["doc_id", "text"]].itertuples(index=False,
+                                                          name=None)), rel1)
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    acts0 = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             {"metaData": {"id": str(_uuid.uuid4()),
+                           "format": {"provider": "parquet"},
+                           "schemaString": full_schema,
+                           "partitionColumns": ["lang"],
+                           "configuration": {}}}] + adds0
+    acts1 = [{"remove": {"path": en_file, "dataChange": True}},
+             add(rel1, "en")]
+    for v, acts in ((0, acts0), (1, acts1)):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    return db_table(spark, root, delta=True).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w53_delta_roundtrip"] = _w53
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7086,6 +7161,11 @@ def oracle_sql() -> dict[str, str]:
                'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta' AS src
         FROM documents
         WHERE doc_id < 150
+    """
+    out["w53_delta_roundtrip"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 300 AND (lang != 'en' OR doc_id < 150)
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -102,12 +102,20 @@ def db_table(
         fmt_name = "iceberg" if iceberg else "delta"
         try:
             df = spark.read.format(fmt_name).load(source)
-        except Exception as e:  # connector jars absent in this image
-            raise RuntimeError(
-                f"{fmt_name} connector not on the classpath; add the {fmt_name} "
-                "runtime jar to spark.jars.packages"
-            ) from e
-        out = TidyFrame(df)
+            out = TidyFrame(df)
+        except Exception as e:
+            if delta:
+                # jar-free fallback: replay the public Delta transaction
+                # log directly (sources/delta.py — full read support for
+                # protocol v1, loud gate on deletionVectors/columnMapping)
+                from .delta import read_delta
+
+                out = read_delta(spark, source)
+            else:  # Iceberg manifests are Avro — no jar-free path here
+                raise RuntimeError(
+                    "iceberg connector not on the classpath; add the "
+                    "iceberg-spark-runtime jar to spark.jars.packages"
+                ) from e
     elif isinstance(source, (list, tuple)):
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
         from .statfiles import read_stat, stat_format_for

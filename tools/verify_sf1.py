@@ -114,6 +114,7 @@ ORACLE_QUERIES = [
     "t77_temperature_mix",  # n^alpha source rebalancing (r8)
     "d48_corpus_prep_state",# incremental corpus-prep composition (r8)
     "d49_corpus_stats_state",# persistent corpus-stats exact report (r9)
+    "w53_delta_roundtrip",  # jar-free Delta log replay (r9)
 ]
 
 
