@@ -169,3 +169,41 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
     # non-delta dir: clean error
     with pytest.raises(ValueError, match="not a Delta table"):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_partition_filter_prunes_files_statically(spark, tmp_path):
+    """partition_filter evaluates against the LOG's partitionValues
+    before the scan exists: only matching files enter the plan (checked
+    via inputFiles), and semantics are exact.  A .filter() on the frame
+    cannot do this — the file list is fixed at plan time."""
+    root = str(tmp_path / "tbl")
+    _build_partitioned(spark, root)
+    tf = read_delta(spark, root, partition_filter="lang = 'en'")
+    got = tf.collect().sort_values("id")
+    assert got[["id", "lang"]].values.tolist() == [
+        [1, "en"], [2, "en"], [4, "en"]]
+    files = tf.df.inputFiles()
+    assert len(files) == 1 and "lang=en" in files[0]
+    # typed comparison (not string-match): numeric predicates work too
+    none = read_delta(spark, root, partition_filter="lang IN ('xx')")
+    assert none.df.count() == 0
+    with pytest.raises(ValueError, match="unpartitioned"):
+        # the unpartitioned fixture from the checkpoint test
+        up = str(tmp_path / "up")
+        from pyspark.sql import types as T
+
+        f0 = uuid.uuid4().hex + ".parquet"
+        _write_parquet(spark, [(1, "a")], "id long, val string",
+                       os.path.join(up, f0))
+        schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("val", T.StringType())])
+        _commit(up, 0, [_PROTO, _meta(schema.json()),
+                        {"add": {"path": f0, "partitionValues": {},
+                                 "size": 1, "modificationTime": 1,
+                                 "dataChange": True}}])
+        read_delta(spark, up, partition_filter="id = 1")
+    # db_table passes the option through to the fallback reader
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    via = db_table(spark, root, delta=True, partition_filter="lang = 'fr'")
+    assert via.df.count() == 1 and via.df.inputFiles()[0].count("lang=fr")

@@ -182,7 +182,6 @@ class CorpusStatsState:
     def ingest(
         self,
         tf,
-        id_col: str = "doc_id",
         text_col: str = "text",
         lang_col: str | None = "lang",
         source_col: str | None = "source",
@@ -420,7 +419,6 @@ class CorpusStatsState:
         self,
         stream_tf,
         checkpoint: str,
-        id_col: str = "doc_id",
         text_col: str = "text",
         lang_col: str | None = "lang",
         source_col: str | None = "source",
@@ -439,7 +437,7 @@ class CorpusStatsState:
                 # the commit id rides in ingest's single meta write, so
                 # counters + sketch pointer + stream progress flip together
                 self.ingest(
-                    TidyFrame(batch_df), id_col=id_col, text_col=text_col,
+                    TidyFrame(batch_df), text_col=text_col,
                     lang_col=lang_col, source_col=source_col,
                     _stream_batch=batch_id,
                 )

@@ -158,10 +158,26 @@ def _snapshot(spark, path: str, version: int | None):
     return live, meta, target
 
 
-def read_delta(spark, path: str, version: int | None = None) -> TidyFrame:
+def read_delta(
+    spark,
+    path: str,
+    version: int | None = None,
+    partition_filter: str | None = None,
+) -> TidyFrame:
     """Read a Delta table snapshot as a TidyFrame (jar-free log replay —
     module docstring has the protocol-support contract).  ``version``
-    is time travel (``versionAsOf``); default = latest."""
+    is time travel (``versionAsOf``); default = latest.
+
+    ``partition_filter`` is a SQL predicate over PARTITION columns only
+    (e.g. ``"lang = 'en' AND dt >= '2026-01'"``), applied to the log's
+    ``partitionValues`` BEFORE the scan is built — static partition
+    pruning.  It exists because a ``.filter()`` on the returned frame
+    cannot prune files: the file list is fixed at plan time and the
+    partition columns are re-attached by a post-scan join, so Catalyst
+    has nothing to push into.  With the filter, non-matching files never
+    enter the plan at all (the 100 TB path: prune from the log, list
+    nothing).  Semantics are exact — the predicate is evaluated by
+    Spark itself over the typed partition values."""
     from pyspark.sql import types as T
 
     live, meta, _ = _snapshot(spark, str(path), version)
@@ -169,6 +185,24 @@ def read_delta(spark, path: str, version: int | None = None) -> TidyFrame:
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = T.StructType([f for f in schema.fields
                                 if f.name not in part_cols])
+    if partition_filter is not None:
+        if not part_cols:
+            raise ValueError(
+                f"partition_filter on an unpartitioned table at {path}"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        pv_schema = T.StructType(
+            [T.StructField("__path", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in part_cols]
+        )
+        pv_rows = [(p, *[pv.get(c) for c in part_cols])
+                   for p, pv in live.items()]
+        pv = spark.createDataFrame(pv_rows, pv_schema).select(
+            "__path", *[F.col(c).cast(types[c]).alias(c) for c in part_cols]
+        )
+        keep = {r[0] for r in pv.where(F.expr(partition_filter))
+                .select("__path").collect()}
+        live = {p: v for p, v in live.items() if p in keep}
     if not live:
         return TidyFrame(spark.createDataFrame([], schema))
 

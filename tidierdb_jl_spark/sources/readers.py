@@ -107,10 +107,16 @@ def db_table(
             if delta:
                 # jar-free fallback: replay the public Delta transaction
                 # log directly (sources/delta.py — full read support for
-                # protocol v1, loud gate on deletionVectors/columnMapping)
+                # protocol v1, loud gate on deletionVectors/columnMapping);
+                # version= (time travel) and partition_filter= (static
+                # pruning from the log) pass through as reader options
                 from .delta import read_delta
 
-                out = read_delta(spark, source)
+                out = read_delta(
+                    spark, source,
+                    version=options.pop("version", None),
+                    partition_filter=options.pop("partition_filter", None),
+                )
             else:  # Iceberg manifests are Avro — no jar-free path here
                 raise RuntimeError(
                     "iceberg connector not on the classpath; add the "
