@@ -4274,7 +4274,8 @@ def _m43(t):
     metadata (m41), video container metadata (m42), image header
     metadata (m44, r7), statistical-package ingest (w52, r7), the
     persistent text near-dup state replay (d46, r8), the persistent
-    embedding near-dup state replay (d47, r8) — plus the
+    embedding near-dup state replay (d47, r8), the jar-free Delta
+    log-replay snapshot (w53, r9) — plus the
     web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
     main-content -> dedup-with-planted-dups -> sequence packing).  Shared
     schema (op, id1, id2, s, num); each round-6 leg is individually
@@ -4344,10 +4345,17 @@ def _m43(t):
                 s=nls, num="CAST(dup_of AS DOUBLE)")
         .select(*cols)
     )
+    dlt = (  # (r9) jar-free Delta log replay: snapshot after an UPDATE
+        _w53(t)
+        .mutate(op="'delta'", id1="doc_id", id2=nlb,
+                s="concat(lang, ':', text)", num=nld)
+        .select(*cols)
+    )
 
     out = warc.union_all(budget).union_all(main).union_all(audio)
     out = out.union_all(video).union_all(img).union_all(stat)
     out = out.union_all(dd).union_all(pk).union_all(ndp).union_all(edp)
+    out = out.union_all(dlt)
     # some legs pin tracked persists; localCheckpoint the union so those
     # caches can be released even though the caller collects later.
     # Release ONLY this builder's persists (the _d94 discipline).
@@ -7276,5 +7284,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'embdedup', CAST(z.batch AS BIGINT), z.doc_id,
                CAST(NULL AS VARCHAR), CAST(z.dup_of AS DOUBLE)
         FROM ({_EMBDEDUP_SQL}) z
+        UNION ALL
+        SELECT 'delta', z.doc_id, CAST(NULL AS BIGINT),
+               concat(z.lang, ':', z.text), CAST(NULL AS DOUBLE)
+        FROM ({out["w53_delta_roundtrip"]}) z
     """
     return out
