@@ -3950,6 +3950,112 @@ def _w53(t):
 _BUILDERS["w53_delta_roundtrip"] = _w53
 
 
+def _w54(t):
+    """Iceberg roundtrip WITHOUT connector jars (sources/iceberg.py +
+    the in-repo Avro manifest decoder; reference scans Iceberg via
+    DuckDB's iceberg_scan, /root/reference/src/TidierDB.jl:161-165,
+    208-211): builds a spec-conformant v2 Iceberg table in scratch from
+    ``documents`` — parquet data files + Avro manifests/manifest lists +
+    metadata JSON — with TWO snapshots (snapshot 2 deletes one file and
+    adds two), then reads the current snapshot back through
+    ``db_table(..., iceberg=True)``, which falls back to the jar-free
+    metadata traversal.  The oracle recomputes the snapshot relation
+    logically, so a hash match proves metadata resolution, Avro manifest
+    decoding, DELETED-entry handling and the exact-live-file scan are
+    all correct.  The 300-row collect is the bounded fixture-build
+    action (the w50 convention)."""
+    import json as _json
+    import os
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from avro_ref import write_container  # independent spec-written encoder
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w54_iceberg_") + "/tbl"
+    os.makedirs(os.path.join(root, "metadata"))
+    src = t["documents"].filter("doc_id < 300").select("doc_id", "text", "lang")
+    pdf = src.collect()
+
+    def data_file(lo, hi):
+        rel = f"data/{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(root, rel)
+        grp = pdf[(pdf["doc_id"] >= lo) & (pdf["doc_id"] < hi)]
+        spark.createDataFrame(grp, "doc_id long, text string, lang string") \
+            .coalesce(1).write.parquet(dest + ".tmpdir")
+        import glob as _glob
+        import shutil as _shutil
+
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        _shutil.move(_glob.glob(dest + ".tmpdir/part-*.parquet")[0], dest)
+        _shutil.rmtree(dest + ".tmpdir")
+        return f"{root}/{rel}"
+
+    fa, fb = data_file(0, 100), data_file(100, 200)
+    fc, fd = data_file(200, 300), data_file(100, 150)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"}]}}]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"}]}
+
+    def manifest(n, entries):
+        p = os.path.join(root, "metadata", f"m{n}.avro")
+        recs = [{"status": st, "data_file": {
+            "content": 0, "file_path": fp, "file_format": "PARQUET",
+            "record_count": 1}} for st, fp in entries]
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, recs, codec="deflate"))
+        return f"{root}/metadata/m{n}.avro"
+
+    def mlist(n, paths):
+        p = os.path.join(root, "metadata", f"snap-{n}.avro")
+        recs = [{"manifest_path": mp, "manifest_length": 1, "content": 0}
+                for mp in paths]
+        with open(p, "wb") as fh:
+            fh.write(write_container(mlist_schema, recs))
+        return f"{root}/metadata/snap-{n}.avro"
+
+    m1 = manifest(1, [(1, fa), (1, fb)])
+    m2 = manifest(2, [(2, fb), (1, fc), (1, fd)])
+    meta = {
+        "format-version": 2, "table-uuid": str(_uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "text", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 2,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": mlist(1, [m1])},
+                      {"snapshot-id": 2,
+                       "manifest-list": mlist(2, [m1, m2])}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    return db_table(spark, root, iceberg=True).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w54_iceberg_roundtrip"] = _w54
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7174,6 +7280,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, lang
         FROM documents
         WHERE doc_id < 300 AND (lang != 'en' OR doc_id < 150)
+    """
+    out["w54_iceberg_roundtrip"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 300 AND NOT (doc_id >= 150 AND doc_id < 200)
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

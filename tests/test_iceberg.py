@@ -1,0 +1,215 @@
+"""Jar-free Iceberg reader (sources/iceberg.py + sources/avro_lite.py).
+
+No iceberg jar and no Avro wheel in this image, so the fixtures are
+built BY HAND from the public specs: the Avro container files through
+the independently spec-written encoder in ``tests/avro_ref.py``, the
+metadata JSON / manifest chain per the Iceberg table spec.  Decoder vs
+independent encoder agreement + the Avro spec's own zigzag vectors are
+the correctness evidence (the repo's codec strategy).
+"""
+
+import json
+import os
+import uuid
+
+import pytest
+
+from avro_ref import write_container, zigzag
+from tidierdb_jl_spark.sources.avro_lite import decode_avro_container
+from tidierdb_jl_spark.sources.iceberg import read_iceberg
+
+
+def test_zigzag_spec_vectors():
+    """The Avro specification's own int encoding examples."""
+    from tidierdb_jl_spark.sources.avro_lite import _Reader
+
+    vectors = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+               2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    for n, b in vectors.items():
+        assert zigzag(n) == b, n                       # encoder side
+        assert _Reader(b).varint() == n, n             # decoder side
+
+
+def test_avro_roundtrip_all_types():
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "fx8", "size": 2}},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["red", "green"]}},
+            {"name": "u", "type": ["null", "long", "string"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "nest", "type": {"type": "record", "name": "n2",
+                                      "fields": [{"name": "x",
+                                                  "type": "long"}]}},
+        ],
+    }
+    rows = [
+        {"b": True, "i": -7, "l": 1 << 40, "f": 0.5, "d": -2.25,
+         "s": "héllo", "by": b"\x00\xff", "fx": b"ab", "e": "green",
+         "u": None, "arr": [1, -2, 3], "m": {"k": "v"}, "nest": {"x": 9}},
+        {"b": False, "i": 0, "l": -1, "f": 1.0, "d": 0.0, "s": "",
+         "by": b"", "fx": b"cd", "e": "red", "u": "str-branch",
+         "arr": [], "m": {}, "nest": {"x": -9}},
+    ]
+    for codec in ("null", "deflate"):
+        meta, got = decode_avro_container(
+            write_container(schema, rows, codec=codec))
+        assert got == rows, codec
+    # corrupt sync -> loud error
+    raw = bytearray(write_container(schema, rows))
+    raw[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        decode_avro_container(bytes(raw))
+
+
+# ---- Iceberg fixtures -------------------------------------------------
+
+_MANIFEST_ENTRY = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+            ]}},
+    ],
+}
+_MANIFEST_FILE = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+    ],
+}
+
+
+def _data_file(spark, rows, dest):
+    spark.createDataFrame(rows, "id long, val string").coalesce(1) \
+        .write.parquet(dest + ".tmp")
+    import glob
+    import shutil
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(glob.glob(dest + ".tmp/part-*.parquet")[0], dest)
+    shutil.rmtree(dest + ".tmp")
+
+
+def _build_table(root, spark):
+    """v2 table, two snapshots: snap 1 = {f0}, snap 2 = f0 deleted,
+    f1+f2 added (so time travel and DELETED-entry handling both
+    exercise)."""
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    files = {}
+    for name, rows in (("f0", [(1, "a"), (2, "b")]), ("f1", [(3, "c")]),
+                       ("f2", [(4, "d")])):
+        rel = f"data/{name}-{uuid.uuid4().hex}.parquet"
+        _data_file(spark, rows, os.path.join(root, rel))
+        files[name] = f"{root}/{rel}"
+
+    def manifest(n, entries):
+        p = os.path.join(root, "metadata", f"m{n}.avro")
+        recs = [{"status": st,
+                 "data_file": {"content": 0, "file_path": files[f],
+                               "file_format": "PARQUET", "record_count": 1}}
+                for st, f in entries]
+        with open(p, "wb") as fh:
+            fh.write(write_container(_MANIFEST_ENTRY, recs, codec="deflate"))
+        return f"{root}/metadata/m{n}.avro"
+
+    def mlist(n, paths, content=0):
+        p = os.path.join(root, "metadata", f"snap-{n}.avro")
+        recs = [{"manifest_path": mp, "manifest_length": 1,
+                 "content": content} for mp in paths]
+        with open(p, "wb") as fh:
+            fh.write(write_container(_MANIFEST_FILE, recs))
+        return f"{root}/metadata/snap-{n}.avro"
+
+    m1 = manifest(1, [(1, "f0")])
+    m2 = manifest(2, [(2, "f0"), (1, "f1"), (1, "f2")])
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": mlist(1, [m1])},
+            {"snapshot-id": 2, "manifest-list": mlist(2, [m2])},
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return meta
+
+
+def test_iceberg_snapshot_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _build_table(root, spark)
+    now = read_iceberg(spark, root).collect().sort_values("id")
+    assert now[["id", "val"]].values.tolist() == [[3, "c"], [4, "d"]]
+    v1 = read_iceberg(spark, root, snapshot_id=1).collect().sort_values("id")
+    assert v1[["id", "val"]].values.tolist() == [[1, "a"], [2, "b"]]
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        read_iceberg(spark, root, snapshot_id=99)
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        read_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_iceberg_moved_table_paths_reroot(spark, tmp_path):
+    """Manifest/data paths recorded under the table's ORIGINAL location
+    re-root under the current one (the reference passes
+    allow_moved_paths=true to duckdb for exactly this)."""
+    orig = str(tmp_path / "orig" / "tbl")
+    _build_table(orig, spark)
+    import shutil
+
+    moved = str(tmp_path / "moved" / "tbl")
+    os.makedirs(os.path.dirname(moved), exist_ok=True)
+    shutil.move(orig, moved)  # absolute paths inside now point at orig/
+    now = read_iceberg(spark, moved).collect().sort_values("id")
+    assert now[["id", "val"]].values.tolist() == [[3, "c"], [4, "d"]]
+
+
+def test_iceberg_delete_gates_and_db_table_fallback(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    meta = _build_table(root, spark)
+    # a v2 DELETE manifest in the list -> refuse loudly
+    from avro_ref import write_container as wc
+
+    dl = os.path.join(root, "metadata", "snap-del.avro")
+    with open(dl, "wb") as fh:
+        fh.write(wc(_MANIFEST_FILE, [{"manifest_path": f"{root}/metadata/m2.avro",
+                                      "manifest_length": 1, "content": 1}]))
+    meta["snapshots"].append({"snapshot-id": 3,
+                              "manifest-list": f"{root}/metadata/snap-del.avro"})
+    meta["current-snapshot-id"] = 3
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+        read_iceberg(spark, root)
+    # time travel back past the delete snapshot still works
+    ok = read_iceberg(spark, root, snapshot_id=2)
+    assert ok.df.count() == 2
+    # db_table(iceberg=True) falls back to this reader without jars
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    tf = db_table(spark, root, iceberg=True, snapshot_id=2)
+    assert tf.df.count() == 2 and set(tf.columns) == {"id", "val"}

@@ -1,0 +1,210 @@
+"""Apache Iceberg snapshot reader without connector jars.
+
+Reference parity: the reference scans Iceberg through DuckDB's
+``iceberg_scan`` extension (``/root/reference/src/TidierDB.jl:161-165,
+208-211``); the Spark-native route is the iceberg-spark-runtime jar —
+absent from this image.  This module implements the READ side of the
+public Iceberg table spec (https://iceberg.apache.org/spec/) directly:
+
+- ``metadata/v<N>.metadata.json`` (+ ``version-hint.text``): table
+  metadata — schemas, snapshots, current snapshot id.
+- snapshot → manifest list (Avro; decoded by :mod:`.avro_lite`) →
+  manifests (Avro) → ``manifest_entry`` records whose non-DELETED
+  ``data_file``s enumerate the snapshot's files exactly.
+
+The scan is ONE distributed read of exactly the live data files (no
+directory listing — the metadata tree is the point of Iceberg on object
+storage), with the parquet footers supplying the physical schema; the
+reader then projects the CURRENT metadata schema's column names.
+Iceberg data files always materialize all columns (partition values are
+hidden metadata used for pruning, not reconstruction), so unlike Delta
+nothing needs re-attaching.
+
+Loud gates (wrong-rows risks refuse, never guess): format version > 2;
+row-level deletes (v2 delete manifests / non-data ``data_file.content``);
+non-parquet/orc data files; current-schema column names missing from
+the files (field-id renames need real field-id resolution — jar
+territory).  ``snapshot_id=`` gives time travel across retained
+snapshots.  Metadata I/O goes through :mod:`.fsio` (any Hadoop scheme).
+
+Avro correctness story: ``avro_lite`` is verified against an
+independently spec-written encoder in the tests plus the Avro spec's
+own zigzag vectors — the repo's codec-test strategy.
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..core import TidyFrame
+from .avro_lite import read_avro_file
+from .fsio import fs_exists, hadoop_fs, join_path, read_text
+
+__all__ = ["read_iceberg"]
+
+
+def _latest_metadata(spark, path: str) -> str:
+    mdir = join_path(path, "metadata")
+    if not fs_exists(spark, mdir):
+        raise ValueError(f"{path} is not an Iceberg table (no metadata/)")
+    hint = join_path(mdir, "version-hint.text")
+    if fs_exists(spark, hint):
+        v = int(read_text(spark, hint).strip())
+        cand = join_path(mdir, f"v{v}.metadata.json")
+        if fs_exists(spark, cand):
+            return cand
+    fs, hdir = hadoop_fs(spark, mdir)
+    best_v, best = -1, None
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.endswith(".metadata.json"):
+            head = name[:-len(".metadata.json")]
+            v = int(head[1:]) if head[:1] == "v" and head[1:].isdigit() else 0
+            if v > best_v or (v == best_v and best is None):
+                best_v, best = v, name
+    if best is None:
+        raise ValueError(f"{path}: no *.metadata.json under metadata/")
+    return join_path(mdir, best)
+
+
+def _resolve_path(table_path: str, p: str) -> str:
+    """Manifest/data paths are absolute in the spec but commonly carry a
+    different filesystem prefix than the one we reached the table by
+    (moved tables — the reason duckdb's iceberg_scan grew
+    allow_moved_paths).  Re-root anything containing the table's
+    basename segment; pass through paths that already exist under the
+    table root."""
+    p = str(p)
+    root = table_path.rstrip("/")
+    base = root.rsplit("/", 1)[-1]
+    marker = f"/{base}/"
+    if p.startswith(root + "/"):
+        return p
+    i = p.find(marker)
+    if i >= 0:
+        return root + "/" + p[i + len(marker):]
+    raise ValueError(
+        f"cannot re-root metadata path {p!r} under table {table_path!r}"
+    )
+
+
+def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
+    """Read an Iceberg table snapshot as a TidyFrame (jar-free metadata
+    traversal — module docstring has the support contract).
+    ``snapshot_id`` time-travels to any retained snapshot."""
+    path = str(path)
+    meta = json.loads(read_text(spark, _latest_metadata(spark, path)))
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise NotImplementedError(
+            f"Iceberg format-version {fv} at {path} — this jar-free reader "
+            "supports versions 1 and 2 (without row-level deletes)"
+        )
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        schema = _spark_schema(meta)
+        return TidyFrame(spark.createDataFrame([], schema))
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not found at {path}; retained: "
+            f"{[s.get('snapshot-id') for s in snaps]}"
+        )
+
+    if "manifest-list" in snap:
+        mlist = read_avro_file(
+            spark, _resolve_path(path, snap["manifest-list"])
+        )
+        manifests = []
+        for m in mlist:
+            if int(m.get("content") or 0) != 0:
+                raise NotImplementedError(
+                    f"{path}: snapshot {sid} carries a DELETE manifest "
+                    "(v2 row-level deletes) — reading it as plain data "
+                    "files would return deleted rows; use the iceberg "
+                    "connector jar"
+                )
+            manifests.append(m["manifest_path"])
+    else:  # v1 inline manifest list
+        manifests = list(snap.get("manifests") or [])
+
+    # live = (added/existing) - DELETED, resolved across ALL of the
+    # snapshot's manifests: a compaction-less writer may retain an older
+    # manifest that still lists a file a newer manifest marks DELETED —
+    # the spec says a DELETED file is no longer part of the table, so
+    # the exclusion is global, not per-manifest
+    added, deleted, fmts = {}, set(), set()
+    for mp in manifests:
+        for entry in read_avro_file(spark, _resolve_path(path, mp)):
+            df_ = entry["data_file"]
+            fp = _resolve_path(path, df_["file_path"])
+            if int(entry.get("status") or 0) == 2:  # DELETED
+                deleted.add(fp)
+                continue
+            if int(df_.get("content") or 0) != 0:
+                raise NotImplementedError(
+                    f"{path}: data_file content={df_['content']} (position/"
+                    "equality deletes) — unsupported without the jar"
+                )
+            fmts.add(str(df_.get("file_format", "PARQUET")).upper())
+            added[fp] = True
+    live = [p for p in added if p not in deleted]
+    if not live:
+        return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
+    if not fmts <= {"PARQUET", "ORC"}:
+        raise NotImplementedError(
+            f"{path}: data file formats {sorted(fmts)} — parquet/orc only"
+        )
+    reader = spark.read.orc if fmts == {"ORC"} else spark.read.parquet
+    df = reader(*sorted(set(live)))
+    want = [f["name"] for f in _current_schema(meta)["fields"]]
+    missing = [c for c in want if c not in df.columns]
+    if missing:
+        raise NotImplementedError(
+            f"{path}: current-schema columns {missing} absent from the data "
+            "files — field-id-based renames need the connector jar's "
+            "field-id resolution"
+        )
+    return TidyFrame(df.select(*want))
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        cid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == cid:
+                return s
+        return meta["schemas"][-1]
+    return meta["schema"]  # v1 single-schema form
+
+
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "long", "float": "float",
+    "double": "double", "date": "date", "string": "string",
+    "binary": "binary", "uuid": "string", "time": "long",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+}
+
+
+def _spark_schema(meta: dict):
+    """Spark StructType for the current Iceberg schema — used only for
+    the empty-table result (data files carry their own schema)."""
+    from pyspark.sql import types as T
+
+    def conv(t):
+        if isinstance(t, str):
+            if t in _ICEBERG_TO_SPARK:
+                return _ICEBERG_TO_SPARK[t]
+            if t.startswith("decimal"):
+                return t
+        raise NotImplementedError(
+            f"iceberg type {t!r} in an empty-table schema — nested types "
+            "materialize from data files only"
+        )
+
+    fields = ", ".join(
+        f"`{f['name']}` {conv(f['type'])}"
+        for f in _current_schema(meta)["fields"]
+    )
+    return T.StructType.fromDDL(fields) if fields else T.StructType([])

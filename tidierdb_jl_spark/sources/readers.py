@@ -117,11 +117,17 @@ def db_table(
                     version=options.pop("version", None),
                     partition_filter=options.pop("partition_filter", None),
                 )
-            else:  # Iceberg manifests are Avro — no jar-free path here
-                raise RuntimeError(
-                    "iceberg connector not on the classpath; add the "
-                    "iceberg-spark-runtime jar to spark.jars.packages"
-                ) from e
+            else:
+                # jar-free fallback: traverse the public Iceberg metadata
+                # tree directly (sources/iceberg.py — v1/v2 snapshots via
+                # an in-repo Avro manifest decoder; loud gate on
+                # row-level deletes); snapshot_id= passes through
+                from .iceberg import read_iceberg
+
+                out = read_iceberg(
+                    spark, source,
+                    snapshot_id=options.pop("snapshot_id", None),
+                )
     elif isinstance(source, (list, tuple)):
         # multi-file vector (/root/reference/src/TidierDB.jl:245-294)
         from .statfiles import read_stat, stat_format_for
