@@ -115,6 +115,7 @@ ORACLE_QUERIES = [
     "d48_corpus_prep_state",# incremental corpus-prep composition (r8)
     "d49_corpus_stats_state",# persistent corpus-stats exact report (r9)
     "w53_delta_roundtrip",  # jar-free Delta log replay (r9)
+    "w54_iceberg_roundtrip",# jar-free Iceberg metadata traversal (r9)
 ]
 
 
