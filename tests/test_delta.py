@@ -207,3 +207,51 @@ def test_partition_filter_prunes_files_statically(spark, tmp_path):
 
     via = db_table(spark, root, delta=True, partition_filter="lang = 'fr'")
     assert via.df.count() == 1 and via.df.inputFiles()[0].count("lang=fr")
+
+
+def test_percent_encoded_paths_decode_and_reattach(spark, tmp_path):
+    """PROTOCOL.md: add/remove paths are percent-encoded (RFC 2396).  A
+    partition value with a space yields a dir like ``lang=en us/`` whose
+    log path is ``lang=en%20us/...`` — the reader must decode it before
+    joining to the root AND key the partition re-attach consistently
+    with input_file_name()'s encoded URI (a mismatch used to silently
+    drop every row of the file)."""
+    from urllib.parse import quote
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "tbl")
+    full = T.StructType([T.StructField("id", T.LongType()),
+                         T.StructField("val", T.StringType()),
+                         T.StructField("lang", T.StringType())])
+    rel = "lang=en us/" + uuid.uuid4().hex + "+x.parquet"
+    _write_parquet(spark, [(1, "a"), (2, "b")], "id long, val string",
+                   os.path.join(root, rel))
+    enc = quote(rel)
+    assert "%20" in enc  # the fixture really exercises the encoding
+    _commit(root, 0, [_PROTO, _meta(full.json(), ["lang"]),
+                      {"add": {"path": enc,
+                               "partitionValues": {"lang": "en us"},
+                               "size": 1, "modificationTime": 1,
+                               "dataChange": True}}])
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got[["id", "val", "lang"]].values.tolist() == [
+        [1, "a", "en us"], [2, "b", "en us"]]
+    # remove by the encoded path must match the decoded live key
+    _commit(root, 1, [{"remove": {"path": enc, "dataChange": True}}])
+    assert read_delta(spark, root).df.count() == 0
+
+
+def test_log_gap_refused(spark, tmp_path):
+    """A missing commit version mid-range (0,1,3) would silently skip
+    that commit's add/remove actions — the reader must refuse."""
+    root = str(tmp_path / "tbl")
+    _build_partitioned(spark, root)  # commits 0, 1
+    log = os.path.join(root, "_delta_log")
+    os.rename(os.path.join(log, f"{1:020d}.json"),
+              os.path.join(log, f"{1:020d}.json.hidden"))
+    _commit(root, 2, [])  # now 0, 2 with 1 missing
+    with pytest.raises(ValueError, match=r"gaps.*\[1\]"):
+        read_delta(spark, root)
+    # versionAsOf=0 stops before the gap and still works
+    assert read_delta(spark, root, version=0).df.count() == 3

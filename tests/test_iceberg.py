@@ -213,3 +213,77 @@ def test_iceberg_delete_gates_and_db_table_fallback(spark, tmp_path):
 
     tf = db_table(spark, root, iceberg=True, snapshot_id=2)
     assert tf.df.count() == 2 and set(tf.columns) == {"id", "val"}
+
+
+def test_catalog_style_metadata_names(spark, tmp_path):
+    """Catalog-style layouts name metadata ``00001-<uuid>.metadata.json``
+    and ship WITHOUT version-hint.text — the leading integer is the
+    version and the newest must win (an unparsed name used to score 0 and
+    let listing order pick a stale snapshot)."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    meta = _build_table(root, spark)
+    mdir = os.path.join(root, "metadata")
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    # stale v1-content under a LOW catalog name, current under a HIGH one
+    stale = dict(meta, **{"current-snapshot-id": 1})
+    with open(os.path.join(mdir, f"00000-{uuid.uuid4().hex}.metadata.json"),
+              "w") as fh:
+        json.dump(stale, fh)
+    shutil.move(os.path.join(mdir, "v1.metadata.json"),
+                os.path.join(mdir, f"00001-{uuid.uuid4().hex}.metadata.json"))
+    now = read_iceberg(spark, root).collect().sort_values("id")
+    assert now[["id", "val"]].values.tolist() == [[3, "c"], [4, "d"]]
+    # two files claiming the same version -> refuse, don't pick one
+    with open(os.path.join(mdir, f"00001-{uuid.uuid4().hex}.metadata.json"),
+              "w") as fh:
+        json.dump(stale, fh)
+    with pytest.raises(ValueError, match="multiple metadata files"):
+        read_iceberg(spark, root)
+
+
+def test_mixed_format_live_set_refused(spark, tmp_path):
+    """PARQUET+ORC in one live set must refuse loudly: the scan is one
+    distributed read, and ORC files through the parquet reader are a
+    footer error at best."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    pq = f"data/{uuid.uuid4().hex}.parquet"
+    _data_file(spark, [(1, "a")], os.path.join(root, pq))
+    orc_rel = f"data/{uuid.uuid4().hex}.orc"
+    dest = os.path.join(root, orc_rel)
+    spark.createDataFrame([(2, "b")], "id long, val string").coalesce(1) \
+        .write.orc(dest + ".tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(dest + ".tmp/part-*.orc")[0], dest)
+    shutil.rmtree(dest + ".tmp")
+
+    recs = [{"status": 1, "data_file": {
+        "content": 0, "file_path": f"{root}/{p}",
+        "file_format": f, "record_count": 1}}
+        for p, f in ((pq, "PARQUET"), (orc_rel, "ORC"))]
+    with open(os.path.join(root, "metadata", "m1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_ENTRY, recs))
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": f"{root}/metadata/m1.avro",
+             "manifest_length": 1, "content": 0}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(NotImplementedError, match="single-format"):
+        read_iceberg(spark, root)

@@ -40,6 +40,7 @@ Writing Delta is out of scope (the reference is also read-only here).
 from __future__ import annotations
 
 import json
+from urllib.parse import unquote
 
 from pyspark.sql import functions as F
 
@@ -127,9 +128,11 @@ def _snapshot(spark, path: str, version: int | None):
             if d.get("metaData") and d["metaData"].get("schemaString"):
                 meta = d["metaData"]
             if d.get("add") and d["add"].get("path"):
-                live[d["add"]["path"]] = d["add"].get("partitionValues") or {}
+                live[unquote(d["add"]["path"])] = (
+                    d["add"].get("partitionValues") or {}
+                )
             if d.get("remove") and d["remove"].get("path"):
-                live.pop(d["remove"]["path"], None)
+                live.pop(unquote(d["remove"]["path"]), None)
         start_after = cv
 
     need = [(v, n) for v, k, n in entries
@@ -140,6 +143,18 @@ def _snapshot(spark, path: str, version: int | None):
             f"checkpoint at or below versionAsOf={target} survives — that "
             "snapshot is no longer reconstructible"
         )
+    # the replay is only correct if EVERY commit after the checkpoint is
+    # present: a mid-range gap (0,1,3 — lost or never-synced commit file)
+    # silently skipped would drop that commit's add/remove actions and
+    # return wrong rows, violating the module's loud-gate contract
+    expect = list(range(start_after + 1, target + 1))
+    if [v for v, _ in need] != expect:
+        missing = sorted(set(expect) - {v for v, _ in need})
+        raise ValueError(
+            f"{path}: transaction log has gaps — commit version(s) "
+            f"{missing} missing between checkpoint {start_after} and "
+            f"versionAsOf={target}; refusing to replay an incomplete log"
+        )
     for v, name in need:
         for line in read_text(spark, join_path(log_dir, name)).splitlines():
             if not line.strip():
@@ -149,10 +164,15 @@ def _snapshot(spark, path: str, version: int | None):
                 _gate_protocol(act["protocol"], path)
             if "metaData" in act:
                 meta = act["metaData"]
+            # add/remove paths are percent-encoded per the protocol
+            # (RFC 2396) — decode before keying/joining to the root so
+            # partition dirs with spaces/special chars resolve
             if "add" in act:
-                live[act["add"]["path"]] = act["add"].get("partitionValues") or {}
+                live[unquote(act["add"]["path"])] = (
+                    act["add"].get("partitionValues") or {}
+                )
             if "remove" in act:
-                live.pop(act["remove"]["path"], None)
+                live.pop(unquote(act["remove"]["path"]), None)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found in the log")
     return live, meta, target
@@ -227,14 +247,35 @@ def read_delta(
         [T.StructField("__file", T.StringType())]
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in part_cols]
     )
-    mapping = spark.createDataFrame(rows, msch)
+    mapping = spark.createDataFrame(rows, msch).withColumn(
+        "__pv_hit", F.lit(True)
+    )
     types = {f.name: f.dataType for f in schema.fields}
     out = (
+        # input_file_name() returns a URL-encoded URI while the mapping
+        # is keyed by the DECODED log path's basename — decode JVM-side
+        # (literal '+' pre-escaped: URLDecoder would turn it into a
+        # space, but in a file URI '+' is itself).  LEFT join + loud
+        # raise_error on a miss: an encoding mismatch must fail the job,
+        # not silently drop every row of the mismatched file.
         df.withColumn(
             "__file",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.url_decode(F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\+", "%2B",
+            )),
         )
-        .join(F.broadcast(mapping), "__file")
+        .join(F.broadcast(mapping), "__file", "left")
+        .withColumn(
+            "__pv_hit",
+            F.when(F.col("__pv_hit").isNull(), F.raise_error(F.concat(
+                F.lit(f"delta reader at {path}: scanned file "),
+                F.col("__file"),
+                F.lit(" has no partitionValues entry in the log — "
+                      "basename/encoding mismatch"),
+            ))).otherwise(F.col("__pv_hit")),
+        )
+        .where(F.col("__pv_hit"))
         .select(
             *[
                 F.col(f.name) if f.name not in part_cols

@@ -54,17 +54,43 @@ def _latest_metadata(spark, path: str) -> str:
         if fs_exists(spark, cand):
             return cand
     fs, hdir = hadoop_fs(spark, mdir)
-    best_v, best = -1, None
+    cands = []
     for st in fs.listStatus(hdir):
         name = st.getPath().getName()
-        if name.endswith(".metadata.json"):
-            head = name[:-len(".metadata.json")]
-            v = int(head[1:]) if head[:1] == "v" and head[1:].isdigit() else 0
-            if v > best_v or (v == best_v and best is None):
-                best_v, best = v, name
-    if best is None:
+        if not name.endswith(".metadata.json"):
+            continue
+        head = name[:-len(".metadata.json")]
+        # two public layouts: hadoop-table `v<N>.metadata.json` and
+        # catalog-style `<NNNNN>-<uuid>.metadata.json` (standard
+        # Spark/Hive-catalog output, which ships WITHOUT version-hint) —
+        # the leading integer is the version in both
+        if head[:1] == "v" and head[1:].isdigit():
+            cands.append((int(head[1:]), name))
+        elif head.split("-", 1)[0].isdigit():
+            cands.append((int(head.split("-", 1)[0]), name))
+        else:
+            cands.append((None, name))
+    if not cands:
         raise ValueError(f"{path}: no *.metadata.json under metadata/")
-    return join_path(mdir, best)
+    versioned = [c for c in cands if c[0] is not None]
+    if not versioned:
+        if len(cands) > 1:
+            raise ValueError(
+                f"{path}: {len(cands)} metadata files with no parseable "
+                f"version ({sorted(n for _, n in cands)}) and no "
+                "version-hint.text — refusing to guess which snapshot is "
+                "current"
+            )
+        return join_path(mdir, cands[0][1])
+    best_v = max(v for v, _ in versioned)
+    best = [n for v, n in versioned if v == best_v]
+    if len(best) > 1:
+        raise ValueError(
+            f"{path}: multiple metadata files claim version {best_v} "
+            f"({sorted(best)}) — indistinguishable without a catalog; "
+            "refusing to pick arbitrarily"
+        )
+    return join_path(mdir, best[0])
 
 
 def _resolve_path(table_path: str, p: str) -> str:
@@ -152,9 +178,13 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
     live = [p for p in added if p not in deleted]
     if not live:
         return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
-    if not fmts <= {"PARQUET", "ORC"}:
+    if not fmts <= {"PARQUET", "ORC"} or len(fmts) > 1:
+        # a mixed PARQUET+ORC live set must refuse too: there is one
+        # distributed read, and feeding ORC files to the parquet reader
+        # yields a footer error at best, wrong rows at worst
         raise NotImplementedError(
-            f"{path}: data file formats {sorted(fmts)} — parquet/orc only"
+            f"{path}: data file formats {sorted(fmts)} — a single-format "
+            "parquet or orc live set only"
         )
     reader = spark.read.orc if fmts == {"ORC"} else spark.read.parquet
     df = reader(*sorted(set(live)))

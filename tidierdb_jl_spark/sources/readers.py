@@ -101,9 +101,32 @@ def db_table(
     if iceberg or delta:
         fmt_name = "iceberg" if iceberg else "delta"
         try:
-            df = spark.read.format(fmt_name).load(source)
+            # time-travel options ride the connector path too — dropping
+            # them here would silently return the LATEST snapshot when
+            # the jar is present (they were once consumed only by the
+            # jar-free fallback); partition_filter becomes a plain
+            # .filter(), which the connector prunes through Catalyst
+            reader = spark.read.format(fmt_name)
+            if delta and options.get("version") is not None:
+                reader = reader.option("versionAsOf", str(options["version"]))
+            if iceberg and options.get("snapshot_id") is not None:
+                reader = reader.option("snapshot-id",
+                                       str(options["snapshot_id"]))
+            df = reader.load(source)
+            if options.get("partition_filter") is not None:
+                df = df.filter(options["partition_filter"])
+            for k in ("version", "snapshot_id", "partition_filter"):
+                options.pop(k, None)
             out = TidyFrame(df)
         except Exception as e:
+            # fall back ONLY when the connector itself is absent — a
+            # real connector error (corrupt table, bad option) must
+            # surface, not be masked by a second read attempt
+            msg = f"{type(e).__name__}: {e}"
+            if not ("Failed to find data source" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFoundException" in msg):
+                raise
             if delta:
                 # jar-free fallback: replay the public Delta transaction
                 # log directly (sources/delta.py — full read support for
