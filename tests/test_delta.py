@@ -159,12 +159,12 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
     _write_parquet(spark, [(1,)], "id long", os.path.join(root, f0))
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["columnMapping"]}},
         _meta(schema.json()),
         {"add": {"path": f0, "partitionValues": {}, "size": 1,
                  "modificationTime": 1, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta(spark, root)
     # non-delta dir: clean error
     with pytest.raises(ValueError, match="not a Delta table"):
@@ -255,3 +255,121 @@ def test_log_gap_refused(spark, tmp_path):
         read_delta(spark, root)
     # versionAsOf=0 stops before the gap and still works
     assert read_delta(spark, root, version=0).df.count() == 3
+
+
+# ---- deletion vectors (round 10) --------------------------------------
+
+def _dv_add(path, lang, dv):
+    return {"add": {"path": path, "partitionValues": {"lang": lang},
+                    "size": 1, "modificationTime": 1, "dataChange": True,
+                    "deletionVector": dv}}
+
+
+_DV_PROTO = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+
+
+def _build_dv_table(spark, root, inline_second=False):
+    """Two partition files (en: ids 0..9, fr: ids 10..14).  v1 re-adds
+    both with DVs: en physical rows {1,3,4} deleted via a 'u'-storage
+    sidecar (with a random prefix), fr row {0} deleted inline ('i') or
+    via an absolute-path sidecar ('p')."""
+    import zlib as _zlib
+
+    from roaring_ref import encode_roaring_array, write_dv_file, z85_encode
+    from pyspark.sql import types as T
+
+    full = T.StructType([T.StructField("id", T.LongType()),
+                         T.StructField("lang", T.StringType())])
+    f_en = "lang=en/" + uuid.uuid4().hex + ".parquet"
+    f_fr = "lang=fr/" + uuid.uuid4().hex + ".parquet"
+    _write_parquet(spark, [(i,) for i in range(10)], "id long",
+                   os.path.join(root, f_en))
+    _write_parquet(spark, [(i,) for i in range(10, 15)], "id long",
+                   os.path.join(root, f_fr))
+
+    dv_en = encode_roaring_array([1, 3, 4])
+    dv_fr = encode_roaring_array([0], force_run=True)
+    u = uuid.uuid4()
+    blob, offs = write_dv_file([dv_en])
+    os.makedirs(os.path.join(root, "ab"), exist_ok=True)
+    with open(os.path.join(root, "ab", f"deletion_vector_{u}.bin"),
+              "wb") as fh:
+        fh.write(blob)
+    desc_en = {"storageType": "u", "pathOrInlineDv": "ab" + z85_encode(u.bytes),
+               "offset": offs[0], "sizeInBytes": len(dv_en), "cardinality": 3}
+    if inline_second:
+        pad = (-len(dv_fr)) % 4
+        desc_fr = {"storageType": "i",
+                   "pathOrInlineDv": z85_encode(dv_fr + b"\x00" * pad),
+                   "sizeInBytes": len(dv_fr), "cardinality": 1}
+    else:
+        blob2, offs2 = write_dv_file([dv_fr])
+        abs_p = os.path.join(root, "standalone_dv.bin")
+        with open(abs_p, "wb") as fh:
+            fh.write(blob2)
+        desc_fr = {"storageType": "p", "pathOrInlineDv": abs_p,
+                   "offset": offs2[0], "sizeInBytes": len(dv_fr),
+                   "cardinality": 1}
+    _commit(root, 0, [_DV_PROTO, _meta(full.json(), ["lang"]),
+                      {"add": {"path": f_en, "partitionValues":
+                               {"lang": "en"}, "size": 1,
+                               "modificationTime": 1, "dataChange": True}},
+                      {"add": {"path": f_fr, "partitionValues":
+                               {"lang": "fr"}, "size": 1,
+                               "modificationTime": 1, "dataChange": True}}])
+    _commit(root, 1, [{"remove": {"path": f_en, "dataChange": False}},
+                      {"remove": {"path": f_fr, "dataChange": False}},
+                      _dv_add(f_en, "en", desc_en),
+                      _dv_add(f_fr, "fr", desc_fr)])
+    return f_en, desc_en
+
+
+def test_deletion_vectors_u_p_and_inline(spark, tmp_path):
+    """PROTOCOL.md deletion vectors, all three storage types: physical
+    row indexes from the roaring sidecar/inline bitmap are anti-filtered
+    out of the scan; time travel to v0 still sees every row."""
+    for inline in (False, True):
+        root = str(tmp_path / f"tbl{int(inline)}")
+        _build_dv_table(spark, root, inline_second=inline)
+        got = read_delta(spark, root).collect().sort_values("id")
+        assert got["id"].tolist() == [0, 2, 5, 6, 7, 8, 9, 11, 12, 13, 14]
+        assert set(got["lang"]) == {"en", "fr"}
+        v0 = read_delta(spark, root, version=0)
+        assert v0.df.count() == 15
+        # partition pruning composes with the DV filter
+        fr = read_delta(spark, root, partition_filter="lang = 'fr'")
+        assert fr.collect()["id"].tolist() == [11, 12, 13, 14]
+
+
+def test_deletion_vector_integrity_gates(spark, tmp_path):
+    """Corrupt CRC and wrong descriptor cardinality both fail the read
+    loudly — a misread DV silently returning wrong rows is the one
+    forbidden outcome."""
+    root = str(tmp_path / "tbl")
+    f_en, desc = _build_dv_table(spark, root)
+    dv_path = os.path.join(
+        root, "ab", os.listdir(os.path.join(root, "ab"))[0])
+    blob = bytearray(open(dv_path, "rb").read())
+    blob[desc["offset"] + 5] ^= 0xFF  # flip a data byte -> CRC mismatch
+    with open(dv_path, "wb") as fh:
+        fh.write(bytes(blob))
+    with pytest.raises(Exception, match="CRC-32 mismatch"):
+        read_delta(spark, root).collect()
+
+    root2 = str(tmp_path / "tbl2")
+    _build_dv_table(spark, root2)
+    log = os.path.join(root2, "_delta_log")
+    import json as _json
+
+    acts = [_json.loads(x) for x in
+            open(os.path.join(log, f"{1:020d}.json"))]
+    for a in acts:
+        dv = a.get("add", {}).get("deletionVector")
+        if dv:
+            dv["cardinality"] = dv["cardinality"] + 7
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(Exception, match="cardinality"):
+        read_delta(spark, root2).collect()

@@ -29,12 +29,24 @@ GUID, so the basename is unique per table; the reader errors loudly on
 a collision rather than guessing).  All metadata I/O goes through
 :mod:`.fsio`, so ``file://`` / ``hdfs://`` / ``s3a://`` behave the same.
 
+Deletion vectors (modern writers enable them by default): an ``add``
+may carry a ``deletionVector`` descriptor — a roaring bitmap of deleted
+physical row indexes stored in a ``.bin`` sidecar (or inline, Z85).
+The reader decodes them with :mod:`.dvectors` (public formats: Z85,
+RoaringFormatSpec, PROTOCOL.md DV framing) in a DISTRIBUTED
+``mapInPandas`` over the descriptors — the driver never holds row data
+— and applies them as a ``(file, _metadata.row_index)`` left-anti join
+against the scan, broadcast when the log's summed ``cardinality`` says
+the deleted set is small (it almost always is — DVs exist precisely
+because deletes are sparse relative to the file).
+
 Protocol gate (loud, not silent): ``minReaderVersion`` 1 is fully
 supported; 2 requires column mapping (unsupported); 3 is supported only
-when ``readerFeatures`` need nothing beyond ``timestampNtz`` —
-``deletionVectors`` / ``columnMapping`` / ``v2Checkpoint`` change row
-visibility or file layout and MUST fail rather than return wrong rows.
-Writing Delta is out of scope (the reference is also read-only here).
+when ``readerFeatures`` need nothing beyond ``timestampNtz`` /
+``deletionVectors`` — ``columnMapping`` / ``v2Checkpoint`` change
+column resolution or checkpoint layout and MUST fail rather than
+return wrong rows.  Writing Delta is out of scope (the reference is
+also read-only here).
 """
 
 from __future__ import annotations
@@ -50,9 +62,13 @@ from .fsio import fs_exists, hadoop_fs, join_path, read_text
 __all__ = ["read_delta"]
 
 _LOG = "_delta_log"
-# reader features that do not change which rows a plain parquet scan of
-# the live files returns
-_SAFE_READER_FEATURES = {"timestampNtz"}
+# reader features this module implements or that do not change what a
+# parquet scan of the live files (minus their DVs) returns
+_SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# broadcast the deleted-row set below this many rows (log-declared
+# cardinality sum — known BEFORE any decode); above it, a shuffle
+# anti-join is the honest plan
+_DV_BROADCAST_ROWS = 4_000_000
 
 
 def _log_entries(spark, log_dir: str):
@@ -85,16 +101,16 @@ def _gate_protocol(proto: dict, path: str) -> None:
         f"Delta table at {path} requires reader version {r}"
         + (f" with features {sorted(unsupported)}" if unsupported else "")
         + " — this jar-free reader supports version 1 (and 3 with only "
-        f"{sorted(_SAFE_READER_FEATURES)}); deletionVectors/columnMapping/"
-        "v2Checkpoint change row visibility or file layout and would "
-        "return WRONG rows if ignored.  Add the delta-spark connector "
-        "jar for full protocol support"
+        f"{sorted(_SAFE_READER_FEATURES)}); columnMapping/v2Checkpoint "
+        "change column resolution or checkpoint layout and would return "
+        "WRONG rows if ignored.  Add the delta-spark connector jar for "
+        "full protocol support"
     )
 
 
 def _snapshot(spark, path: str, version: int | None):
-    """Replay the log: returns (live_adds: {path: partitionValues},
-    metaData dict, snapshot_version)."""
+    """Replay the log: returns (live_adds: {path: (partitionValues,
+    deletionVector-or-None)}, metaData dict, snapshot_version)."""
     log_dir = join_path(path, _LOG)
     if not fs_exists(spark, log_dir):
         raise ValueError(f"{path} is not a Delta table (no {_LOG}/)")
@@ -129,7 +145,8 @@ def _snapshot(spark, path: str, version: int | None):
                 meta = d["metaData"]
             if d.get("add") and d["add"].get("path"):
                 live[unquote(d["add"]["path"])] = (
-                    d["add"].get("partitionValues") or {}
+                    d["add"].get("partitionValues") or {},
+                    d["add"].get("deletionVector"),
                 )
             if d.get("remove") and d["remove"].get("path"):
                 live.pop(unquote(d["remove"]["path"]), None)
@@ -169,13 +186,75 @@ def _snapshot(spark, path: str, version: int | None):
             # partition dirs with spaces/special chars resolve
             if "add" in act:
                 live[unquote(act["add"]["path"])] = (
-                    act["add"].get("partitionValues") or {}
+                    act["add"].get("partitionValues") or {},
+                    act["add"].get("deletionVector"),
                 )
             if "remove" in act:
                 live.pop(unquote(act["remove"]["path"]), None)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found in the log")
     return live, meta, target
+
+
+def _deleted_rows_df(spark, root: str, dv_of: dict[str, dict]):
+    """(``__file``, ``__ridx``) DataFrame of every deleted physical row,
+    decoded EXECUTOR-side: the driver only ships the descriptors (one
+    small row per DV'd file); each task fetches its sidecar bytes and
+    expands the roaring bitmap — at 100 TB with millions of DV'd files
+    the decode parallelizes and no row list ever lands on the driver."""
+    from .dvectors import dv_file_relpath
+
+    descs = []
+    for fname, dv in dv_of.items():
+        st = dv.get("storageType")
+        p = dv.get("pathOrInlineDv") or ""
+        off = int(dv["offset"]) if dv.get("offset") is not None else 1
+        size = int(dv["sizeInBytes"])
+        card = int(dv["cardinality"])
+        if st == "u":
+            descs.append((fname, join_path(root, dv_file_relpath(p)),
+                          None, off, size, card))
+        elif st == "p":
+            descs.append((fname, p, None, off, size, card))
+        elif st == "i":
+            descs.append((fname, None, p, -1, size, card))
+        else:
+            raise NotImplementedError(
+                f"deletion vector storageType {st!r} (expected u/p/i)"
+            )
+    ddf = spark.createDataFrame(
+        descs,
+        "fname string, url string, inline string, off long, "
+        "size long, card long",
+    )
+    if len(descs) > 1:
+        ddf = ddf.repartition(min(len(descs), 64))
+
+    def expand(batches):
+        import pandas as pd
+
+        from tidierdb_jl_spark.sources.dvectors import (
+            decode_dv_blob, read_dv_from_bytes, read_file_bytes, z85_decode,
+        )
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if r.inline is not None:
+                    # inline Z85 payload is padded to a 4-byte multiple;
+                    # sizeInBytes is the true bitmap length
+                    data = z85_decode(r.inline)[:int(r.size)]
+                    idx = decode_dv_blob(data, int(r.card))
+                else:
+                    blob = read_file_bytes(r.url)
+                    idx = read_dv_from_bytes(
+                        blob, int(r.off), int(r.size), int(r.card)
+                    )
+                if len(idx):
+                    yield pd.DataFrame(
+                        {"__file": r.fname, "__ridx": idx.astype("int64")}
+                    )
+
+    return ddf.mapInPandas(expand, "__file string, __ridx long")
 
 
 def read_delta(
@@ -216,7 +295,7 @@ def read_delta(
             + [T.StructField(c, T.StringType()) for c in part_cols]
         )
         pv_rows = [(p, *[pv.get(c) for c in part_cols])
-                   for p, pv in live.items()]
+                   for p, (pv, _dv) in live.items()]
         pv = spark.createDataFrame(pv_rows, pv_schema).select(
             "__path", *[F.col(c).cast(types[c]).alias(c) for c in part_cols]
         )
@@ -228,19 +307,48 @@ def read_delta(
 
     files = [join_path(str(path), p) for p in live]
     df = spark.read.schema(data_schema).parquet(*files)
+    dv_of = {p.rsplit("/", 1)[-1]: dv for p, (_pv, dv) in live.items() if dv}
+    if part_cols or dv_of:
+        # both partition re-attach and DV anti-filter key per-row work by
+        # the data file's basename (Delta basenames embed a GUID — verify
+        # uniqueness rather than assume it); input_file_name() is URL-
+        # encoded, the log keys are decoded — decode JVM-side, with
+        # literal '+' pre-escaped (URLDecoder turns bare '+' into space)
+        if len({p.rsplit("/", 1)[-1] for p in live}) != len(live):
+            raise ValueError(
+                f"{path}: duplicate data-file basenames in the live set — "
+                "cannot key per-file metadata by file name; use the delta "
+                "connector jar for this table"
+            )
+        df = df.withColumn(
+            "__file",
+            F.url_decode(F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\+", "%2B",
+            )),
+        )
+    if dv_of:
+        # deletion vectors: anti-join the scan against the decoded
+        # (file, physical row index) deleted set.  Decode is distributed
+        # (mapInPandas over the descriptors); broadcast when the log's
+        # summed cardinality says the deleted set is small — DVs exist
+        # because deletes are sparse, so this is the common case and the
+        # fact scan never shuffles
+        deleted = _deleted_rows_df(spark, str(path), dv_of)
+        total = sum(int(d.get("cardinality") or 0) for d in dv_of.values())
+        if total <= _DV_BROADCAST_ROWS:
+            deleted = F.broadcast(deleted)
+        df = (
+            df.withColumn("__ridx", F.col("_metadata.row_index"))
+            .join(deleted, ["__file", "__ridx"], "left_anti")
+            .drop("__ridx")
+        )
     if not part_cols:
         return TidyFrame(df.select(*[f.name for f in schema.fields]))
 
     # re-attach partition columns from the log's partitionValues: one
-    # broadcast map of basename -> values joined against the scan (Delta
-    # basenames embed a GUID — verify uniqueness rather than assume it)
-    base_of = {p.rsplit("/", 1)[-1]: pv for p, pv in live.items()}
-    if len(base_of) != len(live):
-        raise ValueError(
-            f"{path}: duplicate data-file basenames in the live set — "
-            "cannot key partition values by file name; use the delta "
-            "connector jar for this table"
-        )
+    # broadcast map of basename -> values joined against the scan
+    base_of = {p.rsplit("/", 1)[-1]: pv for p, (pv, _dv) in live.items()}
     rows = [(b, *[None if pv.get(c) is None else str(pv.get(c))
                   for c in part_cols]) for b, pv in base_of.items()]
     msch = T.StructType(
@@ -252,20 +360,10 @@ def read_delta(
     )
     types = {f.name: f.dataType for f in schema.fields}
     out = (
-        # input_file_name() returns a URL-encoded URI while the mapping
-        # is keyed by the DECODED log path's basename — decode JVM-side
-        # (literal '+' pre-escaped: URLDecoder would turn it into a
-        # space, but in a file URI '+' is itself).  LEFT join + loud
-        # raise_error on a miss: an encoding mismatch must fail the job,
-        # not silently drop every row of the mismatched file.
-        df.withColumn(
-            "__file",
-            F.url_decode(F.regexp_replace(
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-                r"\+", "%2B",
-            )),
-        )
-        .join(F.broadcast(mapping), "__file", "left")
+        # LEFT join + loud raise_error on a miss: a basename/encoding
+        # mismatch must fail the job, not silently drop every row of
+        # the mismatched file.
+        df.join(F.broadcast(mapping), "__file", "left")
         .withColumn(
             "__pv_hit",
             F.when(F.col("__pv_hit").isNull(), F.raise_error(F.concat(

@@ -1,0 +1,236 @@
+"""Delta deletion-vector decoding: Z85, RoaringBitmapArray, DV files.
+
+Reference parity: the reference reads DV-bearing Delta tables through
+DuckDB's delta extension (``/root/reference/src/TidierDB.jl:166-169``).
+This module implements the public formats directly so the jar-free
+reader (:mod:`.delta`) can apply row-level deletes:
+
+- **Z85** (ZeroMQ Base85, https://rfc.zeromq.org/spec/32/): Delta
+  encodes DV file UUIDs and inline DVs with it (PROTOCOL.md
+  "Deletion Vector Descriptor Schema").
+- **RoaringBitmapArray, "portable" serialization** (Delta PROTOCOL.md
+  "Deletion Vector Format" + the public RoaringFormatSpec,
+  https://github.com/RoaringBitmap/RoaringFormatSpec): magic number,
+  a count of 32-bit roaring bitmaps, then each bitmap in the standard
+  32-bit format (array / bitmap / run containers).  A 64-bit row index
+  ``i`` is deleted iff bitmap ``i >> 32`` contains ``i & 0xFFFFFFFF``.
+- **DV file framing** (PROTOCOL.md "Deletion Vector File Storage
+  Format"): version byte 1, then per-DV at ``offset``: 4-byte
+  big-endian length, the serialized bitmap, 4-byte big-endian CRC-32
+  of the bitmap bytes.
+
+Everything raises loudly on malformed input — a silently-misread DV
+returns WRONG ROWS, which is the one thing a lakehouse reader must
+never do.  The independent test encoder lives in
+``tests/roaring_ref.py`` (the repo's codec strategy: decoder here,
+spec-written encoder in the tests, agreement is the evidence).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "z85_decode",
+    "decode_roaring_array",
+    "decode_dv_blob",
+    "dv_file_relpath",
+    "read_dv_from_bytes",
+    "read_file_bytes",
+]
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+_MAGIC = 1681511377  # RoaringBitmapArray portable-format magic
+_SERIAL_COOKIE = 12347  # runs present; container count in upper 16 bits
+_SERIAL_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+def z85_decode(s: str) -> bytes:
+    """ZeroMQ Base85: 5 chars -> 4 bytes big-endian (spec 32/Z85)."""
+    if len(s) % 5:
+        raise ValueError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            try:
+                v = v * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {c!r}") from None
+        if v > 0xFFFFFFFF:
+            raise ValueError(f"Z85 group {s[i:i+5]!r} overflows 32 bits")
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _decode_rb32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """One standard 32-bit RoaringBitmap starting at ``pos``; returns
+    (sorted uint32 values, next position)."""
+    start = pos
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_flags = buf[pos:pos + nbytes]
+        pos += nbytes
+        has_offsets = size >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        run_flags = b"\x00" * ((size + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"roaring bitmap: unknown cookie {cookie}")
+    keys = np.empty(size, dtype=np.uint32)
+    cards = np.empty(size, dtype=np.int64)
+    for i in range(size):
+        k, cm1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys[i], cards[i] = k, cm1 + 1
+    if has_offsets:
+        pos += 4 * size  # offsets are relative to `start`; we read inline
+    parts = []
+    for i in range(size):
+        base = np.uint32(keys[i]) << np.uint32(16)
+        is_run = bool(run_flags[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            vals = []
+            for _ in range(n_runs):
+                s0, ln = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                vals.append(np.arange(s0, s0 + ln + 1, dtype=np.uint32))
+            v = (np.concatenate(vals) if vals
+                 else np.empty(0, dtype=np.uint32))
+        elif cards[i] > 4096:  # bitmap container: 1024 x uint64
+            words = np.frombuffer(buf, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little"
+            )
+            v = np.nonzero(bits)[0].astype(np.uint32)
+            if len(v) != cards[i]:
+                raise ValueError(
+                    f"roaring bitmap container {i}: header cardinality "
+                    f"{cards[i]} != {len(v)} set bits"
+                )
+        else:  # array container
+            v = np.frombuffer(
+                buf, dtype="<u2", count=int(cards[i]), offset=pos
+            ).astype(np.uint32)
+            pos += 2 * int(cards[i])
+        parts.append(base | v)
+    out = (np.concatenate(parts) if parts
+           else np.empty(0, dtype=np.uint32))
+    return out, pos
+
+
+def decode_roaring_array(data: bytes) -> np.ndarray:
+    """RoaringBitmapArray (portable) -> sorted int64 member array."""
+    if len(data) < 12:
+        raise ValueError(f"roaring array blob too short ({len(data)} bytes)")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(
+            f"roaring array: bad magic {magic} (expected {_MAGIC})"
+        )
+    (n,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    parts = []
+    for hi in range(n):
+        vals, pos = _decode_rb32(data, pos)
+        parts.append((np.int64(hi) << np.int64(32))
+                     | vals.astype(np.int64))
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64))
+
+
+def decode_dv_blob(data: bytes, cardinality: int | None = None) -> np.ndarray:
+    """Serialized DV bitmap -> deleted row indexes, with the descriptor's
+    cardinality cross-checked when given (a mismatch means a misread)."""
+    out = decode_roaring_array(data)
+    if cardinality is not None and len(out) != cardinality:
+        raise ValueError(
+            f"deletion vector decoded to {len(out)} rows but the log "
+            f"descriptor says cardinality={cardinality}"
+        )
+    return out
+
+
+def dv_file_relpath(path_or_inline: str) -> str:
+    """storageType 'u': ``<randomPrefix><z85 UUID>`` -> the DV file's
+    path relative to the table root (PROTOCOL.md: the last 20 chars are
+    the Z85 UUID; anything before is an optional random prefix dir)."""
+    if len(path_or_inline) < 20:
+        raise ValueError(
+            f"DV pathOrInlineDv {path_or_inline!r} shorter than a Z85 UUID"
+        )
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    raw = z85_decode(enc)
+    import uuid as _uuid
+
+    u = _uuid.UUID(bytes=raw)
+    name = f"deletion_vector_{u}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
+
+def read_file_bytes(url: str) -> bytes:
+    """Whole-file bytes, EXECUTOR-side (no SparkSession): plain ``open``
+    for local paths / ``file://``, ``pyarrow.fs`` for any other scheme
+    (``s3://``, ``hdfs://``, ``gs://``) — DV sidecars are small (a
+    bitmap of deleted indexes), so a whole-file read is the right unit."""
+    if "://" not in url:
+        with open(url, "rb") as fh:
+            return fh.read()
+    if url.startswith("file://"):
+        with open(url[len("file://"):], "rb") as fh:
+            return fh.read()
+    from pyarrow import fs as pafs
+
+    # s3a:// is Hadoop's spelling of s3:// — pyarrow only knows the latter
+    if url.startswith("s3a://"):
+        url = "s3://" + url[len("s3a://"):]
+    filesystem, path = pafs.FileSystem.from_uri(url)
+    with filesystem.open_input_file(path) as fh:
+        return fh.read()
+
+
+def read_dv_from_bytes(
+    blob: bytes, offset: int, size: int, cardinality: int | None = None
+) -> np.ndarray:
+    """Extract + decode one DV from a DV *file*'s bytes: version byte 1
+    at position 0; at ``offset``: 4-byte BE length (must equal the
+    descriptor's sizeInBytes), data, 4-byte BE CRC-32 of the data."""
+    if not blob or blob[0] != 1:
+        raise ValueError(
+            f"DV file format version {blob[0] if blob else '<empty>'} "
+            "(expected 1)"
+        )
+    (stored_size,) = struct.unpack_from(">i", blob, offset)
+    if stored_size != size:
+        raise ValueError(
+            f"DV at offset {offset}: stored size {stored_size} != "
+            f"descriptor sizeInBytes {size}"
+        )
+    data = blob[offset + 4:offset + 4 + size]
+    if len(data) != size:
+        raise ValueError(f"DV at offset {offset}: file truncated")
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+    actual = zlib.crc32(data) & 0xFFFFFFFF
+    if crc != actual:
+        raise ValueError(
+            f"DV at offset {offset}: CRC-32 mismatch "
+            f"(stored {crc:#x}, computed {actual:#x})"
+        )
+    return decode_dv_blob(data, cardinality)
