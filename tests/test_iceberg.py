@@ -189,7 +189,9 @@ def test_iceberg_moved_table_paths_reroot(spark, tmp_path):
 def test_iceberg_delete_gates_and_db_table_fallback(spark, tmp_path):
     root = str(tmp_path / "tbl")
     meta = _build_table(root, spark)
-    # a v2 DELETE manifest in the list -> refuse loudly
+    # a delete manifest whose entries are NOT position deletes (content=0
+    # data files under a content=1 manifest) -> loud refusal, and
+    # equality deletes gate by name below (test_iceberg_position_deletes)
     from avro_ref import write_container as wc
 
     dl = os.path.join(root, "metadata", "snap-del.avro")
@@ -203,7 +205,7 @@ def test_iceberg_delete_gates_and_db_table_fallback(spark, tmp_path):
         json.dump(meta, fh)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
         fh.write("2")
-    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="expected 1=position deletes"):
         read_iceberg(spark, root)
     # time travel back past the delete snapshot still works
     ok = read_iceberg(spark, root, snapshot_id=2)
@@ -287,3 +289,86 @@ def test_mixed_format_live_set_refused(spark, tmp_path):
         fh.write("1")
     with pytest.raises(NotImplementedError, match="single-format"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_position_deletes(spark, tmp_path):
+    """v2 POSITION deletes: delete files are parquet (file_path, pos)
+    pairs; the named ordinals disappear from the scan, equality deletes
+    still refuse, and a moved table (delete files recording the ORIGINAL
+    absolute data paths) still matches via basenames."""
+    root = str(tmp_path / "orig" / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    rel = f"data/{uuid.uuid4().hex}.parquet"
+    _data_file(spark, [(i, chr(97 + i)) for i in range(8)],
+               os.path.join(root, rel))
+    data_path = f"{root}/{rel}"
+
+    # position delete file: kill ordinals 1, 4, 6 of the data file
+    del_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
+    spark.createDataFrame([(data_path, p) for p in (1, 4, 6)],
+                          "file_path string, pos long") \
+        .coalesce(1).write.parquet(os.path.join(root, del_rel) + ".tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(os.path.join(root, del_rel) + ".tmp/part-*.parquet")[0],
+                os.path.join(root, del_rel))
+    shutil.rmtree(os.path.join(root, del_rel) + ".tmp")
+
+    def manifest(name, content, file_format="PARQUET", fp=None, st=1):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(_MANIFEST_ENTRY, [
+                {"status": st, "data_file": {
+                    "content": content, "file_path": fp,
+                    "file_format": file_format, "record_count": 3}}]))
+        return f"{root}/metadata/{name}"
+
+    m_data = manifest("m-data.avro", 0, fp=data_path)
+    m_del = manifest("m-del.avro", 1, fp=f"{root}/{del_rel}")
+    mlist_p = os.path.join(root, "metadata", "snap-1.avro")
+    with open(mlist_p, "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": m_data, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_del, "manifest_length": 1, "content": 1}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 2, 3, 5, 7]
+
+    # moved table: delete-file file_path values still point at orig/
+    moved = str(tmp_path / "moved" / "tbl")
+    os.makedirs(os.path.dirname(moved), exist_ok=True)
+    shutil.move(root, moved)
+    got2 = read_iceberg(spark, moved).collect().sort_values("id")
+    assert got2["id"].tolist() == [0, 2, 3, 5, 7]
+
+    # equality deletes (content=2) refuse loudly
+    with open(os.path.join(moved, "metadata", "m-del.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_ENTRY, [
+            {"status": 1, "data_file": {
+                "content": 2, "file_path": f"{moved}/{del_rel}",
+                "file_format": "PARQUET", "record_count": 3}}]))
+    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
+        read_iceberg(spark, moved)
+
+    # a DELETED-status delete-file entry stops applying
+    with open(os.path.join(moved, "metadata", "m-del.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_ENTRY, [
+            {"status": 2, "data_file": {
+                "content": 1, "file_path": f"{moved}/{del_rel}",
+                "file_format": "PARQUET", "record_count": 3}}]))
+    assert read_iceberg(spark, moved).df.count() == 8

@@ -20,12 +20,18 @@ Iceberg data files always materialize all columns (partition values are
 hidden metadata used for pruning, not reconstruction), so unlike Delta
 nothing needs re-attaching.
 
+v2 row-level deletes: POSITION delete files (delete manifests whose
+entries carry ``content=1`` parquet files of ``(file_path, pos)``
+pairs) are applied as a distributed ``(file, _metadata.row_index)``
+anti-join against the scan — see :func:`_apply_position_deletes`.
+
 Loud gates (wrong-rows risks refuse, never guess): format version > 2;
-row-level deletes (v2 delete manifests / non-data ``data_file.content``);
-non-parquet/orc data files; current-schema column names missing from
-the files (field-id renames need real field-id resolution — jar
-territory).  ``snapshot_id=`` gives time travel across retained
-snapshots.  Metadata I/O goes through :mod:`.fsio` (any Hadoop scheme).
+EQUALITY deletes (``content=2`` — equality-field-id resolution is jar
+territory); non-parquet/orc (or mixed-format) data files;
+current-schema column names missing from the files (field-id renames
+need real field-id resolution — jar territory).  ``snapshot_id=``
+gives time travel across retained snapshots.  Metadata I/O goes
+through :mod:`.fsio` (any Hadoop scheme).
 
 Avro correctness story: ``avro_lite`` is verified against an
 independently spec-written encoder in the tests plus the Avro spec's
@@ -142,18 +148,16 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
         mlist = read_avro_file(
             spark, _resolve_path(path, snap["manifest-list"])
         )
-        manifests = []
-        for m in mlist:
-            if int(m.get("content") or 0) != 0:
-                raise NotImplementedError(
-                    f"{path}: snapshot {sid} carries a DELETE manifest "
-                    "(v2 row-level deletes) — reading it as plain data "
-                    "files would return deleted rows; use the iceberg "
-                    "connector jar"
-                )
-            manifests.append(m["manifest_path"])
-    else:  # v1 inline manifest list
+        manifests = [m["manifest_path"] for m in mlist
+                     if int(m.get("content") or 0) == 0]
+        # content=1: DELETE manifests (v2 row-level deletes) — their
+        # POSITION delete files are applied below; equality deletes
+        # still gate loudly inside _delete_files
+        delete_manifests = [m["manifest_path"] for m in mlist
+                            if int(m.get("content") or 0) == 1]
+    else:  # v1 inline manifest list (no row-level deletes in v1)
         manifests = list(snap.get("manifests") or [])
+        delete_manifests = []
 
     # live = (added/existing) - DELETED, resolved across ALL of the
     # snapshot's manifests: a compaction-less writer may retain an older
@@ -175,6 +179,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
                 )
             fmts.add(str(df_.get("file_format", "PARQUET")).upper())
             added[fp] = True
+    pos_deletes = _delete_files(spark, path, sid, delete_manifests)
     live = [p for p in added if p not in deleted]
     if not live:
         return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
@@ -196,7 +201,95 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             "files — field-id-based renames need the connector jar's "
             "field-id resolution"
         )
+    if pos_deletes:
+        df = _apply_position_deletes(spark, path, df, live, pos_deletes)
     return TidyFrame(df.select(*want))
+
+
+def _delete_files(spark, path: str, sid, delete_manifests) -> list[tuple]:
+    """Resolve the snapshot's live POSITION delete files: (path,
+    record_count-or-None).  Equality deletes (``content=2``) gate loudly
+    — applying them needs equality-field-id resolution (jar territory);
+    a DELETED-status entry removes its delete file from consideration,
+    same rule as data files."""
+    added, removed = {}, set()
+    for mp in delete_manifests:
+        for entry in read_avro_file(spark, _resolve_path(path, mp)):
+            df_ = entry["data_file"]
+            fp = _resolve_path(path, df_["file_path"])
+            if int(entry.get("status") or 0) == 2:  # DELETED
+                removed.add(fp)
+                continue
+            content = int(df_.get("content") or 0)
+            if content == 2:
+                raise NotImplementedError(
+                    f"{path}: snapshot {sid} carries EQUALITY delete file "
+                    f"{df_['file_path']} — resolving equality field ids "
+                    "needs the iceberg connector jar; position deletes "
+                    "are supported"
+                )
+            if content != 1:
+                raise ValueError(
+                    f"{path}: delete manifest {mp} lists a data_file with "
+                    f"content={content} (expected 1=position deletes)"
+                )
+            fmt = str(df_.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"{path}: position delete file format {fmt} — parquet "
+                    "only"
+                )
+            added[fp] = df_.get("record_count")
+    return [(p, n) for p, n in added.items() if p not in removed]
+
+
+def _apply_position_deletes(spark, path, df, live, pos_deletes):
+    """Anti-join the data scan against the (file, pos) pairs in the
+    snapshot's position delete files (spec: a delete file row deletes
+    the row at ordinal ``pos`` of the data file named ``file_path``).
+
+    Keys are data-file BASENAMES (uuid-named, uniqueness verified) so
+    moved tables — where the delete files still record the ORIGINAL
+    absolute paths — match; ``pos`` is the physical ordinal, which is
+    exactly Spark's ``_metadata.row_index``.  The delete side is a
+    distributed parquet read (never driver-resident); it broadcasts
+    when the manifests' record counts say it is small, else AQE picks
+    the strategy at runtime."""
+    from pyspark.sql import functions as F
+
+    base_live = {p.rsplit("/", 1)[-1] for p in live}
+    if len(base_live) != len(set(live)):
+        raise ValueError(
+            f"{path}: duplicate data-file basenames in the live set — "
+            "cannot key position deletes by file name; use the iceberg "
+            "connector jar for this table"
+        )
+    dels = (
+        spark.read.parquet(*sorted(p for p, _ in pos_deletes))
+        .select(
+            F.element_at(F.split(F.col("file_path"), "/"), -1)
+            .alias("__file"),
+            F.col("pos").cast("long").alias("__ridx"),
+        )
+    )
+    counts = [n for _, n in pos_deletes]
+    if all(n is not None for n in counts) and sum(counts) <= 4_000_000:
+        dels = F.broadcast(dels)
+    return (
+        df.withColumn(
+            "__file",
+            # input_file_name() is URL-encoded; delete files record the
+            # writer's raw path string — decode the scan side (literal
+            # '+' pre-escaped: URLDecoder reads bare '+' as a space)
+            F.url_decode(F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\+", "%2B",
+            )),
+        )
+        .withColumn("__ridx", F.col("_metadata.row_index"))
+        .join(dels, ["__file", "__ridx"], "left_anti")
+        .drop("__file", "__ridx")
+    )
 
 
 def _current_schema(meta: dict) -> dict:
