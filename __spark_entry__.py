@@ -4056,6 +4056,231 @@ def _w54(t):
 _BUILDERS["w54_iceberg_roundtrip"] = _w54
 
 
+def _w55(t):
+    """Delta DELETION VECTORS roundtrip, jar-free (sources/dvectors.py +
+    sources/delta.py — reference reads DV tables via DuckDB's delta
+    extension, /root/reference/src/TidierDB.jl:166-169): w53's
+    update-commit fixture plus a third commit that re-adds two files
+    with DVs built by the independently spec-written encoder in
+    tests/roaring_ref.py — the en file's deleted positions in a
+    'u'-storage roaring sidecar (random prefix, CRC framing), the fr
+    file's inline ('i', Z85).  Files are written SORTED by doc_id so
+    the deleted physical positions are expressible as a SQL predicate;
+    a hash match therefore proves Z85, roaring decode, DV framing,
+    cardinality cross-check and the row-index anti-join are all exact.
+    The 300-row collect is the bounded fixture-build action (the w50
+    convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from roaring_ref import (  # independent spec-written encoder
+        encode_roaring_array, write_dv_file, z85_encode,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w55_delta_dv_") + "/tbl"
+    src = t["documents"].filter("doc_id < 300").select("doc_id", "text", "lang")
+    full_schema = src.df.schema.json()
+    pdf = src.collect().sort_values("doc_id")
+
+    def write_file(rows, rel):
+        dest = os.path.join(root, rel)
+        tmp = dest + ".tmpdir"
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(tmp)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+
+    def add(p, lang, dv=None):
+        a = {"path": p, "partitionValues": {"lang": lang}, "size": 1,
+             "modificationTime": 1, "dataChange": True}
+        if dv is not None:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    adds0, en_file, fr_file = [], None, None
+    for lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        rel = f"lang={lang}/" + _uuid.uuid4().hex + ".parquet"
+        write_file(list(grp[["doc_id", "text"]].itertuples(index=False,
+                                                           name=None)), rel)
+        adds0.append(add(rel, lang))
+        if lang == "en":
+            en_file = rel
+        if lang == "fr":
+            fr_file = rel
+    en_cut = pdf[(pdf["lang"] == "en") & (pdf["doc_id"] < 150)] \
+        .sort_values("doc_id")
+    rel1 = "lang=en/" + _uuid.uuid4().hex + ".parquet"
+    write_file(list(en_cut[["doc_id", "text"]].itertuples(index=False,
+                                                          name=None)), rel1)
+
+    # deleted PHYSICAL positions from the sorted frames — the oracle
+    # re-states them as doc_id predicates
+    en_pos = [i for i, d in enumerate(en_cut["doc_id"]) if d % 7 == 3]
+    fr_ids = (pdf[pdf["lang"] == "fr"].sort_values("doc_id")["doc_id"]
+              if fr_file else [])
+    fr_pos = [i for i, d in enumerate(fr_ids) if d % 5 == 1]
+
+    acts2 = []
+    if en_pos:
+        bm = encode_roaring_array(en_pos)
+        u = _uuid.uuid4()
+        blob, offs = write_dv_file([bm])
+        os.makedirs(os.path.join(root, "dv"), exist_ok=True)
+        with open(os.path.join(root, "dv", f"deletion_vector_{u}.bin"),
+                  "wb") as fh:
+            fh.write(blob)
+        acts2 += [{"remove": {"path": rel1, "dataChange": False}},
+                  add(rel1, "en", {"storageType": "u",
+                                   "pathOrInlineDv": "dv" + z85_encode(u.bytes),
+                                   "offset": offs[0],
+                                   "sizeInBytes": len(bm),
+                                   "cardinality": len(en_pos)})]
+    if fr_pos:
+        bm = encode_roaring_array(fr_pos, force_run=True)
+        pad = (-len(bm)) % 4
+        acts2 += [{"remove": {"path": fr_file, "dataChange": False}},
+                  add(fr_file, "fr", {"storageType": "i",
+                                      "pathOrInlineDv":
+                                          z85_encode(bm + b"\x00" * pad),
+                                      "sizeInBytes": len(bm),
+                                      "cardinality": len(fr_pos)})]
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    acts0 = [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                           "readerFeatures": ["deletionVectors"],
+                           "writerFeatures": ["deletionVectors"]}},
+             {"metaData": {"id": str(_uuid.uuid4()),
+                           "format": {"provider": "parquet"},
+                           "schemaString": full_schema,
+                           "partitionColumns": ["lang"],
+                           "configuration": {}}}] + adds0
+    acts1 = [{"remove": {"path": en_file, "dataChange": True}},
+             add(rel1, "en")]
+    for v, acts in ((0, acts0), (1, acts1), (2, acts2)):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    return db_table(spark, root, delta=True).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w55_delta_dv_roundtrip"] = _w55
+
+
+def _w56(t):
+    """Iceberg v2 POSITION DELETES roundtrip, jar-free (sources/
+    iceberg.py — reference scans Iceberg via DuckDB's iceberg_scan,
+    /root/reference/src/TidierDB.jl:161-165): one sorted data file plus
+    a delete manifest (content=1) whose parquet delete file names the
+    physical ordinals of every doc_id % 9 == 4 row.  A hash match
+    proves delete-manifest routing, the (file, pos) anti-join and
+    moved-path basename matching are exact.  The 300-row collect is the
+    bounded fixture-build action (the w50 convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from avro_ref import write_container
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w56_iceberg_pd_") + "/tbl"
+    os.makedirs(os.path.join(root, "metadata"))
+    pdf = (t["documents"].filter("doc_id < 300")
+           .select("doc_id", "text", "lang").collect()
+           .sort_values("doc_id"))
+
+    def write_pq(df_rows, schema, rel):
+        dest = os.path.join(root, rel)
+        spark.createDataFrame(df_rows, schema).coalesce(1) \
+            .write.parquet(dest + ".tmpdir")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(dest + ".tmpdir/part-*.parquet")[0], dest)
+        shutil.rmtree(dest + ".tmpdir")
+        return f"{root}/{rel}"
+
+    data_path = write_pq(
+        list(pdf[["doc_id", "text", "lang"]]
+             .itertuples(index=False, name=None)),
+        "doc_id long, text string, lang string",
+        f"data/{_uuid.uuid4().hex}.parquet")
+    pos = [i for i, d in enumerate(pdf["doc_id"]) if d % 9 == 4]
+    del_path = write_pq([(data_path, p) for p in pos],
+                        "file_path string, pos long",
+                        f"data/{_uuid.uuid4().hex}-deletes.parquet")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"}]}}]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"}]}
+
+    def manifest(name, content, fp, n):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, [
+                {"status": 1, "data_file": {
+                    "content": content, "file_path": fp,
+                    "file_format": "PARQUET", "record_count": n}}],
+                codec="deflate"))
+        return f"{root}/metadata/{name}"
+
+    m_data = manifest("m-data.avro", 0, data_path, len(pdf))
+    m_del = manifest("m-del.avro", 1, del_path, len(pos))
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(mlist_schema, [
+            {"manifest_path": m_data, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_del, "manifest_length": 1, "content": 1}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(_uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "text", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    return db_table(spark, root, iceberg=True).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w56_iceberg_posdelete"] = _w56
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -4381,7 +4606,8 @@ def _m43(t):
     metadata (m44, r7), statistical-package ingest (w52, r7), the
     persistent text near-dup state replay (d46, r8), the persistent
     embedding near-dup state replay (d47, r8), the jar-free Delta
-    log-replay snapshot (w53, r9) — plus the
+    log-replay snapshot with deletion vectors (w55, r10 — subsumes
+    w53's update-commit coverage) — plus the
     web-pipeline end-to-end legs (``_w51_web_e2e_legs``: WARC ->
     main-content -> dedup-with-planted-dups -> sequence packing).  Shared
     schema (op, id1, id2, s, num); each round-6 leg is individually
@@ -4451,8 +4677,10 @@ def _m43(t):
                 s=nls, num="CAST(dup_of AS DOUBLE)")
         .select(*cols)
     )
-    dlt = (  # (r9) jar-free Delta log replay: snapshot after an UPDATE
-        _w53(t)
+    dlt = (  # (r10) jar-free Delta log replay WITH deletion vectors —
+        # w55 subsumes w53's update-commit coverage (same v0/v1 prefix)
+        # and adds the DV anti-join on top
+        _w55(t)
         .mutate(op="'delta'", id1="doc_id", id2=nlb,
                 s="concat(lang, ':', text)", num=nld)
         .select(*cols)
@@ -7286,6 +7514,21 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id < 300 AND NOT (doc_id >= 150 AND doc_id < 200)
     """
+    # w55: w53's post-update relation minus the DV'd physical rows —
+    # files are written sorted by doc_id, so position predicates are
+    # doc_id predicates
+    out["w55_delta_dv_roundtrip"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 300 AND (lang != 'en' OR doc_id < 150)
+          AND NOT (lang = 'en' AND doc_id % 7 = 3 AND doc_id < 150)
+          AND NOT (lang = 'fr' AND doc_id % 5 = 1)
+    """
+    out["w56_iceberg_posdelete"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 300 AND doc_id % 9 != 4
+    """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
     out["d47_embdedup_state"] = _EMBDEDUP_SQL
@@ -7398,6 +7641,6 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'delta', z.doc_id, CAST(NULL AS BIGINT),
                concat(z.lang, ':', z.text), CAST(NULL AS DOUBLE)
-        FROM ({out["w53_delta_roundtrip"]}) z
+        FROM ({out["w55_delta_dv_roundtrip"]}) z
     """
     return out

@@ -372,3 +372,47 @@ def test_iceberg_position_deletes(spark, tmp_path):
                 "content": 1, "file_path": f"{moved}/{del_rel}",
                 "file_format": "PARQUET", "record_count": 3}}]))
     assert read_iceberg(spark, moved).df.count() == 8
+
+
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """An all-ORC live set routes through spark.read.orc and returns the
+    same relation (the reader's format gate is single-format, not
+    parquet-only)."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    rel = f"data/{uuid.uuid4().hex}.orc"
+    dest = os.path.join(root, rel)
+    spark.createDataFrame([(i, chr(97 + i)) for i in range(5)],
+                          "id long, val string").coalesce(1) \
+        .write.orc(dest + ".tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(dest + ".tmp/part-*.orc")[0], dest)
+    shutil.rmtree(dest + ".tmp")
+    with open(os.path.join(root, "metadata", "m1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_ENTRY, [
+            {"status": 1, "data_file": {
+                "content": 0, "file_path": f"{root}/{rel}",
+                "file_format": "ORC", "record_count": 5}}]))
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": f"{root}/metadata/m1.avro",
+             "manifest_length": 1, "content": 0}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got[["id", "val"]].values.tolist() == [
+        [i, chr(97 + i)] for i in range(5)]

@@ -116,6 +116,8 @@ ORACLE_QUERIES = [
     "d49_corpus_stats_state",# persistent corpus-stats exact report (r9)
     "w53_delta_roundtrip",  # jar-free Delta log replay (r9)
     "w54_iceberg_roundtrip",# jar-free Iceberg metadata traversal (r9)
+    "w55_delta_dv_roundtrip",   # Delta deletion vectors (r10)
+    "w56_iceberg_posdelete",    # Iceberg v2 position deletes (r10)
 ]
 
 
