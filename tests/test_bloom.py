@@ -132,9 +132,17 @@ def test_broadcast_mode_matches_literal_exactly(tables, seen):
     docs = tables["documents"]
     lit = bloom_mark(docs, "cast(doc_id as string)", bf, mode="literal")
     brd = bloom_mark(docs, "cast(doc_id as string)", bf, mode="broadcast")
+    wjn = bloom_mark(docs, "cast(doc_id as string)", bf, mode="wordjoin")
     a = lit.df.select("doc_id", "bloom_hit").toPandas().sort_values("doc_id")
     b = brd.df.select("doc_id", "bloom_hit").toPandas().sort_values("doc_id")
-    assert a.values.tolist() == b.values.tolist()
+    c = wjn.df.select("doc_id", "bloom_hit").toPandas().sort_values("doc_id")
+    assert a.values.tolist() == b.values.tolist() == c.values.tolist()
+    # wordjoin is pure JVM: no Python stage, k broadcast joins, original
+    # columns restored
+    qe = wjn.df._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" not in qe and "BatchEvalPython" not in qe
+    assert qe.count("BroadcastHashJoin") == bf["k"]
+    assert wjn.df.columns == docs.df.columns + ["bloom_hit"]
     with pytest.raises(ValueError, match="mode"):
         bloom_mark(docs, "cast(doc_id as string)", bf, mode="huge")
 

@@ -37,6 +37,12 @@ the filter a first-class user artifact:
   (torrent broadcast) instead of riding inside every serialized task's
   plan — at 10⁹ keys / 1% FPR that is a ~150 MB broadcast vs an
   unusable 300 MB plan literal.  Still zero shuffle, zero state I/O.
+  MEASURED r10 (BENCH_DEDUPSTATE.md): ~16M rows/s marginal, flat in
+  ``m`` — the Python stage does NOT dominate (the r9 verdict's open
+  question); a pure-JVM ``wordjoin`` alternative (k BroadcastHashJoins
+  on the word index) has ~1.6× lower marginal cost but a fixed
+  k-broadcast setup that only amortizes past ~3×10⁸ probe rows — kept
+  as an explicit mode.
 
 The reference has no bloom surface; this is a beyond-reference scale op
 (SURVEY "LLM-pipeline" family).  Design follows the classic Bloom (1970)
@@ -264,26 +270,103 @@ def _probe_broadcast(sdf, kc, bloom: dict, into: str):
     return sdf.withColumn(into, _probe(pos_arr))
 
 
+def _probe_wordjoin(sdf, kc, bloom: dict, into: str):
+    """JVM-only probe: the bitmap becomes a broadcast (word_index, word)
+    relation — 16 bytes per NON-ZERO 64-bit word, built vectorized — and
+    each of the k probes is one BroadcastHashJoin fetching its word,
+    followed by a codegen bit test.  Zero shuffle of the probe side,
+    zero Python in the row path.
+
+    Measured (r10, BENCH_DEDUPSTATE.md): marginal cost ~35 ns/row vs the
+    Arrow UDF probe's ~57 ns/row, but the k un-reused broadcasts cost a
+    FIXED ~6 s at m=2^27 — so this mode only wins for probes past
+    ~3×10⁸ rows per query, and at near-optimal fill the word relation
+    is ~2× the nibble bitmap shipped k times (vs once for the UDF
+    broadcast).  Hence it is an explicit mode, not the auto default.
+
+    A missing word index (word == 0, pruned from the relation) coalesces
+    to 0 → bit test false → definitive miss, which is exactly what an
+    all-zero word means.  Answers are bit-identical to the literal and
+    broadcast-UDF modes (same ``_positions`` hashes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nib = _nib_values(bloom["bits"]).astype(np.uint64)
+    words = np.zeros(bloom["m"] // 64, dtype=np.uint64)
+    for j in range(16):
+        words |= nib[j::16] << np.uint64(4 * j)
+    nz = np.nonzero(words)[0]
+    wdf = sdf.sparkSession.createDataFrame(pd.DataFrame({
+        "__bloom_w": nz.astype(np.int64),
+        "__bloom_word": words[nz].view(np.int64),
+    }))
+
+    out = sdf
+    tests = []
+    for i, p in enumerate(_positions(kc, bloom["m"], bloom["k"])):
+        wcol = f"__bw{i}"
+        # identical broadcast subtree every round -> ONE BroadcastExchange
+        # shipped per executor, k ReusedExchange consumers (verified in
+        # the plan test): the word relation travels once, not k times
+        rhs = wdf.alias(f"__bwrel{i}")
+        out = (
+            out.withColumn(wcol, (p / 64).cast("long"))
+            .join(
+                F.broadcast(rhs),
+                F.col(wcol) == F.col(f"__bwrel{i}.__bloom_w"),
+                "left",
+            )
+            .withColumn(
+                f"__bword{i}",
+                F.coalesce(F.col(f"__bwrel{i}.__bloom_word"),
+                           F.lit(0).cast("long")),
+            )
+            .drop(F.col(f"__bwrel{i}.__bloom_w"))
+            .drop(F.col(f"__bwrel{i}.__bloom_word"))
+        )
+        bit = F.call_function(
+            "shiftright", F.col(f"__bword{i}"), (p % 64).cast("int")
+        ).bitwiseAND(1)
+        tests.append(bit == 1)
+    cond = kc.isNotNull()
+    for t in tests:
+        cond = cond & t
+    helper = [c for i in range(bloom["k"]) for c in (f"__bw{i}", f"__bword{i}")]
+    return out.withColumn(into, cond).drop(*helper)
+
+
 def bloom_mark(tf, key, bloom: dict, into: str = "bloom_hit", mode: str = "auto"):
     """Append a boolean column: might the key be in the filter?  False is
     definitive (no false negatives); True is probabilistic at the filter's
     FPR.  Zero shuffle — a scan-side projection.
 
     ``mode``: "literal" embeds the bitmap in the plan (pure JVM,
-    whole-stage codegen — the fast path for filters ≤ 2^26 bits);
-    "broadcast" ships it as a spark broadcast probed by one Arrow-batched
-    UDF (the 10⁸-10⁹-key path — a plan literal that size is unusable);
-    "auto" (default) picks by ``m`` against the 2^26-bit cap.  Both modes
-    probe the identical positions — answers are bit-for-bit the same."""
+    whole-stage codegen, zero fixed cost — right for small filters and
+    small probe counts); "broadcast" ships the nibble bitmap ONCE as a
+    spark broadcast probed by one Arrow-batched pandas UDF — measured
+    (r10, BENCH_DEDUPSTATE.md) ~16M rows/s marginal FLAT in ``m``,
+    which beats the literal probe's chunk walk even at 10⁶ bits and is
+    the auto big-``m`` path; "wordjoin" ships the non-zero 64-bit words
+    as a broadcast relation probed by k BroadcastHashJoins — pure JVM,
+    lower marginal cost (~35 vs ~57 ns/row) but a fixed k-broadcast
+    setup that only amortizes past ~3×10⁸ probe rows per query.
+    "auto" (default) picks literal vs broadcast by ``m`` against the
+    2^26-bit cap.  All modes probe the identical positions — answers
+    are bit-for-bit the same."""
     from ..core import TidyFrame
 
     sdf = tf.df if hasattr(tf, "df") else tf
     kc = F.expr(key) if isinstance(key, str) else key
-    if mode not in ("auto", "literal", "broadcast"):
-        raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+    if mode not in ("auto", "literal", "broadcast", "wordjoin"):
+        raise ValueError(
+            f"mode must be auto|literal|broadcast|wordjoin, got {mode!r}"
+        )
     if mode == "auto":
         mode = "literal" if bloom["m"] <= _MAX_BITS_DEFAULT else "broadcast"
-    if mode == "broadcast":
+    if mode == "wordjoin":
+        out = _probe_wordjoin(sdf, kc, bloom, into)
+    elif mode == "broadcast":
         out = _probe_broadcast(sdf, kc, bloom, into)
     else:
         if bloom["m"] > _MAX_BITS_DEFAULT:
