@@ -280,3 +280,78 @@ def test_retrain_grows_cells_and_preserves_exactness(spark, tables, tmp_path):
             "query_id", "vec_id").collect()
     }
     assert len(pruned & brute) / len(brute) >= 0.8
+
+
+def test_drift_stat_triggers_retrain_and_recovers(spark, tables, tmp_path):
+    """The r10 retrain trigger: stats()['drift'] — the EWMA of per-add
+    mean distance-to-assigned-centroid relative to the training epoch's
+    own value, maintained O(1) per add from the same job as the append —
+    stays ~0 for on-distribution ingest, crosses DRIFT_RETRAIN_THRESHOLD
+    under a drifted stream, and resets to ~0 after retrain() while the
+    drifted queries' pruned recall recovers.
+
+    Synthetic fixture (deterministic, no RNG): 8 tight clusters on axes
+    0-7 of a 16-dim space (sin-based jitter, loose enough that the
+    in-sample/out-of-sample fit gap stays inside the noise band); the
+    drifted stream
+    lives on axes 8-15, which the batch-0 centroids never saw — the
+    unambiguous version of the sf1 drift bench's component-reversal."""
+    from tidierdb_jl_spark.llm.vectorindex import DRIFT_RETRAIN_THRESHOLD
+
+    def clustered(lo, hi, axis_off, id_off=0):
+        return tables["embeddings"].df.sparkSession.range(lo, hi).selectExpr(
+            f"id + {id_off} AS vec_id",
+            "transform(sequence(0, 15), j -> "
+            f" CAST(IF(j = {axis_off} + id % 8, 1.0,"
+            "       0.25 * sin(CAST(id * (j + 3) AS DOUBLE))) AS DOUBLE)"
+            ") AS embedding",
+        )
+
+    from tidierdb_jl_spark.core import TidyFrame
+
+    ix = VectorIndexState.create(spark, str(tmp_path / "ix"), nlist=8)
+    ix.add(TidyFrame(clustered(0, 400, 0)))
+    s0 = ix.stats()
+    assert s0["baseline_dist"] is not None and abs(s0["drift"]) < 1e-9
+
+    # same-distribution adds hold the stat inside the measured noise band
+    ix.add(TidyFrame(clustered(400, 700, 0)))
+    assert abs(ix.stats()["drift"]) < DRIFT_RETRAIN_THRESHOLD / 2
+
+    # drifted stream: clusters on axes 8-15 under fresh ids
+    crossed = []
+    for lo in (0, 200, 400):
+        ix.add(TidyFrame(clustered(lo, lo + 200, 8, id_off=1_000_000)))
+        crossed.append(ix.stats()["drift"])
+    assert crossed[0] > DRIFT_RETRAIN_THRESHOLD, (
+        f"drift should cross on the FIRST drifted add: {crossed}")
+
+    # drifted queries against the stale centroids: record pruned recall
+    q_drift = TidyFrame(clustered(0, 40, 8, id_off=1_000_000))
+
+    def pruned_recall(nprobe=2, k=10):
+        exact = {}
+        for r in ix.query(q_drift, k=k, nprobe=10**9).df.select(
+                "query_id", "vec_id").collect():
+            exact.setdefault(r[0], set()).add(r[1])
+        got = {}
+        for r in ix.query(q_drift, k=k, nprobe=nprobe).df.select(
+                "query_id", "vec_id").collect():
+            got.setdefault(r[0], set()).add(r[1])
+        return sum(len(got.get(q, set()) & exact[q]) / max(1, len(exact[q]))
+                   for q in exact) / len(exact)
+
+    before = pruned_recall()
+    # grow nlist with the corpus (the documented retrain guidance): the
+    # merged corpus now spans 16 cluster directions
+    ix.retrain(nlist=16)
+    s2 = ix.stats()
+    assert abs(s2["drift"]) < 1e-9  # baseline reset to the new epoch
+    after = pruned_recall()
+    assert after >= before - 1e-9 and after >= 0.5, (before, after)
+    # and the stat keeps working post-retrain: the formerly-drifted
+    # distribution is now ON-distribution (the new centroids trained on
+    # the full corpus including it), so another drifted-axes add reads
+    # below the trigger
+    ix.add(TidyFrame(clustered(600, 800, 8, id_off=1_000_000)))
+    assert ix.stats()["drift"] < DRIFT_RETRAIN_THRESHOLD

@@ -69,6 +69,46 @@ from .simsearch import _make_assign_udf, _to_double, _train_centroids_sample
 _UNIT = "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
+# EWMA weight for the per-add mean distance-to-assigned-centroid: recent
+# batches dominate (a drifting stream shows within ~1/0.3 batches) while
+# one noisy batch cannot flip the stat
+_DRIFT_ALPHA = 0.3
+# measured advisory threshold (BENCH_VECTORINDEX.md r10, sf1 fixture):
+# on-distribution ingest holds drift within ±~0.05; the first fully
+# drifted add already reads +0.134 with pruned recall down 0.86 → 0.39 —
+# so the trigger sits just above the noise band, not at the damage level
+DRIFT_RETRAIN_THRESHOLD = 0.10
+
+
+def _make_assign_sim_udf(centroids):
+    """argmax-cosine assignment PLUS its similarity — struct(cell, sim) —
+    so the drift stat rides the same Arrow batch as the assignment (one
+    matmul, no second pass)."""
+    import numpy as np
+    import pandas
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(v: pandas.Series) -> pandas.DataFrame:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        best = np.argmax(sims, axis=1)
+        return pandas.DataFrame({
+            "cell": best.astype(np.int32),
+            "sim": sims[np.arange(len(best)), best],
+        })
+
+    assign.__annotations__ = {"v": pandas.Series, "return": pandas.DataFrame}
+    return F.pandas_udf(
+        T.StructType([
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("sim", T.DoubleType()),
+        ])
+    )(assign)
+
 
 class VectorIndexState:
     """Persistent IVF index: ``create`` → ``add`` batches → ``query``."""
@@ -120,12 +160,25 @@ class VectorIndexState:
 
     def stats(self) -> dict:
         c = self._meta["centroids"]
+        base = self._meta.get("baseline_dist")
+        ewma = self._meta.get("drift_ewma")
+        drift = None
+        if base is not None and ewma is not None:
+            # relative rise of the (EWMA) mean distance-to-assigned-
+            # centroid over its value at the current centroids' training
+            # epoch: ~0 on-distribution, grows as the add stream drifts.
+            # Advisory trigger: retrain() past DRIFT_RETRAIN_THRESHOLD
+            # (measured curves in BENCH_VECTORINDEX.md r10)
+            drift = round(ewma / max(base, 1e-12) - 1.0, 6)
         return {
             "n_vecs": self._meta["n_vecs"],
             "n_appends": self._meta["n_appends"],
             "nlist": self._meta["nlist"],
             "n_cells": len(c) if c else 0,
             "dim": self._meta["dim"],
+            "baseline_dist": base,
+            "mean_dist_ewma": ewma,
+            "drift": drift,
         }
 
     def _vecs_path(self) -> str:
@@ -192,7 +245,7 @@ class VectorIndexState:
             # centroids (duplicates, not corruption — compact() rewrites
             # them out).  Counters still update after the append.
             self._write_meta()
-        assign = _make_assign_udf(meta["centroids"], 1)
+        assign = _make_assign_sim_udf(meta["centroids"])
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -200,17 +253,37 @@ class VectorIndexState:
             nvec.select(
                 F.col("__id").alias("vec_id"),
                 F.col("__u").alias("unit"),
-                assign(F.col("__u"))[0].alias("cell"),
+                assign(F.col("__u")).alias("__as"),
             )
+            .select("vec_id", "unit", F.col("__as.cell").alias("cell"),
+                    (F.lit(1.0) - F.col("__as.sim")).alias("__d"))
             .repartition(len(meta["centroids"]), "cell")
             .sortWithinPartitions("cell", "vec_id")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.avg("__d").alias("mean_dist"))
+            .drop("__d")
             .write.partitionBy("cell")
             .mode("append")
             .parquet(self._vecs_path())
         )
-        meta["n_vecs"] += int(obs.get["n"])
+        got = obs.get
+        meta["n_vecs"] += int(got["n"])
         meta["n_appends"] += 1
+        # drift bookkeeping, O(1) per add: the batch's mean distance-to-
+        # assigned-centroid (observed in the SAME job as the write — no
+        # extra pass) folds into an EWMA compared against the distance
+        # the training epoch itself achieved.  First add IS the training
+        # distribution, so it seeds the baseline.
+        d = float(got["mean_dist"]) if got["mean_dist"] is not None else None
+        if d is not None:
+            if first_add or meta.get("baseline_dist") is None:
+                meta["baseline_dist"] = d
+                meta["drift_ewma"] = d
+            else:
+                meta["drift_ewma"] = (
+                    _DRIFT_ALPHA * d
+                    + (1.0 - _DRIFT_ALPHA) * meta["drift_ewma"]
+                )
         self._write_meta()
         return self.stats()
 
@@ -446,14 +519,21 @@ class VectorIndexState:
         centroids = _train_centroids_sample(
             cvec, nlist, refine_iters, sample_cap
         )
-        assign = _make_assign_udf(centroids, 1)
+        assign = _make_assign_sim_udf(centroids)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         dst = self._next_layout_dir()
         (
             vecs.select(
-                "vec_id", "unit", assign(F.col("unit"))[0].alias("cell")
+                "vec_id", "unit", assign(F.col("unit")).alias("__as")
             )
+            .select("vec_id", "unit", F.col("__as.cell").alias("cell"),
+                    (F.lit(1.0) - F.col("__as.sim")).alias("__d"))
             .repartition(len(centroids), "cell")
             .sortWithinPartitions("cell", "vec_id")
+            .observe(obs, F.avg("__d").alias("mean_dist"))
+            .drop("__d")
             .write.partitionBy("cell")
             .mode("overwrite")
             .parquet(join_path(self.path, dst))
@@ -461,5 +541,13 @@ class VectorIndexState:
         old = self._vecs_path()
         meta["centroids"] = centroids
         meta["nlist"] = nlist
+        # new training epoch: the full-corpus mean distance under the NEW
+        # centroids (observed in the rewrite job) is the new baseline,
+        # and the EWMA resets to it — drift reads ~0 until the stream
+        # wanders off THIS distribution
+        got = obs.get
+        if got["mean_dist"] is not None:
+            meta["baseline_dist"] = float(got["mean_dist"])
+            meta["drift_ewma"] = float(got["mean_dist"])
         self._commit_layout(dst, old)
         return self.stats()

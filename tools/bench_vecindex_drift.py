@@ -69,6 +69,8 @@ def main() -> None:
         spark, os.path.join(root, "ix"), nlist=args.nlist
     )
     ix.add(first)
+    print(f"drift stat after first (training) add: "
+          f"{ix.stats()['drift']:+.3f}")
 
     q_nat = emb.filter(f"vec_id < {args.queries}")
     q_drift = drifted.filter(f"vec_id < 1000000 + {args.queries}")
@@ -134,6 +136,8 @@ def main() -> None:
         )
         ix.add(batch)
         lo = n_add
+        print(f"drift stat after drifted add #{i + 1}: "
+              f"{ix.stats()['drift']:+.3f} (threshold 0.15)")
         tag = f"{(ix.stats()['n_vecs']) // args.first}x"
         measure(f"{tag} natural-q", q_nat)
         measure(f"{tag} drift-q", q_drift)
@@ -143,7 +147,9 @@ def main() -> None:
     t0 = time.perf_counter()
     ix.retrain(nlist=new_nlist)
     dt = time.perf_counter() - t0
-    print(f"\nretrain(nlist={new_nlist}) over {n} vectors: {dt:.2f}s\n")
+    print(f"\nretrain(nlist={new_nlist}) over {n} vectors: {dt:.2f}s")
+    print(f"drift stat after retrain (baseline reset): "
+          f"{ix.stats()['drift']:+.3f}\n")
     print(
         "| stage | n_vecs | cells | max-cell imb | nprobe | recall@10 "
         "| scored/query (frac) | query s |"
