@@ -236,3 +236,55 @@ def test_writer_lock_breaks_stale_and_file_scheme(spark, tmp_path):
         assert body["holder"] == "new"
         assert "reclaimed stale lock" in body["note"]
         assert "dead" in body["note"]
+
+
+def test_writer_lock_heartbeat_renews_lease(spark, tmp_path):
+    """r10 lease renewal: a LIVE holder's heartbeat keeps the lock fresh
+    past stale_s (no self-eviction, takeover refused), while a CRASHED
+    holder — heartbeats stopped — goes stale one stale_s after the last
+    beat and is reclaimed.  This is what lets stale_s default to 5 min
+    instead of covering the longest possible job."""
+    import json
+    import shutil
+    import time
+
+    import pytest
+
+    from tidierdb_jl_spark.sources.fsio import read_text, writer_lock
+
+    path = "file://" + str(tmp_path / "st")
+    lock_file = str(tmp_path / "st" / "_writer.lock")
+
+    # live holder: held LONGER than stale_s, heartbeats refresh the ts —
+    # a second writer is still refused (age is measured from the beat)
+    with writer_lock(spark, path, holder="live",
+                     stale_s=0.9, heartbeat_s=0.2) as lock:
+        t0 = json.loads(read_text(spark, lock))["ts"]
+        time.sleep(1.2)  # > stale_s, several heartbeats in
+        t1 = json.loads(read_text(spark, lock))["ts"]
+        assert t1 > t0, "heartbeat must rewrite the lock ts"
+        assert json.loads(read_text(spark, lock))["note"] == "heartbeat"
+        with pytest.raises(RuntimeError, match="already held by live"):
+            with writer_lock(spark, path, holder="second",
+                             stale_s=0.9, heartbeat_s=0.2):
+                pass
+        shutil.copy(lock_file, str(tmp_path / "crashed"))
+    # release cleans up
+    assert not (tmp_path / "st" / "_writer.lock").exists()
+
+    # crashed holder: plant its last-heartbeat lock, wait > stale_s with
+    # NO renewal -> takeover succeeds with the reclaim note
+    shutil.copy(str(tmp_path / "crashed"), lock_file)
+    time.sleep(1.0)
+    with writer_lock(spark, path, holder="taker",
+                     stale_s=0.9, heartbeat_s=0.2) as lock:
+        body = json.loads(read_text(spark, lock))
+        assert body["holder"] == "taker"
+        assert "reclaimed stale lock" in body["note"]
+        assert "since last heartbeat" in body["note"]
+    # heartbeat_s=0 disables renewal (legacy behavior)
+    with writer_lock(spark, path, holder="legacy",
+                     stale_s=3600, heartbeat_s=0) as lock:
+        b0 = json.loads(read_text(spark, lock))
+        time.sleep(0.3)
+        assert json.loads(read_text(spark, lock))["ts"] == b0["ts"]

@@ -152,7 +152,7 @@ def swap_dir(spark, src: str, tmp: str) -> None:
 
 
 def writer_lock(spark, state_path: str, holder: str | None = None,
-                stale_s: float = 3600.0):
+                stale_s: float = 300.0, heartbeat_s: float = 60.0):
     """Advisory single-writer lock for a state directory — a context
     manager::
 
@@ -165,15 +165,30 @@ def writer_lock(spark, state_path: str, holder: str | None = None,
     clean ``already held`` error), check-then-create on S3-style object
     stores (a narrow race window remains — hence ADVISORY; the state
     family's correctness contract is still single-writer-by-orchestration
-    and the lock is a guard rail, not a fence).  A lock older than
-    ``stale_s`` is presumed abandoned by a crashed writer and is broken
-    with a loud reclaim note in the new lock's body.  The lock is
-    released on exit, including on error."""
+    and the lock is a guard rail, not a fence).
+
+    LEASE RENEWAL (r10): while held, a daemon thread re-writes the lock
+    body with a fresh ``ts`` every ``heartbeat_s`` — the overwrite of a
+    file we already own, safe on every scheme.  Staleness is therefore
+    judged against the last HEARTBEAT, not the acquisition, which lets
+    ``stale_s`` default to 5 minutes instead of the old 1 hour: a live
+    writer running a week-long ingest keeps its lock (heartbeats keep
+    the ts fresh), while a crashed writer's lock goes stale one
+    ``stale_s`` after its last heartbeat.  A stale lock is broken with a
+    loud reclaim note in the new lock's body.  ``heartbeat_s`` must be
+    comfortably below ``stale_s`` (a 5x margin is enforced loosely: a
+    heartbeat that cannot keep up risks self-eviction only if the
+    holder also stops writing — renewal failures surface as a warning,
+    not silent loss).  ``heartbeat_s=0`` disables renewal (the r9
+    behavior — then set ``stale_s`` to cover your longest job).  The
+    lock is released on exit, including on error."""
     import contextlib
     import getpass
     import json as _json
     import socket
+    import threading
     import time as _time
+    import warnings as _warnings
 
     @contextlib.contextmanager
     def _ctx():
@@ -182,20 +197,21 @@ def writer_lock(spark, state_path: str, holder: str | None = None,
         hlock = spark._jvm.org.apache.hadoop.fs.Path(lock)
         who = holder or f"{getpass.getuser()}@{socket.gethostname()}"
 
-        def _try_create(note: str = "") -> bool:
+        def _write_body(overwrite: bool, note: str = "") -> bool:
             try:
-                stream = fs.create(hlock, False)  # overwrite=False
+                stream = fs.create(hlock, overwrite)
             except Exception:  # noqa: BLE001 — FileAlreadyExists et al.
                 return False
             try:
                 stream.write(bytearray(_json.dumps(
-                    {"holder": who, "ts": _time.time(), "note": note}
+                    {"holder": who, "ts": _time.time(), "note": note,
+                     "heartbeat_s": heartbeat_s}
                 ).encode("utf-8")))
             finally:
                 stream.close()
             return True
 
-        if not _try_create():
+        if not _write_body(False):
             try:
                 prev = _json.loads(read_text(spark, lock))
             except Exception:  # noqa: BLE001 — torn/foreign lock file
@@ -204,20 +220,46 @@ def writer_lock(spark, state_path: str, holder: str | None = None,
             if age <= stale_s:
                 raise RuntimeError(
                     f"writer lock on {state_path} already held by "
-                    f"{prev.get('holder', '<unknown>')} ({age:.0f}s old, "
-                    f"stale after {stale_s:.0f}s); the state family is "
-                    "single-writer — wait, or break the lock by deleting "
-                    "_writer.lock if the holder is known dead"
+                    f"{prev.get('holder', '<unknown>')} (last heartbeat "
+                    f"{age:.0f}s ago, stale after {stale_s:.0f}s); the "
+                    "state family is single-writer — wait, or break the "
+                    "lock by deleting _writer.lock if the holder is "
+                    "known dead"
                 )
             fs_delete(spark, lock, recursive=False)
-            if not _try_create(note=f"reclaimed stale lock "
-                                    f"({prev.get('holder', '?')}, {age:.0f}s)"):
+            if not _write_body(False,
+                               note=f"reclaimed stale lock "
+                                    f"({prev.get('holder', '?')}, "
+                                    f"{age:.0f}s since last heartbeat)"):
                 raise RuntimeError(
                     f"writer lock on {state_path}: lost the reclaim race"
                 )
+
+        stop = threading.Event()
+
+        def _renew() -> None:
+            while not stop.wait(heartbeat_s):
+                try:
+                    _write_body(True, note="heartbeat")
+                except Exception as exc:  # noqa: BLE001 — keep holding
+                    _warnings.warn(
+                        f"writer lock heartbeat on {state_path} failed "
+                        f"({type(exc).__name__}); the lock may be "
+                        f"reclaimed as stale after {stale_s:.0f}s",
+                        stacklevel=2,
+                    )
+
+        hb = None
+        if heartbeat_s and heartbeat_s > 0:
+            hb = threading.Thread(target=_renew, daemon=True,
+                                  name="writer-lock-heartbeat")
+            hb.start()
         try:
             yield lock
         finally:
+            stop.set()
+            if hb is not None:
+                hb.join(timeout=5.0)
             fs_delete(spark, lock, recursive=False)
 
     return _ctx()
