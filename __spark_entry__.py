@@ -5155,7 +5155,17 @@ def oracle_sql() -> dict[str, str]:
               FROM t),
         hb AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 12) tbl(b)),
         hc AS (SELECT least(nw // 10, 11) AS b, count(*) AS n
-               FROM s GROUP BY 1)
+               FROM s GROUP BY 1),
+        qq AS (  -- quantile_disc needs constant fractions in DuckDB
+          SELECT 25 AS p, CAST(quantile_disc(nw, 0.25) AS BIGINT) AS qd FROM s
+          UNION ALL
+          SELECT 50, CAST(quantile_disc(nw, 0.50) AS BIGINT) FROM s
+          UNION ALL
+          SELECT 75, CAST(quantile_disc(nw, 0.75) AS BIGINT) FROM s
+          UNION ALL
+          SELECT 90, CAST(quantile_disc(nw, 0.90) AS BIGINT) FROM s
+          UNION ALL
+          SELECT 99, CAST(quantile_disc(nw, 0.99) AS BIGINT) FROM s)
         SELECT 'total' AS kind, 'docs' AS key, CAST(count(*) AS BIGINT) AS n FROM s
         UNION ALL
         SELECT 'total', 'tokens', CAST(coalesce(sum(nw), 0) AS BIGINT) FROM s
@@ -5172,6 +5182,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST((hb.b + 1) * 10 AS VARCHAR) || ')' END,
                CAST(coalesce(hc.n, 0) AS BIGINT)
         FROM hb LEFT JOIN hc ON hb.b = hc.b
+        UNION ALL
+        -- r10 quantile-sketch legs: the sketch's estimate is EXACTLY the
+        -- HdrHistogram quantization Q of the true quantile_disc order
+        -- statistic (Q is monotone), so the oracle recomputes
+        -- Q(quantile_disc(nw, p)) with the same integer-only bit ops
+        SELECT 'quantile', 'p' || CAST(p AS VARCHAR),
+               CASE WHEN qd <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE (qd >> greatest(length(bin(qd)) - 1 - 7, 0))
+                         << greatest(length(bin(qd)) - 1 - 7, 0) END
+        FROM qq
     """
     out["e53_time_rollup"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,

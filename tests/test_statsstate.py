@@ -170,3 +170,66 @@ def test_stream_ingest_exactly_once_under_crash(spark, tables, tmp_path):
         str(tmp_path / "ck2"), trigger="availableNow",
     ).awaitTermination(120)
     assert st.stats()["n_docs"] == n_before["n_docs"]  # all ids <= 5 skipped
+
+
+def test_quantile_sketch_guarantee_and_merge(spark, tables, tmp_path, ddb):
+    """r10 quantile sketch: (a) every estimate equals Q(exact order
+    statistic) — the monotone-quantization identity, checked against an
+    independent numpy recompute; (b) the one-sided band 0 <= true - est
+    <= true * 2**-q_bits holds vs BOTH quantile_disc and DuckDB's
+    interpolating quantile_cont (within one quantization step of the
+    straddling order stats); (c) shard-built states merge to exactly the
+    single-build sketch (additive contract); (d) geometry mismatch
+    refuses."""
+    import math
+
+    import numpy as np
+
+    st = CorpusStatsState.create(spark, str(tmp_path / "st"))
+    for lo, hi in ((0, 200), (200, 500)):
+        st.ingest(_docs(tables, lo, hi))
+    got = {r["q"]: r["est"]
+           for r in st.quantiles((0.25, 0.5, 0.75, 0.9, 0.99)).df.collect()}
+
+    pdf = _docs(tables, 0, 500).collect()
+    nw = np.array([len(t.strip().lower().split()) if t and t.strip() else 0
+                   for t in pdf["text"]])
+    nw.sort()
+    bits = st._meta["q_bits"]
+
+    def quantize(v):
+        if v <= 0:
+            return 0
+        s = max(0, int(v).bit_length() - 1 - bits)
+        return (int(v) >> s) << s
+
+    for q, est in got.items():
+        true_disc = int(nw[max(1, math.ceil(q * len(nw))) - 1])
+        assert est == quantize(true_disc), (q, est, true_disc)
+        assert 0 <= true_disc - est <= true_disc * 2 ** -bits + 1e-9
+        # vs DuckDB quantile_cont: within the band plus one quantization
+        # step of the straddling order statistics
+        cont = ddb.execute(
+            "SELECT quantile_cont(CASE WHEN text IS NULL OR trim(text) = '' "
+            "THEN 0 ELSE len(string_split_regex(lower(trim(text)), '\\s+')) "
+            f"END, {q}) FROM documents WHERE doc_id < 500"
+        ).fetchone()[0]
+        hi_stat = int(nw[min(len(nw) - 1, max(1, math.ceil(q * len(nw))))])
+        assert est <= cont + 1e-9 <= hi_stat + 1e-9, (q, est, cont, hi_stat)
+        assert cont - est <= cont * 2 ** -bits + (hi_stat - true_disc) + 1e-9
+
+    # (c) shard merge == single build
+    a = CorpusStatsState.create(spark, str(tmp_path / "a"))
+    a.ingest(_docs(tables, 0, 250))
+    b = CorpusStatsState.create(spark, str(tmp_path / "b"))
+    b.ingest(_docs(tables, 250, 500))
+    a.merge_from(b)
+    assert a._meta["q_counts"] == st._meta["q_counts"]
+    got_merged = {r["q"]: r["est"] for r in a.quantiles().df.collect()}
+    assert got_merged == {r["q"]: r["est"] for r in st.quantiles().df.collect()}
+
+    # (d) geometry gate
+    c = CorpusStatsState.create(spark, str(tmp_path / "c"), quantile_bits=5)
+    c.ingest(_docs(tables, 0, 10))
+    with pytest.raises(ValueError, match="q_bits"):
+        a.merge_from(c)

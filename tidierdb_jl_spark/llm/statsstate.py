@@ -14,6 +14,21 @@ per ingested batch:
   ``hist_buckets``, last bucket open).  These live in the meta file and
   are bit-exact — the driver row replays them against a declarative SQL
   oracle.
+- **Mergeable length-quantile sketch** (r10): an HdrHistogram-style
+  quantized counting sketch over per-document token counts — each count
+  keeps its top ``quantile_bits + 1`` significant bits (``Q(v) =
+  (v >> s) << s`` with ``s = max(0, bit_length(v) - 1 - quantile_bits)``,
+  pure integer ops, deterministic across engines).  Because ``Q`` is
+  monotone, the sketch's rank-``r`` value is EXACTLY ``Q`` of the true
+  rank-``r`` order statistic, so every quantile estimate carries the
+  one-sided guarantee ``0 <= true - est <= true * 2**-quantile_bits``
+  (< 0.8% at the default 7 bits) — the same shape as the MG undercount
+  bound: never over, boundedly under.  Bucket counts are plain sums, so
+  shard-built sketches merge exactly (``merge_from``), and the whole
+  sketch is O(bit_length x 2^bits) integers in the meta file.  The d49
+  driver row hash-compares the estimates against DuckDB recomputing
+  ``Q(quantile_disc(...))`` declaratively — deterministic, not banded,
+  because the quantization IS the sketch.
 - **Bounded token sketch**: a Misra-Gries summary of the corpus token
   stream (capacity ``ceil(2/threshold_frac)``), built per batch with the
   shuffle-free ``operators.heavyhitters`` partition pass and merged into
@@ -71,6 +86,22 @@ __all__ = ["CorpusStatsState"]
 
 _META = "_corpus_stats_state.json"
 
+# the default report() quantiles (d49 driver row legs)
+_REPORT_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _quantize_sql(col: str, bits: int) -> str:
+    """``Q(v)``: keep the top ``bits + 1`` significant bits of a
+    non-negative integer — the HdrHistogram quantization.  Pure integer
+    ops (``bit_length`` via ``length(bin(v))``), so Spark and DuckDB
+    compute it IDENTICALLY; monotone, so order statistics commute with
+    it; one-sided: ``0 <= v - Q(v) <= v * 2**-bits``."""
+    s = f"greatest(length(bin({col})) - 1 - {bits}, 0)"
+    return (
+        f"CASE WHEN {col} <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE shiftleft(shiftright(CAST({col} AS BIGINT), {s}), {s}) END"
+    )
+
 # driver-side sketch merges are bounded by capacity, never by data; a
 # capacity this size is ~100 MB of driver dict — refuse louder asks
 _MAX_CAPACITY = 2_000_000
@@ -105,6 +136,7 @@ class CorpusStatsState:
         hist_width: int = 10,
         hist_buckets: int = 12,
         max_keys: int = 10_000,
+        quantile_bits: int = 7,
     ) -> "CorpusStatsState":
         path = str(path)
         if fs_exists(spark, join_path(path, _META)):
@@ -122,6 +154,8 @@ class CorpusStatsState:
             )
         if hist_width < 1 or hist_buckets < 2:
             raise ValueError("hist_width >= 1 and hist_buckets >= 2 required")
+        if not (1 <= quantile_bits <= 16):
+            raise ValueError("quantile_bits must be in [1, 16]")
         meta = {
             "threshold_frac": float(threshold_frac),
             "capacity": int(capacity),
@@ -135,6 +169,8 @@ class CorpusStatsState:
             "lang": {},
             "source": {},
             "hist": [0] * int(hist_buckets),
+            "q_bits": int(quantile_bits),
+            "q_counts": {},  # quantized token-count -> doc count
             "sketch_epoch": 0,  # 0 = no sketch written yet
             "last_stream_batch": -1,
         }
@@ -241,6 +277,18 @@ class CorpusStatsState:
         lang_counts = _key_counts("__lang", "lang") if lang_col else {}
         src_counts = _key_counts("__src", "source") if source_col else {}
 
+        # quantile sketch: quantized token-count histogram, one tiny
+        # group-by over the already-checkpointed base frame (states
+        # created before r10 have no q_bits and skip this)
+        q_counts = {}
+        if m.get("q_bits") is not None:
+            q_counts = {
+                int(r[0]): int(r[1])
+                for r in base.groupBy(
+                    F.expr(_quantize_sql("__nw", m["q_bits"])).alias("__q")
+                ).count().collect()
+            }
+
         # token sketch: explode is narrow (no shuffle); the MG pass runs
         # at scan parallelism with O(capacity) memory per partition
         tok_df = df.select(
@@ -278,6 +326,8 @@ class CorpusStatsState:
             nm["lang"][k] = nm["lang"].get(k, 0) + n
         for k, n in src_counts.items():
             nm["source"][k] = nm["source"].get(k, 0) + n
+        for k, n in q_counts.items():
+            nm["q_counts"][str(k)] = nm["q_counts"].get(str(k), 0) + n
         nm["sketch_epoch"] = new_epoch
         if _stream_batch is not None:
             nm["last_stream_batch"] = int(_stream_batch)
@@ -337,9 +387,55 @@ class CorpusStatsState:
             )
             for i in range(nb)
         ]
+        if m.get("q_bits") is not None and m["n_docs"]:
+            rows += [
+                ("quantile", f"p{round(q * 100)}", est)
+                for q, est in self._quantile_values(_REPORT_QS)
+            ]
         return TidyFrame(
             self.spark.createDataFrame(rows, "kind string, key string, n long")
         )
+
+    def _quantile_values(self, qs) -> list[tuple[float, int]]:
+        m = self._meta
+        counts = sorted((int(k), v) for k, v in m.get("q_counts", {}).items())
+        n = sum(v for _, v in counts)
+        out = []
+        for q in qs:
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"quantile {q} outside [0, 1]")
+            rank = max(1, math.ceil(q * n))  # = DuckDB quantile_disc
+            cum = 0
+            est = counts[-1][0] if counts else 0
+            for v, c in counts:
+                cum += c
+                if cum >= rank:
+                    est = v
+                    break
+            out.append((q, est))
+        return out
+
+    def quantiles(self, qs=_REPORT_QS) -> TidyFrame:
+        """Token-count quantile estimates from the mergeable quantized
+        sketch: ``(q, est)`` with the ONE-SIDED guarantee ``0 <= true -
+        est <= true * 2**-q_bits`` against the exact ``quantile_disc``
+        order statistic (``Q`` is monotone, so the sketch's rank-r value
+        IS ``Q`` of the true rank-r value — module docstring).  Against
+        the interpolating ``quantile_cont`` the same band applies
+        whenever both straddling order statistics share a bucket; at a
+        bucket boundary the extra slack is at most the gap between
+        them."""
+        m = self._meta
+        if m.get("q_bits") is None:
+            raise ValueError(
+                "this state predates the quantile sketch — re-create it"
+            )
+        if not m["n_docs"]:
+            raise ValueError("empty state — ingest first")
+        return TidyFrame(self.spark.createDataFrame(
+            [(float(q), int(est)) for q, est in self._quantile_values(qs)],
+            "q double, est long",
+        ))
 
     def heavy_hitters(self, threshold_frac: float | None = None) -> TidyFrame:
         """Token count intervals from the stored sketch: ``(token, mg,
@@ -382,11 +478,12 @@ class CorpusStatsState:
         PODS'12 rule, so the undercount bound stays
         ``combined_N/(c+1)``.  Geometries must match."""
         m, om = self._meta, other._meta
-        for k in ("capacity", "hist_width", "hist_buckets"):
-            if m[k] != om[k]:
+        for k in ("capacity", "hist_width", "hist_buckets", "q_bits"):
+            if m.get(k) != om.get(k):
                 raise ValueError(
-                    f"geometry mismatch on {k}: {m[k]} != {om[k]} — stats "
-                    "states merge only with identical create-time geometry"
+                    f"geometry mismatch on {k}: {m.get(k)} != {om.get(k)} — "
+                    "stats states merge only with identical create-time "
+                    "geometry"
                 )
         merged = self._read_sketch()
         for t, n in other._read_sketch().items():
@@ -404,6 +501,8 @@ class CorpusStatsState:
         for src, dst in ((om["lang"], nm["lang"]), (om["source"], nm["source"])):
             for k, n in src.items():
                 dst[k] = dst.get(k, 0) + n
+        for k, n in om.get("q_counts", {}).items():
+            nm["q_counts"][k] = nm["q_counts"].get(k, 0) + n
         if len(nm["lang"]) > nm["max_keys"] or len(nm["source"]) > nm["max_keys"]:
             raise ValueError(
                 "merged key cardinality exceeds max_keys — per-key counts "
