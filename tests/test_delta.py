@@ -159,12 +159,12 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
     _write_parquet(spark, [(1,)], "id long", os.path.join(root, f0))
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["columnMapping"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
         _meta(schema.json()),
         {"add": {"path": f0, "partitionValues": {}, "size": 1,
                  "modificationTime": 1, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, root)
     # non-delta dir: clean error
     with pytest.raises(ValueError, match="not a Delta table"):
@@ -373,3 +373,98 @@ def test_deletion_vector_integrity_gates(spark, tmp_path):
         fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
     with pytest.raises(Exception, match="cardinality"):
         read_delta(spark, root2).collect()
+
+
+# ---- column mapping (round 10) ----------------------------------------
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """PROTOCOL.md column mapping: data files + partitionValues use
+    PHYSICAL names (col-<uuid>), the schemaString's per-field metadata
+    carries the logical->physical map, and the reader returns LOGICAL
+    columns.  Composes with partition re-attach, partition_filter and
+    time travel; malformed (missing physicalName) and nested-mapped
+    tables refuse loudly."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "tbl")
+    p_id, p_val, p_lang = "col-aa11", "col-bb22", "col-cc33"
+    fields = [
+        ("id", "long", p_id), ("val", "string", p_val),
+        ("lang", "string", p_lang),
+    ]
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": pn}}
+            for i, (n, t, pn) in enumerate(fields)
+        ],
+    })
+    f_en = "part0/" + uuid.uuid4().hex + ".parquet"
+    f_fr = "part1/" + uuid.uuid4().hex + ".parquet"
+    phys_ddl = f"`{p_id}` long, `{p_val}` string"
+    _write_parquet(spark, [(1, "a"), (2, "b")], phys_ddl,
+                   os.path.join(root, f_en))
+    _write_parquet(spark, [(3, "c")], phys_ddl, os.path.join(root, f_fr))
+
+    def add(p, lang):
+        return {"add": {"path": p, "partitionValues": {p_lang: lang},
+                        "size": 1, "modificationTime": 1, "dataChange": True}}
+
+    meta = {"metaData": {
+        "id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+        "schemaString": schema_json, "partitionColumns": ["lang"],
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"}}}
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta, add(f_en, "en"), add(f_fr, "fr")])
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert list(got.columns) == ["id", "val", "lang"]
+    assert got.values.tolist() == [[1, "a", "en"], [2, "b", "en"],
+                                   [3, "c", "fr"]]
+    only_fr = read_delta(spark, root, partition_filter="lang = 'fr'")
+    assert only_fr.collect()["id"].tolist() == [3]
+    # time travel composes (v1 removes the fr file)
+    _commit(root, 1, [{"remove": {"path": f_fr, "dataChange": True}}])
+    assert read_delta(spark, root).df.count() == 2
+    assert read_delta(spark, root, version=0).df.count() == 3
+
+    # malformed: a field without physicalName metadata
+    bad = json.loads(schema_json)
+    del bad["fields"][1]["metadata"]["delta.columnMapping.physicalName"]
+    meta2 = json.loads(json.dumps(meta))
+    meta2["metaData"]["schemaString"] = json.dumps(bad)
+    root2 = str(tmp_path / "bad")
+    _write_parquet(spark, [(1, "a")], f"`{p_id}` long, `{p_val}` string",
+                   os.path.join(root2, "f.parquet"))
+    _commit(root2, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta2, {"add": {"path": "f.parquet", "partitionValues": {},
+                        "size": 1, "modificationTime": 1,
+                        "dataChange": True}}])
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta(spark, root2)
+
+    # nested mapped struct -> loud NotImplementedError
+    nested = json.loads(schema_json)
+    nested["fields"][1] = {
+        "name": "val", "nullable": True,
+        "type": {"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-x"}}]},
+        "metadata": {"delta.columnMapping.id": 2,
+                     "delta.columnMapping.physicalName": p_val}}
+    meta3 = json.loads(json.dumps(meta))
+    meta3["metaData"]["schemaString"] = json.dumps(nested)
+    root3 = str(tmp_path / "nested")
+    _write_parquet(spark, [(1,)], f"`{p_id}` long",
+                   os.path.join(root3, "f.parquet"))
+    _commit(root3, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta3, {"add": {"path": "f.parquet", "partitionValues": {},
+                        "size": 1, "modificationTime": 1,
+                        "dataChange": True}}])
+    with pytest.raises(NotImplementedError, match="nested-struct"):
+        read_delta(spark, root3)

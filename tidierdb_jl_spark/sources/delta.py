@@ -40,13 +40,19 @@ against the scan, broadcast when the log's summed ``cardinality`` says
 the deleted set is small (it almost always is — DVs exist precisely
 because deletes are sparse relative to the file).
 
-Protocol gate (loud, not silent): ``minReaderVersion`` 1 is fully
-supported; 2 requires column mapping (unsupported); 3 is supported only
-when ``readerFeatures`` need nothing beyond ``timestampNtz`` /
-``deletionVectors`` — ``columnMapping`` / ``v2Checkpoint`` change
-column resolution or checkpoint layout and MUST fail rather than
-return wrong rows.  Writing Delta is out of scope (the reference is
-also read-only here).
+Column mapping (r10): ``name``/``id``-mode tables resolve physical
+column names from the schemaString's per-field
+``delta.columnMapping.physicalName`` metadata (both modes write it and
+the parquet files use those names) — the scan reads physical, the
+caller sees logical; nested mapped structs gate loudly (inner-field
+renames need recursive schema surgery — jar territory).
+
+Protocol gate (loud, not silent): ``minReaderVersion`` 1-2 fully
+supported; 3 is supported when ``readerFeatures`` need nothing beyond
+``timestampNtz`` / ``deletionVectors`` / ``columnMapping`` — an
+unknown feature could change row visibility or file layout and MUST
+fail rather than return wrong rows (``v2Checkpoint`` remains gated).
+Writing Delta is out of scope (the reference is also read-only here).
 """
 
 from __future__ import annotations
@@ -63,8 +69,11 @@ __all__ = ["read_delta"]
 
 _LOG = "_delta_log"
 # reader features this module implements or that do not change what a
-# parquet scan of the live files (minus their DVs) returns
-_SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# parquet scan of the live files (minus their DVs) returns.
+# columnMapping (r10): physical->logical renames resolved from the
+# schemaString's per-field delta.columnMapping.physicalName metadata —
+# flat schemas only, nested mapped structs gate loudly in read_delta
+_SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 # broadcast the deleted-row set below this many rows (log-declared
 # cardinality sum — known BEFORE any decode); above it, a shuffle
 # anti-join is the honest plan
@@ -93,18 +102,19 @@ def _gate_protocol(proto: dict, path: str) -> None:
     r = int(proto.get("minReaderVersion", 1))
     feats = set(proto.get("readerFeatures") or [])
     unsupported = feats - _SAFE_READER_FEATURES
-    if r <= 1:
+    if r <= 2:
+        # 2 = column mapping, resolved from the schema metadata below
         return
     if r == 3 and not unsupported:
         return
     raise NotImplementedError(
         f"Delta table at {path} requires reader version {r}"
         + (f" with features {sorted(unsupported)}" if unsupported else "")
-        + " — this jar-free reader supports version 1 (and 3 with only "
-        f"{sorted(_SAFE_READER_FEATURES)}); columnMapping/v2Checkpoint "
-        "change column resolution or checkpoint layout and would return "
-        "WRONG rows if ignored.  Add the delta-spark connector jar for "
-        "full protocol support"
+        + " — this jar-free reader supports versions 1-2 (and 3 with only "
+        f"{sorted(_SAFE_READER_FEATURES)}); an unknown feature could "
+        "change row visibility or file layout and would return WRONG "
+        "rows if ignored.  Add the delta-spark connector jar for full "
+        "protocol support"
     )
 
 
@@ -196,6 +206,56 @@ def _snapshot(spark, path: str, version: int | None):
     return live, meta, target
 
 
+def _physical_names(meta: dict, schema, path: str) -> dict[str, str]:
+    """logical -> physical column names (PROTOCOL.md Column Mapping).
+
+    Mode ``none``: identity.  Modes ``name``/``id``: every field carries
+    ``delta.columnMapping.physicalName`` metadata in the schemaString
+    (both modes write it; parquet files use those names, so resolving by
+    physicalName serves id-mode tables too).  Nested mapped STRUCTS need
+    recursive schema surgery to rename inner fields — gated loudly;
+    flat columns (incl. arrays/maps of primitives, whose elements are
+    not renamed) are the supported shape."""
+    from pyspark.sql import types as T
+
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in (None, "", "none"):
+        return {f.name: f.name for f in schema.fields}
+    if mode not in ("name", "id"):
+        raise NotImplementedError(
+            f"{path}: delta.columnMapping.mode={mode!r} — name/id only"
+        )
+
+    def _has_struct(t) -> bool:
+        if isinstance(t, T.StructType):
+            return True
+        if isinstance(t, T.ArrayType):
+            return _has_struct(t.elementType)
+        if isinstance(t, T.MapType):
+            return _has_struct(t.keyType) or _has_struct(t.valueType)
+        return False
+
+    out = {}
+    for f in schema.fields:
+        if _has_struct(f.dataType):
+            raise NotImplementedError(
+                f"{path}: column mapping on nested-struct column "
+                f"{f.name!r} — inner-field renames need the delta "
+                "connector jar"
+            )
+        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not pn:
+            raise ValueError(
+                f"{path}: columnMapping mode={mode} but field {f.name!r} "
+                "has no delta.columnMapping.physicalName metadata — "
+                "malformed table"
+            )
+        out[f.name] = pn
+    return out
+
+
 def _deleted_rows_df(spark, root: str, dv_of: dict[str, dict]):
     """(``__file``, ``__ridx``) DataFrame of every deleted physical row,
     decoded EXECUTOR-side: the driver only ships the descriptors (one
@@ -282,8 +342,13 @@ def read_delta(
     live, meta, _ = _snapshot(spark, str(path), version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType([f for f in schema.fields
-                                if f.name not in part_cols])
+    # column mapping: data files and partitionValues use PHYSICAL names;
+    # the caller sees logical ones (identity map when mode is none)
+    phys = _physical_names(meta, schema, path)
+    data_schema = T.StructType([
+        T.StructField(phys[f.name], f.dataType, f.nullable)
+        for f in schema.fields if f.name not in part_cols
+    ])
     if partition_filter is not None:
         if not part_cols:
             raise ValueError(
@@ -294,7 +359,7 @@ def read_delta(
             [T.StructField("__path", T.StringType())]
             + [T.StructField(c, T.StringType()) for c in part_cols]
         )
-        pv_rows = [(p, *[pv.get(c) for c in part_cols])
+        pv_rows = [(p, *[pv.get(phys[c]) for c in part_cols])
                    for p, (pv, _dv) in live.items()]
         pv = spark.createDataFrame(pv_rows, pv_schema).select(
             "__path", *[F.col(c).cast(types[c]).alias(c) for c in part_cols]
@@ -344,12 +409,14 @@ def read_delta(
             .drop("__ridx")
         )
     if not part_cols:
-        return TidyFrame(df.select(*[f.name for f in schema.fields]))
+        return TidyFrame(df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        ))
 
     # re-attach partition columns from the log's partitionValues: one
     # broadcast map of basename -> values joined against the scan
     base_of = {p.rsplit("/", 1)[-1]: pv for p, (pv, _dv) in live.items()}
-    rows = [(b, *[None if pv.get(c) is None else str(pv.get(c))
+    rows = [(b, *[None if pv.get(phys[c]) is None else str(pv.get(phys[c]))
                   for c in part_cols]) for b, pv in base_of.items()]
     msch = T.StructType(
         [T.StructField("__file", T.StringType())]
@@ -376,7 +443,7 @@ def read_delta(
         .where(F.col("__pv_hit"))
         .select(
             *[
-                F.col(f.name) if f.name not in part_cols
+                F.col(phys[f.name]).alias(f.name) if f.name not in part_cols
                 else F.col(f"__pv_{f.name}").cast(types[f.name]).alias(f.name)
                 for f in schema.fields
             ]
