@@ -468,3 +468,66 @@ def test_column_mapping_name_mode(spark, tmp_path):
                         "dataChange": True}}])
     with pytest.raises(NotImplementedError, match="nested-struct"):
         read_delta(spark, root3)
+
+
+def test_deletion_vectors_survive_checkpoint(spark, tmp_path):
+    """DVs ride checkpoints in real tables: rebuild the DV table's state
+    as a checkpoint parquet (add rows WITH deletionVector structs),
+    truncate the JSON prefix, and the snapshot must reconstruct with the
+    deletes still applied."""
+    root = str(tmp_path / "tbl")
+    _build_dv_table(spark, root)
+    log = os.path.join(root, "_delta_log")
+
+    # replay the JSON log in-test to get the final adds + descriptors
+    live, meta_act, proto = {}, None, None
+    for v in (0, 1):
+        for line in open(os.path.join(log, f"{v:020d}.json")):
+            act = json.loads(line)
+            if "metaData" in act:
+                meta_act = act["metaData"]
+            if "protocol" in act:
+                proto = act["protocol"]
+            if "add" in act:
+                live[act["add"]["path"]] = act["add"]
+            if "remove" in act:
+                live.pop(act["remove"]["path"], None)
+
+    ck_schema = (
+        "add struct<path:string, partitionValues:map<string,string>, "
+        "size:long, modificationTime:long, dataChange:boolean, "
+        "deletionVector:struct<storageType:string, pathOrInlineDv:string, "
+        "offset:int, sizeInBytes:int, cardinality:long>>, "
+        "remove struct<path:string>, "
+        "metaData struct<id:string, schemaString:string, "
+        "partitionColumns:array<string>, "
+        "configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int, minWriterVersion:int, "
+        "readerFeatures:array<string>>"
+    )
+
+    def dv_tuple(a):
+        dv = a.get("deletionVector")
+        if not dv:
+            return None
+        return (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
+                dv["sizeInBytes"], dv["cardinality"])
+
+    rows = [((a["path"], a["partitionValues"], 1, 1, True, dv_tuple(a)),
+             None, None, None) for a in live.values()]
+    rows.append((None, None,
+                 (meta_act["id"], meta_act["schemaString"],
+                  meta_act["partitionColumns"],
+                  meta_act.get("configuration") or {}), None))
+    rows.append((None, None, None,
+                 (proto["minReaderVersion"], proto["minWriterVersion"],
+                  proto.get("readerFeatures"))))
+    _write_parquet(spark, rows, ck_schema,
+                   os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 2, 5, 6, 7, 8, 9, 11, 12, 13, 14]
