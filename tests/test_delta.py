@@ -159,12 +159,12 @@ def test_protocol_gate_refuses_unsupported_features(spark, tmp_path):
     _write_parquet(spark, [(1,)], "id long", os.path.join(root, f0))
     _commit(root, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
         _meta(schema.json()),
         {"add": {"path": f0, "partitionValues": {}, "size": 1,
                  "modificationTime": 1, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, root)
     # non-delta dir: clean error
     with pytest.raises(ValueError, match="not a Delta table"):
@@ -531,3 +531,128 @@ def test_deletion_vectors_survive_checkpoint(spark, tmp_path):
 
     got = read_delta(spark, root).collect().sort_values("id")
     assert got["id"].tolist() == [0, 2, 5, 6, 7, 8, 9, 11, 12, 13, 14]
+
+
+def test_v2_checkpoint_manifest_and_sidecars(spark, tmp_path):
+    """V2 checkpoints: a uuid-named manifest (json AND parquet variants)
+    carrying protocol/metaData + sidecar actions, with the add/remove
+    bulk in _delta_log/_sidecars/ parquet files, replays to the same
+    snapshot as the JSON log it replaces; when classic and V2 coexist,
+    exactly one is read (no double-fold)."""
+    from pyspark.sql import types as T
+
+    for manifest_kind in ("json", "parquet"):
+        root = str(tmp_path / f"tbl_{manifest_kind}")
+        _build_partitioned(spark, root)  # commits 0,1; live ids 1-5
+        want = read_delta(spark, root).collect().sort_values("id")
+
+        # state at v1, rebuilt as a v2 checkpoint
+        log = os.path.join(root, "_delta_log")
+        live = {}
+        metad = None
+        for v in (0, 1):
+            for line in open(os.path.join(log, f"{v:020d}.json")):
+                act = json.loads(line)
+                if "metaData" in act:
+                    metad = act["metaData"]
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                if "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+        adds = list(live.values())
+
+        # two sidecars splitting the adds
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        sc_schema = ("add struct<path:string, "
+                     "partitionValues:map<string,string>, size:long, "
+                     "modificationTime:long, dataChange:boolean>, "
+                     "remove struct<path:string>")
+        sc_names = []
+        for i, chunk in enumerate((adds[:1], adds[1:])):
+            name = f"{uuid.uuid4()}.parquet"
+            rows = [((a["path"], a["partitionValues"], 1, 1, True), None)
+                    for a in chunk]
+            _write_parquet(spark, rows, sc_schema,
+                           os.path.join(log, "_sidecars", name))
+            sc_names.append(name)
+
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint"]}
+        if manifest_kind == "json":
+            mname = f"{1:020d}.checkpoint.{uuid.uuid4()}.json"
+            acts = ([{"checkpointMetadata": {"version": 1}},
+                     {"protocol": proto}, {"metaData": metad}]
+                    + [{"sidecar": {"path": n, "sizeInBytes": 1}}
+                       for n in sc_names])
+            with open(os.path.join(log, mname), "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+        else:
+            mname = f"{1:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            m_schema = (
+                "protocol struct<minReaderVersion:int, minWriterVersion:int,"
+                " readerFeatures:array<string>>, "
+                "metaData struct<id:string, schemaString:string, "
+                "partitionColumns:array<string>, "
+                "configuration:map<string,string>>, "
+                "sidecar struct<path:string, sizeInBytes:long>"
+            )
+            rows = [((proto["minReaderVersion"], proto["minWriterVersion"],
+                      proto["readerFeatures"]), None, None),
+                    (None, (metad["id"], metad["schemaString"],
+                            metad["partitionColumns"],
+                            metad.get("configuration") or {}), None)]
+            rows += [(None, None, (n, 1)) for n in sc_names]
+            _write_parquet(spark, rows, m_schema, os.path.join(log, mname))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1}, fh)
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        os.remove(os.path.join(log, f"{1:020d}.json"))
+
+        got = read_delta(spark, root).collect().sort_values("id")
+        assert got.values.tolist() == want.values.tolist(), manifest_kind
+
+    # coexisting classic + v2 for the same version: read exactly one
+    root = str(tmp_path / "tbl_parquet")
+    log = os.path.join(root, "_delta_log")
+    # plant a classic checkpoint with the SAME complete state
+    import glob as _glob
+
+    v2_manifest = _glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))[0]
+    import shutil
+
+    # classic name: <v>.checkpoint.parquet — same content would be an
+    # incomplete classic (sidecar refs are v2-only), so build it from
+    # the sidecars' adds + meta
+    sdf = spark.read.parquet(os.path.join(log, "_sidecars"))
+    ck_schema = ("add struct<path:string, partitionValues:map<string,string>,"
+                 " size:long, modificationTime:long, dataChange:boolean>, "
+                 "remove struct<path:string>, "
+                 "metaData struct<id:string, schemaString:string, "
+                 "partitionColumns:array<string>>, "
+                 "protocol struct<minReaderVersion:int, minWriterVersion:int>")
+    meta_row = json.loads(open(os.path.join(
+        str(tmp_path / "tbl_json"), "_delta_log",
+        [n for n in os.listdir(os.path.join(str(tmp_path / "tbl_json"),
+                                            "_delta_log"))
+         if n.endswith(".json") and ".checkpoint." in n][0])).readline())
+    adds = [r.asDict(recursive=True)["add"]
+            for r in sdf.select("add").collect() if r["add"] is not None]
+    mrow = None
+    for line in open(os.path.join(
+            str(tmp_path / "tbl_json"), "_delta_log",
+            [n for n in os.listdir(os.path.join(str(tmp_path / "tbl_json"),
+                                                "_delta_log"))
+             if ".checkpoint." in n and n.endswith(".json")][0])):
+        act = json.loads(line)
+        if "metaData" in act:
+            mrow = act["metaData"]
+    rows = [((a["path"], a["partitionValues"], 1, 1, True),
+             None, None, None) for a in adds]
+    rows.append((None, None, (mrow["id"], mrow["schemaString"],
+                              mrow["partitionColumns"]), None))
+    rows.append((None, None, None, (1, 2)))
+    _write_parquet(spark, rows, ck_schema,
+                   os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [1, 2, 3, 4, 5]

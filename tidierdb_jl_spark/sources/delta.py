@@ -47,12 +47,16 @@ the parquet files use those names) — the scan reads physical, the
 caller sees logical; nested mapped structs gate loudly (inner-field
 renames need recursive schema surgery — jar territory).
 
+V2 checkpoints (r10): uuid-named checkpoint manifests (json or
+parquet) with their ``_sidecars/`` parquet files replay exactly like
+classic checkpoints — see :func:`_replay_checkpoint`.
+
 Protocol gate (loud, not silent): ``minReaderVersion`` 1-2 fully
 supported; 3 is supported when ``readerFeatures`` need nothing beyond
-``timestampNtz`` / ``deletionVectors`` / ``columnMapping`` — an
-unknown feature could change row visibility or file layout and MUST
-fail rather than return wrong rows (``v2Checkpoint`` remains gated).
-Writing Delta is out of scope (the reference is also read-only here).
+``timestampNtz`` / ``deletionVectors`` / ``columnMapping`` /
+``v2Checkpoint`` — an unknown feature could change row visibility or
+file layout and MUST fail rather than return wrong rows.  Writing
+Delta is out of scope (the reference is also read-only here).
 """
 
 from __future__ import annotations
@@ -72,8 +76,11 @@ _LOG = "_delta_log"
 # parquet scan of the live files (minus their DVs) returns.
 # columnMapping (r10): physical->logical renames resolved from the
 # schemaString's per-field delta.columnMapping.physicalName metadata —
-# flat schemas only, nested mapped structs gate loudly in read_delta
-_SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+# flat schemas only, nested mapped structs gate loudly in read_delta.
+# v2Checkpoint (r10): uuid manifests + sidecars, see _replay_checkpoint
+_SAFE_READER_FEATURES = {
+    "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+}
 # broadcast the deleted-row set below this many rows (log-declared
 # cardinality sum — known BEFORE any decode); above it, a shuffle
 # anti-join is the honest plan
@@ -82,7 +89,9 @@ _DV_BROADCAST_ROWS = 4_000_000
 
 def _log_entries(spark, log_dir: str):
     """(version, kind, filename) for every commit/checkpoint file in the
-    log directory, sorted by version.  kind: 'json' | 'checkpoint'."""
+    log directory, sorted by version.  kind: 'json' | 'checkpoint'.
+    A COMMIT is exactly ``<20 digits>.json`` — a v2 checkpoint manifest
+    like ``<v>.checkpoint.<uuid>.json`` must NOT classify as one."""
     fs, hpath = hadoop_fs(spark, log_dir)
     out = []
     for st in fs.listStatus(hpath):
@@ -91,9 +100,9 @@ def _log_entries(spark, log_dir: str):
         if not (len(head) == 20 and head.isdigit()):
             continue
         v = int(head)
-        if name.endswith(".json"):
+        if name == head + ".json":
             out.append((v, "json", name))
-        elif ".checkpoint" in name and name.endswith(".parquet"):
+        elif ".checkpoint" in name and name.endswith((".parquet", ".json")):
             out.append((v, "checkpoint", name))
     return sorted(out)
 
@@ -116,6 +125,87 @@ def _gate_protocol(proto: dict, path: str) -> None:
         "rows if ignored.  Add the delta-spark connector jar for full "
         "protocol support"
     )
+
+
+def _fold_action(d: dict, live: dict, meta, path: str):
+    """Apply one action dict to the live set; returns the (possibly
+    updated) metaData.  Within a checkpoint there is at most one action
+    per data-file path (spec), so fold order does not matter there; in
+    commits the caller iterates in line order, which does."""
+    if d.get("protocol"):
+        _gate_protocol(d["protocol"], path)
+    if d.get("metaData") and d["metaData"].get("schemaString"):
+        meta = d["metaData"]
+    if d.get("add") and d["add"].get("path"):
+        live[unquote(d["add"]["path"])] = (
+            d["add"].get("partitionValues") or {},
+            d["add"].get("deletionVector"),
+        )
+    if d.get("remove") and d["remove"].get("path"):
+        live.pop(unquote(d["remove"]["path"]), None)
+    return meta
+
+
+def _is_v2_manifest(name: str) -> bool:
+    """``<v>.checkpoint.parquet`` and ``<v>.checkpoint.<i>.<n>.parquet``
+    are CLASSIC; anything else after ``.checkpoint.`` (a uuid, possibly
+    ``.json``) is a V2 checkpoint manifest."""
+    mid = name.split(".checkpoint.", 1)[1]
+    segs = mid.split(".")
+    body = segs[:-1]  # drop the extension
+    return bool(body) and not all(s.isdigit() for s in body)
+
+
+def _replay_checkpoint(spark, path, log_dir, parts, live):
+    """Fold one checkpoint (classic single/multipart parquet, or a V2
+    manifest + its sidecar files) into ``live``; returns metaData.
+
+    V2 (PROTOCOL.md "V2 Checkpoint Table Feature"): the uuid-named
+    manifest (json action lines or parquet) carries protocol/metaData
+    (+ optionally add/remove) plus ``sidecar`` actions pointing at
+    parquet files under ``_delta_log/_sidecars/`` that hold the bulk
+    add/remove set.  When classic and V2 checkpoints coexist for the
+    same version each is complete on its own — exactly one is read
+    (the lexicographically last manifest, deterministic) to avoid
+    folding the same state twice."""
+    meta = None
+    v2 = sorted(n for n in parts if _is_v2_manifest(n))
+    if v2:
+        manifest = v2[-1]
+        mpath = join_path(log_dir, manifest)
+        if manifest.endswith(".json"):
+            rows = [json.loads(ln)
+                    for ln in read_text(spark, mpath).splitlines()
+                    if ln.strip()]
+        else:
+            mdf = spark.read.parquet(mpath)
+            take = [c for c in ("add", "remove", "metaData", "protocol",
+                                "sidecar") if c in mdf.columns]
+            rows = [r.asDict(recursive=True)
+                    for r in mdf.select(*take).collect()]
+        sidecars = []
+        for d in rows:
+            meta = _fold_action(d, live, meta, path)
+            sc = d.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                sidecars.append(
+                    p if ("://" in p or p.startswith("/"))
+                    else join_path(log_dir, "_sidecars", p)
+                )
+        if sidecars:
+            sdf = spark.read.parquet(*sidecars)
+            take = [c for c in ("add", "remove") if c in sdf.columns]
+            for r in sdf.select(*take).collect():
+                meta = _fold_action(r.asDict(recursive=True), live, meta,
+                                    path)
+        return meta
+    cdf = spark.read.parquet(*[join_path(log_dir, n) for n in parts])
+    take = [c for c in ("add", "remove", "metaData", "protocol")
+            if c in cdf.columns]
+    for row in cdf.select(*take).collect():
+        meta = _fold_action(row.asDict(recursive=True), live, meta, path)
+    return meta
 
 
 def _snapshot(spark, path: str, version: int | None):
@@ -144,22 +234,7 @@ def _snapshot(spark, path: str, version: int | None):
     if base:
         cv = max(base)
         parts = [n for v, k, n in entries if k == "checkpoint" and v == cv]
-        cdf = spark.read.parquet(*[join_path(log_dir, n) for n in parts])
-        cols = set(cdf.columns)
-        take = [c for c in ("add", "remove", "metaData", "protocol") if c in cols]
-        for row in cdf.select(*take).collect():
-            d = row.asDict(recursive=True)
-            if d.get("protocol"):
-                _gate_protocol(d["protocol"], path)
-            if d.get("metaData") and d["metaData"].get("schemaString"):
-                meta = d["metaData"]
-            if d.get("add") and d["add"].get("path"):
-                live[unquote(d["add"]["path"])] = (
-                    d["add"].get("partitionValues") or {},
-                    d["add"].get("deletionVector"),
-                )
-            if d.get("remove") and d["remove"].get("path"):
-                live.pop(unquote(d["remove"]["path"]), None)
+        meta = _replay_checkpoint(spark, path, log_dir, parts, live)
         start_after = cv
 
     need = [(v, n) for v, k, n in entries
@@ -183,24 +258,12 @@ def _snapshot(spark, path: str, version: int | None):
             f"versionAsOf={target}; refusing to replay an incomplete log"
         )
     for v, name in need:
+        # _fold_action percent-decodes add/remove paths (RFC 2396) so
+        # partition dirs with spaces/special chars resolve
         for line in read_text(spark, join_path(log_dir, name)).splitlines():
             if not line.strip():
                 continue
-            act = json.loads(line)
-            if "protocol" in act:
-                _gate_protocol(act["protocol"], path)
-            if "metaData" in act:
-                meta = act["metaData"]
-            # add/remove paths are percent-encoded per the protocol
-            # (RFC 2396) — decode before keying/joining to the root so
-            # partition dirs with spaces/special chars resolve
-            if "add" in act:
-                live[unquote(act["add"]["path"])] = (
-                    act["add"].get("partitionValues") or {},
-                    act["add"].get("deletionVector"),
-                )
-            if "remove" in act:
-                live.pop(unquote(act["remove"]["path"]), None)
+            meta = _fold_action(json.loads(line), live, meta, path)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found in the log")
     return live, meta, target
