@@ -205,7 +205,7 @@ def test_iceberg_delete_gates_and_db_table_fallback(spark, tmp_path):
         json.dump(meta, fh)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
         fh.write("2")
-    with pytest.raises(ValueError, match="expected 1=position deletes"):
+    with pytest.raises(ValueError, match="expected 1=position or 2=equality"):
         read_iceberg(spark, root)
     # time travel back past the delete snapshot still works
     ok = read_iceberg(spark, root, snapshot_id=2)
@@ -356,13 +356,13 @@ def test_iceberg_position_deletes(spark, tmp_path):
     got2 = read_iceberg(spark, moved).collect().sort_values("id")
     assert got2["id"].tolist() == [0, 2, 3, 5, 7]
 
-    # equality deletes (content=2) refuse loudly
+    # an equality delete (content=2) without equality_ids is malformed
     with open(os.path.join(moved, "metadata", "m-del.avro"), "wb") as fh:
         fh.write(write_container(_MANIFEST_ENTRY, [
             {"status": 1, "data_file": {
                 "content": 2, "file_path": f"{moved}/{del_rel}",
                 "file_format": "PARQUET", "record_count": 3}}]))
-    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
+    with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, moved)
 
     # a DELETED-status delete-file entry stops applying
@@ -416,3 +416,124 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     got = read_iceberg(spark, root).collect().sort_values("id")
     assert got[["id", "val"]].values.tolist() == [
         [i, chr(97 + i)] for i in range(5)]
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """v2 EQUALITY deletes (r10): delete rows remove data rows matching
+    on the equality_ids columns (null matches null), but ONLY from data
+    files with a strictly smaller data sequence number — a re-insert
+    after the delete survives.  Sequence numbers inherit from the
+    manifest-list entry for ADDED rows; unresolvable sequence numbers
+    gate loudly."""
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}}]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]}]}
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    # data file A (seq 1): ids 1..4 with val a..d; one NULL val row (id 9)
+    # data file B (seq 3): re-inserts id 2 (post-delete) + id 5
+    def pq(rows, rel, schema="id long, val string"):
+        dest = os.path.join(root, rel)
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(dest + ".tmp")
+        import glob
+        import shutil
+
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(glob.glob(dest + ".tmp/part-*.parquet")[0], dest)
+        shutil.rmtree(dest + ".tmp")
+        return f"{root}/{rel}"
+
+    fa = pq([(1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, None)],
+            f"data/{uuid.uuid4().hex}.parquet")
+    fb = pq([(2, "b"), (5, "e")], f"data/{uuid.uuid4().hex}.parquet")
+    # equality delete (seq 2) on id: kills ids 2, 9 — and a val IS NULL
+    # delete via a second file on the val column
+    d_id = pq([(2,), (9,)], f"data/{uuid.uuid4().hex}-eqdel.parquet",
+              schema="id long")
+    d_val = pq([(None,)], f"data/{uuid.uuid4().hex}-eqdel2.parquet",
+               schema="val string")
+
+    def manifest(name, recs):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, recs))
+        return f"{root}/metadata/{name}"
+
+    def entry(content, fp, n, ids=None, seq=None):
+        return {"status": 1, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": fp,
+                              "file_format": "PARQUET", "record_count": n,
+                              "equality_ids": ids}}
+
+    # seq inheritance: data entries carry null seq -> inherit manifest's
+    m_a = manifest("m-a.avro", [entry(0, fa, 5)])
+    m_b = manifest("m-b.avro", [entry(0, fb, 2)])
+    # the id-delete inherits seq 2; the val-delete has an EXPLICIT seq 2
+    m_d = manifest("m-d.avro", [entry(2, d_id, 2, ids=[1]),
+                                entry(2, d_val, 1, ids=[2], seq=2)])
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(mlist_schema, [
+            {"manifest_path": m_a, "manifest_length": 1, "content": 0,
+             "sequence_number": 1},
+            {"manifest_path": m_b, "manifest_length": 1, "content": 0,
+             "sequence_number": 3},
+            {"manifest_path": m_d, "manifest_length": 1, "content": 1,
+             "sequence_number": 2}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    # from A (seq 1 < 2): ids 2, 9 deleted by the id-delete; the NULL-val
+    # row 9 ALSO matches the val-delete (null matches null).  B (seq 3)
+    # is untouched: its id=2 re-insert survives.
+    assert got[["id", "val"]].values.tolist() == [
+        [1, "a"], [2, "b"], [3, "c"], [4, "d"], [5, "e"]]
+
+    # unresolvable data-file sequence number + equality deletes -> gate
+    m_a2 = manifest("m-a2.avro", [entry(0, fa, 5)])  # status=0, no seq
+    with open(os.path.join(root, "metadata", "snap-2.avro"), "wb") as fh:
+        fh.write(write_container(mlist_schema, [
+            {"manifest_path": m_a2, "manifest_length": 1, "content": 0,
+             "sequence_number": None},
+            {"manifest_path": m_d, "manifest_length": 1, "content": 1,
+             "sequence_number": 2}]))
+    meta["snapshots"].append({"snapshot-id": 2,
+                              "manifest-list": f"{root}/metadata/snap-2.avro"})
+    meta["current-snapshot-id"] = 2
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(NotImplementedError, match="sequence number"):
+        read_iceberg(spark, root)

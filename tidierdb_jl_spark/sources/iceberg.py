@@ -20,18 +20,24 @@ Iceberg data files always materialize all columns (partition values are
 hidden metadata used for pruning, not reconstruction), so unlike Delta
 nothing needs re-attaching.
 
-v2 row-level deletes: POSITION delete files (delete manifests whose
-entries carry ``content=1`` parquet files of ``(file_path, pos)``
-pairs) are applied as a distributed ``(file, _metadata.row_index)``
-anti-join against the scan — see :func:`_apply_position_deletes`.
+v2 row-level deletes, BOTH kinds: POSITION delete files (``content=1``
+parquet files of ``(file_path, pos)`` pairs) apply as a distributed
+``(file, _metadata.row_index)`` anti-join — see
+:func:`_apply_position_deletes`; EQUALITY delete files (``content=2``,
+r10) apply as null-safe anti-joins on the ``equality_ids`` columns
+gated by the spec's sequence-number ordering (a delete removes rows
+only from data files with a strictly smaller data sequence number, so
+re-inserts after the delete survive) — see
+:func:`_apply_equality_deletes`.
 
 Loud gates (wrong-rows risks refuse, never guess): format version > 2;
-EQUALITY deletes (``content=2`` — equality-field-id resolution is jar
-territory); non-parquet/orc (or mixed-format) data files;
-current-schema column names missing from the files (field-id renames
-need real field-id resolution — jar territory).  ``snapshot_id=``
-gives time travel across retained snapshots.  Metadata I/O goes
-through :mod:`.fsio` (any Hadoop scheme).
+unresolvable sequence numbers when equality deletes are present;
+equality field ids absent from the current schema; non-parquet/orc
+(or mixed-format) data files; current-schema column names missing from
+the files (field-id renames need real field-id resolution — jar
+territory).  ``snapshot_id=`` gives time travel across retained
+snapshots.  Metadata I/O goes through :mod:`.fsio` (any Hadoop
+scheme).
 
 Avro correctness story: ``avro_lite`` is verified against an
 independently spec-written encoder in the tests plus the Avro spec's
@@ -148,15 +154,17 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
         mlist = read_avro_file(
             spark, _resolve_path(path, snap["manifest-list"])
         )
-        manifests = [m["manifest_path"] for m in mlist
-                     if int(m.get("content") or 0) == 0]
-        # content=1: DELETE manifests (v2 row-level deletes) — their
-        # POSITION delete files are applied below; equality deletes
-        # still gate loudly inside _delete_files
-        delete_manifests = [m["manifest_path"] for m in mlist
-                            if int(m.get("content") or 0) == 1]
+        # (path, manifest sequence number) — entries with a null
+        # sequence_number INHERIT the manifest's (spec: sequence number
+        # inheritance for ADDED entries)
+        manifests = [(m["manifest_path"], m.get("sequence_number"))
+                     for m in mlist if int(m.get("content") or 0) == 0]
+        # content=1: DELETE manifests (v2 row-level deletes) — position
+        # AND equality delete files are applied below
+        delete_manifests = [(m["manifest_path"], m.get("sequence_number"))
+                            for m in mlist if int(m.get("content") or 0) == 1]
     else:  # v1 inline manifest list (no row-level deletes in v1)
-        manifests = list(snap.get("manifests") or [])
+        manifests = [(p, 0) for p in (snap.get("manifests") or [])]
         delete_manifests = []
 
     # live = (added/existing) - DELETED, resolved across ALL of the
@@ -165,22 +173,24 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
     # the spec says a DELETED file is no longer part of the table, so
     # the exclusion is global, not per-manifest
     added, deleted, fmts = {}, set(), set()
-    for mp in manifests:
+    for mp, mseq in manifests:
         for entry in read_avro_file(spark, _resolve_path(path, mp)):
             df_ = entry["data_file"]
             fp = _resolve_path(path, df_["file_path"])
-            if int(entry.get("status") or 0) == 2:  # DELETED
+            status = int(entry.get("status") or 0)
+            if status == 2:  # DELETED
                 deleted.add(fp)
                 continue
             if int(df_.get("content") or 0) != 0:
-                raise NotImplementedError(
-                    f"{path}: data_file content={df_['content']} (position/"
-                    "equality deletes) — unsupported without the jar"
+                raise ValueError(
+                    f"{path}: a DATA manifest lists a data_file with "
+                    f"content={df_['content']} — delete files belong in "
+                    "content=1 manifests"
                 )
             fmts.add(str(df_.get("file_format", "PARQUET")).upper())
-            added[fp] = True
-    pos_deletes = _delete_files(spark, path, sid, delete_manifests)
-    live = [p for p in added if p not in deleted]
+            added[fp] = _entry_seq(entry, mseq, status)
+    pos_deletes, eq_deletes = _delete_files(spark, path, delete_manifests)
+    live = {p: s for p, s in added.items() if p not in deleted}
     if not live:
         return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
     if not fmts <= {"PARQUET", "ORC"} or len(fmts) > 1:
@@ -192,7 +202,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             "parquet or orc live set only"
         )
     reader = spark.read.orc if fmts == {"ORC"} else spark.read.parquet
-    df = reader(*sorted(set(live)))
+    df = reader(*sorted(live))
     want = [f["name"] for f in _current_schema(meta)["fields"]]
     missing = [c for c in want if c not in df.columns]
     if missing:
@@ -202,45 +212,156 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             "field-id resolution"
         )
     if pos_deletes:
-        df = _apply_position_deletes(spark, path, df, live, pos_deletes)
+        df = _apply_position_deletes(spark, path, df, list(live),
+                                     pos_deletes)
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, path, df, live, eq_deletes,
+                                     _current_schema(meta))
     return TidyFrame(df.select(*want))
 
 
-def _delete_files(spark, path: str, sid, delete_manifests) -> list[tuple]:
-    """Resolve the snapshot's live POSITION delete files: (path,
-    record_count-or-None).  Equality deletes (``content=2``) gate loudly
-    — applying them needs equality-field-id resolution (jar territory);
-    a DELETED-status entry removes its delete file from consideration,
-    same rule as data files."""
-    added, removed = {}, set()
-    for mp in delete_manifests:
+def _entry_seq(entry: dict, mseq, status: int):
+    """Data sequence number of a manifest entry: explicit, or inherited
+    from the manifest-list entry for ADDED rows (spec: sequence number
+    inheritance); None when unresolvable — gated later only if equality
+    deletes actually need it."""
+    s = entry.get("sequence_number")
+    if s is not None:
+        return int(s)
+    if status == 1 and mseq is not None:  # ADDED inherits
+        return int(mseq)
+    return None
+
+
+def _delete_files(spark, path: str, delete_manifests):
+    """Resolve the snapshot's live delete files.  Returns
+    ``(pos_deletes, eq_deletes)``: position deletes as
+    ``[(path, record_count)]``, equality deletes as
+    ``[(path, equality_ids tuple, sequence_number)]``.  A DELETED-status
+    entry removes its delete file from consideration, same rule as data
+    files."""
+    pos, eq, removed = {}, {}, set()
+    for mp, mseq in delete_manifests:
         for entry in read_avro_file(spark, _resolve_path(path, mp)):
             df_ = entry["data_file"]
             fp = _resolve_path(path, df_["file_path"])
-            if int(entry.get("status") or 0) == 2:  # DELETED
+            status = int(entry.get("status") or 0)
+            if status == 2:  # DELETED
                 removed.add(fp)
                 continue
             content = int(df_.get("content") or 0)
-            if content == 2:
-                raise NotImplementedError(
-                    f"{path}: snapshot {sid} carries EQUALITY delete file "
-                    f"{df_['file_path']} — resolving equality field ids "
-                    "needs the iceberg connector jar; position deletes "
-                    "are supported"
-                )
-            if content != 1:
+            if content not in (1, 2):
                 raise ValueError(
                     f"{path}: delete manifest {mp} lists a data_file with "
-                    f"content={content} (expected 1=position deletes)"
+                    f"content={content} (expected 1=position or "
+                    "2=equality deletes)"
                 )
             fmt = str(df_.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"{path}: position delete file format {fmt} — parquet "
-                    "only"
+                    f"{path}: delete file format {fmt} — parquet only"
                 )
-            added[fp] = df_.get("record_count")
-    return [(p, n) for p, n in added.items() if p not in removed]
+            if content == 1:
+                pos[fp] = df_.get("record_count")
+            else:
+                ids = df_.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        f"{path}: equality delete file {df_['file_path']} "
+                        "lists no equality_ids — malformed manifest"
+                    )
+                seq = _entry_seq(entry, mseq, status)
+                if seq is None:
+                    raise NotImplementedError(
+                        f"{path}: equality delete file {df_['file_path']} "
+                        "has no resolvable sequence number — ordering "
+                        "deletes against data files is impossible; use "
+                        "the iceberg connector jar"
+                    )
+                eq[fp] = (tuple(int(i) for i in ids), seq)
+    return (
+        [(p, n) for p, n in pos.items() if p not in removed],
+        [(p, ids, seq) for p, (ids, seq) in eq.items()
+         if p not in removed],
+    )
+
+
+def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
+    """v2 EQUALITY deletes: a delete-file row removes every data row
+    whose values equal it on the ``equality_ids`` columns (null matches
+    null — spec), in data files whose data sequence number is STRICTLY
+    LESS than the delete file's.  Ordering is what makes re-inserts
+    after a delete survive, so every live data file needs a resolvable
+    sequence number when equality deletes are present (loud gate
+    otherwise).
+
+    Plan shape: per distinct equality-ids set, one left-anti join of the
+    scan against the (typically tiny — CDC writers emit small delete
+    files) delete rows, null-safe on the equality columns plus the
+    non-equi ``delete.seq > file.seq`` predicate; the per-file sequence
+    number rides a broadcast basename map, same as the partition
+    re-attach machinery elsewhere."""
+    from pyspark.sql import functions as F
+
+    unresolved = sorted(p for p, s in live_seq.items() if s is None)
+    if unresolved:
+        raise NotImplementedError(
+            f"{path}: equality deletes present but {len(unresolved)} live "
+            f"data file(s) have no resolvable sequence number (e.g. "
+            f"{unresolved[0]!r}) — refusing to guess delete ordering"
+        )
+    name_of = {int(f["id"]): f["name"] for f in schema["fields"]}
+    base_seq = {p.rsplit("/", 1)[-1]: s for p, s in live_seq.items()}
+    if len(base_seq) != len(live_seq):
+        raise ValueError(
+            f"{path}: duplicate data-file basenames — cannot key sequence "
+            "numbers by file name; use the iceberg connector jar"
+        )
+    seq_map = spark.createDataFrame(
+        [(b, int(s)) for b, s in base_seq.items()],
+        "__file string, __fseq long",
+    )
+    df = (
+        df.withColumn(
+            "__file",
+            F.url_decode(F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\+", "%2B",
+            )),
+        )
+        .join(F.broadcast(seq_map), "__file")
+    )
+    by_ids: dict[tuple, list[tuple]] = {}
+    for p, ids, seq in eq_deletes:
+        by_ids.setdefault(ids, []).append((p, seq))
+    for ids, files in sorted(by_ids.items()):
+        cols = []
+        for fid in ids:
+            if fid not in name_of:
+                raise NotImplementedError(
+                    f"{path}: equality delete references field id {fid}, "
+                    "absent from the current schema — dropped-column "
+                    "deletes need the connector jar"
+                )
+            cols.append(name_of[fid])
+        dseq = spark.createDataFrame(
+            [(p.rsplit("/", 1)[-1], int(s)) for p, s in files],
+            "__dfile string, __dseq long",
+        )
+        dels = (
+            spark.read.parquet(*sorted(p for p, _ in files))
+            .select(
+                *[F.col(c).alias(f"__d_{c}") for c in cols],
+                F.element_at(F.split(F.input_file_name(), "/"), -1)
+                .alias("__dfile"),
+            )
+            .join(F.broadcast(dseq), "__dfile")
+        )
+        cond = F.col("__dseq") > F.col("__fseq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+        df = df.join(dels, cond, "left_anti")
+    return df.drop("__file", "__fseq")
 
 
 def _apply_position_deletes(spark, path, df, live, pos_deletes):
