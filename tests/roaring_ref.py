@@ -118,3 +118,44 @@ def write_dv_file(dvs: list[bytes]) -> tuple[bytes, list[int]]:
         blob += data
         blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
     return bytes(blob), offsets
+
+
+# ---- Iceberg v3 deletion vectors (Puffin) -------------------------------
+
+_PUFFIN_MAGIC = b"PFA1"
+_ICEBERG_DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def iceberg_dv_blob(indexes, force_run=False) -> bytes:
+    """One deletion-vector-v1 blob (Iceberg v3 spec): BE length of
+    magic+bitmap, the 4 magic bytes, the RoaringBitmapArray portable
+    bitmap (same serialization as Delta — deliberate interop), BE
+    CRC-32 over magic+bitmap."""
+    bm = encode_roaring_array(indexes, force_run=force_run)
+    body = _ICEBERG_DV_MAGIC + bm
+    return (struct.pack(">i", len(body)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def write_puffin(blobs: list[bytes]) -> tuple[bytes, list[tuple[int, int]]]:
+    """A spec-shaped Puffin file: header magic, the blobs, a footer
+    (magic, json payload, LE payload size, flags, magic).  Returns the
+    file bytes and each blob's (offset, length) as a manifest would
+    record them (content_offset / content_size_in_bytes)."""
+    import json as _json
+
+    out = bytearray(_PUFFIN_MAGIC)
+    spans = []
+    for b in blobs:
+        spans.append((len(out), len(b)))
+        out += b
+    payload = _json.dumps({
+        "blobs": [{"type": "deletion-vector-v1", "fields": [],
+                   "offset": off, "length": ln}
+                  for off, ln in spans],
+    }).encode("utf-8")
+    out += _PUFFIN_MAGIC + payload
+    out += struct.pack("<i", len(payload))
+    out += b"\x00\x00\x00\x00"  # flags: uncompressed footer
+    out += _PUFFIN_MAGIC
+    return bytes(out), spans

@@ -537,3 +537,124 @@ def test_iceberg_equality_deletes(spark, tmp_path):
         fh.write("2")
     with pytest.raises(NotImplementedError, match="sequence number"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_v3_deletion_vectors(spark, tmp_path):
+    """Iceberg v3 DVs: content=1 PUFFIN manifest entries reference a
+    roaring blob (offset/size) inside a Puffin file; the named ordinals
+    of the referenced data file disappear from the scan; integrity
+    gates (CRC, size, cardinality) refuse loudly; parquet position
+    deletes from a pre-v3 writer coexist in the same snapshot."""
+    from roaring_ref import iceberg_dv_blob, write_puffin
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
+                ]}}]}
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def pq(rows, rel):
+        dest = os.path.join(root, rel)
+        spark.createDataFrame(rows, "id long, val string").coalesce(1) \
+            .write.parquet(dest + ".tmp")
+        import glob
+        import shutil
+
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(glob.glob(dest + ".tmp/part-*.parquet")[0], dest)
+        shutil.rmtree(dest + ".tmp")
+        return f"{root}/{rel}"
+
+    # file A: ids 0..9 sorted; DV kills ordinals {1, 4, 6}
+    # file B: ids 10..14; parquet position delete kills ordinal 0 (id 10)
+    fa = pq([(i, chr(97 + i)) for i in range(10)],
+            f"data/{uuid.uuid4().hex}.parquet")
+    fb = pq([(i, chr(97 + i)) for i in range(10, 15)],
+            f"data/{uuid.uuid4().hex}.parquet")
+    blob = iceberg_dv_blob([1, 4, 6])
+    puffin, spans = write_puffin([blob])
+    puf_rel = f"data/{uuid.uuid4().hex}-deletes.puffin"
+    with open(os.path.join(root, puf_rel), "wb") as fh:
+        fh.write(puffin)
+    off, ln = spans[0]
+    del_rel = f"data/{uuid.uuid4().hex}-posdel.parquet"
+    spark.createDataFrame([(fb, 0)], "file_path string, pos long") \
+        .coalesce(1).write.parquet(os.path.join(root, del_rel) + ".tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(os.path.join(root, del_rel) + ".tmp/part-*.parquet")[0],
+                os.path.join(root, del_rel))
+    shutil.rmtree(os.path.join(root, del_rel) + ".tmp")
+
+    def manifest(name, recs):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, recs))
+        return f"{root}/metadata/{name}"
+
+    def dentry(content, fp, fmt="PARQUET", n=1, ref=None, off=None, ln=None):
+        return {"status": 1, "data_file": {
+            "content": content, "file_path": fp, "file_format": fmt,
+            "record_count": n, "referenced_data_file": ref,
+            "content_offset": off, "content_size_in_bytes": ln}}
+
+    m_data = manifest("m-data.avro", [dentry(0, fa, n=10),
+                                      dentry(0, fb, n=5)])
+    m_del = manifest("m-del.avro", [
+        dentry(1, f"{root}/{puf_rel}", fmt="PUFFIN", n=3, ref=fa,
+               off=off, ln=ln),
+        dentry(1, f"{root}/{del_rel}", n=1)])
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": m_data, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_del, "manifest_length": 1, "content": 1}]))
+    meta = {
+        "format-version": 3, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 2, 3, 5, 7, 8, 9, 11, 12, 13, 14]
+
+    # integrity: flip a bitmap byte inside the blob -> CRC refusal
+    bad = bytearray(puffin)
+    bad[off + 10] ^= 0xFF
+    with open(os.path.join(root, puf_rel), "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(Exception, match="CRC-32|cardinality|magic"):
+        read_iceberg(spark, root).collect()
+    with open(os.path.join(root, puf_rel), "wb") as fh:
+        fh.write(puffin)  # restore
+
+    # format-version 4 still refuses
+    meta["format-version"] = 4
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        read_iceberg(spark, root)

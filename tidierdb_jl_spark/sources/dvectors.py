@@ -39,8 +39,14 @@ __all__ = [
     "decode_dv_blob",
     "dv_file_relpath",
     "read_dv_from_bytes",
+    "read_iceberg_dv_from_bytes",
     "read_file_bytes",
 ]
+
+# Iceberg v3 deletion-vector blob magic (spec "Deletion vectors": the
+# Puffin blob is BE length, these 4 bytes, the SAME RoaringBitmapArray
+# portable serialization Delta uses, then a BE CRC-32 of magic+bitmap)
+_ICEBERG_DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
 
 _Z85_ALPHABET = (
     "0123456789abcdefghijklmnopqrstuvwxyz"
@@ -204,6 +210,40 @@ def read_file_bytes(url: str) -> bytes:
     filesystem, path = pafs.FileSystem.from_uri(url)
     with filesystem.open_input_file(path) as fh:
         return fh.read()
+
+
+def read_iceberg_dv_from_bytes(
+    blob: bytes, offset: int, size: int, cardinality: int | None = None
+) -> np.ndarray:
+    """One Iceberg v3 deletion-vector blob from a Puffin file's bytes:
+    at ``offset`` (the manifest's ``content_offset``): 4-byte BE length
+    of (magic + bitmap), the 4 magic bytes, the RoaringBitmapArray
+    portable bitmap (same serialization Delta uses — deliberate interop
+    in the v3 spec), 4-byte BE CRC-32 over magic + bitmap.  ``size`` is
+    the manifest's ``content_size_in_bytes`` (the whole blob).  Any
+    mismatch — length, magic, CRC, cardinality — refuses loudly."""
+    (ln,) = struct.unpack_from(">i", blob, offset)
+    if size is not None and size != ln + 8:
+        raise ValueError(
+            f"iceberg DV at offset {offset}: content_size_in_bytes {size} "
+            f"!= stored length {ln} + 8 (length+crc framing)"
+        )
+    body = blob[offset + 4:offset + 4 + ln]
+    if len(body) != ln:
+        raise ValueError(f"iceberg DV at offset {offset}: file truncated")
+    if body[:4] != _ICEBERG_DV_MAGIC:
+        raise ValueError(
+            f"iceberg DV at offset {offset}: bad magic "
+            f"{body[:4].hex()} (expected {_ICEBERG_DV_MAGIC.hex()})"
+        )
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + ln)
+    actual = zlib.crc32(body) & 0xFFFFFFFF
+    if crc != actual:
+        raise ValueError(
+            f"iceberg DV at offset {offset}: CRC-32 mismatch "
+            f"(stored {crc:#x}, computed {actual:#x})"
+        )
+    return decode_dv_blob(body[4:], cardinality)
 
 
 def read_dv_from_bytes(

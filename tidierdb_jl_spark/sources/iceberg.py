@@ -20,15 +20,21 @@ Iceberg data files always materialize all columns (partition values are
 hidden metadata used for pruning, not reconstruction), so unlike Delta
 nothing needs re-attaching.
 
-v2 row-level deletes, BOTH kinds: POSITION delete files (``content=1``
-parquet files of ``(file_path, pos)`` pairs) apply as a distributed
-``(file, _metadata.row_index)`` anti-join — see
-:func:`_apply_position_deletes`; EQUALITY delete files (``content=2``,
-r10) apply as null-safe anti-joins on the ``equality_ids`` columns
-gated by the spec's sequence-number ordering (a delete removes rows
-only from data files with a strictly smaller data sequence number, so
-re-inserts after the delete survive) — see
-:func:`_apply_equality_deletes`.
+Row-level deletes, ALL THREE kinds (r10): POSITION delete files
+(``content=1`` parquet files of ``(file_path, pos)`` pairs) apply as a
+distributed ``(file, _metadata.row_index)`` anti-join — see
+:func:`_apply_position_deletes`; v3 DELETION VECTORS (``content=1``
+PUFFIN entries — one roaring bitmap of ordinals per referenced data
+file, the SAME RoaringBitmapArray serialization Delta uses, decoded by
+:mod:`.dvectors` executor-side) union into the same anti-join;
+EQUALITY delete files (``content=2``) apply as null-safe anti-joins on
+the ``equality_ids`` columns gated by the spec's sequence-number
+ordering (a delete removes rows only from data files with a strictly
+smaller data sequence number, so re-inserts after the delete survive)
+— see :func:`_apply_equality_deletes`.  Format version 3 is therefore
+readable; v3 tables using column DEFAULT VALUES still refuse via the
+missing-column gate (filling defaults needs field-id resolution), and
+unknown types fail in the parquet reader rather than silently.
 
 Loud gates (wrong-rows risks refuse, never guess): format version > 2;
 unresolvable sequence numbers when equality deletes are present;
@@ -133,10 +139,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
     path = str(path)
     meta = json.loads(read_text(spark, _latest_metadata(spark, path)))
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise NotImplementedError(
             f"Iceberg format-version {fv} at {path} — this jar-free reader "
-            "supports versions 1 and 2 (without row-level deletes)"
+            "supports versions 1-3"
         )
     snaps = meta.get("snapshots") or []
     if not snaps:
@@ -189,7 +195,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
                 )
             fmts.add(str(df_.get("file_format", "PARQUET")).upper())
             added[fp] = _entry_seq(entry, mseq, status)
-    pos_deletes, eq_deletes = _delete_files(spark, path, delete_manifests)
+    pos_deletes, dv_deletes, eq_deletes = _delete_files(
+        spark, path, delete_manifests
+    )
     live = {p: s for p, s in added.items() if p not in deleted}
     if not live:
         return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
@@ -211,9 +219,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             "files — field-id-based renames need the connector jar's "
             "field-id resolution"
         )
-    if pos_deletes:
+    if pos_deletes or dv_deletes:
         df = _apply_position_deletes(spark, path, df, list(live),
-                                     pos_deletes)
+                                     pos_deletes, dv_deletes)
     if eq_deletes:
         df = _apply_equality_deletes(spark, path, df, live, eq_deletes,
                                      _current_schema(meta))
@@ -235,12 +243,15 @@ def _entry_seq(entry: dict, mseq, status: int):
 
 def _delete_files(spark, path: str, delete_manifests):
     """Resolve the snapshot's live delete files.  Returns
-    ``(pos_deletes, eq_deletes)``: position deletes as
-    ``[(path, record_count)]``, equality deletes as
-    ``[(path, equality_ids tuple, sequence_number)]``.  A DELETED-status
-    entry removes its delete file from consideration, same rule as data
-    files."""
-    pos, eq, removed = {}, {}, set()
+    ``(pos_deletes, dv_deletes, eq_deletes)``: parquet position deletes
+    as ``[(path, record_count)]``, v3 Puffin deletion vectors as
+    ``[(referenced_data_file, puffin_path, offset, size, cardinality)]``,
+    equality deletes as ``[(path, equality_ids tuple, sequence_number)]``.
+    A DELETED-status entry removes its delete file from consideration,
+    same rule as data files.  (A DV applies to exactly the data file it
+    references, so sequence ordering is irrelevant for it — path-keyed
+    exactness, same argument as parquet position deletes.)"""
+    pos, dvs, eq, removed = {}, {}, {}, set()
     for mp, mseq in delete_manifests:
         for entry in read_avro_file(spark, _resolve_path(path, mp)):
             df_ = entry["data_file"]
@@ -257,9 +268,27 @@ def _delete_files(spark, path: str, delete_manifests):
                     "2=equality deletes)"
                 )
             fmt = str(df_.get("file_format", "PARQUET")).upper()
+            if content == 1 and fmt == "PUFFIN":
+                # v3 deletion vector: one roaring blob per referenced
+                # data file, located by the manifest's offset/size
+                ref = df_.get("referenced_data_file")
+                off = df_.get("content_offset")
+                if not ref or off is None:
+                    raise ValueError(
+                        f"{path}: PUFFIN delete entry without "
+                        "referenced_data_file/content_offset — malformed "
+                        "v3 manifest"
+                    )
+                dvs[fp + f"@{int(off)}"] = (
+                    _resolve_path(path, ref), fp, int(off),
+                    df_.get("content_size_in_bytes"),
+                    df_.get("record_count"),
+                )
+                continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"{path}: delete file format {fmt} — parquet only"
+                    f"{path}: delete file format {fmt} — parquet (or "
+                    "PUFFIN deletion vectors) only"
                 )
             if content == 1:
                 pos[fp] = df_.get("record_count")
@@ -281,6 +310,7 @@ def _delete_files(spark, path: str, delete_manifests):
                 eq[fp] = (tuple(int(i) for i in ids), seq)
     return (
         [(p, n) for p, n in pos.items() if p not in removed],
+        [v for v in dvs.values() if v[1] not in removed],
         [(p, ids, seq) for p, (ids, seq) in eq.items()
          if p not in removed],
     )
@@ -364,16 +394,58 @@ def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
     return df.drop("__file", "__fseq")
 
 
-def _apply_position_deletes(spark, path, df, live, pos_deletes):
-    """Anti-join the data scan against the (file, pos) pairs in the
-    snapshot's position delete files (spec: a delete file row deletes
-    the row at ordinal ``pos`` of the data file named ``file_path``).
+def _dv_rows_df(spark, dv_deletes):
+    """(``__file``, ``__ridx``) rows from v3 Puffin deletion vectors,
+    decoded EXECUTOR-side (mapInPandas over the descriptors — the same
+    distributed-decode shape as the Delta DV path; the driver never
+    holds row data).  ``__file`` is the REFERENCED data file's basename."""
+    descs = [(ref.rsplit("/", 1)[-1], pf, int(off),
+              None if size is None else int(size),
+              -1 if card is None else int(card))
+             for ref, pf, off, size, card in dv_deletes]
+    ddf = spark.createDataFrame(
+        descs, "fname string, url string, off long, size long, card long"
+    )
+    if len(descs) > 1:
+        ddf = ddf.repartition(min(len(descs), 64))
+
+    def expand(batches):
+        import pandas as pd
+
+        from tidierdb_jl_spark.sources.dvectors import (
+            read_file_bytes, read_iceberg_dv_from_bytes,
+        )
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                blob = read_file_bytes(r.url)
+                idx = read_iceberg_dv_from_bytes(
+                    blob, int(r.off),
+                    None if pd.isna(r.size) else int(r.size),
+                    None if r.card < 0 else int(r.card),
+                )
+                if len(idx):
+                    yield pd.DataFrame(
+                        {"__file": r.fname, "__ridx": idx.astype("int64")}
+                    )
+
+    return ddf.mapInPandas(expand, "__file string, __ridx long")
+
+
+def _apply_position_deletes(spark, path, df, live, pos_deletes,
+                            dv_deletes=()):
+    """Anti-join the data scan against the deleted (file, pos) pairs —
+    from parquet position delete files (spec: a row deletes the ordinal
+    ``pos`` of the data file named ``file_path``) and/or v3 Puffin
+    deletion vectors (one roaring bitmap of ordinals per referenced
+    data file, decoded by :mod:`.dvectors` — the SAME serialization
+    Delta uses, deliberate interop in the v3 spec).
 
     Keys are data-file BASENAMES (uuid-named, uniqueness verified) so
     moved tables — where the delete files still record the ORIGINAL
     absolute paths — match; ``pos`` is the physical ordinal, which is
     exactly Spark's ``_metadata.row_index``.  The delete side is a
-    distributed parquet read (never driver-resident); it broadcasts
+    distributed read/decode (never driver-resident); it broadcasts
     when the manifests' record counts say it is small, else AQE picks
     the strategy at runtime."""
     from pyspark.sql import functions as F
@@ -385,15 +457,23 @@ def _apply_position_deletes(spark, path, df, live, pos_deletes):
             "cannot key position deletes by file name; use the iceberg "
             "connector jar for this table"
         )
-    dels = (
-        spark.read.parquet(*sorted(p for p, _ in pos_deletes))
-        .select(
-            F.element_at(F.split(F.col("file_path"), "/"), -1)
-            .alias("__file"),
-            F.col("pos").cast("long").alias("__ridx"),
+    parts = []
+    if pos_deletes:
+        parts.append(
+            spark.read.parquet(*sorted(p for p, _ in pos_deletes))
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1)
+                .alias("__file"),
+                F.col("pos").cast("long").alias("__ridx"),
+            )
         )
-    )
-    counts = [n for _, n in pos_deletes]
+    if dv_deletes:
+        parts.append(_dv_rows_df(spark, dv_deletes))
+    dels = parts[0]
+    for extra in parts[1:]:
+        dels = dels.unionByName(extra)
+    counts = ([n for _, n in pos_deletes]
+              + [c for *_, c in dv_deletes])
     if all(n is not None for n in counts) and sum(counts) <= 4_000_000:
         dels = F.broadcast(dels)
     return (
