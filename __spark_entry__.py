@@ -4281,6 +4281,142 @@ def _w56(t):
 _BUILDERS["w56_iceberg_posdelete"] = _w56
 
 
+def _w57(t):
+    """Iceberg v3 DELETION VECTORS + v2 EQUALITY deletes in one
+    snapshot, jar-free (sources/iceberg.py + sources/dvectors.py;
+    reference scans Iceberg via DuckDB's iceberg_scan,
+    /root/reference/src/TidierDB.jl:161-165): data file A (sequence 1,
+    sorted by doc_id) carries a Puffin roaring DV killing the ordinals
+    of every doc_id % 7 == 3 row AND is subject to an equality delete
+    (sequence 2, equality_ids = lang) removing lang='de'; data file B
+    (sequence 3) re-inserts doc_id < 50 AFTER the equality delete, so
+    its de/doc_id%7==3 rows must SURVIVE — a hash match proves the DV
+    decode, the null-safe equality anti-join and the strict
+    sequence-number ordering are all exact.  The 300-row collect is the
+    bounded fixture-build action (the w50 convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from avro_ref import write_container
+    from roaring_ref import iceberg_dv_blob, write_puffin
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w57_iceberg_v3_") + "/tbl"
+    os.makedirs(os.path.join(root, "metadata"))
+    pdf = (t["documents"].filter("doc_id < 300")
+           .select("doc_id", "text", "lang").collect()
+           .sort_values("doc_id"))
+
+    def write_pq(rows, schema, rel):
+        dest = os.path.join(root, rel)
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(dest + ".tmpdir")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(dest + ".tmpdir/part-*.parquet")[0], dest)
+        shutil.rmtree(dest + ".tmpdir")
+        return f"{root}/{rel}"
+
+    doc_schema = "doc_id long, text string, lang string"
+    rows_a = list(pdf[["doc_id", "text", "lang"]]
+                  .itertuples(index=False, name=None))
+    fa = write_pq(rows_a, doc_schema, f"data/{_uuid.uuid4().hex}.parquet")
+    rows_b = [r for r in rows_a if r[0] < 50]
+    fb = write_pq(rows_b, doc_schema, f"data/{_uuid.uuid4().hex}.parquet")
+
+    dv_pos = [i for i, d in enumerate(pdf["doc_id"]) if d % 7 == 3]
+    puffin, spans = write_puffin([iceberg_dv_blob(dv_pos)])
+    puf_rel = f"data/{_uuid.uuid4().hex}-deletes.puffin"
+    with open(os.path.join(root, puf_rel), "wb") as fh:
+        fh.write(puffin)
+    off, ln = spans[0]
+    eq_path = write_pq([("de",)], "lang string",
+                       f"data/{_uuid.uuid4().hex}-eqdel.parquet")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]}]}}]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]}]}
+
+    def entry(content, fp, n, fmt="PARQUET", ids=None, ref=None,
+              off=None, ln=None):
+        return {"status": 1, "sequence_number": None,
+                "data_file": {"content": content, "file_path": fp,
+                              "file_format": fmt, "record_count": n,
+                              "equality_ids": ids,
+                              "referenced_data_file": ref,
+                              "content_offset": off,
+                              "content_size_in_bytes": ln}}
+
+    def manifest(name, recs):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, recs, codec="deflate"))
+        return f"{root}/metadata/{name}"
+
+    m_a = manifest("m-a.avro", [entry(0, fa, len(rows_a))])
+    m_b = manifest("m-b.avro", [entry(0, fb, len(rows_b))])
+    m_d = manifest("m-d.avro", [
+        entry(1, f"{root}/{puf_rel}", len(dv_pos), fmt="PUFFIN",
+              ref=fa, off=off, ln=ln),
+        entry(2, eq_path, 1, ids=[3])])
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(mlist_schema, [
+            {"manifest_path": m_a, "manifest_length": 1, "content": 0,
+             "sequence_number": 1},
+            {"manifest_path": m_b, "manifest_length": 1, "content": 0,
+             "sequence_number": 3},
+            {"manifest_path": m_d, "manifest_length": 1, "content": 1,
+             "sequence_number": 2}]))
+    meta = {
+        "format-version": 3, "table-uuid": str(_uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "text", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    return db_table(spark, root, iceberg=True).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w57_iceberg_v3_deletes"] = _w57
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7548,6 +7684,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, lang
         FROM documents
         WHERE doc_id < 300 AND doc_id % 9 != 4
+    """
+    # w57: file A (all doc_id<300, seq 1) minus its DV positions
+    # (doc_id%7=3) minus the equality delete (lang='de', seq 2), UNION
+    # ALL file B's post-delete re-insert (doc_id<50, seq 3) untouched
+    out["w57_iceberg_v3_deletes"] = r"""
+        SELECT doc_id, text, lang FROM documents
+        WHERE doc_id < 300 AND doc_id % 7 != 3
+          AND lang IS DISTINCT FROM 'de'
+        UNION ALL
+        SELECT doc_id, text, lang FROM documents WHERE doc_id < 50
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
