@@ -256,17 +256,24 @@ def test_writer_lock_heartbeat_renews_lease(spark, tmp_path):
     lock_file = str(tmp_path / "st" / "_writer.lock")
 
     # live holder: held LONGER than stale_s, heartbeats refresh the ts —
-    # a second writer is still refused (age is measured from the beat)
+    # a second writer is still refused (age is measured from the beat).
+    # stale_s is 10x the heartbeat so a briefly-starved heartbeat thread
+    # on a loaded host cannot flake the refusal.
     with writer_lock(spark, path, holder="live",
-                     stale_s=0.9, heartbeat_s=0.2) as lock:
+                     stale_s=5.0, heartbeat_s=0.5) as lock:
         t0 = json.loads(read_text(spark, lock))["ts"]
-        time.sleep(1.2)  # > stale_s, several heartbeats in
-        t1 = json.loads(read_text(spark, lock))["ts"]
-        assert t1 > t0, "heartbeat must rewrite the lock ts"
-        assert json.loads(read_text(spark, lock))["note"] == "heartbeat"
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            time.sleep(0.5)
+            body = json.loads(read_text(spark, lock))
+            if body["ts"] > t0:
+                break
+        assert body["ts"] > t0, "heartbeat must rewrite the lock ts"
+        assert body["note"] == "heartbeat"
+        time.sleep(5.2)  # hold past stale_s with heartbeats running
         with pytest.raises(RuntimeError, match="already held by live"):
             with writer_lock(spark, path, holder="second",
-                             stale_s=0.9, heartbeat_s=0.2):
+                             stale_s=5.0, heartbeat_s=0.5):
                 pass
         shutil.copy(lock_file, str(tmp_path / "crashed"))
     # release cleans up
