@@ -94,16 +94,19 @@ def encode_roaring_bitmap32(values, force_run=False) -> bytes:
 
 
 def encode_roaring_array(indexes, force_run=False) -> bytes:
-    """Portable RoaringBitmapArray of sorted int64 row indexes: magic,
-    LE-long bitmap count, then each 32-bit bitmap (high-word order)."""
+    """Portable 64-bit RoaringBitmapArray of sorted int64 row indexes
+    (RoaringFormatSpec 64-bit extension, as written by delta-spark):
+    magic, LE-long count of NON-EMPTY buckets, then for each bucket in
+    increasing key order a 4-byte LE key followed by its standard
+    32-bit bitmap."""
     by_hi: dict[int, list[int]] = {}
     for i in sorted(indexes):
         by_hi.setdefault(i >> 32, []).append(i & 0xFFFFFFFF)
-    n = (max(by_hi) + 1) if by_hi else 0
-    out = struct.pack("<i", 1681511377) + struct.pack("<q", n)
-    for hi in range(n):
-        out += encode_roaring_bitmap32(by_hi.get(hi, []),
-                                       force_run=force_run)
+    keys = sorted(by_hi)
+    out = struct.pack("<i", 1681511377) + struct.pack("<q", len(keys))
+    for hi in keys:
+        out += struct.pack("<I", hi)
+        out += encode_roaring_bitmap32(by_hi[hi], force_run=force_run)
     return out
 
 
@@ -128,11 +131,13 @@ _ICEBERG_DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
 
 def iceberg_dv_blob(indexes, force_run=False) -> bytes:
     """One deletion-vector-v1 blob (Iceberg v3 spec): BE length of
-    magic+bitmap, the 4 magic bytes, the RoaringBitmapArray portable
-    bitmap (same serialization as Delta — deliberate interop), BE
-    CRC-32 over magic+bitmap."""
-    bm = encode_roaring_array(indexes, force_run=force_run)
-    body = _ICEBERG_DV_MAGIC + bm
+    magic+vector, then the magic bytes D1 D3 39 64 EXACTLY ONCE
+    followed by the portable 64-bit roaring vector, then BE CRC-32
+    over magic+vector.  The magic is Delta's LE magic 1681511377, so
+    magic+vector == encode_roaring_array's output byte-for-byte (the
+    spec's deliberate Delta interop)."""
+    body = encode_roaring_array(indexes, force_run=force_run)
+    assert body[:4] == _ICEBERG_DV_MAGIC  # spec interop invariant
     return (struct.pack(">i", len(body)) + body
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
 

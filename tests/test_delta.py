@@ -447,18 +447,19 @@ def test_column_mapping_name_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, root2)
 
-    # nested mapped struct -> loud NotImplementedError
-    nested = json.loads(schema_json)
-    nested["fields"][1] = {
+    # a mapped inner field missing its physicalName is malformed too,
+    # and the raise names the full field path
+    nested_bad = json.loads(schema_json)
+    nested_bad["fields"][1] = {
         "name": "val", "nullable": True,
         "type": {"type": "struct", "fields": [
             {"name": "x", "type": "long", "nullable": True,
-             "metadata": {"delta.columnMapping.physicalName": "col-x"}}]},
+             "metadata": {}}]},
         "metadata": {"delta.columnMapping.id": 2,
                      "delta.columnMapping.physicalName": p_val}}
     meta3 = json.loads(json.dumps(meta))
-    meta3["metaData"]["schemaString"] = json.dumps(nested)
-    root3 = str(tmp_path / "nested")
+    meta3["metaData"]["schemaString"] = json.dumps(nested_bad)
+    root3 = str(tmp_path / "nestedbad")
     _write_parquet(spark, [(1,)], f"`{p_id}` long",
                    os.path.join(root3, "f.parquet"))
     _commit(root3, 0, [
@@ -466,8 +467,108 @@ def test_column_mapping_name_mode(spark, tmp_path):
         meta3, {"add": {"path": "f.parquet", "partitionValues": {},
                         "size": 1, "modificationTime": 1,
                         "dataChange": True}}])
-    with pytest.raises(NotImplementedError, match="nested-struct"):
+    with pytest.raises(ValueError, match=r"'val'\.x"):
         read_delta(spark, root3)
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_column_mapping_nested_structs(spark, tmp_path, mode):
+    """r11: column mapping with NESTED schemas — physical names at every
+    depth (struct field, struct inside array, map value struct) restore
+    to logical names exactly, composed with partition re-attach and a
+    deletion vector.  PROTOCOL.md Column Mapping: both modes store
+    physicalName metadata on every StructField; parquet files use the
+    physical names at all levels."""
+    import sys
+
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from roaring_ref import encode_roaring_array, z85_encode
+
+    root = str(tmp_path / "tbl")
+
+    def fld(name, typ, pn, cid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": cid,
+                             "delta.columnMapping.physicalName": pn}}
+
+    inner = {"type": "struct", "fields": [
+        fld("x", "long", "col-x9", 10),
+        fld("y", "string", "col-y8", 11),
+    ]}
+    tag = {"type": "struct", "fields": [fld("t", "string", "col-t7", 12)]}
+    schema_json = json.dumps({"type": "struct", "fields": [
+        fld("id", "long", "col-id1", 1),
+        fld("obj", inner, "col-obj2", 2),
+        fld("tags", {"type": "array", "elementType": tag,
+                     "containsNull": True}, "col-tags3", 3),
+        fld("attrs", {"type": "map", "keyType": "string",
+                      "valueType": inner, "valueContainsNull": True},
+            "col-attrs4", 4),
+        fld("lang", "string", "col-lang5", 5),
+    ]})
+
+    phys = T.StructType([
+        T.StructField("col-id1", T.LongType()),
+        T.StructField("col-obj2", T.StructType([
+            T.StructField("col-x9", T.LongType()),
+            T.StructField("col-y8", T.StringType())])),
+        T.StructField("col-tags3", T.ArrayType(T.StructType([
+            T.StructField("col-t7", T.StringType())]))),
+        T.StructField("col-attrs4", T.MapType(
+            T.StringType(), T.StructType([
+                T.StructField("col-x9", T.LongType()),
+                T.StructField("col-y8", T.StringType())]))),
+    ])
+    rows = [
+        (1, (10, "a"), [("p",), ("q",)], {"k": (7, "z")}),
+        (2, (20, "b"), [], {}),
+        (3, (30, "c"), None, None),
+    ]
+    f_en = "p0/" + uuid.uuid4().hex + ".parquet"
+    _write_parquet(spark, rows, phys, os.path.join(root, f_en))
+
+    # a DV deleting physical row 1 (id=2) proves mapping composes with
+    # the row-index anti-join
+    dv_bytes = encode_roaring_array([1])
+    dv = {"storageType": "i", "pathOrInlineDv": z85_encode(
+        dv_bytes + b"\x00" * (-len(dv_bytes) % 4)),
+        "offset": None, "sizeInBytes": len(dv_bytes), "cardinality": 1}
+    meta = {"metaData": {
+        "id": str(uuid.uuid4()), "format": {"provider": "parquet"},
+        "schemaString": schema_json, "partitionColumns": ["lang"],
+        "configuration": {"delta.columnMapping.mode": mode,
+                          "delta.columnMapping.maxColumnId": "12"}}}
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping",
+                                         "deletionVectors"],
+                      "writerFeatures": ["columnMapping",
+                                         "deletionVectors"]}},
+        meta,
+        {"add": {"path": f_en, "partitionValues": {"col-lang5": "en"},
+                 "size": 1, "modificationTime": 1, "dataChange": True,
+                 "deletionVector": dv}}])
+
+    tf = read_delta(spark, root)
+    assert [f.name for f in tf.df.schema.fields] == [
+        "id", "obj", "tags", "attrs", "lang"]
+    obj_t = tf.df.schema["obj"].dataType
+    assert [f.name for f in obj_t.fields] == ["x", "y"]
+    assert [f.name
+            for f in tf.df.schema["tags"].dataType.elementType.fields] == \
+        ["t"]
+    assert [f.name
+            for f in tf.df.schema["attrs"].dataType.valueType.fields] == \
+        ["x", "y"]
+    got = tf.df.orderBy("id").collect()
+    assert [r["id"] for r in got] == [1, 3]  # physical row 1 DV-deleted
+    assert got[0]["obj"].asDict() == {"x": 10, "y": "a"}
+    assert [t["t"] for t in got[0]["tags"]] == ["p", "q"]
+    assert got[0]["attrs"]["k"].asDict() == {"x": 7, "y": "z"}
+    assert got[1]["tags"] is None and got[1]["attrs"] is None
+    assert {r["lang"] for r in got} == {"en"}
 
 
 def test_deletion_vectors_survive_checkpoint(spark, tmp_path):

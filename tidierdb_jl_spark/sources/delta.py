@@ -40,12 +40,13 @@ against the scan, broadcast when the log's summed ``cardinality`` says
 the deleted set is small (it almost always is — DVs exist precisely
 because deletes are sparse relative to the file).
 
-Column mapping (r10): ``name``/``id``-mode tables resolve physical
-column names from the schemaString's per-field
+Column mapping (r10, nested r11): ``name``/``id``-mode tables resolve
+physical column names from the schemaString's per-field
 ``delta.columnMapping.physicalName`` metadata (both modes write it and
-the parquet files use those names) — the scan reads physical, the
-caller sees logical; nested mapped structs gate loudly (inner-field
-renames need recursive schema surgery — jar territory).
+the parquet files use those names at EVERY nesting depth) — the scan
+reads the fully-physical nested schema, and logical names are restored
+with one positional struct cast per top-level column (struct-to-struct
+casts rename fields at every depth, JVM-side, values untouched).
 
 V2 checkpoints (r10): uuid-named checkpoint manifests (json or
 parquet) with their ``_sidecars/`` parquet files replay exactly like
@@ -74,9 +75,9 @@ __all__ = ["read_delta"]
 _LOG = "_delta_log"
 # reader features this module implements or that do not change what a
 # parquet scan of the live files (minus their DVs) returns.
-# columnMapping (r10): physical->logical renames resolved from the
-# schemaString's per-field delta.columnMapping.physicalName metadata —
-# flat schemas only, nested mapped structs gate loudly in read_delta.
+# columnMapping (r10, nested r11): physical->logical renames resolved
+# from the schemaString's per-field delta.columnMapping.physicalName
+# metadata, recursively through struct/array/map types.
 # v2Checkpoint (r10): uuid manifests + sidecars, see _replay_checkpoint
 _SAFE_READER_FEATURES = {
     "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
@@ -269,54 +270,70 @@ def _snapshot(spark, path: str, version: int | None):
     return live, meta, target
 
 
-def _physical_names(meta: dict, schema, path: str) -> dict[str, str]:
-    """logical -> physical column names (PROTOCOL.md Column Mapping).
+def _physical_names(meta: dict, schema, path: str):
+    """(logical -> physical top-level names, logical -> PHYSICAL nested
+    DataType) per PROTOCOL.md Column Mapping.
 
-    Mode ``none``: identity.  Modes ``name``/``id``: every field carries
-    ``delta.columnMapping.physicalName`` metadata in the schemaString
-    (both modes write it; parquet files use those names, so resolving by
-    physicalName serves id-mode tables too).  Nested mapped STRUCTS need
-    recursive schema surgery to rename inner fields — gated loudly;
-    flat columns (incl. arrays/maps of primitives, whose elements are
-    not renamed) are the supported shape."""
+    Mode ``none``: identity.  Modes ``name``/``id``: every StructField
+    at EVERY nesting depth carries ``delta.columnMapping.physicalName``
+    metadata in the schemaString (both modes write it; parquet files use
+    those names at every level, so resolving by physicalName serves
+    id-mode tables too).  Nested structs (incl. inside arrays/maps) are
+    handled by building the fully-physical nested type here; the caller
+    reads with it and restores logical names with one positional
+    struct cast (r11 — closes the r10 nested gate).  A mapped field
+    missing its physicalName at any depth is a malformed table and
+    raises with the full field path."""
     from pyspark.sql import types as T
 
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     if mode in (None, "", "none"):
-        return {f.name: f.name for f in schema.fields}
+        return ({f.name: f.name for f in schema.fields},
+                {f.name: f.dataType for f in schema.fields})
     if mode not in ("name", "id"):
         raise NotImplementedError(
             f"{path}: delta.columnMapping.mode={mode!r} — name/id only"
         )
 
-    def _has_struct(t) -> bool:
-        if isinstance(t, T.StructType):
-            return True
-        if isinstance(t, T.ArrayType):
-            return _has_struct(t.elementType)
-        if isinstance(t, T.MapType):
-            return _has_struct(t.keyType) or _has_struct(t.valueType)
-        return False
-
-    out = {}
-    for f in schema.fields:
-        if _has_struct(f.dataType):
-            raise NotImplementedError(
-                f"{path}: column mapping on nested-struct column "
-                f"{f.name!r} — inner-field renames need the delta "
-                "connector jar"
-            )
+    def _pn(f, where: str) -> str:
         pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if not pn:
             raise ValueError(
-                f"{path}: columnMapping mode={mode} but field {f.name!r} "
+                f"{path}: columnMapping mode={mode} but field {where} "
                 "has no delta.columnMapping.physicalName metadata — "
                 "malformed table"
             )
-        out[f.name] = pn
-    return out
+        return pn
+
+    def _to_physical(t, where: str):
+        if isinstance(t, T.StructType):
+            return T.StructType([
+                T.StructField(
+                    _pn(f, f"{where}.{f.name}"),
+                    _to_physical(f.dataType, f"{where}.{f.name}"),
+                    f.nullable,
+                )
+                for f in t.fields
+            ])
+        if isinstance(t, T.ArrayType):
+            return T.ArrayType(
+                _to_physical(t.elementType, where + "[]"), t.containsNull
+            )
+        if isinstance(t, T.MapType):
+            return T.MapType(
+                _to_physical(t.keyType, where + "<key>"),
+                _to_physical(t.valueType, where + "<value>"),
+                t.valueContainsNull,
+            )
+        return t
+
+    names, ptypes = {}, {}
+    for f in schema.fields:
+        names[f.name] = _pn(f, repr(f.name))
+        ptypes[f.name] = _to_physical(f.dataType, repr(f.name))
+    return names, ptypes
 
 
 def _deleted_rows_df(spark, root: str, dv_of: dict[str, dict]):
@@ -405,13 +422,22 @@ def read_delta(
     live, meta, _ = _snapshot(spark, str(path), version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    # column mapping: data files and partitionValues use PHYSICAL names;
-    # the caller sees logical ones (identity map when mode is none)
-    phys = _physical_names(meta, schema, path)
+    # column mapping: data files and partitionValues use PHYSICAL names
+    # at every nesting depth; the caller sees logical ones (identity map
+    # when mode is none).  The scan reads the fully-physical nested
+    # schema; _logical restores logical names with a positional struct
+    # cast (same values, renamed fields, JVM-side, no shuffle).
+    phys, ptypes = _physical_names(meta, schema, path)
     data_schema = T.StructType([
-        T.StructField(phys[f.name], f.dataType, f.nullable)
+        T.StructField(phys[f.name], ptypes[f.name], f.nullable)
         for f in schema.fields if f.name not in part_cols
     ])
+
+    def _logical(f):
+        c = F.col(phys[f.name])
+        if ptypes[f.name] != f.dataType:  # nested physical names differ
+            c = c.cast(f.dataType)
+        return c.alias(f.name)
     if partition_filter is not None:
         if not part_cols:
             raise ValueError(
@@ -472,9 +498,7 @@ def read_delta(
             .drop("__ridx")
         )
     if not part_cols:
-        return TidyFrame(df.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
-        ))
+        return TidyFrame(df.select(*[_logical(f) for f in schema.fields]))
 
     # re-attach partition columns from the log's partitionValues: one
     # broadcast map of basename -> values joined against the scan
@@ -506,7 +530,7 @@ def read_delta(
         .where(F.col("__pv_hit"))
         .select(
             *[
-                F.col(phys[f.name]).alias(f.name) if f.name not in part_cols
+                _logical(f) if f.name not in part_cols
                 else F.col(f"__pv_{f.name}").cast(types[f.name]).alias(f.name)
                 for f in schema.fields
             ]

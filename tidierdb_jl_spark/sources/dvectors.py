@@ -10,10 +10,12 @@ reader (:mod:`.delta`) can apply row-level deletes:
   "Deletion Vector Descriptor Schema").
 - **RoaringBitmapArray, "portable" serialization** (Delta PROTOCOL.md
   "Deletion Vector Format" + the public RoaringFormatSpec,
-  https://github.com/RoaringBitmap/RoaringFormatSpec): magic number,
-  a count of 32-bit roaring bitmaps, then each bitmap in the standard
-  32-bit format (array / bitmap / run containers).  A 64-bit row index
-  ``i`` is deleted iff bitmap ``i >> 32`` contains ``i & 0xFFFFFFFF``.
+  https://github.com/RoaringBitmap/RoaringFormatSpec 64-bit
+  extension): magic number, a count of non-empty 32-bit buckets, then
+  for EACH bucket a 4-byte LE key followed by the standard 32-bit
+  format (array / bitmap / run containers).  A 64-bit row index ``i``
+  is deleted iff the bucket keyed ``i >> 32`` contains
+  ``i & 0xFFFFFFFF``.
 - **DV file framing** (PROTOCOL.md "Deletion Vector File Storage
   Format"): version byte 1, then per-DV at ``offset``: 4-byte
   big-endian length, the serialized bitmap, 4-byte big-endian CRC-32
@@ -143,7 +145,17 @@ def _decode_rb32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
 
 
 def decode_roaring_array(data: bytes) -> np.ndarray:
-    """RoaringBitmapArray (portable) -> sorted int64 member array."""
+    """RoaringBitmapArray (portable 64-bit) -> sorted int64 member array.
+
+    Layout (Delta PROTOCOL.md "Deletion Vector Format" + the
+    RoaringFormatSpec 64-bit extension): 4-byte LE magic, 8-byte LE
+    count of 32-bit bitmaps (= the number of NON-EMPTY high-word
+    buckets, not max-key+1), then for EACH bitmap a 4-byte LE key (the
+    high 32 bits of its members) followed by the standard 32-bit
+    roaring serialization.  Keys must be strictly increasing — real
+    writers (delta-spark, RoaringBitmap's BitMap64) emit them sorted,
+    and an out-of-order key means we are misreading the stream.
+    """
     if len(data) < 12:
         raise ValueError(f"roaring array blob too short ({len(data)} bytes)")
     (magic,) = struct.unpack_from("<i", data, 0)
@@ -152,12 +164,38 @@ def decode_roaring_array(data: bytes) -> np.ndarray:
             f"roaring array: bad magic {magic} (expected {_MAGIC})"
         )
     (n,) = struct.unpack_from("<q", data, 4)
+    if n < 0:
+        raise ValueError(f"roaring array: negative bitmap count {n}")
     pos = 12
     parts = []
-    for hi in range(n):
+    prev_key = -1
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError(
+                "roaring array: truncated before a bucket key "
+                f"(pos {pos}, {len(data)} bytes)"
+            )
+        (key,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if key <= prev_key:
+            raise ValueError(
+                f"roaring array: bucket key {key} not strictly greater "
+                f"than previous key {prev_key} — misread stream"
+            )
+        if key > 0x7FFFFFFF:
+            raise ValueError(
+                f"roaring array: bucket key {key} puts members past "
+                "int64 row-index range"
+            )
+        prev_key = key
         vals, pos = _decode_rb32(data, pos)
-        parts.append((np.int64(hi) << np.int64(32))
+        parts.append((np.int64(key) << np.int64(32))
                      | vals.astype(np.int64))
+    if pos != len(data):
+        raise ValueError(
+            f"roaring array: {len(data) - pos} trailing bytes after "
+            f"{n} bitmaps — misread stream"
+        )
     return (np.concatenate(parts) if parts
             else np.empty(0, dtype=np.int64))
 
@@ -217,11 +255,16 @@ def read_iceberg_dv_from_bytes(
 ) -> np.ndarray:
     """One Iceberg v3 deletion-vector blob from a Puffin file's bytes:
     at ``offset`` (the manifest's ``content_offset``): 4-byte BE length
-    of (magic + bitmap), the 4 magic bytes, the RoaringBitmapArray
-    portable bitmap (same serialization Delta uses — deliberate interop
-    in the v3 spec), 4-byte BE CRC-32 over magic + bitmap.  ``size`` is
-    the manifest's ``content_size_in_bytes`` (the whole blob).  Any
-    mismatch — length, magic, CRC, cardinality — refuses loudly."""
+    of (magic + vector), then the magic bytes D1 D3 39 64 appearing
+    EXACTLY ONCE, immediately followed by the portable 64-bit roaring
+    vector (count + per-bucket key + 32-bit bitmap), then 4-byte BE
+    CRC-32 over magic + vector.  The magic IS Delta's LE magic
+    1681511377 — magic + vector together equal Delta's DV
+    serialization byte-for-byte (the v3 spec's deliberate interop), so
+    the body decodes directly with :func:`decode_roaring_array`.
+    ``size`` is the manifest's ``content_size_in_bytes`` (the whole
+    blob).  Any mismatch — length, magic, CRC, cardinality — refuses
+    loudly."""
     (ln,) = struct.unpack_from(">i", blob, offset)
     if size is not None and size != ln + 8:
         raise ValueError(
@@ -243,7 +286,9 @@ def read_iceberg_dv_from_bytes(
             f"iceberg DV at offset {offset}: CRC-32 mismatch "
             f"(stored {crc:#x}, computed {actual:#x})"
         )
-    return decode_dv_blob(body[4:], cardinality)
+    # body = magic + vector = Delta's serialization, which is exactly
+    # what decode_roaring_array parses (it checks the magic itself).
+    return decode_dv_blob(body, cardinality)
 
 
 def read_dv_from_bytes(

@@ -238,14 +238,20 @@ def writer_lock(spark, state_path: str, holder: str | None = None,
         stop = threading.Event()
 
         def _renew() -> None:
+            # _write_body swallows fs.create failures into False, so the
+            # boolean result — not an exception — is the failure signal
+            # here; a silent False would let a live holder be evicted as
+            # stale with no diagnostic.
             while not stop.wait(heartbeat_s):
                 try:
-                    _write_body(True, note="heartbeat")
-                except Exception as exc:  # noqa: BLE001 — keep holding
+                    ok = _write_body(True, note="heartbeat")
+                except Exception:  # noqa: BLE001 — keep holding
+                    ok = False
+                if not ok:
                     _warnings.warn(
-                        f"writer lock heartbeat on {state_path} failed "
-                        f"({type(exc).__name__}); the lock may be "
-                        f"reclaimed as stale after {stale_s:.0f}s",
+                        f"writer lock heartbeat on {state_path} failed; "
+                        f"the lock may be reclaimed as stale after "
+                        f"{stale_s:.0f}s without a successful renewal",
                         stacklevel=2,
                     )
 
