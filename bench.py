@@ -65,8 +65,31 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:  # subset runs (tools/bench_ab.py interleaving)
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
     # warm-up: JIT, parquet footers, codegen caches
     qs[names[0]](spark, sf_dir).count()
+
+    def calibrate() -> float:
+        """Host-speed probe INDEPENDENT of repo code: a fixed pure-JVM
+        codegen scan (range -> xxhash64 -> sum).  Its runtime moves with
+        host load/CPU only, so verdicts can normalize cross-round bench
+        totals (r9 and r10 both burned a diagnosis round on host drift):
+        normalized_total = total * (calib_baseline / calib_now)."""
+        from pyspark.sql import functions as F
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000).select(
+                F.bit_xor(F.xxhash64("id"))  # no ANSI overflow, same scan
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    calib = calibrate()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
@@ -101,6 +124,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-speed row, NOT part of the total (engine code is not
+        # involved): min-of-3 of a fixed pure-JVM hash scan
+        "calibration": calib,
     }
     # The driver parses the JSON line out of a bounded stdout tail, so the
     # stdout line must stay compact: min/max spread goes to a side file

@@ -513,12 +513,20 @@ def test_iceberg_equality_deletes(spark, tmp_path):
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
         fh.write("1")
 
-    got = read_iceberg(spark, root).collect().sort_values("id")
+    tf = read_iceberg(spark, root)
+    got = tf.collect().sort_values("id")
     # from A (seq 1 < 2): ids 2, 9 deleted by the id-delete; the NULL-val
     # row 9 ALSO matches the val-delete (null matches null).  B (seq 3)
     # is untouched: its id=2 re-insert survives.
     assert got[["id", "val"]].values.tolist() == [
         [1, "a"], [2, "b"], [3, "c"], [4, "d"], [5, "e"]]
+    # r11: the manifests' record counts say the delete side is tiny, so
+    # the anti-joins must be DETERMINISTICALLY broadcast (not left for
+    # AQE to rediscover): 2 equality-ids groups + the seq maps
+    from tidierdb_jl_spark import plan_summary
+
+    summ = plan_summary(tf)
+    assert summ["broadcast_joins"] >= 2 and summ["sortmerge_joins"] == 0
 
     # unresolvable data-file sequence number + equality deletes -> gate
     m_a2 = manifest("m-a2.avro", [entry(0, fa, 5)])  # status=0, no seq
@@ -657,4 +665,104 @@ def test_iceberg_v3_deletion_vectors(spark, tmp_path):
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
         fh.write("2")
     with pytest.raises(NotImplementedError, match="format-version 4"):
+        read_iceberg(spark, root)
+
+
+def test_iceberg_v3_column_defaults(spark, tmp_path):
+    """v3 COLUMN DEFAULTS (r11, spec "Default values"): a field added
+    with ``initial-default`` fills that value for rows from data files
+    whose footer LACKS the field, while files containing it keep stored
+    values — including genuine NULLs (the distinction a union-schema
+    null-fill would erase).  Composes with position deletes; a missing
+    field with no default still refuses."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def pq(rows, rel, schema):
+        dest = os.path.join(root, rel)
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(dest + ".tmp")
+        import glob
+        import shutil
+
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(glob.glob(dest + ".tmp/part-*.parquet")[0], dest)
+        shutil.rmtree(dest + ".tmp")
+        return f"{root}/{rel}"
+
+    # f_old predates the score/tag/since columns; f_new has them, with a
+    # genuine NULL score on id=11
+    f_old = pq([(1, "a"), (2, "b")], f"data/{uuid.uuid4().hex}.parquet",
+               "id long, val string")
+    f_new = pq([(10, "x", 9.5, "real", "2030-05-06"),
+                (11, "y", None, None, None)],
+               f"data/{uuid.uuid4().hex}.parquet",
+               "id long, val string, score double, tag string, "
+               "since string")
+    # position delete killing ordinal 0 of f_old (id=1) proves defaults
+    # compose with the row-index machinery across the grouped union
+    d_pos = pq([(f_old, 0)], f"data/{uuid.uuid4().hex}-del.parquet",
+               "file_path string, pos long")
+
+    def manifest(name, content, fp, n):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(_MANIFEST_ENTRY, [
+                {"status": 1, "data_file": {
+                    "content": content, "file_path": fp,
+                    "file_format": "PARQUET", "record_count": n}}]))
+        return f"{root}/metadata/{name}"
+
+    m_old = manifest("m-old.avro", 0, f_old, 2)
+    m_new = manifest("m-new.avro", 0, f_new, 2)
+    m_del = manifest("m-del.avro", 1, d_pos, 1)
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": m_old, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_new, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_del, "manifest_length": 1, "content": 1}]))
+    fields = [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "string"},
+        {"id": 3, "name": "score", "required": False, "type": "double",
+         "initial-default": 3.25, "write-default": 3.25},
+        {"id": 4, "name": "tag", "required": False, "type": "string",
+         "initial-default": "unset"},
+        {"id": 5, "name": "since", "required": False, "type": "string",
+         "initial-default": "2026-01-01"},
+    ]
+    meta = {
+        "format-version": 3, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": fields}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert list(got.columns) == ["id", "val", "score", "tag", "since"]
+    rows = {int(r.id): (r.val, r.score, r.tag, r.since)
+            for r in got.itertuples(index=False)}
+    assert 1 not in rows  # position-deleted
+    assert rows[2] == ("b", 3.25, "unset", "2026-01-01")  # defaults fill
+    assert rows[10] == ("x", 9.5, "real", "2030-05-06")   # stored values
+    v, s, t, d = rows[11]
+    import pandas as pd
+
+    assert v == "y" and pd.isna(s) and t is None and d is None  # real NULLs
+
+    # a field missing from some file with NO default still refuses
+    meta2 = json.loads(json.dumps(meta))
+    del meta2["schemas"][0]["fields"][3]["initial-default"]
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(NotImplementedError, match="no initial-default"):
         read_iceberg(spark, root)

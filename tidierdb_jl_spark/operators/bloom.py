@@ -40,9 +40,9 @@ the filter a first-class user artifact:
   MEASURED r10 (BENCH_DEDUPSTATE.md): ~16M rows/s marginal, flat in
   ``m`` — the Python stage does NOT dominate (the r9 verdict's open
   question); a pure-JVM ``wordjoin`` alternative (k BroadcastHashJoins
-  on the word index) has ~1.6× lower marginal cost but a fixed
-  k-broadcast setup that only amortizes past ~3×10⁸ probe rows — kept
-  as an explicit mode.
+  on a BLOCKED word relation, r11) has ~1.6× lower marginal cost and,
+  since the r11 block packing, a sub-second fixed setup — competitive
+  from ~10⁷ probe rows.
 
 The reference has no bloom surface; this is a beyond-reference scale op
 (SURVEY "LLM-pipeline" family).  Design follows the classic Bloom (1970)
@@ -270,24 +270,36 @@ def _probe_broadcast(sdf, kc, bloom: dict, into: str):
     return sdf.withColumn(into, _probe(pos_arr))
 
 
+# 64-bit words per broadcast-relation row in the wordjoin probe.  The
+# r10 shape (one row per NON-ZERO word) measured ~12 s PER broadcast at
+# m=2^27: AQE does not reuse exchanges over pandas/Arrow-backed local
+# relations (k=1: 17 s, k=7: 89 s — measured r11), and each of the k
+# un-reused BroadcastExchanges re-ran the Arrow->InternalRow conversion
+# and built a 2M-entry HashedRelation.  Packing 4096 words (32 KiB)
+# per row cuts the relation to m/2^18 rows (512 at m=2^27): the
+# HashedRelation build is trivial and the per-broadcast cost is one
+# bitmap-sized memcpy, so even k UN-reused broadcasts stay sub-second.
+_WJ_BLOCK = 4096
+
+
 def _probe_wordjoin(sdf, kc, bloom: dict, into: str):
-    """JVM-only probe: the bitmap becomes a broadcast (word_index, word)
-    relation — 16 bytes per NON-ZERO 64-bit word, built vectorized — and
-    each of the k probes is one BroadcastHashJoin fetching its word,
-    followed by a codegen bit test.  Zero shuffle of the probe side,
-    zero Python in the row path.
+    """JVM-only probe: the bitmap becomes a broadcast
+    (block_index, array<long> of ``_WJ_BLOCK`` words) relation, and each
+    of the k probes is one BroadcastHashJoin fetching its block followed
+    by an O(1) ``element_at`` + codegen bit test.  Zero shuffle of the
+    probe side, zero Python in the row path.
 
-    Measured (r10, BENCH_DEDUPSTATE.md): marginal cost ~35 ns/row vs the
-    Arrow UDF probe's ~57 ns/row, but the k un-reused broadcasts cost a
-    FIXED ~6 s at m=2^27 — so this mode only wins for probes past
-    ~3×10⁸ rows per query, and at near-optimal fill the word relation
-    is ~2× the nibble bitmap shipped k times (vs once for the UDF
-    broadcast).  Hence it is an explicit mode, not the auto default.
+    Measured (r10/r11, BENCH_DEDUPSTATE.md): marginal cost ~35 ns/row vs
+    the Arrow UDF probe's ~57 ns/row; the r11 blocked relation cuts the
+    fixed setup from ~12 s per broadcast (k un-reused 2M-row relations
+    at m=2^27) to sub-second for all k together, making this mode
+    competitive from ~10⁷ probe rows.
 
-    A missing word index (word == 0, pruned from the relation) coalesces
-    to 0 → bit test false → definitive miss, which is exactly what an
-    all-zero word means.  Answers are bit-identical to the literal and
-    broadcast-UDF modes (same ``_positions`` hashes).
+    Blocks are zero-padded to cover the full bit range, so every
+    position's block exists; the left join + coalesce(0) is belt and
+    braces (an absent word is an all-zero word — a definitive miss).
+    Answers are bit-identical to the literal and broadcast-UDF modes
+    (same ``_positions`` hashes, same bitmap content).
     """
     import numpy as np
     import pandas as pd
@@ -296,34 +308,40 @@ def _probe_wordjoin(sdf, kc, bloom: dict, into: str):
     words = np.zeros(bloom["m"] // 64, dtype=np.uint64)
     for j in range(16):
         words |= nib[j::16] << np.uint64(4 * j)
-    nz = np.nonzero(words)[0]
+    nblocks = (len(words) + _WJ_BLOCK - 1) // _WJ_BLOCK
+    padded = np.zeros(nblocks * _WJ_BLOCK, dtype=np.uint64)
+    padded[:len(words)] = words
+    blocks = padded.view(np.int64).reshape(nblocks, _WJ_BLOCK)
     wdf = sdf.sparkSession.createDataFrame(pd.DataFrame({
-        "__bloom_w": nz.astype(np.int64),
-        "__bloom_word": words[nz].view(np.int64),
+        "__bloom_b": np.arange(nblocks, dtype=np.int64),
+        "__bloom_blk": list(blocks),
     }))
 
     out = sdf
     tests = []
     for i, p in enumerate(_positions(kc, bloom["m"], bloom["k"])):
-        wcol = f"__bw{i}"
-        # identical broadcast subtree every round -> ONE BroadcastExchange
-        # shipped per executor, k ReusedExchange consumers (verified in
-        # the plan test): the word relation travels once, not k times
+        bcol = f"__bb{i}"
         rhs = wdf.alias(f"__bwrel{i}")
+        widx = (p / 64).cast("long")
         out = (
-            out.withColumn(wcol, (p / 64).cast("long"))
+            out.withColumn(bcol, (widx / _WJ_BLOCK).cast("long"))
             .join(
                 F.broadcast(rhs),
-                F.col(wcol) == F.col(f"__bwrel{i}.__bloom_w"),
+                F.col(bcol) == F.col(f"__bwrel{i}.__bloom_b"),
                 "left",
             )
             .withColumn(
                 f"__bword{i}",
-                F.coalesce(F.col(f"__bwrel{i}.__bloom_word"),
-                           F.lit(0).cast("long")),
+                F.coalesce(
+                    F.element_at(
+                        F.col(f"__bwrel{i}.__bloom_blk"),
+                        (widx % _WJ_BLOCK).cast("int") + 1,
+                    ),
+                    F.lit(0).cast("long"),
+                ),
             )
-            .drop(F.col(f"__bwrel{i}.__bloom_w"))
-            .drop(F.col(f"__bwrel{i}.__bloom_word"))
+            .drop(F.col(f"__bwrel{i}.__bloom_b"))
+            .drop(F.col(f"__bwrel{i}.__bloom_blk"))
         )
         bit = F.call_function(
             "shiftright", F.col(f"__bword{i}"), (p % 64).cast("int")
@@ -332,7 +350,7 @@ def _probe_wordjoin(sdf, kc, bloom: dict, into: str):
     cond = kc.isNotNull()
     for t in tests:
         cond = cond & t
-    helper = [c for i in range(bloom["k"]) for c in (f"__bw{i}", f"__bword{i}")]
+    helper = [c for i in range(bloom["k"]) for c in (f"__bb{i}", f"__bword{i}")]
     return out.withColumn(into, cond).drop(*helper)
 
 
@@ -347,10 +365,10 @@ def bloom_mark(tf, key, bloom: dict, into: str = "bloom_hit", mode: str = "auto"
     spark broadcast probed by one Arrow-batched pandas UDF — measured
     (r10, BENCH_DEDUPSTATE.md) ~16M rows/s marginal FLAT in ``m``,
     which beats the literal probe's chunk walk even at 10⁶ bits and is
-    the auto big-``m`` path; "wordjoin" ships the non-zero 64-bit words
-    as a broadcast relation probed by k BroadcastHashJoins — pure JVM,
-    lower marginal cost (~35 vs ~57 ns/row) but a fixed k-broadcast
-    setup that only amortizes past ~3×10⁸ probe rows per query.
+    the auto big-``m`` path; "wordjoin" ships the bitmap as a broadcast
+    (block, array<long>) relation probed by k BroadcastHashJoins — pure
+    JVM, lower marginal cost (~35 vs ~57 ns/row) with a sub-second
+    fixed setup since the r11 block packing.
     "auto" (default) picks literal vs broadcast by ``m`` against the
     2^26-bit cap.  All modes probe the identical positions — answers
     are bit-for-bit the same."""

@@ -32,9 +32,12 @@ the ``equality_ids`` columns gated by the spec's sequence-number
 ordering (a delete removes rows only from data files with a strictly
 smaller data sequence number, so re-inserts after the delete survive)
 — see :func:`_apply_equality_deletes`.  Format version 3 is therefore
-readable; v3 tables using column DEFAULT VALUES still refuse via the
-missing-column gate (filling defaults needs field-id resolution), and
-unknown types fail in the parquet reader rather than silently.
+readable, including v3 COLUMN DEFAULTS (r11): a field's
+``initial-default`` fills rows from data files that predate the field —
+per-file presence probed from the parquet footers in one distributed
+metadata job — while files containing the field keep stored values,
+genuine nulls included (:func:`_scan_with_defaults`).  Unknown types
+fail in the parquet reader rather than silently.
 
 Loud gates (wrong-rows risks refuse, never guess): format version > 2;
 unresolvable sequence numbers when equality deletes are present;
@@ -210,15 +213,24 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             "parquet or orc live set only"
         )
     reader = spark.read.orc if fmts == {"ORC"} else spark.read.parquet
-    df = reader(*sorted(live))
-    want = [f["name"] for f in _current_schema(meta)["fields"]]
-    missing = [c for c in want if c not in df.columns]
-    if missing:
-        raise NotImplementedError(
-            f"{path}: current-schema columns {missing} absent from the data "
-            "files — field-id-based renames need the connector jar's "
-            "field-id resolution"
-        )
+    want_fields = _current_schema(meta)["fields"]
+    want = [f["name"] for f in want_fields]
+    has_defaults = any(f.get("initial-default") is not None
+                       for f in want_fields)
+    if has_defaults and fmts == {"PARQUET"}:
+        # v3 column defaults: presence must be resolved PER FILE (the
+        # plain reader infers the schema from one footer, which both
+        # hides mixed presence and cannot fill defaults)
+        df = _scan_with_defaults(spark, path, sorted(live), want_fields)
+    else:
+        df = reader(*sorted(live))
+        missing = [c for c in want if c not in df.columns]
+        if missing:
+            raise NotImplementedError(
+                f"{path}: current-schema columns {missing} absent from the "
+                "data files with no initial-default — field-id-based "
+                "renames need the connector jar's field-id resolution"
+            )
     if pos_deletes or dv_deletes:
         df = _apply_position_deletes(spark, path, df, list(live),
                                      pos_deletes, dv_deletes)
@@ -307,11 +319,12 @@ def _delete_files(spark, path: str, delete_manifests):
                         "deletes against data files is impossible; use "
                         "the iceberg connector jar"
                     )
-                eq[fp] = (tuple(int(i) for i in ids), seq)
+                eq[fp] = (tuple(int(i) for i in ids), seq,
+                          df_.get("record_count"))
     return (
         [(p, n) for p, n in pos.items() if p not in removed],
         [v for v in dvs.values() if v[1] not in removed],
-        [(p, ids, seq) for p, (ids, seq) in eq.items()
+        [(p, ids, seq, rc) for p, (ids, seq, rc) in eq.items()
          if p not in removed],
     )
 
@@ -330,7 +343,11 @@ def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
     files) delete rows, null-safe on the equality columns plus the
     non-equi ``delete.seq > file.seq`` predicate; the per-file sequence
     number rides a broadcast basename map, same as the partition
-    re-attach machinery elsewhere."""
+    re-attach machinery elsewhere.  The delete side is broadcast-hinted
+    when the manifests' record counts say it is small (r11 — the same
+    smallness rule as the position-delete path: a deterministic plan
+    beats AQE rediscovering the same answer per query), else the
+    strategy is left to AQE."""
     from pyspark.sql import functions as F
 
     unresolved = sorted(p for p, s in live_seq.items() if s is None)
@@ -362,8 +379,8 @@ def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
         .join(F.broadcast(seq_map), "__file")
     )
     by_ids: dict[tuple, list[tuple]] = {}
-    for p, ids, seq in eq_deletes:
-        by_ids.setdefault(ids, []).append((p, seq))
+    for p, ids, seq, rc in eq_deletes:
+        by_ids.setdefault(ids, []).append((p, seq, rc))
     for ids, files in sorted(by_ids.items()):
         cols = []
         for fid in ids:
@@ -375,11 +392,11 @@ def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
                 )
             cols.append(name_of[fid])
         dseq = spark.createDataFrame(
-            [(p.rsplit("/", 1)[-1], int(s)) for p, s in files],
+            [(p.rsplit("/", 1)[-1], int(s)) for p, s, _rc in files],
             "__dfile string, __dseq long",
         )
         dels = (
-            spark.read.parquet(*sorted(p for p, _ in files))
+            spark.read.parquet(*sorted(p for p, *_ in files))
             .select(
                 *[F.col(c).alias(f"__d_{c}") for c in cols],
                 F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -387,6 +404,9 @@ def _apply_equality_deletes(spark, path, df, live_seq, eq_deletes, schema):
             )
             .join(F.broadcast(dseq), "__dfile")
         )
+        counts = [rc for _p, _s, rc in files]
+        if all(n is not None for n in counts) and sum(counts) <= 4_000_000:
+            dels = F.broadcast(dels)
         cond = F.col("__dseq") > F.col("__fseq")
         for c in cols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
@@ -491,6 +511,111 @@ def _apply_position_deletes(spark, path, df, live, pos_deletes,
         .join(dels, ["__file", "__ridx"], "left_anti")
         .drop("__file", "__ridx")
     )
+
+
+def _default_literal(path: str, f: dict):
+    """Typed Spark literal for a field's ``initial-default`` (spec
+    "Default values" — the metadata stores the JSON single-value
+    serialization).  Primitive types only; a default on a nested type
+    refuses loudly rather than fabricating a struct."""
+    from pyspark.sql import functions as F
+
+    v = f["initial-default"]
+    t = f["type"]
+    if not isinstance(t, str):
+        raise NotImplementedError(
+            f"{path}: initial-default on nested-typed field "
+            f"{f['name']!r} — connector-jar territory"
+        )
+    if t in ("binary",) or t.startswith("fixed"):
+        # JSON single-value serialization stores bytes as hex
+        return F.lit(bytes.fromhex(v))
+    if t.startswith("decimal"):
+        spark_t = t
+    elif t in _ICEBERG_TO_SPARK and t != "time":
+        spark_t = _ICEBERG_TO_SPARK[t]
+    else:
+        raise NotImplementedError(
+            f"{path}: initial-default for iceberg type {t!r} on field "
+            f"{f['name']!r} is not supported by this jar-free reader"
+        )
+    return F.lit(v).cast(spark_t)
+
+
+def _scan_with_defaults(spark, path: str, files: list, fields: list):
+    """Parquet scan honoring v3 ``initial-default`` column defaults
+    (spec "Default values"): a field added with a default fills that
+    value for rows from data files written BEFORE the field existed —
+    i.e. files whose footer lacks the column — while files that contain
+    the column keep their stored values, INCLUDING genuine nulls (this
+    per-file distinction is why a plain union-schema read is wrong: it
+    would null-fill and erase the default/null difference).
+
+    Field presence comes from the parquet footers in ONE distributed
+    metadata job (pyarrow schema read per file, batched tasks — O(files)
+    driver footprint, same as the live list itself; never row data).
+    Files are then grouped by their missing-field signature, each group
+    scanned once with its defaults attached as typed literals, and the
+    groups unioned by name.  ``_metadata`` is retained explicitly so the
+    row-level delete machinery keeps its ``row_index`` access across the
+    union.  A missing field with NO default still refuses (a field-id
+    rename would otherwise silently misread)."""
+    from pyspark.sql import functions as F
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    if len(files) > 1:
+        fdf = fdf.repartition(min(len(files), 64))
+
+    def probe(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def names(p):
+            if "://" not in p or p.startswith("file://"):
+                lp = p[len("file://"):] if p.startswith("file://") else p
+                return list(pq.read_schema(lp).names)
+            from pyarrow import fs as pafs
+
+            if p.startswith("s3a://"):
+                p = "s3://" + p[len("s3a://"):]
+            filesystem, pth = pafs.FileSystem.from_uri(p)
+            with filesystem.open_input_file(pth) as fh:
+                return list(pq.read_schema(fh).names)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "path": pdf["path"],
+                "names": [json.dumps(names(p)) for p in pdf["path"]],
+            })
+
+    present = {
+        r["path"]: set(json.loads(r["names"]))
+        for r in fdf.mapInPandas(probe, "path string, names string")
+        .collect()
+    }
+    by_name = {f["name"]: f for f in fields}
+    groups: dict[tuple, list] = {}
+    for p in files:
+        missing = tuple(n for n in by_name if n not in present[p])
+        groups.setdefault(missing, []).append(p)
+    for missing in groups:
+        bare = [n for n in missing
+                if by_name[n].get("initial-default") is None]
+        if bare:
+            raise NotImplementedError(
+                f"{path}: current-schema columns {bare} absent from the "
+                "data files with no initial-default — field-id-based "
+                "renames need the connector jar's field-id resolution"
+            )
+    out = None
+    order = list(by_name)
+    for missing, grp in sorted(groups.items()):
+        g = spark.read.parquet(*sorted(grp))
+        for n in missing:
+            g = g.withColumn(n, _default_literal(path, by_name[n]))
+        g = g.select(*order, F.col("_metadata"))
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def _current_schema(meta: dict) -> dict:
