@@ -3841,35 +3841,59 @@ def _w52(t):
     """Statistical-package ingest (the reference's read_stat dispatch,
     /root/reference/src/TidierDB.jl:175-178): write the first 150
     documents as THREE Stata .dta files (pandas' own writer — independent
-    of the reader under test; 150-row driver collect is the bounded
-    fixture-build action), read them back DISTRIBUTED via
-    ``sources.statfiles.read_stat`` (binaryFile one-file-per-task +
-    mapInPandas parse, per-file lineage column), and return the rows.
-    The oracle recomputes the relation logically from ``documents`` — a
-    hash match proves the .dta framing, dtype mapping, multi-file union
-    and lineage columns are lossless.  The SAS XPORT leg (independent
-    spec-written encoder) and the SPSS/Sheets gates live in
-    tests/test_statfiles.py."""
+    of the reader under test) plus documents 150-199 as an SPSS .sav
+    system file built by the independent spec-written encoder in
+    tests/sav_ref.py (bytecode compression, r11 — decoded by the
+    jar-and-wheel-free ``sources/sav.py``), read both back DISTRIBUTED
+    via ``sources.statfiles.read_stat`` (binaryFile one-file-per-task +
+    mapInPandas parse, per-file lineage column), and union.  The oracle
+    recomputes the relation logically from ``documents`` — a hash match
+    proves the .dta framing, the .sav header/dictionary/bytecode
+    decode, dtype mapping, multi-file union and lineage columns are all
+    lossless.  The 200-row collect is the bounded fixture-build action
+    (the w50 convention)."""
     import os
+    import sys as _sys
     import tempfile
 
     from tidierdb_jl_spark.sources.statfiles import read_stat
 
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from sav_ref import Var, write_sav  # independent spec-written encoder
+
     docs = (
-        t["documents"].filter("doc_id < 150")
+        t["documents"].filter("doc_id < 200")
         .select("doc_id", "lang", "n_chars").collect()
     )
     d = tempfile.mkdtemp(prefix="r7_stat_")
+    lo = docs[docs["doc_id"] < 150]
     for i in range(3):
-        docs[docs["doc_id"] % 3 == i].to_stata(
+        lo[lo["doc_id"] % 3 == i].to_stata(
             os.path.join(d, f"part{i}.dta"), write_index=False
         )
+    hi = docs[docs["doc_id"] >= 150].sort_values("doc_id")
+    sav_vars = [Var("DOC_ID"), Var("LANG", width=8), Var("N_CHARS")]
+    with open(os.path.join(d, "extra.sav"), "wb") as fh:
+        fh.write(write_sav(
+            sav_vars,
+            [(float(r.doc_id), str(r.lang), float(r.n_chars))
+             for r in hi.itertuples(index=False)],
+            compression=1,
+        ))
     spark = t["documents"].df.sparkSession
-    return (
+    dta = (
         read_stat(spark, os.path.join(d, "*.dta"), file_col="src")
         .mutate(doc_id="CAST(doc_id AS BIGINT)", n_chars="CAST(n_chars AS BIGINT)")
         .select("doc_id", "lang", "n_chars", "src")
     )
+    sav = (
+        read_stat(spark, os.path.join(d, "extra.sav"), file_col="src")
+        .mutate(doc_id="CAST(DOC_ID AS BIGINT)",
+                n_chars="CAST(N_CHARS AS BIGINT)", lang="LANG")
+        .select("doc_id", "lang", "n_chars", "src")
+    )
+    return dta.union_all(sav)
 
 
 _BUILDERS["w52_statfiles"] = _w52
@@ -7656,9 +7680,11 @@ def oracle_sql() -> dict[str, str]:
     """
     out["w52_statfiles"] = r"""
         SELECT doc_id, lang, n_chars,
-               'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta' AS src
+               CASE WHEN doc_id < 150
+                    THEN 'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta'
+                    ELSE 'extra.sav' END AS src
         FROM documents
-        WHERE doc_id < 150
+        WHERE doc_id < 200
     """
     out["w53_delta_roundtrip"] = r"""
         SELECT doc_id, text, lang

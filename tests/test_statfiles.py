@@ -163,13 +163,21 @@ def test_read_stat_ragged_schema_fails_loudly(spark):
         read_stat(spark, os.path.join(d, "*.dta")).collect()
 
 
-def test_spss_gated_with_clear_error(spark):
+def test_spss_sav_decodes_in_repo_and_por_still_gated(spark):
+    """r11: .sav/.zsav decode via sources/sav.py (no pyreadstat) — a
+    malformed file refuses loudly; only the legacy .por format remains
+    pyreadstat-gated."""
     d = tempfile.mkdtemp(prefix="stat_sav_")
     p = os.path.join(d, "x.sav")
     with open(p, "wb") as fh:
-        fh.write(b"$FL2" + bytes(60))
-    with pytest.raises(Exception, match="pyreadstat"):
+        fh.write(b"$FL2" + bytes(60))  # truncated header
+    with pytest.raises(Exception, match="truncated|magic"):
         read_stat(spark, p).collect()
+    q = os.path.join(d, "x.por")
+    with open(q, "wb") as fh:
+        fh.write(bytes(200))
+    with pytest.raises(Exception, match="pyreadstat"):
+        read_stat(spark, q).collect()
 
 
 def test_gsheet_url_resolution_and_offline_read(spark):

@@ -19,9 +19,11 @@ parallelism is the FILE, exactly like ``.warc.gz``:
   loudly instead of silently unioning mismatched frames.
 * Stata (``.dta``) and SAS (``.xpt`` transport, ``.sas7bdat``) parse with
   pandas' built-in readers (pure-Python, already in the image).  SPSS
-  (``.sav``/``.zsav``/``.por``) needs ``pyreadstat``, which is not in this
-  image — the dispatch is wired and raises a clear gated error (same
-  treatment as Iceberg/Delta in ``readers.py``).
+  system files (``.sav``/``.zsav``) decode with the in-repo pure-Python
+  reader (:mod:`.sav`, r11 — the PNG/Avro/roaring codec strategy applied
+  to the PSPP-documented system-file format); only the legacy portable
+  format (``.por``) still needs ``pyreadstat`` and raises a clear gated
+  error without it.
 * ``read_gsheet`` resolves a Sheets URL to its CSV export endpoint.  A
   sheet is hard-capped by Google at 10M cells, i.e. always driver-sized:
   the right plan is ONE driver fetch + Arrow upload, never a distributed
@@ -48,9 +50,9 @@ STAT_EXTENSIONS = {
     ".dta": ("stata", None),
     ".xpt": ("sas", "xport"),
     ".sas7bdat": ("sas", "sas7bdat"),
-    ".sav": ("spss", None),
-    ".zsav": ("spss", None),
-    ".por": ("spss", None),
+    ".sav": ("spss", "sav"),
+    ".zsav": ("spss", "zsav"),
+    ".por": ("spss", "por"),
 }
 
 
@@ -145,23 +147,30 @@ def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) 
                         if fld is None or not any(fld[1:]):
                             vals[i] = 0.0
                     pdf[c] = vals
-    else:  # spss — pandas delegates to pyreadstat, not in this image
+    elif family == "spss" and sub in ("sav", "zsav"):
+        # in-repo pure-Python system-file decoder (sources/sav.py, r11):
+        # no pyreadstat wheel needed for .sav/.zsav
+        from .sav import read_sav_bytes
+
+        pdf, _meta = read_sav_bytes(data)
+    else:  # spss .por — pandas delegates to pyreadstat, not in this image
         try:
             import pyreadstat  # noqa: F401
         except ImportError as e:
             raise RuntimeError(
-                "SPSS (.sav/.zsav/.por) parsing needs the pyreadstat wheel, "
+                "SPSS portable (.por) parsing needs the pyreadstat wheel, "
                 "which is not in this image; ship it to the executors "
                 "(spark.submit.pyFiles / the image) to enable this path. "
-                ".dta and .xpt/.sas7bdat parse without it."
+                ".sav/.zsav decode in-repo (sources/sav.py); .dta and "
+                ".xpt/.sas7bdat parse without it."
             ) from e
         import tempfile
 
         # pyreadstat is path-only; spill the (file-sized) buffer locally
-        with tempfile.NamedTemporaryFile(suffix=".sav") as fh:
+        with tempfile.NamedTemporaryFile(suffix=".por") as fh:
             fh.write(data)
             fh.flush()
-            pdf, _meta = pyreadstat.read_sav(fh.name, **options)
+            pdf, _meta = pyreadstat.read_por(fh.name, **options)
     # normalize to Spark-stable dtypes: value-labelled categoricals ->
     # their label strings, bytes (xport char fields) -> str
     for c in pdf.columns:
