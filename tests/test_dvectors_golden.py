@@ -157,3 +157,45 @@ def test_differential_random_roundtrip():
         )
         out = decode_dv_blob(encode_roaring_array(members), len(members))
         assert out.tolist() == members
+
+
+def test_fuzz_container_type_boundaries():
+    """Seeded fuzz across the container-type decision points the random
+    roundtrip above never reaches: array/bitmap flip at cardinality
+    4096/4097, dense runs, many 16-bit containers per bucket (offset
+    table present: size >= 4), and sparse bucket keys — every shape a
+    real writer emits at 100 TB delete volumes."""
+    rng = np.random.RandomState(1681511377 % (1 << 31))
+    for trial in range(12):
+        members = []
+        keys = sorted(rng.choice(1 << 20, size=rng.randint(1, 4),
+                                 replace=False))
+        for k in keys:
+            vals: set[int] = set()
+            # 4-9 containers per bucket => offset table exercised
+            for ci in range(rng.randint(4, 10)):
+                base = int(rng.randint(0, 1 << 16)) << 16
+                kind = rng.randint(0, 4)
+                if kind == 0:    # small array container
+                    n = rng.randint(1, 64)
+                    lows = rng.choice(1 << 16, size=n, replace=False)
+                elif kind == 1:  # boundary cardinalities 4095..4097
+                    n = 4095 + rng.randint(0, 3)
+                    lows = rng.choice(1 << 16, size=n, replace=False)
+                elif kind == 2:  # dense bitmap container
+                    n = rng.randint(5000, 9000)
+                    lows = rng.choice(1 << 16, size=n, replace=False)
+                else:            # contiguous run
+                    s = rng.randint(0, 60000)
+                    lows = np.arange(s, s + rng.randint(1, 300))
+                vals.update(base | int(v) for v in lows)
+            members.extend((int(k) << 32) | v for v in sorted(vals))
+        members.sort()
+        blob = encode_roaring_array(members)
+        out = decode_dv_blob(blob, len(members))
+        assert out.tolist() == members, f"trial {trial}"
+        # and through the Iceberg Puffin framing
+        iblob = iceberg_dv_blob(members)
+        got = read_iceberg_dv_from_bytes(iblob, 0, len(iblob),
+                                         len(members))
+        assert got.tolist() == members, f"trial {trial} (puffin)"
