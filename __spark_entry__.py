@@ -3842,16 +3842,17 @@ def _w52(t):
     /root/reference/src/TidierDB.jl:175-178): write the first 150
     documents as THREE Stata .dta files (pandas' own writer — independent
     of the reader under test) plus documents 150-199 as an SPSS .sav
-    system file built by the independent spec-written encoder in
-    tests/sav_ref.py (bytecode compression, r11 — decoded by the
-    jar-and-wheel-free ``sources/sav.py``), read both back DISTRIBUTED
+    system file and 200-249 as an SPSS .por portable file, both built
+    by the independent spec-written encoders in tests/sav_ref.py /
+    tests/por_ref.py (r11 — decoded by the jar-and-wheel-free
+    ``sources/sav.py`` / ``sources/por.py``), read back DISTRIBUTED
     via ``sources.statfiles.read_stat`` (binaryFile one-file-per-task +
     mapInPandas parse, per-file lineage column), and union.  The oracle
     recomputes the relation logically from ``documents`` — a hash match
     proves the .dta framing, the .sav header/dictionary/bytecode
-    decode, dtype mapping, multi-file union and lineage columns are all
-    lossless.  The 200-row collect is the bounded fixture-build action
-    (the w50 convention)."""
+    decode, the .por base-30 decode, dtype mapping, multi-file union
+    and lineage columns are all lossless.  The 250-row collect is the
+    bounded fixture-build action (the w50 convention)."""
     import os
     import sys as _sys
     import tempfile
@@ -3860,10 +3861,11 @@ def _w52(t):
 
     _sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
-    from sav_ref import Var, write_sav  # independent spec-written encoder
+    from por_ref import PVar, write_por  # independent spec-written encoders
+    from sav_ref import Var, write_sav
 
     docs = (
-        t["documents"].filter("doc_id < 200")
+        t["documents"].filter("doc_id < 250")
         .select("doc_id", "lang", "n_chars").collect()
     )
     d = tempfile.mkdtemp(prefix="r7_stat_")
@@ -3872,14 +3874,23 @@ def _w52(t):
         lo[lo["doc_id"] % 3 == i].to_stata(
             os.path.join(d, f"part{i}.dta"), write_index=False
         )
-    hi = docs[docs["doc_id"] >= 150].sort_values("doc_id")
+    mid = docs[(docs["doc_id"] >= 150)
+               & (docs["doc_id"] < 200)].sort_values("doc_id")
     sav_vars = [Var("DOC_ID"), Var("LANG", width=8), Var("N_CHARS")]
     with open(os.path.join(d, "extra.sav"), "wb") as fh:
         fh.write(write_sav(
             sav_vars,
             [(float(r.doc_id), str(r.lang), float(r.n_chars))
-             for r in hi.itertuples(index=False)],
+             for r in mid.itertuples(index=False)],
             compression=1,
+        ))
+    hi = docs[docs["doc_id"] >= 200].sort_values("doc_id")
+    por_vars = [PVar("DOC_ID"), PVar("LANG", width=8), PVar("N_CHARS")]
+    with open(os.path.join(d, "extra.por"), "wb") as fh:
+        fh.write(write_por(
+            por_vars,
+            [(float(r.doc_id), str(r.lang), float(r.n_chars))
+             for r in hi.itertuples(index=False)],
         ))
     spark = t["documents"].df.sparkSession
     dta = (
@@ -3887,13 +3898,14 @@ def _w52(t):
         .mutate(doc_id="CAST(doc_id AS BIGINT)", n_chars="CAST(n_chars AS BIGINT)")
         .select("doc_id", "lang", "n_chars", "src")
     )
-    sav = (
-        read_stat(spark, os.path.join(d, "extra.sav"), file_col="src")
+    spss = [
+        read_stat(spark, os.path.join(d, name), file_col="src")
         .mutate(doc_id="CAST(DOC_ID AS BIGINT)",
                 n_chars="CAST(N_CHARS AS BIGINT)", lang="LANG")
         .select("doc_id", "lang", "n_chars", "src")
-    )
-    return dta.union_all(sav)
+        for name in ("extra.sav", "extra.por")
+    ]
+    return dta.union_all(spss[0]).union_all(spss[1])
 
 
 _BUILDERS["w52_statfiles"] = _w52
@@ -7682,9 +7694,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, n_chars,
                CASE WHEN doc_id < 150
                     THEN 'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta'
-                    ELSE 'extra.sav' END AS src
+                    WHEN doc_id < 200 THEN 'extra.sav'
+                    ELSE 'extra.por' END AS src
         FROM documents
-        WHERE doc_id < 200
+        WHERE doc_id < 250
     """
     out["w53_delta_roundtrip"] = r"""
         SELECT doc_id, text, lang

@@ -163,10 +163,10 @@ def test_read_stat_ragged_schema_fails_loudly(spark):
         read_stat(spark, os.path.join(d, "*.dta")).collect()
 
 
-def test_spss_sav_decodes_in_repo_and_por_still_gated(spark):
-    """r11: .sav/.zsav decode via sources/sav.py (no pyreadstat) — a
-    malformed file refuses loudly; only the legacy .por format remains
-    pyreadstat-gated."""
+def test_spss_decodes_in_repo_malformed_refuses(spark):
+    """r11: .sav/.zsav decode via sources/sav.py and .por via
+    sources/por.py (no pyreadstat anywhere) — malformed files refuse
+    loudly instead of gating."""
     d = tempfile.mkdtemp(prefix="stat_sav_")
     p = os.path.join(d, "x.sav")
     with open(p, "wb") as fh:
@@ -176,7 +176,7 @@ def test_spss_sav_decodes_in_repo_and_por_still_gated(spark):
     q = os.path.join(d, "x.por")
     with open(q, "wb") as fh:
         fh.write(bytes(200))
-    with pytest.raises(Exception, match="pyreadstat"):
+    with pytest.raises(Exception, match="too short|SPSSPORT"):
         read_stat(spark, q).collect()
 
 

@@ -19,11 +19,12 @@ parallelism is the FILE, exactly like ``.warc.gz``:
   loudly instead of silently unioning mismatched frames.
 * Stata (``.dta``) and SAS (``.xpt`` transport, ``.sas7bdat``) parse with
   pandas' built-in readers (pure-Python, already in the image).  SPSS
-  system files (``.sav``/``.zsav``) decode with the in-repo pure-Python
-  reader (:mod:`.sav`, r11 — the PNG/Avro/roaring codec strategy applied
-  to the PSPP-documented system-file format); only the legacy portable
-  format (``.por``) still needs ``pyreadstat`` and raises a clear gated
-  error without it.
+  files decode with the in-repo pure-Python readers (r11 — the
+  PNG/Avro/roaring codec strategy applied to the PSPP-documented
+  formats): system files (``.sav``/``.zsav``) via :mod:`.sav`, the
+  legacy portable format (``.por``) via :mod:`.por`.  The whole
+  reference ``read_stat`` extension list now parses in-image, no
+  pyreadstat required.
 * ``read_gsheet`` resolves a Sheets URL to its CSV export endpoint.  A
   sheet is hard-capped by Google at 10M cells, i.e. always driver-sized:
   the right plan is ONE driver fetch + Arrow upload, never a distributed
@@ -153,24 +154,10 @@ def _parse_stat_bytes(data: bytes, family: str, sub: str | None, options: dict) 
         from .sav import read_sav_bytes
 
         pdf, _meta = read_sav_bytes(data)
-    else:  # spss .por — pandas delegates to pyreadstat, not in this image
-        try:
-            import pyreadstat  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "SPSS portable (.por) parsing needs the pyreadstat wheel, "
-                "which is not in this image; ship it to the executors "
-                "(spark.submit.pyFiles / the image) to enable this path. "
-                ".sav/.zsav decode in-repo (sources/sav.py); .dta and "
-                ".xpt/.sas7bdat parse without it."
-            ) from e
-        import tempfile
+    else:  # spss .por — in-repo pure-Python portable-file decoder (r11)
+        from .por import read_por_bytes
 
-        # pyreadstat is path-only; spill the (file-sized) buffer locally
-        with tempfile.NamedTemporaryFile(suffix=".por") as fh:
-            fh.write(data)
-            fh.flush()
-            pdf, _meta = pyreadstat.read_por(fh.name, **options)
+        pdf, _meta = read_por_bytes(data)
     # normalize to Spark-stable dtypes: value-labelled categoricals ->
     # their label strings, bytes (xport char fields) -> str
     for c in pdf.columns:
