@@ -757,12 +757,90 @@ def test_iceberg_v3_column_defaults(spark, tmp_path):
 
     assert v == "y" and pd.isna(s) and t is None and d is None  # real NULLs
 
-    # a field missing from some file with NO default still refuses
+    # a field missing from a NO-id file with NO default still refuses
+    # (rename vs added column is indistinguishable without field ids)
     meta2 = json.loads(json.dumps(meta))
     del meta2["schemas"][0]["fields"][3]["initial-default"]
     with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
         json.dump(meta2, fh)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
         fh.write("2")
-    with pytest.raises(NotImplementedError, match="no initial-default"):
+    with pytest.raises(NotImplementedError, match="field ids"):
+        read_iceberg(spark, root)
+
+
+def test_iceberg_field_id_resolution(spark, tmp_path):
+    """r11 spec-exact column projection: columns resolve BY FIELD ID
+    from the parquet footers (PARQUET:field_id), so renames and even
+    NAME SWAPS project correctly; a field id absent from an id-carrying
+    file null-fills when optional and refuses when required."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def id_field(name, typ, fid):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id":
+                                             str(fid).encode()})
+
+    # the file was written when id-1 was called "alpha" and id-2 "beta";
+    # the CURRENT schema SWAPS the names: id 1 -> "beta", id 2 -> "alpha"
+    sch = pa.schema([id_field("alpha", pa.int64(), 1),
+                     id_field("beta", pa.string(), 2)])
+    rel = f"data/{uuid.uuid4().hex}.parquet"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table({"alpha": [10, 20], "beta": ["x", "y"]}, schema=sch),
+        os.path.join(root, rel))
+
+    def manifest(name, fp):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(_MANIFEST_ENTRY, [
+                {"status": 1, "data_file": {
+                    "content": 0, "file_path": fp,
+                    "file_format": "PARQUET", "record_count": 2}}]))
+        return f"{root}/metadata/{name}"
+
+    m = manifest("m1.avro", f"{root}/{rel}")
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": m, "manifest_length": 1, "content": 0}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "beta", "required": False, "type": "long"},
+            {"id": 2, "name": "alpha", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "added", "required": False,
+             "type": "double"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("beta")
+    assert list(got.columns) == ["beta", "alpha", "added"]
+    # id-resolution: "beta" carries the file's id-1 ints, "alpha" the
+    # id-2 strings — name matching would have swapped them (or crashed)
+    assert got["beta"].tolist() == [10, 20]
+    assert got["alpha"].tolist() == ["x", "y"]
+    # id 3 absent + optional + no default -> NULL fill, no gate
+    assert got["added"].isna().all()
+
+    # REQUIRED absent field refuses
+    meta2 = json.loads(json.dumps(meta))
+    meta2["schemas"][0]["fields"][2]["required"] = True
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(ValueError, match="REQUIRED"):
         read_iceberg(spark, root)

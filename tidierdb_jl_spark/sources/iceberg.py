@@ -39,14 +39,21 @@ metadata job — while files containing the field keep stored values,
 genuine nulls included (:func:`_scan_with_defaults`).  Unknown types
 fail in the parquet reader rather than silently.
 
-Loud gates (wrong-rows risks refuse, never guess): format version > 2;
+Column resolution (r11): parquet live sets resolve columns BY FIELD ID
+from each file's footer (``PARQUET:field_id`` — what real Iceberg
+writers emit), so renames and even name swaps project correctly;
+no-id files (imported plain parquet) fall back to name matching; a
+field absent from a file fills its v3 ``initial-default``, else NULL
+when optional (spec "Column Projection") — see :func:`_resolved_scan`.
+
+Loud gates (wrong-rows risks refuse, never guess): format version > 3;
 unresolvable sequence numbers when equality deletes are present;
 equality field ids absent from the current schema; non-parquet/orc
-(or mixed-format) data files; current-schema column names missing from
-the files (field-id renames need real field-id resolution — jar
-territory).  ``snapshot_id=`` gives time travel across retained
-snapshots.  Metadata I/O goes through :mod:`.fsio` (any Hadoop
-scheme).
+(or mixed-format) data files; in a NO-id file, a missing column name
+with no default (rename vs added column is indistinguishable there);
+a REQUIRED column absent with no default.  ``snapshot_id=`` gives time
+travel across retained snapshots.  Metadata I/O goes through
+:mod:`.fsio` (any Hadoop scheme).
 
 Avro correctness story: ``avro_lite`` is verified against an
 independently spec-written encoder in the tests plus the Avro spec's
@@ -212,24 +219,25 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
             f"{path}: data file formats {sorted(fmts)} — a single-format "
             "parquet or orc live set only"
         )
-    reader = spark.read.orc if fmts == {"ORC"} else spark.read.parquet
     want_fields = _current_schema(meta)["fields"]
     want = [f["name"] for f in want_fields]
-    has_defaults = any(f.get("initial-default") is not None
-                       for f in want_fields)
-    if has_defaults and fmts == {"PARQUET"}:
-        # v3 column defaults: presence must be resolved PER FILE (the
-        # plain reader infers the schema from one footer, which both
-        # hides mixed presence and cannot fill defaults)
-        df = _scan_with_defaults(spark, path, sorted(live), want_fields)
+    if fmts == {"PARQUET"}:
+        # spec-exact column resolution (r11): every parquet read goes
+        # through the per-file footer probe — field-id renames, v3
+        # initial-defaults, and null-fill for later-added optional
+        # columns are all PER-FILE properties that a plain union read
+        # (one random footer picks the schema) gets silently wrong
+        df = _resolved_scan(spark, path, sorted(live), want_fields)
     else:
-        df = reader(*sorted(live))
+        # ORC live sets: name-based resolution (pyarrow's ORC reader
+        # does not expose iceberg field ids)
+        df = spark.read.orc(*sorted(live))
         missing = [c for c in want if c not in df.columns]
         if missing:
             raise NotImplementedError(
                 f"{path}: current-schema columns {missing} absent from the "
-                "data files with no initial-default — field-id-based "
-                "renames need the connector jar's field-id resolution"
+                "ORC data files — field-id resolution is implemented for "
+                "parquet live sets only"
             )
     if pos_deletes or dv_deletes:
         df = _apply_position_deletes(spark, path, df, list(live),
@@ -542,24 +550,46 @@ def _default_literal(path: str, f: dict):
     return F.lit(v).cast(spark_t)
 
 
-def _scan_with_defaults(spark, path: str, files: list, fields: list):
-    """Parquet scan honoring v3 ``initial-default`` column defaults
-    (spec "Default values"): a field added with a default fills that
-    value for rows from data files written BEFORE the field existed —
-    i.e. files whose footer lacks the column — while files that contain
-    the column keep their stored values, INCLUDING genuine nulls (this
-    per-file distinction is why a plain union-schema read is wrong: it
-    would null-fill and erase the default/null difference).
+def _iceberg_spark_type(path: str, f: dict) -> str:
+    t = f["type"]
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return t
+        if t in _ICEBERG_TO_SPARK and t != "time":
+            return _ICEBERG_TO_SPARK[t]
+    raise NotImplementedError(
+        f"{path}: cannot synthesize a fill value of iceberg type {t!r} "
+        f"for absent field {f['name']!r}"
+    )
 
-    Field presence comes from the parquet footers in ONE distributed
-    metadata job (pyarrow schema read per file, batched tasks — O(files)
-    driver footprint, same as the live list itself; never row data).
-    Files are then grouped by their missing-field signature, each group
-    scanned once with its defaults attached as typed literals, and the
-    groups unioned by name.  ``_metadata`` is retained explicitly so the
-    row-level delete machinery keeps its ``row_index`` access across the
-    union.  A missing field with NO default still refuses (a field-id
-    rename would otherwise silently misread)."""
+
+def _resolved_scan(spark, path: str, files: list, fields: list):
+    """Spec-exact parquet column resolution (Iceberg spec "Column
+    Projection" + v3 "Default values"), replacing name matching:
+
+    - Each live file's footer is probed ONCE in a distributed metadata
+      job (pyarrow schema read per file, batched tasks — O(files)
+      driver footprint, same as the live list itself; never row data):
+      top-level ``(name, PARQUET:field_id)`` pairs.
+    - A current-schema field resolves in a file BY FIELD ID when the
+      file carries ids (what real Iceberg writers emit) — renames and
+      even name SWAPS resolve correctly, the failure mode pure name
+      matching silently gets wrong.  Files with no ids at all (imported
+      plain parquet) fall back to name matching.
+    - A field ABSENT from a file fills its ``initial-default`` (v3),
+      else NULL when optional (spec: missing field id ⇒ default or
+      null), else refuses (required, no default).  Files that contain
+      the field keep stored values, INCLUDING genuine nulls — the
+      per-file distinction a plain union-schema read erases.
+    - In a no-id file a missing NAME with no default still refuses: it
+      could be a rename, and without ids the two cases are
+      indistinguishable.
+
+    Files are grouped by their full resolution signature, each group
+    scanned once (physical→logical aliases + typed fill literals), and
+    the groups unioned by name.  ``_metadata`` is retained explicitly so
+    the row-level delete machinery keeps its ``row_index`` access across
+    the union."""
     from pyspark.sql import functions as F
 
     fdf = spark.createDataFrame([(f,) for f in files], "path string")
@@ -570,50 +600,94 @@ def _scan_with_defaults(spark, path: str, files: list, fields: list):
         import pandas as pd
         import pyarrow.parquet as pq
 
-        def names(p):
+        def topfields(p):
             if "://" not in p or p.startswith("file://"):
                 lp = p[len("file://"):] if p.startswith("file://") else p
-                return list(pq.read_schema(lp).names)
-            from pyarrow import fs as pafs
+                sch = pq.read_schema(lp)
+            else:
+                from pyarrow import fs as pafs
 
-            if p.startswith("s3a://"):
-                p = "s3://" + p[len("s3a://"):]
-            filesystem, pth = pafs.FileSystem.from_uri(p)
-            with filesystem.open_input_file(pth) as fh:
-                return list(pq.read_schema(fh).names)
+                if p.startswith("s3a://"):
+                    p = "s3://" + p[len("s3a://"):]
+                filesystem, pth = pafs.FileSystem.from_uri(p)
+                with filesystem.open_input_file(pth) as fh:
+                    sch = pq.read_schema(fh)
+            out = []
+            for fld in sch:
+                fid = None
+                if fld.metadata and b"PARQUET:field_id" in fld.metadata:
+                    try:
+                        fid = int(fld.metadata[b"PARQUET:field_id"])
+                    except ValueError:
+                        fid = None
+                out.append((fld.name, fid))
+            return out
 
         for pdf in batches:
             yield pd.DataFrame({
                 "path": pdf["path"],
-                "names": [json.dumps(names(p)) for p in pdf["path"]],
+                "fields": [json.dumps(topfields(p)) for p in pdf["path"]],
             })
 
-    present = {
-        r["path"]: set(json.loads(r["names"]))
-        for r in fdf.mapInPandas(probe, "path string, names string")
+    footer = {
+        r["path"]: [(n, fid) for n, fid in json.loads(r["fields"])]
+        for r in fdf.mapInPandas(probe, "path string, fields string")
         .collect()
     }
-    by_name = {f["name"]: f for f in fields}
+
+    def resolve(p: str) -> tuple:
+        """Per-file signature: one entry per current-schema field —
+        ("col", physical_name) | ("default",) | ("null",)."""
+        fl = footer[p]
+        by_id = {fid: n for n, fid in fl if fid is not None}
+        names = {n for n, _ in fl}
+        has_ids = bool(by_id)
+        sig = []
+        for f in fields:
+            fid, fname = int(f["id"]), f["name"]
+            if has_ids and fid in by_id:
+                sig.append(("col", by_id[fid]))
+            elif not has_ids and fname in names:
+                sig.append(("col", fname))
+            elif f.get("initial-default") is not None:
+                sig.append(("default",))
+            elif not has_ids:
+                raise NotImplementedError(
+                    f"{path}: column {fname!r} absent from data file "
+                    f"{p.rsplit('/', 1)[-1]!r}, which carries no parquet "
+                    "field ids — a rename is indistinguishable from an "
+                    "added column here; rewrite the file with an Iceberg "
+                    "writer or add an initial-default"
+                )
+            elif f.get("required"):
+                raise ValueError(
+                    f"{path}: REQUIRED column {fname!r} (id {fid}) absent "
+                    f"from data file {p.rsplit('/', 1)[-1]!r} and has no "
+                    "initial-default — refusing to fabricate values"
+                )
+            else:
+                sig.append(("null",))
+        return tuple(sig)
+
     groups: dict[tuple, list] = {}
     for p in files:
-        missing = tuple(n for n in by_name if n not in present[p])
-        groups.setdefault(missing, []).append(p)
-    for missing in groups:
-        bare = [n for n in missing
-                if by_name[n].get("initial-default") is None]
-        if bare:
-            raise NotImplementedError(
-                f"{path}: current-schema columns {bare} absent from the "
-                "data files with no initial-default — field-id-based "
-                "renames need the connector jar's field-id resolution"
-            )
+        groups.setdefault(resolve(p), []).append(p)
+
     out = None
-    order = list(by_name)
-    for missing, grp in sorted(groups.items()):
+    for sig, grp in sorted(groups.items()):
         g = spark.read.parquet(*sorted(grp))
-        for n in missing:
-            g = g.withColumn(n, _default_literal(path, by_name[n]))
-        g = g.select(*order, F.col("_metadata"))
+        cols = []
+        for f, how in zip(fields, sig):
+            if how[0] == "col":
+                cols.append(F.col(how[1]).alias(f["name"]))
+            elif how[0] == "default":
+                cols.append(_default_literal(path, f).alias(f["name"]))
+            else:
+                cols.append(
+                    F.lit(None).cast(_iceberg_spark_type(path, f))
+                    .alias(f["name"])
+                )
+        g = g.select(*cols, F.col("_metadata"))
         out = g if out is None else out.unionByName(g)
     return out
 
