@@ -4453,6 +4453,133 @@ def _w57(t):
 _BUILDERS["w57_iceberg_v3_deletes"] = _w57
 
 
+def _w58(t):
+    """Iceberg FIELD-ID column resolution (r11, sources/iceberg.py
+    ``_resolved_scan`` — reference scans Iceberg via DuckDB's
+    iceberg_scan, /root/reference/src/TidierDB.jl:161-165): the data
+    file is written by PYARROW with ``PARQUET:field_id`` metadata and
+    its column names for ids 2/3 are SWAPPED relative to the current
+    schema (file column "lang" holds the id-2 TEXT values, file column
+    "text" holds the id-3 LANG values) — name matching would silently
+    swap the columns; id resolution must return them correctly.  The
+    current schema also ADDS id-4 ``quality`` (v3 initial-default 0.5)
+    and id-5 ``note`` (optional, no default → NULL per the spec's
+    Column Projection), and a position delete kills every
+    doc_id % 5 == 1 ordinal — proving defaults/null-fill/rename all
+    compose with the row-index machinery across the grouped scan.
+    Rows are written sorted by doc_id so position predicates are
+    doc_id predicates; the 250-row collect is the bounded
+    fixture-build action (the w50 convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidierdb_jl_spark.sources.readers import db_table
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from avro_ref import write_container
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w58_iceberg_ids_") + "/tbl"
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    pdf = (t["documents"].filter("doc_id < 250")
+           .select("doc_id", "text", "lang").collect()
+           .sort_values("doc_id"))
+
+    def idf(name, typ, fid):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id":
+                                             str(fid).encode()})
+
+    # the SWAP: file column "lang" carries id 2 (the text), "text" id 3
+    sch = pa.schema([idf("d_key", pa.int64(), 1),
+                     idf("lang", pa.string(), 2),
+                     idf("text", pa.string(), 3)])
+    rel = f"data/{_uuid.uuid4().hex}.parquet"
+    data_path = f"{root}/{rel}"
+    pq.write_table(
+        pa.table({"d_key": pdf["doc_id"].tolist(),
+                  "lang": pdf["text"].tolist(),
+                  "text": pdf["lang"].tolist()}, schema=sch),
+        os.path.join(root, rel))
+
+    # position delete: ordinals of doc_id % 5 == 1 (rows sorted)
+    pos = [i for i, d in enumerate(pdf["doc_id"]) if d % 5 == 1]
+    del_rel = f"data/{_uuid.uuid4().hex}-deletes.parquet"
+    del_path = f"{root}/{del_rel}"
+    spark.createDataFrame([(data_path, p) for p in pos],
+                          "file_path string, pos long") \
+        .coalesce(1).write.parquet(os.path.join(root, del_rel) + ".tmpdir")
+    shutil.move(_glob.glob(os.path.join(root, del_rel)
+                           + ".tmpdir/part-*.parquet")[0],
+                os.path.join(root, del_rel))
+    shutil.rmtree(os.path.join(root, del_rel) + ".tmpdir")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"}]}}]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"}]}
+
+    def manifest(name, content, fp, n):
+        p = os.path.join(root, "metadata", name)
+        with open(p, "wb") as fh:
+            fh.write(write_container(entry_schema, [
+                {"status": 1, "data_file": {
+                    "content": content, "file_path": fp,
+                    "file_format": "PARQUET", "record_count": n}}]))
+        return f"{root}/metadata/{name}"
+
+    m_data = manifest("m-data.avro", 0, data_path, len(pdf))
+    m_del = manifest("m-del.avro", 1, del_path, len(pos))
+    with open(os.path.join(root, "metadata", "snap-1.avro"), "wb") as fh:
+        fh.write(write_container(mlist_schema, [
+            {"manifest_path": m_data, "manifest_length": 1, "content": 0},
+            {"manifest_path": m_del, "manifest_length": 1, "content": 1}]))
+    meta = {
+        "format-version": 3, "table-uuid": str(_uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+            {"id": 2, "name": "text", "required": False, "type": "string"},
+            {"id": 3, "name": "lang", "required": False, "type": "string"},
+            {"id": 4, "name": "quality", "required": False,
+             "type": "double", "initial-default": 0.5},
+            {"id": 5, "name": "note", "required": False,
+             "type": "string"}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": f"{root}/metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    return db_table(spark, root, iceberg=True).select(
+        "doc_id", "text", "lang", "quality", "note")
+
+
+_BUILDERS["w58_iceberg_resolution"] = _w58
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7733,6 +7860,15 @@ def oracle_sql() -> dict[str, str]:
           AND lang IS DISTINCT FROM 'de'
         UNION ALL
         SELECT doc_id, text, lang FROM documents WHERE doc_id < 50
+    """
+    # w58: the field-id-resolved file (names swapped in the file, ids
+    # authoritative) minus its position-deleted ordinals (doc_id%5=1 on
+    # sorted rows); quality is the v3 initial-default, note null-fills
+    out["w58_iceberg_resolution"] = r"""
+        SELECT doc_id, text, lang, 0.5 AS quality,
+               CAST(NULL AS VARCHAR) AS note
+        FROM documents
+        WHERE doc_id < 250 AND doc_id % 5 != 1
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -119,6 +119,7 @@ ORACLE_QUERIES = [
     "w55_delta_dv_roundtrip",   # Delta deletion vectors (r10)
     "w56_iceberg_posdelete",    # Iceberg v2 position deletes (r10)
     "w57_iceberg_v3_deletes",   # Iceberg v3 DVs + equality deletes (r10)
+    "w58_iceberg_resolution",   # field-id renames/defaults/null-fill (r11)
 ]
 
 
