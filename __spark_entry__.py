@@ -4580,6 +4580,40 @@ def _w58(t):
 _BUILDERS["w58_iceberg_resolution"] = _w58
 
 
+def _w59(t):
+    """Jar-free Delta WRITER roundtrip (r11, sources/delta_writer.py —
+    beyond-reference: the reference is read-only on Delta via DuckDB's
+    delta_scan, /root/reference/src/TidierDB.jl:166-169): commit v0 =
+    documents doc_id<150 partitioned by lang, v1 = APPEND 150-249, v2 =
+    OVERWRITE with doc_id<100 — then read the table back through the
+    INDEPENDENT log-replay reader at the latest version AND
+    time-traveled to v1, tagged.  A hash match proves the JSON commit
+    protocol (protocol/metaData/add/remove actions, partition dirs,
+    optimistic versioning) and history reconstruction are exact.  The
+    250-row collect is the bounded fixture-build action (the w50
+    convention)."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="w59_delta_write_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id < 150"), root, partition_by="lang")
+    write_delta(docs.filter("doc_id >= 150 AND doc_id < 250"), root,
+                mode="append", partition_by="lang")
+    write_delta(docs.filter("doc_id < 100"), root, mode="overwrite",
+                partition_by="lang")
+    spark = t["documents"].df.sparkSession
+    now = read_delta(spark, root).mutate(at="'now'")
+    v1 = read_delta(spark, root, version=1).mutate(at="'v1'")
+    return (now.union_all(v1)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w59_delta_write_roundtrip"] = _w59
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7869,6 +7903,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR) AS note
         FROM documents
         WHERE doc_id < 250 AND doc_id % 5 != 1
+    """
+    # w59: latest state (post-overwrite, doc_id<100) + the time-traveled
+    # v1 state (doc_id<250), tagged
+    out["w59_delta_write_roundtrip"] = r"""
+        SELECT doc_id, text, lang, 'now' AS at
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id, text, lang, 'v1' AS at
+        FROM documents WHERE doc_id < 250
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -8,8 +8,10 @@ from __future__ import annotations
 
 __all__ = [
     "write_file", "create_table", "drop_view", "merge_upsert",
-    "compact_files", "dataset_size_bytes",
+    "compact_files", "dataset_size_bytes", "write_delta",
 ]
+
+from .delta_writer import write_delta  # noqa: E402,F401 — re-export
 
 _EXT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc", ".xml": "xml"}
 

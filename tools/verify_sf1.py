@@ -120,6 +120,7 @@ ORACLE_QUERIES = [
     "w56_iceberg_posdelete",    # Iceberg v2 position deletes (r10)
     "w57_iceberg_v3_deletes",   # Iceberg v3 DVs + equality deletes (r10)
     "w58_iceberg_resolution",   # field-id renames/defaults/null-fill (r11)
+    "w59_delta_write_roundtrip",  # jar-free Delta writer (r11)
 ]
 
 
