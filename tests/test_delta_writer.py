@@ -133,3 +133,73 @@ def test_empty_batch_creates_valid_empty_table(spark, tmp_path):
     tf = read_delta(spark, root)
     assert tf.df.count() == 0
     assert [f.name for f in tf.df.schema.fields] == ["id", "val"]
+
+
+def test_txn_idempotence_and_watermark(spark, tmp_path):
+    """PROTOCOL.md Transaction Identifiers: a commit stamped
+    txn=(app, v) is a no-op when the table already records a watermark
+    >= v for app — the exactly-once building block."""
+    from tidierdb_jl_spark.sources.delta_writer import last_txn_version
+
+    root = str(tmp_path / "tbl")
+    assert last_txn_version(spark, root, "job") == -1
+    v = write_delta(_tf(spark, [(1, "a")]), root, txn=("job", 0))
+    assert v == 0 and last_txn_version(spark, root, "job") == 0
+    # replay of batch 0: no-op, count unchanged, current version returned
+    v2 = write_delta(_tf(spark, [(1, "a")]), root, txn=("job", 0))
+    assert v2 == 0
+    assert read_delta(spark, root).df.count() == 1
+    # batch 1 commits; another app's batch 0 also commits
+    write_delta(_tf(spark, [(2, "b")]), root, txn=("job", 1))
+    write_delta(_tf(spark, [(3, "c")]), root, txn=("other", 0))
+    assert read_delta(spark, root).df.count() == 3
+    assert last_txn_version(spark, root, "job") == 1
+    assert last_txn_version(spark, root, "other") == 0
+    # stale replay after newer commits: still a no-op
+    write_delta(_tf(spark, [(9, "z")]), root, txn=("job", 1))
+    assert read_delta(spark, root).df.count() == 3
+
+
+def test_write_stream_delta_exactly_once(spark, tmp_path):
+    """Streaming -> Delta sink: availableNow drains the source into
+    committed table versions; a RESTART over the same checkpoint adds
+    only the new data; a crash-style replay of an already-committed
+    batch is a no-op."""
+    from tidierdb_jl_spark.sources.delta_writer import (
+        last_txn_version, write_delta as wd,
+    )
+    from tidierdb_jl_spark.streaming.stream import (
+        read_stream, write_stream_delta,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _tf(spark, [(i, f"v{i}") for i in range(10)]).df \
+        .write.mode("overwrite").parquet(src)
+
+    st = read_stream(spark, src)
+    q = write_stream_delta(st, tbl, ckpt, trigger="availableNow")
+    q.awaitTermination(120)
+    got = read_delta(spark, tbl).collect()
+    assert sorted(got["id"].tolist()) == list(range(10))
+
+    # restart over the same checkpoint with MORE source data: only the
+    # delta arrives (the checkpoint skips consumed files)
+    _tf(spark, [(i, f"v{i}") for i in range(10, 15)]).df \
+        .write.mode("append").parquet(src)
+    q2 = write_stream_delta(read_stream(spark, src), tbl, ckpt,
+                            trigger="availableNow")
+    q2.awaitTermination(120)
+    got = read_delta(spark, tbl).collect()
+    assert sorted(got["id"].tolist()) == list(range(15))
+
+    # crash-style duplicate: re-commit an already-recorded batch id for
+    # the checkpoint-derived app id -> no-op
+    import hashlib
+
+    app = "stream-" + hashlib.sha256(ckpt.encode()).hexdigest()[:16]
+    hi = last_txn_version(spark, tbl, app)
+    assert hi >= 0
+    wd(_tf(spark, [(99, "dup")]), tbl, mode="append", txn=(app, hi))
+    assert read_delta(spark, tbl).df.count() == 15

@@ -8,8 +8,8 @@ public Delta transaction-log protocol
 (https://github.com/delta-io/delta/blob/master/PROTOCOL.md) directly:
 
 - ``_delta_log/<version>.json``: newline-delimited actions
-  (``add`` / ``remove`` / ``metaData`` / ``protocol``; ``commitInfo`` /
-  ``txn`` ignored).
+  (``add`` / ``remove`` / ``metaData`` / ``protocol``; ``txn``
+  watermarks tracked for idempotent writers, ``commitInfo`` ignored).
 - ``_delta_log/<version>.checkpoint[.part.N].parquet`` + the
   ``_last_checkpoint`` pointer: the same actions as parquet struct
   columns, replacing the JSON prefix.
@@ -56,8 +56,9 @@ Protocol gate (loud, not silent): ``minReaderVersion`` 1-2 fully
 supported; 3 is supported when ``readerFeatures`` need nothing beyond
 ``timestampNtz`` / ``deletionVectors`` / ``columnMapping`` /
 ``v2Checkpoint`` — an unknown feature could change row visibility or
-file layout and MUST fail rather than return wrong rows.  Writing
-Delta is out of scope (the reference is also read-only here).
+file layout and MUST fail rather than return wrong rows.  The WRITE
+side (r11, beyond the read-only reference) lives in
+:mod:`.delta_writer`.
 """
 
 from __future__ import annotations
@@ -128,11 +129,15 @@ def _gate_protocol(proto: dict, path: str) -> None:
     )
 
 
-def _fold_action(d: dict, live: dict, meta, path: str):
+def _fold_action(d: dict, live: dict, meta, path: str,
+                 txns: dict | None = None):
     """Apply one action dict to the live set; returns the (possibly
     updated) metaData.  Within a checkpoint there is at most one action
     per data-file path (spec), so fold order does not matter there; in
-    commits the caller iterates in line order, which does."""
+    commits the caller iterates in line order, which does.  ``txns``
+    (when given) collects setTransaction watermarks: appId -> highest
+    version seen (the idempotent-writer protocol — PROTOCOL.md
+    "Transaction Identifiers")."""
     if d.get("protocol"):
         _gate_protocol(d["protocol"], path)
     if d.get("metaData") and d["metaData"].get("schemaString"):
@@ -144,6 +149,11 @@ def _fold_action(d: dict, live: dict, meta, path: str):
         )
     if d.get("remove") and d["remove"].get("path"):
         live.pop(unquote(d["remove"]["path"]), None)
+    if txns is not None and d.get("txn") and d["txn"].get("appId"):
+        app = d["txn"]["appId"]
+        v = int(d["txn"].get("version", -1))
+        if v > txns.get(app, -1):
+            txns[app] = v
     return meta
 
 
@@ -157,7 +167,7 @@ def _is_v2_manifest(name: str) -> bool:
     return bool(body) and not all(s.isdigit() for s in body)
 
 
-def _replay_checkpoint(spark, path, log_dir, parts, live):
+def _replay_checkpoint(spark, path, log_dir, parts, live, txns=None):
     """Fold one checkpoint (classic single/multipart parquet, or a V2
     manifest + its sidecar files) into ``live``; returns metaData.
 
@@ -181,12 +191,12 @@ def _replay_checkpoint(spark, path, log_dir, parts, live):
         else:
             mdf = spark.read.parquet(mpath)
             take = [c for c in ("add", "remove", "metaData", "protocol",
-                                "sidecar") if c in mdf.columns]
+                                "sidecar", "txn") if c in mdf.columns]
             rows = [r.asDict(recursive=True)
                     for r in mdf.select(*take).collect()]
         sidecars = []
         for d in rows:
-            meta = _fold_action(d, live, meta, path)
+            meta = _fold_action(d, live, meta, path, txns)
             sc = d.get("sidecar")
             if sc and sc.get("path"):
                 p = sc["path"]
@@ -196,20 +206,23 @@ def _replay_checkpoint(spark, path, log_dir, parts, live):
                 )
         if sidecars:
             sdf = spark.read.parquet(*sidecars)
-            take = [c for c in ("add", "remove") if c in sdf.columns]
+            take = [c for c in ("add", "remove", "txn")
+                    if c in sdf.columns]
             for r in sdf.select(*take).collect():
                 meta = _fold_action(r.asDict(recursive=True), live, meta,
-                                    path)
+                                    path, txns)
         return meta
     cdf = spark.read.parquet(*[join_path(log_dir, n) for n in parts])
-    take = [c for c in ("add", "remove", "metaData", "protocol")
+    take = [c for c in ("add", "remove", "metaData", "protocol", "txn")
             if c in cdf.columns]
     for row in cdf.select(*take).collect():
-        meta = _fold_action(row.asDict(recursive=True), live, meta, path)
+        meta = _fold_action(row.asDict(recursive=True), live, meta, path,
+                            txns)
     return meta
 
 
-def _snapshot(spark, path: str, version: int | None):
+def _snapshot(spark, path: str, version: int | None,
+              txns: dict | None = None):
     """Replay the log: returns (live_adds: {path: (partitionValues,
     deletionVector-or-None)}, metaData dict, snapshot_version)."""
     log_dir = join_path(path, _LOG)
@@ -235,7 +248,8 @@ def _snapshot(spark, path: str, version: int | None):
     if base:
         cv = max(base)
         parts = [n for v, k, n in entries if k == "checkpoint" and v == cv]
-        meta = _replay_checkpoint(spark, path, log_dir, parts, live)
+        meta = _replay_checkpoint(spark, path, log_dir, parts, live,
+                                  txns)
         start_after = cv
 
     need = [(v, n) for v, k, n in entries
@@ -264,7 +278,8 @@ def _snapshot(spark, path: str, version: int | None):
         for line in read_text(spark, join_path(log_dir, name)).splitlines():
             if not line.strip():
                 continue
-            meta = _fold_action(json.loads(line), live, meta, path)
+            meta = _fold_action(json.loads(line), live, meta, path,
+                                txns)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found in the log")
     return live, meta, target

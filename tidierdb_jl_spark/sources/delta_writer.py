@@ -46,9 +46,24 @@ import time
 import uuid
 from urllib.parse import quote, unquote
 
-__all__ = ["write_delta"]
+__all__ = ["write_delta", "last_txn_version"]
 
 _MAX_COMMIT_RETRIES = 20
+
+
+def last_txn_version(spark, path: str, app_id: str) -> int:
+    """Highest ``txn`` version committed for ``app_id`` (PROTOCOL.md
+    "Transaction Identifiers"), or -1 — the idempotent-writer check:
+    a streaming sink replaying micro-batch N after a crash sees
+    ``last_txn_version(...) >= N`` and skips the duplicate commit."""
+    from .delta import _snapshot
+    from .fsio import fs_exists, join_path
+
+    if not fs_exists(spark, join_path(str(path).rstrip("/"), "_delta_log")):
+        return -1
+    txns: dict = {}
+    _snapshot(spark, str(path).rstrip("/"), None, txns)
+    return txns.get(app_id, -1)
 
 
 def _schema_fingerprint(schema_json: str):
@@ -123,12 +138,26 @@ def write_delta(
     mode: str = "append",
     partition_by=None,
     overwrite_schema: bool = False,
+    txn: tuple | None = None,
 ) -> int:
     """Commit ``tf`` to the Delta table at ``path``; returns the
     committed version number.  Module docstring has the protocol
-    contract."""
+    contract.
+
+    ``txn=(app_id, version)`` stamps the commit with a setTransaction
+    action and makes it IDEMPOTENT: if the table already records a
+    ``txn`` watermark >= ``version`` for ``app_id``, the write is a
+    no-op returning the current table version — the exactly-once
+    building block for streaming sinks replaying a micro-batch after a
+    crash (see :func:`last_txn_version` and
+    :func:`~tidierdb_jl_spark.streaming.stream.write_stream_delta`).
+    The check re-runs inside the optimistic-commit loop, so losing a
+    race to a duplicate of yourself stays exactly-once."""
     from .delta import _snapshot
     from .fsio import fs_delete, fs_exists, fs_mkdirs, fs_rename, join_path
+
+    def _snapshot_for(sp, r):
+        return _snapshot(sp, r, None)
 
     if mode not in ("append", "overwrite", "error"):
         raise ValueError(f"write_delta: mode {mode!r} "
@@ -142,10 +171,19 @@ def write_delta(
     if bad:
         raise ValueError(f"write_delta: partition_by {bad} not in columns")
 
+    if txn is not None:
+        txn = (str(txn[0]), int(txn[1]))
+
     log_dir = join_path(root, "_delta_log")
     exists = fs_exists(spark, log_dir)
     if exists and mode == "error":
         raise ValueError(f"write_delta: {root} already exists (mode=error)")
+    if exists and txn is not None:
+        done = last_txn_version(spark, root, txn[0])
+        if done >= txn[1]:
+            # replayed batch: the table already contains this commit
+            _, _, version = _snapshot_for(spark, root)
+            return version
 
     # 1. stage the data as plain parquet inside the table root
     staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
@@ -196,10 +234,16 @@ def write_delta(
 
     # 3. optimistic commit loop
     for _attempt in range(_MAX_COMMIT_RETRIES):
+        txns: dict = {}
         if fs_exists(spark, log_dir):
-            live, meta, version = _snapshot(spark, root, None)
+            live, meta, version = _snapshot(spark, root, None, txns)
         else:
             live, meta, version = {}, None, -1
+        if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+            # a concurrent duplicate of this very batch won the race:
+            # exactly-once means we drop ours (the moved files stay as
+            # unreferenced garbage, never table rows)
+            return version
 
         actions = []
         if meta is None:
@@ -236,6 +280,11 @@ def write_delta(
                     "dataChange": True,
                 }})
         actions.extend({"add": a} for a in adds)
+        if txn is not None:
+            actions.append({"txn": {
+                "appId": txn[0], "version": txn[1],
+                "lastUpdated": int(time.time() * 1000),
+            }})
         actions.append({"commitInfo": {
             "timestamp": int(time.time() * 1000),
             "operation": "WRITE",

@@ -31,6 +31,7 @@ __all__ = [
     "stateful_topk",
     "run_to_memory",
     "write_stream",
+    "write_stream_delta",
     "foreach_batch",
 ]
 
@@ -207,6 +208,47 @@ def foreach_batch(
     w = result.df.writeStream.outputMode(mode).foreachBatch(fn)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def write_stream_delta(
+    result: TidyFrame,
+    path: str,
+    checkpoint: str,
+    partition_by=None,
+    app_id: str | None = None,
+    trigger: str | None = None,
+):
+    """EXACTLY-ONCE streaming sink into a jar-free Delta table
+    (beyond-reference — composes :func:`foreach_batch` with
+    :func:`~tidierdb_jl_spark.sources.delta_writer.write_delta`).
+
+    Each micro-batch commits with ``txn=(app_id, batch_id)``.  After a
+    crash, Structured Streaming replays the last batch WITH THE SAME
+    batch_id (its checkpoint guarantees that), and the table's ``txn``
+    watermark makes the duplicate commit a no-op — the same idempotence
+    protocol the real Delta sink uses (PROTOCOL.md "Transaction
+    Identifiers").  ``app_id`` defaults to a checkpoint-derived id so a
+    restarted query keeps its identity; pass it explicitly when several
+    queries append to one table.  Returns the StreamingQuery."""
+    import hashlib
+
+    from ..sources.delta_writer import write_delta
+
+    app = app_id or ("stream-" + hashlib.sha256(
+        str(checkpoint).encode()).hexdigest()[:16])
+
+    def commit_batch(bdf, batch_id: int):
+        write_delta(TidyFrame(bdf), path, mode="append",
+                    partition_by=partition_by, txn=(app, int(batch_id)))
+
+    w = (result.df.writeStream.outputMode("append")
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger == "availableNow":
+        w = w.trigger(availableNow=True)
+    elif trigger is not None:
+        w = w.trigger(processingTime=trigger)
     return w.start()
 
 
