@@ -4614,6 +4614,48 @@ def _w59(t):
 _BUILDERS["w59_delta_write_roundtrip"] = _w59
 
 
+def _w60(t):
+    """EXACTLY-ONCE streaming ingest into the jar-free Delta table
+    (r11, streaming/stream.py ``write_stream_delta`` + the txn
+    watermark protocol in sources/delta_writer.py — beyond-reference:
+    the reference has neither streams nor Delta writes): events with
+    value > 0 flow through a REAL Structured Streaming query
+    (file source, availableNow trigger) into Delta commits stamped
+    ``txn=(app, batch_id)``; a crash-style duplicate of the last batch
+    is then re-committed and must be a no-op.  The final table read
+    back through the independent log-replay reader hash-matching the
+    oracle proves the sink delivered every row exactly once."""
+    import tempfile
+
+    from tidierdb_jl_spark.core import TidyFrame as _TF
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        last_txn_version, write_delta,
+    )
+    from tidierdb_jl_spark.streaming.stream import (
+        read_stream, write_stream_delta,
+    )
+
+    spark = t["events"].df.sparkSession
+    base = tempfile.mkdtemp(prefix="w60_stream_delta_")
+    src, tbl, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/ckpt"
+    (t["events"].filter("value > 0")
+     .select("event_id", "user_id", "value").df
+     .write.mode("overwrite").parquet(src))
+    q = write_stream_delta(read_stream(spark, src), tbl, ckpt,
+                           app_id="w60", trigger="availableNow")
+    q.awaitTermination(300)
+    # crash-style replay of the last committed batch: must be a no-op
+    hi = last_txn_version(spark, tbl, "w60")
+    write_delta(_TF(spark.createDataFrame(
+        [(-1, -1, 0.0)], "event_id long, user_id long, value double")),
+        tbl, mode="append", txn=("w60", hi))
+    return read_delta(spark, tbl).select("event_id", "user_id", "value")
+
+
+_BUILDERS["w60_stream_delta_sink"] = _w60
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7912,6 +7954,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, text, lang, 'v1' AS at
         FROM documents WHERE doc_id < 250
+    """
+    out["w60_stream_delta_sink"] = r"""
+        SELECT event_id, user_id, value
+        FROM events WHERE value > 0
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -121,6 +121,7 @@ ORACLE_QUERIES = [
     "w57_iceberg_v3_deletes",   # Iceberg v3 DVs + equality deletes (r10)
     "w58_iceberg_resolution",   # field-id renames/defaults/null-fill (r11)
     "w59_delta_write_roundtrip",  # jar-free Delta writer (r11)
+    "w60_stream_delta_sink",    # exactly-once streaming Delta sink (r11)
 ]
 
 
