@@ -203,3 +203,75 @@ def test_write_stream_delta_exactly_once(spark, tmp_path):
     assert hi >= 0
     wd(_tf(spark, [(99, "dup")]), tbl, mode="append", txn=(app, hi))
     assert read_delta(spark, tbl).df.count() == 15
+
+
+def test_checkpoint_written_and_replayed(spark, tmp_path):
+    """checkpoint_delta writes a classic parquet checkpoint +
+    _last_checkpoint; the reader replays from it even after the JSON
+    prefix is deleted, and txn watermarks survive the truncation."""
+    import glob
+    import json as _json
+
+    from tidierdb_jl_spark.sources.delta_writer import (
+        checkpoint_delta, last_txn_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a")]), root, txn=("job", 0))
+    write_delta(_tf(spark, [(2, "b")]), root, txn=("job", 1))
+    write_delta(_tf(spark, [(3, "c")]), root)
+    v = checkpoint_delta(spark, root)
+    assert v == 2
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log, "00000000000000000002.checkpoint.parquet"))
+    lc = _json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert lc["version"] == 2
+
+    # truncate the JSON prefix: replay must come from the checkpoint
+    for p in glob.glob(os.path.join(log, "*.json")):
+        os.remove(p)
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [1, 2, 3]
+    # exactly-once state survives the truncation
+    assert last_txn_version(spark, root, "job") == 1
+    # and the table keeps accepting commits after the checkpoint
+    write_delta(_tf(spark, [(4, "d")]), root)
+    assert read_delta(spark, root).df.count() == 4
+
+
+def test_optimize_compacts_without_data_change(spark, tmp_path):
+    """optimize_delta rewrites many small files into one per partition,
+    commits the swap with dataChange=false, preserves rows exactly and
+    keeps history time-travelable."""
+    import json as _json
+
+    from tidierdb_jl_spark.sources.delta import _snapshot
+    from tidierdb_jl_spark.sources.delta_writer import optimize_delta
+
+    root = str(tmp_path / "tbl")
+    for i in range(5):  # 5 tiny commits per partition value
+        write_delta(_tf(spark, [(i, f"v{i}", "en"), (100 + i, f"w{i}", "fr")],
+                        "id long, val string, lang string"),
+                    root, partition_by="lang")
+    live0, _, v0 = _snapshot(spark, root, None)
+    assert len(live0) == 10 and v0 == 4
+    v = optimize_delta(spark, root)
+    assert v == 5
+    live1, _, _ = _snapshot(spark, root, None)
+    assert len(live1) == 2  # one file per partition now
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 1, 2, 3, 4, 100, 101, 102, 103, 104]
+    assert got["lang"].tolist() == ["en"] * 5 + ["fr"] * 5
+    # pre-compaction version still reconstructs from history
+    assert read_delta(spark, root, version=4).df.count() == 10
+    # the OPTIMIZE commit carries dataChange=false on every action
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000005.json")) as fh:
+        for ln in fh:
+            d = _json.loads(ln)
+            for k in ("add", "remove"):
+                if k in d:
+                    assert d[k]["dataChange"] is False
+    # idempotent second pass: nothing left to compact
+    assert optimize_delta(spark, root) is None

@@ -33,10 +33,15 @@ against the table's metaData on append — silent column reordering or
 type drift is how lakehouse tables rot; widen explicitly with
 ``overwrite`` + ``overwrite_schema=True``.
 
+Maintenance: :func:`checkpoint_delta` writes classic parquet
+checkpoints (incl. ``txn`` watermark rows, so exactly-once streaming
+survives JSON-prefix truncation) + ``_last_checkpoint``;
+:func:`optimize_delta` compacts small files per partition with
+``dataChange=false`` commits — the streaming-sink steady state would
+otherwise degrade a 100 TB table into millions of tiny files.
+
 NOT implemented (loud): writer features beyond protocol 2 (deletion
-vectors, column mapping, CDF...), MERGE/UPDATE/DELETE row-level ops,
-and checkpoints (readers replay JSON commits; a thousand-commit table
-should be checkpointed by a connector-jar writer).
+vectors, column mapping, CDF...) and MERGE/UPDATE/DELETE row-level ops.
 """
 
 from __future__ import annotations
@@ -46,7 +51,8 @@ import time
 import uuid
 from urllib.parse import quote, unquote
 
-__all__ = ["write_delta", "last_txn_version"]
+__all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
+           "optimize_delta"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -303,4 +309,192 @@ def write_delta(
     raise RuntimeError(
         f"write_delta: lost the commit race {_MAX_COMMIT_RETRIES} times "
         f"at {root} — a writer storm; back off and retry"
+    )
+
+
+def checkpoint_delta(spark, path: str) -> int:
+    """Write a CLASSIC checkpoint for the table's current version
+    (PROTOCOL.md "Checkpoints"): one parquet file
+    ``<version>.checkpoint.parquet`` holding the replayed state —
+    protocol, metaData, every live add, and one ``txn`` row per
+    application watermark (so exactly-once streaming survives the JSON
+    prefix being truncated/archived) — plus the ``_last_checkpoint``
+    pointer.  Readers (this repo's and standard ones) then replay from
+    the checkpoint instead of every JSON commit: the difference between
+    O(commits) and O(1) metadata reads on a long-lived streaming table.
+    Returns the checkpointed version.
+
+    Remove tombstones are NOT carried (this writer never leaves a
+    VACUUM-able tombstone window — data files become unreferenced only
+    via overwrite/compaction commits that the checkpoint supersedes)."""
+    from pyspark.sql import types as T
+
+    from .delta import _snapshot
+    from .fsio import (fs_delete, fs_rename, hadoop_fs, join_path,
+                       write_text_atomic)
+
+    root = str(path).rstrip("/")
+    txns: dict = {}
+    live, meta, version = _snapshot(spark, root, None, txns)
+
+    schema = T.StructType([
+        T.StructField("protocol", T.StructType([
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+        ])),
+        T.StructField("metaData", T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("format", T.StructType([
+                T.StructField("provider", T.StringType()),
+                T.StructField("options",
+                              T.MapType(T.StringType(), T.StringType())),
+            ])),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns",
+                          T.ArrayType(T.StringType())),
+            T.StructField("configuration",
+                          T.MapType(T.StringType(), T.StringType())),
+            T.StructField("createdTime", T.LongType()),
+        ])),
+        T.StructField("add", T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues",
+                          T.MapType(T.StringType(), T.StringType(),
+                                    True)),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ])),
+        T.StructField("txn", T.StructType([
+            T.StructField("appId", T.StringType()),
+            T.StructField("version", T.LongType()),
+        ])),
+    ])
+    rows = [
+        ((int(meta.get("__minReader", 1)) if False else 1, 2),
+         None, None, None),
+        (None, (meta.get("id"),
+                ((meta.get("format") or {}).get("provider", "parquet"),
+                 dict((meta.get("format") or {}).get("options") or {})),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                dict(meta.get("configuration") or {}),
+                meta.get("createdTime")), None, None),
+    ]
+    for p, (pv, dv) in sorted(live.items()):
+        if dv is not None:
+            raise NotImplementedError(
+                f"checkpoint_delta: {root} has deletion vectors — "
+                "checkpointing DV descriptors is connector-jar territory"
+            )
+        rows.append((None, None,
+                     (quote(p, safe="/=-"), dict(pv), 0, 0, False), None))
+    for app, v in sorted(txns.items()):
+        rows.append((None, None, None, (app, int(v))))
+
+    log_dir = join_path(root, "_delta_log")
+    tmp = join_path(log_dir, f".ckpt_tmp_{uuid.uuid4().hex}")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    fs, htmp = hadoop_fs(spark, tmp)
+    part = next(
+        st.getPath() for st in fs.listStatus(htmp)
+        if st.getPath().getName().startswith("part-")
+    )
+    dest = join_path(log_dir, f"{version:020d}.checkpoint.parquet")
+    fs_rename(spark, part.toString(), dest)
+    fs_delete(spark, tmp, recursive=True)
+    write_text_atomic(
+        spark, join_path(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": len(rows)}),
+    )
+    return version
+
+
+def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
+    """Compact small files (the OPTIMIZE operation): for every
+    partition holding at least ``min_files`` live data files, rewrite
+    them as one file and commit the swap with ``dataChange=false`` —
+    streams tailing the table see no new data, history stays
+    time-travelable, and the next scan reads one file per partition
+    instead of one per micro-batch (the streaming-sink steady state
+    that otherwise degrades a 100 TB table into millions of tiny
+    files).  Returns the committed version, or None when nothing
+    qualified.  The rewrite reads ONLY the affected files — work scales
+    with compactable bytes, not table size."""
+    from .delta import _snapshot, read_delta
+    from .fsio import fs_delete, fs_exists, fs_mkdirs, fs_rename, join_path
+
+    root = str(path).rstrip("/")
+    live, meta, version = _snapshot(spark, root, None)
+    if any(dv is not None for _pv, dv in live.values()):
+        raise NotImplementedError(
+            f"optimize_delta: {root} has deletion vectors — compaction "
+            "must materialize them first (connector-jar territory)"
+        )
+    by_part: dict[tuple, list] = {}
+    for p, (pv, _dv) in live.items():
+        by_part.setdefault(tuple(sorted(pv.items())), []).append(p)
+    todo = {k: sorted(v) for k, v in by_part.items()
+            if len(v) >= max(2, min_files)}
+    if not todo:
+        return None
+
+    part_cols = list(meta.get("partitionColumns") or [])
+    adds, removes = [], []
+    for pv_items, files in sorted(todo.items()):
+        pv = dict(pv_items)
+        src = spark.read.parquet(*[join_path(root, p) for p in files])
+        staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
+        src.coalesce(1).write.mode("overwrite").parquet(staging)
+        staged = _list_staged(spark, staging, [])
+        if len(staged) != 1:
+            fs_delete(spark, staging, recursive=True)
+            raise RuntimeError(
+                f"optimize_delta: expected 1 staged file, got {len(staged)}"
+            )
+        rel, size, mtime, _ = staged[0]
+        seg = "/".join(
+            f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else quote(str(v), safe='')}"
+            for k, v in ((c, pv.get(c)) for c in part_cols)
+        )
+        fname = f"part-00000-{uuid.uuid4()}.snappy.parquet"
+        final_rel = f"{seg}/{fname}" if seg else fname
+        dest = join_path(root, final_rel)
+        fs_mkdirs(spark, dest.rsplit("/", 1)[0])
+        fs_rename(spark, join_path(staging, rel), dest)
+        fs_delete(spark, staging, recursive=True)
+        adds.append({"path": quote(final_rel, safe="/=-"),
+                     "partitionValues": pv, "size": int(size),
+                     "modificationTime": int(mtime), "dataChange": False})
+        removes.extend(files)
+
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        live_now, _meta, version = _snapshot(spark, root, None)
+        gone = [p for p in removes if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"optimize_delta: {len(gone)} file(s) were removed "
+                "concurrently (e.g. an overwrite) — aborting the compaction "
+                "commit; the staged files are unreferenced garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        actions = [{"remove": {"path": quote(p, safe="/=-"),
+                               "deletionTimestamp": now_ms,
+                               "dataChange": False}}
+                   for p in sorted(removes)]
+        actions.extend({"add": a} for a in adds)
+        actions.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "OPTIMIZE",
+            "operationParameters": {},
+            "engineInfo": "tidierdb_jl_spark jar-free writer",
+        }})
+        commit = join_path(root, "_delta_log", f"{version + 1:020d}.json")
+        text = "\n".join(json.dumps(a, separators=(",", ":"))
+                         for a in actions) + "\n"
+        if _try_create(spark, commit, text):
+            return version + 1
+    raise RuntimeError(
+        f"optimize_delta: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
     )
