@@ -275,3 +275,30 @@ def test_optimize_compacts_without_data_change(spark, tmp_path):
                     assert d[k]["dataChange"] is False
     # idempotent second pass: nothing left to compact
     assert optimize_delta(spark, root) is None
+
+
+def test_stream_sink_auto_maintenance(spark, tmp_path):
+    """checkpoint_every / optimize_every ride the streaming sink: after
+    enough micro-batches the table has a parquet checkpoint and (with
+    optimize) compacted files, while rows stay exactly-once."""
+    import glob
+
+    from tidierdb_jl_spark.streaming.stream import (
+        read_stream, write_stream_delta,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    # several source files so availableNow may split into batches; then
+    # run the stream repeatedly to accumulate table versions
+    for i in range(4):
+        _tf(spark, [(i, f"v{i}")]).df.write.mode("append").parquet(src)
+        q = write_stream_delta(read_stream(spark, src), tbl, ckpt,
+                               trigger="availableNow",
+                               checkpoint_every=2, optimize_every=2)
+        q.awaitTermination(120)
+    got = read_delta(spark, tbl).collect()
+    assert sorted(got["id"].tolist()) == [0, 1, 2, 3]
+    assert glob.glob(os.path.join(tbl, "_delta_log",
+                                  "*.checkpoint.parquet"))

@@ -226,8 +226,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
         # through the per-file footer probe — field-id renames, v3
         # initial-defaults, and null-fill for later-added optional
         # columns are all PER-FILE properties that a plain union read
-        # (one random footer picks the schema) gets silently wrong
-        df = _resolved_scan(spark, path, sorted(live), want_fields)
+        # (one random footer picks the schema) gets silently wrong.
+        # _metadata is retained only when position/DV deletes will need
+        # row_index — otherwise it would widen every scan's ReadSchema
+        df = _resolved_scan(spark, path, sorted(live), want_fields,
+                            keep_metadata=bool(pos_deletes or dv_deletes))
     else:
         # ORC live sets: name-based resolution (pyarrow's ORC reader
         # does not expose iceberg field ids)
@@ -563,7 +566,8 @@ def _iceberg_spark_type(path: str, f: dict) -> str:
     )
 
 
-def _resolved_scan(spark, path: str, files: list, fields: list):
+def _resolved_scan(spark, path: str, files: list, fields: list,
+                   keep_metadata: bool = False):
     """Spec-exact parquet column resolution (Iceberg spec "Column
     Projection" + v3 "Default values"), replacing name matching:
 
@@ -587,9 +591,11 @@ def _resolved_scan(spark, path: str, files: list, fields: list):
 
     Files are grouped by their full resolution signature, each group
     scanned once (physical→logical aliases + typed fill literals), and
-    the groups unioned by name.  ``_metadata`` is retained explicitly so
-    the row-level delete machinery keeps its ``row_index`` access across
-    the union."""
+    the groups unioned by name.  With ``keep_metadata`` the hidden
+    ``_metadata`` struct is retained explicitly so the row-level delete
+    machinery keeps its ``row_index`` access across the union; without
+    deletes it is omitted, keeping the pushed ReadSchema exactly the
+    projected columns."""
     from pyspark.sql import functions as F
 
     fdf = spark.createDataFrame([(f,) for f in files], "path string")
@@ -687,7 +693,9 @@ def _resolved_scan(spark, path: str, files: list, fields: list):
                     F.lit(None).cast(_iceberg_spark_type(path, f))
                     .alias(f["name"])
                 )
-        g = g.select(*cols, F.col("_metadata"))
+        if keep_metadata:
+            cols.append(F.col("_metadata"))
+        g = g.select(*cols)
         out = g if out is None else out.unionByName(g)
     return out
 

@@ -218,6 +218,8 @@ def write_stream_delta(
     partition_by=None,
     app_id: str | None = None,
     trigger: str | None = None,
+    checkpoint_every: int = 20,
+    optimize_every: int = 0,
 ):
     """EXACTLY-ONCE streaming sink into a jar-free Delta table
     (beyond-reference — composes :func:`foreach_batch` with
@@ -230,17 +232,45 @@ def write_stream_delta(
     protocol the real Delta sink uses (PROTOCOL.md "Transaction
     Identifiers").  ``app_id`` defaults to a checkpoint-derived id so a
     restarted query keeps its identity; pass it explicitly when several
-    queries append to one table.  Returns the StreamingQuery."""
+    queries append to one table.  Returns the StreamingQuery.
+
+    Table maintenance rides the stream: every ``checkpoint_every``
+    committed table versions a classic parquet checkpoint is written
+    (readers replay O(1) metadata instead of the whole JSON log — the
+    long-lived-sink essential), and when ``optimize_every`` > 0 the
+    same cadence compacts small files with ``dataChange=false``
+    commits.  Both are driver-side, idempotent, and safe to repeat
+    after a crash."""
     import hashlib
 
-    from ..sources.delta_writer import write_delta
+    from ..sources.delta_writer import (
+        checkpoint_delta, optimize_delta, write_delta,
+    )
 
     app = app_id or ("stream-" + hashlib.sha256(
         str(checkpoint).encode()).hexdigest()[:16])
 
     def commit_batch(bdf, batch_id: int):
-        write_delta(TidyFrame(bdf), path, mode="append",
-                    partition_by=partition_by, txn=(app, int(batch_id)))
+        import json as _json
+
+        from ..sources.fsio import fs_exists, join_path, read_text
+
+        sp = bdf.sparkSession
+        v = write_delta(TidyFrame(bdf), path, mode="append",
+                        partition_by=partition_by, txn=(app, int(batch_id)))
+        if optimize_every and v and v % optimize_every == 0:
+            v = optimize_delta(sp, path) or v
+        if checkpoint_every:
+            lc = join_path(str(path).rstrip("/"), "_delta_log",
+                           "_last_checkpoint")
+            last = -1
+            if fs_exists(sp, lc):
+                try:
+                    last = int(_json.loads(read_text(sp, lc))["version"])
+                except Exception:  # noqa: BLE001 — torn pointer: rewrite
+                    last = -1
+            if v - last >= checkpoint_every:
+                checkpoint_delta(sp, path)
 
     w = (result.df.writeStream.outputMode("append")
          .foreachBatch(commit_batch)
