@@ -302,3 +302,86 @@ def test_stream_sink_auto_maintenance(spark, tmp_path):
     assert sorted(got["id"].tolist()) == [0, 1, 2, 3]
     assert glob.glob(os.path.join(tbl, "_delta_log",
                                   "*.checkpoint.parquet"))
+
+
+def test_delete_delta_copy_on_write(spark, tmp_path):
+    from tidierdb_jl_spark.sources.delta import _snapshot
+    from tidierdb_jl_spark.sources.delta_writer import delete_delta
+
+    root = str(tmp_path / "tbl")
+    # two files: ids 0-4 and 5-9 (coalesced so each commit is ONE file)
+    write_delta(TidyFrame(_tf(spark, [(i, f"v{i}") for i in range(5)])
+                          .df.coalesce(1)), root)
+    write_delta(TidyFrame(_tf(spark, [(i, f"v{i}") for i in range(5, 10)])
+                          .df.coalesce(1)), root)
+    live0, _, _ = _snapshot(spark, root, None)
+    assert len(live0) == 2
+
+    v = delete_delta(spark, root, "id IN (2, 3)")
+    assert v == 2
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 1, 4, 5, 6, 7, 8, 9]
+    # only the touched file was rewritten: the 5-9 file survives as-is
+    live1, _, _ = _snapshot(spark, root, None)
+    untouched = set(live0) & set(live1)
+    assert len(untouched) == 1
+    # history: the pre-delete version still has all 10 rows
+    assert read_delta(spark, root, version=1).df.count() == 10
+    # no match -> no commit
+    assert delete_delta(spark, root, "id = 999") is None
+
+
+def test_merge_delta_upsert(spark, tmp_path):
+    from tidierdb_jl_spark.sources.delta import _snapshot
+    from tidierdb_jl_spark.sources.delta_writer import merge_delta
+
+    root = str(tmp_path / "tbl")
+    write_delta(TidyFrame(_tf(spark, [(1, "a"), (2, "b")]).df.coalesce(1)),
+                root)
+    write_delta(TidyFrame(_tf(spark, [(3, "c"), (4, "d")]).df.coalesce(1)),
+                root)
+    live0, _, _ = _snapshot(spark, root, None)
+    assert len(live0) == 2
+
+    # update id=2, insert id=9 — only the first file is touched
+    v = merge_delta(spark, root,
+                    _tf(spark, [(2, "B!"), (9, "new")]), key="id")
+    assert v == 2
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got[["id", "val"]].values.tolist() == [
+        [1, "a"], [2, "B!"], [3, "c"], [4, "d"], [9, "new"]]
+    live1, _, _ = _snapshot(spark, root, None)
+    assert len(set(live0) & set(live1)) == 1  # the (3,4) file untouched
+    # pure insert (no matches): nothing removed
+    v2 = merge_delta(spark, root, _tf(spark, [(7, "g")]), key="id")
+    assert v2 == 3
+    assert read_delta(spark, root).df.count() == 6
+
+    # ambiguous batch refuses
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta(spark, root, _tf(spark, [(5, "x"), (5, "y")]),
+                    key="id")
+    # schema drift refuses
+    with pytest.raises(ValueError, match="schema"):
+        merge_delta(spark, root,
+                    _tf(spark, [(5, "x", 1.0)],
+                        "id long, val string, z double"), key="id")
+
+
+def test_merge_delta_partitioned_moves_rows_across_partitions(
+        spark, tmp_path):
+    from tidierdb_jl_spark.sources.delta_writer import merge_delta
+
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a", "en"), (2, "b", "fr")],
+                    "id long, val string, lang string"),
+                root, partition_by="lang")
+    # the update MOVES id=2 from fr to de, and inserts id=3 in en
+    merge_delta(spark, root,
+                _tf(spark, [(2, "B", "de"), (3, "c", "en")],
+                    "id long, val string, lang string"), key="id")
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got[["id", "val", "lang"]].values.tolist() == [
+        [1, "a", "en"], [2, "B", "de"], [3, "c", "en"]]
+    only_de = read_delta(spark, root, partition_filter="lang = 'de'")
+    assert only_de.collect()["id"].tolist() == [2]

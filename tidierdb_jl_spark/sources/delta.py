@@ -417,6 +417,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     partition_filter: str | None = None,
+    _file_col: str | None = None,
 ) -> TidyFrame:
     """Read a Delta table snapshot as a TidyFrame (jar-free log replay —
     module docstring has the protocol-support contract).  ``version``
@@ -431,7 +432,11 @@ def read_delta(
     has nothing to push into.  With the filter, non-matching files never
     enter the plan at all (the 100 TB path: prune from the log, list
     nothing).  Semantics are exact — the predicate is evaluated by
-    Spark itself over the typed partition values."""
+    Spark itself over the typed partition values.
+
+    ``_file_col`` (internal — the copy-on-write row-level ops in
+    :mod:`.delta_writer`) appends each row's data-file BASENAME under
+    that name."""
     from pyspark.sql import types as T
 
     live, meta, _ = _snapshot(spark, str(path), version)
@@ -477,7 +482,7 @@ def read_delta(
     files = [join_path(str(path), p) for p in live]
     df = spark.read.schema(data_schema).parquet(*files)
     dv_of = {p.rsplit("/", 1)[-1]: dv for p, (_pv, dv) in live.items() if dv}
-    if part_cols or dv_of:
+    if part_cols or dv_of or _file_col:
         # both partition re-attach and DV anti-filter key per-row work by
         # the data file's basename (Delta basenames embed a GUID — verify
         # uniqueness rather than assume it); input_file_name() is URL-
@@ -512,8 +517,10 @@ def read_delta(
             .join(deleted, ["__file", "__ridx"], "left_anti")
             .drop("__ridx")
         )
+    extra = ([F.col("__file").alias(_file_col)] if _file_col else [])
     if not part_cols:
-        return TidyFrame(df.select(*[_logical(f) for f in schema.fields]))
+        return TidyFrame(df.select(*[_logical(f) for f in schema.fields],
+                                   *extra))
 
     # re-attach partition columns from the log's partitionValues: one
     # broadcast map of basename -> values joined against the scan
@@ -548,7 +555,8 @@ def read_delta(
                 _logical(f) if f.name not in part_cols
                 else F.col(f"__pv_{f.name}").cast(types[f.name]).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *extra,
         )
     )
     return TidyFrame(out)

@@ -40,8 +40,15 @@ survives JSON-prefix truncation) + ``_last_checkpoint``;
 ``dataChange=false`` commits — the streaming-sink steady state would
 otherwise degrade a 100 TB table into millions of tiny files.
 
+Row-level ops by COPY-ON-WRITE: :func:`delete_delta` (rewrite matching
+files without the matching rows) and :func:`merge_delta` (upsert —
+``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``); both touch
+only the files containing matches, so work scales with the change set,
+not the table.
+
 NOT implemented (loud): writer features beyond protocol 2 (deletion
-vectors, column mapping, CDF...) and MERGE/UPDATE/DELETE row-level ops.
+vectors, column mapping, CDF...); row-level ops on mapped or DV-bearing
+tables refuse.
 """
 
 from __future__ import annotations
@@ -52,7 +59,7 @@ import uuid
 from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
-           "optimize_delta"]
+           "optimize_delta", "delete_delta", "merge_delta"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -121,6 +128,46 @@ def _list_staged(spark, staging: str, part_cols):
     return out
 
 
+def _stage_batch(spark, root: str, df, part_cols) -> list[dict]:
+    """Write ``df`` as parquet into a staging dir inside the table root
+    and move each file to its final uuid-fresh name; returns the add
+    actions.  Names get a FRESH uuid per file (what delta-spark does):
+    Spark reuses one job uuid across partition dirs, so staged basenames
+    collide across dirs — and readers (this repo's included) key
+    per-file metadata by the uuid-unique basename."""
+    from .fsio import fs_delete, fs_mkdirs, fs_rename, join_path
+
+    staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    staged = _list_staged(spark, staging, part_cols)
+    # an empty batch stages a single 0-row parquet file — a legal add
+    # (the commit still creates/extends the table with its schema); a
+    # genuinely file-less staging dir would mean the Spark write failed
+    if not staged:
+        fs_delete(spark, staging, recursive=True)
+        raise ValueError("write_delta: the staged write produced no files")
+    adds = []
+    for i, (rel, size, mtime, pv) in enumerate(staged):
+        parent_rel = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        fname = f"part-{i:05d}-{uuid.uuid4()}.snappy.parquet"
+        final_rel = f"{parent_rel}/{fname}" if parent_rel else fname
+        dest = join_path(root, final_rel)
+        fs_mkdirs(spark, dest.rsplit("/", 1)[0])
+        fs_rename(spark, join_path(staging, rel), dest)
+        adds.append({
+            "path": quote(final_rel, safe="/=-"),
+            "partitionValues": pv,
+            "size": int(size),
+            "modificationTime": int(mtime),
+            "dataChange": True,
+        })
+    fs_delete(spark, staging, recursive=True)
+    return adds
+
+
 def _try_create(spark, path: str, text: str) -> bool:
     """create(overwrite=False) + full write; False if it already
     exists (the optimistic-concurrency loser)."""
@@ -160,7 +207,7 @@ def write_delta(
     The check re-runs inside the optimistic-commit loop, so losing a
     race to a duplicate of yourself stays exactly-once."""
     from .delta import _snapshot
-    from .fsio import fs_delete, fs_exists, fs_mkdirs, fs_rename, join_path
+    from .fsio import fs_exists, fs_mkdirs, join_path
 
     def _snapshot_for(sp, r):
         return _snapshot(sp, r, None)
@@ -191,42 +238,9 @@ def write_delta(
             _, _, version = _snapshot_for(spark, root)
             return version
 
-    # 1. stage the data as plain parquet inside the table root
-    staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-    staged = _list_staged(spark, staging, part_cols)
-    # an empty batch stages a single 0-row parquet file — a legal add
-    # (the commit still creates/extends the table with its schema); a
-    # genuinely file-less staging dir would mean the Spark write failed
-    if not staged:
-        fs_delete(spark, staging, recursive=True)
-        raise ValueError("write_delta: the staged write produced no files")
-
-    # 2. move files to their final names under the table root.  Names
-    # get a FRESH uuid per file (what delta-spark does): Spark reuses
-    # one job uuid across partition dirs, so staged basenames collide
-    # across dirs — and readers (this repo's included) key per-file
-    # metadata by the uuid-unique basename
-    adds = []
-    for i, (rel, size, mtime, pv) in enumerate(staged):
-        parent_rel = rel.rsplit("/", 1)[0] if "/" in rel else ""
-        fname = f"part-{i:05d}-{uuid.uuid4()}.snappy.parquet"
-        final_rel = f"{parent_rel}/{fname}" if parent_rel else fname
-        dest = join_path(root, final_rel)
-        parent = dest.rsplit("/", 1)[0]
-        fs_mkdirs(spark, parent)
-        fs_rename(spark, join_path(staging, rel), dest)
-        adds.append({
-            "path": quote(final_rel, safe="/=-"),
-            "partitionValues": pv,
-            "size": int(size),
-            "modificationTime": int(mtime),
-            "dataChange": True,
-        })
-    fs_delete(spark, staging, recursive=True)
+    # 1+2. stage the data inside the table root and move each file to
+    # its uuid-fresh final name, collecting the add actions
+    adds = _stage_batch(spark, root, df, part_cols)
 
     schema_json = df.schema.json()
     new_meta = {
@@ -498,3 +512,172 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
         f"optimize_delta: lost the commit race {_MAX_COMMIT_RETRIES} "
         f"times at {root}"
     )
+
+
+def _cow_guard(meta, live, root: str, op: str, part_cols):
+    """Copy-on-write preconditions: no column mapping (new files would
+    carry logical names a mapped table must not contain), no deletion
+    vectors (rewriting a DV'd file must materialize its deletes
+    first)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mode not in (None, "", "none"):
+        raise NotImplementedError(
+            f"{op}: {root} uses column mapping — copy-on-write rewrites "
+            "need physical-name writes (connector-jar territory)"
+        )
+    if any(dv is not None for _pv, dv in live.values()):
+        raise NotImplementedError(
+            f"{op}: {root} has deletion vectors — rewriting DV'd files "
+            "must materialize the deletes first (connector-jar territory)"
+        )
+
+
+def _commit_actions(spark, root: str, build_actions) -> int:
+    """Optimistic commit loop shared by the row-level ops:
+    ``build_actions(live, meta, version) -> list`` is re-invoked per
+    attempt against a fresh snapshot."""
+    from .delta import _snapshot
+    from .fsio import join_path
+
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        live, meta, version = _snapshot(spark, root, None)
+        actions = build_actions(live, meta, version)
+        commit = join_path(root, "_delta_log", f"{version + 1:020d}.json")
+        text = "\n".join(json.dumps(a, separators=(",", ":"))
+                         for a in actions) + "\n"
+        if _try_create(spark, commit, text):
+            return version + 1
+    raise RuntimeError(
+        f"lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
+    )
+
+
+def delete_delta(spark, path: str, predicate: str) -> int | None:
+    """Row-level DELETE by copy-on-write: files containing rows matching
+    ``predicate`` are rewritten WITHOUT those rows; untouched files stay
+    (work scales with matching files, not table size — the predicate is
+    pushed into the touched-file discovery scan).  Returns the committed
+    version, or None when nothing matched.  History is preserved: time
+    travel before the delete still sees the rows."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    root = str(path).rstrip("/")
+    live, meta, _version = _snapshot(spark, root, None)
+    part_cols = list(meta.get("partitionColumns") or [])
+    _cow_guard(meta, live, root, "delete_delta", part_cols)
+    if not live:
+        return None
+
+    tf = read_delta(spark, root, _file_col="__cow_file")
+    touched = [r[0] for r in tf.df.where(F.expr(predicate))
+               .select("__cow_file").distinct().collect()]
+    if not touched:
+        return None
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+    touched_paths = sorted(by_base[b] for b in touched)
+
+    survivors = (
+        tf.df.where(F.col("__cow_file").isin(touched))
+        .where(~F.expr(predicate))
+        .drop("__cow_file")
+    )
+    adds = _stage_batch(spark, root, survivors, part_cols)
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"delete_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; staged files are unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = [{"remove": {"path": quote(p, safe="/=-"),
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True}} for p in touched_paths]
+        acts.extend({"add": a} for a in adds)
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "DELETE",
+            "operationParameters": {"predicate": predicate},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
+
+
+def merge_delta(spark, path: str, updates_tf, key) -> int:
+    """UPSERT by copy-on-write (the MERGE ``WHEN MATCHED UPDATE SET * /
+    WHEN NOT MATCHED INSERT *`` shape): rows whose ``key`` matches an
+    update are replaced by it, new keys append.  Only files containing
+    matched keys are rewritten — discovery is one broadcast semi-join of
+    the distinct update keys against the scan, so work scales with the
+    matched files plus the update batch, never the table.  The update
+    batch must be unique per key (checked — an ambiguous MERGE must not
+    pick a winner silently) and schema-identical to the table.  Returns
+    the committed version."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    root = str(path).rstrip("/")
+    live, meta, _version = _snapshot(spark, root, None)
+    part_cols = list(meta.get("partitionColumns") or [])
+    _cow_guard(meta, live, root, "merge_delta", part_cols)
+    keys = [key] if isinstance(key, str) else list(key)
+    updates = updates_tf.df if hasattr(updates_tf, "df") else updates_tf
+    if _schema_fingerprint(meta["schemaString"]) != \
+            _schema_fingerprint(updates.schema.json()):
+        raise ValueError(
+            f"merge_delta: update batch schema does not match the table "
+            f"schema at {root}"
+        )
+    dup = (updates.groupBy(*keys).count().where("count > 1").limit(1)
+           .collect())
+    if dup:
+        raise ValueError(
+            f"merge_delta: update batch has duplicate keys (e.g. "
+            f"{tuple(dup[0][k] for k in keys)}) — an ambiguous MERGE "
+            "must not pick a winner silently"
+        )
+
+    tf = read_delta(spark, root, _file_col="__cow_file")
+    ukeys = updates.select(*keys).distinct()
+    touched = [r[0] for r in
+               tf.df.join(F.broadcast(ukeys), keys, "left_semi")
+               .select("__cow_file").distinct().collect()]
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+    touched_paths = sorted(by_base[b] for b in touched)
+
+    survivors = (
+        tf.df.where(F.col("__cow_file").isin(touched))
+        .join(F.broadcast(ukeys), keys, "left_anti")
+        .drop("__cow_file")
+        if touched else None
+    )
+    new_data = (survivors.unionByName(updates) if survivors is not None
+                else updates)
+    adds = _stage_batch(spark, root, new_data, part_cols)
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"merge_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; staged files are unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = [{"remove": {"path": quote(p, safe="/=-"),
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True}} for p in touched_paths]
+        acts.extend({"add": a} for a in adds)
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "MERGE",
+            "operationParameters": {"matchedPredicate": ",".join(keys)},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
