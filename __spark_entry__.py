@@ -4656,6 +4656,38 @@ def _w60(t):
 _BUILDERS["w60_stream_delta_sink"] = _w60
 
 
+def _w61(t):
+    """Copy-on-write ROW-LEVEL ops on the jar-free Delta table (r11,
+    sources/delta_writer.py — beyond-reference): v0 writes documents
+    doc_id<200, v1 DELETEs ``doc_id % 10 = 7`` (only matching files
+    rewrite), v2 MERGEs an update batch covering doc_id 100-249 with
+    ``'U:' || text`` (matched keys replace — including re-inserting
+    keys the delete removed — new keys append).  The final table read
+    through the independent log-replay reader hash-matching the oracle
+    proves predicate discovery, survivor anti-joins, the union with the
+    update batch and the remove/add commit are all exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        delete_delta, merge_delta, write_delta,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w61_delta_rowops_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id < 200"), root)
+    delete_delta(spark, root, "doc_id % 10 = 7")
+    updates = (docs.filter("doc_id >= 100 AND doc_id < 250")
+               .mutate(text="concat('U:', text)")
+               .select("doc_id", "text", "lang"))
+    merge_delta(spark, root, updates, key="doc_id")
+    return read_delta(spark, root).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w61_delta_row_ops"] = _w61
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -7958,6 +7990,17 @@ def oracle_sql() -> dict[str, str]:
     out["w60_stream_delta_sink"] = r"""
         SELECT event_id, user_id, value
         FROM events WHERE value > 0
+    """
+    # w61: keys <100 keep original text minus the deleted %10=7 rows;
+    # keys 100-249 all exist with the merged 'U:' text (the merge
+    # re-inserts the 100-199 rows the delete removed, adds 200-249)
+    out["w61_delta_row_ops"] = r"""
+        SELECT doc_id,
+               CASE WHEN doc_id >= 100 THEN 'U:' || text ELSE text END
+                   AS text,
+               lang
+        FROM documents
+        WHERE doc_id < 250 AND NOT (doc_id % 10 = 7 AND doc_id < 100)
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -122,6 +122,7 @@ ORACLE_QUERIES = [
     "w58_iceberg_resolution",   # field-id renames/defaults/null-fill (r11)
     "w59_delta_write_roundtrip",  # jar-free Delta writer (r11)
     "w60_stream_delta_sink",    # exactly-once streaming Delta sink (r11)
+    "w61_delta_row_ops",        # copy-on-write DELETE + MERGE (r11)
 ]
 
 
