@@ -385,3 +385,32 @@ def test_merge_delta_partitioned_moves_rows_across_partitions(
         [1, "a", "en"], [2, "B", "de"], [3, "c", "en"]]
     only_de = read_delta(spark, root, partition_filter="lang = 'de'")
     assert only_de.collect()["id"].tolist() == [2]
+
+
+def test_vacuum_removes_unreferenced_files_only(spark, tmp_path):
+    import glob
+
+    from tidierdb_jl_spark.sources.delta_writer import vacuum_delta
+
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a"), (2, "b")]), root)
+    write_delta(_tf(spark, [(9, "z")]), root, mode="overwrite")
+    n_files = len(glob.glob(os.path.join(root, "*.parquet")))
+    assert n_files >= 2  # v0's files are tombstoned but still on disk
+
+    # within retention: nothing deleted (dry run agrees)
+    assert vacuum_delta(spark, root, retain_hours=1.0) == []
+    # zero retention: the unreferenced v0 files go; dry_run lists first
+    would = vacuum_delta(spark, root, retain_hours=0.0, dry_run=True)
+    assert len(would) == n_files - len(
+        glob.glob(os.path.join(root, "*.parquet"))) + len(would)
+    gone = vacuum_delta(spark, root, retain_hours=0.0)
+    assert gone == would and len(gone) >= 1
+    # the current snapshot is intact...
+    got = read_delta(spark, root).collect()
+    assert got[["id", "val"]].values.tolist() == [[9, "z"]]
+    # ...and time travel past the vacuum horizon now fails to read data
+    with pytest.raises(Exception):
+        read_delta(spark, root, version=0).collect()
+    # idempotent
+    assert vacuum_delta(spark, root, retain_hours=0.0) == []

@@ -59,7 +59,7 @@ import uuid
 from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
-           "optimize_delta", "delete_delta", "merge_delta"]
+           "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -681,3 +681,52 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
         return acts
 
     return _commit_actions(spark, root, build)
+
+
+def vacuum_delta(spark, path: str, retain_hours: float = 168.0,
+                 dry_run: bool = False) -> list:
+    """Garbage-collect data files no longer referenced by the CURRENT
+    snapshot (standard VACUUM semantics): a candidate is deleted when it
+    is (a) not live, (b) not inside ``_delta_log``, and (c) older than
+    ``retain_hours`` by filesystem modification time — the retention
+    window protects in-flight readers of recent versions, concurrent
+    writers' staging dirs, and time travel within the window.  Time
+    travel PAST the window stops working for vacuumed versions, exactly
+    as with connector-jar VACUUM.  Returns the deleted (or, with
+    ``dry_run``, the would-be-deleted) paths.
+
+    Driver-side file listing is O(files) metadata — the same footprint
+    as the live list itself; row data is never read."""
+    import time as _time
+
+    from .delta import _snapshot
+    from .fsio import fs_delete, hadoop_fs
+
+    root = str(path).rstrip("/")
+    live, _meta, _version = _snapshot(spark, root, None)
+    keep = {p for p in live}
+    cutoff_ms = (_time.time() - retain_hours * 3600.0) * 1000.0
+
+    fs, hroot = hadoop_fs(spark, root)
+    qroot = fs.makeQualified(hroot).toString()
+    victims, stack = [], [hroot]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            p = st.getPath()
+            name = p.getName()
+            rel = p.toString()[len(qroot):].lstrip("/")
+            if rel == "_delta_log" or rel.startswith("_delta_log/"):
+                continue
+            if st.isDirectory():
+                stack.append(p)
+                continue
+            if rel in keep:
+                continue
+            if st.getModificationTime() >= cutoff_ms:
+                continue  # within retention — may still be read/committed
+            victims.append(rel)
+    if not dry_run:
+        for rel in victims:
+            fs_delete(spark, f"{root}/{rel}", recursive=False)
+    return sorted(victims)
