@@ -4688,6 +4688,40 @@ def _w61(t):
 _BUILDERS["w61_delta_row_ops"] = _w61
 
 
+def _w62(t):
+    """Full Delta table LIFECYCLE (r11, sources/delta_writer.py —
+    beyond-reference): five small append commits (the streaming-sink
+    steady state), OPTIMIZE compaction (dataChange=false), a classic
+    parquet CHECKPOINT, VACUUM at zero retention (drops the compacted-
+    away originals), then one more append — and the final read through
+    the independent log-replay reader must hash-match the oracle.
+    Content surviving compaction + checkpoint replay + garbage
+    collection byte-exactly is the whole point of a table service."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        checkpoint_delta, optimize_delta, vacuum_delta, write_delta,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w62_delta_lifecycle_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    for i in range(5):
+        write_delta(docs.filter(f"doc_id >= {i * 40} AND "
+                                f"doc_id < {(i + 1) * 40}"),
+                    root, partition_by="lang")
+    optimize_delta(spark, root)
+    checkpoint_delta(spark, root)
+    vacuum_delta(spark, root, retain_hours=0.0)
+    write_delta(docs.filter("doc_id >= 200 AND doc_id < 240"), root,
+                partition_by="lang")
+    return read_delta(spark, root).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w62_delta_lifecycle"] = _w62
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8001,6 +8035,10 @@ def oracle_sql() -> dict[str, str]:
                lang
         FROM documents
         WHERE doc_id < 250 AND NOT (doc_id % 10 = 7 AND doc_id < 100)
+    """
+    out["w62_delta_lifecycle"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents WHERE doc_id < 240
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
