@@ -4722,6 +4722,40 @@ def _w62(t):
 _BUILDERS["w62_delta_lifecycle"] = _w62
 
 
+def _w63(t):
+    """Jar-free Iceberg v2 WRITER roundtrip (r11,
+    sources/iceberg_writer.py — beyond-reference: the reference is
+    read-only on Iceberg via DuckDB's iceberg_scan,
+    /root/reference/src/TidierDB.jl:161-165): snapshot A = documents
+    doc_id<150, snapshot B = APPEND 150-249, snapshot C = OVERWRITE
+    with doc_id<100 — data files written executor-side by pyarrow WITH
+    field ids, manifests/manifest-lists by the in-repo Avro encoder —
+    then read back through the INDEPENDENT metadata-traversal reader at
+    the latest snapshot AND time-traveled to snapshot B, tagged.  A
+    hash match proves the metadata chain (schemas, sequence numbers,
+    manifest reuse on append, snapshot log) reconstructs both states
+    exactly."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w63_iceberg_write_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_iceberg(docs.filter("doc_id < 150"), root)
+    s_b = write_iceberg(docs.filter("doc_id >= 150 AND doc_id < 250"),
+                        root, mode="append")
+    write_iceberg(docs.filter("doc_id < 100"), root, mode="overwrite")
+    now = read_iceberg(spark, root).mutate(at="'now'")
+    v1 = read_iceberg(spark, root, snapshot_id=s_b).mutate(at="'b'")
+    return (now.union_all(v1)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w63_iceberg_write_roundtrip"] = _w63
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8039,6 +8073,13 @@ def oracle_sql() -> dict[str, str]:
     out["w62_delta_lifecycle"] = r"""
         SELECT doc_id, text, lang
         FROM documents WHERE doc_id < 240
+    """
+    out["w63_iceberg_write_roundtrip"] = r"""
+        SELECT doc_id, text, lang, 'now' AS at
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id, text, lang, 'b' AS at
+        FROM documents WHERE doc_id < 250
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -1,0 +1,313 @@
+"""Apache Iceberg v2 table WRITER without connector jars.
+
+Beyond-reference (the reference is read-only on Iceberg:
+``/root/reference/src/TidierDB.jl:161-165`` scans via DuckDB's
+iceberg_scan) — the WRITE side of the public table spec
+(https://iceberg.apache.org/spec/) for hadoop-layout tables:
+
+- **Data files**: parquet written EXECUTOR-side with pyarrow (one file
+  per non-empty Spark partition, uuid names under ``data/``), each
+  top-level column carrying its ``PARQUET:field_id`` — what real
+  Iceberg readers (and this repo's field-id resolver) key on.
+- **Manifests / manifest lists**: Avro files emitted by the in-repo
+  spec-written encoder (:func:`.avro_lite.encode_avro_container` —
+  verified against the independent test encoder and the spec's zigzag
+  vectors).  Append reuses the previous snapshot's manifests and adds
+  one; overwrite references only the new manifest (history stays
+  time-travelable through the retained snapshots).
+- **Metadata**: ``metadata/v<N>.metadata.json`` committed with
+  ``create(overwrite=False)`` (the hadoop-catalog optimistic protocol;
+  losers re-read and retry) + ``version-hint.text`` best-effort (the
+  reader falls back to listing and picks the highest version, so a
+  stale hint cannot roll the table back).
+
+Scope (loud gates, never guesses): UNPARTITIONED v2 tables with
+primitive columns; append / overwrite / error modes; schema changes
+refuse (Iceberg evolution is field-id surgery — widen through a new
+table or a connector jar).  Row-level deletes, partition specs and
+format v3 features are read-side only in this repo.
+
+Readable back by :mod:`.iceberg` (developed two rounds earlier against
+hand-built spec fixtures — independent of this writer), which is the
+roundtrip evidence; structural spec conformance (field ids, sequence
+numbers, snapshot log) is asserted in the tests.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+__all__ = ["write_iceberg"]
+
+_MAX_COMMIT_RETRIES = 20
+
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean", "integer": "int", "long": "long",
+    "float": "float", "double": "double", "date": "date",
+    "string": "string", "binary": "binary",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "min_sequence_number", "type": ["null", "long"]},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _iceberg_schema(df_schema, path: str) -> list[dict]:
+    """Spark StructType -> iceberg schema fields with ids 1..n.
+    Primitive columns only — nested evolution is field-id surgery this
+    writer does not attempt."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for i, f in enumerate(df_schema.fields, start=1):
+        t = f.dataType
+        if isinstance(t, T.DecimalType):
+            ice = f"decimal({t.precision}, {t.scale})"
+        else:
+            ice = _SPARK_TO_ICEBERG.get(t.typeName())
+        if ice is None:
+            raise NotImplementedError(
+                f"write_iceberg: column {f.name!r} has type "
+                f"{t.simpleString()} — primitive columns only"
+            )
+        fields.append({"id": i, "name": f.name, "required": False,
+                       "type": ice})
+    return fields
+
+
+def _schema_key(fields: list[dict]):
+    return [(f["id"], f["name"], f["type"]) for f in fields]
+
+
+def _write_data_files(df, root: str, fields: list[dict]) -> list[tuple]:
+    """Distributed pyarrow write: one parquet file per non-empty input
+    partition under ``data/``, every column stamped with its
+    PARQUET:field_id.  Returns [(file_path, record_count, size)] —
+    driver-resident manifest metadata, never row data."""
+    names = [f["name"] for f in fields]
+    ids = {f["name"]: f["id"] for f in fields}
+
+    def task(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)[names]
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        sch = pa.schema([
+            table.schema.field(n).with_metadata(
+                {b"PARQUET:field_id": str(ids[n]).encode()}
+            ) for n in names
+        ])
+        table = table.cast(sch)
+        rel = f"data/{uuid.uuid4().hex}.parquet"
+        url = f"{root}/{rel}"
+        if "://" not in url or url.startswith("file://"):
+            lp = url[len("file://"):] if url.startswith("file://") else url
+            import os
+
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            pq.write_table(table, lp)
+            size = os.path.getsize(lp)
+        else:
+            from pyarrow import fs as pafs
+
+            u = ("s3://" + url[len("s3a://"):]
+                 if url.startswith("s3a://") else url)
+            filesystem, pth = pafs.FileSystem.from_uri(u)
+            with filesystem.open_output_stream(pth) as out:
+                pq.write_table(table, out)
+            size = filesystem.get_file_info(pth).size
+        yield pd.DataFrame({"path": [url], "n": [len(pdf)],
+                            "size": [int(size)]})
+
+    rows = df.mapInPandas(task, "path string, n long, size long").collect()
+    return [(r["path"], int(r["n"]), int(r["size"])) for r in rows]
+
+
+def write_iceberg(tf, path: str, mode: str = "append") -> int:
+    """Commit ``tf`` to the Iceberg table at ``path``; returns the new
+    snapshot id.  Module docstring has the scope contract."""
+    from .fsio import (fs_exists, fs_mkdirs, hadoop_fs, join_path,
+                       read_text, write_text_atomic)
+    from .iceberg import _latest_metadata
+    from .avro_lite import encode_avro_container
+
+    if mode not in ("append", "overwrite", "error"):
+        raise ValueError(f"write_iceberg: mode {mode!r} "
+                         "(append|overwrite|error)")
+    df = tf.df if hasattr(tf, "df") else tf
+    spark = df.sparkSession
+    root = str(path).rstrip("/")
+    fields = _iceberg_schema(df.schema, root)
+
+    mdir = join_path(root, "metadata")
+    exists = fs_exists(spark, mdir)
+    if exists and mode == "error":
+        raise ValueError(
+            f"write_iceberg: {root} already exists (mode=error)")
+    fs_mkdirs(spark, mdir)
+    fs_mkdirs(spark, join_path(root, "data"))
+
+    files = _write_data_files(df, root, fields)
+    if not files:  # empty batch: still a valid (possibly empty) commit
+        files = []
+
+    def _create(spark_, p: str, data: bytes) -> bool:
+        fs, hp = hadoop_fs(spark_, p)
+        try:
+            stream = fs.create(hp, False)
+        except Exception:  # noqa: BLE001 — already exists: lost the race
+            return False
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        return True
+
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_version = None, -1
+        if fs_exists(spark, mdir):
+            try:
+                mpath = _latest_metadata(spark, root)
+            except ValueError:
+                mpath = None
+            if mpath is not None:
+                meta = json.loads(read_text(spark, mpath))
+                name = mpath.rsplit("/", 1)[-1]
+                head = name[:-len(".metadata.json")]
+                meta_version = int(head[1:] if head.startswith("v")
+                                   else head.split("-", 1)[0])
+        if meta is not None:
+            cur_fields = next(
+                s for s in meta["schemas"]
+                if s.get("schema-id") == meta.get("current-schema-id", 0)
+            )["fields"]
+            if _schema_key(cur_fields) != _schema_key(fields):
+                raise ValueError(
+                    f"write_iceberg: batch schema does not match the "
+                    f"table schema at {root} — Iceberg evolution is "
+                    "field-id surgery this jar-free writer refuses"
+                )
+
+        seq = int(meta.get("last-sequence-number", 0)) + 1 if meta else 1
+        snap_id = int(time.time() * 1000) * 1000 + seq
+        uid = uuid.uuid4().hex
+
+        entries = [{"status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "data_file": {"content": 0, "file_path": p,
+                                  "file_format": "PARQUET",
+                                  "record_count": n,
+                                  "file_size_in_bytes": sz}}
+                   for p, n, sz in files]
+        man_rel = f"metadata/manifest-{uid}.avro"
+        man_bytes = encode_avro_container(_MANIFEST_ENTRY_SCHEMA, entries)
+        if not _create(spark, join_path(root, man_rel), man_bytes):
+            raise RuntimeError("write_iceberg: manifest name collision")
+
+        list_entries = [{
+            "manifest_path": f"{root}/{man_rel}",
+            "manifest_length": len(man_bytes),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }]
+        if mode == "append" and meta is not None:
+            prev = next((s for s in meta.get("snapshots", [])
+                         if s.get("snapshot-id")
+                         == meta.get("current-snapshot-id")), None)
+            if prev is not None:
+                from .avro_lite import read_avro_file
+                from .iceberg import _resolve_path
+
+                for m in read_avro_file(
+                        spark, _resolve_path(root, prev["manifest-list"])):
+                    list_entries.append({
+                        "manifest_path": _resolve_path(
+                            root, m["manifest_path"]),
+                        "manifest_length": int(
+                            m.get("manifest_length") or 0),
+                        "partition_spec_id": 0,
+                        "content": int(m.get("content") or 0),
+                        "sequence_number": m.get("sequence_number"),
+                        "min_sequence_number": m.get(
+                            "min_sequence_number"),
+                        "added_snapshot_id": m.get("added_snapshot_id"),
+                    })
+        mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
+        mlist_bytes = encode_avro_container(_MANIFEST_FILE_SCHEMA,
+                                            list_entries)
+        if not _create(spark, join_path(root, mlist_rel), mlist_bytes):
+            raise RuntimeError("write_iceberg: manifest-list collision")
+
+        snapshots = list(meta.get("snapshots", [])) if meta else []
+        snapshots.append({
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": f"{root}/{mlist_rel}",
+            "summary": {"operation":
+                        "append" if mode == "append" else "overwrite"},
+        })
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": (meta or {}).get("table-uuid",
+                                           str(uuid.uuid4())),
+            "location": root,
+            "last-sequence-number": seq,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(fields),
+            "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "current-snapshot-id": snap_id,
+            "snapshots": snapshots,
+        }
+        next_v = max(1, meta_version + 1)
+        vpath = join_path(mdir, f"v{next_v}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            # best-effort pointer: readers fall back to listing, which
+            # picks the highest version, so a stale hint is harmless
+            write_text_atomic(spark,
+                              join_path(mdir, "version-hint.text"),
+                              str(next_v))
+            return snap_id
+        # lost the metadata race: re-read and retry with fresh state
+    raise RuntimeError(
+        f"write_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
+    )

@@ -124,6 +124,7 @@ ORACLE_QUERIES = [
     "w60_stream_delta_sink",    # exactly-once streaming Delta sink (r11)
     "w61_delta_row_ops",        # copy-on-write DELETE + MERGE (r11)
     "w62_delta_lifecycle",      # optimize+checkpoint+vacuum cycle (r11)
+    "w63_iceberg_write_roundtrip",  # jar-free Iceberg writer (r11)
 ]
 
 
