@@ -414,3 +414,23 @@ def test_vacuum_removes_unreferenced_files_only(spark, tmp_path):
         read_delta(spark, root, version=0).collect()
     # idempotent
     assert vacuum_delta(spark, root, retain_hours=0.0) == []
+
+
+def test_describe_history(spark, tmp_path):
+    from tidierdb_jl_spark.sources.delta_writer import (
+        delete_delta, describe_history,
+    )
+
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a"), (2, "b")]), root)
+    write_delta(_tf(spark, [(3, "c")]), root)
+    delete_delta(spark, root, "id = 1")
+    hist = describe_history(spark, root)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operation"] == "DELETE"
+    assert hist[0]["operationParameters"] == {"predicate": "id = 1"}
+    assert hist[0]["num_removed_files"] >= 1
+    assert hist[2]["operation"] == "WRITE"
+    assert all(isinstance(h["timestamp"], int) for h in hist)
+    with pytest.raises(ValueError, match="not a Delta table"):
+        describe_history(spark, str(tmp_path / "nope"))

@@ -155,3 +155,17 @@ def test_avro_encoder_spec_differential():
     # deterministic bytes (retry-friendly commits)
     assert encode_avro_container(schema, rows) == \
         encode_avro_container(schema, rows)
+
+
+def test_snapshots_listing(spark, tmp_path):
+    from tidierdb_jl_spark.sources.iceberg_writer import snapshots_iceberg
+
+    root = str(tmp_path / "tbl")
+    s0 = write_iceberg(_tf(spark, [(1, "a")]), root)
+    s1 = write_iceberg(_tf(spark, [(2, "b")]), root, mode="overwrite")
+    snaps = snapshots_iceberg(spark, root)
+    assert [s["snapshot_id"] for s in snaps] == [s1, s0]
+    assert snaps[0]["is_current"] and not snaps[1]["is_current"]
+    assert snaps[0]["operation"] == "overwrite"
+    assert snaps[1]["operation"] == "append"
+    assert snaps[0]["sequence_number"] == 2

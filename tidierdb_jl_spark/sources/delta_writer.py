@@ -59,7 +59,8 @@ import uuid
 from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
-           "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta"]
+           "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta",
+           "describe_history"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -730,3 +731,43 @@ def vacuum_delta(spark, path: str, retain_hours: float = 168.0,
         for rel in victims:
             fs_delete(spark, f"{root}/{rel}", recursive=False)
     return sorted(victims)
+
+
+def describe_history(spark, path: str) -> list[dict]:
+    """Table history, newest first: one dict per commit with
+    ``version``, ``timestamp`` (ms), ``operation`` and
+    ``operationParameters`` from the commitInfo action (None for
+    commits without one), plus the counts of add/remove actions —
+    the DESCRIBE HISTORY introspection surface.  Driver-side,
+    metadata-sized (reads only the JSON commits; checkpointed-away
+    versions are reported from the checkpoint horizon)."""
+    from .delta import _log_entries
+    from .fsio import fs_exists, join_path, read_text
+
+    root = str(path).rstrip("/")
+    log_dir = join_path(root, "_delta_log")
+    if not fs_exists(spark, log_dir):
+        raise ValueError(f"{root} is not a Delta table (no _delta_log/)")
+    out = []
+    for v, kind, name in _log_entries(spark, log_dir):
+        if kind != "json":
+            continue
+        info, n_add, n_remove = None, 0, 0
+        for line in read_text(spark, join_path(log_dir, name)).splitlines():
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            if "commitInfo" in d:
+                info = d["commitInfo"]
+            n_add += "add" in d
+            n_remove += "remove" in d
+        out.append({
+            "version": v,
+            "timestamp": (info or {}).get("timestamp"),
+            "operation": (info or {}).get("operation"),
+            "operationParameters": (info or {}).get(
+                "operationParameters"),
+            "num_added_files": n_add,
+            "num_removed_files": n_remove,
+        })
+    return sorted(out, key=lambda d: -d["version"])

@@ -39,7 +39,7 @@ import json
 import time
 import uuid
 
-__all__ = ["write_iceberg"]
+__all__ = ["write_iceberg", "snapshots_iceberg"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -311,3 +311,24 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
         f"write_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
         f"times at {root}"
     )
+
+
+def snapshots_iceberg(spark, path: str) -> list[dict]:
+    """Snapshot log, newest first: snapshot-id, sequence-number,
+    timestamp-ms, operation summary, and whether it is current — the
+    time-travel discovery surface (pair with
+    ``read_iceberg(snapshot_id=...)``).  Driver-side metadata only."""
+    from .fsio import read_text
+    from .iceberg import _latest_metadata
+
+    root = str(path).rstrip("/")
+    meta = json.loads(read_text(spark, _latest_metadata(spark, root)))
+    cur = meta.get("current-snapshot-id")
+    out = [{
+        "snapshot_id": s.get("snapshot-id"),
+        "sequence_number": s.get("sequence-number"),
+        "timestamp_ms": s.get("timestamp-ms"),
+        "operation": (s.get("summary") or {}).get("operation"),
+        "is_current": s.get("snapshot-id") == cur,
+    } for s in meta.get("snapshots", [])]
+    return sorted(out, key=lambda d: -(d["timestamp_ms"] or 0))
