@@ -130,25 +130,49 @@ def _gate_protocol(proto: dict, path: str) -> None:
 
 
 def _fold_action(d: dict, live: dict, meta, path: str,
-                 txns: dict | None = None):
+                 txns: dict | None = None, extras: dict | None = None):
     """Apply one action dict to the live set; returns the (possibly
     updated) metaData.  Within a checkpoint there is at most one action
     per data-file path (spec), so fold order does not matter there; in
     commits the caller iterates in line order, which does.  ``txns``
     (when given) collects setTransaction watermarks: appId -> highest
     version seen (the idempotent-writer protocol — PROTOCOL.md
-    "Transaction Identifiers")."""
+    "Transaction Identifiers").  ``extras`` (when given, r12 — the
+    writer-side maintenance ops need replay state the live map alone
+    does not carry) collects:
+
+    - ``extras["adds"]``: path -> the FULL add action dict for every
+      live file (size / modificationTime / deletionVector — checkpoints
+      must carry the real values, PROTOCOL.md requires ``size``);
+    - ``extras["removes"]``: path -> the latest remove action dict seen
+      (its ``deletionTimestamp`` is what VACUUM retention keys on — a
+      file's own mtime says when it was WRITTEN, not when it became
+      unreferenced);
+    - ``extras["protocol"]``: the last protocol action verbatim (a
+      checkpoint must not downgrade the table's protocol).
+    """
     if d.get("protocol"):
         _gate_protocol(d["protocol"], path)
+        if extras is not None:
+            extras["protocol"] = d["protocol"]
     if d.get("metaData") and d["metaData"].get("schemaString"):
         meta = d["metaData"]
     if d.get("add") and d["add"].get("path"):
-        live[unquote(d["add"]["path"])] = (
+        p = unquote(d["add"]["path"])
+        live[p] = (
             d["add"].get("partitionValues") or {},
             d["add"].get("deletionVector"),
         )
+        if extras is not None:
+            extras.setdefault("adds", {})[p] = d["add"]
+            # a re-add supersedes any earlier tombstone for the path
+            extras.setdefault("removes", {}).pop(p, None)
     if d.get("remove") and d["remove"].get("path"):
-        live.pop(unquote(d["remove"]["path"]), None)
+        p = unquote(d["remove"]["path"])
+        live.pop(p, None)
+        if extras is not None:
+            extras.setdefault("removes", {})[p] = d["remove"]
+            extras.setdefault("adds", {}).pop(p, None)
     if txns is not None and d.get("txn") and d["txn"].get("appId"):
         app = d["txn"]["appId"]
         v = int(d["txn"].get("version", -1))
@@ -167,7 +191,8 @@ def _is_v2_manifest(name: str) -> bool:
     return bool(body) and not all(s.isdigit() for s in body)
 
 
-def _replay_checkpoint(spark, path, log_dir, parts, live, txns=None):
+def _replay_checkpoint(spark, path, log_dir, parts, live, txns=None,
+                       extras=None):
     """Fold one checkpoint (classic single/multipart parquet, or a V2
     manifest + its sidecar files) into ``live``; returns metaData.
 
@@ -196,7 +221,7 @@ def _replay_checkpoint(spark, path, log_dir, parts, live, txns=None):
                     for r in mdf.select(*take).collect()]
         sidecars = []
         for d in rows:
-            meta = _fold_action(d, live, meta, path, txns)
+            meta = _fold_action(d, live, meta, path, txns, extras)
             sc = d.get("sidecar")
             if sc and sc.get("path"):
                 p = sc["path"]
@@ -210,21 +235,24 @@ def _replay_checkpoint(spark, path, log_dir, parts, live, txns=None):
                     if c in sdf.columns]
             for r in sdf.select(*take).collect():
                 meta = _fold_action(r.asDict(recursive=True), live, meta,
-                                    path, txns)
+                                    path, txns, extras)
         return meta
     cdf = spark.read.parquet(*[join_path(log_dir, n) for n in parts])
     take = [c for c in ("add", "remove", "metaData", "protocol", "txn")
             if c in cdf.columns]
     for row in cdf.select(*take).collect():
         meta = _fold_action(row.asDict(recursive=True), live, meta, path,
-                            txns)
+                            txns, extras)
     return meta
 
 
 def _snapshot(spark, path: str, version: int | None,
-              txns: dict | None = None):
+              txns: dict | None = None, extras: dict | None = None):
     """Replay the log: returns (live_adds: {path: (partitionValues,
-    deletionVector-or-None)}, metaData dict, snapshot_version)."""
+    deletionVector-or-None)}, metaData dict, snapshot_version).
+    ``extras`` (optional dict) additionally collects the full add
+    actions, remove tombstones and last protocol action — see
+    :func:`_fold_action`."""
     log_dir = join_path(path, _LOG)
     if not fs_exists(spark, log_dir):
         raise ValueError(f"{path} is not a Delta table (no {_LOG}/)")
@@ -249,7 +277,7 @@ def _snapshot(spark, path: str, version: int | None,
         cv = max(base)
         parts = [n for v, k, n in entries if k == "checkpoint" and v == cv]
         meta = _replay_checkpoint(spark, path, log_dir, parts, live,
-                                  txns)
+                                  txns, extras)
         start_after = cv
 
     need = [(v, n) for v, k, n in entries
@@ -279,7 +307,7 @@ def _snapshot(spark, path: str, version: int | None,
             if not line.strip():
                 continue
             meta = _fold_action(json.loads(line), live, meta, path,
-                                txns)
+                                txns, extras)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found in the log")
     return live, meta, target

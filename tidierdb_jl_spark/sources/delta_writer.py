@@ -44,11 +44,16 @@ Row-level ops by COPY-ON-WRITE: :func:`delete_delta` (rewrite matching
 files without the matching rows) and :func:`merge_delta` (upsert —
 ``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``); both touch
 only the files containing matches, so work scales with the change set,
-not the table.
+not the table.  DV-bearing tables work (r12): the survivor scan goes
+through the DV-subtracting reader, so the rewrite materializes the
+deletes and retires the descriptor with its file.  Column-mapped
+tables with FLAT schemas work (r12): new files carry the table's
+physical names plus ``parquet.field.id`` footer ids, serving both
+name-mode and id-mode resolvers.
 
-NOT implemented (loud): writer features beyond protocol 2 (deletion
-vectors, column mapping, CDF...); row-level ops on mapped or DV-bearing
-tables refuse.
+NOT implemented (loud): schema evolution / row ops on NESTED
+column-mapped schemas (per-depth field-id stamping), id-mode OPTIMIZE,
+writing NEW tables with mapping/DV features enabled.
 """
 
 from __future__ import annotations
@@ -63,6 +68,10 @@ __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
            "describe_history"]
 
 _MAX_COMMIT_RETRIES = 20
+# merge_delta broadcasts the distinct update keys below this count —
+# ~4M short keys is tens of MB broadcast, safely inside executor memory;
+# above it the semi/anti joins shuffle (the honest plan for backfills)
+_MERGE_BROADCAST_KEYS = 4_000_000
 
 
 def last_txn_version(spark, path: str, app_id: str) -> int:
@@ -144,11 +153,16 @@ def _stage_batch(spark, root: str, df, part_cols) -> list[dict]:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
     staged = _list_staged(spark, staging, part_cols)
-    # an empty batch stages a single 0-row parquet file — a legal add
-    # (the commit still creates/extends the table with its schema); a
-    # genuinely file-less staging dir would mean the Spark write failed
+    # an empty UNPARTITIONED batch stages a single 0-row parquet file —
+    # a legal add (the commit still creates/extends the table with its
+    # schema).  An empty PARTITIONED batch stages NOTHING (Spark emits
+    # no partition dirs for 0 rows) — that is a legal metadata-only
+    # commit (r12: a streaming sink's empty micro-batch must still
+    # advance its txn watermark), so return no adds rather than raise.
     if not staged:
         fs_delete(spark, staging, recursive=True)
+        if part_cols:
+            return []
         raise ValueError("write_delta: the staged write produced no files")
     adds = []
     for i, (rel, size, mtime, pv) in enumerate(staged):
@@ -239,9 +253,29 @@ def write_delta(
             _, _, version = _snapshot_for(spark, root)
             return version
 
+    # column-mapped tables (r12): stage with PHYSICAL names + parquet
+    # field ids; the metaData fingerprint below still compares logical
+    # schemas.  Schema evolution on a mapped table is id surgery — refuse.
+    stage_df, stage_parts = df, part_cols
+    if exists:
+        _live0, meta0, _v0 = _snapshot_for(spark, root)
+        cm_mode = (meta0.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none")
+        if cm_mode not in (None, "", "none"):
+            if overwrite_schema:
+                raise NotImplementedError(
+                    f"write_delta: {root} is column-mapped — schema "
+                    "evolution needs field-id assignment (connector-jar "
+                    "territory)"
+                )
+            _cow_guard(meta0, {}, root, "write_delta", part_cols)
+            stage_df, phys0 = _to_physical_df(df, meta0, root,
+                                              "write_delta")
+            stage_parts = [phys0[c] for c in part_cols]
+
     # 1+2. stage the data inside the table root and move each file to
     # its uuid-fresh final name, collecting the add actions
-    adds = _stage_batch(spark, root, df, part_cols)
+    adds = _stage_batch(spark, root, stage_df, stage_parts)
 
     schema_json = df.schema.json()
     new_meta = {
@@ -327,21 +361,28 @@ def write_delta(
     )
 
 
-def checkpoint_delta(spark, path: str) -> int:
+def checkpoint_delta(spark, path: str,
+                     tombstone_retain_hours: float = 168.0) -> int:
     """Write a CLASSIC checkpoint for the table's current version
     (PROTOCOL.md "Checkpoints"): one parquet file
     ``<version>.checkpoint.parquet`` holding the replayed state —
-    protocol, metaData, every live add, and one ``txn`` row per
-    application watermark (so exactly-once streaming survives the JSON
-    prefix being truncated/archived) — plus the ``_last_checkpoint``
-    pointer.  Readers (this repo's and standard ones) then replay from
-    the checkpoint instead of every JSON commit: the difference between
-    O(commits) and O(1) metadata reads on a long-lived streaming table.
-    Returns the checkpointed version.
+    the table's protocol action VERBATIM (a checkpoint must never
+    downgrade reader/writer requirements), metaData, every live add
+    with its REAL ``size``/``modificationTime`` (standard readers plan
+    parquet splits from ``add.size`` — a zero would make them scan
+    zero bytes) and its deletionVector descriptor when present, the
+    unexpired remove tombstones (VACUUM retention must survive the
+    JSON prefix being truncated), and one ``txn`` row per application
+    watermark (so exactly-once streaming survives too) — plus the
+    ``_last_checkpoint`` pointer.  Readers (this repo's and standard
+    ones) then replay from the checkpoint instead of every JSON commit:
+    the difference between O(commits) and O(1) metadata reads on a
+    long-lived streaming table.  Returns the checkpointed version.
 
-    Remove tombstones are NOT carried (this writer never leaves a
-    VACUUM-able tombstone window — data files become unreferenced only
-    via overwrite/compaction commits that the checkpoint supersedes)."""
+    ``tombstone_retain_hours`` bounds which remove tombstones are
+    carried: ones older than the window have already passed every
+    VACUUM cutoff that could ever consult them (mirrors
+    ``delta.deletedFileRetentionDuration``, default 1 week)."""
     from pyspark.sql import types as T
 
     from .delta import _snapshot
@@ -350,12 +391,29 @@ def checkpoint_delta(spark, path: str) -> int:
 
     root = str(path).rstrip("/")
     txns: dict = {}
-    live, meta, version = _snapshot(spark, root, None, txns)
+    extras: dict = {}
+    live, meta, version = _snapshot(spark, root, None, txns, extras)
+    proto = extras.get("protocol")
+    if proto is None:
+        raise ValueError(
+            f"checkpoint_delta: no protocol action found replaying {root} "
+            "— writing a checkpoint would have to invent one and could "
+            "downgrade the table's reader/writer requirements; refusing"
+        )
 
+    dv_type = T.StructType([
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ])
     schema = T.StructType([
         T.StructField("protocol", T.StructType([
             T.StructField("minReaderVersion", T.IntegerType()),
             T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType())),
         ])),
         T.StructField("metaData", T.StructType([
             T.StructField("id", T.StringType()),
@@ -379,6 +437,12 @@ def checkpoint_delta(spark, path: str) -> int:
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
+            T.StructField("deletionVector", dv_type),
+        ])),
+        T.StructField("remove", T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("deletionTimestamp", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
         ])),
         T.StructField("txn", T.StructType([
             T.StructField("appId", T.StringType()),
@@ -386,26 +450,53 @@ def checkpoint_delta(spark, path: str) -> int:
         ])),
     ])
     rows = [
-        ((int(meta.get("__minReader", 1)) if False else 1, 2),
-         None, None, None),
+        ((int(proto.get("minReaderVersion", 1)),
+          int(proto.get("minWriterVersion", 2)),
+          (list(proto["readerFeatures"])
+           if proto.get("readerFeatures") is not None else None),
+          (list(proto["writerFeatures"])
+           if proto.get("writerFeatures") is not None else None)),
+         None, None, None, None),
         (None, (meta.get("id"),
                 ((meta.get("format") or {}).get("provider", "parquet"),
                  dict((meta.get("format") or {}).get("options") or {})),
                 meta["schemaString"],
                 list(meta.get("partitionColumns") or []),
                 dict(meta.get("configuration") or {}),
-                meta.get("createdTime")), None, None),
+                meta.get("createdTime")), None, None, None),
     ]
+    adds = extras.get("adds", {})
+    fs, hroot = hadoop_fs(spark, root)
     for p, (pv, dv) in sorted(live.items()):
+        a = adds.get(p, {})
+        size = int(a.get("size") or 0)
+        mtime = int(a.get("modificationTime") or 0)
+        if not size:
+            # the replayed add lacked a real size (a pre-r12 checkpoint
+            # wrote zeros): stat the file rather than propagate the lie
+            st = fs.getFileStatus(
+                spark._jvm.org.apache.hadoop.fs.Path(join_path(root, p)))
+            size, mtime = int(st.getLen()), int(st.getModificationTime())
+        dv_row = None
         if dv is not None:
-            raise NotImplementedError(
-                f"checkpoint_delta: {root} has deletion vectors — "
-                "checkpointing DV descriptors is connector-jar territory"
-            )
+            dv_row = (dv.get("storageType"), dv.get("pathOrInlineDv"),
+                      (int(dv["offset"]) if dv.get("offset") is not None
+                       else None),
+                      int(dv["sizeInBytes"]), int(dv["cardinality"]))
         rows.append((None, None,
-                     (quote(p, safe="/=-"), dict(pv), 0, 0, False), None))
+                     (quote(p, safe="/=-"), dict(pv), size, mtime,
+                      False, dv_row), None, None))
+    tomb_cutoff_ms = (time.time() - tombstone_retain_hours * 3600.0) * 1e3
+    for p, r in sorted(extras.get("removes", {}).items()):
+        ts = r.get("deletionTimestamp")
+        if ts is not None and float(ts) < tomb_cutoff_ms:
+            continue  # expired: no future VACUUM cutoff can consult it
+        rows.append((None, None, None,
+                     (quote(p, safe="/=-"),
+                      int(ts) if ts is not None else None,
+                      bool(r.get("dataChange", True))), None))
     for app, v in sorted(txns.items()):
-        rows.append((None, None, None, (app, int(v))))
+        rows.append((None, None, None, None, (app, int(v))))
 
     log_dir = join_path(root, "_delta_log")
     tmp = join_path(log_dir, f".ckpt_tmp_{uuid.uuid4().hex}")
@@ -442,14 +533,21 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
 
     root = str(path).rstrip("/")
     live, meta, version = _snapshot(spark, root, None)
-    if any(dv is not None for _pv, dv in live.values()):
+    if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode") == "id":
         raise NotImplementedError(
-            f"optimize_delta: {root} has deletion vectors — compaction "
-            "must materialize them first (connector-jar territory)"
+            f"optimize_delta: {root} uses id-mode column mapping — the "
+            "compaction rewrite reads raw parquet and cannot carry the "
+            "per-file field ids forward (connector-jar territory)"
         )
+    # DV'd files are excluded from compaction, not a refusal (r12): the
+    # rewrite reads raw parquet, which would resurrect DV-deleted rows —
+    # run delete_delta/merge_delta (they materialize DVs) or leave them;
+    # the DV-free steady-state small files still compact
     by_part: dict[tuple, list] = {}
-    for p, (pv, _dv) in live.items():
-        by_part.setdefault(tuple(sorted(pv.items())), []).append(p)
+    for p, (pv, dv) in live.items():
+        if dv is None:
+            by_part.setdefault(tuple(sorted(pv.items())), []).append(p)
     todo = {k: sorted(v) for k, v in by_part.items()
             if len(v) >= max(2, min_files)}
     if not todo:
@@ -516,22 +614,69 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
 
 
 def _cow_guard(meta, live, root: str, op: str, part_cols):
-    """Copy-on-write preconditions: no column mapping (new files would
-    carry logical names a mapped table must not contain), no deletion
-    vectors (rewriting a DV'd file must materialize its deletes
-    first)."""
+    """Copy-on-write preconditions.  Deletion vectors are FINE (r12):
+    the survivor scan goes through :func:`~.delta.read_delta`, which
+    already subtracts each touched file's DV — the rewrite materializes
+    the deletes and the remove action retires the DV descriptor with
+    its file.  Column mapping is handled for FLAT schemas by writing
+    physical names + parquet field ids (see :func:`_to_physical_df`);
+    NESTED mapped schemas still refuse (per-depth field ids cannot be
+    attached through the DataFrame writer)."""
+    from pyspark.sql import types as T
+
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if mode not in (None, "", "none"):
+    if mode in (None, "", "none"):
+        return
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    nested = [f.name for f in schema.fields
+              if isinstance(f.dataType,
+                            (T.StructType, T.ArrayType, T.MapType))]
+    if nested:
         raise NotImplementedError(
-            f"{op}: {root} uses column mapping — copy-on-write rewrites "
-            "need physical-name writes (connector-jar territory)"
+            f"{op}: {root} uses column mapping with NESTED columns "
+            f"{nested} — copy-on-write writes can stamp physical names "
+            "and parquet field ids on top-level columns only; nested "
+            "per-depth ids are connector-jar territory"
         )
-    if any(dv is not None for _pv, dv in live.values()):
-        raise NotImplementedError(
-            f"{op}: {root} has deletion vectors — rewriting DV'd files "
-            "must materialize the deletes first (connector-jar territory)"
-        )
+
+
+def _to_physical_df(df, meta, root: str, op: str):
+    """For a column-mapped table (PROTOCOL.md Column Mapping), rename a
+    logical-named DataFrame to the table's PHYSICAL column names and
+    stamp each column with its ``delta.columnMapping.id`` as the
+    parquet field id (Spark's parquet writer emits field ids from the
+    ``parquet.field.id`` column-metadata key) — so the new files are
+    readable by BOTH name-mode and id-mode resolvers.  Returns
+    ``(physical_df, logical->physical name map)``; identity when the
+    table is unmapped.  Flat schemas only — nested mapped schemas are
+    refused upstream by :func:`_cow_guard`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mode in (None, "", "none"):
+        return df, {c: c for c in df.columns}
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    phys, cols = {}, []
+    for f in schema.fields:
+        md = f.metadata or {}
+        pn = md.get("delta.columnMapping.physicalName")
+        fid = md.get("delta.columnMapping.id")
+        if not pn or fid is None:
+            raise ValueError(
+                f"{op}: {root} is column-mapped but field {f.name!r} "
+                "lacks physicalName/id metadata — malformed table"
+            )
+        phys[f.name] = pn
+        cols.append(F.col(f.name).alias(
+            pn, metadata={"parquet.field.id": int(fid)}))
+    # field ids only reach the footer when the writer flag is on
+    # (default true since Spark 3.3 — set explicitly, cheap and local)
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true")
+    return df.select(*cols), phys
 
 
 def _commit_actions(spark, root: str, build_actions) -> int:
@@ -585,7 +730,13 @@ def delete_delta(spark, path: str, predicate: str) -> int | None:
         .where(~F.expr(predicate))
         .drop("__cow_file")
     )
-    adds = _stage_batch(spark, root, survivors, part_cols)
+    # DV-bearing touched files: read_delta already subtracted each DV, so
+    # the survivor rewrite materializes the deletes; the remove action
+    # below retires the DV descriptor together with its file (r12)
+    survivors, phys = _to_physical_df(survivors, meta, root,
+                                      "delete_delta")
+    adds = _stage_batch(spark, root, survivors,
+                        [phys[c] for c in part_cols])
 
     def build(live_now, _meta, _version):
         gone = [p for p in touched_paths if p not in live_now]
@@ -646,21 +797,31 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
 
     tf = read_delta(spark, root, _file_col="__cow_file")
     ukeys = updates.select(*keys).distinct()
+    # size-aware join strategy (r12, same deterministic smallness rule
+    # as the iceberg equality-delete hint): broadcast the distinct
+    # update keys only when the batch is provably small — a 10⁸-key
+    # backfill merge must shuffle, not OOM every executor on a
+    # broadcast table.  The count is one pass over the update batch,
+    # which the duplicate-key check above already paid for.
+    n_keys = ukeys.count()
+    hint = F.broadcast if n_keys <= _MERGE_BROADCAST_KEYS else (lambda d: d)
     touched = [r[0] for r in
-               tf.df.join(F.broadcast(ukeys), keys, "left_semi")
+               tf.df.join(hint(ukeys), keys, "left_semi")
                .select("__cow_file").distinct().collect()]
     by_base = {p.rsplit("/", 1)[-1]: p for p in live}
     touched_paths = sorted(by_base[b] for b in touched)
 
     survivors = (
         tf.df.where(F.col("__cow_file").isin(touched))
-        .join(F.broadcast(ukeys), keys, "left_anti")
+        .join(hint(ukeys), keys, "left_anti")
         .drop("__cow_file")
         if touched else None
     )
     new_data = (survivors.unionByName(updates) if survivors is not None
                 else updates)
-    adds = _stage_batch(spark, root, new_data, part_cols)
+    new_data, phys = _to_physical_df(new_data, meta, root, "merge_delta")
+    adds = _stage_batch(spark, root, new_data,
+                        [phys[c] for c in part_cols])
 
     def build(live_now, _meta, _version):
         gone = [p for p in touched_paths if p not in live_now]
@@ -684,49 +845,133 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
     return _commit_actions(spark, root, build)
 
 
+def _list_table_files(spark, root: str):
+    """All (relpath, mtime_ms) under ``root`` excluding ``_delta_log/``.
+
+    The top-level entries are listed on the driver; each subdirectory
+    tree is then walked in a DISTRIBUTED Spark job when the table lives
+    on a filesystem the executors' Python can reach (``file://`` /
+    bare paths — the local-mount case; object stores go through the
+    driver's Hadoop FS since executors have no JVM handle).  A 100 TB
+    partitioned table has 10⁵-10⁷ files across 10³+ partition dirs —
+    per-dir listing is the parallelizable unit and no row data is ever
+    read either way."""
+    from .fsio import hadoop_fs
+
+    fs, hroot = hadoop_fs(spark, root)
+    qroot = fs.makeQualified(hroot).toString()
+    # Hadoop qualifies local paths as file:/x (single slash)
+    scheme = qroot.split(":", 1)[0] if ":" in qroot else "file"
+
+    top_files, top_dirs = [], []
+    for st in fs.listStatus(hroot):
+        p = st.getPath()
+        rel = p.toString()[len(qroot):].lstrip("/")
+        if rel == "_delta_log" or rel.startswith("_delta_log/"):
+            continue
+        if st.isDirectory():
+            top_dirs.append(rel)
+        else:
+            top_files.append((rel, int(st.getModificationTime())))
+
+    if scheme != "file" or not top_dirs:
+        # driver-side Hadoop walk (object stores; or nothing to fan out)
+        out = list(top_files)
+        pending = [d for d in top_dirs]
+        while pending:
+            rel_dir = pending.pop()
+            hp = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{rel_dir}")
+            for st in fs.listStatus(hp):
+                p = st.getPath()
+                rel = p.toString()[len(qroot):].lstrip("/")
+                if st.isDirectory():
+                    pending.append(rel)
+                else:
+                    out.append((rel, int(st.getModificationTime())))
+        return out
+
+    local_root = qroot
+    for pre in ("file://", "file:"):
+        if local_root.startswith(pre):
+            local_root = local_root[len(pre):]
+            break
+
+    def walk(dirs_iter):
+        import os
+
+        for rel_dir in dirs_iter:
+            base = os.path.join(local_root, rel_dir)
+            for cur, _dns, fns in os.walk(base):
+                crel = os.path.relpath(cur, local_root)
+                for fn in fns:
+                    st = os.stat(os.path.join(cur, fn))
+                    yield (os.path.join(crel, fn).replace(os.sep, "/"),
+                           int(st.st_mtime * 1000))
+
+    n = min(len(top_dirs), 64)
+    listed = (spark.sparkContext.parallelize(sorted(top_dirs), n)
+              .mapPartitions(lambda it: walk(it)).collect())
+    return top_files + [(rel, mt) for rel, mt in listed]
+
+
 def vacuum_delta(spark, path: str, retain_hours: float = 168.0,
                  dry_run: bool = False) -> list:
     """Garbage-collect data files no longer referenced by the CURRENT
     snapshot (standard VACUUM semantics): a candidate is deleted when it
     is (a) not live, (b) not inside ``_delta_log``, and (c) older than
-    ``retain_hours`` by filesystem modification time — the retention
-    window protects in-flight readers of recent versions, concurrent
-    writers' staging dirs, and time travel within the window.  Time
-    travel PAST the window stops working for vacuumed versions, exactly
-    as with connector-jar VACUUM.  Returns the deleted (or, with
-    ``dry_run``, the would-be-deleted) paths.
+    ``retain_hours``.  "Older" is judged by the file's remove
+    tombstone's ``deletionTimestamp`` — when the file became
+    UNREFERENCED — exactly as connector-jar VACUUM does: a file written
+    months ago but removed minutes ago (overwrite / OPTIMIZE / DELETE /
+    MERGE) is still inside the window that protects in-flight readers
+    of recent versions and time travel.  Files with no tombstone in the
+    replayable log (crashed writers' staging leftovers, commits whose
+    tombstone expired out of its checkpoint) fall back to filesystem
+    mtime — for true orphans that IS when they became unreferenced, and
+    an expired tombstone means every timestamp involved predates any
+    admissible cutoff anyway.  Time travel PAST the window stops
+    working for vacuumed versions.  Returns the deleted (or, with
+    ``dry_run``, the would-be-deleted) relative paths.
 
-    Driver-side file listing is O(files) metadata — the same footprint
-    as the live list itself; row data is never read."""
+    Listing is distributed per partition directory on locally-reachable
+    filesystems (see :func:`_list_table_files`); only O(files) metadata
+    ever reaches the driver, never row data."""
     import time as _time
 
     from .delta import _snapshot
-    from .fsio import fs_delete, hadoop_fs
+    from .fsio import fs_delete
 
     root = str(path).rstrip("/")
-    live, _meta, _version = _snapshot(spark, root, None)
+    extras: dict = {}
+    live, _meta, _version = _snapshot(spark, root, None, None, extras)
     keep = {p for p in live}
-    cutoff_ms = (_time.time() - retain_hours * 3600.0) * 1000.0
+    # DV sidecar .bin files never appear as add/remove actions — protect
+    # every sidecar the CURRENT snapshot references (same rule as
+    # delta-spark VACUUM; unreferenced sidecars age out by mtime)
+    from .dvectors import dv_file_relpath
 
-    fs, hroot = hadoop_fs(spark, root)
-    qroot = fs.makeQualified(hroot).toString()
-    victims, stack = [], [hroot]
-    while stack:
-        d = stack.pop()
-        for st in fs.listStatus(d):
-            p = st.getPath()
-            name = p.getName()
-            rel = p.toString()[len(qroot):].lstrip("/")
-            if rel == "_delta_log" or rel.startswith("_delta_log/"):
-                continue
-            if st.isDirectory():
-                stack.append(p)
-                continue
-            if rel in keep:
-                continue
-            if st.getModificationTime() >= cutoff_ms:
-                continue  # within retention — may still be read/committed
-            victims.append(rel)
+    for _p, (_pv, dv) in live.items():
+        if dv and dv.get("storageType") == "u":
+            keep.add(dv_file_relpath(dv.get("pathOrInlineDv") or ""))
+        elif dv and dv.get("storageType") == "p":
+            ap = str(dv.get("pathOrInlineDv") or "")
+            if ap.startswith(root + "/"):
+                keep.add(ap[len(root) + 1:])
+    cutoff_ms = (_time.time() - retain_hours * 3600.0) * 1000.0
+    tombstone_ms = {
+        p: r.get("deletionTimestamp")
+        for p, r in extras.get("removes", {}).items()
+    }
+
+    victims = []
+    for rel, mtime_ms in _list_table_files(spark, root):
+        if rel in keep:
+            continue
+        ts = tombstone_ms.get(rel)
+        ref_ms = float(ts) if ts is not None else float(mtime_ms)
+        if ref_ms >= cutoff_ms:
+            continue  # within retention — may still be read/committed
+        victims.append(rel)
     if not dry_run:
         for rel in victims:
             fs_delete(spark, f"{root}/{rel}", recursive=False)
