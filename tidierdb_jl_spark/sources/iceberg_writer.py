@@ -21,11 +21,20 @@ iceberg_scan) — the WRITE side of the public table spec
   reader falls back to listing and picks the highest version, so a
   stale hint cannot roll the table back).
 
-Scope (loud gates, never guesses): UNPARTITIONED v2 tables with
-primitive columns; append / overwrite / error modes; schema changes
-refuse (Iceberg evolution is field-id surgery — widen through a new
-table or a connector jar).  Row-level deletes, partition specs and
+Scope (loud gates, never guesses): v2 tables with primitive columns,
+unpartitioned or IDENTITY-partitioned on int/long/string/date columns
+(r12 — each data_file carries the spec's ``partition`` struct, field
+102, and the metadata carries the partition spec; non-identity
+transforms refuse); append / overwrite / error modes; schema and
+partition-spec changes refuse (Iceberg evolution is field-id surgery —
+widen through a new table or a connector jar).  Row-level deletes and
 format v3 features are read-side only in this repo.
+
+Spec conformance of the Avro metadata (r12, the r11-ADVICE item): the
+manifest/manifest-list schemas carry the spec's ``field-id`` properties
+on every field, the required ``partition`` struct (record ``r102``),
+and the six v2-required count fields on manifest_file entries — the
+resolution keys java Iceberg and pyiceberg reject tables without.
 
 Readable back by :mod:`.iceberg` (developed two rounds earlier against
 hand-built spec fixtures — independent of this writer), which is the
@@ -50,31 +59,69 @@ _SPARK_TO_ICEBERG = {
     "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "data_file", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
-            ]}},
-    ],
-}
+# identity-transform partition sources this writer accepts; the Avro
+# type of the r102 partition field follows the Iceberg->Avro mapping
+_PART_AVRO = {"int": "int", "long": "long", "string": "string",
+              "date": {"type": "int", "logicalType": "date"}}
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    """The v2 ``manifest_entry`` Avro schema WITH the spec's field-id
+    properties and the required ``partition`` struct (field 102, record
+    name ``r102`` — one field per partition-spec field, ids 1000+) —
+    what java Iceberg / pyiceberg key their schema resolution on
+    (https://iceberg.apache.org/spec/#manifests)."""
+    r102 = {"type": "record", "name": "r102", "fields": [
+        {"name": pf["name"], "field-id": pf["field-id"],
+         "type": ["null", _PART_AVRO[pf["ice_type"]]], "default": None}
+        for pf in part_fields
+    ]}
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "field-id": 0, "type": "int"},
+            {"name": "snapshot_id", "field-id": 1,
+             "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "field-id": 3,
+             "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "field-id": 4,
+             "type": ["null", "long"], "default": None},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "field-id": 134, "type": "int"},
+                    {"name": "file_path", "field-id": 100,
+                     "type": "string"},
+                    {"name": "file_format", "field-id": 101,
+                     "type": "string"},
+                    {"name": "partition", "field-id": 102, "type": r102},
+                    {"name": "record_count", "field-id": 103,
+                     "type": "long"},
+                    {"name": "file_size_in_bytes", "field-id": 104,
+                     "type": "long"},
+                ]}},
+        ],
+    }
+
 
 _MANIFEST_FILE_SCHEMA = {
+    # spec "Manifest Lists": field ids 500-519; the six count fields are
+    # REQUIRED in v2 (java Iceberg rejects manifest lists without them)
     "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "min_sequence_number", "type": ["null", "long"]},
-        {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "manifest_path", "field-id": 500, "type": "string"},
+        {"name": "manifest_length", "field-id": 501, "type": "long"},
+        {"name": "partition_spec_id", "field-id": 502, "type": "int"},
+        {"name": "content", "field-id": 517, "type": "int"},
+        {"name": "sequence_number", "field-id": 515, "type": "long"},
+        {"name": "min_sequence_number", "field-id": 516, "type": "long"},
+        {"name": "added_snapshot_id", "field-id": 503, "type": "long"},
+        {"name": "added_data_files_count", "field-id": 504,
+         "type": "int"},
+        {"name": "existing_data_files_count", "field-id": 505,
+         "type": "int"},
+        {"name": "deleted_data_files_count", "field-id": 506,
+         "type": "int"},
+        {"name": "added_rows_count", "field-id": 512, "type": "long"},
+        {"name": "existing_rows_count", "field-id": 513, "type": "long"},
+        {"name": "deleted_rows_count", "field-id": 514, "type": "long"},
     ],
 }
 
@@ -106,15 +153,25 @@ def _schema_key(fields: list[dict]):
     return [(f["id"], f["name"], f["type"]) for f in fields]
 
 
-def _write_data_files(df, root: str, fields: list[dict]) -> list[tuple]:
+def _write_data_files(df, root: str, fields: list[dict],
+                      part_cols: list[str]) -> list[tuple]:
     """Distributed pyarrow write: one parquet file per non-empty input
-    partition under ``data/``, every column stamped with its
-    PARQUET:field_id.  Returns [(file_path, record_count, size)] —
+    partition AND partition-value tuple under ``data/`` (partitioned
+    tables get conventional ``data/k=v/`` dirs and are repartitioned by
+    key first, so each partition value lands in few files — the 100 TB
+    layout), every column stamped with its PARQUET:field_id.  Partition
+    columns stay IN the data files (identity transform; what java
+    Iceberg writes too — the reader scans them back directly).  Returns
+    [(file_path, record_count, size, partition_values_json)] —
     driver-resident manifest metadata, never row data."""
     names = [f["name"] for f in fields]
     ids = {f["name"]: f["id"] for f in fields}
+    if part_cols:
+        df = df.repartition(*part_cols)
 
     def task(batches):
+        import json as _json
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -123,41 +180,70 @@ def _write_data_files(df, root: str, fields: list[dict]) -> list[tuple]:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)[names]
-        table = pa.Table.from_pandas(pdf, preserve_index=False)
-        sch = pa.schema([
-            table.schema.field(n).with_metadata(
-                {b"PARQUET:field_id": str(ids[n]).encode()}
-            ) for n in names
-        ])
-        table = table.cast(sch)
-        rel = f"data/{uuid.uuid4().hex}.parquet"
-        url = f"{root}/{rel}"
-        if "://" not in url or url.startswith("file://"):
-            lp = url[len("file://"):] if url.startswith("file://") else url
-            import os
+        groups = ([((), pdf)] if not part_cols else
+                  [(k if isinstance(k, tuple) else (k,), g)
+                   for k, g in pdf.groupby(part_cols, dropna=False,
+                                           sort=True)])
+        out_rows = []
+        for key, g in groups:
+            table = pa.Table.from_pandas(g.reset_index(drop=True),
+                                         preserve_index=False)
+            sch = pa.schema([
+                table.schema.field(n).with_metadata(
+                    {b"PARQUET:field_id": str(ids[n]).encode()}
+                ) for n in names
+            ])
+            table = table.cast(sch)
+            pv = {}
+            seg = ""
+            for c, v in zip(part_cols, key):
+                if pd.isna(v):
+                    v = None
+                elif hasattr(v, "item"):  # numpy scalar -> python
+                    v = v.item()
+                pv[c] = v
+                seg += f"{c}={'null' if v is None else v}/"
+            rel = f"data/{seg}{uuid.uuid4().hex}.parquet"
+            url = f"{root}/{rel}"
+            if "://" not in url or url.startswith("file://"):
+                lp = (url[len("file://"):] if url.startswith("file://")
+                      else url)
+                import os
 
-            os.makedirs(os.path.dirname(lp), exist_ok=True)
-            pq.write_table(table, lp)
-            size = os.path.getsize(lp)
-        else:
-            from pyarrow import fs as pafs
+                os.makedirs(os.path.dirname(lp), exist_ok=True)
+                pq.write_table(table, lp)
+                size = os.path.getsize(lp)
+            else:
+                from pyarrow import fs as pafs
 
-            u = ("s3://" + url[len("s3a://"):]
-                 if url.startswith("s3a://") else url)
-            filesystem, pth = pafs.FileSystem.from_uri(u)
-            with filesystem.open_output_stream(pth) as out:
-                pq.write_table(table, out)
-            size = filesystem.get_file_info(pth).size
-        yield pd.DataFrame({"path": [url], "n": [len(pdf)],
-                            "size": [int(size)]})
+                u = ("s3://" + url[len("s3a://"):]
+                     if url.startswith("s3a://") else url)
+                filesystem, pth = pafs.FileSystem.from_uri(u)
+                with filesystem.open_output_stream(pth) as out:
+                    pq.write_table(table, out)
+                size = filesystem.get_file_info(pth).size
+            out_rows.append((url, len(g), int(size), _json.dumps(pv)))
+        yield pd.DataFrame(out_rows, columns=["path", "n", "size", "pv"])
 
-    rows = df.mapInPandas(task, "path string, n long, size long").collect()
-    return [(r["path"], int(r["n"]), int(r["size"])) for r in rows]
+    rows = df.mapInPandas(
+        task, "path string, n long, size long, pv string").collect()
+    return [(r["path"], int(r["n"]), int(r["size"]),
+             json.loads(r["pv"])) for r in rows]
 
 
-def write_iceberg(tf, path: str, mode: str = "append") -> int:
+def write_iceberg(tf, path: str, mode: str = "append",
+                  partition_by=None) -> int:
     """Commit ``tf`` to the Iceberg table at ``path``; returns the new
-    snapshot id.  Module docstring has the scope contract."""
+    snapshot id.  Module docstring has the scope contract.
+
+    ``partition_by`` (r12): IDENTITY-transform partitioning on
+    int/long/string/date columns — the common corpus layout (a 100 TB
+    documents table is always partitioned).  The spec's partition spec
+    (spec-id 0, partition field ids 1000+) goes into the metadata, each
+    data_file's ``partition`` struct (field 102) carries the tuple, and
+    the partition columns stay in the data files (what java Iceberg
+    writes for identity transforms).  Repartitioning an existing table
+    refuses — that is spec evolution."""
     from .fsio import (fs_exists, fs_mkdirs, hadoop_fs, join_path,
                        read_text, write_text_atomic)
     from .iceberg import _latest_metadata
@@ -170,6 +256,29 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
     spark = df.sparkSession
     root = str(path).rstrip("/")
     fields = _iceberg_schema(df.schema, root)
+    by_name = {f["name"]: f for f in fields}
+
+    part_cols = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by or []))
+    bad = [c for c in part_cols if c not in by_name]
+    if bad:
+        raise ValueError(
+            f"write_iceberg: partition_by {bad} not in columns")
+    spec_fields, part_fields = [], []
+    for i, c in enumerate(part_cols):
+        ice_t = by_name[c]["type"]
+        if ice_t not in _PART_AVRO:
+            raise NotImplementedError(
+                f"write_iceberg: partition column {c!r} has type "
+                f"{ice_t} — identity partitioning supports "
+                f"{sorted(_PART_AVRO)}"
+            )
+        spec_fields.append({"name": c, "transform": "identity",
+                            "source-id": by_name[c]["id"],
+                            "field-id": 1000 + i})
+        part_fields.append({"name": c, "field-id": 1000 + i,
+                            "ice_type": ice_t})
+    entry_schema = _manifest_entry_schema(part_fields)
 
     mdir = join_path(root, "metadata")
     exists = fs_exists(spark, mdir)
@@ -179,7 +288,7 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
     fs_mkdirs(spark, mdir)
     fs_mkdirs(spark, join_path(root, "data"))
 
-    files = _write_data_files(df, root, fields)
+    files = _write_data_files(df, root, fields, part_cols)
     if not files:  # empty batch: still a valid (possibly empty) commit
         files = []
 
@@ -219,6 +328,21 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
                     f"table schema at {root} — Iceberg evolution is "
                     "field-id surgery this jar-free writer refuses"
                 )
+            cur_spec = next(
+                (s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == meta.get("default-spec-id", 0)),
+                {"fields": []})
+            old_keys = [(f.get("name"), f.get("transform"),
+                         f.get("source-id"))
+                        for f in cur_spec.get("fields", [])]
+            new_keys = [(f["name"], f["transform"], f["source-id"])
+                        for f in spec_fields]
+            if old_keys != new_keys:
+                raise ValueError(
+                    f"write_iceberg: table is partitioned by {old_keys}, "
+                    f"write requested {new_keys} — partition-spec "
+                    "evolution is connector-jar territory"
+                )
 
         seq = int(meta.get("last-sequence-number", 0)) + 1 if meta else 1
         snap_id = int(time.time() * 1000) * 1000 + seq
@@ -226,13 +350,25 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
 
         entries = [{"status": 1, "snapshot_id": snap_id,
                     "sequence_number": None,
+                    "file_sequence_number": None,
                     "data_file": {"content": 0, "file_path": p,
                                   "file_format": "PARQUET",
+                                  "partition": pv,
                                   "record_count": n,
                                   "file_size_in_bytes": sz}}
-                   for p, n, sz in files]
+                   for p, n, sz, pv in files]
         man_rel = f"metadata/manifest-{uid}.avro"
-        man_bytes = encode_avro_container(_MANIFEST_ENTRY_SCHEMA, entries)
+        man_bytes = encode_avro_container(
+            entry_schema, entries,
+            extra_meta={
+                "schema": json.dumps({"type": "struct",
+                                      "schema-id": 0, "fields": fields}),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            })
         if not _create(spark, join_path(root, man_rel), man_bytes):
             raise RuntimeError("write_iceberg: manifest name collision")
 
@@ -242,6 +378,12 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
             "partition_spec_id": 0, "content": 0,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
+            "added_data_files_count": len(files),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": sum(n for _p, n, _s, _pv in files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
         }]
         if mode == "append" and meta is not None:
             prev = next((s for s in meta.get("snapshots", [])
@@ -260,14 +402,34 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
                             m.get("manifest_length") or 0),
                         "partition_spec_id": 0,
                         "content": int(m.get("content") or 0),
-                        "sequence_number": m.get("sequence_number"),
-                        "min_sequence_number": m.get(
-                            "min_sequence_number"),
-                        "added_snapshot_id": m.get("added_snapshot_id"),
+                        # v2 requires these non-null: a reused manifest
+                        # keeps its original values (0-fill only for
+                        # pre-r12 lists that lacked the count fields)
+                        "sequence_number": int(
+                            m.get("sequence_number") or 0),
+                        "min_sequence_number": int(
+                            m.get("min_sequence_number") or 0),
+                        "added_snapshot_id": int(
+                            m.get("added_snapshot_id") or snap_id),
+                        "added_data_files_count": int(
+                            m.get("added_data_files_count") or 0),
+                        "existing_data_files_count": int(
+                            m.get("existing_data_files_count") or 0),
+                        "deleted_data_files_count": int(
+                            m.get("deleted_data_files_count") or 0),
+                        "added_rows_count": int(
+                            m.get("added_rows_count") or 0),
+                        "existing_rows_count": int(
+                            m.get("existing_rows_count") or 0),
+                        "deleted_rows_count": int(
+                            m.get("deleted_rows_count") or 0),
                     })
         mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
-        mlist_bytes = encode_avro_container(_MANIFEST_FILE_SCHEMA,
-                                            list_entries)
+        mlist_bytes = encode_avro_container(
+            _MANIFEST_FILE_SCHEMA, list_entries,
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snap_id),
+                        "sequence-number": str(seq)})
         if not _create(spark, join_path(root, mlist_rel), mlist_bytes):
             raise RuntimeError("write_iceberg: manifest-list collision")
 
@@ -292,8 +454,8 @@ def write_iceberg(tf, path: str, mode: str = "append") -> int:
             "schemas": [{"schema-id": 0, "type": "struct",
                          "fields": fields}],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "current-snapshot-id": snap_id,
             "snapshots": snapshots,
         }
