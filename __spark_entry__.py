@@ -4756,6 +4756,238 @@ def _w63(t):
 _BUILDERS["w63_iceberg_write_roundtrip"] = _w63
 
 
+def _w64(t):
+    """Copy-on-write row ops on a DV-BEARING Delta table (r12,
+    sources/delta_writer.py — closes the modern-default refusal: real
+    delta-spark writes deletion vectors by default, and until r12
+    delete/merge gated on them).  Fixture: documents doc_id<200 as two
+    doc_id-sorted files; file A (doc_id<120) carries a REAL
+    keyed-portable roaring DV ('u' sidecar, spec bytes from the
+    independent encoder in tests/roaring_ref.py) deleting positions
+    whose doc_id % 9 = 4.  Then: CHECKPOINT (DV descriptors must
+    survive into the parquet checkpoint, r12), DELETE doc_id % 10 = 3
+    (touches both files; the survivor scan subtracts the DV so the
+    rewrite MATERIALIZES it), MERGE doc_ids 150-229 with 'M:'-prefixed
+    text, and a retention-window VACUUM (tombstone-timestamp keyed,
+    r12 — a no-op here because everything unreferenced was tombstoned
+    seconds ago).  The final read through the independent log-replay
+    reader hash-matching the oracle proves DV materialization,
+    descriptor retirement and tombstone retention are all exact.  The
+    200-row collect is the bounded fixture-build action (the w50
+    convention)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        checkpoint_delta, delete_delta, merge_delta, vacuum_delta,
+    )
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from roaring_ref import (  # independent spec-written encoder
+        encode_roaring_array, write_dv_file, z85_encode,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w64_delta_dv_rowops_") + "/tbl"
+    src = t["documents"].filter("doc_id < 200") \
+        .select("doc_id", "text", "lang")
+    full_schema = src.df.schema.json()
+    pdf = src.collect().sort_values("doc_id")
+
+    def write_file(rows, rel):
+        dest = os.path.join(root, rel)
+        tmp = dest + ".tmpdir"
+        spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string") \
+            .coalesce(1).write.parquet(tmp)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+
+    a_rows = pdf[pdf["doc_id"] < 120].sort_values("doc_id")
+    b_rows = pdf[pdf["doc_id"] >= 120].sort_values("doc_id")
+    rel_a = _uuid.uuid4().hex + "-a.parquet"
+    rel_b = _uuid.uuid4().hex + "-b.parquet"
+    for rel, grp in ((rel_a, a_rows), (rel_b, b_rows)):
+        write_file(list(grp[["doc_id", "text", "lang"]]
+                        .itertuples(index=False, name=None)), rel)
+    # deleted PHYSICAL positions = rows (in doc_id order) whose value
+    # satisfies the predicate the oracle re-states
+    a_pos = [i for i, d in enumerate(a_rows["doc_id"]) if d % 9 == 4]
+    bm = encode_roaring_array(a_pos)  # keyed portable 64-bit bytes
+    u = _uuid.uuid4()
+    blob, offs = write_dv_file([bm])
+    os.makedirs(os.path.join(root, "dv"), exist_ok=True)
+    with open(os.path.join(root, "dv", f"deletion_vector_{u}.bin"),
+              "wb") as fh:
+        fh.write(blob)
+    dv = {"storageType": "u", "pathOrInlineDv": "dv" + z85_encode(u.bytes),
+          "offset": offs[0], "sizeInBytes": len(bm),
+          "cardinality": len(a_pos)}
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": str(_uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": full_schema,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": rel_a, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "deletionVector": dv}},
+        {"add": {"path": rel_b, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    checkpoint_delta(spark, root)  # DV descriptor rides the checkpoint
+    delete_delta(spark, root, "doc_id % 10 = 3")
+    updates = (t["documents"]
+               .filter("doc_id >= 150 AND doc_id < 230")
+               .mutate(text="concat('M:', text)")
+               .select("doc_id", "text", "lang"))
+    merge_delta(spark, root, updates, key="doc_id")
+    # tombstone-keyed retention: everything unreferenced was removed
+    # seconds ago, so a 24h-window VACUUM must delete nothing
+    assert vacuum_delta(spark, root, retain_hours=24.0) == []
+    return read_delta(spark, root).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w64_delta_dv_rowops"] = _w64
+
+
+def _w65(t):
+    """IDENTITY-PARTITIONED jar-free Iceberg v2 writes (r12,
+    sources/iceberg_writer.py — a 100 TB corpus table is always
+    partitioned; until r12 the writer refused partition_by): snapshot A
+    = documents doc_id<150 partitioned by lang, snapshot B = APPEND
+    150-249 — partition spec (field-id 1000) in the metadata, typed
+    partition tuple in every data_file's r102 struct, data/lang=*/
+    layout, spec-id checks on append — then read back through the
+    INDEPENDENT metadata-traversal reader at the latest snapshot AND
+    time-traveled to snapshot A, tagged.  A hash match proves the
+    partitioned write path reconstructs both states exactly."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w65_iceberg_part_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    s_a = write_iceberg(docs.filter("doc_id < 150"), root,
+                        partition_by="lang")
+    write_iceberg(docs.filter("doc_id >= 150 AND doc_id < 250"), root,
+                  mode="append", partition_by="lang")
+    now = read_iceberg(spark, root).mutate(at="'now'")
+    v_a = read_iceberg(spark, root, snapshot_id=s_a).mutate(at="'a'")
+    return (now.union_all(v_a)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w65_iceberg_partitioned_write"] = _w65
+
+
+def _w66(t):
+    """Writes + row ops on a COLUMN-MAPPED Delta table (r12,
+    sources/delta_writer.py ``_to_physical_df`` — name/id-mode tables
+    are what delta-spark creates with ``columnMapping.mode=name``;
+    until r12 every write refused): a hand-built name-mode fixture
+    (physical names col-*, partitioned by the physical lang column)
+    gets an APPEND, a DELETE and a MERGE — every new file must carry
+    PHYSICAL column names plus parquet footer field ids, and the log's
+    partitionValues the physical key, or the independent mapped reader
+    (sources/delta.py) would miss them.  A hash match through that
+    reader proves the logical<->physical round trip end-to-end.  The
+    150-row collect is the bounded fixture-build action."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import sys as _sys
+    import tempfile
+    import uuid as _uuid
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        delete_delta, merge_delta, write_delta,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w66_delta_mapped_") + "/tbl"
+    p_id, p_text, p_lang = "col-9f01", "col-9f02", "col-9f03"
+    schema_json = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": "long" if n == "doc_id" else "string",
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": pn}}
+            for i, (n, pn) in enumerate(
+                [("doc_id", p_id), ("text", p_text), ("lang", p_lang)])
+        ],
+    })
+    src = t["documents"].filter("doc_id < 150") \
+        .select("doc_id", "text", "lang")
+    pdf = src.collect().sort_values("doc_id")
+
+    adds = []
+    for lang, grp in pdf.groupby("lang"):
+        rel = f"{p_lang}={lang}/" + _uuid.uuid4().hex + ".parquet"
+        dest = os.path.join(root, rel)
+        tmp = dest + ".tmpdir"
+        spark.createDataFrame(
+            list(grp[["doc_id", "text"]].itertuples(index=False,
+                                                    name=None)),
+            f"`{p_id}` long, `{p_text}` string") \
+            .coalesce(1).write.parquet(tmp)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(_glob.glob(tmp + "/part-*.parquet")[0], dest)
+        shutil.rmtree(tmp)
+        adds.append({"add": {"path": rel,
+                             "partitionValues": {p_lang: lang},
+                             "size": 1, "modificationTime": 1,
+                             "dataChange": True}})
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": str(_uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": schema_json,
+                      "partitionColumns": ["lang"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+    ] + adds
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id >= 150 AND doc_id < 200"), root,
+                mode="append", partition_by="lang")
+    delete_delta(spark, root, "doc_id % 10 = 7")
+    updates = (docs.filter("doc_id >= 100 AND doc_id < 230")
+               .mutate(text="concat('U:', text)")
+               .select("doc_id", "text", "lang"))
+    merge_delta(spark, root, updates, key="doc_id")
+    return read_delta(spark, root).select("doc_id", "text", "lang")
+
+
+_BUILDERS["w66_delta_mapped_writes"] = _w66
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8080,6 +8312,39 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, text, lang, 'b' AS at
         FROM documents WHERE doc_id < 250
+    """
+    # w64: survivors below 150 = original rows minus the DV'd positions
+    # (doc_id%9=4 in the doc_id<120 file) minus the DELETE (%10=3);
+    # keys 150-229 all exist with the merged 'M:' text (the merge
+    # re-inserts the 150-199 rows the delete removed, adds 200-229)
+    out["w64_delta_dv_rowops"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 150 AND NOT (doc_id % 9 = 4 AND doc_id < 120)
+          AND doc_id % 10 != 3
+        UNION ALL
+        SELECT doc_id, 'M:' || text AS text, lang
+        FROM documents
+        WHERE doc_id >= 150 AND doc_id < 230
+    """
+    out["w65_iceberg_partitioned_write"] = r"""
+        SELECT doc_id, text, lang, 'now' AS at
+        FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT doc_id, text, lang, 'a' AS at
+        FROM documents WHERE doc_id < 150
+    """
+    # w66: below 100 original minus the DELETE (%10=7); 100-229 all
+    # exist with the merged 'U:' text (the merge re-inserts deleted
+    # keys and appends 200-229)
+    out["w66_delta_mapped_writes"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents
+        WHERE doc_id < 100 AND doc_id % 10 != 7
+        UNION ALL
+        SELECT doc_id, 'U:' || text AS text, lang
+        FROM documents
+        WHERE doc_id >= 100 AND doc_id < 230
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -232,16 +232,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
         df = _resolved_scan(spark, path, sorted(live), want_fields,
                             keep_metadata=bool(pos_deletes or dv_deletes))
     else:
-        # ORC live sets: name-based resolution (pyarrow's ORC reader
-        # does not expose iceberg field ids)
-        df = spark.read.orc(*sorted(live))
-        missing = [c for c in want if c not in df.columns]
-        if missing:
-            raise NotImplementedError(
-                f"{path}: current-schema columns {missing} absent from the "
-                "ORC data files — field-id resolution is implemented for "
-                "parquet live sets only"
-            )
+        # ORC live sets (r12): the SAME spec-exact field-id resolution
+        # as parquet — ids come from the ORC iceberg.id type attributes
+        # via the in-repo tail parser (sources/orc_meta.py); id-less
+        # files fall back to name matching with the loud absent-column
+        # gate, exactly like imported plain parquet
+        df = _resolved_scan(spark, path, sorted(live), want_fields,
+                            keep_metadata=bool(pos_deletes or dv_deletes),
+                            fmt="orc")
     if pos_deletes or dv_deletes:
         df = _apply_position_deletes(spark, path, df, list(live),
                                      pos_deletes, dv_deletes)
@@ -567,14 +565,18 @@ def _iceberg_spark_type(path: str, f: dict) -> str:
 
 
 def _resolved_scan(spark, path: str, files: list, fields: list,
-                   keep_metadata: bool = False):
-    """Spec-exact parquet column resolution (Iceberg spec "Column
-    Projection" + v3 "Default values"), replacing name matching:
+                   keep_metadata: bool = False, fmt: str = "parquet"):
+    """Spec-exact column resolution (Iceberg spec "Column Projection" +
+    v3 "Default values"), replacing name matching:
 
     - Each live file's footer is probed ONCE in a distributed metadata
-      job (pyarrow schema read per file, batched tasks — O(files)
-      driver footprint, same as the live list itself; never row data):
-      top-level ``(name, PARQUET:field_id)`` pairs.
+      job (batched tasks — O(files) driver footprint, same as the live
+      list itself; never row data): top-level ``(name, field id)``
+      pairs.  Parquet ids come from the ``PARQUET:field_id`` schema
+      metadata (pyarrow footer read); ORC ids (r12) from the
+      ``iceberg.id`` type attributes via the in-repo ORC tail parser
+      (:mod:`.orc_meta` — pyarrow's ORC reader does not expose type
+      attributes).
     - A current-schema field resolves in a file BY FIELD ID when the
       file carries ids (what real Iceberg writers emit) — renames and
       even name SWAPS resolve correctly, the failure mode pure name
@@ -604,9 +606,10 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
 
     def probe(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
 
-        def topfields(p):
+        def topfields_parquet(p):
+            import pyarrow.parquet as pq
+
             if "://" not in p or p.startswith("file://"):
                 lp = p[len("file://"):] if p.startswith("file://") else p
                 sch = pq.read_schema(lp)
@@ -628,6 +631,15 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
                         fid = None
                 out.append((fld.name, fid))
             return out
+
+        def topfields(p):
+            if fmt == "orc":
+                from tidierdb_jl_spark.sources.orc_meta import (
+                    orc_top_fields_from_url,
+                )
+
+                return orc_top_fields_from_url(p)
+            return topfields_parquet(p)
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -660,10 +672,11 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
             elif not has_ids:
                 raise NotImplementedError(
                     f"{path}: column {fname!r} absent from data file "
-                    f"{p.rsplit('/', 1)[-1]!r}, which carries no parquet "
-                    "field ids — a rename is indistinguishable from an "
-                    "added column here; rewrite the file with an Iceberg "
-                    "writer or add an initial-default"
+                    f"{p.rsplit('/', 1)[-1]!r}, which carries no field "
+                    "ids (parquet PARQUET:field_id / ORC iceberg.id) — "
+                    "a rename is indistinguishable from an added column "
+                    "here; rewrite the file with an Iceberg writer or "
+                    "add an initial-default"
                 )
             elif f.get("required"):
                 raise ValueError(
@@ -681,7 +694,8 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
 
     out = None
     for sig, grp in sorted(groups.items()):
-        g = spark.read.parquet(*sorted(grp))
+        g = (spark.read.orc(*sorted(grp)) if fmt == "orc"
+             else spark.read.parquet(*sorted(grp)))
         cols = []
         for f, how in zip(fields, sig):
             if how[0] == "col":

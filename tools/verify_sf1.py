@@ -125,6 +125,9 @@ ORACLE_QUERIES = [
     "w61_delta_row_ops",        # copy-on-write DELETE + MERGE (r11)
     "w62_delta_lifecycle",      # optimize+checkpoint+vacuum cycle (r11)
     "w63_iceberg_write_roundtrip",  # jar-free Iceberg writer (r11)
+    "w64_delta_dv_rowops",      # CoW DELETE/MERGE materializing DVs (r12)
+    "w65_iceberg_partitioned_write",  # identity-partitioned writes (r12)
+    "w66_delta_mapped_writes",  # column-mapped writes + row ops (r12)
 ]
 
 
