@@ -3905,7 +3905,40 @@ def _w52(t):
         .select("doc_id", "lang", "n_chars", "src")
         for name in ("extra.sav", "extra.por")
     ]
-    return dta.union_all(spss[0]).union_all(spss[1])
+    # r12 leg: documents 250-299 with TEXT as a VERY LONG STRING
+    # (extension subtype 14, width 600 = segments 255/255/96 holding
+    # 252+252+96 data bytes) — the last read_stat refusal, now
+    # stitched by sources/sav.py; the oracle re-states the value as
+    # rtrim(substr(text, 1, 600))
+    vdocs = (t["documents"].filter("doc_id >= 250 AND doc_id < 300")
+             .select("doc_id", "lang", "n_chars", "text").collect()
+             .sort_values("doc_id"))
+    true_w = 600
+
+    def _segs(s: str):
+        b = s.encode("utf-8")[:true_w].ljust(true_w, b" ")
+        return [b[252 * i: min(252 * (i + 1), true_w)] for i in range(3)]
+
+    vls_vars = [Var("DOC_ID"), Var("LANG", width=8), Var("N_CHARS"),
+                Var("VTEXT", width=255), Var("VTEXT_S1", width=255),
+                Var("VTEXT_S2", width=true_w - 504)]
+    with open(os.path.join(d, "vls.sav"), "wb") as fh:
+        fh.write(write_sav(
+            vls_vars,
+            [(float(r.doc_id), str(r.lang), float(r.n_chars),
+              *_segs(str(r.text)))
+             for r in vdocs.itertuples(index=False)],
+            compression=1, very_long={"VTEXT": true_w},
+        ))
+    base = dta.union_all(spss[0]).union_all(spss[1]) \
+        .mutate(vtext="CAST(NULL AS STRING)") \
+        .select("doc_id", "lang", "n_chars", "src", "vtext")
+    vls = (read_stat(spark, os.path.join(d, "vls.sav"), file_col="src")
+           .mutate(doc_id="CAST(DOC_ID AS BIGINT)",
+                   n_chars="CAST(N_CHARS AS BIGINT)", lang="LANG",
+                   vtext="VTEXT")
+           .select("doc_id", "lang", "n_chars", "src", "vtext"))
+    return base.union_all(vls)
 
 
 _BUILDERS["w52_statfiles"] = _w52
@@ -8225,14 +8258,21 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id < 200
     """
+    # w52: the vls.sav leg (250-299) carries TEXT as a subtype-14 very
+    # long string (width 600); every text here is ASCII, so the byte
+    # semantics of substr match the decoder's byte-stitch + rstrip
     out["w52_statfiles"] = r"""
         SELECT doc_id, lang, n_chars,
                CASE WHEN doc_id < 150
                     THEN 'part' || CAST(doc_id % 3 AS VARCHAR) || '.dta'
                     WHEN doc_id < 200 THEN 'extra.sav'
-                    ELSE 'extra.por' END AS src
+                    WHEN doc_id < 250 THEN 'extra.por'
+                    ELSE 'vls.sav' END AS src,
+               CASE WHEN doc_id >= 250
+                    THEN rtrim(substr(text, 1, 600), ' ')
+                    ELSE NULL END AS vtext
         FROM documents
-        WHERE doc_id < 250
+        WHERE doc_id < 300
     """
     out["w53_delta_roundtrip"] = r"""
         SELECT doc_id, text, lang

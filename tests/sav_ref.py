@@ -51,11 +51,16 @@ class Var:
 
 def write_sav(variables, rows, compression=1, bias=100.0, bo="<",
               encoding="latin-1", ncases=None, value_labels=None,
-              zsav_block=0x3FF000) -> bytes:
+              zsav_block=0x3FF000, very_long=None) -> bytes:
     """Build a complete .sav (compression 0/1) or .zsav (2) byte string.
     ``rows``: list of tuples matching ``variables`` (floats / None for
     sysmis; str for string vars).  ``value_labels``: {var_name:
-    {value: label}} emitted as type 3+4 records."""
+    {value: label}} emitted as type 3+4 records.  ``very_long``:
+    {first_segment_name: true_width} emitted as an extension subtype-14
+    record (PSPP appendix "Very Long String Record": NAME=width tuples,
+    each \x00-terminated, \t-separated) — the caller passes the
+    segment variables/values itself, keeping this encoder a dumb
+    byte-level mirror of the spec."""
     if compression == 2:
         magic = b"$FL3"
     else:
@@ -127,6 +132,11 @@ def write_sav(variables, rows, compression=1, bias=100.0, bo="<",
         payload = "\t".join(f"{s}={ln}" for s, ln in longs).encode(encoding)
         out += struct.pack(bo + "iiii", 7, 13, 1, len(payload))
         out += payload
+    if very_long:
+        vl = "".join(f"{k.upper()}={w}\x00\t" for k, w in very_long.items())
+        vlb = vl.encode("ascii")
+        out += struct.pack(bo + "iiii", 7, 14, 1, len(vlb))
+        out += vlb
     enc_payload = encoding.upper().encode("ascii")
     out += struct.pack(bo + "iiii", 7, 20, 1, len(enc_payload))
     out += enc_payload
@@ -172,9 +182,10 @@ def _element_stream(variables, rows, bo, encoding) -> bytes:
                 d = SYSMIS if val is None else float(val)
                 out += struct.pack(bo + "d", d)
             else:
-                b = _pad(("" if val is None else str(val)).encode(encoding),
-                         v.nseg * 8)
-                out += b
+                raw = (val if isinstance(val, (bytes, bytearray))
+                       else ("" if val is None else str(val))
+                       .encode(encoding))
+                out += _pad(bytes(raw), v.nseg * 8)
     return bytes(out)
 
 

@@ -137,12 +137,12 @@ def test_gates_and_refusals():
     wrong = write_sav(VARS, ROWS, ncases=7)
     with pytest.raises(ValueError, match="7 cases"):
         read_sav_bytes(wrong)
-    # very long strings gate (extension subtype 14)
+    # malformed subtype-14 entry (non-numeric width) refuses loudly
     base = write_sav([Var("A")], [(1.0,)])
     term = struct.pack("<ii", 999, 0)
     pos = base.rindex(term)
-    vls = struct.pack("<iiii", 7, 14, 1, 4) + b"A=0\t"
-    with pytest.raises(NotImplementedError, match="very long strings"):
+    vls = struct.pack("<iiii", 7, 14, 1, 4) + b"A=x\t"
+    with pytest.raises(ValueError, match="very-long-string"):
         read_sav_bytes(base[:pos] + vls + base[pos:])
 
 
@@ -172,3 +172,99 @@ def test_read_stat_sav_distributed(spark, tmp_path):
     zf = read_stat(spark, str(tmp_path / "extra.zsav"))
     zp = zf.collect()
     assert zp["DOC"].tolist() == [99.0] and zp["LANG"].tolist() == ["zz"]
+
+
+# ---- very long strings (subtype 14, r12) ---------------------------------
+
+def _segments(s: str, true_w: int, encoding="latin-1"):
+    """Split a value into spec segment values: 252 data bytes per
+    non-final (255-wide) segment, remainder in the last."""
+    b = s.encode(encoding).ljust(true_w, b" ")
+    n = (true_w + 251) // 252
+    segs = []
+    for i in range(n):
+        chunk = b[252 * i: min(252 * (i + 1), true_w)]
+        segs.append(chunk.decode("latin-1"))
+    return segs
+
+
+def _vls_vars(true_w: int):
+    n = (true_w + 251) // 252
+    out = [Var("VLS1", width=255)]
+    for i in range(1, n):
+        w = 255 if i < n - 1 else true_w - 252 * (n - 1)
+        out.append(Var(f"VLS1_S{i}", width=w))
+    return out
+
+
+@pytest.mark.parametrize("compression", [0, 1, 2])
+def test_very_long_string_stitches(compression):
+    """A 600-byte string spans 3 segments (255/255/96 declared, 252+252+96
+    data); the decoder must stitch BYTES before decoding and rstrip only
+    the final value — interior spaces at segment boundaries survive."""
+    true_w = 600
+    # values engineered so segment boundaries land mid-word and on
+    # spaces: a naive per-segment rstrip corrupts both
+    v1 = ("A" * 250 + "  " + "B" * 250 + "  " + "C" * 90)
+    v2 = "short value"
+    v3 = "x" * 600
+    vars_ = [Var("ID")] + _vls_vars(true_w)
+    rows = [
+        (float(i + 1), *_segments(v, true_w))
+        for i, v in enumerate((v1, v2, v3))
+    ]
+    data = write_sav(vars_, rows, compression=compression,
+                     very_long={"VLS1": true_w})
+    pdf, meta = read_sav_bytes(data)
+    assert list(pdf.columns) == ["ID", "VLS1"]
+    assert pdf["VLS1"].tolist() == [v1, v2, v3]
+
+
+def test_very_long_string_long_name_and_following_vars():
+    """The stitched column takes the subtype-13 long name, and ordinary
+    variables AFTER the segments keep decoding (element bookkeeping)."""
+    true_w = 300  # 2 segments: 255 + 48
+    vars_ = ([Var("ID")] + _vls_vars(true_w)
+             + [Var("TAIL", width=4)])
+    vars_[1].long_name = "very_long_text"
+    val = "y" * 260 + " z" + "q" * 30
+    rows = [(9.0, *_segments(val, true_w), "tttt")]
+    data = write_sav(vars_, rows, very_long={"VLS1": true_w})
+    pdf, _ = read_sav_bytes(data)
+    assert list(pdf.columns) == ["ID", "very_long_text", "TAIL"]
+    assert pdf["very_long_text"].tolist() == [val]
+    assert pdf["TAIL"].tolist() == ["tttt"]
+
+
+def test_very_long_string_multibyte_boundary():
+    """A multi-byte UTF-8 character split across the 252-byte segment
+    boundary reassembles — the proof stitching happens before decode."""
+    true_w = 300
+    # 251 ASCII bytes then a 2-byte é: bytes 251..252 straddle segments
+    val = "a" * 251 + "é" + "b" * 20
+    assert len(val.encode("utf-8")) == 273
+    vars_ = [Var("ID")] + _vls_vars(true_w)
+    rows = [(1.0, *[seg for seg in _segments_utf8(val, true_w)])]
+    data = write_sav(vars_, rows, very_long={"VLS1": true_w},
+                     encoding="utf-8")
+    pdf, meta = read_sav_bytes(data)
+    assert meta["encoding"].lower() == "utf-8"
+    assert pdf["VLS1"].tolist() == [val]
+
+
+def _segments_utf8(s: str, true_w: int):
+    """Byte-true segment split for utf-8 values: returns raw bytes so
+    the encoder writes them verbatim (a str carrier would re-encode)."""
+    b = s.encode("utf-8").ljust(true_w, b" ")
+    n = (true_w + 251) // 252
+    return [b[252 * i: min(252 * (i + 1), true_w)] for i in range(n)]
+
+
+def test_very_long_string_width_mismatch_refuses():
+    """Declared width needing 3 segments but only 2 present must refuse
+    — a partial stitch is silent corruption."""
+    vars_ = [Var("ID")] + _vls_vars(300)
+    rows = [(1.0, *_segments("v" * 300, 300))]
+    data = write_sav(vars_, rows, very_long={"VLS1": 700})
+    with pytest.raises(ValueError, match="segments"):
+        read_sav_bytes(data)

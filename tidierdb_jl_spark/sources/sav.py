@@ -27,10 +27,13 @@ Layout implemented:
 - **Documents** (type 6) skipped.
 - **Extension records** (type 7): subtype 13 (long variable names)
   applied; subtype 20 / subtype 3's character code set the string
-  encoding; subtype 14 (very long strings, width > 255) GATES loudly —
-  segmented stitching is rare-path and a silent mis-stitch would
-  corrupt values; unknown subtypes are skipped by size, as the spec
-  instructs.
+  encoding; subtype 14 (very long strings, width > 255 — r12) maps the
+  first segment's short name to the true width, and column assembly
+  stitches the ceil(w/252) consecutive segment variables (252 data
+  bytes per non-final 255-wide segment, remainder in the last) BEFORE
+  decoding, so multi-byte characters split across segments reassemble;
+  width/segment mismatches refuse loudly; unknown subtypes are skipped
+  by size, as the spec instructs.
 - **Dictionary terminator** (type 999) then the data:
   compression 0 = raw 8-byte elements; 1 = bytecode (8 opcode bytes
   per block: 0 pad, 1-251 ⇒ value ``code - bias``, 252 EOF, 253
@@ -130,6 +133,7 @@ def read_sav_bytes(data: bytes):
     elements: list = []
     value_label_sets: list[tuple[list[bytes], dict]] = []
     long_names: dict[str, str] = {}
+    very_long: dict[str, int] = {}  # first-segment short name -> width
     encoding: str | None = None
 
     def _i32() -> int:
@@ -190,11 +194,22 @@ def read_sav_bytes(data: bytes):
                         s, long = pair.split("=", 1)
                         long_names[s.rstrip()] = long
             elif subtype == 14:
-                raise NotImplementedError(
-                    "sav: very long strings (width > 255, extension "
-                    "subtype 14) — segmented stitching is not implemented; "
-                    "a silent mis-stitch would corrupt values"
-                )
+                # very long strings (PSPP appendix "Very Long String
+                # Record"): "NAME=width" tuples, each \x00-terminated,
+                # \t-separated — maps the FIRST segment's short name to
+                # the string's true width; stitching happens at column
+                # assembly below (r12)
+                for pair in payload.decode("latin-1") \
+                        .replace("\x00", "").split("\t"):
+                    if "=" in pair:
+                        nm, w = pair.split("=", 1)
+                        w = w.strip()
+                        if not w.isdigit():
+                            raise ValueError(
+                                f"sav: malformed very-long-string entry "
+                                f"{pair!r}"
+                            )
+                        very_long[nm.rstrip()] = int(w)
             elif subtype == 20:
                 encoding = _norm_encoding(
                     payload.decode("ascii", "replace").strip("\x00 ")
@@ -248,6 +263,62 @@ def read_sav_bytes(data: bytes):
             cols[name] = vals
             names.append(name)
             i += 1
+        elif el[2] <= 255 and el[1] in very_long and very_long[el[1]] > 255:
+            # very long string (subtype 14, r12 — PSPP appendix): the
+            # true width w spans ceil(w/252) consecutive SEGMENT string
+            # variables; every non-final segment is declared 255 wide
+            # but carries exactly 252 data bytes (3 pad), the final one
+            # carries the remainder.  Bytes are stitched BEFORE
+            # decoding, so multi-byte characters split across a segment
+            # boundary reassemble correctly.
+            short, true_w = el[1], very_long[el[1]]
+            n_vars = (true_w + 251) // 252
+            seg_specs: list[tuple[int, int, int]] = []  # (start, nelem, w)
+            k = i
+            for s in range(n_vars):
+                el2 = elements[k] if k < len(elements) else None
+                if el2 is None or el2[0] != "str":
+                    raise ValueError(
+                        f"sav: very long string {short!r} (width {true_w})"
+                        f" expects {n_vars} consecutive string segments — "
+                        f"segment {s} is absent; refusing a partial stitch"
+                    )
+                w2 = el2[2]
+                nseg2 = (w2 + 7) // 8
+                for j in range(1, nseg2):
+                    if elements[k + j] is not None:
+                        raise ValueError(
+                            f"sav: segment {s} of {short!r} (width {w2}) "
+                            f"missing continuation element {j}"
+                        )
+                seg_specs.append((k, nseg2, w2))
+                k += nseg2
+            takes, remaining = [], true_w
+            for _st, _ns, w2 in seg_specs:
+                t = min(252, w2, remaining)
+                takes.append(t)
+                remaining -= t
+            if remaining:
+                raise ValueError(
+                    f"sav: subtype-14 declares width {true_w} for "
+                    f"{short!r} but its {n_vars} segments hold only "
+                    f"{true_w - remaining} data bytes"
+                )
+            per_seg: list[list[bytes]] = []
+            for (st, ns, _w2), t in zip(seg_specs, takes):
+                seg = raw[:, st:st + ns]
+                b = seg.tobytes() if bo == "<" else seg.byteswap().tobytes()
+                per_seg.append([b[r * ns * 8:r * ns * 8 + t]
+                                for r in range(n_cases)])
+            svals = [
+                b"".join(parts).decode(encoding, "replace").rstrip(" ")
+                for parts in zip(*per_seg)
+            ]
+            name = long_names.get(short, short)
+            elem_name[i + 1] = (name, "str")
+            cols[name] = svals
+            names.append(name)
+            i = k
         else:
             _, name, width = el
             name = long_names.get(name, name)
