@@ -5021,6 +5021,51 @@ def _w66(t):
 _BUILDERS["w66_delta_mapped_writes"] = _w66
 
 
+def _w67(t):
+    """Delta CHANGE DATA FEED end-to-end (r12, sources/delta_cdf.py +
+    cdc emission in sources/delta_writer.py — beyond-reference: lets
+    the incremental corpus states consume row-level changes instead of
+    full snapshots at 100 TB).  A CDF-enabled table gets two appends
+    (derived as inserts per PROTOCOL.md), a copy-on-write DELETE and a
+    MERGE (both write EXACT cdc files under _change_data/ — the
+    rewrite's remove+add alone cannot express row-level changes) —
+    then the whole feed v0..v3 is read back and hash-matched against
+    the oracle's re-statement of every insert / delete /
+    update_preimage / update_postimage row.  ``_commit_timestamp`` is
+    wall-clock and excluded; versions are deterministic."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.core import TidyFrame as _TF
+    from tidierdb_jl_spark.sources.delta_cdf import read_delta_cdf
+    from tidierdb_jl_spark.sources.delta_writer import (
+        delete_delta, merge_delta, write_delta,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w67_delta_cdf_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id < 100"), root,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(docs.filter("doc_id >= 100 AND doc_id < 150"), root,
+                mode="append")
+    delete_delta(spark, root, "doc_id % 10 = 3")
+    updates = (docs.filter("doc_id >= 120 AND doc_id < 180")
+               .mutate(text="concat('C:', text)")
+               .select("doc_id", "text", "lang"))
+    merge_delta(spark, root, updates, key="doc_id")
+    feed = read_delta_cdf(spark, root)
+    return _TF(feed.df.select(
+        "doc_id", "text", "lang",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("change_v"),
+    ))
+
+
+_BUILDERS["w67_delta_cdf"] = _w67
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8373,6 +8418,34 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, text, lang, 'a' AS at
         FROM documents WHERE doc_id < 150
+    """
+    # w67: the full change feed — v0/v1 appends derive as inserts;
+    # v2's cdc says exactly the deleted rows; v3's cdc says pre/post
+    # images for matched keys (present = not deleted at v2) and
+    # inserts for new keys INCLUDING the v2-deleted ones re-inserted
+    out["w67_delta_cdf"] = r"""
+        SELECT doc_id, text, lang, 'insert' AS change_type,
+               CAST(0 AS BIGINT) AS change_v
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id, text, lang, 'insert', 1
+        FROM documents WHERE doc_id >= 100 AND doc_id < 150
+        UNION ALL
+        SELECT doc_id, text, lang, 'delete', 2
+        FROM documents WHERE doc_id < 150 AND doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, text, lang, 'update_preimage', 3
+        FROM documents
+        WHERE doc_id >= 120 AND doc_id < 150 AND doc_id % 10 != 3
+        UNION ALL
+        SELECT doc_id, 'C:' || text, lang, 'update_postimage', 3
+        FROM documents
+        WHERE doc_id >= 120 AND doc_id < 150 AND doc_id % 10 != 3
+        UNION ALL
+        SELECT doc_id, 'C:' || text, lang, 'insert', 3
+        FROM documents
+        WHERE (doc_id >= 150 AND doc_id < 180)
+           OR (doc_id >= 120 AND doc_id < 150 AND doc_id % 10 = 3)
     """
     # w66: below 100 original minus the DELETE (%10=7); 100-229 all
     # exist with the merged 'U:' text (the merge re-inserts deleted

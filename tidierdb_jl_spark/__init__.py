@@ -16,6 +16,14 @@ from .session import connect, get_spark, register_testdata
 from .sources.readers import copy_to, db_table, dt, show_tables
 from .sources.statfiles import read_gsheet, read_stat
 from .sources.writers import create_table, drop_view, write_file
+from .sources.delta import read_delta
+from .sources.delta_cdf import read_delta_cdf
+from .sources.delta_writer import (
+    checkpoint_delta, delete_delta, describe_history, merge_delta,
+    optimize_delta, vacuum_delta, write_delta,
+)
+from .sources.iceberg import read_iceberg
+from .sources.iceberg_writer import snapshots_iceberg, write_iceberg
 from .plans.show import lint_plan, plan_summary, show_query
 
 __all__ = [
@@ -36,6 +44,19 @@ __all__ = [
     "create_table",
     "drop_view",
     "write_file",
+    # lakehouse layer (jar-free Delta + Iceberg, r9-r12)
+    "read_delta",
+    "read_delta_cdf",
+    "write_delta",
+    "delete_delta",
+    "merge_delta",
+    "optimize_delta",
+    "vacuum_delta",
+    "checkpoint_delta",
+    "describe_history",
+    "read_iceberg",
+    "write_iceberg",
+    "snapshots_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

@@ -138,13 +138,16 @@ def _list_staged(spark, staging: str, part_cols):
     return out
 
 
-def _stage_batch(spark, root: str, df, part_cols) -> list[dict]:
+def _stage_batch(spark, root: str, df, part_cols,
+                 prefix: str = "") -> list[dict]:
     """Write ``df`` as parquet into a staging dir inside the table root
     and move each file to its final uuid-fresh name; returns the add
     actions.  Names get a FRESH uuid per file (what delta-spark does):
     Spark reuses one job uuid across partition dirs, so staged basenames
     collide across dirs — and readers (this repo's included) key
-    per-file metadata by the uuid-unique basename."""
+    per-file metadata by the uuid-unique basename.  ``prefix`` places
+    the final files under a subdirectory (``_change_data/`` for cdc
+    files) — it is part of the action's relative path."""
     from .fsio import fs_delete, fs_mkdirs, fs_rename, join_path
 
     staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
@@ -169,6 +172,7 @@ def _stage_batch(spark, root: str, df, part_cols) -> list[dict]:
         parent_rel = rel.rsplit("/", 1)[0] if "/" in rel else ""
         fname = f"part-{i:05d}-{uuid.uuid4()}.snappy.parquet"
         final_rel = f"{parent_rel}/{fname}" if parent_rel else fname
+        final_rel = prefix + final_rel
         dest = join_path(root, final_rel)
         fs_mkdirs(spark, dest.rsplit("/", 1)[0])
         fs_rename(spark, join_path(staging, rel), dest)
@@ -207,10 +211,16 @@ def write_delta(
     partition_by=None,
     overwrite_schema: bool = False,
     txn: tuple | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """Commit ``tf`` to the Delta table at ``path``; returns the
     committed version number.  Module docstring has the protocol
     contract.
+
+    ``configuration`` sets table properties on a NEW table (e.g.
+    ``{"delta.enableChangeDataFeed": "true"}`` so the row-level ops
+    emit cdc files readable by :func:`~.delta_cdf.read_delta_cdf`);
+    an existing table keeps its own configuration.
 
     ``txn=(app_id, version)`` stamps the commit with a setTransaction
     action and makes it IDEMPOTENT: if the table already records a
@@ -283,7 +293,7 @@ def write_delta(
         "format": {"provider": "parquet", "options": {}},
         "schemaString": schema_json,
         "partitionColumns": part_cols,
-        "configuration": {},
+        "configuration": dict(configuration or {}),
         "createdTime": int(time.time() * 1000),
     }
 
@@ -316,8 +326,11 @@ def write_delta(
             if _schema_fingerprint(meta["schemaString"]) != \
                     _schema_fingerprint(schema_json):
                 if mode == "overwrite" and overwrite_schema:
+                    # schema evolves; identity and table properties stay
                     actions.append({"metaData": dict(
-                        new_meta, id=meta.get("id", new_meta["id"])
+                        new_meta, id=meta.get("id", new_meta["id"]),
+                        configuration=dict(meta.get("configuration")
+                                           or {}),
                     )})
                 else:
                     raise ValueError(
@@ -641,7 +654,7 @@ def _cow_guard(meta, live, root: str, op: str, part_cols):
         )
 
 
-def _to_physical_df(df, meta, root: str, op: str):
+def _to_physical_df(df, meta, root: str, op: str, extra=()):
     """For a column-mapped table (PROTOCOL.md Column Mapping), rename a
     logical-named DataFrame to the table's PHYSICAL column names and
     stamp each column with its ``delta.columnMapping.id`` as the
@@ -672,11 +685,36 @@ def _to_physical_df(df, meta, root: str, op: str):
         phys[f.name] = pn
         cols.append(F.col(f.name).alias(
             pn, metadata={"parquet.field.id": int(fid)}))
+    cols.extend(F.col(c) for c in extra)  # passthrough (e.g. _change_type)
     # field ids only reach the footer when the writer flag is on
     # (default true since Spark 3.3 — set explicitly, cheap and local)
     df.sparkSession.conf.set(
         "spark.sql.parquet.fieldId.write.enabled", "true")
     return df.select(*cols), phys
+
+
+def _cdf_enabled(meta) -> bool:
+    return str((meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+def _stage_cdc(spark, root: str, meta, cdc_df, part_cols) -> list[dict]:
+    """Stage a change-data frame (table columns + ``_change_type``)
+    under ``_change_data/`` and return the ``cdc`` actions
+    (PROTOCOL.md "Add CDC File"; ``dataChange`` is false by spec —
+    streams tailing the table's data must not see cdc rows).  Written
+    only when the table sets ``delta.enableChangeDataFeed=true``, so
+    :func:`~.delta_cdf.read_delta_cdf` gets EXACT row-level changes
+    even for copy-on-write commits whose add/remove actions alone
+    cannot express them."""
+    body, phys = _to_physical_df(cdc_df, meta, root, "cdc",
+                                 extra=("_change_type",))
+    staged = _stage_batch(spark, root, body,
+                          [phys[c] for c in part_cols],
+                          prefix="_change_data/")
+    return [{"cdc": {"path": a["path"], "partitionValues":
+                     a["partitionValues"], "size": a["size"],
+                     "dataChange": False}} for a in staged]
 
 
 def _commit_actions(spark, root: str, build_actions) -> int:
@@ -737,6 +775,12 @@ def delete_delta(spark, path: str, predicate: str) -> int | None:
                                       "delete_delta")
     adds = _stage_batch(spark, root, survivors,
                         [phys[c] for c in part_cols])
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        deleted = (tf.df.where(F.col("__cow_file").isin(touched))
+                   .where(F.expr(predicate)).drop("__cow_file")
+                   .withColumn("_change_type", F.lit("delete")))
+        cdc_acts = _stage_cdc(spark, root, meta, deleted, part_cols)
 
     def build(live_now, _meta, _version):
         gone = [p for p in touched_paths if p not in live_now]
@@ -747,9 +791,11 @@ def delete_delta(spark, path: str, predicate: str) -> int | None:
                 "garbage"
             )
         now_ms = int(time.time() * 1000)
-        acts = [{"remove": {"path": quote(p, safe="/=-"),
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True}} for p in touched_paths]
+        acts = list(cdc_acts)
+        acts.extend({"remove": {"path": quote(p, safe="/=-"),
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True}}
+                    for p in touched_paths)
         acts.extend({"add": a} for a in adds)
         acts.append({"commitInfo": {
             "timestamp": now_ms, "operation": "DELETE",
@@ -822,6 +868,29 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
     new_data, phys = _to_physical_df(new_data, meta, root, "merge_delta")
     adds = _stage_batch(spark, root, new_data,
                         [phys[c] for c in part_cols])
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        # matched rows: pre/post images; unmatched update keys: inserts
+        pre = (tf.df.where(F.col("__cow_file").isin(touched))
+               .join(hint(ukeys), keys, "left_semi").drop("__cow_file")
+               if touched else None)
+        if pre is not None:
+            matched_keys = pre.select(*keys).distinct()
+            # matched_keys is a subset of the update keys — reuse the
+            # same size-aware broadcast decision
+            post = updates.join(hint(matched_keys), keys, "left_semi")
+            inserts = updates.join(hint(matched_keys), keys, "left_anti")
+            cdc_df = (
+                pre.withColumn("_change_type",
+                               F.lit("update_preimage"))
+                .unionByName(post.withColumn(
+                    "_change_type", F.lit("update_postimage")))
+                .unionByName(inserts.withColumn(
+                    "_change_type", F.lit("insert")))
+            )
+        else:
+            cdc_df = updates.withColumn("_change_type", F.lit("insert"))
+        cdc_acts = _stage_cdc(spark, root, meta, cdc_df, part_cols)
 
     def build(live_now, _meta, _version):
         gone = [p for p in touched_paths if p not in live_now]
@@ -832,9 +901,11 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
                 "garbage"
             )
         now_ms = int(time.time() * 1000)
-        acts = [{"remove": {"path": quote(p, safe="/=-"),
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True}} for p in touched_paths]
+        acts = list(cdc_acts)
+        acts.extend({"remove": {"path": quote(p, safe="/=-"),
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True}}
+                    for p in touched_paths)
         acts.extend({"add": a} for a in adds)
         acts.append({"commitInfo": {
             "timestamp": now_ms, "operation": "MERGE",

@@ -128,6 +128,7 @@ ORACLE_QUERIES = [
     "w64_delta_dv_rowops",      # CoW DELETE/MERGE materializing DVs (r12)
     "w65_iceberg_partitioned_write",  # identity-partitioned writes (r12)
     "w66_delta_mapped_writes",  # column-mapped writes + row ops (r12)
+    "w67_delta_cdf",            # Change Data Feed read + cdc emission (r12)
 ]
 
 
