@@ -148,3 +148,42 @@ def test_checkpointed_away_range_refuses(spark, tmp_path):
     # the surviving suffix still reads
     got = _changes(spark, root, starting_version=1)
     assert got == [(1, "insert", 2, "b")]
+
+
+def test_dedupstate_ingest_cdf(spark, tmp_path):
+    """The incremental dedup state consumes a Delta table's change feed:
+    first call ingests the whole history, repeat calls are version-
+    watermarked no-ops, and after new commits only the NEW inserts flow
+    — O(changes), not O(corpus), per cycle.  update_postimage rows
+    count as inserts; deletes are ignored (the seen-set is monotone).
+    The watermark survives close/open."""
+    from tidierdb_jl_spark.llm.dedupstate import DedupState
+
+    root = str(tmp_path / "tbl")
+    docs = [(i, f"document number {i} body", "en") for i in range(20)]
+    write_delta(_tf(spark, docs, "doc_id long, text string, lang string"),
+                root, configuration={"delta.enableChangeDataFeed": "true"})
+
+    st = DedupState.create(spark, str(tmp_path / "state"), n_buckets=4,
+                           expected_items=1000)
+    got0 = st.ingest_cdf(root, "doc_id").collect()
+    assert sorted(got0["doc_id"]) == list(range(20))
+    # watermarked: an immediate re-run sees nothing
+    assert len(st.ingest_cdf(root, "doc_id").collect()) == 0
+
+    # new commits: an append (inserts), a delete (ignored), and a merge
+    # whose postimages carry DUPLICATE text for even keys
+    write_delta(_tf(spark, [(100, "document number 100 body", "en")],
+                    "doc_id long, text string, lang string"),
+                root, mode="append")
+    delete_delta(spark, root, "doc_id = 3")
+    merge_delta(spark, root,
+                _tf(spark, [(4, "document number 4 body", "en"),     # dup
+                            (200, "brand new body", "en")],          # new
+                    "doc_id long, text string, lang string"),
+                key="doc_id")
+    st2 = DedupState.open(spark, str(tmp_path / "state"))  # persisted mark
+    got1 = st2.ingest_cdf(root, "doc_id").collect()
+    # 100 and 200 are new text; key 4's postimage text was already seen
+    assert sorted(got1["doc_id"]) == [100, 200]
+    assert len(st2.ingest_cdf(root, "doc_id").collect()) == 0

@@ -410,6 +410,50 @@ class DedupState:
         self._append_new(pinned.select("fingerprint"), pinned_unique=True)
         return TidyFrame(pinned)
 
+    def ingest_cdf(self, table_path: str, id_col: str,
+                   text_col: str = "text") -> TidyFrame:
+        """Incremental ingestion from a Delta table's CHANGE DATA FEED
+        (r12 — pairs with :func:`~..sources.delta_cdf.read_delta_cdf`):
+        process only the rows INSERTED since this state last looked —
+        ``insert`` and ``update_postimage`` changes of the unconsumed
+        version range — instead of re-reading the table's full snapshot
+        per batch, which at 100 TB is the difference between O(changes)
+        and O(corpus) per ingestion cycle.  The consumed high-water
+        version is tracked PER TABLE in the state meta (crash-safe:
+        the watermark advances only after the fingerprints are
+        appended; a replay re-ingests a range whose fingerprints are
+        already recorded, converging exactly like ``stream_ingest``'s
+        replay path).  ``delete`` / ``update_preimage`` changes are
+        ignored — a dedup seen-set is monotone by design (a re-crawled
+        document that was deleted upstream is still a duplicate).
+        Returns the genuinely-new rows, exactly like ``ingest``."""
+        from ..sources.delta import _snapshot
+        from ..sources.delta_cdf import read_delta_cdf
+
+        root = str(table_path).rstrip("/")
+        marks: dict = self._meta.setdefault("cdf_watermarks", {})
+        last = int(marks.get(root, -1))
+        _live, _tmeta, end_v = _snapshot(self.spark, root, None)
+        if end_v <= last:
+            # nothing committed since the watermark: empty frame with
+            # the table's column shape (no scan at all)
+            from ..sources.delta import read_delta
+
+            empty = read_delta(self.spark, root).df.limit(0)
+            return TidyFrame(empty.localCheckpoint(eager=True))
+        feed = read_delta_cdf(self.spark, root,
+                              starting_version=last + 1,
+                              ending_version=end_v)
+        inserted = (feed.df
+                    .where(F.col("_change_type")
+                           .isin("insert", "update_postimage"))
+                    .drop("_change_type", "_commit_version",
+                          "_commit_timestamp"))
+        out = self.ingest(TidyFrame(inserted), id_col, text_col)
+        marks[root] = int(end_v)
+        self._write_meta()
+        return out
+
     def stream_ingest(
         self,
         stream_tf,
