@@ -4749,6 +4749,10 @@ def _w62(t):
     vacuum_delta(spark, root, retain_hours=0.0)
     write_delta(docs.filter("doc_id >= 200 AND doc_id < 240"), root,
                 partition_by="lang")
+    # r12: OPTIMIZE ZORDER BY — re-clusters every partition on the
+    # doc_id Z-value; content must be byte-identical (the oracle is
+    # unchanged), which is exactly the invariant worth certifying
+    optimize_delta(spark, root, zorder_by=["doc_id"])
     return read_delta(spark, root).select("doc_id", "text", "lang")
 
 

@@ -508,3 +508,79 @@ def test_merge_shuffle_path_when_batch_large(spark, tmp_path, monkeypatch):
     got = read_delta(spark, root).collect().sort_values("id")
     assert got["id"].tolist() == list(range(20)) + [50]
     assert dict(zip(got["id"], got["txt"]))[5] == "U5"
+
+
+# ---- OPTIMIZE ZORDER BY (r12) ---------------------------------------------
+
+def test_optimize_zorder_tightens_minmax_envelopes(spark, tmp_path):
+    """Z-order clustering must measurably shrink the per-FILE (x, y)
+    min-max bounding boxes versus the unsorted layout — the property
+    parquet data skipping prunes on.  Content is hash-checked equal
+    before/after, history stays time-travelable, and the commitInfo
+    records the zOrderBy columns."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from tidierdb_jl_spark.sources.delta_writer import describe_history
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000))
+            for i in range(20_000)]
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, rows, "id long, x long, y long"), root)
+
+    def envelope_volume():
+        vol, nfiles = 0.0, 0
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            nfiles += 1
+            for rg in range(md.num_row_groups):
+                stats = {md.row_group(rg).column(c).path_in_schema:
+                         md.row_group(rg).column(c).statistics
+                         for c in range(md.row_group(rg).num_columns)}
+                sx, sy = stats["x"], stats["y"]
+                vol += ((sx.max - sx.min + 1) * (sy.max - sy.min + 1))
+        return vol, nfiles
+
+    before, _ = envelope_volume()
+    v = optimize_delta(spark, root, zorder_by=["x", "y"],
+                       max_file_bytes=64 * 1024)
+    assert v is not None
+    # content identical (ids are a permutation-insensitive set)
+    got = read_delta(spark, root).collect()
+    assert sorted(got["id"]) == list(range(20_000))
+    assert int(got["x"].sum()) == sum(r[1] for r in rows)
+    after, nfiles = envelope_volume()
+    # old files are tombstoned but still on disk — recompute over LIVE
+    from tidierdb_jl_spark.sources.delta import _snapshot
+
+    live, _m, _v = _snapshot(spark, root, None)
+    vol_live = 0.0
+    for p in live:
+        md = pq.ParquetFile(os.path.join(root, p)).metadata
+        for rg in range(md.num_row_groups):
+            stats = {md.row_group(rg).column(c).path_in_schema:
+                     md.row_group(rg).column(c).statistics
+                     for c in range(md.row_group(rg).num_columns)}
+            sx, sy = stats["x"], stats["y"]
+            vol_live += ((sx.max - sx.min + 1) * (sy.max - sy.min + 1))
+    assert len(live) > 1, "max_file_bytes must split the output"
+    assert vol_live < before / 2, (vol_live, before)
+    hist = describe_history(spark, root)
+    assert hist[0]["operation"] == "OPTIMIZE"
+    assert "x" in hist[0]["operationParameters"]["zOrderBy"]
+    # time travel to the pre-zorder version still works
+    assert read_delta(spark, root, version=0).df.count() == 20_000
+
+
+def test_optimize_zorder_validates_columns(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a", "en")], "id long, v string, "
+                    "lang string"), root, partition_by="lang")
+    with pytest.raises(ValueError, match="zorder_by"):
+        optimize_delta(spark, root, zorder_by=["lang"])  # partition col
+    with pytest.raises(ValueError, match="zorder_by"):
+        optimize_delta(spark, root, zorder_by=["nope"])

@@ -530,7 +530,64 @@ def checkpoint_delta(spark, path: str,
     return version
 
 
-def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
+def _zorder_key_udf(df, cols: list[str], sample_rows: int = 100_000):
+    """Column of interleaved-bits Z-values over ``cols`` (r12, the
+    OPTIMIZE ZORDER clustering key).  Each column is rank-normalized to
+    ``63 // n_cols``-bit bucket ids against cut points taken from a
+    bounded SAMPLE (order statistics need no exact quantiles — a
+    misplaced cut only blurs the clustering, never correctness), then
+    the bucket bits interleave column-major: rows close in every
+    dimension land close in Z-order, so parquet row-group/file min-max
+    envelopes shrink in ALL the z-ordered dimensions at once — the
+    data-skipping property.  Works for any orderable type (numbers,
+    strings, dates): cut comparison happens in pandas/numpy."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    bits = max(1, min(16, 63 // max(1, len(cols))))
+    n_cuts = (1 << bits) - 1
+    sample = (df.select(*cols)
+              .sample(False, 1.0, seed=7).limit(sample_rows).toPandas())
+    cuts: dict[str, list] = {}
+    for c in cols:
+        vals = sorted(v for v in sample[c].tolist() if v is not None)
+        if not vals:
+            cuts[c] = []
+            continue
+        step = max(1, len(vals) // (n_cuts + 1))
+        cuts[c] = sorted(set(vals[step::step][:n_cuts]))
+
+    bcuts = {c: cuts[c] for c in cols}
+
+    # explicit SCALAR function type: the type-hint inferrer does not
+    # accept a varargs signature, and the column count is dynamic here
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def zkey(*series):
+        import numpy as np
+        import pandas as pd
+
+        buckets = []
+        for c, s in zip(cols, series):
+            cp = bcuts[c]
+            if not cp:
+                buckets.append(np.zeros(len(s), dtype=np.int64))
+                continue
+            b = np.searchsorted(np.array(cp, dtype=object), s.to_numpy(),
+                                side="right").astype(np.int64)
+            b[s.isna().to_numpy()] = 0  # nulls cluster first
+            buckets.append(b)
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for bit in range(bits):
+            for ci, b in enumerate(buckets):
+                out |= ((b >> bit) & 1) << (bit * len(buckets) + ci)
+        return pd.Series(out)
+
+    return zkey(*[F.col(c) for c in cols])
+
+
+def optimize_delta(spark, path: str, min_files: int = 2,
+                   zorder_by=None,
+                   max_file_bytes: int = 128 * 1024 * 1024) -> int | None:
     """Compact small files (the OPTIMIZE operation): for every
     partition holding at least ``min_files`` live data files, rewrite
     them as one file and commit the swap with ``dataChange=false`` —
@@ -540,7 +597,18 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
     that otherwise degrades a 100 TB table into millions of tiny
     files).  Returns the committed version, or None when nothing
     qualified.  The rewrite reads ONLY the affected files — work scales
-    with compactable bytes, not table size."""
+    with compactable bytes, not table size.
+
+    ``zorder_by`` (r12 — OPTIMIZE ZORDER BY): rewrite every qualifying
+    partition CLUSTERED on the interleaved-bits Z-value of the named
+    columns.  Rows close in all dimensions land in the same parquet
+    row groups and files, so min-max data skipping prunes on EVERY
+    z-ordered column at once — the 100 TB answer to "we filter this
+    corpus by language AND date AND quality score".  Output splits at
+    ``max_file_bytes`` (estimated from the inputs) via a range
+    partition on the Z-value, each range sorted within; with zorder
+    the per-partition minimum is 1 file (re-clustering one big file is
+    useful; plain compaction still needs ``min_files``)."""
     from .delta import _snapshot, read_delta
     from .fsio import fs_delete, fs_exists, fs_mkdirs, fs_rename, join_path
 
@@ -553,16 +621,39 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
             "compaction rewrite reads raw parquet and cannot carry the "
             "per-file field ids forward (connector-jar territory)"
         )
+    zcols = ([zorder_by] if isinstance(zorder_by, str)
+             else list(zorder_by or []))
+    if zcols:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_set = set(meta.get("partitionColumns") or [])
+        bad = [c for c in zcols
+               if c not in {f.name for f in schema.fields} or c in part_set]
+        if bad:
+            raise ValueError(
+                f"optimize_delta: zorder_by {bad} must be non-partition "
+                "table columns"
+            )
+        from .delta import _physical_names
+
+        phys_all, _pt = _physical_names(meta, schema, root)
+        zphys = [phys_all[c] for c in zcols]
     # DV'd files are excluded from compaction, not a refusal (r12): the
     # rewrite reads raw parquet, which would resurrect DV-deleted rows —
     # run delete_delta/merge_delta (they materialize DVs) or leave them;
     # the DV-free steady-state small files still compact
     by_part: dict[tuple, list] = {}
+    sizes: dict[str, int] = {}
+    extras: dict = {}
+    live, meta, version = _snapshot(spark, root, None, None, extras)
     for p, (pv, dv) in live.items():
         if dv is None:
             by_part.setdefault(tuple(sorted(pv.items())), []).append(p)
-    todo = {k: sorted(v) for k, v in by_part.items()
-            if len(v) >= max(2, min_files)}
+            sizes[p] = int((extras.get("adds", {}).get(p) or {})
+                           .get("size") or 0)
+    min_n = 1 if zcols else max(2, min_files)
+    todo = {k: sorted(v) for k, v in by_part.items() if len(v) >= min_n}
     if not todo:
         return None
 
@@ -571,28 +662,41 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
     for pv_items, files in sorted(todo.items()):
         pv = dict(pv_items)
         src = spark.read.parquet(*[join_path(root, p) for p in files])
+        if zcols:
+            from pyspark.sql import functions as F
+
+            total = sum(sizes[p] for p in files)
+            n_out = max(1, -(-total // max_file_bytes))
+            keyed = src.withColumn("__zkey",
+                                   _zorder_key_udf(src, zphys))
+            src = (keyed.repartitionByRange(n_out, "__zkey")
+                   .sortWithinPartitions("__zkey").drop("__zkey"))
+        else:
+            src = src.coalesce(1)
         staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
-        src.coalesce(1).write.mode("overwrite").parquet(staging)
+        src.write.mode("overwrite").parquet(staging)
         staged = _list_staged(spark, staging, [])
-        if len(staged) != 1:
+        if not staged or (not zcols and len(staged) != 1):
             fs_delete(spark, staging, recursive=True)
             raise RuntimeError(
-                f"optimize_delta: expected 1 staged file, got {len(staged)}"
+                f"optimize_delta: unexpected staged file count "
+                f"{len(staged)}"
             )
-        rel, size, mtime, _ = staged[0]
         seg = "/".join(
             f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else quote(str(v), safe='')}"
             for k, v in ((c, pv.get(c)) for c in part_cols)
         )
-        fname = f"part-00000-{uuid.uuid4()}.snappy.parquet"
-        final_rel = f"{seg}/{fname}" if seg else fname
-        dest = join_path(root, final_rel)
-        fs_mkdirs(spark, dest.rsplit("/", 1)[0])
-        fs_rename(spark, join_path(staging, rel), dest)
+        for i, (rel, size, mtime, _) in enumerate(staged):
+            fname = f"part-{i:05d}-{uuid.uuid4()}.snappy.parquet"
+            final_rel = f"{seg}/{fname}" if seg else fname
+            dest = join_path(root, final_rel)
+            fs_mkdirs(spark, dest.rsplit("/", 1)[0])
+            fs_rename(spark, join_path(staging, rel), dest)
+            adds.append({"path": quote(final_rel, safe="/=-"),
+                         "partitionValues": pv, "size": int(size),
+                         "modificationTime": int(mtime),
+                         "dataChange": False})
         fs_delete(spark, staging, recursive=True)
-        adds.append({"path": quote(final_rel, safe="/=-"),
-                     "partitionValues": pv, "size": int(size),
-                     "modificationTime": int(mtime), "dataChange": False})
         removes.extend(files)
 
     for _attempt in range(_MAX_COMMIT_RETRIES):
@@ -612,7 +716,8 @@ def optimize_delta(spark, path: str, min_files: int = 2) -> int | None:
         actions.extend({"add": a} for a in adds)
         actions.append({"commitInfo": {
             "timestamp": now_ms, "operation": "OPTIMIZE",
-            "operationParameters": {},
+            "operationParameters": (
+                {"zOrderBy": json.dumps(zcols)} if zcols else {}),
             "engineInfo": "tidierdb_jl_spark jar-free writer",
         }})
         commit = join_path(root, "_delta_log", f"{version + 1:020d}.json")
