@@ -292,3 +292,65 @@ def test_partitioned_write_roundtrip_and_time_travel(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="identity"):
         write_iceberg(_tf(spark, [(1.5, 1)], "x double, id long"),
                       str(tmp_path / "t2"), partition_by="x")
+
+
+def test_bucket_and_truncate_partitioned_write(spark, tmp_path):
+    """bucket[N] + truncate[W] transforms (r12): the metadata carries
+    the transform spec, every data_file's partition tuple holds the
+    murmur3-exact bucket id / truncated prefix, one file per value
+    tuple, and the roundtrip read returns the source rows unchanged."""
+    import glob
+    import json
+    import struct
+
+    from tidierdb_jl_spark.sources.avro_lite import decode_avro_container
+    from tidierdb_jl_spark.sources.murmur3 import murmur3_32
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, f"w{i % 7}suffix{i}") for i in range(200)]
+    write_iceberg(_tf(spark, rows, "id long, word string"), root,
+                  partition_by=["bucket(4, id)", "truncate(2, word)"])
+
+    meta = json.loads(open(sorted(glob.glob(
+        os.path.join(root, "metadata", "v*.metadata.json")))[-1]).read())
+    assert meta["partition-specs"][0]["fields"] == [
+        {"name": "id_bucket", "transform": "bucket[4]",
+         "source-id": 1, "field-id": 1000},
+        {"name": "word_trunc", "transform": "truncate[2]",
+         "source-id": 2, "field-id": 1001},
+    ]
+
+    # every manifest partition tuple is spec-exact for its file's rows
+    man = glob.glob(os.path.join(root, "metadata", "manifest-*.avro"))[0]
+    _m, recs = decode_avro_container(open(man, "rb").read())
+    assert recs, "manifest empty"
+    import pyarrow.parquet as pq
+
+    for r in recs:
+        dfile = r["data_file"]
+        pv = dfile["partition"]
+        t = pq.read_table(dfile["file_path"].replace("file://", ""))
+        for i_val, w_val in zip(t["id"].to_pylist(), t["word"].to_pylist()):
+            assert pv["id_bucket"] == \
+                (murmur3_32(struct.pack("<q", i_val)) & 0x7FFFFFFF) % 4
+            assert pv["word_trunc"] == w_val[:2]
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == list(range(200))
+    # one file per distinct (bucket, prefix) tuple
+    tuples = {(r["data_file"]["partition"]["id_bucket"],
+               r["data_file"]["partition"]["word_trunc"]) for r in recs}
+    assert len(recs) == len(tuples)
+
+    # appending with a DIFFERENT spec refuses; with the same spec works
+    with pytest.raises(ValueError, match="partition"):
+        write_iceberg(_tf(spark, rows[:3], "id long, word string"), root,
+                      mode="append", partition_by=["bucket(8, id)"])
+    write_iceberg(_tf(spark, [(500, "zz500")], "id long, word string"),
+                  root, mode="append",
+                  partition_by=["bucket(4, id)", "truncate(2, word)"])
+    assert read_iceberg(spark, root).df.count() == 201
+    # unsupported transform source refuses loudly
+    with pytest.raises(NotImplementedError, match="bucket"):
+        write_iceberg(_tf(spark, [(1.5, "x")], "x double, w string"),
+                      str(tmp_path / "t2"), partition_by=["bucket(4, x)"])

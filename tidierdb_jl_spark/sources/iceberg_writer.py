@@ -22,10 +22,13 @@ iceberg_scan) — the WRITE side of the public table spec
   stale hint cannot roll the table back).
 
 Scope (loud gates, never guesses): v2 tables with primitive columns,
-unpartitioned or IDENTITY-partitioned on int/long/string/date columns
-(r12 — each data_file carries the spec's ``partition`` struct, field
-102, and the metadata carries the partition spec; non-identity
-transforms refuse); append / overwrite / error modes; schema and
+unpartitioned or partitioned with IDENTITY (int/long/string/date),
+BUCKET[N] (int/long/string — spec-exact murmur3_x86_32 via
+:mod:`.murmur3`, verified against the spec's Appendix-B vectors) and
+TRUNCATE[W] (int/long/string) transforms (r12 — each data_file carries
+the spec's ``partition`` struct, field 102, and the metadata carries
+the partition spec; other transforms refuse); append / overwrite /
+error modes; schema and
 partition-spec changes refuse (Iceberg evolution is field-id surgery —
 widen through a new table or a connector jar).  Row-level deletes and
 format v3 features are read-side only in this repo.
@@ -59,10 +62,101 @@ _SPARK_TO_ICEBERG = {
     "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
 }
 
-# identity-transform partition sources this writer accepts; the Avro
+# partition-source types this writer accepts per transform; the Avro
 # type of the r102 partition field follows the Iceberg->Avro mapping
 _PART_AVRO = {"int": "int", "long": "long", "string": "string",
               "date": {"type": "int", "logicalType": "date"}}
+# spec "Partition Transforms": bucket = (murmur3_x86_32(bytes) &
+# Integer.MAX_VALUE) % N over the single-value byte form (ints hash as
+# 8-byte LE longs, strings as UTF-8); truncate = W*floor(v/W) for
+# integers, first-W-chars for strings
+_TRANSFORM_SOURCES = {
+    "identity": set(_PART_AVRO),
+    "bucket": {"int", "long", "string"},
+    "truncate": {"int", "long", "string"},
+}
+
+
+def _parse_partition_by(partition_by, by_name, root: str) -> list[dict]:
+    """Normalize ``partition_by`` entries — ``"col"`` (identity),
+    ``"bucket(N, col)"``, ``"truncate(W, col)"`` — into partition-field
+    dicts {name, transform, param, source, ice_type, field-id}."""
+    import re
+
+    entries = ([partition_by] if isinstance(partition_by, str)
+               else list(partition_by or []))
+    out = []
+    for i, e in enumerate(entries):
+        e = str(e).strip()
+        m = re.fullmatch(r"(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+        if m:
+            transform, param, src = m.group(1), int(m.group(2)), m.group(3)
+            if param < 1:
+                raise ValueError(
+                    f"write_iceberg: {transform} needs a positive "
+                    f"parameter, got {e!r}"
+                )
+        else:
+            transform, param, src = "identity", None, e
+        if src not in by_name:
+            raise ValueError(
+                f"write_iceberg: partition_by column {src!r} not in "
+                "columns"
+            )
+        ice_t = by_name[src]["type"]
+        if ice_t not in _TRANSFORM_SOURCES[transform]:
+            raise NotImplementedError(
+                f"write_iceberg: partition transform {transform!r} on "
+                f"type {ice_t} — supported source types: "
+                f"{sorted(_TRANSFORM_SOURCES[transform])}"
+            )
+        name = (src if transform == "identity"
+                else f"{src}_{'bucket' if transform == 'bucket' else 'trunc'}")
+        out.append({"name": name, "transform": transform, "param": param,
+                    "source": src, "ice_type": ice_t,
+                    "field-id": 1000 + i})
+    if len({pf["name"] for pf in out}) != len(out):
+        raise ValueError(
+            f"write_iceberg: duplicate partition field names at {root}")
+    return out
+
+
+def _transform_values(pf: dict, s):
+    """Apply one partition transform to a pandas Series (executor-side,
+    vectorized for the numeric-bucket hot path); returns an object
+    Series with None for null inputs (spec: null partitions as null)."""
+    import numpy as np
+    import pandas as pd
+
+    t = pf["transform"]
+    if t == "identity":
+        return s
+    if t == "bucket":
+        from tidierdb_jl_spark.sources.murmur3 import (
+            murmur3_32, murmur3_32_long_vec,
+        )
+
+        n = pf["param"]
+        if pf["ice_type"] in ("int", "long"):
+            mask = s.isna()
+            h = murmur3_32_long_vec(s.fillna(0).astype("int64").to_numpy())
+            out = pd.Series(((h.astype(np.int64) & 0x7FFFFFFF) % n),
+                            index=s.index).astype("object")
+            out[mask.to_numpy()] = None
+            return out
+        return s.map(lambda v: None if v is None else
+                     (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n)
+    if t == "truncate":
+        w = pf["param"]
+        if pf["ice_type"] in ("int", "long"):
+            mask = s.isna()
+            vals = s.fillna(0).astype("int64").to_numpy()
+            out = pd.Series(vals - np.mod(vals, w),
+                            index=s.index).astype("object")
+            out[mask.to_numpy()] = None
+            return out
+        return s.map(lambda v: None if v is None else str(v)[:w])
+    raise NotImplementedError(f"transform {t!r}")
 
 
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
@@ -154,20 +248,51 @@ def _schema_key(fields: list[dict]):
 
 
 def _write_data_files(df, root: str, fields: list[dict],
-                      part_cols: list[str]) -> list[tuple]:
+                      pfields: list[dict]) -> list[tuple]:
     """Distributed pyarrow write: one parquet file per non-empty input
     partition AND partition-value tuple under ``data/`` (partitioned
-    tables get conventional ``data/k=v/`` dirs and are repartitioned by
-    key first, so each partition value lands in few files — the 100 TB
-    layout), every column stamped with its PARQUET:field_id.  Partition
-    columns stay IN the data files (identity transform; what java
-    Iceberg writes too — the reader scans them back directly).  Returns
+    tables get conventional ``data/k=v/`` dirs), every column stamped
+    with its PARQUET:field_id.  SOURCE columns stay IN the data files
+    (what java Iceberg writes too — the reader scans them back
+    directly).  Transforms are computed executor-side (murmur3 bucket /
+    truncate / identity, :func:`_transform_values`) into a ``__pv``
+    tuple column FIRST, and the frame is repartitioned by it — so every
+    partition value lands in exactly ONE task and writes ONE file, the
+    100 TB layout even for bucket transforms no JVM expression can
+    compute.  Returns
     [(file_path, record_count, size, partition_values_json)] —
     driver-resident manifest metadata, never row data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
     names = [f["name"] for f in fields]
     ids = {f["name"]: f["id"] for f in fields}
-    if part_cols:
-        df = df.repartition(*part_cols)
+    if pfields:
+        pnames = [pf["name"] for pf in pfields]
+
+        @pandas_udf("string", PandasUDFType.SCALAR)
+        def pv_json(*cols):
+            import json as _json
+
+            import pandas as pd
+
+            vals = [_transform_values(pf, s)
+                    for pf, s in zip(pfields, cols)]
+            def row(i):
+                d = {}
+                for nm, s in zip(pnames, vals):
+                    v = s.iloc[i]
+                    if pd.isna(v):
+                        v = None
+                    elif hasattr(v, "item"):
+                        v = v.item()
+                    d[nm] = v
+                return _json.dumps(d)
+            return pd.Series([row(i) for i in range(len(cols[0]))])
+
+        df = df.withColumn(
+            "__pv", pv_json(*[F.col(pf["source"]) for pf in pfields]))
+        df = df.repartition("__pv")
 
     def task(batches):
         import json as _json
@@ -179,30 +304,23 @@ def _write_data_files(df, root: str, fields: list[dict],
         pdfs = [b for b in batches if len(b)]
         if not pdfs:
             return
-        pdf = pd.concat(pdfs, ignore_index=True)[names]
-        groups = ([((), pdf)] if not part_cols else
-                  [(k if isinstance(k, tuple) else (k,), g)
-                   for k, g in pdf.groupby(part_cols, dropna=False,
-                                           sort=True)])
+        pdf = pd.concat(pdfs, ignore_index=True)
+        groups = ([("{}", pdf)] if not pfields else
+                  [(k, g) for k, g in pdf.groupby("__pv", dropna=False,
+                                                  sort=True)])
         out_rows = []
-        for key, g in groups:
-            table = pa.Table.from_pandas(g.reset_index(drop=True),
-                                         preserve_index=False)
+        for pv_key, g in groups:
+            g = g[names].reset_index(drop=True)
+            table = pa.Table.from_pandas(g, preserve_index=False)
             sch = pa.schema([
                 table.schema.field(n).with_metadata(
                     {b"PARQUET:field_id": str(ids[n]).encode()}
                 ) for n in names
             ])
             table = table.cast(sch)
-            pv = {}
-            seg = ""
-            for c, v in zip(part_cols, key):
-                if pd.isna(v):
-                    v = None
-                elif hasattr(v, "item"):  # numpy scalar -> python
-                    v = v.item()
-                pv[c] = v
-                seg += f"{c}={'null' if v is None else v}/"
+            pv = _json.loads(pv_key)
+            seg = "".join(f"{k}={'null' if v is None else v}/"
+                          for k, v in pv.items())
             rel = f"data/{seg}{uuid.uuid4().hex}.parquet"
             url = f"{root}/{rel}"
             if "://" not in url or url.startswith("file://"):
@@ -222,7 +340,7 @@ def _write_data_files(df, root: str, fields: list[dict],
                 with filesystem.open_output_stream(pth) as out:
                     pq.write_table(table, out)
                 size = filesystem.get_file_info(pth).size
-            out_rows.append((url, len(g), int(size), _json.dumps(pv)))
+            out_rows.append((url, len(g), int(size), pv_key))
         yield pd.DataFrame(out_rows, columns=["path", "n", "size", "pv"])
 
     rows = df.mapInPandas(
@@ -236,13 +354,14 @@ def write_iceberg(tf, path: str, mode: str = "append",
     """Commit ``tf`` to the Iceberg table at ``path``; returns the new
     snapshot id.  Module docstring has the scope contract.
 
-    ``partition_by`` (r12): IDENTITY-transform partitioning on
-    int/long/string/date columns — the common corpus layout (a 100 TB
-    documents table is always partitioned).  The spec's partition spec
-    (spec-id 0, partition field ids 1000+) goes into the metadata, each
-    data_file's ``partition`` struct (field 102) carries the tuple, and
-    the partition columns stay in the data files (what java Iceberg
-    writes for identity transforms).  Repartitioning an existing table
+    ``partition_by`` (r12): entries are ``"col"`` (identity),
+    ``"bucket(N, col)"`` (murmur3 hash bucket — the high-cardinality
+    key layout) or ``"truncate(W, col)"`` (range prefix) — the corpus
+    layouts a 100 TB documents table actually uses.  The spec's
+    partition spec (spec-id 0, partition field ids 1000+) goes into the
+    metadata, each data_file's ``partition`` struct (field 102) carries
+    the TRANSFORMED tuple, and the source columns stay in the data
+    files (what java Iceberg writes).  Repartitioning an existing table
     refuses — that is spec evolution."""
     from .fsio import (fs_exists, fs_mkdirs, hadoop_fs, join_path,
                        read_text, write_text_atomic)
@@ -258,26 +377,23 @@ def write_iceberg(tf, path: str, mode: str = "append",
     fields = _iceberg_schema(df.schema, root)
     by_name = {f["name"]: f for f in fields}
 
-    part_cols = ([partition_by] if isinstance(partition_by, str)
-                 else list(partition_by or []))
-    bad = [c for c in part_cols if c not in by_name]
-    if bad:
-        raise ValueError(
-            f"write_iceberg: partition_by {bad} not in columns")
+    pfields = _parse_partition_by(partition_by, by_name, root)
     spec_fields, part_fields = [], []
-    for i, c in enumerate(part_cols):
-        ice_t = by_name[c]["type"]
-        if ice_t not in _PART_AVRO:
-            raise NotImplementedError(
-                f"write_iceberg: partition column {c!r} has type "
-                f"{ice_t} — identity partitioning supports "
-                f"{sorted(_PART_AVRO)}"
-            )
-        spec_fields.append({"name": c, "transform": "identity",
-                            "source-id": by_name[c]["id"],
-                            "field-id": 1000 + i})
-        part_fields.append({"name": c, "field-id": 1000 + i,
-                            "ice_type": ice_t})
+    for pf in pfields:
+        t = pf["transform"]
+        spec_fields.append({
+            "name": pf["name"],
+            "transform": (t if t == "identity"
+                          else f"{'bucket' if t == 'bucket' else 'truncate'}"
+                               f"[{pf['param']}]"),
+            "source-id": by_name[pf["source"]]["id"],
+            "field-id": pf["field-id"],
+        })
+        part_fields.append({
+            "name": pf["name"], "field-id": pf["field-id"],
+            # bucket yields an int regardless of the source type
+            "ice_type": "int" if t == "bucket" else pf["ice_type"],
+        })
     entry_schema = _manifest_entry_schema(part_fields)
 
     mdir = join_path(root, "metadata")
@@ -288,7 +404,7 @@ def write_iceberg(tf, path: str, mode: str = "append",
     fs_mkdirs(spark, mdir)
     fs_mkdirs(spark, join_path(root, "data"))
 
-    files = _write_data_files(df, root, fields, part_cols)
+    files = _write_data_files(df, root, fields, pfields)
     if not files:  # empty batch: still a valid (possibly empty) commit
         files = []
 
