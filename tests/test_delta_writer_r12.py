@@ -584,3 +584,91 @@ def test_optimize_zorder_validates_columns(spark, tmp_path):
         optimize_delta(spark, root, zorder_by=["lang"])  # partition col
     with pytest.raises(ValueError, match="zorder_by"):
         optimize_delta(spark, root, zorder_by=["nope"])
+
+
+# ---- append-only tables + CHECK constraints (r12) --------------------------
+
+def test_append_only_table_refuses_data_removal(spark, tmp_path):
+    """PROTOCOL.md appendOnly: delta.appendOnly=true prohibits commits
+    that remove table data — overwrite / DELETE / MERGE refuse; appends
+    and OPTIMIZE (dataChange=false removes) stay legal."""
+    root = str(tmp_path / "tbl")
+    write_delta(_tf(spark, [(1, "a")], "id long, v string"), root,
+                configuration={"delta.appendOnly": "true"})
+    write_delta(_tf(spark, [(2, "b")], "id long, v string"), root,
+                mode="append")
+    with pytest.raises(ValueError, match="append-only"):
+        write_delta(_tf(spark, [(9, "z")], "id long, v string"), root,
+                    mode="overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        delete_delta(spark, root, "id = 1")
+    with pytest.raises(ValueError, match="append-only"):
+        merge_delta(spark, root, _tf(spark, [(1, "X")],
+                                     "id long, v string"), key="id")
+    assert optimize_delta(spark, root, min_files=2) is not None
+    got = read_delta(spark, root).collect()
+    assert sorted(got["id"]) == [1, 2]
+
+
+def test_check_constraints_enforced_on_write_and_merge(spark, tmp_path):
+    """delta.constraints.* expressions gate every added row: violating
+    appends/merges refuse naming the constraint and the row; NULL
+    passes (SQL CHECK semantics); valid batches commit."""
+    root = str(tmp_path / "tbl")
+    cfg = {"delta.constraints.positive": "value > 0"}
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(_tf(spark, [(1, -5.0)], "id long, value double"),
+                    root, configuration=cfg)
+    write_delta(_tf(spark, [(1, 5.0), (2, None)],
+                    "id long, value double"), root, configuration=cfg)
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(_tf(spark, [(3, 0.0)], "id long, value double"),
+                    root, mode="append")
+    write_delta(_tf(spark, [(3, 1.0)], "id long, value double"), root,
+                mode="append")
+    with pytest.raises(ValueError, match="positive"):
+        merge_delta(spark, root, _tf(spark, [(3, -1.0)],
+                                     "id long, value double"), key="id")
+    merge_delta(spark, root, _tf(spark, [(3, 9.0)],
+                                 "id long, value double"), key="id")
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [1, 2, 3]
+    assert got["value"].tolist()[2] == 9.0
+
+
+def test_column_invariants_enforced(spark, tmp_path):
+    """The delta.invariants field metadata (writer protocol v2) gates
+    adds exactly like CHECK constraints — built as a hand-written
+    schemaString, the form real tables carry."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "tbl")
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "score", "type": "double", "nullable": True,
+             "metadata": {"delta.invariants": json.dumps(
+                 {"expression": {"expression": "score <= 1.0"}})}},
+        ],
+    })
+    f0 = _uuid.uuid4().hex + ".parquet"
+    _write_parquet(spark, [(1, 0.5)], "id long, score double",
+                   os.path.join(root, f0))
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": str(_uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": schema_json,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}}])
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta(_tf(spark, [(2, 1.5)], "id long, score double"),
+                    root, mode="append")
+    write_delta(_tf(spark, [(2, 0.9)], "id long, score double"), root,
+                mode="append")
+    assert read_delta(spark, root).df.count() == 2

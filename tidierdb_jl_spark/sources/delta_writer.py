@@ -269,6 +269,9 @@ def write_delta(
     stage_df, stage_parts = df, part_cols
     if exists:
         _live0, meta0, _v0 = _snapshot_for(spark, root)
+        if mode == "overwrite":
+            _gate_append_only(meta0, root, "write_delta(overwrite)")
+        _check_constraints(df, meta0, root, "write_delta")
         cm_mode = (meta0.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")
         if cm_mode not in (None, "", "none"):
@@ -282,6 +285,13 @@ def write_delta(
             stage_df, phys0 = _to_physical_df(df, meta0, root,
                                               "write_delta")
             stage_parts = [phys0[c] for c in part_cols]
+
+    if not exists and configuration:
+        # a NEW table may declare constraints in its own configuration —
+        # the very first batch must already satisfy them
+        _check_constraints(df, {"configuration": dict(configuration),
+                                "schemaString": df.schema.json()}, root,
+                           "write_delta")
 
     # 1+2. stage the data inside the table root and move each file to
     # its uuid-fresh final name, collecting the add actions
@@ -798,6 +808,58 @@ def _to_physical_df(df, meta, root: str, op: str, extra=()):
     return df.select(*cols), phys
 
 
+def _gate_append_only(meta, root: str, op: str) -> None:
+    """PROTOCOL.md "Append-only Tables" (writer feature ``appendOnly``):
+    when ``delta.appendOnly=true``, commits must not remove table data —
+    overwrite / DELETE / MERGE refuse.  (OPTIMIZE's removes carry
+    ``dataChange=false`` and stay legal: the DATA is never removed.)"""
+    if str((meta.get("configuration") or {}).get(
+            "delta.appendOnly", "false")).lower() == "true":
+        raise ValueError(
+            f"{op}: {root} is an append-only table "
+            "(delta.appendOnly=true) — removing or rewriting data is "
+            "prohibited by the table's own configuration"
+        )
+
+
+def _check_constraints(df, meta, root: str, op: str) -> None:
+    """Enforce the table's CHECK constraints
+    (``delta.constraints.<name>`` configuration keys, PROTOCOL.md
+    "CHECK Constraints") and per-column invariants (the
+    ``delta.invariants`` field metadata, "Column Invariants") on the
+    rows being ADDED.  SQL CHECK semantics: a row violates only when
+    the expression is FALSE (NULL passes).  One limit-1 probe per
+    constraint — work bounded by the batch, and the violating row is
+    named in the error instead of silently corrupting the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    checks: list[tuple[str, str]] = []
+    for k, v in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints.") and v:
+            checks.append((k[len("delta.constraints."):], str(v)))
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    for f in schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise ValueError(
+                f"{op}: {root} column {f.name!r} carries a malformed "
+                f"delta.invariants payload {inv!r}"
+            )
+        checks.append((f"invariant({f.name})", expr))
+    for name, expr in checks:
+        bad = df.where(F.expr(expr) == F.lit(False)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op}: CHECK constraint {name!r} ({expr}) violated by "
+                f"row {bad[0].asDict()} — refusing the commit"
+            )
+
+
 def _cdf_enabled(meta) -> bool:
     return str((meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed", "false")).lower() == "true"
@@ -857,6 +919,7 @@ def delete_delta(spark, path: str, predicate: str) -> int | None:
     live, meta, _version = _snapshot(spark, root, None)
     part_cols = list(meta.get("partitionColumns") or [])
     _cow_guard(meta, live, root, "delete_delta", part_cols)
+    _gate_append_only(meta, root, "delete_delta")
     if not live:
         return None
 
@@ -929,8 +992,10 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
     live, meta, _version = _snapshot(spark, root, None)
     part_cols = list(meta.get("partitionColumns") or [])
     _cow_guard(meta, live, root, "merge_delta", part_cols)
+    _gate_append_only(meta, root, "merge_delta")
     keys = [key] if isinstance(key, str) else list(key)
     updates = updates_tf.df if hasattr(updates_tf, "df") else updates_tf
+    _check_constraints(updates, meta, root, "merge_delta")
     if _schema_fingerprint(meta["schemaString"]) != \
             _schema_fingerprint(updates.schema.json()):
         raise ValueError(
