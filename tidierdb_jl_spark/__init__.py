@@ -23,7 +23,9 @@ from .sources.delta_writer import (
     optimize_delta, vacuum_delta, write_delta,
 )
 from .sources.iceberg import read_iceberg
-from .sources.iceberg_writer import snapshots_iceberg, write_iceberg
+from .sources.iceberg_writer import (
+    expire_snapshots_iceberg, snapshots_iceberg, write_iceberg,
+)
 from .plans.show import lint_plan, plan_summary, show_query
 
 __all__ = [
@@ -57,6 +59,7 @@ __all__ = [
     "read_iceberg",
     "write_iceberg",
     "snapshots_iceberg",
+    "expire_snapshots_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

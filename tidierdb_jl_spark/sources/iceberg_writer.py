@@ -25,10 +25,12 @@ Scope (loud gates, never guesses): v2 tables with primitive columns,
 unpartitioned or partitioned with IDENTITY (int/long/string/date),
 BUCKET[N] (int/long/string — spec-exact murmur3_x86_32 via
 :mod:`.murmur3`, verified against the spec's Appendix-B vectors) and
-TRUNCATE[W] (int/long/string) transforms (r12 — each data_file carries
-the spec's ``partition`` struct, field 102, and the metadata carries
-the partition spec; other transforms refuse); append / overwrite /
-error modes; schema and
+TRUNCATE[W] (int/long/string) and YEAR/MONTH/DAY/HOUR (date/timestamp
+epoch ordinals) transforms (r12 — each data_file carries the spec's
+``partition`` struct, field 102, and the metadata carries the
+partition spec; other transforms refuse); append / overwrite / error
+modes; :func:`expire_snapshots_iceberg` reference-counted snapshot
+expiration; schema and
 partition-spec changes refuse (Iceberg evolution is field-id surgery —
 widen through a new table or a connector jar).  Row-level deletes and
 format v3 features are read-side only in this repo.
@@ -51,7 +53,8 @@ import json
 import time
 import uuid
 
-__all__ = ["write_iceberg", "snapshots_iceberg"]
+__all__ = ["write_iceberg", "snapshots_iceberg",
+           "expire_snapshots_iceberg"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -69,18 +72,27 @@ _PART_AVRO = {"int": "int", "long": "long", "string": "string",
 # spec "Partition Transforms": bucket = (murmur3_x86_32(bytes) &
 # Integer.MAX_VALUE) % N over the single-value byte form (ints hash as
 # 8-byte LE longs, strings as UTF-8); truncate = W*floor(v/W) for
-# integers, first-W-chars for strings
+# integers, first-W-chars for strings; year/month/day/hour = calendar
+# ordinals since the 1970 epoch (floor semantics — the session is
+# UTC-pinned, so pandas-naive timestamps ARE the UTC instants the spec
+# buckets on)
 _TRANSFORM_SOURCES = {
     "identity": set(_PART_AVRO),
     "bucket": {"int", "long", "string"},
     "truncate": {"int", "long", "string"},
+    "year": {"date", "timestamp", "timestamptz"},
+    "month": {"date", "timestamp", "timestamptz"},
+    "day": {"date", "timestamp", "timestamptz"},
+    "hour": {"timestamp", "timestamptz"},
 }
 
 
 def _parse_partition_by(partition_by, by_name, root: str) -> list[dict]:
     """Normalize ``partition_by`` entries — ``"col"`` (identity),
-    ``"bucket(N, col)"``, ``"truncate(W, col)"`` — into partition-field
-    dicts {name, transform, param, source, ice_type, field-id}."""
+    ``"bucket(N, col)"``, ``"truncate(W, col)"``, ``"year(col)"`` /
+    ``"month(col)"`` / ``"day(col)"`` / ``"hour(col)"`` — into
+    partition-field dicts
+    {name, transform, param, source, ice_type, field-id}."""
     import re
 
     entries = ([partition_by] if isinstance(partition_by, str)
@@ -89,6 +101,7 @@ def _parse_partition_by(partition_by, by_name, root: str) -> list[dict]:
     for i, e in enumerate(entries):
         e = str(e).strip()
         m = re.fullmatch(r"(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+        mt = re.fullmatch(r"(year|month|day|hour)\(\s*(\w+)\s*\)", e)
         if m:
             transform, param, src = m.group(1), int(m.group(2)), m.group(3)
             if param < 1:
@@ -96,6 +109,8 @@ def _parse_partition_by(partition_by, by_name, root: str) -> list[dict]:
                     f"write_iceberg: {transform} needs a positive "
                     f"parameter, got {e!r}"
                 )
+        elif mt:
+            transform, param, src = mt.group(1), None, mt.group(2)
         else:
             transform, param, src = "identity", None, e
         if src not in by_name:
@@ -110,8 +125,10 @@ def _parse_partition_by(partition_by, by_name, root: str) -> list[dict]:
                 f"type {ice_t} — supported source types: "
                 f"{sorted(_TRANSFORM_SOURCES[transform])}"
             )
-        name = (src if transform == "identity"
-                else f"{src}_{'bucket' if transform == 'bucket' else 'trunc'}")
+        suffix = {"identity": None, "bucket": "bucket",
+                  "truncate": "trunc", "year": "year", "month": "month",
+                  "day": "day", "hour": "hour"}[transform]
+        name = src if suffix is None else f"{src}_{suffix}"
         out.append({"name": name, "transform": transform, "param": param,
                     "source": src, "ice_type": ice_t,
                     "field-id": 1000 + i})
@@ -156,6 +173,21 @@ def _transform_values(pf: dict, s):
             out[mask.to_numpy()] = None
             return out
         return s.map(lambda v: None if v is None else str(v)[:w])
+    if t in ("year", "month", "day", "hour"):
+        mask = s.isna()
+        dt = pd.to_datetime(s[~mask])
+        if t == "year":
+            vals = dt.dt.year - 1970
+        elif t == "month":
+            vals = (dt.dt.year - 1970) * 12 + (dt.dt.month - 1)
+        elif t == "day":
+            vals = (dt.dt.normalize().astype("int64")
+                    // 86_400_000_000_000)
+        else:  # hour
+            vals = dt.astype("int64") // 3_600_000_000_000
+        out = pd.Series([None] * len(s), index=s.index, dtype="object")
+        out[~mask.to_numpy()] = [int(v) for v in vals]
+        return out
     raise NotImplementedError(f"transform {t!r}")
 
 
@@ -381,18 +413,25 @@ def write_iceberg(tf, path: str, mode: str = "append",
     spec_fields, part_fields = [], []
     for pf in pfields:
         t = pf["transform"]
+        # result types per spec "Partition Transforms": bucket and the
+        # yearly/monthly/hourly ordinals are ints, day is a date, the
+        # rest carry the source type
+        if t == "bucket" or t in ("year", "month", "hour"):
+            res_t = "int"
+        elif t == "day":
+            res_t = "date"
+        else:
+            res_t = pf["ice_type"]
         spec_fields.append({
             "name": pf["name"],
-            "transform": (t if t == "identity"
-                          else f"{'bucket' if t == 'bucket' else 'truncate'}"
-                               f"[{pf['param']}]"),
+            "transform": (t if pf["param"] is None
+                          else f"{t}[{pf['param']}]"),
             "source-id": by_name[pf["source"]]["id"],
             "field-id": pf["field-id"],
         })
         part_fields.append({
             "name": pf["name"], "field-id": pf["field-id"],
-            # bucket yields an int regardless of the source type
-            "ice_type": "int" if t == "bucket" else pf["ice_type"],
+            "ice_type": res_t,
         })
     entry_schema = _manifest_entry_schema(part_fields)
 
@@ -589,6 +628,98 @@ def write_iceberg(tf, path: str, mode: str = "append",
         f"write_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
         f"times at {root}"
     )
+
+
+def expire_snapshots_iceberg(spark, path: str,
+                             older_than_ms: int | None = None,
+                             retain_last: int = 1,
+                             delete_files: bool = True) -> list[str]:
+    """Iceberg table maintenance (the ``expireSnapshots`` operation —
+    the Iceberg-side parallel of Delta VACUUM): drop snapshots from the
+    metadata and garbage-collect the data files / manifests /
+    manifest lists ONLY they referenced.  A snapshot is RETAINED when
+    it is the current one, among the ``retain_last`` most recent, or
+    newer than ``older_than_ms`` (epoch millis; None = expire
+    everything not otherwise retained).  Time travel to expired
+    snapshots stops working — exactly the connector behavior.  Returns
+    the deleted paths (``delete_files=False`` = metadata-only
+    expiration, files become unreferenced orphans).
+
+    Scale shape: one driver pass over the snapshots' manifest chains —
+    O(files) METADATA, the same footprint as planning a scan; no row
+    data is read.  Reference-counted deletion: a file listed by any
+    retained snapshot (manifest reuse on append is the norm) is never
+    touched."""
+    from .avro_lite import read_avro_file
+    from .fsio import fs_delete, read_text, write_text_atomic, join_path
+    from .iceberg import _latest_metadata, _resolve_path
+
+    root = str(path).rstrip("/")
+    mpath = _latest_metadata(spark, root)
+    meta = json.loads(read_text(spark, mpath))
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: -(s.get("timestamp-ms") or 0))
+    cur = meta.get("current-snapshot-id")
+    keep_ids = {s["snapshot-id"] for s in snaps[:max(1, retain_last)]}
+    keep_ids.add(cur)
+    if older_than_ms is not None:
+        keep_ids |= {s["snapshot-id"] for s in snaps
+                     if (s.get("timestamp-ms") or 0) >= older_than_ms}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return []
+
+    def refs(snapshot) -> set[str]:
+        out = set()
+        ml = _resolve_path(root, snapshot["manifest-list"])
+        out.add(ml)
+        for m in read_avro_file(spark, ml):
+            mp = _resolve_path(root, m["manifest_path"])
+            out.add(mp)
+            for entry in read_avro_file(spark, mp):
+                df_ = entry.get("data_file") or {}
+                if df_.get("file_path"):
+                    out.add(_resolve_path(root, df_["file_path"]))
+        return out
+
+    kept_refs: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            kept_refs |= refs(s)
+    victims: set[str] = set()
+    for s in expired:
+        victims |= refs(s)
+    victims -= kept_refs
+    # never reach outside the table root
+    victims = {v for v in victims if v.startswith(root + "/")}
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [s for s in snaps
+                             if s["snapshot-id"] in keep_ids]
+    if "snapshot-log" in new_meta:
+        new_meta["snapshot-log"] = [
+            e for e in new_meta["snapshot-log"]
+            if e.get("snapshot-id") in keep_ids
+        ]
+    from .fsio import hadoop_fs
+
+    name = mpath.rsplit("/", 1)[-1]
+    head = name[:-len(".metadata.json")]
+    ver = int(head[1:] if head.startswith("v") else head.split("-", 1)[0])
+    vpath = join_path(root, "metadata", f"v{ver + 1}.metadata.json")
+    fs, hp = hadoop_fs(spark, vpath)
+    if fs.exists(hp):
+        raise RuntimeError(
+            f"expire_snapshots_iceberg: {vpath} already exists — a "
+            "concurrent committer won; re-run against the new metadata"
+        )
+    write_text_atomic(spark, vpath, json.dumps(new_meta))
+    write_text_atomic(spark, join_path(root, "metadata",
+                                       "version-hint.text"), str(ver + 1))
+    if delete_files:
+        for v in sorted(victims):
+            fs_delete(spark, v, recursive=False)
+    return sorted(victims)
 
 
 def snapshots_iceberg(spark, path: str) -> list[dict]:
