@@ -672,3 +672,22 @@ def test_column_invariants_enforced(spark, tmp_path):
     write_delta(_tf(spark, [(2, 0.9)], "id long, score double"), root,
                 mode="append")
     assert read_delta(spark, root).df.count() == 2
+
+
+def test_new_table_protocol_declares_writer_features(spark, tmp_path):
+    """A table created with constraints must declare minWriterVersion 3
+    and with CDF version 4 — so writers that cannot enforce the feature
+    refuse instead of corrupting the table (PROTOCOL.md feature table)."""
+    for cfg, expect in (
+        (None, 2),
+        ({"delta.constraints.c1": "id > 0"}, 3),
+        ({"delta.enableChangeDataFeed": "true"}, 4),
+        ({"delta.constraints.c1": "id > 0",
+          "delta.enableChangeDataFeed": "true"}, 4),
+    ):
+        root = str(tmp_path / f"tbl_{expect}_{bool(cfg)}")
+        write_delta(_tf(spark, [(1, "a")], "id long, v string"), root,
+                    configuration=cfg)
+        line = open(os.path.join(
+            root, "_delta_log", f"{0:020d}.json")).readline()
+        assert json.loads(line)["protocol"]["minWriterVersion"] == expect

@@ -322,8 +322,21 @@ def write_delta(
 
         actions = []
         if meta is None:
+            # a new table's protocol must DECLARE the writer features
+            # its configuration relies on, so writers that cannot
+            # enforce them refuse instead of corrupting the table:
+            # CHECK constraints = writer v3, change data feed = v4
+            # (PROTOCOL.md feature table); base is v2 (appendOnly /
+            # invariants enforcement, which this writer implements)
+            min_writer = 2
+            cfg = new_meta.get("configuration") or {}
+            if any(k.startswith("delta.constraints.") for k in cfg):
+                min_writer = 3
+            if str(cfg.get("delta.enableChangeDataFeed",
+                           "false")).lower() == "true":
+                min_writer = 4
             actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
+                                         "minWriterVersion": min_writer}})
             actions.append({"metaData": new_meta})
         else:
             old_parts = list(meta.get("partitionColumns") or [])
