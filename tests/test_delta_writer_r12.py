@@ -691,3 +691,39 @@ def test_new_table_protocol_declares_writer_features(spark, tmp_path):
         line = open(os.path.join(
             root, "_delta_log", f"{0:020d}.json")).readline()
         assert json.loads(line)["protocol"]["minWriterVersion"] == expect
+
+
+def test_generated_columns_verified_on_write(spark, tmp_path):
+    """delta.generationExpression field metadata: stored values must
+    equal the expression (null-safe) — a drifting generated column is
+    refused, a consistent one commits."""
+    import uuid as _uuid
+
+    root = str(tmp_path / "tbl")
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "id2", "type": "long", "nullable": True,
+             "metadata": {"delta.generationExpression": "id * 2"}},
+        ],
+    })
+    f0 = _uuid.uuid4().hex + ".parquet"
+    _write_parquet(spark, [(1, 2)], "id long, id2 long",
+                   os.path.join(root, f0))
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": str(_uuid.uuid4()),
+                      "format": {"provider": "parquet"},
+                      "schemaString": schema_json,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}}])
+    with pytest.raises(ValueError, match="generated"):
+        write_delta(_tf(spark, [(5, 11)], "id long, id2 long"), root,
+                    mode="append")
+    write_delta(_tf(spark, [(5, 10), (None, None)],
+                    "id long, id2 long"), root, mode="append")
+    got = read_delta(spark, root).collect()
+    assert len(got) == 3

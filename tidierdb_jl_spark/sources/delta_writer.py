@@ -864,6 +864,15 @@ def _check_constraints(df, meta, root: str, op: str) -> None:
                 f"delta.invariants payload {inv!r}"
             )
         checks.append((f"invariant({f.name})", expr))
+    # generated columns (PROTOCOL.md "Generated Columns", writer v4):
+    # the stored value must equal the generation expression — verified
+    # null-safely; this writer's exact-schema contract means the column
+    # is always present, so verification (not computation) is the duty
+    for f in schema.fields:
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen:
+            checks.append((f"generated({f.name})",
+                           f"`{f.name}` <=> ({gen})"))
     for name, expr in checks:
         bad = df.where(F.expr(expr) == F.lit(False)).limit(1).collect()
         if bad:
