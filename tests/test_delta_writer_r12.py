@@ -163,7 +163,9 @@ def test_vacuum_keys_on_tombstone_not_mtime(spark, tmp_path):
     deleted it immediately."""
     root = str(tmp_path / "tbl")
     write_delta(_tf(spark, [(1, "a")], "id long, v string"), root)
-    live0 = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    # sorted: os.listdir order is arbitrary, and a tiny batch may still
+    # stage >1 part file (Spark writes a file per task)
+    live0 = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))
     # age the data file far past any retention window
     old = 1_000_000_000  # 2001, epoch seconds
     os.utime(os.path.join(root, live0[0]), (old, old))
