@@ -26,6 +26,10 @@ from .sources.iceberg import read_iceberg
 from .sources.iceberg_writer import (
     expire_snapshots_iceberg, snapshots_iceberg, write_iceberg,
 )
+from .sources.iceberg_ops import (
+    delete_iceberg, merge_iceberg, rewrite_data_files_iceberg,
+    rollback_iceberg,
+)
 from .plans.show import lint_plan, plan_summary, show_query
 
 __all__ = [
@@ -60,6 +64,10 @@ __all__ = [
     "write_iceberg",
     "snapshots_iceberg",
     "expire_snapshots_iceberg",
+    "delete_iceberg",
+    "merge_iceberg",
+    "rewrite_data_files_iceberg",
+    "rollback_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

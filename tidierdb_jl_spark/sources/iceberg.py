@@ -142,10 +142,20 @@ def _resolve_path(table_path: str, p: str) -> str:
     )
 
 
-def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
+def read_iceberg(spark, path: str, snapshot_id: int | None = None,
+                 _file_col: str | None = None) -> TidyFrame:
     """Read an Iceberg table snapshot as a TidyFrame (jar-free metadata
     traversal — module docstring has the support contract).
-    ``snapshot_id`` time-travels to any retained snapshot."""
+    ``snapshot_id`` time-travels to any retained snapshot.
+
+    ``_file_col`` (internal, r12 — same hook as ``read_delta``'s):
+    append a column carrying each row's data-file BASENAME, the
+    copy-on-write discovery key used by the row-level ops in
+    :mod:`.iceberg_ops`.  Rows have already had position/DV/equality
+    deletes subtracted, so a rewrite driven by this column materializes
+    them."""
+    from pyspark.sql import functions as F
+
     path = str(path)
     meta = json.loads(read_text(spark, _latest_metadata(spark, path)))
     fv = int(meta.get("format-version", 1))
@@ -157,7 +167,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
     snaps = meta.get("snapshots") or []
     if not snaps:
         schema = _spark_schema(meta)
-        return TidyFrame(spark.createDataFrame([], schema))
+        empty = spark.createDataFrame([], schema)
+        if _file_col:
+            empty = empty.withColumn(_file_col, F.lit(None).cast("string"))
+        return TidyFrame(empty)
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
     if snap is None:
@@ -210,7 +223,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
     )
     live = {p: s for p, s in added.items() if p not in deleted}
     if not live:
-        return TidyFrame(spark.createDataFrame([], _spark_schema(meta)))
+        empty = spark.createDataFrame([], _spark_schema(meta))
+        if _file_col:
+            empty = empty.withColumn(_file_col, F.lit(None).cast("string"))
+        return TidyFrame(empty)
     if not fmts <= {"PARQUET", "ORC"} or len(fmts) > 1:
         # a mixed PARQUET+ORC live set must refuse too: there is one
         # distributed read, and feeding ORC files to the parquet reader
@@ -240,13 +256,26 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None) -> TidyFrame:
         df = _resolved_scan(spark, path, sorted(live), want_fields,
                             keep_metadata=bool(pos_deletes or dv_deletes),
                             fmt="orc")
+    if _file_col:
+        # basename, URL-decoded the same way the delete machinery keys
+        # files (input_file_name() is URL-encoded; '+' pre-escaped so
+        # URLDecoder does not read it as a space).  Attached SCAN-side:
+        # input_file_name() refuses plans with more than one file
+        # source, which the delete anti-joins below introduce.
+        df = df.withColumn(
+            _file_col,
+            F.url_decode(F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\+", "%2B",
+            )))
     if pos_deletes or dv_deletes:
         df = _apply_position_deletes(spark, path, df, list(live),
                                      pos_deletes, dv_deletes)
     if eq_deletes:
         df = _apply_equality_deletes(spark, path, df, live, eq_deletes,
                                      _current_schema(meta))
-    return TidyFrame(df.select(*want))
+    keep = list(want) + ([_file_col] if _file_col else [])
+    return TidyFrame(df.select(*keep))
 
 
 def _entry_seq(entry: dict, mseq, status: int):

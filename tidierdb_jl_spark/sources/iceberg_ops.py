@@ -1,0 +1,673 @@
+"""Iceberg row-level operations and compaction without connector jars.
+
+Beyond-reference (the reference is read-only on Iceberg:
+``/root/reference/src/TidierDB.jl:161-165`` scans via DuckDB's
+iceberg_scan) — copy-on-write DELETE / MERGE, data-file compaction
+(``rewriteDataFiles``) and snapshot rollback for v2 hadoop-layout
+tables, completing the read-write parity with the Delta side
+(:mod:`.delta_writer`).
+
+How a copy-on-write commit works (Iceberg spec "Snapshots" +
+"Manifests"):
+
+1. **Discovery** — one predicate/semi-join scan through
+   :func:`~.iceberg.read_iceberg` with its ``_file_col`` hook finds the
+   data files containing affected rows.  The scan has already
+   subtracted position/DV/equality deletes, so the rewrite
+   MATERIALIZES them for the touched files.
+2. **Rewrite** — survivors of the touched files are written as fresh
+   data files by the same executor-side pyarrow path the writer uses
+   (:func:`~.iceberg_writer._write_data_files` — field-id-stamped
+   parquet, partition transforms computed executor-side).
+3. **Manifest surgery** — manifests CONTAINING touched files are
+   rewritten: touched entries flip to status 2 (DELETED, stamped with
+   the committing snapshot), survivors stay as status 0 (EXISTING,
+   explicit data sequence numbers — inheritance resolved at rewrite
+   time).  Untouched manifests are carried verbatim in the new
+   manifest list, so metadata work scales with TOUCHED manifests, not
+   the table.  One new manifest lists the rewritten files.
+4. **Commit** — a new snapshot + ``v<N>.metadata.json`` via the
+   hadoop-catalog optimistic protocol (``create(overwrite=False)``;
+   losers re-read and retry, verifying the touched files are still
+   live — a concurrent overwrite aborts the commit loudly).
+
+Delete files referencing only retired data files stay in the snapshot
+as harmless no-ops (the reader keys them by basename; the basenames
+are gone) and age out through
+:func:`~.iceberg_writer.expire_snapshots_iceberg`.
+
+Scope (loud gates): format-version 2 tables with primitive columns and
+the writer's supported partition transforms (identity / bucket /
+truncate / year / month / day / hour).  Rewriting a FOREIGN manifest
+drops per-entry column stats (min/max/null counts) the jar-free writer
+never produces — correctness is unaffected (stats only prune scans),
+and the entry's identity fields (path, partition, counts, sequence
+numbers) are preserved.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import uuid
+
+__all__ = ["delete_iceberg", "merge_iceberg",
+           "rewrite_data_files_iceberg", "rollback_iceberg"]
+
+_MAX_COMMIT_RETRIES = 20
+# same deterministic smallness rule as merge_delta / the reader's
+# equality-delete hint: broadcast the distinct update keys only when
+# provably small, else let the semi/anti joins shuffle
+_MERGE_BROADCAST_KEYS = 4_000_000
+
+
+def _load_meta(spark, root: str) -> tuple[dict, int]:
+    """(metadata dict, metadata file version) for the latest commit."""
+    from .fsio import read_text
+    from .iceberg import _latest_metadata
+
+    mpath = _latest_metadata(spark, root)
+    meta = json.loads(read_text(spark, mpath))
+    name = mpath.rsplit("/", 1)[-1]
+    head = name[: -len(".metadata.json")]
+    ver = int(head[1:] if head.startswith("v") else head.split("-", 1)[0])
+    return meta, ver
+
+
+def _require_v2(meta: dict, root: str, op: str) -> None:
+    fv = int(meta.get("format-version", 1))
+    if fv != 2:
+        raise NotImplementedError(
+            f"{op}: {root} is format-version {fv} — jar-free row-level "
+            "writes support v2 tables only (v1 has no sequence numbers "
+            "to order the rewrite, v3 adds row lineage this writer "
+            "cannot maintain)"
+        )
+
+
+def _schema_fields(meta: dict, root: str, op: str) -> list[dict]:
+    """Current-schema fields, gated to primitives (the executor-side
+    pyarrow writer's contract)."""
+    from .iceberg import _current_schema
+
+    fields = _current_schema(meta)["fields"]
+    bad = [f["name"] for f in fields if not isinstance(f["type"], str)]
+    if bad:
+        raise NotImplementedError(
+            f"{op}: {root} has nested-typed columns {bad} — jar-free "
+            "row-level writes support primitive columns only"
+        )
+    return fields
+
+
+def _pfields_from_meta(meta: dict, root: str, op: str) -> list[dict]:
+    """Parse the default partition spec back into the writer's
+    partition-field dicts ({name, transform, param, source, ice_type,
+    field-id} — :func:`~.iceberg_writer._parse_partition_by`'s shape),
+    so rewrites recompute the SAME transforms the table was written
+    with."""
+    from .iceberg import _current_schema
+
+    spec = next(
+        (s for s in meta.get("partition-specs", [])
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []})
+    by_id = {f["id"]: f for f in _current_schema(meta)["fields"]}
+    out = []
+    for f in spec.get("fields", []):
+        t = str(f.get("transform", ""))
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+        if m:
+            transform, param = m.group(1), int(m.group(2))
+        elif t in ("identity", "year", "month", "day", "hour"):
+            transform, param = t, None
+        else:
+            raise NotImplementedError(
+                f"{op}: {root} partition transform {t!r} — supported: "
+                "identity, bucket[N], truncate[W], year/month/day/hour"
+            )
+        src = by_id.get(f.get("source-id"))
+        if src is None:
+            raise ValueError(
+                f"{op}: {root} partition spec references source-id "
+                f"{f.get('source-id')} absent from the current schema"
+            )
+        out.append({"name": f["name"], "transform": transform,
+                    "param": param, "source": src["name"],
+                    "ice_type": src["type"], "field-id": f["field-id"]})
+    return out
+
+
+def _part_fields(pfields: list[dict]) -> list[dict]:
+    """Partition-struct fields (name, field-id, RESULT ice type) for the
+    manifest-entry Avro schema — mirrors write_iceberg's result-type
+    rule (spec "Partition Transforms")."""
+    out = []
+    for pf in pfields:
+        t = pf["transform"]
+        if t == "bucket" or t in ("year", "month", "hour"):
+            res_t = "int"
+        elif t == "day":
+            res_t = "date"
+        else:
+            res_t = pf["ice_type"]
+        out.append({"name": pf["name"], "field-id": pf["field-id"],
+                    "ice_type": res_t})
+    return out
+
+
+def _spec_fields_json(meta: dict) -> list[dict]:
+    spec = next(
+        (s for s in meta.get("partition-specs", [])
+         if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []})
+    return list(spec.get("fields", []))
+
+
+def _current_snapshot(meta: dict, root: str, op: str) -> dict:
+    snaps = meta.get("snapshots") or []
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError(f"{op}: {root} has no current snapshot")
+    return snap
+
+
+def _read_manifest_list(spark, root: str, snap: dict):
+    """[(raw manifest-list entry, resolved manifest path)] for the
+    snapshot, data and delete manifests alike."""
+    from .avro_lite import read_avro_file
+    from .iceberg import _resolve_path
+
+    if "manifest-list" not in snap:
+        raise NotImplementedError(
+            "v1 inline manifest lists are read-only in this repo"
+        )
+    mlist = read_avro_file(
+        spark, _resolve_path(root, snap["manifest-list"]))
+    return [(m, _resolve_path(root, m["manifest_path"])) for m in mlist]
+
+
+def _resolved_entries(spark, root: str, mpath: str, mseq):
+    """Manifest entries with the data-file path resolved absolute and
+    the data sequence number resolved (explicit, or inherited from the
+    manifest-list entry for ADDED rows — spec sequence-number
+    inheritance)."""
+    from .avro_lite import read_avro_file
+    from .iceberg import _resolve_path
+
+    out = []
+    for entry in read_avro_file(spark, mpath):
+        df_ = entry.get("data_file") or {}
+        status = int(entry.get("status") or 0)
+        seq = entry.get("sequence_number")
+        if seq is None and status == 1 and mseq is not None:
+            seq = mseq
+        out.append({
+            "status": status,
+            "snapshot_id": entry.get("snapshot_id"),
+            "seq": None if seq is None else int(seq),
+            "path": _resolve_path(root, df_.get("file_path") or ""),
+            "record_count": int(df_.get("record_count") or 0),
+            "file_size": int(df_.get("file_size_in_bytes") or 0),
+            "partition": dict(df_.get("partition") or {}),
+            "file_format": str(df_.get("file_format") or "PARQUET"),
+        })
+    return out
+
+
+def _carry_mlist_entry(m: dict, mpath: str, snap_id: int) -> dict:
+    """A manifest-list entry carried verbatim into the new list (same
+    0-fill tolerance as write_iceberg's append path)."""
+    return {
+        "manifest_path": mpath,
+        "manifest_length": int(m.get("manifest_length") or 0),
+        "partition_spec_id": int(m.get("partition_spec_id") or 0),
+        "content": int(m.get("content") or 0),
+        "sequence_number": int(m.get("sequence_number") or 0),
+        "min_sequence_number": int(m.get("min_sequence_number") or 0),
+        "added_snapshot_id": int(m.get("added_snapshot_id") or snap_id),
+        "added_data_files_count": int(
+            m.get("added_data_files_count") or 0),
+        "existing_data_files_count": int(
+            m.get("existing_data_files_count") or 0),
+        "deleted_data_files_count": int(
+            m.get("deleted_data_files_count") or 0),
+        "added_rows_count": int(m.get("added_rows_count") or 0),
+        "existing_rows_count": int(m.get("existing_rows_count") or 0),
+        "deleted_rows_count": int(m.get("deleted_rows_count") or 0),
+    }
+
+
+def _create(spark, p: str, data: bytes) -> bool:
+    from .fsio import hadoop_fs
+
+    fs, hp = hadoop_fs(spark, p)
+    try:
+        stream = fs.create(hp, False)
+    except Exception:  # noqa: BLE001 — already exists: lost the race
+        return False
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
+    return True
+
+
+def _commit_rewrite(spark, root: str, touched: set[str],
+                    new_files: list[tuple], operation: str) -> int:
+    """Shared optimistic commit for the row-level ops: retire
+    ``touched`` data files (absolute paths), add ``new_files``
+    (:func:`~.iceberg_writer._write_data_files` tuples), commit a new
+    snapshot.  Re-reads the metadata per attempt; aborts loudly if a
+    concurrent commit retired any touched file first.  Returns the new
+    snapshot id."""
+    from .avro_lite import encode_avro_container
+    from .fsio import join_path, write_text_atomic
+    from .iceberg_writer import _manifest_entry_schema
+
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_ver = _load_meta(spark, root)
+        _require_v2(meta, root, operation)
+        snap = _current_snapshot(meta, root, operation)
+        pfields = _pfields_from_meta(meta, root, operation)
+        entry_schema = _manifest_entry_schema(_part_fields(pfields))
+        spec_fields = _spec_fields_json(meta)
+        fields = _schema_fields(meta, root, operation)
+
+        mlist = _read_manifest_list(spark, root, snap)
+        live_now: set[str] = set()
+        data_manifests = []
+        carried = []
+        for m, mpath in mlist:
+            if int(m.get("content") or 0) != 0:
+                carried.append(_carry_mlist_entry(
+                    m, mpath, int(snap.get("snapshot-id") or 0)))
+                continue
+            entries = _resolved_entries(
+                spark, root, mpath, m.get("sequence_number"))
+            data_manifests.append((m, mpath, entries))
+            live_now |= {e["path"] for e in entries if e["status"] != 2}
+        gone = sorted(touched - live_now)
+        if gone:
+            raise RuntimeError(
+                f"{operation}: {len(gone)} touched file(s) were retired "
+                f"concurrently (e.g. {gone[0].rsplit('/', 1)[-1]!r}) — "
+                "aborting; the staged files are unreferenced garbage"
+            )
+
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        snap_id = int(time.time() * 1000) * 1000 + seq
+        uid = uuid.uuid4().hex
+        list_entries = list(carried)
+
+        for m, mpath, entries in data_manifests:
+            live_entries = [e for e in entries if e["status"] != 2]
+            hit = [e for e in live_entries if e["path"] in touched]
+            if not hit:
+                list_entries.append(_carry_mlist_entry(
+                    m, mpath, snap_id))
+                continue
+            kept = [e for e in live_entries if e["path"] not in touched]
+            recs = []
+            for e in kept + hit:
+                deleted = e["path"] in touched
+                recs.append({
+                    "status": 2 if deleted else 0,
+                    "snapshot_id": (snap_id if deleted
+                                    else e["snapshot_id"]),
+                    "sequence_number": e["seq"],
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0, "file_path": e["path"],
+                        "file_format": e["file_format"],
+                        "partition": e["partition"],
+                        "record_count": e["record_count"],
+                        "file_size_in_bytes": e["file_size"],
+                    }})
+            man_rel = f"metadata/manifest-{uuid.uuid4().hex}.avro"
+            man_bytes = encode_avro_container(
+                entry_schema, recs,
+                extra_meta={
+                    "schema": json.dumps({"type": "struct",
+                                          "schema-id": 0,
+                                          "fields": fields}),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
+                })
+            if not _create(spark, join_path(root, man_rel), man_bytes):
+                raise RuntimeError(f"{operation}: manifest collision")
+            known_seqs = [e["seq"] for e in kept + hit
+                          if e["seq"] is not None]
+            list_entries.append({
+                "manifest_path": f"{root}/{man_rel}",
+                "manifest_length": len(man_bytes),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(known_seqs, default=seq),
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(kept),
+                "deleted_data_files_count": len(hit),
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["record_count"] for e in kept),
+                "deleted_rows_count": sum(
+                    e["record_count"] for e in hit),
+            })
+
+        if new_files:
+            adds = [{"status": 1, "snapshot_id": snap_id,
+                     "sequence_number": None,
+                     "file_sequence_number": None,
+                     "data_file": {"content": 0, "file_path": p,
+                                   "file_format": "PARQUET",
+                                   "partition": pv,
+                                   "record_count": n,
+                                   "file_size_in_bytes": sz}}
+                    for p, n, sz, pv in new_files]
+            man_rel = f"metadata/manifest-{uid}.avro"
+            man_bytes = encode_avro_container(
+                entry_schema, adds,
+                extra_meta={
+                    "schema": json.dumps({"type": "struct",
+                                          "schema-id": 0,
+                                          "fields": fields}),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
+                })
+            if not _create(spark, join_path(root, man_rel), man_bytes):
+                raise RuntimeError(f"{operation}: manifest collision")
+            list_entries.append({
+                "manifest_path": f"{root}/{man_rel}",
+                "manifest_length": len(man_bytes),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(new_files),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(
+                    n for _p, n, _s, _pv in new_files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            })
+
+        from .iceberg_writer import _MANIFEST_FILE_SCHEMA
+
+        mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
+        mlist_bytes = encode_avro_container(
+            _MANIFEST_FILE_SCHEMA, list_entries,
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snap_id),
+                        "sequence-number": str(seq)})
+        if not _create(spark, join_path(root, mlist_rel), mlist_bytes):
+            raise RuntimeError(f"{operation}: manifest-list collision")
+
+        snapshots = list(meta.get("snapshots", []))
+        snapshots.append({
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": f"{root}/{mlist_rel}",
+            "summary": {"operation": operation.split("_", 1)[0]
+                        if operation.startswith(("delete", "replace"))
+                        else "overwrite"},
+        })
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshots"] = snapshots
+        vpath = join_path(root, "metadata",
+                          f"v{meta_ver + 1}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            write_text_atomic(
+                spark, join_path(root, "metadata", "version-hint.text"),
+                str(meta_ver + 1))
+            return snap_id
+        # lost the metadata race: re-read and retry; the manifests we
+        # just wrote become unreferenced garbage for expire_snapshots
+    raise RuntimeError(
+        f"{operation}: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"at {root}"
+    )
+
+
+def _basename_map(spark, root: str, meta: dict, op: str) -> dict:
+    """basename -> absolute path over the current snapshot's live data
+    files (the copy-on-write discovery key; duplicate basenames refuse
+    — same rule as the reader's delete machinery)."""
+    snap = _current_snapshot(meta, root, op)
+    live: set[str] = set()
+    dead: set[str] = set()
+    for m, mpath in _read_manifest_list(spark, root, snap):
+        if int(m.get("content") or 0) != 0:
+            continue
+        for e in _resolved_entries(spark, root, mpath,
+                                   m.get("sequence_number")):
+            (dead if e["status"] == 2 else live).add(e["path"])
+    live -= dead
+    out = {p.rsplit("/", 1)[-1]: p for p in live}
+    if len(out) != len(live):
+        raise ValueError(
+            f"{op}: {root} has duplicate data-file basenames — cannot "
+            "key the rewrite by file name; use the iceberg connector jar"
+        )
+    return out
+
+
+def delete_iceberg(spark, path: str, predicate: str) -> int | None:
+    """Row-level DELETE by copy-on-write (module docstring has the
+    mechanics): files containing rows matching ``predicate`` are
+    rewritten WITHOUT those rows (and with any position/DV/equality
+    deletes materialized); untouched files and manifests are carried.
+    Returns the new snapshot id, or None when nothing matched.  Time
+    travel to pre-delete snapshots still sees the rows."""
+    from pyspark.sql import functions as F
+
+    from .iceberg import read_iceberg
+    from .iceberg_writer import _write_data_files
+
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    _require_v2(meta, root, "delete_iceberg")
+    by_base = _basename_map(spark, root, meta, "delete_iceberg")
+    if not by_base:
+        return None
+
+    tf = read_iceberg(spark, root, _file_col="__cow_file")
+    touched_base = [r[0] for r in tf.df.where(F.expr(predicate))
+                    .select("__cow_file").distinct().collect()]
+    if not touched_base:
+        return None
+    touched = {by_base[b] for b in touched_base}
+
+    survivors = (
+        tf.df.where(F.col("__cow_file").isin(touched_base))
+        .where(~F.expr(predicate))
+        .drop("__cow_file")
+    )
+    fields = _schema_fields(meta, root, "delete_iceberg")
+    pfields = _pfields_from_meta(meta, root, "delete_iceberg")
+    new_files = _write_data_files(survivors, root, fields, pfields)
+    return _commit_rewrite(spark, root, touched, new_files,
+                           "delete_iceberg")
+
+
+def merge_iceberg(spark, path: str, updates_tf, key) -> int:
+    """UPSERT by copy-on-write (``WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *``): rows whose ``key`` matches an update are
+    replaced by it, new keys append.  Only files containing matched
+    keys are rewritten — discovery is one semi-join of the distinct
+    update keys against the scan (broadcast when provably small, else
+    shuffled).  The update batch must be unique per key and
+    schema-identical (names + types) to the table.  Returns the new
+    snapshot id."""
+    from pyspark.sql import functions as F
+
+    from .iceberg import read_iceberg
+    from .iceberg_writer import _write_data_files
+
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    _require_v2(meta, root, "merge_iceberg")
+    fields = _schema_fields(meta, root, "merge_iceberg")
+    pfields = _pfields_from_meta(meta, root, "merge_iceberg")
+
+    keys = [key] if isinstance(key, str) else list(key)
+    updates = updates_tf.df if hasattr(updates_tf, "df") else updates_tf
+    from .iceberg_writer import _iceberg_schema
+
+    # names + types must agree; ids come from the TABLE (field-id
+    # stamping on the rewrite uses ``fields``), so positional batch ids
+    # are irrelevant here
+    if [(f["name"], f["type"])
+            for f in _iceberg_schema(updates.schema, root)] != \
+            [(f["name"], f["type"]) for f in fields]:
+        raise ValueError(
+            f"merge_iceberg: update batch schema does not match the "
+            f"table schema at {root}"
+        )
+    bad = [k for k in keys if k not in updates.columns]
+    if bad:
+        raise ValueError(f"merge_iceberg: key {bad} not in columns")
+    dup = (updates.groupBy(*keys).count().where("count > 1").limit(1)
+           .collect())
+    if dup:
+        raise ValueError(
+            f"merge_iceberg: update batch has duplicate keys (e.g. "
+            f"{tuple(dup[0][k] for k in keys)}) — an ambiguous MERGE "
+            "must not pick a winner silently"
+        )
+
+    by_base = _basename_map(spark, root, meta, "merge_iceberg")
+    tf = read_iceberg(spark, root, _file_col="__cow_file")
+    ukeys = updates.select(*keys).distinct()
+    n_keys = ukeys.count()
+    hint = (F.broadcast if n_keys <= _MERGE_BROADCAST_KEYS
+            else (lambda d: d))
+    touched_base = [r[0] for r in
+                    tf.df.join(hint(ukeys), keys, "left_semi")
+                    .select("__cow_file").distinct().collect()]
+    touched = {by_base[b] for b in touched_base}
+
+    survivors = (
+        tf.df.where(F.col("__cow_file").isin(touched_base))
+        .join(hint(ukeys), keys, "left_anti")
+        .drop("__cow_file")
+        if touched_base else None
+    )
+    new_data = (survivors.unionByName(updates) if survivors is not None
+                else updates)
+    new_files = _write_data_files(new_data, root, fields, pfields)
+    return _commit_rewrite(spark, root, touched, new_files,
+                           "merge_iceberg")
+
+
+def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
+                               target_file_bytes: int =
+                               128 * 1024 * 1024) -> int | None:
+    """Compact small data files (the ``rewriteDataFiles`` maintenance
+    action — the Iceberg-side parallel of ``optimize_delta``): for
+    every partition tuple holding at least ``min_files`` live data
+    files, read them back through the delete-applying scan (so
+    position/DV/equality deletes are MATERIALIZED — canonical
+    compaction behavior) and rewrite as ~``target_file_bytes`` files.
+    Commits a ``replace`` snapshot; history stays time-travelable.
+    Returns the new snapshot id, or None when nothing qualified.  Work
+    scales with compactable bytes, never table size."""
+    from pyspark.sql import functions as F
+
+    from .iceberg import read_iceberg
+    from .iceberg_writer import _write_data_files
+
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    _require_v2(meta, root, "rewrite_data_files_iceberg")
+    snap = _current_snapshot(meta, root, "rewrite_data_files_iceberg")
+
+    by_group: dict[str, list[dict]] = {}
+    dead: set[str] = set()
+    for m, mpath in _read_manifest_list(spark, root, snap):
+        if int(m.get("content") or 0) != 0:
+            continue
+        for e in _resolved_entries(spark, root, mpath,
+                                   m.get("sequence_number")):
+            if e["status"] == 2:
+                dead.add(e["path"])
+                continue
+            k = json.dumps(e["partition"], sort_keys=True)
+            by_group.setdefault(k, []).append(e)
+    todo: list[dict] = []
+    for _k, entries in sorted(by_group.items()):
+        entries = [e for e in entries if e["path"] not in dead]
+        total = sum(e["file_size"] for e in entries)
+        # only compact when it reduces the file count: at least
+        # min_files inputs AND fewer outputs than inputs
+        n_out = max(1, -(-total // target_file_bytes))
+        if len(entries) >= max(2, min_files) and n_out < len(entries):
+            todo.extend(entries)
+    if not todo:
+        return None
+
+    touched = {e["path"] for e in todo}
+    touched_base = [p.rsplit("/", 1)[-1] for p in touched]
+    tf = read_iceberg(spark, root, _file_col="__cow_file")
+    src = (tf.df.where(F.col("__cow_file").isin(touched_base))
+           .drop("__cow_file"))
+    fields = _schema_fields(meta, root, "rewrite_data_files_iceberg")
+    pfields = _pfields_from_meta(meta, root,
+                                 "rewrite_data_files_iceberg")
+    if not pfields:
+        # unpartitioned: one output task per target size bucket
+        total = sum(e["file_size"] for e in todo)
+        n_out = max(1, -(-total // target_file_bytes))
+        src = src.coalesce(int(n_out))
+    new_files = _write_data_files(src, root, fields, pfields)
+    return _commit_rewrite(spark, root, touched, new_files,
+                           "replace_data_files")
+
+
+def rollback_iceberg(spark, path: str, snapshot_id: int) -> int:
+    """Roll the table back to a retained snapshot (the
+    ``setCurrentSnapshot`` / ``rollback`` table operation): commits a
+    new metadata version whose current-snapshot-id is ``snapshot_id``.
+    Nothing is deleted — every snapshot stays time-travelable, and the
+    rolled-past snapshots remain until
+    :func:`~.iceberg_writer.expire_snapshots_iceberg` retires them.
+    Returns ``snapshot_id``."""
+    from .fsio import join_path, write_text_atomic
+
+    root = str(path).rstrip("/")
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_ver = _load_meta(spark, root)
+        sid = int(snapshot_id)
+        if not any(s.get("snapshot-id") == sid
+                   for s in meta.get("snapshots", [])):
+            raise ValueError(
+                f"rollback_iceberg: snapshot {sid} not retained at "
+                f"{root}; retained: "
+                f"{[s.get('snapshot-id') for s in meta.get('snapshots', [])]}"
+            )
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = sid
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        vpath = join_path(root, "metadata",
+                          f"v{meta_ver + 1}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            write_text_atomic(
+                spark, join_path(root, "metadata", "version-hint.text"),
+                str(meta_ver + 1))
+            return sid
+    raise RuntimeError(
+        f"rollback_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
+    )
