@@ -20,7 +20,7 @@ from .sources.delta import read_delta
 from .sources.delta_cdf import read_delta_cdf
 from .sources.delta_writer import (
     checkpoint_delta, delete_delta, describe_history, merge_delta,
-    optimize_delta, vacuum_delta, write_delta,
+    optimize_delta, restore_delta, vacuum_delta, write_delta,
 )
 from .sources.iceberg import read_iceberg
 from .sources.iceberg_writer import (
@@ -58,6 +58,7 @@ __all__ = [
     "merge_delta",
     "optimize_delta",
     "vacuum_delta",
+    "restore_delta",
     "checkpoint_delta",
     "describe_history",
     "read_iceberg",
