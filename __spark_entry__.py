@@ -5070,6 +5070,85 @@ def _w67(t):
 _BUILDERS["w67_delta_cdf"] = _w67
 
 
+def _w68(t):
+    """Copy-on-write ROW-LEVEL ops + compaction + ROLLBACK on the
+    jar-free Iceberg v2 table (r12, sources/iceberg_ops.py —
+    beyond-reference; the reference is read-only on Iceberg,
+    /root/reference/src/TidierDB.jl:161-165): snapshot s0 writes
+    documents doc_id<200 identity-partitioned by lang, then DELETE
+    ``doc_id % 10 = 7`` (manifest surgery: touched entries flip to
+    status 2, untouched manifests carry verbatim), MERGE an update
+    batch covering doc_id 100-249 with ``'U:' || text``,
+    rewriteDataFiles compaction (a ``replace`` snapshot — rows must
+    not change), and finally ROLLBACK to s0.  The result unions the
+    rolled-back CURRENT read with a time-traveled read of the
+    pre-rollback merged state — hash-matching the oracle proves
+    predicate discovery, survivor rewrite, manifest retirement,
+    compaction row-preservation and rollback are all exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_ops import (
+        delete_iceberg, merge_iceberg, rewrite_data_files_iceberg,
+        rollback_iceberg,
+    )
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w68_iceberg_rowops_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    s0 = write_iceberg(docs.filter("doc_id < 200"), root,
+                       partition_by="lang")
+    delete_iceberg(spark, root, "doc_id % 10 = 7")
+    updates = (docs.filter("doc_id >= 100 AND doc_id < 250")
+               .mutate(text="concat('U:', text)")
+               .select("doc_id", "text", "lang"))
+    s_merge = merge_iceberg(spark, root, updates, key="doc_id")
+    s_compact = rewrite_data_files_iceberg(spark, root, min_files=2)
+    merged = s_compact if s_compact is not None else s_merge
+    rollback_iceberg(spark, root, s0)
+    now = read_iceberg(spark, root).mutate(at="'rolled'")
+    kept = read_iceberg(spark, root, snapshot_id=merged) \
+        .mutate(at="'merged'")
+    return (now.union_all(kept)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w68_iceberg_row_ops"] = _w68
+
+
+def _w69(t):
+    """RESTORE TO VERSION AS OF on the jar-free Delta table (r12,
+    sources/delta_writer.py restore_delta — beyond-reference): v0
+    writes documents doc_id<150, v1 appends 150-249, v2 DELETEs
+    ``doc_id % 10 = 3``, v3 RESTOREs to v1 — re-adding the deleted
+    rows' files as a new commit while v2 stays time-travelable.  The
+    result unions the restored CURRENT read with a time-traveled read
+    of the deleted state; a hash match proves the restore's
+    remove/re-add diff and history preservation are exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (
+        delete_delta, restore_delta, write_delta,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w69_delta_restore_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id < 150"), root)
+    write_delta(docs.filter("doc_id >= 150 AND doc_id < 250"), root)
+    delete_delta(spark, root, "doc_id % 10 = 3")
+    restore_delta(spark, root, 1)
+    now = read_delta(spark, root).mutate(at="'restored'")
+    v2 = read_delta(spark, root, version=2).mutate(at="'deleted'")
+    return (now.union_all(v2)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w69_delta_restore"] = _w69
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8462,6 +8541,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'U:' || text AS text, lang
         FROM documents
         WHERE doc_id >= 100 AND doc_id < 230
+    """
+    # w68: 'rolled' = the s0 state (rollback restores it verbatim);
+    # 'merged' = the pre-rollback state — keys <100 keep original text
+    # minus the deleted %10=7 rows, keys 100-249 all exist with the
+    # merged 'U:' text (the merge re-inserts the 100-199 rows the
+    # delete removed, adds 200-249); compaction must not change rows
+    out["w68_iceberg_row_ops"] = r"""
+        SELECT doc_id, text, lang, 'rolled' AS at
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id >= 100 THEN 'U:' || text ELSE text END,
+               lang, 'merged'
+        FROM documents
+        WHERE doc_id < 250 AND NOT (doc_id % 10 = 7 AND doc_id < 100)
+    """
+    # w69: 'restored' = the v1 state (restore re-adds the deleted
+    # files); 'deleted' = v2, still time-travelable after the restore
+    out["w69_delta_restore"] = r"""
+        SELECT doc_id, text, lang, 'restored' AS at
+        FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT doc_id, text, lang, 'deleted'
+        FROM documents WHERE doc_id < 250 AND doc_id % 10 != 3
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
