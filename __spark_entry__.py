@@ -5149,6 +5149,51 @@ def _w69(t):
 _BUILDERS["w69_delta_restore"] = _w69
 
 
+def _w70(t):
+    """Structured-Streaming SOURCE over the jar-free Delta table (r12,
+    streaming/delta_source.py — beyond-reference; Python DataSource
+    API, offsets = log versions): three append commits land in the
+    table, a stream tails it into a parquet sink (availableNow), a
+    FOURTH commit lands, and a second drain from the SAME checkpoint
+    picks up exactly that commit — no replays, no gaps.  The sink
+    contents hash-matching the oracle proves offset tracking, the
+    per-file Arrow read path and typed partition-value re-attachment
+    end-to-end."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta_writer import write_delta
+    from tidierdb_jl_spark.streaming.delta_source import (
+        read_stream_delta_source,
+    )
+
+    spark = t["documents"].df.sparkSession
+    base = tempfile.mkdtemp(prefix="w70_delta_stream_src_")
+    root, out, ckpt = f"{base}/tbl", f"{base}/out", f"{base}/ckpt"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    for lo, hi in ((0, 60), (60, 120), (120, 180)):
+        write_delta(docs.filter(f"doc_id >= {lo} AND doc_id < {hi}"),
+                    root, partition_by="lang")
+
+    def drain():
+        q = (read_stream_delta_source(spark, root).df.writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain()
+    write_delta(docs.filter("doc_id >= 180 AND doc_id < 240"), root,
+                partition_by="lang")
+    drain()
+    from tidierdb_jl_spark.core import TidyFrame as _TF
+
+    return _TF(spark.read.parquet(out)
+               .select("doc_id", "text", "lang"))
+
+
+_BUILDERS["w70_delta_stream_source"] = _w70
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8565,6 +8610,12 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, text, lang, 'deleted'
         FROM documents WHERE doc_id < 250 AND doc_id % 10 != 3
+    """
+    # w70: four append commits drained in two passes — exactly-once
+    # means the sink holds each row exactly once
+    out["w70_delta_stream_source"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents WHERE doc_id < 240
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL
