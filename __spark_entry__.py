@@ -5194,6 +5194,55 @@ def _w70(t):
 _BUILDERS["w70_delta_stream_source"] = _w70
 
 
+def _w71(t):
+    """Structured-Streaming SOURCE over the jar-free Iceberg table
+    (r12, streaming/iceberg_source.py — beyond-reference; Python
+    DataSource API, offsets = snapshot sequence numbers): three append
+    snapshots stream, a rewriteDataFiles REPLACE snapshot is skipped
+    automatically (rows unchanged — re-streaming would duplicate every
+    row), a fourth append drains from the same checkpoint.  The sink
+    hash-matching the oracle proves sequence-number offset tracking,
+    added-file attribution (snapshot-id inheritance) and the
+    replace-skip rule end-to-end."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.iceberg_ops import (
+        rewrite_data_files_iceberg,
+    )
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+    from tidierdb_jl_spark.streaming.iceberg_source import (
+        read_stream_iceberg_source,
+    )
+
+    spark = t["documents"].df.sparkSession
+    base = tempfile.mkdtemp(prefix="w71_iceberg_stream_src_")
+    root, out, ckpt = f"{base}/tbl", f"{base}/out", f"{base}/ckpt"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    for lo, hi in ((0, 60), (60, 120), (120, 180)):
+        write_iceberg(docs.filter(f"doc_id >= {lo} AND doc_id < {hi}"),
+                      root, mode="append", partition_by="lang")
+
+    def drain():
+        q = (read_stream_iceberg_source(spark, root).df.writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain()
+    rewrite_data_files_iceberg(spark, root, min_files=2)
+    write_iceberg(docs.filter("doc_id >= 180 AND doc_id < 240"), root,
+                  mode="append", partition_by="lang")
+    drain()
+    from tidierdb_jl_spark.core import TidyFrame as _TF
+
+    return _TF(spark.read.parquet(out)
+               .select("doc_id", "text", "lang"))
+
+
+_BUILDERS["w71_iceberg_stream_source"] = _w71
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8614,6 +8663,12 @@ def oracle_sql() -> dict[str, str]:
     # w70: four append commits drained in two passes — exactly-once
     # means the sink holds each row exactly once
     out["w70_delta_stream_source"] = r"""
+        SELECT doc_id, text, lang
+        FROM documents WHERE doc_id < 240
+    """
+    # w71: four append snapshots drained in two passes with a replace
+    # snapshot in between — exactly-once and no compaction re-streaming
+    out["w71_iceberg_stream_source"] = r"""
         SELECT doc_id, text, lang
         FROM documents WHERE doc_id < 240
     """
