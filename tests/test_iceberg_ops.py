@@ -275,3 +275,45 @@ def test_v1_table_refuses(spark, tmp_path):
         delete_iceberg(spark, root, "true")
     with pytest.raises(NotImplementedError, match="format-version 1"):
         rewrite_data_files_iceberg(spark, root)
+
+
+def test_rewrite_zorder_clusters(spark, tmp_path):
+    """zorder_by rewrite: rows preserved, and with a single Z column
+    the range-partitioned outputs own non-overlapping value ranges —
+    the min-max data-skipping property."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    # 4 shuffled small files
+    for i in range(4):
+        write_iceberg(
+            TidyFrame(spark.createDataFrame(
+                [((j * 7 + i * 13) % 40, f"v{i}{j}", "en")
+                 for j in range(10)],
+                "id long, val string, lang string").coalesce(1)),
+            root, mode="append")
+    before = sorted(read_iceberg(spark, root).collect()["id"].tolist())
+
+    sc = rewrite_data_files_iceberg(spark, root, zorder_by="id",
+                                    target_file_bytes=1500)
+    assert sc is not None
+    assert sorted(read_iceberg(spark, root).collect()["id"].tolist()) \
+        == before
+    meta = json.loads(open(sorted(glob.glob(
+        os.path.join(root, "metadata", "v*.metadata.json")))[-1]).read())
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    live = [e["data_file"]["file_path"]
+            for m in read_avro_file(spark, snap["manifest-list"])
+            if m["content"] == 0
+            for e in read_avro_file(spark, m["manifest_path"])
+            if e["status"] != 2]
+    assert len(live) >= 2  # the small target forced a range split
+    spans = []
+    for p in live:
+        t = pq.read_table(p, columns=["id"])
+        ids = t.column("id").to_pylist()
+        spans.append((min(ids), max(ids)))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping Z ranges: {spans}"

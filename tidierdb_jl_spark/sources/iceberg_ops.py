@@ -573,6 +573,7 @@ def merge_iceberg(spark, path: str, updates_tf, key) -> int:
 
 
 def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
+                               zorder_by=None,
                                target_file_bytes: int =
                                128 * 1024 * 1024) -> int | None:
     """Compact small data files (the ``rewriteDataFiles`` maintenance
@@ -583,7 +584,17 @@ def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
     compaction behavior) and rewrite as ~``target_file_bytes`` files.
     Commits a ``replace`` snapshot; history stays time-travelable.
     Returns the new snapshot id, or None when nothing qualified.  Work
-    scales with compactable bytes, never table size."""
+    scales with compactable bytes, never table size.
+
+    ``zorder_by`` (rewriteDataFiles' ``zOrder`` strategy): rewrite
+    CLUSTERED on the interleaved-bits Z-value of the named columns
+    (the same :func:`~.delta_writer._zorder_key_udf` machinery as
+    OPTIMIZE ZORDER BY on the Delta side) — rows close in every
+    dimension land in the same parquet row groups, so min-max skipping
+    prunes on all the z-ordered columns at once.  With zorder the
+    per-group minimum drops to 1 file (re-clustering one big file is
+    useful); partition-source columns refuse (they are constant within
+    a group)."""
     from pyspark.sql import functions as F
 
     from .iceberg import read_iceberg
@@ -606,14 +617,29 @@ def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
                 continue
             k = json.dumps(e["partition"], sort_keys=True)
             by_group.setdefault(k, []).append(e)
+    zcols = ([zorder_by] if isinstance(zorder_by, str)
+             else list(zorder_by or []))
+    fields = _schema_fields(meta, root, "rewrite_data_files_iceberg")
+    pfields = _pfields_from_meta(meta, root,
+                                 "rewrite_data_files_iceberg")
+    if zcols:
+        names = {f["name"] for f in fields}
+        psrc = {pf["source"] for pf in pfields}
+        bad = [c for c in zcols if c not in names or c in psrc]
+        if bad:
+            raise ValueError(
+                f"rewrite_data_files_iceberg: zorder_by {bad} must be "
+                "non-partition-source table columns"
+            )
+    min_n = 1 if zcols else max(2, min_files)
     todo: list[dict] = []
     for _k, entries in sorted(by_group.items()):
         entries = [e for e in entries if e["path"] not in dead]
         total = sum(e["file_size"] for e in entries)
-        # only compact when it reduces the file count: at least
-        # min_files inputs AND fewer outputs than inputs
+        # plain compaction only pays when it reduces the file count; a
+        # zorder rewrite re-clusters even a single file
         n_out = max(1, -(-total // target_file_bytes))
-        if len(entries) >= max(2, min_files) and n_out < len(entries):
+        if len(entries) >= min_n and (zcols or n_out < len(entries)):
             todo.extend(entries)
     if not todo:
         return None
@@ -623,15 +649,24 @@ def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
     tf = read_iceberg(spark, root, _file_col="__cow_file")
     src = (tf.df.where(F.col("__cow_file").isin(touched_base))
            .drop("__cow_file"))
-    fields = _schema_fields(meta, root, "rewrite_data_files_iceberg")
-    pfields = _pfields_from_meta(meta, root,
-                                 "rewrite_data_files_iceberg")
+    sort_cols = None
+    if zcols:
+        from .delta_writer import _zorder_key_udf
+
+        src = src.withColumn("__zkey", _zorder_key_udf(src, zcols))
+        sort_cols = ["__zkey"]
     if not pfields:
-        # unpartitioned: one output task per target size bucket
         total = sum(e["file_size"] for e in todo)
         n_out = max(1, -(-total // target_file_bytes))
-        src = src.coalesce(int(n_out))
-    new_files = _write_data_files(src, root, fields, pfields)
+        if zcols:
+            # range partition on the Z-value: each output file owns a
+            # contiguous Z-range — the data-skipping layout
+            src = src.repartitionByRange(int(n_out), "__zkey")
+        else:
+            # one output task per target size bucket
+            src = src.coalesce(int(n_out))
+    new_files = _write_data_files(src, root, fields, pfields,
+                                  sort_cols=sort_cols)
     return _commit_rewrite(spark, root, touched, new_files,
                            "replace_data_files")
 

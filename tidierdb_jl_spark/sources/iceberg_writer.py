@@ -280,7 +280,8 @@ def _schema_key(fields: list[dict]):
 
 
 def _write_data_files(df, root: str, fields: list[dict],
-                      pfields: list[dict]) -> list[tuple]:
+                      pfields: list[dict],
+                      sort_cols: list | None = None) -> list[tuple]:
     """Distributed pyarrow write: one parquet file per non-empty input
     partition AND partition-value tuple under ``data/`` (partitioned
     tables get conventional ``data/k=v/`` dirs), every column stamped
@@ -325,6 +326,11 @@ def _write_data_files(df, root: str, fields: list[dict],
         df = df.withColumn(
             "__pv", pv_json(*[F.col(pf["source"]) for pf in pfields]))
         df = df.repartition("__pv")
+    if sort_cols:
+        # within-task clustering (e.g. the Z-order rewrite): pandas
+        # groupby(sort=True) below preserves within-group row order, so
+        # the sorted layout reaches the parquet row groups
+        df = df.sortWithinPartitions(*sort_cols)
 
     def task(batches):
         import json as _json
