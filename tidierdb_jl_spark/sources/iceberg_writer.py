@@ -54,7 +54,7 @@ import time
 import uuid
 
 __all__ = ["write_iceberg", "snapshots_iceberg",
-           "expire_snapshots_iceberg"]
+           "expire_snapshots_iceberg", "last_streaming_batch"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -387,8 +387,39 @@ def _write_data_files(df, root: str, fields: list[dict],
              json.loads(r["pv"])) for r in rows]
 
 
+def last_streaming_batch(spark, path: str, app_id: str) -> int:
+    """Highest ``streaming-batch-id`` committed by ``app_id`` across
+    the RETAINED snapshots' summaries, or -1 — the Iceberg-side
+    idempotent-writer check (the real iceberg-spark sink stamps commit
+    summaries the same way; Delta's equivalent is the ``txn`` action,
+    :func:`~.delta_writer.last_txn_version`).  Snapshot expiration can
+    only forget watermarks older than the retained window — Structured
+    Streaming never replays batches that old (its own checkpoint moves
+    strictly forward)."""
+    from .fsio import fs_exists, join_path, read_text
+    from .iceberg import _latest_metadata
+
+    root = str(path).rstrip("/")
+    if not fs_exists(spark, join_path(root, "metadata")):
+        return -1
+    try:
+        meta = json.loads(read_text(spark, _latest_metadata(spark, root)))
+    except ValueError:
+        return -1
+    best = -1
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("streaming-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("streaming-batch-id")))
+            except (TypeError, ValueError):
+                continue
+    return best
+
+
 def write_iceberg(tf, path: str, mode: str = "append",
-                  partition_by=None) -> int:
+                  partition_by=None,
+                  summary_extra: dict | None = None) -> int:
     """Commit ``tf`` to the Iceberg table at ``path``; returns the new
     snapshot id.  Module docstring has the scope contract.
 
@@ -600,8 +631,11 @@ def write_iceberg(tf, path: str, mode: str = "append",
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": f"{root}/{mlist_rel}",
-            "summary": {"operation":
-                        "append" if mode == "append" else "overwrite"},
+            "summary": dict(
+                {"operation":
+                 "append" if mode == "append" else "overwrite"},
+                **{str(k): str(v)
+                   for k, v in (summary_extra or {}).items()}),
         })
         new_meta = {
             "format-version": 2,

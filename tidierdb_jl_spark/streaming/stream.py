@@ -282,6 +282,72 @@ def write_stream_delta(
     return w.start()
 
 
+def write_stream_iceberg(
+    result: TidyFrame,
+    path: str,
+    checkpoint: str,
+    partition_by=None,
+    app_id: str | None = None,
+    trigger: str | None = None,
+    rewrite_every: int = 0,
+    expire_keep_last: int = 0,
+):
+    """EXACTLY-ONCE streaming sink into a jar-free Iceberg v2 table —
+    the Iceberg twin of :func:`write_stream_delta`.  Each micro-batch
+    appends a snapshot whose summary is stamped with
+    ``streaming-app-id`` / ``streaming-batch-id`` (what the real
+    iceberg-spark sink does); after a crash the replayed batch sees
+    ``last_streaming_batch(...) >= batch_id`` and skips — the
+    idempotence protocol, with the watermark in the snapshot log
+    instead of Delta's ``txn`` action.
+
+    Maintenance rides the stream: every ``rewrite_every`` batches the
+    small per-batch files compact through
+    :func:`~..sources.iceberg_ops.rewrite_data_files_iceberg` (a
+    ``replace`` snapshot — streams tailing the table skip it), and
+    with ``expire_keep_last`` > 0 old snapshots expire down to that
+    count (kept comfortably above the replay horizon: only the LAST
+    batch ever replays)."""
+    import hashlib
+
+    from ..sources.iceberg_writer import (
+        last_streaming_batch, write_iceberg,
+    )
+
+    app = app_id or ("stream-" + hashlib.sha256(
+        str(checkpoint).encode()).hexdigest()[:16])
+
+    def commit_batch(bdf, batch_id: int):
+        sp = bdf.sparkSession
+        bid = int(batch_id)
+        if last_streaming_batch(sp, path, app) >= bid:
+            return  # replayed batch: already committed
+        write_iceberg(TidyFrame(bdf), path, mode="append",
+                      partition_by=partition_by,
+                      summary_extra={"streaming-app-id": app,
+                                     "streaming-batch-id": bid})
+        if rewrite_every and (bid + 1) % rewrite_every == 0:
+            from ..sources.iceberg_ops import rewrite_data_files_iceberg
+
+            rewrite_data_files_iceberg(sp, path)
+            if expire_keep_last:
+                from ..sources.iceberg_writer import (
+                    expire_snapshots_iceberg,
+                )
+
+                expire_snapshots_iceberg(
+                    sp, path, retain_last=max(2, expire_keep_last))
+
+    w = (result.df.writeStream.outputMode("append")
+         .foreachBatch(commit_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger == "availableNow":
+        w = w.trigger(availableNow=True)
+    elif trigger is not None:
+        w = w.trigger(processingTime=trigger)
+    return w.start()
+
+
 def stream_join(
     left: TidyFrame,
     right: TidyFrame,
