@@ -317,3 +317,30 @@ def test_rewrite_zorder_clusters(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping Z ranges: {spans}"
+
+
+def test_files_and_manifests_introspection(spark, tmp_path):
+    from tidierdb_jl_spark.sources.iceberg_ops import (files_iceberg,
+                                                       manifests_iceberg)
+
+    root = str(tmp_path / "tbl")
+    s0 = write_iceberg(_tf(spark, [(1, "a", "en"), (2, "b", "fr")]),
+                       root, partition_by="lang")
+    write_iceberg(_tf(spark, [(3, "c", "en")]), root, mode="append",
+                  partition_by="lang")
+    files = files_iceberg(spark, root)
+    assert len(files) == 3  # one per (commit, partition value)
+    assert sum(f["record_count"] for f in files) == 3
+    assert {f["partition"]["lang"] for f in files} == {"en", "fr"}
+    assert all(f["file_size_in_bytes"] > 0 and
+               f["sequence_number"] in (1, 2) for f in files)
+    # time travel narrows to s0's two files
+    assert len(files_iceberg(spark, root, snapshot_id=s0)) == 2
+
+    # DELETE retires a file: inventory shrinks, manifests show surgery
+    delete_iceberg(spark, root, "id = 2")
+    files2 = files_iceberg(spark, root)
+    assert {f["partition"]["lang"] for f in files2} == {"en"}
+    mans = manifests_iceberg(spark, root)
+    assert all(m["content"] == "data" for m in mans)
+    assert sum(m["deleted_data_files_count"] for m in mans) == 1

@@ -27,8 +27,8 @@ from .sources.iceberg_writer import (
     expire_snapshots_iceberg, snapshots_iceberg, write_iceberg,
 )
 from .sources.iceberg_ops import (
-    delete_iceberg, merge_iceberg, rewrite_data_files_iceberg,
-    rollback_iceberg,
+    delete_iceberg, files_iceberg, manifests_iceberg, merge_iceberg,
+    rewrite_data_files_iceberg, rollback_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -69,6 +69,8 @@ __all__ = [
     "merge_iceberg",
     "rewrite_data_files_iceberg",
     "rollback_iceberg",
+    "files_iceberg",
+    "manifests_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

@@ -53,7 +53,8 @@ import time
 import uuid
 
 __all__ = ["delete_iceberg", "merge_iceberg",
-           "rewrite_data_files_iceberg", "rollback_iceberg"]
+           "rewrite_data_files_iceberg", "rollback_iceberg",
+           "files_iceberg", "manifests_iceberg"]
 
 _MAX_COMMIT_RETRIES = 20
 # same deterministic smallness rule as merge_delta / the reader's
@@ -669,6 +670,81 @@ def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
                                   sort_cols=sort_cols)
     return _commit_rewrite(spark, root, touched, new_files,
                            "replace_data_files")
+
+
+def files_iceberg(spark, path: str,
+                  snapshot_id: int | None = None) -> list[dict]:
+    """Live data-file inventory for a snapshot (the ``.files`` metadata
+    table surface): one dict per live data file with ``path``,
+    ``partition`` values, ``record_count``, ``file_size_in_bytes``,
+    ``sequence_number`` and ``file_format`` — the planning-time
+    introspection a 100 TB table's operator uses to decide WHEN to
+    compact or re-partition.  Driver-side, metadata-sized (the same
+    manifest walk a scan plan does; no row data)."""
+    meta, _ver = _load_meta(spark, str(path).rstrip("/"))
+    root = str(path).rstrip("/")
+    snaps = meta.get("snapshots") or []
+    sid = (snapshot_id if snapshot_id is not None
+           else meta.get("current-snapshot-id"))
+    snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
+    if snap is None:
+        raise ValueError(
+            f"files_iceberg: snapshot {sid} not found at {root}")
+    rows, dead = [], set()
+    for m, mpath in _read_manifest_list(spark, root, snap):
+        if int(m.get("content") or 0) != 0:
+            continue
+        for e in _resolved_entries(spark, root, mpath,
+                                   m.get("sequence_number")):
+            if e["status"] == 2:
+                dead.add(e["path"])
+                continue
+            rows.append({
+                "path": e["path"], "partition": e["partition"],
+                "record_count": e["record_count"],
+                "file_size_in_bytes": e["file_size"],
+                "sequence_number": e["seq"],
+                "file_format": e["file_format"],
+            })
+    return sorted((r for r in rows if r["path"] not in dead),
+                  key=lambda r: r["path"])
+
+
+def manifests_iceberg(spark, path: str,
+                      snapshot_id: int | None = None) -> list[dict]:
+    """Manifest inventory for a snapshot (the ``.manifests`` metadata
+    table surface): path, length, content kind, sequence numbers and
+    the v2 count fields — what you read to see whether manifest
+    surgery (row ops) or manifest bloat (many tiny appends) needs a
+    compaction pass.  Driver-side, metadata-sized."""
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    snaps = meta.get("snapshots") or []
+    sid = (snapshot_id if snapshot_id is not None
+           else meta.get("current-snapshot-id"))
+    snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
+    if snap is None:
+        raise ValueError(
+            f"manifests_iceberg: snapshot {sid} not found at {root}")
+    out = []
+    for m, mpath in _read_manifest_list(spark, root, snap):
+        out.append({
+            "path": mpath,
+            "length": int(m.get("manifest_length") or 0),
+            "content": ("data" if int(m.get("content") or 0) == 0
+                        else "deletes"),
+            "sequence_number": int(m.get("sequence_number") or 0),
+            "min_sequence_number": int(
+                m.get("min_sequence_number") or 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+            "added_data_files_count": int(
+                m.get("added_data_files_count") or 0),
+            "existing_data_files_count": int(
+                m.get("existing_data_files_count") or 0),
+            "deleted_data_files_count": int(
+                m.get("deleted_data_files_count") or 0),
+        })
+    return sorted(out, key=lambda r: r["path"])
 
 
 def rollback_iceberg(spark, path: str, snapshot_id: int) -> int:
