@@ -79,3 +79,28 @@ def test_restore_append_only_gate(spark, tmp_path):
     write_delta(_tf(spark, [(2, "b")]), root)                     # v1
     with pytest.raises(ValueError, match="append-only"):
         restore_delta(spark, root, 0)
+
+
+def test_describe_detail(spark, tmp_path):
+    from tidierdb_jl_spark.sources.delta_writer import describe_detail
+
+    root = str(tmp_path / "tbl")
+    write_delta(
+        TidyFrame(spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "fr")],
+            "id long, v string, lang string")),
+        root, partition_by="lang",
+        configuration={"delta.appendOnly": "false"})
+    write_delta(
+        TidyFrame(spark.createDataFrame(
+            [(3, "c", "en")], "id long, v string, lang string")),
+        root, partition_by="lang")
+    d = describe_detail(spark, root)
+    assert d["format"] == "parquet"
+    assert d["version"] == 1
+    assert d["num_files"] >= 3  # one per (commit, partition value)
+    assert d["size_in_bytes"] > 0
+    assert d["partition_columns"] == ["lang"]
+    assert d["configuration"] == {"delta.appendOnly": "false"}
+    assert (d["min_reader_version"], d["min_writer_version"]) == (1, 2)
+    assert d["num_deletion_vector_files"] == 0

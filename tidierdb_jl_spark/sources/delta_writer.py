@@ -65,7 +65,7 @@ from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
            "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta",
-           "restore_delta", "describe_history"]
+           "restore_delta", "describe_history", "describe_detail"]
 
 _MAX_COMMIT_RETRIES = 20
 # merge_delta broadcasts the distinct update keys below this count —
@@ -1302,6 +1302,38 @@ def restore_delta(spark, path: str, version: int) -> int:
         return acts
 
     return _commit_actions(spark, root, build)
+
+
+def describe_detail(spark, path: str) -> dict:
+    """Table-level summary (delta-spark's ``DESCRIBE DETAIL``): format,
+    table id, creation time, partition columns, live ``numFiles`` /
+    ``sizeInBytes``, configuration, and the protocol versions — the
+    one-call health check an operator reads before deciding on
+    OPTIMIZE / VACUUM / checkpoint cadence.  Driver-side log replay,
+    metadata-sized."""
+    from .delta import _snapshot
+
+    root = str(path).rstrip("/")
+    extras: dict = {}
+    live, meta, version = _snapshot(spark, root, None, None, extras)
+    adds = extras.get("adds", {})
+    proto = extras.get("protocol") or {}
+    n_dv = sum(1 for _p, (_pv, dv) in live.items() if dv)
+    return {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "location": root,
+        "created_at": meta.get("createdTime"),
+        "version": version,
+        "num_files": len(live),
+        "size_in_bytes": sum(
+            int((adds.get(p) or {}).get("size") or 0) for p in live),
+        "num_deletion_vector_files": n_dv,
+        "partition_columns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
+        "min_reader_version": int(proto.get("minReaderVersion", 1)),
+        "min_writer_version": int(proto.get("minWriterVersion", 2)),
+    }
 
 
 def describe_history(spark, path: str) -> list[dict]:
