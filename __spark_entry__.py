@@ -5243,6 +5243,45 @@ def _w71(t):
 _BUILDERS["w71_iceberg_stream_source"] = _w71
 
 
+def _w72(t):
+    """NESTED-TYPE Iceberg writes (r12, sources/iceberg_writer.py
+    ``_iceberg_schema``/``_arrow_type`` — the embeddings-table shape a
+    training pipeline ships: ``array<float>`` columns; until r12 the
+    writer refused non-primitives): the embeddings table (vec_id <
+    2000) writes to a v2 table — list element-ids in the metadata
+    schema AND in every parquet footer's nested field metadata, arrow
+    types pinned to the declared schema (float32 stays float32) — then
+    a DELETE rewrites survivors carrying their vectors bit-exactly.
+    The read-back exploded element-wise and hash-matched against the
+    SOURCE parquet proves the nested roundtrip to the last float."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidierdb_jl_spark.core import TidyFrame as _TF
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_ops import delete_iceberg
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["embeddings"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w72_iceberg_nested_") + "/tbl"
+    emb = t["embeddings"].filter("vec_id < 2000") \
+        .select("vec_id", "label", "embedding")
+    write_iceberg(emb, root)
+    delete_iceberg(spark, root, "vec_id % 10 = 6")
+    back = read_iceberg(spark, root)
+    return _TF(
+        back.df.select(
+            "vec_id", "label",
+            F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", "label",
+                F.col("pos").cast("int").alias("pos"),
+                F.round(F.col("val").cast("double"), 4).alias("val")))
+
+
+_BUILDERS["w72_iceberg_nested_write"] = _w72
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8671,6 +8710,17 @@ def oracle_sql() -> dict[str, str]:
     out["w71_iceberg_stream_source"] = r"""
         SELECT doc_id, text, lang
         FROM documents WHERE doc_id < 240
+    """
+    # w72: element-wise equality of the surviving vectors vs the
+    # source parquet — both sides hold the SAME float32s, so the
+    # rounded doubles match exactly
+    out["w72_iceberg_nested_write"] = r"""
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+                   AS pos,
+               round(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+        FROM embeddings
+        WHERE vec_id < 2000 AND vec_id % 10 != 6
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

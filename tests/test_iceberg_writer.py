@@ -64,11 +64,12 @@ def test_field_ids_written_and_schema_enforced(spark, tmp_path):
     with pytest.raises(ValueError, match="schema"):
         write_iceberg(_tf(spark, [(1, "a", 2.0)],
                           "id long, val string, x double"), root)
-    # nested types gate
-    with pytest.raises(NotImplementedError, match="primitive"):
+    # maps still gate (struct/array write since r12 —
+    # test_nested_types_roundtrip_with_field_ids)
+    with pytest.raises(NotImplementedError, match="array and struct"):
         write_iceberg(
             TidyFrame(spark.createDataFrame(
-                [(1, {"x": 2})], "id long, obj struct<x: long>")),
+                [(1, {"x": 2})], "id long, m map<string,long>")),
             str(tmp_path / "tbl2"))
 
 
@@ -419,3 +420,86 @@ def test_temporal_transforms_and_expire_snapshots(spark, tmp_path):
     # the current snapshot's files all survive, by reference counting
     for f in glob.glob(os.path.join(root, "metadata", "manifest-*.avro")):
         pass  # deletion already proven by the re-read above
+
+
+def test_nested_types_roundtrip_with_field_ids(spark, tmp_path):
+    """array<float> (the embeddings-table shape) and struct columns
+    write with nested PARQUET:field_id metadata and roundtrip exactly;
+    declared arrow types are pinned (float stays float32)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.5], {"w": 3, "h": 4}),
+         (2, [2.5], {"w": 5, "h": 6}),
+         (3, None, None)],
+        "id long, emb array<float>, dims struct<w:int,h:int>")
+    write_iceberg(TidyFrame(df), root)
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    embs = [None if v is None else [float(x) for x in v]
+            for v in got["emb"]]
+    assert embs == [[0.5, 1.5], [2.5], None]
+    assert [r["dims"] for _, r in got.iterrows()][:2] == \
+        [{"w": 3, "h": 4}, {"w": 5, "h": 6}]
+
+    f = glob.glob(os.path.join(root, "data", "*.parquet"))[0]
+    sch = pq.read_schema(f)
+    emb = sch.field("emb")
+    assert str(emb.type) == "list<element: float>"
+    assert emb.metadata[b"PARQUET:field_id"] == b"2"
+    assert emb.type.value_field.metadata[b"PARQUET:field_id"] == b"4"
+    dims = sch.field("dims")
+    assert [dims.type.field(i).metadata[b"PARQUET:field_id"]
+            for i in range(dims.type.num_fields)] == [b"5", b"6"]
+
+    # metadata carries the nested iceberg schema
+    meta = json.loads(open(os.path.join(
+        root, "metadata", "v1.metadata.json")).read())
+    emb_f = next(f for f in meta["schemas"][0]["fields"]
+                 if f["name"] == "emb")
+    assert emb_f["type"] == {"type": "list", "element-id": 4,
+                             "element": "float",
+                             "element-required": False}
+
+    # appends re-derive the same nested numbering: schema check passes
+    write_iceberg(
+        TidyFrame(spark.createDataFrame(
+            [(9, [9.0], {"w": 1, "h": 2})],
+            "id long, emb array<float>, dims struct<w:int,h:int>")),
+        root, mode="append")
+    assert read_iceberg(spark, root).df.count() == 4
+
+    # maps still refuse, loudly
+    with pytest.raises(NotImplementedError, match="array and struct"):
+        write_iceberg(
+            TidyFrame(spark.createDataFrame(
+                [(1, {"k": "v"})], "id long, m map<string,string>")),
+            str(tmp_path / "m"))
+
+
+def test_nested_row_ops(spark, tmp_path):
+    """Copy-on-write DELETE/MERGE on a table with an array column —
+    survivors carry their vectors bit-exactly."""
+    from tidierdb_jl_spark.sources.iceberg_ops import (delete_iceberg,
+                                                       merge_iceberg)
+
+    root = str(tmp_path / "tbl")
+    write_iceberg(
+        TidyFrame(spark.createDataFrame(
+            [(i, [float(i), float(i) + 0.5]) for i in range(6)],
+            "id long, emb array<float>")),
+        root)
+    delete_iceberg(spark, root, "id IN (1, 3)")
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 2, 4, 5]
+    assert [float(x) for x in got["emb"].tolist()[1]] == [2.0, 2.5]
+    merge_iceberg(
+        spark, root,
+        TidyFrame(spark.createDataFrame(
+            [(2, [9.0, 9.5]), (7, [7.0, 7.5])],
+            "id long, emb array<float>")),
+        "id")
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got["id"].tolist() == [0, 2, 4, 5, 7]
+    assert [float(x) for x in got.set_index("id")["emb"][2]] \
+        == [9.0, 9.5]

@@ -88,18 +88,14 @@ def _require_v2(meta: dict, root: str, op: str) -> None:
 
 
 def _schema_fields(meta: dict, root: str, op: str) -> list[dict]:
-    """Current-schema fields, gated to primitives (the executor-side
-    pyarrow writer's contract)."""
+    """Current-schema fields.  Primitive, list and struct types pass
+    (the executor-side pyarrow writer builds columns against the
+    declared arrow types — r12); map types refuse in
+    :func:`~.iceberg_writer._arrow_type` when the rewrite reaches
+    them."""
     from .iceberg import _current_schema
 
-    fields = _current_schema(meta)["fields"]
-    bad = [f["name"] for f in fields if not isinstance(f["type"], str)]
-    if bad:
-        raise NotImplementedError(
-            f"{op}: {root} has nested-typed columns {bad} — jar-free "
-            "row-level writes support primitive columns only"
-        )
-    return fields
+    return _current_schema(meta)["fields"]
 
 
 def _pfields_from_meta(meta: dict, root: str, op: str) -> list[dict]:

@@ -253,26 +253,88 @@ _MANIFEST_FILE_SCHEMA = {
 
 
 def _iceberg_schema(df_schema, path: str) -> list[dict]:
-    """Spark StructType -> iceberg schema fields with ids 1..n.
-    Primitive columns only — nested evolution is field-id surgery this
-    writer does not attempt."""
+    """Spark StructType -> iceberg schema fields.  Top-level columns
+    get ids 1..n; NESTED ids (struct children, list element-ids — r12,
+    the embeddings-table shape ``array<float>``) are allocated in DFS
+    order after the top level.  Any unique deterministic numbering is
+    spec-legal; appends re-derive the same numbering, so the schema-key
+    equality check stays exact.  Maps refuse (no corpus table keys on
+    them; evolution would be id surgery)."""
     from pyspark.sql import types as T
 
-    fields = []
-    for i, f in enumerate(df_schema.fields, start=1):
-        t = f.dataType
+    top = list(df_schema.fields)
+    counter = [len(top)]
+
+    def next_id() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv(t, col: str):
         if isinstance(t, T.DecimalType):
-            ice = f"decimal({t.precision}, {t.scale})"
-        else:
-            ice = _SPARK_TO_ICEBERG.get(t.typeName())
-        if ice is None:
-            raise NotImplementedError(
-                f"write_iceberg: column {f.name!r} has type "
-                f"{t.simpleString()} — primitive columns only"
-            )
-        fields.append({"id": i, "name": f.name, "required": False,
-                       "type": ice})
-    return fields
+            return f"decimal({t.precision}, {t.scale})"
+        prim = _SPARK_TO_ICEBERG.get(t.typeName())
+        if prim is not None:
+            return prim
+        if isinstance(t, T.ArrayType):
+            eid = next_id()
+            return {"type": "list", "element-id": eid,
+                    "element": conv(t.elementType, col),
+                    "element-required": not t.containsNull}
+        if isinstance(t, T.StructType):
+            fields = []
+            for f in t.fields:
+                fid = next_id()
+                fields.append({"id": fid, "name": f.name,
+                               "required": not f.nullable,
+                               "type": conv(f.dataType, col)})
+            return {"type": "struct", "fields": fields}
+        raise NotImplementedError(
+            f"write_iceberg: column {col!r} has type "
+            f"{t.simpleString()} — primitive, array and struct "
+            "columns only"
+        )
+
+    out = []
+    for i, f in enumerate(top, start=1):
+        out.append({"id": i, "name": f.name, "required": False,
+                    "type": conv(f.dataType, f.name)})
+    return out
+
+
+def _arrow_type(ice_t):
+    """Arrow type for an iceberg type (nested field-ids ride the child
+    field metadata — what parquet-cpp writes into the footer)."""
+    import pyarrow as pa
+
+    if isinstance(ice_t, dict):
+        if ice_t.get("type") == "list":
+            elem = pa.field(
+                "element", _arrow_type(ice_t["element"]),
+                nullable=not ice_t.get("element-required", False),
+                metadata={b"PARQUET:field_id":
+                          str(ice_t["element-id"]).encode()})
+            return pa.list_(elem)
+        if ice_t.get("type") == "struct":
+            return pa.struct([
+                pa.field(f["name"], _arrow_type(f["type"]),
+                         nullable=not f.get("required", False),
+                         metadata={b"PARQUET:field_id":
+                                   str(f["id"]).encode()})
+                for f in ice_t["fields"]
+            ])
+        raise NotImplementedError(f"iceberg type {ice_t!r}")
+    m = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+         "float": pa.float32(), "double": pa.float64(),
+         "date": pa.date32(), "string": pa.string(),
+         "binary": pa.binary(),
+         "timestamptz": pa.timestamp("us", tz="UTC"),
+         "timestamp": pa.timestamp("us")}
+    if ice_t in m:
+        return m[ice_t]
+    if ice_t.startswith("decimal"):
+        p, s = ice_t[ice_t.index("(") + 1:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    raise NotImplementedError(f"iceberg type {ice_t!r}")
 
 
 def _schema_key(fields: list[dict]):
@@ -347,15 +409,26 @@ def _write_data_files(df, root: str, fields: list[dict],
                   [(k, g) for k, g in pdf.groupby("__pv", dropna=False,
                                                   sort=True)])
         out_rows = []
+        # target schema built from the ICEBERG fields (not inferred):
+        # nested field-ids ride child-field metadata, and the cast pins
+        # arrow types to the declared schema (float32 embeddings stay
+        # float32 instead of pandas' float64 inference)
+        sch = pa.schema([
+            pa.field(f["name"], _arrow_type(f["type"]),
+                     nullable=True,
+                     metadata={b"PARQUET:field_id":
+                               str(ids[f["name"]]).encode()})
+            for f in fields
+        ])
         for pv_key, g in groups:
             g = g[names].reset_index(drop=True)
-            table = pa.Table.from_pandas(g, preserve_index=False)
-            sch = pa.schema([
-                table.schema.field(n).with_metadata(
-                    {b"PARQUET:field_id": str(ids[n]).encode()}
-                ) for n in names
-            ])
-            table = table.cast(sch)
+            # build each column AGAINST the declared type (never infer
+            # and cast: pandas dicts infer struct fields alphabetically,
+            # and a struct cast cannot reorder fields)
+            table = pa.Table.from_arrays(
+                [pa.Array.from_pandas(g[fld.name], type=fld.type)
+                 for fld in sch],
+                schema=sch)
             pv = _json.loads(pv_key)
             seg = "".join(f"{k}={'null' if v is None else v}/"
                           for k, v in pv.items())

@@ -129,6 +129,11 @@ ORACLE_QUERIES = [
     "w65_iceberg_partitioned_write",  # identity-partitioned writes (r12)
     "w66_delta_mapped_writes",  # column-mapped writes + row ops (r12)
     "w67_delta_cdf",            # Change Data Feed read + cdc emission (r12)
+    "w68_iceberg_row_ops",      # Iceberg CoW delete/merge/compact/rollback (r12)
+    "w69_delta_restore",        # RESTORE TO VERSION AS OF (r12)
+    "w70_delta_stream_source",  # Delta streaming source, version offsets (r12)
+    "w71_iceberg_stream_source",  # Iceberg streaming source, seq offsets (r12)
+    "w72_iceberg_nested_write",  # array<float>/struct writes + row ops (r12)
 ]
 
 
