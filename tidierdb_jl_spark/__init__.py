@@ -19,9 +19,9 @@ from .sources.writers import create_table, drop_view, write_file
 from .sources.delta import read_delta
 from .sources.delta_cdf import read_delta_cdf
 from .sources.delta_writer import (
-    checkpoint_delta, delete_delta, describe_detail, describe_history,
-    merge_delta, optimize_delta, restore_delta, vacuum_delta,
-    write_delta,
+    checkpoint_delta, convert_to_delta, delete_delta, describe_detail,
+    describe_history, merge_delta, optimize_delta, restore_delta,
+    vacuum_delta, write_delta,
 )
 from .sources.iceberg import read_iceberg
 from .sources.iceberg_writer import (
@@ -63,6 +63,7 @@ __all__ = [
     "checkpoint_delta",
     "describe_history",
     "describe_detail",
+    "convert_to_delta",
     "read_iceberg",
     "write_iceberg",
     "snapshots_iceberg",

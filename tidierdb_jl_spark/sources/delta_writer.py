@@ -65,7 +65,8 @@ from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
            "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta",
-           "restore_delta", "describe_history", "describe_detail"]
+           "restore_delta", "describe_history", "describe_detail",
+           "convert_to_delta"]
 
 _MAX_COMMIT_RETRIES = 20
 # merge_delta broadcasts the distinct update keys below this count —
@@ -1239,6 +1240,114 @@ def vacuum_delta(spark, path: str, retain_hours: float = 168.0,
         for rel in victims:
             fs_delete(spark, f"{root}/{rel}", recursive=False)
     return sorted(victims)
+
+
+def convert_to_delta(spark, path: str, partition_by=None) -> int:
+    """In-place migration of a plain parquet directory to a Delta table
+    (delta-spark's ``CONVERT TO DELTA``): commits version 0 whose add
+    actions reference the EXISTING files — no data moves, no rewrite;
+    the directory simply gains a ``_delta_log``.  Hive-style ``k=v``
+    partition directories are parsed into partitionValues;
+    ``partition_by`` declares the expected partition columns (refused
+    on mismatch — guessing a layout corrupts every downstream
+    partition-pruned read).  The schema is Spark's own inference over
+    the directory (partition columns typed from the directory values,
+    exactly what a scan would see).  Refuses if the table already has
+    a log.  Returns 0, the committed version.
+
+    Metadata-sized: one distributed listing + one footer-schema read;
+    row data is never touched."""
+    from urllib.parse import unquote as _unquote
+
+    from .fsio import fs_exists, fs_mkdirs, join_path
+
+    root = str(path).rstrip("/")
+    if not fs_exists(spark, root):
+        raise ValueError(f"convert_to_delta: no parquet files under {root}")
+    log_dir = join_path(root, "_delta_log")
+    if fs_exists(spark, log_dir):
+        raise ValueError(
+            f"convert_to_delta: {root} already has a _delta_log/ — "
+            "it is already a Delta table"
+        )
+    part_cols = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by or []))
+
+    files = [(rel, mtime) for rel, mtime in _list_table_files(spark, root)
+             if rel.endswith(".parquet")
+             and not rel.rsplit("/", 1)[-1].startswith((".", "_"))]
+    if not files:
+        raise ValueError(f"convert_to_delta: no parquet files under {root}")
+
+    adds = []
+    from .fsio import hadoop_fs
+
+    fs, _hroot = hadoop_fs(spark, root)
+    for rel, mtime in sorted(files):
+        segs = rel.split("/")[:-1]
+        pv = {}
+        for seg in segs:
+            if "=" not in seg:
+                raise ValueError(
+                    f"convert_to_delta: directory segment {seg!r} under "
+                    f"{root} is not k=v hive layout — cannot derive "
+                    "partitionValues"
+                )
+            k, v = seg.split("=", 1)
+            pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                     else _unquote(v))
+        if sorted(pv) != sorted(part_cols):
+            raise ValueError(
+                f"convert_to_delta: file {rel!r} lives under partition "
+                f"dirs {sorted(pv)} but partition_by={sorted(part_cols)} "
+                "— declare the actual layout"
+            )
+        st = fs.getFileStatus(
+            spark._jvm.org.apache.hadoop.fs.Path(join_path(root, rel)))
+        # uuid-fresh basenames: Spark reuses one job uuid across
+        # partition dirs, so original basenames COLLIDE across
+        # partitions — and readers (this repo's included) key per-file
+        # metadata by unique basename.  A rename is a metadata move on
+        # the same filesystem; row data never rewrites.
+        parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        fname = f"part-{len(adds):05d}-{uuid.uuid4()}.snappy.parquet"
+        new_rel = f"{parent}/{fname}" if parent else fname
+        from .fsio import fs_rename
+
+        fs_rename(spark, join_path(root, rel), join_path(root, new_rel))
+        adds.append({"path": quote(new_rel, safe="/=-"),
+                     "partitionValues": pv, "size": int(st.getLen()),
+                     "modificationTime": int(st.getModificationTime()),
+                     "dataChange": True})
+
+    # Spark's own inference = what a scan sees (partition columns typed
+    # from the directory values and placed after the data columns)
+    schema_json = spark.read.parquet(root).schema.json()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }},
+    ]
+    actions.extend({"add": a} for a in adds)
+    actions.append({"commitInfo": {
+        "timestamp": int(time.time() * 1000), "operation": "CONVERT",
+        "operationParameters": {"numFiles": str(len(adds))},
+        "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+    fs_mkdirs(spark, log_dir)
+    text = "\n".join(json.dumps(a, separators=(",", ":"))
+                     for a in actions) + "\n"
+    if not _try_create(spark, join_path(log_dir, f"{0:020d}.json"), text):
+        raise ValueError(
+            f"convert_to_delta: lost the race creating version 0 at "
+            f"{root} — another converter won"
+        )
+    return 0
 
 
 def restore_delta(spark, path: str, version: int) -> int:
