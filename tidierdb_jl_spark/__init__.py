@@ -28,8 +28,9 @@ from .sources.iceberg_writer import (
     expire_snapshots_iceberg, snapshots_iceberg, write_iceberg,
 )
 from .sources.iceberg_ops import (
-    delete_iceberg, files_iceberg, manifests_iceberg, merge_iceberg,
-    rewrite_data_files_iceberg, rollback_iceberg,
+    convert_to_iceberg, delete_iceberg, files_iceberg,
+    manifests_iceberg, merge_iceberg, rewrite_data_files_iceberg,
+    rollback_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -74,6 +75,7 @@ __all__ = [
     "rollback_iceberg",
     "files_iceberg",
     "manifests_iceberg",
+    "convert_to_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

@@ -54,7 +54,7 @@ import uuid
 
 __all__ = ["delete_iceberg", "merge_iceberg",
            "rewrite_data_files_iceberg", "rollback_iceberg",
-           "files_iceberg", "manifests_iceberg"]
+           "files_iceberg", "manifests_iceberg", "convert_to_iceberg"]
 
 _MAX_COMMIT_RETRIES = 20
 # same deterministic smallness rule as merge_delta / the reader's
@@ -741,6 +741,157 @@ def manifests_iceberg(spark, path: str,
                 m.get("deleted_data_files_count") or 0),
         })
     return sorted(out, key=lambda r: r["path"])
+
+
+def convert_to_iceberg(spark, path: str) -> int:
+    """In-place migration of a plain parquet directory to an Iceberg v2
+    table (the ``add_files``/migrate procedure): existing files become
+    the first snapshot's data files — no bytes move, the directory
+    gains a ``metadata/`` tree.  Per-file record counts and sizes come
+    from a DISTRIBUTED footer-metadata probe (pyarrow, mapInPandas —
+    O(files) driver metadata, no row data).  The imported files carry
+    no iceberg field ids, so the reader resolves them by NAME — the
+    documented imported-parquet path with its loud absent-column gate.
+
+    Hive ``k=v`` partition directories REFUSE: the partition source
+    values live only in directory names there, and this repo's reader
+    scans source columns from the data files (what Iceberg's own
+    writers store) — silently null-filled partition columns would be
+    wrong answers.  Returns the new snapshot id."""
+    import pandas as _pd
+
+    from .avro_lite import encode_avro_container
+    from .fsio import fs_exists, fs_mkdirs, join_path, write_text_atomic
+    from .iceberg_writer import (_MANIFEST_FILE_SCHEMA, _iceberg_schema,
+                                 _manifest_entry_schema)
+
+    root = str(path).rstrip("/")
+    if not fs_exists(spark, root):
+        raise ValueError(
+            f"convert_to_iceberg: no parquet files under {root}")
+    if fs_exists(spark, join_path(root, "metadata")):
+        raise ValueError(
+            f"convert_to_iceberg: {root} already has a metadata/ tree "
+            "— it is already an Iceberg table"
+        )
+    from .delta_writer import _list_table_files
+
+    rels = [rel for rel, _mt in _list_table_files(spark, root)
+            if rel.endswith(".parquet")
+            and not rel.rsplit("/", 1)[-1].startswith((".", "_"))]
+    if not rels:
+        raise ValueError(
+            f"convert_to_iceberg: no parquet files under {root}")
+    hive = [r for r in rels if any("=" in seg
+                                   for seg in r.split("/")[:-1])]
+    if hive:
+        raise NotImplementedError(
+            f"convert_to_iceberg: {root} uses hive k=v partition "
+            f"directories (e.g. {hive[0]!r}) — the partition values "
+            "live only in directory names, which Iceberg data files "
+            "must carry as columns; rewrite through write_iceberg("
+            "partition_by=...) instead"
+        )
+    if len({r.rsplit("/", 1)[-1] for r in rels}) != len(rels):
+        raise ValueError(
+            f"convert_to_iceberg: duplicate parquet basenames under "
+            f"{root} — the reader keys per-file metadata by basename"
+        )
+
+    fdf = spark.createDataFrame([(f"{root}/{r}",) for r in sorted(rels)],
+                                "path string")
+    if len(rels) > 1:
+        fdf = fdf.repartition(min(len(rels), 64))
+
+    def probe(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                if "://" not in p or p.startswith("file://"):
+                    lp = (p[len("file://"):] if p.startswith("file://")
+                          else p)
+                    md = pq.read_metadata(lp)
+                    import os as _os
+
+                    size = _os.path.getsize(lp)
+                else:
+                    from pyarrow import fs as pafs
+
+                    u = ("s3://" + p[len("s3a://"):]
+                         if p.startswith("s3a://") else p)
+                    filesystem, pth = pafs.FileSystem.from_uri(u)
+                    with filesystem.open_input_file(pth) as fh:
+                        md = pq.read_metadata(fh)
+                    size = filesystem.get_file_info(pth).size
+                rows.append((p, int(md.num_rows), int(size)))
+            yield _pd.DataFrame(rows, columns=["path", "n", "size"])
+
+    stats = fdf.mapInPandas(probe, "path string, n long, size long") \
+        .collect()
+    fields = _iceberg_schema(spark.read.parquet(root).schema, root)
+
+    seq, snap_id = 1, int(time.time() * 1000) * 1000 + 1
+    uid = uuid.uuid4().hex
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": None, "file_sequence_number": None,
+                "data_file": {"content": 0, "file_path": r["path"],
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": int(r["n"]),
+                              "file_size_in_bytes": int(r["size"])}}
+               for r in stats]
+    man_rel = f"metadata/manifest-{uid}.avro"
+    man_bytes = encode_avro_container(
+        _manifest_entry_schema([]), entries,
+        extra_meta={"schema": json.dumps({"type": "struct",
+                                          "schema-id": 0,
+                                          "fields": fields}),
+                    "schema-id": "0", "partition-spec": "[]",
+                    "partition-spec-id": "0", "format-version": "2",
+                    "content": "data"})
+    fs_mkdirs(spark, join_path(root, "metadata"))
+    if not _create(spark, join_path(root, man_rel), man_bytes):
+        raise RuntimeError("convert_to_iceberg: manifest collision")
+    mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
+    mlist_bytes = encode_avro_container(
+        _MANIFEST_FILE_SCHEMA,
+        [{"manifest_path": f"{root}/{man_rel}",
+          "manifest_length": len(man_bytes), "partition_spec_id": 0,
+          "content": 0, "sequence_number": seq,
+          "min_sequence_number": seq, "added_snapshot_id": snap_id,
+          "added_data_files_count": len(entries),
+          "existing_data_files_count": 0,
+          "deleted_data_files_count": 0,
+          "added_rows_count": sum(int(r["n"]) for r in stats),
+          "existing_rows_count": 0, "deleted_rows_count": 0}],
+        extra_meta={"format-version": "2", "snapshot-id": str(snap_id),
+                    "sequence-number": str(seq)})
+    if not _create(spark, join_path(root, mlist_rel), mlist_bytes):
+        raise RuntimeError("convert_to_iceberg: manifest-list collision")
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "last-sequence-number": seq,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(fields), "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "current-snapshot-id": snap_id,
+        "snapshots": [{"snapshot-id": snap_id, "sequence-number": seq,
+                       "timestamp-ms": int(time.time() * 1000),
+                       "manifest-list": f"{root}/{mlist_rel}",
+                       "summary": {"operation": "append"}}],
+    }
+    vpath = join_path(root, "metadata", "v1.metadata.json")
+    if not _create(spark, vpath, json.dumps(meta).encode("utf-8")):
+        raise ValueError(
+            f"convert_to_iceberg: lost the race creating v1 at {root}")
+    write_text_atomic(spark, join_path(root, "metadata",
+                                       "version-hint.text"), "1")
+    return snap_id
 
 
 def rollback_iceberg(spark, path: str, snapshot_id: int) -> int:
