@@ -94,3 +94,50 @@ def test_starting_version_options(spark, tmp_path):
     write_delta(_tf(spark, [(3, "c")]), root)
     assert _drain(spark, root, out2, ckpt2,
                   startingVersion="latest") == [(3, "c")]
+
+
+def test_read_change_feed_stream(spark, tmp_path):
+    """readChangeFeed: cdc commits replay exactly (delete rows +
+    pre/post images from the row ops), appends derive as inserts,
+    CDF columns carry version and timestamp."""
+    from tidierdb_jl_spark.sources.delta_writer import merge_delta
+
+    root = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_delta(_tf(spark, [(1, "a"), (2, "b")]), root,
+                configuration={"delta.enableChangeDataFeed": "true"})
+    delete_delta(spark, root, "id = 1")                        # cdc v1
+    merge_delta(spark, root, _tf(spark, [(2, "B"), (3, "c")]),
+                key="id")                                      # cdc v2
+
+    q = (read_stream_delta_source(spark, root, readChangeFeed=True).df
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    rows = sorted((r.id, r.v, r._change_type, r._commit_version)
+                  for r in got.collect())
+    assert rows == sorted([
+        (1, "a", "insert", 0),
+        (1, "a", "delete", 1),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 2),
+        (2, "B", "update_postimage", 2),
+        (3, "c", "insert", 2),
+    ])
+    assert got.where("_commit_timestamp IS NULL").count() == 0
+
+    # a change commit WITHOUT cdc (CDF off) still gates in cdf mode
+    root2 = str(tmp_path / "tbl2")
+    write_delta(_tf(spark, [(1, "a")]), root2)
+    delete_delta(spark, root2, "id = 1")
+    with pytest.raises(Exception, match="enable "
+                       "delta.enableChangeDataFeed"):
+        q = (read_stream_delta_source(spark, root2,
+                                      readChangeFeed=True).df
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "o2"))
+             .option("checkpointLocation", str(tmp_path / "c2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)

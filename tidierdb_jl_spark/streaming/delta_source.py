@@ -180,6 +180,9 @@ def _make_stream_reader(options):
                                   "false"))).lower() == "true"
             self.starting = opts.get("startingversion",
                                      opts.get("startingVersion"))
+            self.cdf = str(opts.get("readchangefeed",
+                                    opts.get("readChangeFeed",
+                                             "false"))).lower() == "true"
             self.meta = _table_meta(self.root)
             self.part_cols = list(self.meta.get("partitionColumns") or [])
 
@@ -208,22 +211,42 @@ def _make_stream_reader(options):
             out = []
             for v in range(lo + 1, hi + 1):
                 acts = _read_commit(self.root, v)
+                ts = next((a["commitInfo"].get("timestamp")
+                           for a in acts if "commitInfo" in a), None)
                 data_removed = any(
                     a.get("remove", {}).get("dataChange", True)
                     for a in acts if "remove" in a)
                 adds = [a["add"] for a in acts
                         if "add" in a and a["add"].get("dataChange",
                                                        True)]
+                cdc = [a["cdc"] for a in acts if "cdc" in a]
+                if self.cdf and cdc:
+                    # exact row-level changes: the cdc files carry
+                    # their own _change_type column (add/remove
+                    # actions of the commit are ignored — protocol)
+                    for c in cdc:
+                        out.append(_Part((
+                            f"{self.root}/{unquote(c['path'])}",
+                            dict(c.get("partitionValues") or {}),
+                            self.meta["schemaString"],
+                            self.part_cols, "cdc", v, ts)))
+                    continue
                 if data_removed:
                     if self.skip_change:
                         continue  # skip the whole commit, adds included
                     raise ValueError(
                         f"{self.root}: commit {v} removed data "
-                        "(overwrite/DELETE/MERGE/RESTORE) — an append "
-                        "stream cannot express it.  Set .option("
-                        "'skipChangeCommits', 'true') to skip such "
-                        "commits, or consume row-level changes via "
-                        "read_delta_cdf()"
+                        "(overwrite/DELETE/MERGE/RESTORE) "
+                        + ("and wrote no cdc files — enable "
+                           "delta.enableChangeDataFeed on the table so "
+                           "row ops write exact changes, use the batch "
+                           "read_delta_cdf(), or set .option("
+                           "'skipChangeCommits', 'true')"
+                           if self.cdf else
+                           "— an append stream cannot express it.  Set "
+                           ".option('skipChangeCommits', 'true') to "
+                           "skip such commits, or consume row-level "
+                           "changes via read_delta_cdf()")
                     )
                 for a in adds:
                     if a.get("deletionVector"):
@@ -236,7 +259,7 @@ def _make_stream_reader(options):
                         dict(a.get("partitionValues") or {}),
                         self.meta["schemaString"],
                         self.part_cols,
-                    )))
+                        "insert" if self.cdf else None, v, ts)))
             # Spark requires >=1 partition; an empty range yields an
             # empty batch through a no-op partition
             if not out:
@@ -249,7 +272,8 @@ def _make_stream_reader(options):
 
             if partition.payload is None:
                 return iter(())
-            url, pvals, schema_json, part_cols = partition.payload
+            (url, pvals, schema_json, part_cols,
+             ctype, version, ts) = partition.payload
             fields = json.loads(schema_json)["fields"]
 
             def pa_type(t: str):
@@ -302,9 +326,23 @@ def _make_stream_reader(options):
                     cols.append(pa.array([val] * n, type=pa_type(t)))
                 else:
                     cols.append(table.column(name).cast(pa_type(t)))
-            yield from pa.table(
-                dict(zip([f["name"] for f in fields], cols))
-            ).to_batches()
+            names = [f["name"] for f in fields]
+            if ctype is not None:
+                # CDF mode: _change_type from the cdc file itself, or
+                # the derived literal; version/timestamp as constants
+                if ctype == "cdc":
+                    cols.append(table.column("_change_type")
+                                .cast(pa.string()))
+                else:
+                    cols.append(pa.array([ctype] * n, type=pa.string()))
+                cols.append(pa.array([int(version)] * n,
+                                     type=pa.int64()))
+                tsv = None if ts is None else int(ts) * 1000
+                cols.append(pa.array(
+                    [tsv] * n, type=pa.timestamp("us", tz="UTC")))
+                names += ["_change_type", "_commit_version",
+                          "_commit_timestamp"]
+            yield from pa.table(dict(zip(names, cols))).to_batches()
 
         def commit(self, end):
             pass  # offsets live in Spark's checkpoint
@@ -326,7 +364,15 @@ def _register(spark):
                 raise ValueError(
                     f"{_FORMAT_NAME}: .option('path', <table root>) is "
                     "required")
-            return _ddl_of(_table_meta(root))
+            ddl = _ddl_of(_table_meta(root))
+            if str(self.options.get(
+                    "readchangefeed",
+                    self.options.get("readChangeFeed",
+                                     "false"))).lower() == "true":
+                ddl += (", `_change_type` string, "
+                        "`_commit_version` long, "
+                        "`_commit_timestamp` timestamp")
+            return ddl
 
         def streamReader(self, schema):
             return _make_stream_reader(self.options)
