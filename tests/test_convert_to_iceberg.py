@@ -49,10 +49,29 @@ def test_convert_and_row_ops(spark, tmp_path):
         convert_to_iceberg(spark, root)
 
 
-def test_convert_hive_layout_refuses(spark, tmp_path):
+def test_convert_hive_layout_identity_fill(spark, tmp_path):
+    """A hive-partitioned dir converts to an identity partition spec;
+    the partition column (present ONLY in directory names) re-attaches
+    through the reader's Column Projection rule-1 fill, typed by
+    Spark's directory inference — including an int partition key."""
     root = str(tmp_path / "plain")
     spark.createDataFrame(
-        [(1, "a", "en"), (2, "b", "fr")], "id long, v string, lang string"
-    ).write.partitionBy("lang").parquet(root)
-    with pytest.raises(NotImplementedError, match="k=v partition"):
-        convert_to_iceberg(spark, root)
+        [(1, "a", "en", 10), (2, "b", "fr", 10), (3, "c", "en", 20)],
+        "id long, v string, lang string, bucket int"
+    ).write.partitionBy("lang", "bucket").parquet(root)
+
+    convert_to_iceberg(spark, root)
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got[["id", "lang", "bucket"]].values.tolist() == [
+        [1, "en", 10], [2, "fr", 10], [3, "en", 20]]
+    # partition tuples landed typed in the inventory
+    inv = files_iceberg(spark, root)
+    assert {(f["partition"]["lang"], f["partition"]["bucket"])
+            for f in inv} == {("en", 10), ("fr", 10), ("en", 20)}
+
+    # row ops compose: the survivors rewrite materializes the filled
+    # partition columns into self-contained new files
+    delete_iceberg(spark, root, "lang = 'en' AND bucket = 10")
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got[["id", "lang"]].values.tolist() == [[2, "fr"],
+                                                   [3, "en"]]

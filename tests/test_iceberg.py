@@ -844,3 +844,90 @@ def test_iceberg_field_id_resolution(spark, tmp_path):
         fh.write("2")
     with pytest.raises(ValueError, match="REQUIRED"):
         read_iceberg(spark, root)
+
+
+def test_identity_partition_metadata_fill(spark, tmp_path):
+    """Spec "Column Projection" rule 1: a field ABSENT from a data file
+    whose id sources an IDENTITY partition transform fills from the
+    file's partition metadata — writers may omit identity source
+    columns from data files; null-filling them is wrong answers.
+    Files that DO carry the column keep stored values."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    # file A: carries only (id, val) — lang omitted, en partition
+    rel_a = f"data/{uuid.uuid4().hex}.parquet"
+    _data_file(spark, [(1, "a"), (2, "b")], os.path.join(root, rel_a))
+    # file B: carries all three columns (fr partition)
+    rel_b = f"data/{uuid.uuid4().hex}.parquet"
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp = os.path.join(root, rel_b) + ".tmp"
+    spark.createDataFrame([(3, "c", "stored-fr")],
+                          "id long, val string, lang string") \
+        .coalesce(1).write.parquet(tmp)
+    _shutil.move(_glob.glob(tmp + "/part-*.parquet")[0],
+                 os.path.join(root, rel_b))
+    _shutil.rmtree(tmp)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "lang",
+                             "type": ["null", "string"]}]}},
+                ]}},
+        ],
+    }
+    mpath = os.path.join(root, "metadata", "m-1.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(write_container(entry_schema, [
+            {"status": 1, "data_file": {
+                "content": 0, "file_path": f"{root}/{rel_a}",
+                "file_format": "PARQUET", "record_count": 2,
+                "partition": {"lang": "en"}}},
+            {"status": 1, "data_file": {
+                "content": 0, "file_path": f"{root}/{rel_b}",
+                "file_format": "PARQUET", "record_count": 1,
+                "partition": {"lang": "fr"}}},
+        ]))
+    mlist = os.path.join(root, "metadata", "snap-1.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE, [
+            {"manifest_path": mpath, "manifest_length": 1,
+             "content": 0}]))
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": root, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "lang", "required": False,
+             "type": "string"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "lang", "transform": "identity", "source-id": 3,
+             "field-id": 1000}]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": mlist}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write("1")
+
+    got = read_iceberg(spark, root).collect().sort_values("id")
+    assert got[["id", "val", "lang"]].values.tolist() == [
+        [1, "a", "en"], [2, "b", "en"], [3, "c", "stored-fr"]]

@@ -202,6 +202,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # the spec says a DELETED file is no longer part of the table, so
     # the exclusion is global, not per-manifest
     added, deleted, fmts = {}, set(), set()
+    parts_of: dict[str, dict] = {}
     for mp, mseq in manifests:
         for entry in read_avro_file(spark, _resolve_path(path, mp)):
             df_ = entry["data_file"]
@@ -218,6 +219,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 )
             fmts.add(str(df_.get("file_format", "PARQUET")).upper())
             added[fp] = _entry_seq(entry, mseq, status)
+            parts_of[fp] = dict(df_.get("partition") or {})
     pos_deletes, dv_deletes, eq_deletes = _delete_files(
         spark, path, delete_manifests
     )
@@ -237,6 +239,27 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         )
     want_fields = _current_schema(meta)["fields"]
     want = [f["name"] for f in want_fields]
+    # spec "Column Projection" rule 1: a field ABSENT from a data file
+    # whose id is the source of an IDENTITY partition transform fills
+    # from the file's partition metadata (some writers omit identity
+    # partition source columns from data files; null-filling them
+    # would be silently wrong answers)
+    ident: dict[str, int] = {}
+    specs = meta.get("partition-specs")
+    if specs is None and meta.get("partition-spec"):
+        specs = [{"fields": meta["partition-spec"]}]  # v1 single-spec
+    for spec in specs or []:
+        for pf in spec.get("fields", []):
+            if pf.get("transform") == "identity" and \
+                    pf.get("source-id") is not None:
+                ident[pf["name"]] = int(pf["source-id"])
+    ident_fill: dict[str, dict] = {}
+    if ident:
+        for fp, pv in parts_of.items():
+            fills = {fid: pv[nm] for nm, fid in ident.items()
+                     if nm in pv}
+            if fills:
+                ident_fill[fp] = fills
     if fmts == {"PARQUET"}:
         # spec-exact column resolution (r11): every parquet read goes
         # through the per-file footer probe — field-id renames, v3
@@ -246,7 +269,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # _metadata is retained only when position/DV deletes will need
         # row_index — otherwise it would widen every scan's ReadSchema
         df = _resolved_scan(spark, path, sorted(live), want_fields,
-                            keep_metadata=bool(pos_deletes or dv_deletes))
+                            keep_metadata=bool(pos_deletes or dv_deletes),
+                            ident_fill=ident_fill)
     else:
         # ORC live sets (r12): the SAME spec-exact field-id resolution
         # as parquet — ids come from the ORC iceberg.id type attributes
@@ -255,7 +279,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # gate, exactly like imported plain parquet
         df = _resolved_scan(spark, path, sorted(live), want_fields,
                             keep_metadata=bool(pos_deletes or dv_deletes),
-                            fmt="orc")
+                            fmt="orc", ident_fill=ident_fill)
     if _file_col:
         # basename, URL-decoded the same way the delete machinery keys
         # files (input_file_name() is URL-encoded; '+' pre-escaped so
@@ -580,6 +604,25 @@ def _default_literal(path: str, f: dict):
     return F.lit(v).cast(spark_t)
 
 
+def _partition_literal(path: str, f: dict, v):
+    """Typed Spark literal for an identity-partition fill (spec Column
+    Projection rule 1).  Avro partition tuples store dates as epoch-day
+    ints and timestamps as epoch-micro longs (single-value
+    serialization); strings (e.g. a converted hive layout) cast through
+    the field's Spark type."""
+    from pyspark.sql import functions as F
+
+    t = f["type"]
+    if v is None:
+        return F.lit(None).cast(_iceberg_spark_type(path, f))
+    if t == "date" and isinstance(v, int):
+        return F.date_add(F.lit("1970-01-01").cast("date"), v)
+    if t in ("timestamp", "timestamptz") and isinstance(v, int):
+        lit = F.timestamp_micros(F.lit(v))
+        return lit.cast(_ICEBERG_TO_SPARK[t])
+    return F.lit(v).cast(_iceberg_spark_type(path, f))
+
+
 def _iceberg_spark_type(path: str, f: dict) -> str:
     t = f["type"]
     if isinstance(t, str):
@@ -594,7 +637,8 @@ def _iceberg_spark_type(path: str, f: dict) -> str:
 
 
 def _resolved_scan(spark, path: str, files: list, fields: list,
-                   keep_metadata: bool = False, fmt: str = "parquet"):
+                   keep_metadata: bool = False, fmt: str = "parquet",
+                   ident_fill: dict | None = None):
     """Spec-exact column resolution (Iceberg spec "Column Projection" +
     v3 "Default values"), replacing name matching:
 
@@ -684,11 +728,16 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
 
     def resolve(p: str) -> tuple:
         """Per-file signature: one entry per current-schema field —
-        ("col", physical_name) | ("default",) | ("null",)."""
+        ("col", physical_name) | ("pfill", value) | ("default",) |
+        ("null",).  ``pfill`` is the spec's Column Projection rule 1:
+        an absent field whose id sources an IDENTITY partition
+        transform fills from the file's partition metadata (takes
+        precedence over initial-default per spec ordering)."""
         fl = footer[p]
         by_id = {fid: n for n, fid in fl if fid is not None}
         names = {n for n, _ in fl}
         has_ids = bool(by_id)
+        pf_vals = (ident_fill or {}).get(p) or {}
         sig = []
         for f in fields:
             fid, fname = int(f["id"]), f["name"]
@@ -696,6 +745,8 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
                 sig.append(("col", by_id[fid]))
             elif not has_ids and fname in names:
                 sig.append(("col", fname))
+            elif fid in pf_vals:
+                sig.append(("pfill", pf_vals[fid]))
             elif f.get("initial-default") is not None:
                 sig.append(("default",))
             elif not has_ids:
@@ -729,6 +780,9 @@ def _resolved_scan(spark, path: str, files: list, fields: list,
         for f, how in zip(fields, sig):
             if how[0] == "col":
                 cols.append(F.col(how[1]).alias(f["name"]))
+            elif how[0] == "pfill":
+                cols.append(
+                    _partition_literal(path, f, how[1]).alias(f["name"]))
             elif how[0] == "default":
                 cols.append(_default_literal(path, f).alias(f["name"]))
             else:

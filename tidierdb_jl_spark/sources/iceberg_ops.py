@@ -753,11 +753,14 @@ def convert_to_iceberg(spark, path: str) -> int:
     no iceberg field ids, so the reader resolves them by NAME — the
     documented imported-parquet path with its loud absent-column gate.
 
-    Hive ``k=v`` partition directories REFUSE: the partition source
-    values live only in directory names there, and this repo's reader
-    scans source columns from the data files (what Iceberg's own
-    writers store) — silently null-filled partition columns would be
-    wrong answers.  Returns the new snapshot id."""
+    Hive ``k=v`` partition directories convert to an IDENTITY partition
+    spec: each file's typed partition tuple lands in its manifest
+    entry's r102 struct, and the reader re-attaches the values through
+    the spec's Column Projection rule 1 (identity-transform
+    partition-metadata fill) — the values live only in directory
+    names, exactly the case the rule exists for.  Partition types
+    follow Spark's own directory inference (int/long/string/date).
+    Returns the new snapshot id."""
     import pandas as _pd
 
     from .avro_lite import encode_avro_container
@@ -782,15 +785,30 @@ def convert_to_iceberg(spark, path: str) -> int:
     if not rels:
         raise ValueError(
             f"convert_to_iceberg: no parquet files under {root}")
-    hive = [r for r in rels if any("=" in seg
-                                   for seg in r.split("/")[:-1])]
-    if hive:
-        raise NotImplementedError(
-            f"convert_to_iceberg: {root} uses hive k=v partition "
-            f"directories (e.g. {hive[0]!r}) — the partition values "
-            "live only in directory names, which Iceberg data files "
-            "must carry as columns; rewrite through write_iceberg("
-            "partition_by=...) instead"
+    from urllib.parse import unquote as _unquote
+
+    def pv_of(rel: str) -> dict:
+        pv = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" not in seg:
+                raise ValueError(
+                    f"convert_to_iceberg: directory segment {seg!r} "
+                    f"under {root} is not k=v hive layout — cannot "
+                    "derive a partition spec"
+                )
+            k, v = seg.split("=", 1)
+            pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                     else _unquote(v))
+        return pv
+
+    pvs = {rel: pv_of(rel) for rel in rels}
+    part_cols = sorted({k for pv in pvs.values() for k in pv})
+    bad = [rel for rel, pv in pvs.items()
+           if sorted(pv) != part_cols]
+    if bad:
+        raise ValueError(
+            f"convert_to_iceberg: inconsistent partition layouts under "
+            f"{root} (e.g. {bad[0]!r} vs columns {part_cols})"
         )
     if len({r.rsplit("/", 1)[-1] for r in rels}) != len(rels):
         raise ValueError(
@@ -830,24 +848,66 @@ def convert_to_iceberg(spark, path: str) -> int:
 
     stats = fdf.mapInPandas(probe, "path string, n long, size long") \
         .collect()
+    # Spark's inference = what a scan sees: partition columns typed
+    # from the directory values and placed after the data columns
     fields = _iceberg_schema(spark.read.parquet(root).schema, root)
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in part_cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"convert_to_iceberg: partition dirs {missing} not in the "
+            f"inferred schema at {root}"
+        )
+    spec_fields, part_fields = [], []
+    for i, c in enumerate(part_cols):
+        ice_t = by_name[c]["type"]
+        if ice_t not in ("int", "long", "string", "date"):
+            raise NotImplementedError(
+                f"convert_to_iceberg: partition column {c!r} inferred "
+                f"as {ice_t!r} — identity conversion supports "
+                "int/long/string/date"
+            )
+        spec_fields.append({"name": c, "transform": "identity",
+                            "source-id": by_name[c]["id"],
+                            "field-id": 1000 + i})
+        part_fields.append({"name": c, "field-id": 1000 + i,
+                            "ice_type": ice_t})
+
+    def coerce(c: str, v):
+        if v is None:
+            return None
+        t = by_name[c]["type"]
+        if t in ("int", "long"):
+            return int(v)
+        if t == "date":
+            import datetime as _dt
+
+            return (_dt.date.fromisoformat(v)
+                    - _dt.date(1970, 1, 1)).days
+        return str(v)
 
     seq, snap_id = 1, int(time.time() * 1000) * 1000 + 1
     uid = uuid.uuid4().hex
+    rel_of = {f"{root}/{r}": r for r in rels}
     entries = [{"status": 1, "snapshot_id": snap_id,
                 "sequence_number": None, "file_sequence_number": None,
                 "data_file": {"content": 0, "file_path": r["path"],
-                              "file_format": "PARQUET", "partition": {},
+                              "file_format": "PARQUET",
+                              "partition": {
+                                  c: coerce(c, pvs[rel_of[r["path"]]]
+                                            .get(c))
+                                  for c in part_cols},
                               "record_count": int(r["n"]),
                               "file_size_in_bytes": int(r["size"])}}
                for r in stats]
     man_rel = f"metadata/manifest-{uid}.avro"
     man_bytes = encode_avro_container(
-        _manifest_entry_schema([]), entries,
+        _manifest_entry_schema(part_fields), entries,
         extra_meta={"schema": json.dumps({"type": "struct",
                                           "schema-id": 0,
                                           "fields": fields}),
-                    "schema-id": "0", "partition-spec": "[]",
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
                     "partition-spec-id": "0", "format-version": "2",
                     "content": "data"})
     fs_mkdirs(spark, join_path(root, "metadata"))
@@ -877,8 +937,8 @@ def convert_to_iceberg(spark, path: str) -> int:
         "schemas": [{"schema-id": 0, "type": "struct",
                      "fields": fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "current-snapshot-id": snap_id,
         "snapshots": [{"snapshot-id": snap_id, "sequence-number": seq,
                        "timestamp-ms": int(time.time() * 1000),
