@@ -344,3 +344,36 @@ def test_files_and_manifests_introspection(spark, tmp_path):
     mans = manifests_iceberg(spark, root)
     assert all(m["content"] == "data" for m in mans)
     assert sum(m["deleted_data_files_count"] for m in mans) == 1
+
+
+def test_tags_and_refs(spark, tmp_path):
+    """tag_iceberg pins a snapshot behind a name: read_iceberg(ref=...)
+    reads it, expire_snapshots retains it, drop_tag releases it."""
+    from tidierdb_jl_spark.sources.iceberg_ops import (drop_tag_iceberg,
+                                                       tag_iceberg)
+    from tidierdb_jl_spark.sources.iceberg_writer import (
+        expire_snapshots_iceberg,
+    )
+
+    root = str(tmp_path / "tbl")
+    s0 = write_iceberg(_tf(spark, [(1, "a", "en")]), root)
+    assert tag_iceberg(spark, root, "cut-1") == s0  # defaults current
+    write_iceberg(_tf(spark, [(2, "b", "fr")]), root, mode="append")
+    write_iceberg(_tf(spark, [(3, "c", "de")]), root, mode="append")
+
+    assert _ids(spark, root, ref="cut-1") == [1]
+    assert _ids(spark, root) == [1, 2, 3]
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, root, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, root, snapshot_id=s0, ref="cut-1")
+
+    # expiration retains the tagged snapshot
+    gone = expire_snapshots_iceberg(spark, root, retain_last=1)
+    assert _ids(spark, root, ref="cut-1") == [1]  # still readable
+    # dropping the tag releases it
+    drop_tag_iceberg(spark, root, "cut-1")
+    gone = expire_snapshots_iceberg(spark, root, retain_last=1)
+    assert gone  # now its files really go
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, root, ref="cut-1")

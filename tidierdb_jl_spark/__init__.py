@@ -28,9 +28,9 @@ from .sources.iceberg_writer import (
     expire_snapshots_iceberg, snapshots_iceberg, write_iceberg,
 )
 from .sources.iceberg_ops import (
-    convert_to_iceberg, delete_iceberg, files_iceberg,
-    manifests_iceberg, merge_iceberg, rewrite_data_files_iceberg,
-    rollback_iceberg,
+    convert_to_iceberg, delete_iceberg, drop_tag_iceberg,
+    files_iceberg, manifests_iceberg, merge_iceberg,
+    rewrite_data_files_iceberg, rollback_iceberg, tag_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -76,6 +76,8 @@ __all__ = [
     "files_iceberg",
     "manifests_iceberg",
     "convert_to_iceberg",
+    "tag_iceberg",
+    "drop_tag_iceberg",
     "plan_summary",
     "show_query",
     "lint_plan",

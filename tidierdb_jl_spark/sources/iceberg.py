@@ -143,10 +143,14 @@ def _resolve_path(table_path: str, p: str) -> str:
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
+                 ref: str | None = None,
                  _file_col: str | None = None) -> TidyFrame:
     """Read an Iceberg table snapshot as a TidyFrame (jar-free metadata
     traversal — module docstring has the support contract).
-    ``snapshot_id`` time-travels to any retained snapshot.
+    ``snapshot_id`` time-travels to any retained snapshot; ``ref``
+    reads a named branch or tag from the metadata's ``refs`` map
+    (``VERSION AS OF 'tag'`` semantics — see
+    :func:`~.iceberg_ops.tag_iceberg`).
 
     ``_file_col`` (internal, r12 — same hook as ``read_delta``'s):
     append a column carrying each row's data-file BASENAME, the
@@ -171,6 +175,17 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if _file_col:
             empty = empty.withColumn(_file_col, F.lit(None).cast("string"))
         return TidyFrame(empty)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "read_iceberg: pass snapshot_id OR ref, not both")
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"ref {ref!r} not found at {path}; available: "
+                f"{sorted(refs)}"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
     if snap is None:

@@ -54,7 +54,8 @@ import uuid
 
 __all__ = ["delete_iceberg", "merge_iceberg",
            "rewrite_data_files_iceberg", "rollback_iceberg",
-           "files_iceberg", "manifests_iceberg", "convert_to_iceberg"]
+           "files_iceberg", "manifests_iceberg", "convert_to_iceberg",
+           "tag_iceberg", "drop_tag_iceberg"]
 
 _MAX_COMMIT_RETRIES = 20
 # same deterministic smallness rule as merge_delta / the reader's
@@ -952,6 +953,76 @@ def convert_to_iceberg(spark, path: str) -> int:
     write_text_atomic(spark, join_path(root, "metadata",
                                        "version-hint.text"), "1")
     return snap_id
+
+
+def tag_iceberg(spark, path: str, name: str,
+                snapshot_id: int | None = None,
+                ref_type: str = "tag") -> int:
+    """Create (or move) a named ref — ``tag`` or ``branch`` — pointing
+    at ``snapshot_id`` (default: the current snapshot), via a new
+    metadata version (the spec's ``refs`` map).  Tags give snapshots
+    durable names (``read_iceberg(ref="v1-training-cut")``) and
+    PROTECT them from :func:`~.iceberg_writer.expire_snapshots_iceberg`
+    until the ref is dropped.  Returns the pinned snapshot id."""
+    from .fsio import join_path, write_text_atomic
+
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"tag_iceberg: ref_type {ref_type!r}")
+    root = str(path).rstrip("/")
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_ver = _load_meta(spark, root)
+        sid = (int(snapshot_id) if snapshot_id is not None
+               else meta.get("current-snapshot-id"))
+        if not any(s.get("snapshot-id") == sid
+                   for s in meta.get("snapshots", [])):
+            raise ValueError(
+                f"tag_iceberg: snapshot {sid} not retained at {root}")
+        new_meta = dict(meta)
+        refs = dict(new_meta.get("refs") or {})
+        refs[str(name)] = {"snapshot-id": sid, "type": ref_type}
+        new_meta["refs"] = refs
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        vpath = join_path(root, "metadata",
+                          f"v{meta_ver + 1}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            write_text_atomic(
+                spark, join_path(root, "metadata", "version-hint.text"),
+                str(meta_ver + 1))
+            return sid
+    raise RuntimeError(
+        f"tag_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
+    )
+
+
+def drop_tag_iceberg(spark, path: str, name: str) -> None:
+    """Remove a named ref; the snapshot it pinned becomes expirable
+    again."""
+    from .fsio import join_path, write_text_atomic
+
+    root = str(path).rstrip("/")
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_ver = _load_meta(spark, root)
+        refs = dict(meta.get("refs") or {})
+        if str(name) not in refs:
+            raise ValueError(
+                f"drop_tag_iceberg: ref {name!r} not found at {root}; "
+                f"available: {sorted(refs)}"
+            )
+        refs.pop(str(name))
+        new_meta = dict(meta, refs=refs)
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        vpath = join_path(root, "metadata",
+                          f"v{meta_ver + 1}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            write_text_atomic(
+                spark, join_path(root, "metadata", "version-hint.text"),
+                str(meta_ver + 1))
+            return
+    raise RuntimeError(
+        f"drop_tag_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
+    )
 
 
 def rollback_iceberg(spark, path: str, snapshot_id: int) -> int:

@@ -727,6 +727,9 @@ def write_iceberg(tf, path: str, mode: str = "append",
             "current-snapshot-id": snap_id,
             "snapshots": snapshots,
         }
+        if meta and meta.get("refs"):
+            # named tags/branches survive ordinary commits
+            new_meta["refs"] = dict(meta["refs"])
         next_v = max(1, meta_version + 1)
         vpath = join_path(mdir, f"v{next_v}.metadata.json")
         if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
@@ -775,6 +778,11 @@ def expire_snapshots_iceberg(spark, path: str,
     cur = meta.get("current-snapshot-id")
     keep_ids = {s["snapshot-id"] for s in snaps[:max(1, retain_last)]}
     keep_ids.add(cur)
+    # named refs (tags/branches) PIN their snapshots — spec
+    # expireSnapshots semantics; drop the ref to release them
+    for r in (meta.get("refs") or {}).values():
+        if r.get("snapshot-id") is not None:
+            keep_ids.add(int(r["snapshot-id"]))
     if older_than_ms is not None:
         keep_ids |= {s["snapshot-id"] for s in snaps
                      if (s.get("timestamp-ms") or 0) >= older_than_ms}
