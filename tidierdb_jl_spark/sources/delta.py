@@ -446,6 +446,7 @@ def read_delta(
     version: int | None = None,
     partition_filter: str | None = None,
     _file_col: str | None = None,
+    _ridx_col: str | None = None,
 ) -> TidyFrame:
     """Read a Delta table snapshot as a TidyFrame (jar-free log replay —
     module docstring has the protocol-support contract).  ``version``
@@ -464,7 +465,9 @@ def read_delta(
 
     ``_file_col`` (internal — the copy-on-write row-level ops in
     :mod:`.delta_writer`) appends each row's data-file BASENAME under
-    that name."""
+    that name; ``_ridx_col`` appends the PHYSICAL row index
+    (``_metadata.row_index`` — what deletion vectors address; r12, the
+    merge-on-read DELETE's discovery hook)."""
     from pyspark.sql import types as T
 
     live, meta, _ = _snapshot(spark, str(path), version)
@@ -510,7 +513,7 @@ def read_delta(
     files = [join_path(str(path), p) for p in live]
     df = spark.read.schema(data_schema).parquet(*files)
     dv_of = {p.rsplit("/", 1)[-1]: dv for p, (_pv, dv) in live.items() if dv}
-    if part_cols or dv_of or _file_col:
+    if part_cols or dv_of or _file_col or _ridx_col:
         # both partition re-attach and DV anti-filter key per-row work by
         # the data file's basename (Delta basenames embed a GUID — verify
         # uniqueness rather than assume it); input_file_name() is URL-
@@ -529,6 +532,8 @@ def read_delta(
                 r"\+", "%2B",
             )),
         )
+    if _ridx_col:
+        df = df.withColumn(_ridx_col, F.col("_metadata.row_index"))
     if dv_of:
         # deletion vectors: anti-join the scan against the decoded
         # (file, physical row index) deleted set.  Decode is distributed
@@ -546,6 +551,8 @@ def read_delta(
             .drop("__ridx")
         )
     extra = ([F.col("__file").alias(_file_col)] if _file_col else [])
+    if _ridx_col:
+        extra.append(F.col(_ridx_col))
     if not part_cols:
         return TidyFrame(df.select(*[_logical(f) for f in schema.fields],
                                    *extra))

@@ -927,12 +927,198 @@ def _commit_actions(spark, root: str, build_actions) -> int:
     )
 
 
-def delete_delta(spark, path: str, predicate: str) -> int | None:
-    """Row-level DELETE by copy-on-write: files containing rows matching
-    ``predicate`` are rewritten WITHOUT those rows; untouched files stay
-    (work scales with matching files, not table size — the predicate is
-    pushed into the touched-file discovery scan).  Returns the committed
-    version, or None when nothing matched.  History is preserved: time
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+
+
+def _dv_upgrade_protocol(proto: dict) -> dict | None:
+    """Protocol action adding the deletionVectors table feature, or
+    None when already declared.  Upgrading a legacy protocol to the
+    table-features versions (3, 7) must ENUMERATE the features the old
+    minReader/minWriter implied (PROTOCOL.md "Table Features") — a
+    bare upgrade would silently drop appendOnly/invariants/... from
+    the contract."""
+    proto = proto or {}
+    wf = set(proto.get("writerFeatures") or [])
+    rf = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in wf and "deletionVectors" in rf:
+        return None
+    if proto.get("writerFeatures") is None:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if int(proto.get("minWriterVersion", 2)) >= v:
+                wf |= set(feats)
+    if proto.get("readerFeatures") is None and \
+            int(proto.get("minReaderVersion", 1)) >= 2:
+        rf.add("columnMapping")
+    wf.add("deletionVectors")
+    rf.add("deletionVectors")
+    return {"minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(rf), "writerFeatures": sorted(wf)}
+
+
+def _delete_mor(spark, root: str, predicate: str, meta,
+                part_cols) -> int | None:
+    """Merge-on-read DELETE: encode the matching rows into DELETION
+    VECTORS instead of rewriting files (what delta-spark does by
+    default since 2.4) — each touched file's add action is re-committed
+    with a DV descriptor pointing into one new sidecar ``.bin``.  The
+    row data never moves: work scales with the MATCH COUNT (bitmap
+    encode + metadata), the cheapest possible delete at 100 TB.  A
+    file's existing DV unions in executor-side (the scan already
+    excluded its rows, so the sets are disjoint).  Protocol upgrades to
+    the deletionVectors table feature on first use, enumerating the
+    legacy-implied features."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+    from .fsio import hadoop_fs, join_path
+
+    extras: dict = {}
+    live, meta, _version = _snapshot(spark, root, None, None, extras)
+    if not live:
+        return None
+    tf = read_delta(spark, root, _file_col="__mor_file",
+                    _ridx_col="__mor_ridx")
+    matched = tf.df.where(F.expr(predicate))
+    old_dv_json = {p.rsplit("/", 1)[-1]: json.dumps(dv)
+                   for p, (_pv, dv) in live.items() if dv}
+    bc = spark.sparkContext.broadcast(old_dv_json)
+    root_b = root
+
+    def enc(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from tidierdb_jl_spark.sources.dvectors import (
+            dv_file_relpath, encode_roaring_array, read_dv_from_bytes,
+            read_file_bytes, z85_decode,
+        )
+
+        b = key[0]
+        idx = np.unique(pdf["__mor_ridx"].to_numpy(dtype="int64"))
+        desc_s = bc.value.get(b)
+        if desc_s:
+            d = json.loads(desc_s)
+            st = d.get("storageType")
+            if st == "i":
+                from tidierdb_jl_spark.sources.dvectors import (
+                    decode_dv_blob,
+                )
+
+                old = decode_dv_blob(
+                    z85_decode(d["pathOrInlineDv"]),
+                    d.get("cardinality"))
+            else:
+                url = (d["pathOrInlineDv"] if st == "p" else
+                       f"{root_b}/{dv_file_relpath(d['pathOrInlineDv'])}")
+                old = read_dv_from_bytes(
+                    read_file_bytes(url), int(d.get("offset") or 1),
+                    int(d["sizeInBytes"]), d.get("cardinality"))
+            idx = np.union1d(idx, old.astype("int64"))
+        blob = encode_roaring_array(idx)
+        return pd.DataFrame({"file": [b], "blob": [blob.hex()],
+                             "card": [int(len(idx))]})
+
+    rows = (matched.select("__mor_file", "__mor_ridx")
+            .groupBy("__mor_file")
+            .applyInPandas(enc, "file string, blob string, card long")
+            .collect())
+    if not rows:
+        return None
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+
+    # one sidecar file for the whole commit (version byte 1; per DV:
+    # BE size, data, BE CRC-32 — the exact layout read_dv_from_bytes
+    # verifies)
+    dv_uuid = uuid.uuid4()
+    sidecar_rel = f"deletion_vector_{dv_uuid}.bin"
+    buf = bytearray(b"\x01")
+    descs: dict[str, dict] = {}
+    for r in sorted(rows, key=lambda r: r["file"]):
+        data = bytes.fromhex(r["blob"])
+        off = len(buf)
+        buf += _struct.pack(">i", len(data))
+        buf += data
+        buf += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+        from .dvectors import z85_encode
+
+        descs[r["file"]] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": int(r["card"]),
+        }
+    fs, hp = hadoop_fs(spark, join_path(root, sidecar_rel))
+    stream = fs.create(hp, False)
+    try:
+        stream.write(bytearray(buf))
+    finally:
+        stream.close()
+
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        deleted = (matched.drop("__mor_file", "__mor_ridx")
+                   .withColumn("_change_type", F.lit("delete")))
+        cdc_acts = _stage_cdc(spark, root, meta, deleted, part_cols)
+
+    touched_paths = sorted(by_base[b] for b in descs)
+    adds_info = extras.get("adds", {})
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"delete_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; the sidecar is unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = []
+        up = _dv_upgrade_protocol(extras.get("protocol"))
+        if up is not None:
+            acts.append({"protocol": up})
+        acts.extend(cdc_acts)
+        for p in touched_paths:
+            b = p.rsplit("/", 1)[-1]
+            old_add = dict(adds_info.get(p) or {})
+            acts.append({"remove": {"path": quote(p, safe="/=-"),
+                                    "deletionTimestamp": now_ms,
+                                    "dataChange": True}})
+            new_add = dict(old_add)
+            new_add["path"] = quote(p, safe="/=-")
+            new_add["deletionVector"] = descs[b]
+            new_add["dataChange"] = True
+            acts.append({"add": new_add})
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "DELETE",
+            "operationParameters": {"predicate": predicate,
+                                    "mode": "merge-on-read"},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
+
+
+def delete_delta(spark, path: str, predicate: str,
+                 mode: str = "copy-on-write") -> int | None:
+    """Row-level DELETE.  ``mode="copy-on-write"`` (default): files
+    containing rows matching ``predicate`` are rewritten WITHOUT those
+    rows; untouched files stay (work scales with matching files, not
+    table size — the predicate is pushed into the touched-file
+    discovery scan).  ``mode="merge-on-read"``: matching rows are
+    encoded into DELETION VECTORS instead — no data file is rewritten,
+    work scales with the match count (what delta-spark does by default;
+    see :func:`_delete_mor`).  Returns the committed version, or None
+    when nothing matched.  History is preserved either way: time
     travel before the delete still sees the rows."""
     from pyspark.sql import functions as F
 
@@ -941,8 +1127,13 @@ def delete_delta(spark, path: str, predicate: str) -> int | None:
     root = str(path).rstrip("/")
     live, meta, _version = _snapshot(spark, root, None)
     part_cols = list(meta.get("partitionColumns") or [])
-    _cow_guard(meta, live, root, "delete_delta", part_cols)
     _gate_append_only(meta, root, "delete_delta")
+    if mode == "merge-on-read":
+        return _delete_mor(spark, root, predicate, meta, part_cols)
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"delete_delta: mode {mode!r} (copy-on-write|merge-on-read)")
+    _cow_guard(meta, live, root, "delete_delta", part_cols)
     if not live:
         return None
 

@@ -37,7 +37,9 @@ import numpy as np
 
 __all__ = [
     "z85_decode",
+    "z85_encode",
     "decode_roaring_array",
+    "encode_roaring_array",
     "decode_dv_blob",
     "dv_file_relpath",
     "read_dv_from_bytes",
@@ -78,6 +80,78 @@ def z85_decode(s: str) -> bytes:
             raise ValueError(f"Z85 group {s[i:i+5]!r} overflows 32 bits")
         out += v.to_bytes(4, "big")
     return bytes(out)
+
+
+def z85_encode(b: bytes) -> str:
+    """ZeroMQ Base85: 4 bytes -> 5 chars (the exact complement of
+    :func:`z85_decode`; round-trip asserted in the golden tests)."""
+    if len(b) % 4:
+        raise ValueError(f"Z85 input length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _encode_rb32(vals: np.ndarray) -> bytes:
+    """Sorted uint32 values -> one standard 32-bit RoaringBitmap
+    (no-run cookie 12346: array containers <=4096 members, bitmap
+    containers above — runs are an optional optimization the spec
+    never requires; the in-repo decoder and RoaringBitmap both accept
+    run-free streams)."""
+    keys16 = (vals >> np.uint32(16)).astype(np.uint32)
+    lows = (vals & np.uint32(0xFFFF)).astype(np.uint16)
+    uk, starts = np.unique(keys16, return_index=True)
+    bounds = list(starts) + [len(vals)]
+    containers = []
+    for i, k in enumerate(uk):
+        lv = lows[bounds[i]:bounds[i + 1]]
+        if len(lv) > 4096:
+            words = np.zeros(1024, dtype="<u8")
+            bits = np.zeros(65536, dtype=np.uint8)
+            bits[lv] = 1
+            words = np.packbits(bits, bitorder="little").view("<u8")
+            body = words.tobytes()
+        else:
+            body = lv.astype("<u2").tobytes()
+        containers.append((int(k), len(lv), body))
+    head = struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(containers))
+    desc = b"".join(struct.pack("<HH", k, card - 1)
+                    for k, card, _ in containers)
+    # offsets are relative to the bitmap's first byte (the cookie) and
+    # ALWAYS present under the no-run cookie
+    off0 = len(head) + len(desc) + 4 * len(containers)
+    offsets, pos = [], off0
+    for _k, _card, body in containers:
+        offsets.append(pos)
+        pos += len(body)
+    offs = b"".join(struct.pack("<I", o) for o in offsets)
+    return head + desc + offs + b"".join(b for *_x, b in containers)
+
+
+def encode_roaring_array(indexes) -> bytes:
+    """Row indexes (any int64 iterable) -> RoaringBitmapArray portable
+    64-bit bytes (4-byte LE magic, 8-byte LE non-empty bucket count,
+    per bucket a 4-byte LE key + standard 32-bit roaring) — the EXACT
+    complement of :func:`decode_roaring_array`, which is pinned by
+    hand-written spec bytes in ``tests/test_dvectors_golden.py``."""
+    vals = np.unique(np.asarray(list(indexes), dtype=np.int64))
+    if len(vals) and vals[0] < 0:
+        raise ValueError("roaring array: negative row index")
+    hi = (vals >> np.int64(32)).astype(np.int64)
+    lo = (vals & np.int64(0xFFFFFFFF)).astype(np.uint32)
+    uk, starts = np.unique(hi, return_index=True)
+    bounds = list(starts) + [len(vals)]
+    out = [struct.pack("<iq", _MAGIC, len(uk))]
+    for i, k in enumerate(uk):
+        out.append(struct.pack("<I", int(k)))
+        out.append(_encode_rb32(lo[bounds[i]:bounds[i + 1]]))
+    return b"".join(out)
 
 
 def _decode_rb32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
