@@ -5282,6 +5282,41 @@ def _w72(t):
 _BUILDERS["w72_iceberg_nested_write"] = _w72
 
 
+def _w73(t):
+    """MERGE-ON-READ deletes via DELETION VECTORS (r12,
+    sources/delta_writer.py ``_delete_mor`` + the product-side roaring
+    encoder in ``sources/dvectors.py`` — delta-spark's default delete
+    path since 2.4; until now this repo's deletes always rewrote
+    files): two successive DV deletes on a lang-partitioned documents
+    table — the first upgrades the protocol to the deletionVectors
+    table feature and writes a spec-layout sidecar, the second UNIONS
+    into the existing vectors executor-side; no data file is ever
+    rewritten.  The result unions the current read (both deletes
+    applied through the independent DV-subtracting reader) with a
+    time-traveled v0 read — hash-matching the oracle proves the
+    encoder, the sidecar layout, the descriptor commit and the union
+    are all exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (delete_delta,
+                                                        write_delta)
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w73_delta_mor_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_delta(docs.filter("doc_id < 200"), root, partition_by="lang")
+    delete_delta(spark, root, "doc_id % 10 = 3", mode="merge-on-read")
+    delete_delta(spark, root, "doc_id % 7 = 2", mode="merge-on-read")
+    now = read_delta(spark, root).mutate(at="'now'")
+    v0 = read_delta(spark, root, version=0).mutate(at="'before'")
+    return (now.union_all(v0)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w73_delta_mor_delete"] = _w73
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8721,6 +8756,15 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(unnest(embedding) AS DOUBLE), 4) AS val
         FROM embeddings
         WHERE vec_id < 2000 AND vec_id % 10 != 6
+    """
+    # w73: both DV deletes applied at 'now'; v0 time travel unaffected
+    out["w73_delta_mor_delete"] = r"""
+        SELECT doc_id, text, lang, 'now' AS at
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 10 != 3 AND doc_id % 7 != 2
+        UNION ALL
+        SELECT doc_id, text, lang, 'before'
+        FROM documents WHERE doc_id < 200
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

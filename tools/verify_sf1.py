@@ -134,6 +134,7 @@ ORACLE_QUERIES = [
     "w70_delta_stream_source",  # Delta streaming source, version offsets (r12)
     "w71_iceberg_stream_source",  # Iceberg streaming source, seq offsets (r12)
     "w72_iceberg_nested_write",  # array<float>/struct writes + row ops (r12)
+    "w73_delta_mor_delete",     # merge-on-read deletes via DVs (r12)
 ]
 
 
