@@ -377,3 +377,49 @@ def test_tags_and_refs(spark, tmp_path):
     assert gone  # now its files really go
     with pytest.raises(ValueError, match="not found"):
         read_iceberg(spark, root, ref="cut-1")
+
+
+def test_mor_position_delete_and_materialize(spark, tmp_path):
+    """merge-on-read DELETE: v2 position-delete file under a content=1
+    manifest; composes across deletes; compaction materializes AND
+    prunes the now-inert delete manifests."""
+    from tidierdb_jl_spark.sources.iceberg_ops import manifests_iceberg
+
+    root = str(tmp_path / "tbl")
+    write_iceberg(
+        TidyFrame(spark.createDataFrame(
+            [(i, f"v{i}", "en" if i % 2 else "fr") for i in range(12)],
+            "id long, val string, lang string").coalesce(1)),
+        root, partition_by="lang")
+    s0 = snapshots_iceberg(spark, root)[0]["snapshot_id"]
+
+    sd = delete_iceberg(spark, root, "id IN (2, 5)",
+                        mode="merge-on-read")
+    assert sd is not None
+    assert _ids(spark, root) == [0, 1, 3, 4, 6, 7, 8, 9, 10, 11]
+    mans = manifests_iceberg(spark, root)
+    assert sum(1 for m in mans if m["content"] == "deletes") == 1
+    # no data file was rewritten
+    assert sum(1 for m in mans if m["content"] == "data") >= 1
+
+    delete_iceberg(spark, root, "id = 7", mode="merge-on-read")
+    assert _ids(spark, root) == [0, 1, 3, 4, 6, 8, 9, 10, 11]
+    assert _ids(spark, root, snapshot_id=s0) == list(range(12))
+
+    # no-match MOR is a no-op
+    before = len(snapshots_iceberg(spark, root))
+    assert delete_iceberg(spark, root, "id = 999",
+                          mode="merge-on-read") is None
+    assert len(snapshots_iceberg(spark, root)) == before
+
+    # full compaction materializes the deletes and PRUNES the inert
+    # delete manifests from the new snapshot
+    sc = rewrite_data_files_iceberg(spark, root, min_files=1,
+                                    zorder_by="id")
+    assert sc is not None
+    assert _ids(spark, root) == [0, 1, 3, 4, 6, 8, 9, 10, 11]
+    mans = manifests_iceberg(spark, root)
+    assert sum(1 for m in mans if m["content"] == "deletes") == 0
+
+    with pytest.raises(ValueError, match="copy-on-write.merge-on-read"):
+        delete_iceberg(spark, root, "id = 1", mode="nope")

@@ -144,7 +144,8 @@ def _resolve_path(table_path: str, p: str) -> str:
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  ref: str | None = None,
-                 _file_col: str | None = None) -> TidyFrame:
+                 _file_col: str | None = None,
+                 _ridx_col: str | None = None) -> TidyFrame:
     """Read an Iceberg table snapshot as a TidyFrame (jar-free metadata
     traversal — module docstring has the support contract).
     ``snapshot_id`` time-travels to any retained snapshot; ``ref``
@@ -157,7 +158,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     copy-on-write discovery key used by the row-level ops in
     :mod:`.iceberg_ops`.  Rows have already had position/DV/equality
     deletes subtracted, so a rewrite driven by this column materializes
-    them."""
+    them.  ``_ridx_col`` appends the PHYSICAL row index
+    (``_metadata.row_index`` — what position deletes address; the
+    merge-on-read DELETE's discovery hook)."""
     from pyspark.sql import functions as F
 
     path = str(path)
@@ -284,7 +287,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # _metadata is retained only when position/DV deletes will need
         # row_index — otherwise it would widen every scan's ReadSchema
         df = _resolved_scan(spark, path, sorted(live), want_fields,
-                            keep_metadata=bool(pos_deletes or dv_deletes),
+                            keep_metadata=bool(pos_deletes or dv_deletes
+                                               or _ridx_col),
                             ident_fill=ident_fill)
     else:
         # ORC live sets (r12): the SAME spec-exact field-id resolution
@@ -293,8 +297,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # files fall back to name matching with the loud absent-column
         # gate, exactly like imported plain parquet
         df = _resolved_scan(spark, path, sorted(live), want_fields,
-                            keep_metadata=bool(pos_deletes or dv_deletes),
+                            keep_metadata=bool(pos_deletes or dv_deletes
+                                               or _ridx_col),
                             fmt="orc", ident_fill=ident_fill)
+    if _ridx_col:
+        df = df.withColumn(_ridx_col, F.col("_metadata.row_index"))
     if _file_col:
         # basename, URL-decoded the same way the delete machinery keys
         # files (input_file_name() is URL-encoded; '+' pre-escaped so
@@ -313,7 +320,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     if eq_deletes:
         df = _apply_equality_deletes(spark, path, df, live, eq_deletes,
                                      _current_schema(meta))
-    keep = list(want) + ([_file_col] if _file_col else [])
+    keep = (list(want) + ([_file_col] if _file_col else [])
+            + ([_ridx_col] if _ridx_col else []))
     return TidyFrame(df.select(*keep))
 
 

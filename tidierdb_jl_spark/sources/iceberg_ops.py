@@ -277,11 +277,13 @@ def _commit_rewrite(spark, root: str, touched: set[str],
         mlist = _read_manifest_list(spark, root, snap)
         live_now: set[str] = set()
         data_manifests = []
-        carried = []
+        carried_deletes = []  # (entry, its sequence number)
         for m, mpath in mlist:
             if int(m.get("content") or 0) != 0:
-                carried.append(_carry_mlist_entry(
-                    m, mpath, int(snap.get("snapshot-id") or 0)))
+                carried_deletes.append((
+                    _carry_mlist_entry(
+                        m, mpath, int(snap.get("snapshot-id") or 0)),
+                    int(m.get("sequence_number") or 0)))
                 continue
             entries = _resolved_entries(
                 spark, root, mpath, m.get("sequence_number"))
@@ -298,7 +300,23 @@ def _commit_rewrite(spark, root: str, touched: set[str],
         seq = int(meta.get("last-sequence-number", 0)) + 1
         snap_id = int(time.time() * 1000) * 1000 + seq
         uid = uuid.uuid4().hex
-        list_entries = list(carried)
+        # delete-manifest PRUNING: deletes apply only to data files at
+        # a sequence number <= theirs (position) / < theirs (equality).
+        # After the rewrite, surviving old entries keep their seqs and
+        # new files sit at `seq` — a carried delete manifest older than
+        # EVERY live data seq is inert and drops out of the snapshot
+        # (the full-compaction materialize case).
+        kept = [e for _m, _p, entries in data_manifests
+                for e in entries
+                if e["status"] != 2 and e["path"] not in touched]
+        if any(e["seq"] is None for e in kept):
+            min_live_seq = 0  # unknown seq: keep every delete manifest
+        else:
+            min_live_seq = min(
+                [e["seq"] for e in kept]
+                + ([seq] if new_files else []), default=seq)
+        list_entries = [d for d, d_seq in carried_deletes
+                        if d_seq >= min_live_seq]
 
         for m, mpath, entries in data_manifests:
             live_entries = [e for e in entries if e["status"] != 2]
@@ -462,13 +480,19 @@ def _basename_map(spark, root: str, meta: dict, op: str) -> dict:
     return out
 
 
-def delete_iceberg(spark, path: str, predicate: str) -> int | None:
-    """Row-level DELETE by copy-on-write (module docstring has the
-    mechanics): files containing rows matching ``predicate`` are
-    rewritten WITHOUT those rows (and with any position/DV/equality
-    deletes materialized); untouched files and manifests are carried.
-    Returns the new snapshot id, or None when nothing matched.  Time
-    travel to pre-delete snapshots still sees the rows."""
+def delete_iceberg(spark, path: str, predicate: str,
+                   mode: str = "copy-on-write") -> int | None:
+    """Row-level DELETE.  ``mode="copy-on-write"`` (default, module
+    docstring has the mechanics): files containing rows matching
+    ``predicate`` are rewritten WITHOUT those rows (and with any
+    position/DV/equality deletes materialized); untouched files and
+    manifests are carried.  ``mode="merge-on-read"``: the matching
+    (file, ordinal) pairs are written as a v2 POSITION-DELETE file
+    under a ``content=1`` manifest — no data file is rewritten, work
+    scales with the match count; a later
+    :func:`rewrite_data_files_iceberg` materializes them.  Returns the
+    new snapshot id, or None when nothing matched.  Time travel to
+    pre-delete snapshots still sees the rows."""
     from pyspark.sql import functions as F
 
     from .iceberg import read_iceberg
@@ -477,6 +501,12 @@ def delete_iceberg(spark, path: str, predicate: str) -> int | None:
     root = str(path).rstrip("/")
     meta, _ver = _load_meta(spark, root)
     _require_v2(meta, root, "delete_iceberg")
+    if mode == "merge-on-read":
+        return _delete_iceberg_mor(spark, root, meta, predicate)
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"delete_iceberg: mode {mode!r} (copy-on-write|"
+            "merge-on-read)")
     by_base = _basename_map(spark, root, meta, "delete_iceberg")
     if not by_base:
         return None
@@ -498,6 +528,150 @@ def delete_iceberg(spark, path: str, predicate: str) -> int | None:
     new_files = _write_data_files(survivors, root, fields, pfields)
     return _commit_rewrite(spark, root, touched, new_files,
                            "delete_iceberg")
+
+
+def _delete_iceberg_mor(spark, root: str, meta, predicate: str
+                        ) -> int | None:
+    """Merge-on-read DELETE for Iceberg v2: one parquet POSITION-DELETE
+    file of spec ``(file_path, pos)`` rows (sorted by file then
+    ordinal) committed under a new ``content=1`` manifest — the exact
+    shape iceberg-spark's merge-on-read writes, and what this repo's
+    reader already subtracts.  Ordinals are physical row indexes
+    (``_metadata.row_index``); file paths are the live set's ABSOLUTE
+    paths, so moved-table reads still match by basename.  Work scales
+    with the match count; nothing rewrites."""
+    from pyspark.sql import functions as F
+
+    from .avro_lite import encode_avro_container
+    from .fsio import fs_delete, fs_rename, hadoop_fs, join_path
+    from .iceberg import read_iceberg
+
+    by_base = _basename_map(spark, root, meta, "delete_iceberg")
+    if not by_base:
+        return None
+    # discovery scan: the reader subtracts EXISTING deletes, so matched
+    # ordinals are new — a (file, pos) pair is never written twice
+    tf = read_iceberg(spark, root, _file_col="__mor_file",
+                      _ridx_col="__mor_pos")
+    base_map = spark.createDataFrame(
+        [(b, p) for b, p in sorted(by_base.items())],
+        "__mor_file string, file_path string")
+    matched = (tf.df
+               .where(F.expr(predicate))
+               .join(F.broadcast(base_map), "__mor_file")
+               .select("file_path",
+                       F.col("__mor_pos").cast("long").alias("pos")))
+    staging = join_path(root, f"_staging_{uuid.uuid4().hex}")
+    (matched.sort("file_path", "pos").coalesce(1)
+     .write.mode("overwrite").parquet(staging))
+    fs, hstag = hadoop_fs(spark, staging)
+    part = next((st.getPath() for st in fs.listStatus(hstag)
+                 if st.getPath().getName().startswith("part-")
+                 and st.getPath().getName().endswith(".parquet")), None)
+    if part is None or spark.read.parquet(staging).limit(1).count() == 0:
+        fs_delete(spark, staging, recursive=True)
+        return None
+    n_del = spark.read.parquet(staging).count()
+    del_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
+    fs_rename(spark, part.toString(), join_path(root, del_rel))
+    size = fs.getFileStatus(
+        spark._jvm.org.apache.hadoop.fs.Path(
+            join_path(root, del_rel))).getLen()
+    fs_delete(spark, staging, recursive=True)
+
+    from .iceberg_writer import _MANIFEST_FILE_SCHEMA, _manifest_entry_schema
+    from .fsio import write_text_atomic
+
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        meta, meta_ver = _load_meta(spark, root)
+        snap = _current_snapshot(meta, root, "delete_iceberg")
+        pfields = _pfields_from_meta(meta, root, "delete_iceberg")
+        fields = _schema_fields(meta, root, "delete_iceberg")
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        snap_id = int(time.time() * 1000) * 1000 + seq
+        uid = uuid.uuid4().hex
+
+        live_now = set()
+        carried = []
+        for m, mpath in _read_manifest_list(spark, root, snap):
+            carried.append(_carry_mlist_entry(m, mpath, snap_id))
+            if int(m.get("content") or 0) == 0:
+                for e in _resolved_entries(spark, root, mpath,
+                                           m.get("sequence_number")):
+                    if e["status"] != 2:
+                        live_now.add(e["path"])
+        gone = sorted(set(by_base.values()) - live_now)
+        if gone:
+            raise RuntimeError(
+                f"delete_iceberg: {len(gone)} referenced file(s) were "
+                "retired concurrently — aborting; the delete file is "
+                "unreferenced garbage"
+            )
+
+        entry_schema = _manifest_entry_schema(_part_fields(pfields))
+        recs = [{"status": 1, "snapshot_id": snap_id,
+                 "sequence_number": None, "file_sequence_number": None,
+                 "data_file": {"content": 1,
+                               "file_path": f"{root}/{del_rel}",
+                               "file_format": "PARQUET",
+                               "partition": {},
+                               "record_count": int(n_del),
+                               "file_size_in_bytes": int(size)}}]
+        man_rel = f"metadata/manifest-{uid}.avro"
+        man_bytes = encode_avro_container(
+            entry_schema, recs,
+            extra_meta={"schema": json.dumps({"type": "struct",
+                                              "schema-id": 0,
+                                              "fields": fields}),
+                        "schema-id": "0",
+                        "partition-spec":
+                            json.dumps(_spec_fields_json(meta)),
+                        "partition-spec-id": "0",
+                        "format-version": "2", "content": "deletes"})
+        if not _create(spark, join_path(root, man_rel), man_bytes):
+            raise RuntimeError("delete_iceberg: manifest collision")
+        carried.append({
+            "manifest_path": f"{root}/{man_rel}",
+            "manifest_length": len(man_bytes),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": int(n_del),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        })
+        mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
+        mlist_bytes = encode_avro_container(
+            _MANIFEST_FILE_SCHEMA, carried,
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snap_id),
+                        "sequence-number": str(seq)})
+        if not _create(spark, join_path(root, mlist_rel), mlist_bytes):
+            raise RuntimeError("delete_iceberg: manifest-list collision")
+        snapshots = list(meta.get("snapshots", []))
+        snapshots.append({
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": f"{root}/{mlist_rel}",
+            "summary": {"operation": "delete"}})
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshots"] = snapshots
+        vpath = join_path(root, "metadata",
+                          f"v{meta_ver + 1}.metadata.json")
+        if _create(spark, vpath, json.dumps(new_meta).encode("utf-8")):
+            write_text_atomic(
+                spark, join_path(root, "metadata", "version-hint.text"),
+                str(meta_ver + 1))
+            return snap_id
+    raise RuntimeError(
+        f"delete_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times at {root}"
+    )
 
 
 def merge_iceberg(spark, path: str, updates_tf, key) -> int:
