@@ -5317,6 +5317,48 @@ def _w73(t):
 _BUILDERS["w73_delta_mor_delete"] = _w73
 
 
+def _w74(t):
+    """MERGE-ON-READ deletes for ICEBERG via v2 position-delete files
+    (r12, sources/iceberg_ops.py ``_delete_iceberg_mor`` — the
+    iceberg-spark merge-on-read shape; completes MOR parity with the
+    Delta DV path, w73): two successive position-delete commits on a
+    lang-partitioned documents table (no data file rewrites), then a
+    full rewriteDataFiles compaction that MATERIALIZES the deletes and
+    PRUNES the now-inert delete manifests.  The result unions the
+    post-compaction read with a time-traveled first-snapshot read —
+    hash-matching the oracle proves the delete-file write, the
+    reader's (file, ordinal) anti-join, the compose-across-commits
+    behavior and the materializing compaction are all exact."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_ops import (
+        delete_iceberg, rewrite_data_files_iceberg,
+    )
+    from tidierdb_jl_spark.sources.iceberg_writer import (
+        snapshots_iceberg, write_iceberg,
+    )
+
+    spark = t["documents"].df.sparkSession
+    root = tempfile.mkdtemp(prefix="w74_iceberg_mor_") + "/tbl"
+    docs = t["documents"].select("doc_id", "text", "lang")
+    write_iceberg(docs.filter("doc_id < 200"), root,
+                  partition_by="lang")
+    s0 = snapshots_iceberg(spark, root)[0]["snapshot_id"]
+    delete_iceberg(spark, root, "doc_id % 10 = 3",
+                   mode="merge-on-read")
+    delete_iceberg(spark, root, "doc_id % 7 = 2",
+                   mode="merge-on-read")
+    rewrite_data_files_iceberg(spark, root, min_files=1)
+    now = read_iceberg(spark, root).mutate(at="'now'")
+    v0 = read_iceberg(spark, root, snapshot_id=s0).mutate(at="'before'")
+    return (now.union_all(v0)
+            .select("doc_id", "text", "lang", "at"))
+
+
+_BUILDERS["w74_iceberg_mor_delete"] = _w74
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8759,6 +8801,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # w73: both DV deletes applied at 'now'; v0 time travel unaffected
     out["w73_delta_mor_delete"] = r"""
+        SELECT doc_id, text, lang, 'now' AS at
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 10 != 3 AND doc_id % 7 != 2
+        UNION ALL
+        SELECT doc_id, text, lang, 'before'
+        FROM documents WHERE doc_id < 200
+    """
+    # w74: same derivation as w73, on the Iceberg MOR path
+    out["w74_iceberg_mor_delete"] = r"""
         SELECT doc_id, text, lang, 'now' AS at
         FROM documents
         WHERE doc_id < 200 AND doc_id % 10 != 3 AND doc_id % 7 != 2

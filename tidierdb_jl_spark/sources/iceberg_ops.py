@@ -568,10 +568,13 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
     part = next((st.getPath() for st in fs.listStatus(hstag)
                  if st.getPath().getName().startswith("part-")
                  and st.getPath().getName().endswith(".parquet")), None)
-    if part is None or spark.read.parquet(staging).limit(1).count() == 0:
+    # read the part FILE, not the dir: `_staging_*` is underscore-
+    # hidden, and Spark warns (or, on some builds, ignores) such dirs
+    n_del = (0 if part is None
+             else spark.read.parquet(part.toString()).count())
+    if n_del == 0:
         fs_delete(spark, staging, recursive=True)
         return None
-    n_del = spark.read.parquet(staging).count()
     del_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
     fs_rename(spark, part.toString(), join_path(root, del_rel))
     size = fs.getFileStatus(
