@@ -21,7 +21,7 @@ from .sources.delta_cdf import read_delta_cdf
 from .sources.delta_writer import (
     checkpoint_delta, convert_to_delta, delete_delta, describe_detail,
     describe_history, merge_delta, optimize_delta, restore_delta,
-    vacuum_delta, write_delta,
+    update_delta, vacuum_delta, write_delta,
 )
 from .sources.iceberg import read_iceberg
 from .sources.iceberg_writer import (
@@ -31,6 +31,7 @@ from .sources.iceberg_ops import (
     convert_to_iceberg, delete_iceberg, drop_tag_iceberg,
     files_iceberg, manifests_iceberg, merge_iceberg,
     rewrite_data_files_iceberg, rollback_iceberg, tag_iceberg,
+    update_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -57,6 +58,7 @@ __all__ = [
     "read_delta_cdf",
     "write_delta",
     "delete_delta",
+    "update_delta",
     "merge_delta",
     "optimize_delta",
     "vacuum_delta",
@@ -70,6 +72,7 @@ __all__ = [
     "snapshots_iceberg",
     "expire_snapshots_iceberg",
     "delete_iceberg",
+    "update_iceberg",
     "merge_iceberg",
     "rewrite_data_files_iceberg",
     "rollback_iceberg",

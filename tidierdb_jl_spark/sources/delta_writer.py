@@ -64,7 +64,8 @@ import uuid
 from urllib.parse import quote, unquote
 
 __all__ = ["write_delta", "last_txn_version", "checkpoint_delta",
-           "optimize_delta", "delete_delta", "merge_delta", "vacuum_delta",
+           "optimize_delta", "delete_delta", "update_delta", "merge_delta",
+           "vacuum_delta",
            "restore_delta", "describe_history", "describe_detail",
            "convert_to_delta"]
 
@@ -1181,6 +1182,87 @@ def delete_delta(spark, path: str, predicate: str,
         acts.extend({"add": a} for a in adds)
         acts.append({"commitInfo": {
             "timestamp": now_ms, "operation": "DELETE",
+            "operationParameters": {"predicate": predicate},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
+
+
+def update_delta(spark, path: str, predicate: str,
+                 set: dict) -> int | None:
+    """Row-level UPDATE by copy-on-write (``UPDATE ... SET col = expr
+    WHERE predicate``): files containing matching rows are rewritten
+    with those rows TRANSFORMED per ``set`` (column -> SQL expression,
+    evaluated against the pre-update row); untouched files stay, so
+    work scales with matching files.  On CDF-enabled tables exact
+    update_preimage/update_postimage cdc rows are emitted.  Returns
+    the committed version, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    root = str(path).rstrip("/")
+    live, meta, _version = _snapshot(spark, root, None)
+    part_cols = list(meta.get("partitionColumns") or [])
+    _cow_guard(meta, live, root, "update_delta", part_cols)
+    _gate_append_only(meta, root, "update_delta")
+    if not live:
+        return None
+    bad = [c for c in set if c not in
+           [f["name"] for f in json.loads(meta["schemaString"])["fields"]]]
+    if bad:
+        raise ValueError(f"update_delta: set targets {bad} not in the "
+                         "table schema")
+
+    tf = read_delta(spark, root, _file_col="__cow_file")
+    touched = [r[0] for r in tf.df.where(F.expr(predicate))
+               .select("__cow_file").distinct().collect()]
+    if not touched:
+        return None
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+    touched_paths = sorted(by_base[b] for b in touched)
+
+    scope = tf.df.where(F.col("__cow_file").isin(touched))
+    hit = F.expr(predicate)
+    cols = [
+        (F.when(hit, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+         if c in set else F.col(c))
+        for c in tf.df.columns if c != "__cow_file"
+    ]
+    rewritten = scope.select(*cols)
+    _check_constraints(rewritten, meta, root, "update_delta")
+    body, phys = _to_physical_df(rewritten, meta, root, "update_delta")
+    adds = _stage_batch(spark, root, body, [phys[c] for c in part_cols])
+
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        pre = (scope.where(hit).drop("__cow_file")
+               .withColumn("_change_type", F.lit("update_preimage")))
+        post_cols = [F.expr(set[c]).alias(c) if c in set else F.col(c)
+                     for c in tf.df.columns if c != "__cow_file"]
+        post = (scope.where(hit).select(*post_cols)
+                .withColumn("_change_type", F.lit("update_postimage")))
+        cdc_acts = _stage_cdc(spark, root, meta,
+                              pre.unionByName(post), part_cols)
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"update_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; staged files are unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = list(cdc_acts)
+        acts.extend({"remove": {"path": quote(p, safe="/=-"),
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True}}
+                    for p in touched_paths)
+        acts.extend({"add": a} for a in adds)
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "UPDATE",
             "operationParameters": {"predicate": predicate},
             "engineInfo": "tidierdb_jl_spark jar-free writer"}})
         return acts

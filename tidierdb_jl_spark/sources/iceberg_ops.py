@@ -52,7 +52,7 @@ import re
 import time
 import uuid
 
-__all__ = ["delete_iceberg", "merge_iceberg",
+__all__ = ["delete_iceberg", "update_iceberg", "merge_iceberg",
            "rewrite_data_files_iceberg", "rollback_iceberg",
            "files_iceberg", "manifests_iceberg", "convert_to_iceberg",
            "tag_iceberg", "drop_tag_iceberg"]
@@ -675,6 +675,52 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
         f"delete_iceberg: lost the commit race {_MAX_COMMIT_RETRIES} "
         f"times at {root}"
     )
+
+
+def update_iceberg(spark, path: str, predicate: str,
+                   set: dict) -> int | None:
+    """Row-level UPDATE by copy-on-write (``UPDATE ... SET col = expr
+    WHERE predicate``): touched files rewrite with matching rows
+    transformed per ``set`` (column -> SQL expression over the
+    pre-update row); untouched files and manifests carry.  Existing
+    position/DV/equality deletes materialize in the rewrite.  Returns
+    the new snapshot id, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from .iceberg import read_iceberg
+    from .iceberg_writer import _write_data_files
+
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    _require_v2(meta, root, "update_iceberg")
+    fields = _schema_fields(meta, root, "update_iceberg")
+    bad = [c for c in set if c not in {f["name"] for f in fields}]
+    if bad:
+        raise ValueError(f"update_iceberg: set targets {bad} not in "
+                         "the table schema")
+    by_base = _basename_map(spark, root, meta, "update_iceberg")
+    if not by_base:
+        return None
+
+    tf = read_iceberg(spark, root, _file_col="__cow_file")
+    touched_base = [r[0] for r in tf.df.where(F.expr(predicate))
+                    .select("__cow_file").distinct().collect()]
+    if not touched_base:
+        return None
+    touched = {by_base[b] for b in touched_base}
+
+    scope = tf.df.where(F.col("__cow_file").isin(touched_base))
+    hit = F.expr(predicate)
+    cols = [
+        (F.when(hit, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+         if c in set else F.col(c))
+        for c in tf.df.columns if c != "__cow_file"
+    ]
+    rewritten = scope.select(*cols)
+    pfields = _pfields_from_meta(meta, root, "update_iceberg")
+    new_files = _write_data_files(rewritten, root, fields, pfields)
+    return _commit_rewrite(spark, root, touched, new_files,
+                           "update_iceberg")
 
 
 def merge_iceberg(spark, path: str, updates_tf, key) -> int:
