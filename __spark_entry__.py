@@ -5359,6 +5359,44 @@ def _w74(t):
 _BUILDERS["w74_iceberg_mor_delete"] = _w74
 
 
+def _w75(t):
+    """Row-level UPDATE on BOTH lakehouse formats (r12,
+    delta_writer.update_delta + iceberg_ops.update_iceberg —
+    copy-on-write ``UPDATE ... SET col = expr WHERE predicate``; the
+    SET expressions evaluate over the PRE-update row): each side
+    updates a different predicate's rows on a documents table and the
+    union of both reads hash-matches the oracle — proving touched-file
+    discovery, the hit/miss-preserving rewrite and the commit on each
+    format."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import (update_delta,
+                                                        write_delta)
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_ops import update_iceberg
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["documents"].df.sparkSession
+    base = tempfile.mkdtemp(prefix="w75_updates_")
+    droot, iroot = f"{base}/delta", f"{base}/ice"
+    docs = t["documents"].select("doc_id", "text", "lang") \
+        .filter("doc_id < 150")
+    write_delta(docs, droot, partition_by="lang")
+    update_delta(spark, droot, "doc_id % 5 = 1",
+                 {"text": "concat('U:', text)"})
+    write_iceberg(docs, iroot, partition_by="lang")
+    update_iceberg(spark, iroot, "doc_id % 6 = 2",
+                   {"text": "concat('I:', text)"})
+    d = read_delta(spark, droot).mutate(fmt="'delta'")
+    i = read_iceberg(spark, iroot).mutate(fmt="'iceberg'")
+    return (d.union_all(i)
+            .select("doc_id", "text", "lang", "fmt"))
+
+
+_BUILDERS["w75_row_updates"] = _w75
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8816,6 +8854,19 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, text, lang, 'before'
         FROM documents WHERE doc_id < 200
+    """
+    # w75: each format's update applies its own predicate's transform
+    out["w75_row_updates"] = r"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN 'U:' || text ELSE text END
+                   AS text,
+               lang, 'delta' AS fmt
+        FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 2 THEN 'I:' || text ELSE text END,
+               lang, 'iceberg'
+        FROM documents WHERE doc_id < 150
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -136,6 +136,7 @@ ORACLE_QUERIES = [
     "w72_iceberg_nested_write",  # array<float>/struct writes + row ops (r12)
     "w73_delta_mor_delete",     # merge-on-read deletes via DVs (r12)
     "w74_iceberg_mor_delete",   # Iceberg MOR position deletes (r12)
+    "w75_row_updates",          # UPDATE SET on both formats (r12)
 ]
 
 
