@@ -120,3 +120,45 @@ def test_mor_no_match_is_noop(spark, tmp_path):
                         mode="merge-on-read") is None
     assert len([f for f in os.listdir(os.path.join(root, "_delta_log"))
                 if f.endswith(".json")]) == 1
+
+
+def test_mor_merge_upsert(spark, tmp_path):
+    """merge-on-read MERGE: matched rows DV-delete, the batch appends;
+    no data file rewrites; CDF emits pre/post/insert images."""
+    from tidierdb_jl_spark.sources.delta_cdf import read_delta_cdf
+    from tidierdb_jl_spark.sources.delta_writer import merge_delta
+
+    root = str(tmp_path / "tbl")
+    write_delta(
+        TidyFrame(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")],
+            "id long, v string").coalesce(1)), root,
+        configuration={"delta.enableChangeDataFeed": "true"})
+    orig = {f for f in os.listdir(root) if f.endswith(".parquet")}
+
+    merge_delta(spark, root, _tf(spark, [(2, "B"), (4, "d")]), "id",
+                mode="merge-on-read")
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got[["id", "v"]].values.tolist() == [
+        [1, "a"], [2, "B"], [3, "c"], [4, "d"]]
+    # original data file still on disk, NOT rewritten (DV'd instead)
+    assert orig <= {f for f in os.listdir(root)
+                    if f.endswith(".parquet")}
+    acts = _log_actions(root, 1)
+    assert any("deletionVector" in a.get("add", {}) for a in acts)
+
+    cdf = read_delta_cdf(spark, root, starting_version=1).collect()
+    rows = sorted((r["id"], r["v"], r["_change_type"])
+                  for _, r in cdf.iterrows())
+    assert rows == sorted([
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (4, "d", "insert"),
+    ])
+
+    # a second MOR merge touching the same file unions its DV
+    merge_delta(spark, root, _tf(spark, [(3, "C")]), "id",
+                mode="merge-on-read")
+    got = read_delta(spark, root).collect().sort_values("id")
+    assert got[["id", "v"]].values.tolist() == [
+        [1, "a"], [2, "B"], [3, "C"], [4, "d"]]

@@ -962,36 +962,25 @@ def _dv_upgrade_protocol(proto: dict) -> dict | None:
             "readerFeatures": sorted(rf), "writerFeatures": sorted(wf)}
 
 
-def _delete_mor(spark, root: str, predicate: str, meta,
-                part_cols) -> int | None:
-    """Merge-on-read DELETE: encode the matching rows into DELETION
-    VECTORS instead of rewriting files (what delta-spark does by
-    default since 2.4) — each touched file's add action is re-committed
-    with a DV descriptor pointing into one new sidecar ``.bin``.  The
-    row data never moves: work scales with the MATCH COUNT (bitmap
-    encode + metadata), the cheapest possible delete at 100 TB.  A
-    file's existing DV unions in executor-side (the scan already
-    excluded its rows, so the sets are disjoint).  Protocol upgrades to
-    the deletionVectors table feature on first use, enumerating the
-    legacy-implied features."""
+def _encode_dv_sidecar(spark, root: str, matched, live) -> dict:
+    """Encode matched rows (DF with ``__mor_file`` basename +
+    ``__mor_ridx`` physical index columns) into DELETION VECTORS:
+    per-file roaring bitmaps built EXECUTOR-side (an existing DV
+    unions in — the discovery scan already excluded its rows, so the
+    sets are disjoint), packed into ONE sidecar ``.bin`` (version
+    byte 1; per DV: BE size, data, BE CRC-32 — the exact layout
+    :func:`~.dvectors.read_dv_from_bytes` verifies).  Returns
+    {basename: DV descriptor}, empty when nothing matched.  Driver
+    traffic is the encoded blobs — bounded by bitmap structure, never
+    row count."""
     import struct as _struct
     import zlib as _zlib
 
-    from pyspark.sql import functions as F
-
-    from .delta import _snapshot, read_delta
     from .fsio import hadoop_fs, join_path
 
-    extras: dict = {}
-    live, meta, _version = _snapshot(spark, root, None, None, extras)
-    if not live:
-        return None
-    tf = read_delta(spark, root, _file_col="__mor_file",
-                    _ridx_col="__mor_ridx")
-    matched = tf.df.where(F.expr(predicate))
     old_dv_json = {p.rsplit("/", 1)[-1]: json.dumps(dv)
                    for p, (_pv, dv) in live.items() if dv}
-    bc = spark.sparkContext.broadcast(old_dv_json)
+    bc = matched.sparkSession.sparkContext.broadcast(old_dv_json)
     root_b = root
 
     def enc(key, pdf):
@@ -1033,12 +1022,8 @@ def _delete_mor(spark, root: str, predicate: str, meta,
             .applyInPandas(enc, "file string, blob string, card long")
             .collect())
     if not rows:
-        return None
-    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+        return {}
 
-    # one sidecar file for the whole commit (version byte 1; per DV:
-    # BE size, data, BE CRC-32 — the exact layout read_dv_from_bytes
-    # verifies)
     dv_uuid = uuid.uuid4()
     sidecar_rel = f"deletion_vector_{dv_uuid}.bin"
     buf = bytearray(b"\x01")
@@ -1064,6 +1049,34 @@ def _delete_mor(spark, root: str, predicate: str, meta,
         stream.write(bytearray(buf))
     finally:
         stream.close()
+    return descs
+
+
+def _delete_mor(spark, root: str, predicate: str, meta,
+                part_cols) -> int | None:
+    """Merge-on-read DELETE: encode the matching rows into DELETION
+    VECTORS instead of rewriting files (what delta-spark does by
+    default since 2.4) — each touched file's add action is re-committed
+    with a DV descriptor pointing into one new sidecar ``.bin``.  The
+    row data never moves: work scales with the MATCH COUNT (bitmap
+    encode + metadata), the cheapest possible delete at 100 TB.
+    Protocol upgrades to the deletionVectors table feature on first
+    use, enumerating the legacy-implied features."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    extras: dict = {}
+    live, meta, _version = _snapshot(spark, root, None, None, extras)
+    if not live:
+        return None
+    tf = read_delta(spark, root, _file_col="__mor_file",
+                    _ridx_col="__mor_ridx")
+    matched = tf.df.where(F.expr(predicate))
+    descs = _encode_dv_sidecar(spark, root, matched, live)
+    if not descs:
+        return None
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
 
     cdc_acts: list[dict] = []
     if _cdf_enabled(meta):
@@ -1270,16 +1283,108 @@ def update_delta(spark, path: str, predicate: str,
     return _commit_actions(spark, root, build)
 
 
-def merge_delta(spark, path: str, updates_tf, key) -> int:
-    """UPSERT by copy-on-write (the MERGE ``WHEN MATCHED UPDATE SET * /
-    WHEN NOT MATCHED INSERT *`` shape): rows whose ``key`` matches an
-    update are replaced by it, new keys append.  Only files containing
-    matched keys are rewritten — discovery is one broadcast semi-join of
-    the distinct update keys against the scan, so work scales with the
-    matched files plus the update batch, never the table.  The update
-    batch must be unique per key (checked — an ambiguous MERGE must not
-    pick a winner silently) and schema-identical to the table.  Returns
-    the committed version."""
+def _merge_mor(spark, root: str, updates, keys, meta,
+               part_cols) -> int:
+    """Merge-on-read MERGE: matched rows are DELETED via deletion
+    vectors (no file rewrites — :func:`_encode_dv_sidecar`) and the
+    WHOLE update batch appends as new files.  The CDC-upsert shape at
+    100 TB: work scales with the match count plus the batch, never
+    with touched-file sizes."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    extras: dict = {}
+    live, meta, _version = _snapshot(spark, root, None, None, extras)
+    tf = (read_delta(spark, root, _file_col="__mor_file",
+                     _ridx_col="__mor_ridx") if live else None)
+    ukeys = updates.select(*keys).distinct()
+    n_keys = ukeys.count()
+    hint = (F.broadcast if n_keys <= _MERGE_BROADCAST_KEYS
+            else (lambda d: d))
+    matched = (tf.df.join(hint(ukeys), keys, "left_semi")
+               if tf is not None else None)
+    descs = (_encode_dv_sidecar(spark, root, matched, live)
+             if matched is not None else {})
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+
+    stage_df, phys = _to_physical_df(updates, meta, root, "merge_delta")
+    adds = _stage_batch(spark, root, stage_df,
+                        [phys[c] for c in part_cols])
+
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        if matched is not None:
+            pre = matched.drop("__mor_file", "__mor_ridx")
+            mkeys = pre.select(*keys).distinct()
+            post = updates.join(hint(mkeys), keys, "left_semi")
+            inserts = updates.join(hint(mkeys), keys, "left_anti")
+            cdc_df = (
+                pre.withColumn("_change_type",
+                               F.lit("update_preimage"))
+                .unionByName(post.withColumn(
+                    "_change_type", F.lit("update_postimage")))
+                .unionByName(inserts.withColumn(
+                    "_change_type", F.lit("insert")))
+            )
+        else:
+            cdc_df = updates.withColumn("_change_type", F.lit("insert"))
+        cdc_acts = _stage_cdc(spark, root, meta, cdc_df, part_cols)
+
+    touched_paths = sorted(by_base[b] for b in descs)
+    adds_info = extras.get("adds", {})
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"merge_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; staged files are unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = []
+        if descs:
+            up = _dv_upgrade_protocol(extras.get("protocol"))
+            if up is not None:
+                acts.append({"protocol": up})
+        acts.extend(cdc_acts)
+        for p in touched_paths:
+            b = p.rsplit("/", 1)[-1]
+            old_add = dict(adds_info.get(p) or {})
+            acts.append({"remove": {"path": quote(p, safe="/=-"),
+                                    "deletionTimestamp": now_ms,
+                                    "dataChange": True}})
+            new_add = dict(old_add)
+            new_add["path"] = quote(p, safe="/=-")
+            new_add["deletionVector"] = descs[b]
+            new_add["dataChange"] = True
+            acts.append({"add": new_add})
+        acts.extend({"add": a} for a in adds)
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "MERGE",
+            "operationParameters": {"matchedPredicate": ",".join(keys),
+                                    "mode": "merge-on-read"},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
+
+
+def merge_delta(spark, path: str, updates_tf, key,
+                mode: str = "copy-on-write") -> int:
+    """UPSERT (the MERGE ``WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *`` shape): rows whose ``key`` matches an update are
+    replaced by it, new keys append.  ``mode="copy-on-write"``
+    (default): only files containing matched keys are rewritten —
+    discovery is one size-aware semi-join of the distinct update keys
+    against the scan, so work scales with the matched files plus the
+    update batch, never the table.  ``mode="merge-on-read"``: matched
+    rows are deleted via DELETION VECTORS and the batch appends — no
+    file rewrites at all (see :func:`_merge_mor`).  The update batch
+    must be unique per key (checked — an ambiguous MERGE must not pick
+    a winner silently) and schema-identical to the table.  Returns the
+    committed version."""
     from pyspark.sql import functions as F
 
     from .delta import _snapshot, read_delta
@@ -1287,7 +1392,6 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
     root = str(path).rstrip("/")
     live, meta, _version = _snapshot(spark, root, None)
     part_cols = list(meta.get("partitionColumns") or [])
-    _cow_guard(meta, live, root, "merge_delta", part_cols)
     _gate_append_only(meta, root, "merge_delta")
     keys = [key] if isinstance(key, str) else list(key)
     updates = updates_tf.df if hasattr(updates_tf, "df") else updates_tf
@@ -1306,6 +1410,12 @@ def merge_delta(spark, path: str, updates_tf, key) -> int:
             f"{tuple(dup[0][k] for k in keys)}) — an ambiguous MERGE "
             "must not pick a winner silently"
         )
+    if mode == "merge-on-read":
+        return _merge_mor(spark, root, updates, keys, meta, part_cols)
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"merge_delta: mode {mode!r} (copy-on-write|merge-on-read)")
+    _cow_guard(meta, live, root, "merge_delta", part_cols)
 
     tf = read_delta(spark, root, _file_col="__cow_file")
     ukeys = updates.select(*keys).distinct()
