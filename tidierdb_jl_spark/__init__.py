@@ -30,8 +30,8 @@ from .sources.iceberg_writer import (
 from .sources.iceberg_ops import (
     convert_to_iceberg, delete_iceberg, drop_tag_iceberg,
     files_iceberg, manifests_iceberg, merge_iceberg,
-    rewrite_data_files_iceberg, rollback_iceberg, tag_iceberg,
-    update_iceberg,
+    overwrite_partitions_iceberg, rewrite_data_files_iceberg,
+    rollback_iceberg, tag_iceberg, update_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
 
@@ -73,6 +73,7 @@ __all__ = [
     "expire_snapshots_iceberg",
     "delete_iceberg",
     "update_iceberg",
+    "overwrite_partitions_iceberg",
     "merge_iceberg",
     "rewrite_data_files_iceberg",
     "rollback_iceberg",

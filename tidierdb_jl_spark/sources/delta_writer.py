@@ -214,10 +214,18 @@ def write_delta(
     overwrite_schema: bool = False,
     txn: tuple | None = None,
     configuration: dict | None = None,
+    partition_overwrite: str = "static",
 ) -> int:
     """Commit ``tf`` to the Delta table at ``path``; returns the
     committed version number.  Module docstring has the protocol
     contract.
+
+    ``partition_overwrite`` (with ``mode="overwrite"``):
+    ``"static"`` (default) removes every live file;
+    ``"dynamic"`` removes only files in the partitions the BATCH
+    writes (delta-spark's ``partitionOverwriteMode=dynamic``) — the
+    corpus-refresh shape: re-clean one language, leave the rest.
+    Requires a partitioned write.
 
     ``configuration`` sets table properties on a NEW table (e.g.
     ``{"delta.enableChangeDataFeed": "true"}`` so the row-level ops
@@ -242,6 +250,9 @@ def write_delta(
     if mode not in ("append", "overwrite", "error"):
         raise ValueError(f"write_delta: mode {mode!r} "
                          "(append|overwrite|error)")
+    if partition_overwrite not in ("static", "dynamic"):
+        raise ValueError(f"write_delta: partition_overwrite "
+                         f"{partition_overwrite!r} (static|dynamic)")
     df = tf.df if hasattr(tf, "df") else tf
     spark = df.sparkSession
     root = str(path).rstrip("/")
@@ -365,8 +376,20 @@ def write_delta(
                         "overwrite_schema=True)"
                     )
         if mode == "overwrite":
+            if partition_overwrite == "dynamic":
+                if not part_cols:
+                    raise ValueError(
+                        f"write_delta: partition_overwrite='dynamic' "
+                        f"on an unpartitioned table at {root}"
+                    )
+                batch_parts = {tuple(sorted(a["partitionValues"]
+                                            .items())) for a in adds}
+                doomed = [p for p, (pv, _dv) in live.items()
+                          if tuple(sorted(pv.items())) in batch_parts]
+            else:
+                doomed = sorted(live)
             now_ms = int(time.time() * 1000)
-            for p in sorted(live):
+            for p in sorted(doomed):
                 actions.append({"remove": {
                     "path": quote(p, safe="/=-"),
                     "deletionTimestamp": now_ms,

@@ -53,6 +53,7 @@ import time
 import uuid
 
 __all__ = ["delete_iceberg", "update_iceberg", "merge_iceberg",
+           "overwrite_partitions_iceberg",
            "rewrite_data_files_iceberg", "rollback_iceberg",
            "files_iceberg", "manifests_iceberg", "convert_to_iceberg",
            "tag_iceberg", "drop_tag_iceberg"]
@@ -791,6 +792,59 @@ def merge_iceberg(spark, path: str, updates_tf, key) -> int:
     new_files = _write_data_files(new_data, root, fields, pfields)
     return _commit_rewrite(spark, root, touched, new_files,
                            "merge_iceberg")
+
+
+def overwrite_partitions_iceberg(tf, path: str) -> int | None:
+    """DYNAMIC partition overwrite (iceberg-spark's
+    ``overwritePartitions`` / Delta's ``partitionOverwriteMode=
+    dynamic``): replace exactly the partitions the BATCH writes,
+    leaving every other partition untouched — the corpus-refresh shape
+    (re-clean one language, keep the rest).  Touched-partition files
+    retire via manifest surgery; untouched manifests carry.  Returns
+    the new snapshot id, or None for an empty batch."""
+    df = tf.df if hasattr(tf, "df") else tf
+    spark = df.sparkSession
+    root = str(path).rstrip("/")
+    meta, _ver = _load_meta(spark, root)
+    _require_v2(meta, root, "overwrite_partitions_iceberg")
+    fields = _schema_fields(meta, root, "overwrite_partitions_iceberg")
+    pfields = _pfields_from_meta(meta, root,
+                                 "overwrite_partitions_iceberg")
+    if not pfields:
+        raise ValueError(
+            f"overwrite_partitions_iceberg: {root} is unpartitioned — "
+            "use write_iceberg(mode='overwrite')"
+        )
+    from .iceberg_writer import _iceberg_schema, _write_data_files
+
+    if [(f["name"], f["type"])
+            for f in _iceberg_schema(df.schema, root)] != \
+            [(f["name"], f["type"]) for f in fields]:
+        raise ValueError(
+            f"overwrite_partitions_iceberg: batch schema does not "
+            f"match the table schema at {root}"
+        )
+    new_files = _write_data_files(df, root, fields, pfields)
+    if not new_files:
+        return None
+    batch_parts = {json.dumps(pv, sort_keys=True)
+                   for _p, _n, _s, pv in new_files}
+    snap = _current_snapshot(meta, root, "overwrite_partitions_iceberg")
+    touched: set[str] = set()
+    dead: set[str] = set()
+    for m, mpath in _read_manifest_list(spark, root, snap):
+        if int(m.get("content") or 0) != 0:
+            continue
+        for e in _resolved_entries(spark, root, mpath,
+                                   m.get("sequence_number")):
+            if e["status"] == 2:
+                dead.add(e["path"])
+            elif json.dumps(e["partition"],
+                            sort_keys=True) in batch_parts:
+                touched.add(e["path"])
+    touched -= dead
+    return _commit_rewrite(spark, root, touched, new_files,
+                           "overwrite_partitions")
 
 
 def rewrite_data_files_iceberg(spark, path: str, min_files: int = 2,
