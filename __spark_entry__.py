@@ -5397,6 +5397,48 @@ def _w75(t):
 _BUILDERS["w75_row_updates"] = _w75
 
 
+def _w76(t):
+    """DYNAMIC partition overwrite on both formats (r12,
+    delta_writer.write_delta(partition_overwrite='dynamic') +
+    iceberg_ops.overwrite_partitions_iceberg — the corpus-refresh
+    shape: re-clean ONE language, keep the rest): each side writes a
+    lang-partitioned documents table, then overwrites ONLY the 'en'
+    partition with a transformed slice.  A hash match proves the
+    batch-partition discovery, the partition-scoped removes/manifest
+    surgery, and the untouched partitions' survival on each format."""
+    import tempfile
+
+    from tidierdb_jl_spark.sources.delta import read_delta
+    from tidierdb_jl_spark.sources.delta_writer import write_delta
+    from tidierdb_jl_spark.sources.iceberg import read_iceberg
+    from tidierdb_jl_spark.sources.iceberg_ops import (
+        overwrite_partitions_iceberg,
+    )
+    from tidierdb_jl_spark.sources.iceberg_writer import write_iceberg
+
+    spark = t["documents"].df.sparkSession
+    base = tempfile.mkdtemp(prefix="w76_dynover_")
+    droot, iroot = f"{base}/delta", f"{base}/ice"
+    docs = t["documents"].select("doc_id", "text", "lang") \
+        .filter("doc_id < 150")
+    fresh = (t["documents"].filter("doc_id >= 150 AND doc_id < 200")
+             .filter("lang = 'en'")
+             .mutate(text="concat('R:', text)")
+             .select("doc_id", "text", "lang"))
+    write_delta(docs, droot, partition_by="lang")
+    write_delta(fresh, droot, mode="overwrite", partition_by="lang",
+                partition_overwrite="dynamic")
+    write_iceberg(docs, iroot, partition_by="lang")
+    overwrite_partitions_iceberg(fresh, iroot)
+    d = read_delta(spark, droot).mutate(fmt="'delta'")
+    i = read_iceberg(spark, iroot).mutate(fmt="'iceberg'")
+    return (d.union_all(i)
+            .select("doc_id", "text", "lang", "fmt"))
+
+
+_BUILDERS["w76_dynamic_overwrite"] = _w76
+
+
 def _m44(t):
     """Image HEADER metadata without pixel decode (the gate/bucket pass
     an image corpus runs over everything): synthesize per-document
@@ -8867,6 +8909,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN doc_id % 6 = 2 THEN 'I:' || text ELSE text END,
                lang, 'iceberg'
         FROM documents WHERE doc_id < 150
+    """
+    # w76: the en partition is wholly replaced by the fresh slice on
+    # both sides; fr/de/... partitions survive untouched
+    out["w76_dynamic_overwrite"] = r"""
+        WITH state AS (
+          SELECT doc_id, text, lang
+          FROM documents WHERE doc_id < 150 AND lang != 'en'
+          UNION ALL
+          SELECT doc_id, 'R:' || text, lang
+          FROM documents
+          WHERE doc_id >= 150 AND doc_id < 200 AND lang = 'en')
+        SELECT doc_id, text, lang, 'delta' AS fmt FROM state
+        UNION ALL
+        SELECT doc_id, text, lang, 'iceberg' FROM state
     """
     out["d45_dedup_state"] = _DEDUPSTATE_SQL
     out["d46_neardup_state"] = _NEARDUP_SQL

@@ -137,6 +137,7 @@ ORACLE_QUERIES = [
     "w73_delta_mor_delete",     # merge-on-read deletes via DVs (r12)
     "w74_iceberg_mor_delete",   # Iceberg MOR position deletes (r12)
     "w75_row_updates",          # UPDATE SET on both formats (r12)
+    "w76_dynamic_overwrite",    # dynamic partition overwrite (r12)
 ]
 
 
