@@ -1225,15 +1225,99 @@ def delete_delta(spark, path: str, predicate: str,
     return _commit_actions(spark, root, build)
 
 
+def _update_mor(spark, root: str, predicate: str, set: dict, meta,
+                part_cols) -> int | None:
+    """Merge-on-read UPDATE: the matched rows DV-delete in place and
+    their TRANSFORMED images append as new files — no touched file is
+    rewritten, so work scales with the match count plus the changed
+    rows (delta-spark's DV-update shape)."""
+    from pyspark.sql import functions as F
+
+    from .delta import _snapshot, read_delta
+
+    extras: dict = {}
+    live, meta, _version = _snapshot(spark, root, None, None, extras)
+    if not live:
+        return None
+    tf = read_delta(spark, root, _file_col="__mor_file",
+                    _ridx_col="__mor_ridx")
+    matched = tf.df.where(F.expr(predicate))
+    descs = _encode_dv_sidecar(spark, root, matched, live)
+    if not descs:
+        return None
+    by_base = {p.rsplit("/", 1)[-1]: p for p in live}
+
+    data_cols = [c for c in tf.df.columns
+                 if c not in ("__mor_file", "__mor_ridx")]
+    transformed = matched.select(
+        *[(F.expr(set[c]).alias(c) if c in set else F.col(c))
+          for c in data_cols])
+    _check_constraints(transformed, meta, root, "update_delta")
+    body, phys = _to_physical_df(transformed, meta, root,
+                                 "update_delta")
+    adds = _stage_batch(spark, root, body,
+                        [phys[c] for c in part_cols])
+
+    cdc_acts: list[dict] = []
+    if _cdf_enabled(meta):
+        pre = (matched.select(*data_cols)
+               .withColumn("_change_type", F.lit("update_preimage")))
+        post = transformed.withColumn("_change_type",
+                                      F.lit("update_postimage"))
+        cdc_acts = _stage_cdc(spark, root, meta,
+                              pre.unionByName(post), part_cols)
+
+    touched_paths = sorted(by_base[b] for b in descs)
+    adds_info = extras.get("adds", {})
+
+    def build(live_now, _meta, _version):
+        gone = [p for p in touched_paths if p not in live_now]
+        if gone:
+            raise RuntimeError(
+                f"update_delta: {len(gone)} touched file(s) changed "
+                "concurrently — aborting; staged files are unreferenced "
+                "garbage"
+            )
+        now_ms = int(time.time() * 1000)
+        acts = []
+        up = _dv_upgrade_protocol(extras.get("protocol"))
+        if up is not None:
+            acts.append({"protocol": up})
+        acts.extend(cdc_acts)
+        for p in touched_paths:
+            b = p.rsplit("/", 1)[-1]
+            old_add = dict(adds_info.get(p) or {})
+            acts.append({"remove": {"path": quote(p, safe="/=-"),
+                                    "deletionTimestamp": now_ms,
+                                    "dataChange": True}})
+            new_add = dict(old_add)
+            new_add["path"] = quote(p, safe="/=-")
+            new_add["deletionVector"] = descs[b]
+            new_add["dataChange"] = True
+            acts.append({"add": new_add})
+        acts.extend({"add": a} for a in adds)
+        acts.append({"commitInfo": {
+            "timestamp": now_ms, "operation": "UPDATE",
+            "operationParameters": {"predicate": predicate,
+                                    "mode": "merge-on-read"},
+            "engineInfo": "tidierdb_jl_spark jar-free writer"}})
+        return acts
+
+    return _commit_actions(spark, root, build)
+
+
 def update_delta(spark, path: str, predicate: str,
-                 set: dict) -> int | None:
-    """Row-level UPDATE by copy-on-write (``UPDATE ... SET col = expr
-    WHERE predicate``): files containing matching rows are rewritten
-    with those rows TRANSFORMED per ``set`` (column -> SQL expression,
-    evaluated against the pre-update row); untouched files stay, so
-    work scales with matching files.  On CDF-enabled tables exact
-    update_preimage/update_postimage cdc rows are emitted.  Returns
-    the committed version, or None when nothing matched."""
+                 set: dict, mode: str = "copy-on-write") -> int | None:
+    """Row-level UPDATE (``UPDATE ... SET col = expr WHERE
+    predicate``; expressions evaluate against the PRE-update row).
+    ``mode="copy-on-write"`` (default): files containing matching rows
+    are rewritten with those rows transformed; untouched files stay,
+    so work scales with matching files.  ``mode="merge-on-read"``:
+    matched rows DV-delete in place and their transformed images
+    append — no file rewrites (see :func:`_update_mor`).  On
+    CDF-enabled tables exact update_preimage/update_postimage cdc rows
+    are emitted either way.  Returns the committed version, or None
+    when nothing matched."""
     from pyspark.sql import functions as F
 
     from .delta import _snapshot, read_delta
@@ -1241,7 +1325,6 @@ def update_delta(spark, path: str, predicate: str,
     root = str(path).rstrip("/")
     live, meta, _version = _snapshot(spark, root, None)
     part_cols = list(meta.get("partitionColumns") or [])
-    _cow_guard(meta, live, root, "update_delta", part_cols)
     _gate_append_only(meta, root, "update_delta")
     if not live:
         return None
@@ -1250,6 +1333,12 @@ def update_delta(spark, path: str, predicate: str,
     if bad:
         raise ValueError(f"update_delta: set targets {bad} not in the "
                          "table schema")
+    if mode == "merge-on-read":
+        return _update_mor(spark, root, predicate, set, meta, part_cols)
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"update_delta: mode {mode!r} (copy-on-write|merge-on-read)")
+    _cow_guard(meta, live, root, "update_delta", part_cols)
 
     tf = read_delta(spark, root, _file_col="__cow_file")
     touched = [r[0] for r in tf.df.where(F.expr(predicate))

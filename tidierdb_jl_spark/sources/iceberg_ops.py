@@ -531,16 +531,19 @@ def delete_iceberg(spark, path: str, predicate: str,
                            "delete_iceberg")
 
 
-def _delete_iceberg_mor(spark, root: str, meta, predicate: str
-                        ) -> int | None:
-    """Merge-on-read DELETE for Iceberg v2: one parquet POSITION-DELETE
-    file of spec ``(file_path, pos)`` rows (sorted by file then
-    ordinal) committed under a new ``content=1`` manifest — the exact
-    shape iceberg-spark's merge-on-read writes, and what this repo's
-    reader already subtracts.  Ordinals are physical row indexes
+def _delete_iceberg_mor(spark, root: str, meta, predicate: str,
+                        set_exprs: dict | None = None) -> int | None:
+    """Merge-on-read DELETE (and, with ``set_exprs``, UPDATE) for
+    Iceberg v2: one parquet POSITION-DELETE file of spec
+    ``(file_path, pos)`` rows (sorted by file then ordinal) committed
+    under a new ``content=1`` manifest — the exact shape
+    iceberg-spark's merge-on-read writes, and what this repo's reader
+    already subtracts.  Ordinals are physical row indexes
     (``_metadata.row_index``); file paths are the live set's ABSOLUTE
-    paths, so moved-table reads still match by basename.  Work scales
-    with the match count; nothing rewrites."""
+    paths, so moved-table reads still match by basename.  With
+    ``set_exprs`` the matched rows' TRANSFORMED images append as new
+    data files in the SAME snapshot (the MOR update shape).  Work
+    scales with the match count; no touched file rewrites."""
     from pyspark.sql import functions as F
 
     from .avro_lite import encode_avro_container
@@ -557,8 +560,8 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
     base_map = spark.createDataFrame(
         [(b, p) for b, p in sorted(by_base.items())],
         "__mor_file string, file_path string")
-    matched = (tf.df
-               .where(F.expr(predicate))
+    hits = tf.df.where(F.expr(predicate))
+    matched = (hits
                .join(F.broadcast(base_map), "__mor_file")
                .select("file_path",
                        F.col("__mor_pos").cast("long").alias("pos")))
@@ -582,6 +585,21 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
         spark._jvm.org.apache.hadoop.fs.Path(
             join_path(root, del_rel))).getLen()
     fs_delete(spark, staging, recursive=True)
+
+    new_files: list[tuple] = []
+    op_label = "delete" if set_exprs is None else "overwrite"
+    if set_exprs is not None:
+        from .iceberg_writer import _write_data_files
+
+        fields0 = _schema_fields(meta, root, "update_iceberg")
+        pfields0 = _pfields_from_meta(meta, root, "update_iceberg")
+        data_cols = [c for c in tf.df.columns
+                     if c not in ("__mor_file", "__mor_pos")]
+        transformed = hits.select(
+            *[(F.expr(set_exprs[c]).alias(c) if c in set_exprs
+               else F.col(c)) for c in data_cols])
+        new_files = _write_data_files(transformed, root, fields0,
+                                      pfields0)
 
     from .iceberg_writer import _MANIFEST_FILE_SCHEMA, _manifest_entry_schema
     from .fsio import write_text_atomic
@@ -646,6 +664,46 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
             "added_rows_count": int(n_del),
             "existing_rows_count": 0, "deleted_rows_count": 0,
         })
+        if new_files:
+            # the MOR-update appends the transformed images in the
+            # SAME snapshot: one data manifest alongside the deletes
+            adds = [{"status": 1, "snapshot_id": snap_id,
+                     "sequence_number": None,
+                     "file_sequence_number": None,
+                     "data_file": {"content": 0, "file_path": p,
+                                   "file_format": "PARQUET",
+                                   "partition": pv,
+                                   "record_count": n,
+                                   "file_size_in_bytes": sz}}
+                    for p, n, sz, pv in new_files]
+            dman_rel = f"metadata/manifest-d{uid}.avro"
+            dman_bytes = encode_avro_container(
+                entry_schema, adds,
+                extra_meta={"schema": json.dumps(
+                    {"type": "struct", "schema-id": 0,
+                     "fields": fields}),
+                    "schema-id": "0",
+                    "partition-spec":
+                        json.dumps(_spec_fields_json(meta)),
+                    "partition-spec-id": "0",
+                    "format-version": "2", "content": "data"})
+            if not _create(spark, join_path(root, dman_rel),
+                           dman_bytes):
+                raise RuntimeError(
+                    "update_iceberg: manifest collision")
+            carried.append({
+                "manifest_path": f"{root}/{dman_rel}",
+                "manifest_length": len(dman_bytes),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(new_files),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(
+                    n for _p, n, _s, _pv in new_files),
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            })
         mlist_rel = f"metadata/snap-{snap_id}-{uid}.avro"
         mlist_bytes = encode_avro_container(
             _MANIFEST_FILE_SCHEMA, carried,
@@ -659,7 +717,7 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": f"{root}/{mlist_rel}",
-            "summary": {"operation": "delete"}})
+            "summary": {"operation": op_label}})
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = int(time.time() * 1000)
@@ -679,13 +737,16 @@ def _delete_iceberg_mor(spark, root: str, meta, predicate: str
 
 
 def update_iceberg(spark, path: str, predicate: str,
-                   set: dict) -> int | None:
-    """Row-level UPDATE by copy-on-write (``UPDATE ... SET col = expr
-    WHERE predicate``): touched files rewrite with matching rows
-    transformed per ``set`` (column -> SQL expression over the
-    pre-update row); untouched files and manifests carry.  Existing
-    position/DV/equality deletes materialize in the rewrite.  Returns
-    the new snapshot id, or None when nothing matched."""
+                   set: dict, mode: str = "copy-on-write") -> int | None:
+    """Row-level UPDATE (``UPDATE ... SET col = expr WHERE predicate``;
+    expressions evaluate over the PRE-update row).
+    ``mode="copy-on-write"`` (default): touched files rewrite with
+    matching rows transformed; untouched files and manifests carry;
+    existing position/DV/equality deletes materialize in the rewrite.
+    ``mode="merge-on-read"``: the matched ordinals land in a v2
+    position-delete file and the transformed images append in the SAME
+    snapshot — no touched file rewrites.  Returns the new snapshot id,
+    or None when nothing matched."""
     from pyspark.sql import functions as F
 
     from .iceberg import read_iceberg
@@ -699,6 +760,13 @@ def update_iceberg(spark, path: str, predicate: str,
     if bad:
         raise ValueError(f"update_iceberg: set targets {bad} not in "
                          "the table schema")
+    if mode == "merge-on-read":
+        return _delete_iceberg_mor(spark, root, meta, predicate,
+                                   set_exprs=dict(set))
+    if mode != "copy-on-write":
+        raise ValueError(
+            f"update_iceberg: mode {mode!r} (copy-on-write|"
+            "merge-on-read)")
     by_base = _basename_map(spark, root, meta, "update_iceberg")
     if not by_base:
         return None
