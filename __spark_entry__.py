@@ -489,10 +489,24 @@ def _d36(t):
         .filter("id_a < id_b AND bit_count(__sa ^ __sb) <= 3")
         .select("id_a", "id_b")
     )
-    diff = banded.exceptAll(brute).unionAll(brute.exceptAll(banded))
+    # |banded Δ brute| in ONE pass over each side: exceptAll both ways
+    # re-executed the banded join AND the bounded cross join twice each
+    # (unpersisted subtrees are duplicated, not shared).  Tag each side,
+    # aggregate per pair, and sum |n_banded - n_brute| — the exact multiset
+    # symmetric-difference size exceptAll+unionAll+count computed.
+    tagged = banded.select(
+        "id_a", "id_b", F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).unionAll(
+        brute.select("id_a", "id_b", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    diff_n = (
+        tagged.groupBy("id_a", "id_b")
+        .agg(F.abs(F.sum("__a") - F.sum("__b")).alias("__d"))
+        .agg(F.coalesce(F.sum("__d"), F.lit(0)).alias("mismatches"))
+    )
     summary = (
         sub.df.agg(F.count("*").alias("n_docs"))
-        .crossJoin(diff.agg(F.count("*").alias("mismatches")))
+        .crossJoin(diff_n)
         .withColumn("banding_exact", F.col("mismatches") == 0)
     )
     from tidierdb_jl_spark.core import TidyFrame

@@ -155,8 +155,22 @@ class TidyFrame:
         (``/root/reference/src/TidierDB_macros.jl:37-128``)."""
         windowed = bool(self._groups or self._order) and not self._aggregated
         df = self._df
+        # Adjacent plain predicates combine into ONE filter call: same plan
+        # (Catalyst merges consecutive Filters anyway) but one analysis pass
+        # and one py4j round trip instead of one per condition — driver-side
+        # build time, which multi-predicate scans (TPC-H Q6: 5 conds) pay
+        # per bench run.
+        plain: list[str] = []
+
+        def _flush():
+            nonlocal df
+            if plain:
+                df = df.filter(F.expr(" AND ".join(f"({p})" for p in plain)))
+                plain.clear()
+
         for c in conds:
             if isinstance(c, Column):
+                _flush()
                 df = df.filter(c)
                 continue
             sql = rewrite(str(c), self._ws(), windowed=windowed)
@@ -164,10 +178,12 @@ class TidyFrame:
                 # windows are illegal in WHERE: project the predicate into a
                 # helper column, filter, drop (Catalyst prunes the extra
                 # projection; same plan the reference gets via its CTE wrap)
+                _flush()
                 tmp = "__tidy_filter_cond"
                 df = df.withColumn(tmp, F.expr(sql)).filter(F.col(tmp)).drop(tmp)
             else:
-                df = df.filter(F.expr(sql))
+                plain.append(sql)
+        _flush()
         return self._with(df)
 
     def mutate(self, *exprs, _by=None, _order=None, _frame=None, **named) -> "TidyFrame":
@@ -183,11 +199,33 @@ class TidyFrame:
             frame=tuple(_frame) if _frame is not None else None,
         )
         df = self._df
+        # Batch consecutive assignments into ONE withColumns call (one
+        # analysis pass instead of one per column).  dplyr lets a later
+        # expression reference an earlier one from the same mutate — those
+        # must see the new value, so flush the pending batch whenever a raw
+        # expression mentions a pending name (token match on the raw string;
+        # over-matching only costs batching, never correctness).  Opaque
+        # Column objects can't be inspected — flush before them too.
+        pending: dict = {}
+
+        def _flush():
+            nonlocal df
+            if pending:
+                df = df.withColumns(dict(pending))
+                pending.clear()
+
         for name, expr in pairs:
             if isinstance(expr, Column):
-                df = df.withColumn(name, expr)
+                _flush()
+                pending[name] = expr
             else:
-                df = df.withColumn(name, F.expr(rewrite(str(expr), ws, windowed=True)))
+                s = str(expr)
+                if pending and any(
+                    re.search(rf"\b{re.escape(p)}\b", s) for p in pending
+                ):
+                    _flush()
+                pending[name] = F.expr(rewrite(s, ws, windowed=True))
+        _flush()
         return self._with(df, groups=(), order=(), frame=None)
 
     def transmute(self, *exprs, _by=None, _order=None, _frame=None, **named) -> "TidyFrame":
@@ -302,14 +340,23 @@ class TidyFrame:
         ``/root/reference/src/mutate_and_summ.jl:304-495``)."""
         by = _resolve_by(_by, self.columns) if _by is not None else list(self._groups)
         pairs = self._collect_pairs(exprs, named)
+        # alias inside the parsed expression ("(agg) AS `name`") and plain
+        # key names as strings: one py4j round trip per aggregate instead
+        # of two (F.expr + .alias), none per plain grouping key — build
+        # time only, the resulting plan is identical.
         aggs = []
         for name, expr in pairs:
             if isinstance(expr, Column):
                 aggs.append(expr.alias(name))
             else:
-                aggs.append(F.expr(rewrite(str(expr), self._ws(by=by), False)).alias(name))
+                sql = rewrite(str(expr), self._ws(by=by), False)
+                quoted = "`" + name.replace("`", "``") + "`"
+                aggs.append(F.expr(f"({sql}) AS {quoted}"))
         if by:
-            out = self._df.groupBy(*[F.expr(g) for g in by]).agg(*aggs)
+            keys = [
+                g if re.match(r"^[A-Za-z_]\w*$", g) else F.expr(g) for g in by
+            ]
+            out = self._df.groupBy(*keys).agg(*aggs)
         else:
             out = self._df.agg(*aggs)
         return self._with(out, groups=tuple(by), order=(), frame=None, aggregated=True)

@@ -474,14 +474,38 @@ def minhash_dedup_pairs(
     """
     if verify not in ("est", "exact"):
         raise ValueError(f"unknown verify mode {verify!r} (expected 'est' or 'exact')")
-    sig = minhash_signature(tf, id_col, text_col, num_perm, shingle)
     rows = num_perm // bands
     # Persist the narrow (id, signature) projection: it is read three times
     # (bucket-size census + both sides of the self-join) and each read would
     # otherwise recompute shingling + hashing over the full text.  At scale
     # the signature frame is ~0.5 KB/doc — orders of magnitude below the
     # corpus — so MEMORY_AND_DISK is safe.
-    sdf = track(sig.df.select(F.col(id_col).alias("__id"), "minhash"))
+    shf = None
+    if verify == "exact":
+        # The exact verify needs the shingle sets anyway — build the
+        # (id, shingles) frame FIRST and derive the signatures from it, so
+        # the corpus text is tokenized + shingled ONCE instead of twice
+        # (the signature subtree and the verify subtree are not identical,
+        # so Spark cannot share them; the cached shingle frame can).
+        # Expression chain matches minhash_signature exactly ⇒ identical
+        # signatures.
+        base = _spread(tf.df).selectExpr(
+            f"{id_col} AS __id", f"{tokenize_expr(text_col)} AS __toks"
+        )
+        shf = track(
+            base.selectExpr("__id", f"{_shingle_expr('__toks', shingle)} AS __sh")
+        )
+        hashed = shf.selectExpr(
+            "__id",
+            "transform(__sh, s -> CAST(hash(s) AS BIGINT) + 2147483648L) AS __h",
+        )
+        udf = _make_minhash_udf(num_perm)
+        sdf = track(
+            hashed.withColumn("minhash", udf(F.col("__h"))).select("__id", "minhash")
+        )
+    else:
+        sig = minhash_signature(tf, id_col, text_col, num_perm, shingle)
+        sdf = track(sig.df.select(F.col(id_col).alias("__id"), "minhash"))
     banded = _band_explode(sdf, bands, rows)
 
     # cap pathological buckets before pairing
@@ -525,16 +549,8 @@ def minhash_dedup_pairs(
 
     # exact verify: join each candidate pair back to its shingle sets and
     # score true Jaccard.  The shingle frame is narrow (id + distinct
-    # shingles) and the join fan-in is |candidates|, not |corpus|².
-    # Persisted: both pair sides read it, and recomputing means a second
-    # full tokenize+shingle pass over the corpus text.
-    toks = tokenize_expr(text_col)
-    shf = (
-        tf.mutate(__toks=toks)
-        .mutate(__sh=_shingle_expr("__toks", shingle))
-        .df.select(F.col(id_col).alias("__id"), "__sh")
-    )
-    shf = track(shf)
+    # shingles), already cached above (it also fed the signatures), and
+    # the join fan-in is |candidates|, not |corpus|².
     a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     pairs = (
@@ -1289,10 +1305,31 @@ def segment_dedup(
         id_col, "n_seg_total", F.posexplode("__segs").alias("pos", "__seg")
     ).filter(F.length(F.trim(F.col("__seg"))) >= min_chars)
     e = e.withColumn("__h", F.md5(F.lower(F.trim(F.col("__seg")))))
-    kept = e.withColumn(
-        "__rn",
-        F.expr(f"row_number() OVER (PARTITION BY __h ORDER BY {id_col}, pos)"),
-    ).filter("__rn = 1")
+    # keep-first as min(struct(id, pos, ...)) — a hash AGGREGATE, not a
+    # window: partial (map-side) aggregation collapses every local
+    # duplicate of a segment to one row before the exchange (a window
+    # ships every occurrence and sorts it), so a segment repeated millions
+    # of times shuffles once per map task instead of once per occurrence,
+    # and both the local and post-shuffle sorts disappear.  Struct
+    # comparison is lexicographic by field order ⇒ the (id, pos) minimum —
+    # exactly the row ORDER BY id, pos LIMIT 1 kept.
+    kept = (
+        e.groupBy("__h")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col), F.col("pos"), F.col("__seg"),
+                    F.col("n_seg_total"),
+                )
+            ).alias("__w")
+        )
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.pos").alias("pos"),
+            F.col("__w.__seg").alias("__seg"),
+            F.col("__w.n_seg_total").alias("n_seg_total"),
+        )
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, __seg))),"

@@ -54,19 +54,22 @@ def cosine_topk(
     side is broadcast — never shuffle the corpus for a lookup workload.
     """
     qid = query_id_col or id_col
+    # norms are per-VECTOR, so hoist them out of the per-PAIR projection:
+    # evaluated once per row on each side instead of once per (query,
+    # corpus) pair — the pair-level work drops from 3 array folds to 1.
+    # Same fold expression on the same array ⇒ bit-identical doubles.
     q = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", F.expr(_norm("__qv")))
     c = corpus_tf.df.select(
         F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", F.expr(_norm("__cv")))
     joined = c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
     scored = joined.select(
         "query_id",
         "vec_id",
         (
-            F.expr(_dot("__qv", "__cv"))
-            / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+            F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
         ).alias("cosine"),
     )
     ranked = scored.select(
@@ -244,14 +247,19 @@ def ivf_cosine_topk(
 
     assign_c = _make_assign_udf(centroids, 1)
     assign_q = _make_assign_udf(centroids, nprobe)
-    indexed = cvec.withColumn("__cell", assign_c(F.col("__cv"))[0])
+    # per-vector norms hoisted out of the per-pair projection (see
+    # cosine_topk): 1 fold per row per side instead of 3 per pair
+    indexed = cvec.withColumn("__cell", assign_c(F.col("__cv"))[0]).withColumn(
+        "__cn", F.expr(_norm("__cv"))
+    )
     qvec = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
     )
     # explode_outer: avoids the implicit size>0 filter that would double-
     # evaluate the assignment UDF (assign always returns nprobe cells)
-    probes = qvec.select(
-        "query_id", "__qv", F.explode_outer(assign_q(F.col("__qv"))).alias("__cell")
+    probes = qvec.withColumn("__qn", F.expr(_norm("__qv"))).select(
+        "query_id", "__qv", "__qn",
+        F.explode_outer(assign_q(F.col("__qv"))).alias("__cell"),
     )
     scored = (
         indexed.join(F.broadcast(probes), "__cell")
@@ -260,8 +268,7 @@ def ivf_cosine_topk(
             "query_id",
             "vec_id",
             (
-                F.expr(_dot("__qv", "__cv"))
-                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )
@@ -344,16 +351,15 @@ def lsh_cosine_topk(
     )
     qvec = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", F.expr(_norm("__qv")))
     scored = (
-        cand.join(cvec, "vec_id")
+        cand.join(cvec.withColumn("__cn", F.expr(_norm("__cv"))), "vec_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
             "vec_id",
             (
-                F.expr(_dot("__qv", "__cv"))
-                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )
@@ -559,16 +565,15 @@ def pq_cosine_topk(
     )
     qvec = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", F.expr(_norm("__qv")))
     scored = (
-        shortlist.join(cvec, "vec_id")
+        shortlist.join(cvec.withColumn("__cn", F.expr(_norm("__cv"))), "vec_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
             "vec_id",
             (
-                F.expr(_dot("__qv", "__cv"))
-                / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )
@@ -626,19 +631,25 @@ def ivf_knn_join(
     nprobe = min(int(nprobe), len(centroids))
     assign_r = _make_assign_udf(centroids, 1)
     assign_l = _make_assign_udf(centroids, nprobe)
-    indexed = rvec.withColumn("__cell", assign_r(F.col("__cv"))[0])
+    # per-vector norms hoisted out of the per-pair projection (see
+    # cosine_topk).  Here BOTH sides shuffle by cell, so the norm rides
+    # the exchange as one extra double per row instead of being folded
+    # again for every candidate pair (~|right|/nlist pairs per probe row).
+    indexed = rvec.withColumn("__cell", assign_r(F.col("__cv"))[0]).withColumn(
+        "__cn", F.expr(_norm("__cv"))
+    )
     lvec = left_tf.df.select(
         F.col(lid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
     )
-    probes = lvec.select(
-        "query_id", "__qv", F.explode_outer(assign_l(F.col("__qv"))).alias("__cell")
+    probes = lvec.withColumn("__qn", F.expr(_norm("__qv"))).select(
+        "query_id", "__qv", "__qn",
+        F.explode_outer(assign_l(F.col("__qv"))).alias("__cell"),
     )
     scored = probes.join(indexed, "__cell").select(
         "query_id",
         "vec_id",
         (
-            F.expr(_dot("__qv", "__cv"))
-            / (F.expr(_norm("__qv")) * F.expr(_norm("__cv")))
+            F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
         ).alias("cosine"),
     )
     if exclude_self:

@@ -27,7 +27,7 @@ case prefer adding a coarse time-bucket key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join"]
@@ -75,23 +75,30 @@ def asof_join(
         out_name = f"{c}_right" if c in ldf.columns else c
         rvals.append((out_name, c))
 
-    r_sel = [F.col(rc).alias(out) for out, rc in rmap.items()]
-    r_sel += [F.col(rc).alias(out) for out, rc in rvals]
+    # Projections are assembled as SQL strings and shipped in ONE
+    # selectExpr call per side (instead of 2 py4j round trips per column)
+    # — same plan, build time only.
+    def _bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    l_t_type = dict(ldf.dtypes)[l_on]
+    r_sel = [f"{_bq(rc)} AS {_bq(out)}" for out, rc in rmap.items()]
+    r_sel += [f"{_bq(rc)} AS {_bq(out)}" for out, rc in rvals]
     r_sel += [
-        F.col(r_on).cast("double" if dict(ldf.dtypes)[l_on] == "double" else dict(ldf.dtypes)[l_on]).alias(_T),
-        F.lit(0).alias(_L),
-        F.lit(1).alias(_HIT),
+        f"CAST({_bq(r_on)} AS {l_t_type}) AS {_T}",
+        f"0 AS {_L}",
+        f"1 AS {_HIT}",
     ]
     # A null as-of key can never satisfy the inequality (DuckDB ASOF JOIN
     # ignores such rows too) — and left out of the union it can't sit at a
     # sort boundary where the running fill would spuriously pick it up.
-    r_part = rdf.select(*r_sel).filter(F.col(_T).isNotNull())
+    r_part = rdf.selectExpr(*r_sel).filter(F.col(_T).isNotNull())
 
-    l_part = ldf.select(
+    l_part = ldf.selectExpr(
         "*",
-        F.col(l_on).alias(_T),
-        F.lit(1).alias(_L),
-        F.lit(None).cast("int").alias(_HIT),
+        f"{_bq(l_on)} AS {_T}",
+        f"1 AS {_L}",
+        f"CAST(NULL AS INT) AS {_HIT}",
     )
 
     unioned = l_part.unionByName(r_part, allowMissingColumns=True)
@@ -104,29 +111,31 @@ def asof_join(
     # O(n²) per partition, measured 115 s vs <2 s on a 1.5M-row forward
     # join at sf1.  A forward join is therefore expressed as a backward
     # fill over the DESCENDING as-of order.
-    if backward:
-        side = F.col(_L).asc() if inclusive else F.col(_L).desc()
-        order = [F.col(_T).asc_nulls_first(), side]
-    else:
-        side = F.col(_L).asc() if inclusive else F.col(_L).desc()
-        order = [F.col(_T).desc_nulls_first(), side]
-    w = (
-        Window.partitionBy(*[lc for lc, _ in eq])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side_sql = "ASC" if inclusive else "DESC"
+    t_dir = "ASC NULLS FIRST" if backward else "DESC NULLS FIRST"
+    part_sql = (
+        "PARTITION BY " + ", ".join(_bq(lc) for lc, _ in eq) + " " if eq else ""
     )
-    fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    over = (
+        f"OVER ({part_sql}ORDER BY {_T} {t_dir}, {_L} {side_sql} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
 
-    filled = unioned.select(
+    filled = unioned.selectExpr(
         "*",
-        *[fill(out).alias(f"__f_{out}") for out, _ in rvals],
-        fill(_HIT).alias("__f_hit"),
+        *[
+            f"last({_bq(out)}, true) {over} AS {_bq(f'__f_{out}')}"
+            for out, _ in rvals
+        ],
+        f"last({_HIT}, true) {over} AS __f_hit",
     )
 
     out = filled.filter(F.col(_L) == 1)
     if how == "inner":
         out = out.filter(F.col("__f_hit").isNotNull())
 
-    final_cols = [F.col(c) for c in ldf.columns]
-    final_cols += [F.col(f"__f_{out_name}").alias(out_name) for out_name, _ in rvals]
-    return out.select(*final_cols)
+    final_cols = [_bq(c) for c in ldf.columns]
+    final_cols += [
+        f"{_bq(f'__f_{out_name}')} AS {_bq(out_name)}" for out_name, _ in rvals
+    ]
+    return out.selectExpr(*final_cols)

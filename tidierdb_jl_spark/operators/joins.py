@@ -120,21 +120,23 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
     la, ra = "__tidy_l", "__tidy_r"
     l, r = ldf.alias(la), rdf.alias(ra)
 
-    cond = None
+    # The condition and the output projection are assembled as SQL strings
+    # and shipped in ONE py4j call each (F.expr / selectExpr).  The earlier
+    # per-column F.col(...)/.alias(...) chain cost 2 driver round trips per
+    # output column per join — ~50 round trips for a wide fact join, the
+    # dominant cost of BUILDING a multi-join query (measured: q56's five
+    # joins spent ~0.5 s in py4j chatter, ~45 DataFrame calls per join).
+    def _bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    cond_parts = []
     equi_pairs: list[tuple[str, str]] = []
     for c in conds:
-        lc, rc = F.col(f"{la}.{c.left}"), F.col(f"{ra}.{c.right}")
-        piece = {
-            "==": lc == rc,
-            ">=": lc >= rc,
-            "<=": lc <= rc,
-            ">": lc > rc,
-            "<": lc < rc,
-            "!=": lc != rc,
-        }[c.op]
-        cond = piece if cond is None else cond & piece
+        op = "=" if c.op == "==" else c.op
+        cond_parts.append(f"{_bq(la)}.{_bq(c.left)} {op} {_bq(ra)}.{_bq(c.right)}")
         if c.op == "==":
             equi_pairs.append((c.left, c.right))
+    cond = F.expr(" AND ".join(cond_parts)) if cond_parts else None
 
     # 100 TB guard: a join with NO equality key plans as
     # BroadcastNestedLoopJoin — |L|x|R| work unless one side is small.
@@ -169,14 +171,15 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
         lk = next((p for p in equi_pairs if p[0] == name), None)
         if how in ("full", "right") and lk is not None:
             out_cols.append(
-                F.coalesce(F.col(f"{la}.{name}"), F.col(f"{ra}.{lk[1]}")).alias(name)
+                f"coalesce({_bq(la)}.{_bq(name)}, {_bq(ra)}.{_bq(lk[1])})"
+                f" AS {_bq(name)}"
             )
         else:
-            out_cols.append(F.col(f"{la}.{name}").alias(name))
+            out_cols.append(f"{_bq(la)}.{_bq(name)} AS {_bq(name)}")
     for name in rdf.columns:
         if name in right_keys_dropped:
             continue
         alias = f"{name}_right" if name in ldf.columns else name
-        out_cols.append(F.col(f"{ra}.{name}").alias(alias))
+        out_cols.append(f"{_bq(ra)}.{_bq(name)} AS {_bq(alias)}")
 
-    return TidyFrame(joined.select(*out_cols), groups=left.groups)
+    return TidyFrame(joined.selectExpr(*out_cols), groups=left.groups)

@@ -233,9 +233,18 @@ def gapfill(
     )
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
     w_next = w_rev.rowsBetween(Window.unboundedPreceding, 0)
+
+    # Batch all same-direction window expressions into ONE select each, so
+    # Spark plans exactly one Window (and one Sort) per direction.  The
+    # earlier per-column withColumn chain split them into separate window
+    # batches — three Sort+Window passes over the grid for locf+interp
+    # instead of two (sequential withColumns end up in distinct batches
+    # when a later column's final projection references an earlier one).
+    asc_cols: dict = {}
+    desc_cols: dict = {}
     for col, how in fill.items():
         if how == "locf":
-            out = out.withColumn(col, F.last(col, ignorenulls=True).over(w_prev))
+            asc_cols[f"__locf_{col}"] = F.last(col, ignorenulls=True).over(w_prev)
         elif how == "interp":
             # carry (t, v) of the nearest non-null neighbor each way; the
             # struct is NULL exactly when the measure is, so ignorenulls
@@ -247,8 +256,17 @@ def gapfill(
                     F.col(col).cast("double").alias("v"),
                 ),
             )
-            prev = F.last(pair, ignorenulls=True).over(w_prev)
-            nxt = F.last(pair, ignorenulls=True).over(w_next)
+            asc_cols[f"__prev_{col}"] = F.last(pair, ignorenulls=True).over(w_prev)
+            desc_cols[f"__nxt_{col}"] = F.last(pair, ignorenulls=True).over(w_next)
+    if asc_cols:
+        out = out.select("*", *[e.alias(n) for n, e in asc_cols.items()])
+    if desc_cols:
+        out = out.select("*", *[e.alias(n) for n, e in desc_cols.items()])
+    for col, how in fill.items():
+        if how == "locf":
+            out = out.withColumn(col, F.col(f"__locf_{col}"))
+        elif how == "interp":
+            prev, nxt = F.col(f"__prev_{col}"), F.col(f"__nxt_{col}")
             t = F.unix_timestamp(F.col(bucket_col))
             interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
                 nxt["t"] - prev["t"]
@@ -261,6 +279,7 @@ def gapfill(
             )
         else:
             out = out.withColumn(col, F.coalesce(F.col(col), F.lit(how)))
+    out = out.drop(*asc_cols.keys(), *desc_cols.keys())
     return TidyFrame(out)
 
 

@@ -36,11 +36,12 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench(tree: str, queries: str | None, env_extra: dict) -> dict:
+def _run_bench(tree: str, queries: str | None, env_extra: dict,
+               runs: int = 1) -> dict:
     """One bench.py subprocess in ``tree``; returns the parsed JSON
     payload (the last line that parses as a JSON object)."""
     env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
     if queries:
         env["SPARK_GRAFT_BENCH_QUERIES"] = queries
     env.update(env_extra)
@@ -69,6 +70,11 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated query subset (bench.py r11+)")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=1,
+                    help="SPARK_GRAFT_BENCH_RUNS per invocation: 1 = "
+                         "first-run cost (startup-dominated), 5 = bench.py's "
+                         "steady-state median — use 5 when the question is "
+                         "per-query execution time rather than plan overhead")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory(prefix="bench_ab_") as tmp:
@@ -86,7 +92,7 @@ def main() -> None:
                 # host effects don't consistently hit one side
                 order = trees if rep % 2 == 0 else trees[::-1]
                 for label, tree in order:
-                    payload = _run_bench(tree, args.queries, {})
+                    payload = _run_bench(tree, args.queries, {}, args.runs)
                     if "calibration" in payload:
                         calib[label].append(payload["calibration"])
                     for q, s in (payload.get("queries") or {}).items():
