@@ -508,12 +508,15 @@ def minhash_dedup_pairs(
         sdf = track(sig.df.select(F.col(id_col).alias("__id"), "minhash"))
     banded = _band_explode(sdf, bands, rows)
 
-    # cap pathological buckets before pairing
+    # cap pathological buckets before pairing.  The hot-bucket list is
+    # persisted: the anti-join's broadcast subtree appears on BOTH sides of
+    # the self-join and Spark does not reuse the exchange across them
+    # (verified: ReusedExchange absent from the executed plan), so an
+    # unpersisted census — a full shuffle of the banded frame — would run
+    # twice.  The list itself is near-empty (only buckets > max_bucket).
     bucket_sizes = banded.groupBy("band", "bh").count()
-    banded = (
-        banded.join(F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket)),
-                    ["band", "bh"], "left_anti")
-    )
+    hot = track(bucket_sizes.filter(F.col("count") > max_bucket).select("band", "bh"))
+    banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
     l = banded.alias("l")
     r = banded.alias("r")
@@ -619,11 +622,16 @@ def minhash_dedup_incremental(
     sb = _band_explode(
         seen_sig.df.select(F.col(id_col).alias("__id"), "minhash"), bands, rows
     )
-    # joint bucket census (same cap a full-corpus run would apply)
+    # joint bucket census (same cap a full-corpus run would apply).
+    # Persisted for the same reason as the batch path: two broadcast
+    # anti-joins each rebuild the census shuffle otherwise.
     allb = nb.unionAll(sb)
-    hot = allb.groupBy("band", "bh").count().filter(F.col("count") > max_bucket)
-    nb = nb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
-    sb = sb.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    hot = track(
+        allb.groupBy("band", "bh").count()
+        .filter(F.col("count") > max_bucket).select("band", "bh")
+    )
+    nb = nb.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    sb = sb.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
     est = (
         "CAST(size(filter(zip_with(__ml, __mr, (x, y) -> x = y), v -> v)) AS DOUBLE)"
