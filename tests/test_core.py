@@ -287,3 +287,30 @@ def test_relocate_selector_anchors(tables):
 
     with pytest.raises(ValueError, match="anchor"):
         t.relocate("l_orderkey", before="l_orderkey")
+
+
+def test_group_by_computed_keys_batched(tables, ddb):
+    # two computed keys where the second references the first (the batch
+    # must flush so the later expression sees the new value), plus a plain
+    # key resolved after a pending computed key
+    q = (
+        tables["orders"]
+        .group_by(
+            "yr = year(o_orderdate)",
+            "yr2 = yr + 1",
+            "o_orderpriority",
+        )
+        .summarize(n="n()")
+        .arrange("yr", "yr2", "o_orderpriority")
+    )
+    assert_matches_duckdb(
+        q,
+        ddb,
+        """
+        SELECT year(o_orderdate) AS yr, year(o_orderdate) + 1 AS yr2,
+               o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY 1, 2, 3 ORDER BY yr, yr2, o_orderpriority
+        """,
+        "group_by_computed_batched",
+    )

@@ -66,3 +66,20 @@ def test_knn_join_plan_is_equijoin(spark, tables):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assignment_udf_evaluated_once_per_side(spark, tables):
+    """Guide §4.4 regression pin: the cell equi-join infers an
+    isnotnull(__cell) filter; with the cell computed via [0]-indexing,
+    predicate pushdown copied that filter BELOW the projection and the
+    assignment UDF ran twice over the whole corpus.  The explode_outer
+    form keeps exactly one ArrowEvalPython per side."""
+    from tidierdb_jl_spark.llm.simsearch import ivf_cosine_topk
+
+    left, right = _emb(tables, 0, 50), _emb(tables, 0, 400)
+    for out in (
+        ivf_knn_join(left, right, k=5, nlist=8, nprobe=2),
+        ivf_cosine_topk(right, left, k=5, nlist=8, nprobe=2),
+    ):
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 2, plan

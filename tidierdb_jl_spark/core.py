@@ -316,19 +316,41 @@ class TidyFrame:
         (``/root/reference/src/TidierDB_macros.jl:178-190,225-285``)."""
         df = self._df
         names: list[str] = []
+        # Batch consecutive computed keys into one withColumns call (one
+        # analysis pass instead of one per key) — same flush discipline as
+        # mutate: a later raw expression that mentions a pending alias, an
+        # opaque Column, or a plain selection (resolved against the
+        # post-flush schema) forces the batch out first.
+        pending: dict = {}
+
+        def _flush():
+            nonlocal df
+            if pending:
+                df = df.withColumns(dict(pending))
+                pending.clear()
+
+        def _add(alias, expr):
+            if isinstance(expr, Column):
+                _flush()
+                pending[alias] = expr
+            else:
+                s = str(expr)
+                if pending and any(
+                    re.search(rf"\b{re.escape(p)}\b", s) for p in pending
+                ):
+                    _flush()
+                pending[alias] = F.expr(rewrite(s, self._ws(), False))
+            names.append(alias)
+
         for spec in specs:
             if isinstance(spec, str) and _ASSIGN_RE.match(spec) and "==" not in spec:
-                alias, expr = _split_assign(spec)
-                df = df.withColumn(alias, F.expr(rewrite(expr, self._ws(), False)))
-                names.append(alias)
+                _add(*_split_assign(spec))
             else:
+                _flush()
                 names.extend(resolve_selection([spec], df.columns))
         for alias, expr in computed.items():
-            if isinstance(expr, Column):
-                df = df.withColumn(alias, expr)
-            else:
-                df = df.withColumn(alias, F.expr(rewrite(str(expr), self._ws(), False)))
-            names.append(alias)
+            _add(alias, expr)
+        _flush()
         return self._with(df, groups=tuple(dict.fromkeys(names)), aggregated=False)
 
     def ungroup(self) -> "TidyFrame":

@@ -248,10 +248,18 @@ def ivf_cosine_topk(
     assign_c = _make_assign_udf(centroids, 1)
     assign_q = _make_assign_udf(centroids, nprobe)
     # per-vector norms hoisted out of the per-pair projection (see
-    # cosine_topk): 1 fold per row per side instead of 3 per pair
-    indexed = cvec.withColumn("__cell", assign_c(F.col("__cv"))[0]).withColumn(
-        "__cn", F.expr(_norm("__cv"))
-    )
+    # cosine_topk): 1 fold per row per side instead of 3 per pair.
+    # explode_outer of the 1-element assignment (NOT [0] indexing): the
+    # equi-join on __cell infers an isnotnull(__cell) filter that
+    # predicate pushdown copies BELOW this projection, re-evaluating the
+    # assignment UDF over the whole corpus (guide §4.4 duplication);
+    # a generated column stops the pushdown at the Generate, keeping one
+    # ArrowEvalPython.  assign always returns exactly nprobe cells, so
+    # the row set is identical.
+    indexed = cvec.select(
+        "vec_id", "__cv",
+        F.explode_outer(assign_c(F.col("__cv"))).alias("__cell"),
+    ).withColumn("__cn", F.expr(_norm("__cv")))
     qvec = query_tf.df.select(
         F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
     )
@@ -635,9 +643,13 @@ def ivf_knn_join(
     # cosine_topk).  Here BOTH sides shuffle by cell, so the norm rides
     # the exchange as one extra double per row instead of being folded
     # again for every candidate pair (~|right|/nlist pairs per probe row).
-    indexed = rvec.withColumn("__cell", assign_r(F.col("__cv"))[0]).withColumn(
-        "__cn", F.expr(_norm("__cv"))
-    )
+    # explode_outer (not [0] indexing) for the same reason as
+    # ivf_cosine_topk: the cell join's inferred isnotnull would otherwise
+    # duplicate the assignment UDF over the whole right corpus.
+    indexed = rvec.select(
+        "vec_id", "__cv",
+        F.explode_outer(assign_r(F.col("__cv"))).alias("__cell"),
+    ).withColumn("__cn", F.expr(_norm("__cv")))
     lvec = left_tf.df.select(
         F.col(lid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
     )
