@@ -618,13 +618,17 @@ def _d42(t):
 
     from tidierdb_jl_spark.llm.dedup import embedding_cosine_pairs
 
-    lsh = embedding_cosine_pairs(
+    # persisted: the LSH pair set feeds BOTH invariant joins (false_pos
+    # anti-join + hits semi-join); unpersisted, each join re-executed the
+    # whole LSH pipeline — banding UDF included — over the corpus
+    from tidierdb_jl_spark.cache import track
+
+    lsh = track(embedding_cosine_pairs(
         t["embeddings"], "vec_id", "embedding", threshold=0.4, method="lsh",
         nbits=6, bands=16,
-    ).df.select("id_a", "id_b")
+    ).df.select("id_a", "id_b"))
     # one quadratic scoring pass serves both thresholds (persisted: the
     # strict and loose sets plus two aggregates read it)
-    from tidierdb_jl_spark.cache import track
 
     scored = track(embedding_cosine_pairs(
         t["embeddings"], "vec_id", "embedding", threshold=0.4 - 1e-9,
@@ -675,9 +679,13 @@ def _d92(t):
 
     emb = t["embeddings"]
     new, seen = emb.filter("vec_id >= 300"), emb.filter("vec_id < 300")
-    inc = embedding_dedup_incremental(new, seen, threshold=0.4).df.select(
+    # persisted: the incremental result feeds n_batch + flagged, and
+    # flagged feeds THREE more subtrees (fp, hits, n_flagged) — each
+    # reuse of the unpersisted frame re-ran the whole incremental dedup
+    # (LSH banding UDFs included) from scratch
+    inc = track(embedding_dedup_incremental(new, seen, threshold=0.4).df.select(
         "vec_id", "dup_of"
-    )
+    ))
     flagged = inc.filter(F.col("dup_of").isNotNull()).select(
         F.col("vec_id").alias("__n"), F.col("dup_of").alias("__p")
     )

@@ -958,10 +958,17 @@ def embedding_cosine_pairs(
     norm = track(norm)
     # _outer: plain posexplode's implicit size>0 filter pushes below the
     # projection and double-evaluates the pandas UDF; signatures are never
-    # empty, so outer is identical
-    banded = norm.select(
-        "__id", sig_udf(F.col("__u")).alias("__sigs")
-    ).select("__id", F.posexplode_outer("__sigs").alias("__band", "__sig"))
+    # empty, so outer is identical.  The (id, sigs) frame is persisted
+    # BEFORE the explode: the banded frame feeds both sides of the
+    # self-join and Spark re-executes unpersisted subtrees per side, so
+    # without the persist the hyperplane-sign pandas UDF would cross the
+    # Python boundary twice over the full corpus (same reason the minhash
+    # path persists its signature frame).  ~bands ints per row — far
+    # narrower than the vectors.
+    sigs = track(norm.select("__id", sig_udf(F.col("__u")).alias("__sigs")))
+    banded = sigs.select(
+        "__id", F.posexplode_outer("__sigs").alias("__band", "__sig")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -1025,14 +1032,26 @@ def embedding_dedup_incremental(
         vec = tf.df.select(
             F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
         ).select("__id", F.expr(unit).alias("__u"))
-        banded = vec.select("__id", sig_udf(F.col("__u")).alias("__sigs")).select(
+        sigs = vec.select("__id", sig_udf(F.col("__u")).alias("__sigs"))
+        return vec, sigs
+
+    def explode_sigs(sigs):
+        return sigs.select(
             "__id", F.posexplode_outer("__sigs").alias("__band", "__sig")
         )
-        return vec, banded
 
-    nvec, nb = prep(new_tf)
+    nvec, nsigs = prep(new_tf)
     nvec = track(nvec)  # read by banding + both verify joins
-    svec, sb = prep(seen_tf)
+    # the NEW batch's postings feed THREE join sides (vs-seen left,
+    # within-batch l and r); persist the pre-explode (id, sigs) frame so
+    # the sign-bit pandas UDF runs once over the batch, not three times.
+    # The SEEN side's postings are used once — deliberately NOT persisted
+    # (at scale that side is the full corpus; one streamed pass is the
+    # documented shape).
+    nsigs = track(nsigs)
+    nb = explode_sigs(nsigs)
+    svec, ssigs = prep(seen_tf)
+    sb = explode_sigs(ssigs)
 
     def partners(left, right, rvecs, cond):
         l, r = left.alias("l"), right.alias("r")

@@ -30,9 +30,8 @@ def main() -> None:
 
     spark = get_spark(app="plan-capture", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     qs = entry_mod.queries()
-    for name in HEADLINE:
-        if name not in qs or (only and name not in only):
-            continue
+    names = [n for n in (sorted(only) if only else HEADLINE) if n in qs]
+    for name in names:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
