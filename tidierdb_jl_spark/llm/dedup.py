@@ -1332,14 +1332,17 @@ def segment_dedup(
         id_col, "n_seg_total", F.posexplode("__segs").alias("pos", "__seg")
     ).filter(F.length(F.trim(F.col("__seg"))) >= min_chars)
     e = e.withColumn("__h", F.md5(F.lower(F.trim(F.col("__seg")))))
-    # keep-first as min(struct(id, pos, ...)) — a hash AGGREGATE, not a
+    # keep-first as min(struct(id, pos, ...)) — an AGGREGATE, not a
     # window: partial (map-side) aggregation collapses every local
     # duplicate of a segment to one row before the exchange (a window
-    # ships every occurrence and sorts it), so a segment repeated millions
-    # of times shuffles once per map task instead of once per occurrence,
-    # and both the local and post-shuffle sorts disappear.  Struct
-    # comparison is lexicographic by field order ⇒ the (id, pos) minimum —
-    # exactly the row ORDER BY id, pos LIMIT 1 kept.
+    # ships every occurrence), so a segment repeated millions of times
+    # shuffles once per map task instead of once per occurrence.  Spark
+    # plans a struct-valued min as SortAggregate (struct buffers are not
+    # hash-aggregable), so a local and post-shuffle sort on __h remain —
+    # narrower than the window's (__h, id, pos) sort, and the rank
+    # machinery is gone.  Struct comparison is lexicographic by field
+    # order ⇒ the (id, pos) minimum — exactly the row ORDER BY id, pos
+    # LIMIT 1 kept.
     kept = (
         e.groupBy("__h")
         .agg(

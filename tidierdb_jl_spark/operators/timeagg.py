@@ -262,24 +262,33 @@ def gapfill(
         out = out.select("*", *[e.alias(n) for n, e in asc_cols.items()])
     if desc_cols:
         out = out.select("*", *[e.alias(n) for n, e in desc_cols.items()])
-    for col, how in fill.items():
+    # One final projection computes every fill and drops the temp columns —
+    # a withColumn per filled column would cost one analysis pass each
+    # (driver-side build chatter; the plan is identical either way).
+    def _fill_expr(col: str, how):
         if how == "locf":
-            out = out.withColumn(col, F.col(f"__locf_{col}"))
-        elif how == "interp":
+            return F.col(f"__locf_{col}")
+        if how == "interp":
             prev, nxt = F.col(f"__prev_{col}"), F.col(f"__nxt_{col}")
             t = F.unix_timestamp(F.col(bucket_col))
             interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
                 nxt["t"] - prev["t"]
             )
-            out = out.withColumn(
-                col,
+            return (
                 F.when(F.col(col).isNotNull(), F.col(col).cast("double"))
                 .when(nxt["t"] == prev["t"], prev["v"])
-                .otherwise(interp),
+                .otherwise(interp)
             )
-        else:
-            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(how)))
-    out = out.drop(*asc_cols.keys(), *desc_cols.keys())
+        return F.coalesce(F.col(col), F.lit(how))
+
+    temps = set(asc_cols) | set(desc_cols)
+    out = out.select(
+        *[
+            _fill_expr(c, fill[c]).alias(c) if c in fill else F.col(c)
+            for c in out.columns
+            if c not in temps
+        ]
+    )
     return TidyFrame(out)
 
 
