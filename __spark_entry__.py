@@ -478,14 +478,12 @@ def _d36(t):
     banded = simhash_pairs(sub, "doc_id", "text", max_hamming=3).df.select(
         "id_a", "id_b"
     )
-    sig = simhash_signature(sub, "text").df.select(
-        F.col("doc_id").alias("__id"), "simhash"
+    sig = simhash_signature(sub, "text").df.selectExpr(
+        "doc_id AS __id", "simhash"
     )
     brute = (
-        sig.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__sa"))
-        .crossJoin(
-            sig.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sb"))
-        )
+        sig.selectExpr("__id AS id_a", "simhash AS __sa")
+        .crossJoin(sig.selectExpr("__id AS id_b", "simhash AS __sb"))
         .filter("id_a < id_b AND bit_count(__sa ^ __sb) <= 3")
         .select("id_a", "id_b")
     )
@@ -494,20 +492,20 @@ def _d36(t):
     # (unpersisted subtrees are duplicated, not shared).  Tag each side,
     # aggregate per pair, and sum |n_banded - n_brute| — the exact multiset
     # symmetric-difference size exceptAll+unionAll+count computed.
-    tagged = banded.select(
-        "id_a", "id_b", F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    tagged = banded.selectExpr(
+        "id_a", "id_b", "1 AS __a", "0 AS __b"
     ).unionAll(
-        brute.select("id_a", "id_b", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+        brute.selectExpr("id_a", "id_b", "0 AS __a", "1 AS __b")
     )
     diff_n = (
         tagged.groupBy("id_a", "id_b")
-        .agg(F.abs(F.sum("__a") - F.sum("__b")).alias("__d"))
-        .agg(F.coalesce(F.sum("__d"), F.lit(0)).alias("mismatches"))
+        .agg(F.expr("abs(sum(__a) - sum(__b)) AS __d"))
+        .agg(F.expr("coalesce(sum(__d), 0) AS mismatches"))
     )
     summary = (
-        sub.df.agg(F.count("*").alias("n_docs"))
+        sub.df.agg(F.expr("count(*) AS n_docs"))
         .crossJoin(diff_n)
-        .withColumn("banding_exact", F.col("mismatches") == 0)
+        .selectExpr("*", "mismatches = 0 AS banding_exact")
     )
     from tidierdb_jl_spark.core import TidyFrame
 
@@ -535,7 +533,6 @@ def _ann_invariant_row(t, method: str):
     invariant-backed (the r5 verdict's 'rows-only' cleanup): the oracle
     pins exact_top1 to the data, and any banding/probing regression that
     drops recall below 5/10 flips recall_ok and hash-mismatches."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from tidierdb_jl_spark.cache import track
@@ -550,13 +547,17 @@ def _ann_invariant_row(t, method: str):
     exact = track(cosine_topk(corpus, queries, k=10).df.select(
         "query_id", "vec_id", "cosine"
     ))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
+    # window/projection expressions ship as SQL strings (one analysis
+    # round trip each instead of one per Column object — guide §7.3);
+    # the parsed trees are identical to the Column-API spelling
     top1 = (
-        exact.withColumn("__rn", F.row_number().over(w))
+        exact.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, vec_id) AS __rn",
+        )
         .filter("__rn = 1")
-        .select("query_id", F.col("vec_id").alias("exact_top1"))
+        .selectExpr("query_id", "vec_id AS exact_top1")
     )
     if method == "lsh":
         approx = lsh_cosine_topk(corpus, queries, k=10).df
@@ -568,12 +569,12 @@ def _ann_invariant_row(t, method: str):
         approx.select("query_id", "vec_id")
         .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
-        .agg(F.count("*").alias("__h"))
+        .agg(F.expr("count(*) AS __h"))
     )
-    out = top1.join(hits, "query_id", "left").select(
+    out = top1.join(hits, "query_id", "left").selectExpr(
         "query_id",
         "exact_top1",
-        (F.coalesce("__h", F.lit(0)) >= 5).alias("recall_ok"),
+        "coalesce(__h, 0) >= 5 AS recall_ok",
     )
     from tidierdb_jl_spark.core import TidyFrame
 
@@ -736,7 +737,6 @@ def _s39s(t):
     seeded & deterministic, so the booleans are stable run-to-run.  The
     persistent index is built across TWO adds (even ids then odd), so a
     green row also certifies incremental add + frozen-centroid reuse."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from tidierdb_jl_spark.llm.simsearch import (
@@ -754,13 +754,14 @@ def _s39s(t):
     exact = track(cosine_topk(corpus, queries, k=10).df.select(
         "query_id", "vec_id", "cosine"
     ))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
     top1 = (
-        exact.withColumn("__rn", F.row_number().over(w))
+        exact.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, vec_id) AS __rn",
+        )
         .filter("__rn = 1")
-        .select("query_id", F.col("vec_id").alias("exact_top1"))
+        .selectExpr("query_id", "vec_id AS exact_top1")
     )
     exact_ids = exact.select("query_id", "vec_id")
 
@@ -769,13 +770,13 @@ def _s39s(t):
             approx_df.select("query_id", "vec_id")
             .join(exact_ids, ["query_id", "vec_id"], "left_semi")
             .groupBy("query_id")
-            .agg(F.count("*").alias("__h"))
+            .agg(F.expr("count(*) AS __h"))
         )
-        return top1.join(hits, "query_id", "left").select(
-            F.lit(name).alias("method"),
+        return top1.join(hits, "query_id", "left").selectExpr(
+            f"'{name}' AS method",
             "query_id",
             "exact_top1",
-            (F.coalesce("__h", F.lit(0)) >= floor).alias("recall_ok"),
+            f"coalesce(__h, 0) >= {floor} AS recall_ok",
         )
 
     lsh = lsh_cosine_topk(corpus, queries, k=10).df

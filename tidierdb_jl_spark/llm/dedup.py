@@ -437,15 +437,12 @@ def _band_explode(sdf, bands: int, rows: int):
     (id, minhash) frame instead — fan-in |candidates|, not |corpus|·bands.
     ``bh`` hashes the band's slice STRUCTURALLY (Spark's hash() over the
     array) — no per-band string building."""
-    return sdf.select(
+    return sdf.selectExpr(
         "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, hash(slice(minhash, b * {rows} + 1, {rows})) AS bh))"
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        f"explode(transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, hash(slice(minhash, b * {rows} + 1, {rows})) AS bh)))"
+        " AS bb",
+    ).selectExpr("__id", "bb.band AS band", "bb.bh AS bh")
 
 
 def minhash_dedup_pairs(
@@ -515,7 +512,7 @@ def minhash_dedup_pairs(
     # unpersisted census — a full shuffle of the banded frame — would run
     # twice.  The list itself is near-empty (only buckets > max_bucket).
     bucket_sizes = banded.groupBy("band", "bh").count()
-    hot = track(bucket_sizes.filter(F.col("count") > max_bucket).select("band", "bh"))
+    hot = track(bucket_sizes.filter(f"`count` > {max_bucket}").select("band", "bh"))
     banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
 
     l = banded.alias("l")
@@ -523,28 +520,24 @@ def minhash_dedup_pairs(
     cand = (
         l.join(
             r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            F.expr("l.band = r.band AND l.bh = r.bh AND l.__id < r.__id"),
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .selectExpr("l.__id AS id_a", "r.__id AS id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     from ..core import TidyFrame
 
     if verify == "est":
-        sa = sdf.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__ma"))
-        sb = sdf.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__mb"))
+        sa = sdf.selectExpr("__id AS id_a", "minhash AS __ma")
+        sb = sdf.selectExpr("__id AS id_b", "minhash AS __mb")
         pairs = (
             cand.join(sa, "id_a")
             .join(sb, "id_b")
-            .select(
+            .selectExpr(
                 "id_a",
                 "id_b",
-                F.expr(
-                    "CAST(size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v)) AS DOUBLE)"
-                    " / size(__ma)"
-                ).alias("est_jaccard"),
+                "CAST(size(filter(zip_with(__ma, __mb, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+                " / size(__ma) AS est_jaccard",
             )
             .filter(F.col("est_jaccard") >= threshold)
         )
@@ -554,19 +547,17 @@ def minhash_dedup_pairs(
     # score true Jaccard.  The shingle frame is narrow (id + distinct
     # shingles), already cached above (it also fed the signatures), and
     # the join fan-in is |candidates|, not |corpus|².
-    a = shf.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = shf.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    a = shf.selectExpr("__id AS id_a", "__sh AS __sha")
+    b = shf.selectExpr("__id AS id_b", "__sh AS __shb")
     pairs = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("__common", F.expr("size(array_intersect(__sha, __shb))"))
-        .select(
+        .selectExpr("*", "size(array_intersect(__sha, __shb)) AS __common")
+        .selectExpr(
             "id_a",
             "id_b",
-            (
-                F.col("__common").cast("double")
-                / (F.expr("size(__sha)") + F.expr("size(__shb)") - F.col("__common"))
-            ).alias("jaccard"),
+            "CAST(__common AS DOUBLE)"
+            " / (size(__sha) + size(__shb) - __common) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -617,10 +608,10 @@ def minhash_dedup_incremental(
     """
     rows = num_perm // bands
     new_sig = minhash_signature(new_tf, id_col, text_col, num_perm, shingle)
-    nsd = track(new_sig.df.select(F.col(id_col).alias("__id"), "minhash"))
+    nsd = track(new_sig.df.selectExpr(f"{id_col} AS __id", "minhash"))
     nb = _band_explode(nsd, bands, rows)
     sb = _band_explode(
-        seen_sig.df.select(F.col(id_col).alias("__id"), "minhash"), bands, rows
+        seen_sig.df.selectExpr(f"{id_col} AS __id", "minhash"), bands, rows
     )
     # joint bucket census (same cap a full-corpus run would apply).
     # Persisted for the same reason as the batch path: two broadcast
@@ -628,7 +619,7 @@ def minhash_dedup_incremental(
     allb = nb.unionAll(sb)
     hot = track(
         allb.groupBy("band", "bh").count()
-        .filter(F.col("count") > max_bucket).select("band", "bh")
+        .filter(f"`count` > {max_bucket}").select("band", "bh")
     )
     nb = nb.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     sb = sb.join(F.broadcast(hot), ["band", "bh"], "left_anti")
@@ -637,32 +628,29 @@ def minhash_dedup_incremental(
         "CAST(size(filter(zip_with(__ml, __mr, (x, y) -> x = y), v -> v)) AS DOUBLE)"
         " / size(__ml)"
     )
-    ssd = seen_sig.df.select(F.col(id_col).alias("__id"), "minhash")
+    ssd = seen_sig.df.selectExpr(f"{id_col} AS __id", "minhash")
 
     def partners(left, right, left_sig, right_sig, cond):
         # band rows are narrow (see _band_explode); signatures join back
-        # per CANDIDATE from the (id, minhash) frames
+        # per CANDIDATE from the (id, minhash) frames.  ``cond`` is a SQL
+        # fragment — the whole join condition ships as one expr (§7.3).
         l, r = left.alias("l"), right.alias("r")
         cand = (
-            l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.bh") == F.col("r.bh")) & cond)
-            .select(F.col("l.__id").alias("__nid"),
-                    F.col("r.__id").alias("__pid"))
+            l.join(r, F.expr(f"l.band = r.band AND l.bh = r.bh AND {cond}"))
+            .selectExpr("l.__id AS __nid", "r.__id AS __pid")
             .dropDuplicates(["__nid", "__pid"])
         )
-        ml = left_sig.select(F.col("__id").alias("__nid"),
-                             F.col("minhash").alias("__ml"))
-        mr = right_sig.select(F.col("__id").alias("__pid"),
-                              F.col("minhash").alias("__mr"))
+        ml = left_sig.selectExpr("__id AS __nid", "minhash AS __ml")
+        mr = right_sig.selectExpr("__id AS __pid", "minhash AS __mr")
         return (
             cand.join(ml, "__nid")
             .join(mr, "__pid")
-            .select("__nid", "__pid", F.expr(est).alias("__est"))
+            .selectExpr("__nid", "__pid", f"{est} AS __est")
             .filter(F.col("__est") >= threshold)
         )
 
-    vs_seen = partners(nb, sb, nsd, ssd, F.lit(True))
-    within = partners(nb, nb, nsd, nsd, F.col("r.__id") < F.col("l.__id"))
+    vs_seen = partners(nb, sb, nsd, ssd, "true")
+    within = partners(nb, nb, nsd, nsd, "r.__id < l.__id")
     best = (
         vs_seen.unionAll(within)
         .groupBy("__nid")
@@ -1251,33 +1239,31 @@ def simhash_pairs(tf, id_col: str, text_col: str = "text", max_hamming: int = 3)
     bucket-join, verify Hamming distance via bit_count(xor)."""
     # persisted for the same reason as minhash_dedup_pairs: the self-join
     # reads the signature frame twice, 8 bytes/doc vs recomputing the hash
-    sig = track(simhash_signature(tf, text_col).df.select(
-        F.col(id_col).alias("__id"), "simhash"
+    sig = track(simhash_signature(tf, text_col).df.selectExpr(
+        f"{id_col} AS __id", "simhash"
     ))
-    banded = sig.select(
+    banded = sig.selectExpr(
         "__id",
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS chunk))"
-            )
-        ).alias("bb"),
+        "explode(transform(sequence(0, 3), "
+        "b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS chunk)))"
+        " AS bb",
     ).select("__id", "simhash", "bb.band", "bb.chunk")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
             r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            F.expr(
+                "l.band = r.band AND l.chunk = r.chunk AND l.__id < r.__id"
+            ),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        .selectExpr(
+            "l.__id AS id_a",
+            "r.__id AS id_b",
+            "bit_count(l.simhash ^ r.simhash) AS hamming",
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(f"hamming <= {max_hamming}")
     )
     from ..core import TidyFrame
 
@@ -1328,10 +1314,10 @@ def segment_dedup(
     base = _spread(tf.df).selectExpr(
         f"{id_col}", f"{seg_src} AS __segs"
     ).selectExpr(id_col, "size(__segs) AS n_seg_total", "__segs")
-    e = base.select(
-        id_col, "n_seg_total", F.posexplode("__segs").alias("pos", "__seg")
-    ).filter(F.length(F.trim(F.col("__seg"))) >= min_chars)
-    e = e.withColumn("__h", F.md5(F.lower(F.trim(F.col("__seg")))))
+    e = base.selectExpr(
+        id_col, "n_seg_total", "posexplode(__segs) AS (pos, __seg)"
+    ).filter(f"length(trim(__seg)) >= {min_chars}")
+    e = e.selectExpr("*", "md5(lower(trim(__seg))) AS __h")
     # keep-first as min(struct(id, pos, ...)) — an AGGREGATE, not a
     # window: partial (map-side) aggregation collapses every local
     # duplicate of a segment to one row before the exchange (a window
@@ -1346,27 +1332,22 @@ def segment_dedup(
     kept = (
         e.groupBy("__h")
         .agg(
-            F.min(
-                F.struct(
-                    F.col(id_col), F.col("pos"), F.col("__seg"),
-                    F.col("n_seg_total"),
-                )
-            ).alias("__w")
+            F.expr(f"min(struct({id_col}, pos, __seg, n_seg_total)) AS __w")
         )
-        .select(
-            F.col(f"__w.{id_col}").alias(id_col),
-            F.col("__w.pos").alias("pos"),
-            F.col("__w.__seg").alias("__seg"),
-            F.col("__w.n_seg_total").alias("n_seg_total"),
+        .selectExpr(
+            f"__w.{id_col} AS {id_col}",
+            "__w.pos AS pos",
+            "__w.__seg AS __seg",
+            "__w.n_seg_total AS n_seg_total",
         )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, __seg))),"
-            " s -> s.__seg), '" + join_sep + "')"
-        ).alias(out_col),
-        F.first("n_seg_total").alias("n_seg_total"),
-        F.count("*").cast("int").alias("n_seg_kept"),
+            " s -> s.__seg), '" + join_sep + "') AS " + out_col
+        ),
+        F.expr("first(n_seg_total) AS n_seg_total"),
+        F.expr("CAST(count(*) AS INT) AS n_seg_kept"),
     )
     from ..core import TidyFrame
 

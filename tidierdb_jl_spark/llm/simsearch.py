@@ -58,29 +58,30 @@ def cosine_topk(
     # evaluated once per row on each side instead of once per (query,
     # corpus) pair — the pair-level work drops from 3 array folds to 1.
     # Same fold expression on the same array ⇒ bit-identical doubles.
-    q = query_tf.df.select(
-        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    ).withColumn("__qn", F.expr(_norm("__qv")))
-    c = corpus_tf.df.select(
-        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
-    ).withColumn("__cn", F.expr(_norm("__cv")))
-    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-    scored = joined.select(
+    # Every expression ships as a SQL string in one selectExpr/expr call:
+    # the plan is identical to the Column-API spelling, but the driver
+    # pays one py4j round trip per projection instead of one per Column
+    # object (guide §7.3 — this builder runs per bench rep).
+    q = query_tf.df.selectExpr(
+        f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
+    ).selectExpr("*", f"{_norm('__qv')} AS __qn")
+    c = corpus_tf.df.selectExpr(
+        f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
+    ).selectExpr("*", f"{_norm('__cv')} AS __cn")
+    joined = c.join(F.broadcast(q), F.expr("query_id != vec_id"))
+    scored = joined.selectExpr(
         "query_id",
         "vec_id",
-        (
-            F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
-        ).alias("cosine"),
+        f"{_dot('__qv', '__cv')} / (__qn * __cn) AS cosine",
     )
-    ranked = scored.select(
+    ranked = scored.selectExpr(
         "*",
-        F.expr(
-            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
-        ).alias("__r"),
+        "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        " AS __r",
     )
     from ..core import TidyFrame
 
-    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+    return TidyFrame(ranked.filter(f"__r <= {k}").drop("__r"))
 
 
 def knn_classify(
@@ -240,8 +241,8 @@ def ivf_cosine_topk(
     all-pairs.  Recall rises with ``nprobe``; cost falls with ``nlist``.
     """
     qid = query_id_col or id_col
-    cvec = corpus_tf.df.select(
-        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    cvec = corpus_tf.df.selectExpr(
+        f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
     )
     centroids = _train_centroids_sample(cvec, nlist, refine_iters, sample_cap)
 
@@ -255,40 +256,38 @@ def ivf_cosine_topk(
     # assignment UDF over the whole corpus (guide §4.4 duplication);
     # a generated column stops the pushdown at the Generate, keeping one
     # ArrowEvalPython.  assign always returns exactly nprobe cells, so
-    # the row set is identical.
+    # the row set is identical.  (The UDF projections stay Column-API —
+    # the UDFs are Python objects; the rest ships as SQL strings.)
     indexed = cvec.select(
         "vec_id", "__cv",
         F.explode_outer(assign_c(F.col("__cv"))).alias("__cell"),
-    ).withColumn("__cn", F.expr(_norm("__cv")))
-    qvec = query_tf.df.select(
-        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    ).selectExpr("*", f"{_norm('__cv')} AS __cn")
+    qvec = query_tf.df.selectExpr(
+        f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
     )
     # explode_outer: avoids the implicit size>0 filter that would double-
     # evaluate the assignment UDF (assign always returns nprobe cells)
-    probes = qvec.withColumn("__qn", F.expr(_norm("__qv"))).select(
+    probes = qvec.selectExpr("*", f"{_norm('__qv')} AS __qn").select(
         "query_id", "__qv", "__qn",
         F.explode_outer(assign_q(F.col("__qv"))).alias("__cell"),
     )
     scored = (
         indexed.join(F.broadcast(probes), "__cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        .filter("vec_id != query_id")
+        .selectExpr(
             "query_id",
             "vec_id",
-            (
-                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine"),
+            f"{_dot('__qv', '__cv')} / (__qn * __cn) AS cosine",
         )
     )
-    ranked = scored.select(
+    ranked = scored.selectExpr(
         "*",
-        F.expr(
-            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
-        ).alias("__r"),
+        "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        " AS __r",
     )
     from ..core import TidyFrame
 
-    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+    return TidyFrame(ranked.filter(f"__r <= {k}").drop("__r"))
 
 
 def lsh_cosine_topk(
@@ -327,6 +326,9 @@ def lsh_cosine_topk(
     sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
 
     def banded(df, id_alias, out_id):
+        # the pandas UDF is a Python Column object, so this projection
+        # stays Column-API; everything downstream ships as SQL strings
+        # (one py4j round trip per projection — guide §7.3)
         sigs = df.select(
             F.col(id_alias).alias(out_id),
             sig_udf(F.expr(_to_double(vec_col))).alias("__sigs"),
@@ -337,8 +339,8 @@ def lsh_cosine_topk(
         # predicate-pushdown shoves BELOW the projection, evaluating the
         # pandas UDF twice; the signature array is never empty, so outer
         # is identical and keeps one ArrowEvalPython.
-        return sigs.select(
-            out_id, F.posexplode_outer("__sigs").alias("__band", "__sig")
+        return sigs.selectExpr(
+            out_id, "posexplode_outer(__sigs) AS (__band, __sig)"
         )
 
     c = banded(corpus_tf.df, id_col, "vec_id")
@@ -347,39 +349,37 @@ def lsh_cosine_topk(
         c.alias("c")
         .join(
             F.broadcast(q.alias("q")),
-            (F.col("c.__band") == F.col("q.__band"))
-            & (F.col("c.__sig") == F.col("q.__sig"))
-            & (F.col("c.vec_id") != F.col("q.query_id")),
+            F.expr(
+                "c.__band = q.__band AND c.__sig = q.__sig"
+                " AND c.vec_id != q.query_id"
+            ),
         )
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cvec = corpus_tf.df.select(
-        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    cvec = corpus_tf.df.selectExpr(
+        f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
     )
-    qvec = query_tf.df.select(
-        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    ).withColumn("__qn", F.expr(_norm("__qv")))
+    qvec = query_tf.df.selectExpr(
+        f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
+    ).selectExpr("*", f"{_norm('__qv')} AS __qn")
     scored = (
-        cand.join(cvec.withColumn("__cn", F.expr(_norm("__cv"))), "vec_id")
+        cand.join(cvec.selectExpr("*", f"{_norm('__cv')} AS __cn"), "vec_id")
         .join(F.broadcast(qvec), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "vec_id",
-            (
-                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine"),
+            f"{_dot('__qv', '__cv')} / (__qn * __cn) AS cosine",
         )
     )
-    ranked = scored.select(
+    ranked = scored.selectExpr(
         "*",
-        F.expr(
-            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
-        ).alias("__r"),
+        "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        " AS __r",
     )
     from ..core import TidyFrame
 
-    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+    return TidyFrame(ranked.filter(f"__r <= {k}").drop("__r"))
 
 
 def _train_pq(cvec, m: int, k: int, iters: int, sample_cap: int):
@@ -518,8 +518,8 @@ def pq_cosine_topk(
     from pyspark.sql import types as T
 
     qid = query_id_col or id_col
-    cvec = corpus_tf.df.select(
-        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    cvec = corpus_tf.df.selectExpr(
+        f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
     )
     books, subs = _train_pq(cvec, m, 1 << nbits, refine_iters, sample_cap)
     enc = _make_pq_encode_udf(books, subs)
@@ -527,8 +527,8 @@ def pq_cosine_topk(
 
     # bounded collect: the query set (broadcast-small by contract)
     qrows = (
-        query_tf.df.select(
-            F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+        query_tf.df.selectExpr(
+            f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
         )
         .orderBy("query_id")
         .collect()
@@ -558,42 +558,37 @@ def pq_cosine_topk(
     cand = (
         codes.select("vec_id", F.posexplode_outer(adc_udf(F.col("__code"))).alias("__qi", "__approx"))
         .select(F.element_at(qmap, F.col("__qi") + 1).alias("query_id"), "vec_id", "__approx")
-        .filter(F.col("query_id") != F.col("vec_id"))
+        .filter("query_id != vec_id")
     )
     shortlist = (
-        cand.select(
+        cand.selectExpr(
             "*",
-            F.expr(
-                "row_number() OVER (PARTITION BY query_id "
-                "ORDER BY __approx DESC, vec_id ASC)"
-            ).alias("__r"),
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY __approx DESC, vec_id ASC) AS __r",
         )
-        .filter(F.col("__r") <= refine * k)
+        .filter(f"__r <= {refine * k}")
         .select("query_id", "vec_id")
     )
-    qvec = query_tf.df.select(
-        F.col(qid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
-    ).withColumn("__qn", F.expr(_norm("__qv")))
+    qvec = query_tf.df.selectExpr(
+        f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
+    ).selectExpr("*", f"{_norm('__qv')} AS __qn")
     scored = (
-        shortlist.join(cvec.withColumn("__cn", F.expr(_norm("__cv"))), "vec_id")
+        shortlist.join(cvec.selectExpr("*", f"{_norm('__cv')} AS __cn"), "vec_id")
         .join(F.broadcast(qvec), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "vec_id",
-            (
-                F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine"),
+            f"{_dot('__qv', '__cv')} / (__qn * __cn) AS cosine",
         )
     )
-    ranked = scored.select(
+    ranked = scored.selectExpr(
         "*",
-        F.expr(
-            "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
-        ).alias("__r"),
+        "rank() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
+        " AS __r",
     )
     from ..core import TidyFrame
 
-    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+    return TidyFrame(ranked.filter(f"__r <= {k}").drop("__r"))
 
 
 def ivf_knn_join(
@@ -632,8 +627,8 @@ def ivf_knn_join(
     join (the certification path).  Ties break on neighbor id ascending;
     deterministic end-to-end (seeded sample training)."""
     lid = left_id_col or id_col
-    rvec = right_tf.df.select(
-        F.col(id_col).alias("vec_id"), F.expr(_to_double(vec_col)).alias("__cv")
+    rvec = right_tf.df.selectExpr(
+        f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
     )
     centroids = _train_centroids_sample(rvec, nlist, refine_iters, sample_cap)
     nprobe = min(int(nprobe), len(centroids))
@@ -649,33 +644,29 @@ def ivf_knn_join(
     indexed = rvec.select(
         "vec_id", "__cv",
         F.explode_outer(assign_r(F.col("__cv"))).alias("__cell"),
-    ).withColumn("__cn", F.expr(_norm("__cv")))
-    lvec = left_tf.df.select(
-        F.col(lid).alias("query_id"), F.expr(_to_double(vec_col)).alias("__qv")
+    ).selectExpr("*", f"{_norm('__cv')} AS __cn")
+    lvec = left_tf.df.selectExpr(
+        f"{lid} AS query_id", f"{_to_double(vec_col)} AS __qv"
     )
-    probes = lvec.withColumn("__qn", F.expr(_norm("__qv"))).select(
+    probes = lvec.selectExpr("*", f"{_norm('__qv')} AS __qn").select(
         "query_id", "__qv", "__qn",
         F.explode_outer(assign_l(F.col("__qv"))).alias("__cell"),
     )
-    scored = probes.join(indexed, "__cell").select(
+    scored = probes.join(indexed, "__cell").selectExpr(
         "query_id",
         "vec_id",
-        (
-            F.expr(_dot("__qv", "__cv")) / (F.col("__qn") * F.col("__cn"))
-        ).alias("cosine"),
+        f"{_dot('__qv', '__cv')} / (__qn * __cn) AS cosine",
     )
     if exclude_self:
-        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
-    ranked = scored.select(
+        scored = scored.filter("vec_id != query_id")
+    ranked = scored.selectExpr(
         "*",
-        F.expr(
-            "row_number() OVER (PARTITION BY query_id "
-            "ORDER BY cosine DESC NULLS LAST, vec_id ASC)"
-        ).alias("__r"),
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS __r",
     )
     from ..core import TidyFrame
 
-    return TidyFrame(ranked.filter(F.col("__r") <= k).drop("__r"))
+    return TidyFrame(ranked.filter(f"__r <= {k}").drop("__r"))
 
 
 def mine_hard_negatives(

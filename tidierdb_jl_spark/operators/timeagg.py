@@ -198,7 +198,6 @@ def gapfill(
     With no ``keys`` the window is a single partition — fine for a rollup,
     which is already tiny relative to the raw data.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -206,18 +205,16 @@ def gapfill(
     df = tf.df
     secs = _width_seconds(width)
     bounds = df.agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        F.expr(f"min({bucket_col}) AS __lo"), F.expr(f"max({bucket_col}) AS __hi")
     )
     grid = (
         df.select(*keys).distinct().crossJoin(F.broadcast(bounds))
         if keys
         else bounds
     )
-    grid = grid.select(
+    grid = grid.selectExpr(
         *keys,
-        F.explode(
-            F.expr(f"sequence(__lo, __hi, interval {secs} second)")
-        ).alias(bucket_col),
+        f"explode(sequence(__lo, __hi, interval {secs} second)) AS {bucket_col}",
     )
     out = grid.join(df, [bucket_col, *keys], "left")
 
@@ -225,14 +222,14 @@ def gapfill(
     # incrementally, O(n) per partition).  The "next neighbor" lookup runs
     # over the DESCENDING bucket order instead of an unbounded-FOLLOWING
     # frame, which Spark recomputes per row (O(n²) on long time grids).
-    w = Window.partitionBy(*keys).orderBy(bucket_col) if keys else Window.orderBy(bucket_col)
-    w_rev = (
-        Window.partitionBy(*keys).orderBy(F.col(bucket_col).desc())
-        if keys
-        else Window.orderBy(F.col(bucket_col).desc())
-    )
-    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w_rev.rowsBetween(Window.unboundedPreceding, 0)
+    # Window specs + fill expressions ship as SQL strings — the parsed
+    # trees match the Column-API spelling (ASC defaults NULLS FIRST, DESC
+    # defaults NULLS LAST in both), but the driver pays one py4j round
+    # trip per projection instead of one per Column object (guide §7.3).
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    w_prev = f"OVER ({part}ORDER BY {bucket_col} {frame})"
+    w_next = f"OVER ({part}ORDER BY {bucket_col} DESC {frame})"
 
     # Batch all same-direction window expressions into ONE select each, so
     # Spark plans exactly one Window (and one Sort) per direction.  The
@@ -244,47 +241,46 @@ def gapfill(
     desc_cols: dict = {}
     for col, how in fill.items():
         if how == "locf":
-            asc_cols[f"__locf_{col}"] = F.last(col, ignorenulls=True).over(w_prev)
+            asc_cols[f"__locf_{col}"] = f"last({col}, true) {w_prev}"
         elif how == "interp":
             # carry (t, v) of the nearest non-null neighbor each way; the
             # struct is NULL exactly when the measure is, so ignorenulls
             # walks to the right observation
-            pair = F.when(
-                F.col(col).isNotNull(),
-                F.struct(
-                    F.unix_timestamp(F.col(bucket_col)).alias("t"),
-                    F.col(col).cast("double").alias("v"),
-                ),
+            pair = (
+                f"CASE WHEN {col} IS NOT NULL THEN"
+                f" struct(unix_timestamp({bucket_col}) AS t,"
+                f" CAST({col} AS DOUBLE) AS v) END"
             )
-            asc_cols[f"__prev_{col}"] = F.last(pair, ignorenulls=True).over(w_prev)
-            desc_cols[f"__nxt_{col}"] = F.last(pair, ignorenulls=True).over(w_next)
+            asc_cols[f"__prev_{col}"] = f"last({pair}, true) {w_prev}"
+            desc_cols[f"__nxt_{col}"] = f"last({pair}, true) {w_next}"
     if asc_cols:
-        out = out.select("*", *[e.alias(n) for n, e in asc_cols.items()])
+        out = out.selectExpr("*", *[f"{e} AS {n}" for n, e in asc_cols.items()])
     if desc_cols:
-        out = out.select("*", *[e.alias(n) for n, e in desc_cols.items()])
+        out = out.selectExpr("*", *[f"{e} AS {n}" for n, e in desc_cols.items()])
     # One final projection computes every fill and drops the temp columns —
     # a withColumn per filled column would cost one analysis pass each
     # (driver-side build chatter; the plan is identical either way).
     def _fill_expr(col: str, how):
         if how == "locf":
-            return F.col(f"__locf_{col}")
+            return F.expr(f"__locf_{col}")
         if how == "interp":
-            prev, nxt = F.col(f"__prev_{col}"), F.col(f"__nxt_{col}")
-            t = F.unix_timestamp(F.col(bucket_col))
-            interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
-                nxt["t"] - prev["t"]
+            prev, nxt = f"__prev_{col}", f"__nxt_{col}"
+            interp = (
+                f"{prev}.v + ({nxt}.v - {prev}.v)"
+                f" * (unix_timestamp({bucket_col}) - {prev}.t)"
+                f" / ({nxt}.t - {prev}.t)"
             )
-            return (
-                F.when(F.col(col).isNotNull(), F.col(col).cast("double"))
-                .when(nxt["t"] == prev["t"], prev["v"])
-                .otherwise(interp)
+            return F.expr(
+                f"CASE WHEN {col} IS NOT NULL THEN CAST({col} AS DOUBLE)"
+                f" WHEN {nxt}.t = {prev}.t THEN {prev}.v"
+                f" ELSE {interp} END"
             )
         return F.coalesce(F.col(col), F.lit(how))
 
     temps = set(asc_cols) | set(desc_cols)
     out = out.select(
         *[
-            _fill_expr(c, fill[c]).alias(c) if c in fill else F.col(c)
+            _fill_expr(c, fill[c]).alias(c) if c in fill else c
             for c in out.columns
             if c not in temps
         ]
