@@ -1318,29 +1318,20 @@ def segment_dedup(
         id_col, "n_seg_total", "posexplode(__segs) AS (pos, __seg)"
     ).filter(f"length(trim(__seg)) >= {min_chars}")
     e = e.selectExpr("*", "md5(lower(trim(__seg))) AS __h")
-    # keep-first as min(struct(id, pos, ...)) — an AGGREGATE, not a
-    # window: partial (map-side) aggregation collapses every local
-    # duplicate of a segment to one row before the exchange (a window
-    # ships every occurrence), so a segment repeated millions of times
-    # shuffles once per map task instead of once per occurrence.  Spark
-    # plans a struct-valued min as SortAggregate (struct buffers are not
-    # hash-aggregable), so a local and post-shuffle sort on __h remain —
-    # narrower than the window's (__h, id, pos) sort, and the rank
-    # machinery is gone.  Struct comparison is lexicographic by field
-    # order ⇒ the (id, pos) minimum — exactly the row ORDER BY id, pos
-    # LIMIT 1 kept.
-    kept = (
-        e.groupBy("__h")
-        .agg(
-            F.expr(f"min(struct({id_col}, pos, __seg, n_seg_total)) AS __w")
-        )
-        .selectExpr(
-            f"__w.{id_col} AS {id_col}",
-            "__w.pos AS pos",
-            "__w.__seg AS __seg",
-            "__w.n_seg_total AS n_seg_total",
-        )
-    )
+    # keep-first as a rank-1 window, NOT a min(struct) aggregate.  The
+    # aggregate variant was tried in optimization round 12 (partial
+    # aggregation collapses local duplicates before the exchange), but
+    # Spark plans a struct-valued min as SortAggregate (struct buffers
+    # are not hash-aggregable) on BOTH sides of the shuffle, while the
+    # window form plans Sort + WindowGroupLimit — a top-1-per-key
+    # short-circuit that also collapses duplicates map-side.  Measured
+    # head-to-head: neutral at sf0.1/sf1, and the aggregate was 1.11x
+    # SLOWER at sf10 (interleaved A/B, matched calibrations) — the
+    # wide-struct sort costs more than the rank machinery saves.
+    kept = e.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY __h ORDER BY {id_col}, pos) AS __rn",
+    ).filter("__rn = 1")
     rebuilt = kept.groupBy(id_col).agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, __seg))),"
