@@ -9,6 +9,7 @@ LLM-data-pipeline primitives (dedup, similarity search, multimodal
 columns, text analysis) designed for 100 TB scale.
 """
 
+from .sqlbatch import install as _install_flat_select_expr
 from .cache import release_caches
 from .core import TidyFrame
 from .functions.udf import add_agg_fn, add_window_fn, register_agg_udf, register_udf
@@ -34,6 +35,10 @@ from .sources.iceberg_ops import (
     rollback_iceberg, tag_iceberg, update_iceberg,
 )
 from .plans.show import lint_plan, plan_summary, show_query
+
+# One py4j round trip per selectExpr call instead of one per expression —
+# see sqlbatch.py.  Result/plan identical; applies engine-wide.
+_install_flat_select_expr()
 
 __all__ = [
     "TidyFrame",

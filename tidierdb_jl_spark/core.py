@@ -37,11 +37,47 @@ from .functions.registry import (
     rewrite,
 )
 from .operators.selection import resolve_selection
+from .sqlbatch import bq as _bq
+from .sqlbatch import flat_select_expr
 
 __all__ = ["TidyFrame"]
 
 _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", re.S)
 _ACROSS_RE = re.compile(r"^\s*across\s*\(", re.S)
+
+
+def _apply_pending(df: DataFrame, pending: dict) -> DataFrame:
+    """Apply a ``{name: expr}`` batch with ``withColumns`` semantics —
+    replaced columns keep their position, new columns append in dict
+    order, every expression evaluated against the INPUT frame.
+
+    Fast path: when every value is a SQL string, ship the whole thing as
+    ONE full projection via :func:`flat_select_expr` (~5 py4j trips flat)
+    instead of ``withColumns`` (~6 trips per column: F.expr + dict
+    conversion).  Plan is identical — both resolve to a single Project.
+    Falls back to ``withColumns`` for opaque Column values, duplicate
+    column names, or a pending name that matches an existing column only
+    case-insensitively (Spark's resolver treats that as a replacement;
+    let it decide)."""
+    if all(isinstance(v, str) for v in pending.values()):
+        cols = df.columns
+        if len(set(cols)) == len(cols):
+            lower: dict[str, str] = {c.lower(): c for c in cols}
+            if all(lower.get(n.lower(), n) == n for n in pending):
+                existing = set(cols)
+                parts = [
+                    f"({pending[c]}) AS {_bq(c)}" if c in pending else _bq(c)
+                    for c in cols
+                ]
+                parts.extend(
+                    f"({sql}) AS {_bq(n)}"
+                    for n, sql in pending.items()
+                    if n not in existing
+                )
+                return flat_select_expr(df, parts)
+    return df.withColumns(
+        {n: v if isinstance(v, Column) else F.expr(v) for n, v in pending.items()}
+    )
 
 
 def _split_assign(expr: str) -> tuple[str, str]:
@@ -145,7 +181,9 @@ class TidyFrame:
 
     def select(self, *specs) -> "TidyFrame":
         cols = resolve_selection(specs, self.columns)
-        return self._with(self._df.select(*cols))
+        # flat-cost projection: one py4j trip for the whole column list
+        # instead of one per column (sqlbatch; identical plan)
+        return self._with(flat_select_expr(self._df, [_bq(c) for c in cols]))
 
     def filter(self, *conds) -> "TidyFrame":
         """Row predicate.  Pre-aggregation with active groups, aggregate
@@ -199,19 +237,20 @@ class TidyFrame:
             frame=tuple(_frame) if _frame is not None else None,
         )
         df = self._df
-        # Batch consecutive assignments into ONE withColumns call (one
-        # analysis pass instead of one per column).  dplyr lets a later
-        # expression reference an earlier one from the same mutate — those
-        # must see the new value, so flush the pending batch whenever a raw
-        # expression mentions a pending name (token match on the raw string;
-        # over-matching only costs batching, never correctness).  Opaque
-        # Column objects can't be inspected — flush before them too.
+        # Batch consecutive assignments into ONE _apply_pending call (a
+        # single analysis pass, flat py4j cost, instead of one per
+        # column).  dplyr lets a later expression reference an earlier one
+        # from the same mutate — those must see the new value, so flush the
+        # pending batch whenever a raw expression mentions a pending name
+        # (token match on the raw string; over-matching only costs
+        # batching, never correctness).  Opaque Column objects can't be
+        # inspected — flush before them too.
         pending: dict = {}
 
         def _flush():
             nonlocal df
             if pending:
-                df = df.withColumns(dict(pending))
+                df = _apply_pending(df, pending)
                 pending.clear()
 
         for name, expr in pairs:
@@ -224,7 +263,7 @@ class TidyFrame:
                     re.search(rf"\b{re.escape(p)}\b", s) for p in pending
                 ):
                     _flush()
-                pending[name] = F.expr(rewrite(s, ws, windowed=True))
+                pending[name] = rewrite(s, ws, windowed=True)
         _flush()
         return self._with(df, groups=(), order=(), frame=None)
 
@@ -326,7 +365,7 @@ class TidyFrame:
         def _flush():
             nonlocal df
             if pending:
-                df = df.withColumns(dict(pending))
+                df = _apply_pending(df, pending)
                 pending.clear()
 
         def _add(alias, expr):
@@ -339,7 +378,7 @@ class TidyFrame:
                     re.search(rf"\b{re.escape(p)}\b", s) for p in pending
                 ):
                     _flush()
-                pending[alias] = F.expr(rewrite(s, self._ws(), False))
+                pending[alias] = rewrite(s, self._ws(), False)
             names.append(alias)
 
         for spec in specs:
@@ -372,8 +411,7 @@ class TidyFrame:
                 aggs.append(expr.alias(name))
             else:
                 sql = rewrite(str(expr), self._ws(by=by), False)
-                quoted = "`" + name.replace("`", "``") + "`"
-                aggs.append(F.expr(f"({sql}) AS {quoted}"))
+                aggs.append(F.expr(f"({sql}) AS {_bq(name)}"))
         if by:
             keys = [
                 g if re.match(r"^[A-Za-z_]\w*$", g) else F.expr(g) for g in by
@@ -388,10 +426,10 @@ class TidyFrame:
     def count(self, *specs, sort: bool = False, name: str = "n") -> "TidyFrame":
         """Group + COUNT(*) (``/root/reference/src/TidierDB_macros.jl:373-419``)."""
         cols = resolve_selection(specs, self.columns) if specs else list(self._groups)
-        if cols:
-            out = self._df.groupBy(*cols).agg(F.count(F.lit(1)).alias(name))
-        else:
-            out = self._df.agg(F.count(F.lit(1)).alias(name))
+        # count(1) as one parsed expression — identical tree to
+        # F.count(F.lit(1)).alias(name), fewer py4j round trips
+        agg = F.expr(f"count(1) AS {_bq(name)}")
+        out = self._df.groupBy(*cols).agg(agg) if cols else self._df.agg(agg)
         if sort:
             out = out.orderBy(F.col(name).desc_nulls_last())
         return self._with(out, groups=tuple(cols), aggregated=True)

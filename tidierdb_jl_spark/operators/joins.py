@@ -28,6 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
+from ..sqlbatch import flat_select_expr
+
 __all__ = ["do_join", "parse_by"]
 
 _COND_RE = re.compile(
@@ -120,12 +122,14 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
     la, ra = "__tidy_l", "__tidy_r"
     l, r = ldf.alias(la), rdf.alias(ra)
 
-    # The condition and the output projection are assembled as SQL strings
-    # and shipped in ONE py4j call each (F.expr / selectExpr).  The earlier
-    # per-column F.col(...)/.alias(...) chain cost 2 driver round trips per
-    # output column per join — ~50 round trips for a wide fact join, the
-    # dominant cost of BUILDING a multi-join query (measured: q56's five
-    # joins spent ~0.5 s in py4j chatter, ~45 DataFrame calls per join).
+    # The condition ships as ONE F.expr and the output projection as ONE
+    # flat_select_expr (sqlbatch).  The earlier per-column
+    # F.col(...)/.alias(...) chain cost 2 driver round trips per output
+    # column per join — ~50 round trips for a wide fact join, the dominant
+    # cost of BUILDING a multi-join query (measured: q56's five joins
+    # spent ~0.5 s in py4j chatter, ~45 DataFrame calls per join); the
+    # intermediate selectExpr(*parts) form still paid one py4j
+    # list-element trip per output column.
     def _bq(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
@@ -182,4 +186,4 @@ def do_join(left, right, by, how: str, force_asof: bool = False,
         alias = f"{name}_right" if name in ldf.columns else name
         out_cols.append(f"{_bq(ra)}.{_bq(name)} AS {_bq(alias)}")
 
-    return TidyFrame(joined.selectExpr(*out_cols), groups=left.groups)
+    return TidyFrame(flat_select_expr(joined, out_cols), groups=left.groups)

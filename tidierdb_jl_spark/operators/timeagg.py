@@ -258,11 +258,14 @@ def gapfill(
     if desc_cols:
         out = out.selectExpr("*", *[f"{e} AS {n}" for n, e in desc_cols.items()])
     # One final projection computes every fill and drops the temp columns —
-    # a withColumn per filled column would cost one analysis pass each
-    # (driver-side build chatter; the plan is identical either way).
-    def _fill_expr(col: str, how):
+    # a withColumn per filled column would cost one analysis pass each.
+    # Fill expressions ship as SQL strings in one flat selectExpr (plan
+    # identical); a constant fill whose literal has no exact SQL spelling
+    # (e.g. a Python float would parse as DECIMAL, not DOUBLE) falls back
+    # to the Column form for the whole projection.
+    def _fill_sql(col: str, how):
         if how == "locf":
-            return F.expr(f"__locf_{col}")
+            return f"__locf_{col}"
         if how == "interp":
             prev, nxt = f"__prev_{col}", f"__nxt_{col}"
             interp = (
@@ -270,21 +273,36 @@ def gapfill(
                 f" * (unix_timestamp({bucket_col}) - {prev}.t)"
                 f" / ({nxt}.t - {prev}.t)"
             )
-            return F.expr(
+            return (
                 f"CASE WHEN {col} IS NOT NULL THEN CAST({col} AS DOUBLE)"
                 f" WHEN {nxt}.t = {prev}.t THEN {prev}.v"
                 f" ELSE {interp} END"
             )
+        if isinstance(how, bool):
+            return f"coalesce({col}, {'TRUE' if how else 'FALSE'})"
+        if isinstance(how, int):
+            return f"coalesce({col}, {how})"
+        if isinstance(how, str):
+            lit = how.replace("\\", "\\\\").replace("'", "\\'")
+            return f"coalesce({col}, '{lit}')"
+        return None  # no exact SQL literal spelling — Column fallback
+
+    def _fill_expr(col: str, how):
+        if how in ("locf", "interp"):
+            return F.expr(_fill_sql(col, how))
         return F.coalesce(F.col(col), F.lit(how))
 
     temps = set(asc_cols) | set(desc_cols)
-    out = out.select(
-        *[
-            _fill_expr(c, fill[c]).alias(c) if c in fill else c
-            for c in out.columns
-            if c not in temps
-        ]
-    )
+    keep = [c for c in out.columns if c not in temps]
+    sqls = {c: _fill_sql(c, fill[c]) for c in keep if c in fill}
+    if all(s is not None for s in sqls.values()):
+        out = out.selectExpr(
+            *[f"({sqls[c]}) AS {c}" if c in sqls else c for c in keep]
+        )
+    else:
+        out = out.select(
+            *[_fill_expr(c, fill[c]).alias(c) if c in fill else c for c in keep]
+        )
     return TidyFrame(out)
 
 
