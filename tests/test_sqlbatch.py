@@ -14,7 +14,14 @@ import re
 
 import pytest
 
-from tidierdb_jl_spark.sqlbatch import _DELIM, _state, flat_select_expr, install
+from tidierdb_jl_spark.sqlbatch import (
+    _DELIM,
+    _state,
+    fast_expr,
+    fast_sort_item,
+    flat_select_expr,
+    install,
+)
 
 
 @pytest.fixture(scope="module")
@@ -96,6 +103,29 @@ def test_cache_preserved(spark):
         assert "InMemoryTableScan" in _phys(out)
     finally:
         base.unpersist()
+
+
+def test_fast_expr_identical(spark, df):
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    a = df.select(F.expr("(v * 2) AS w"))
+    b = df.select(fast_expr("(v * 2) AS w"))
+    assert isinstance(fast_expr("1"), Column)
+    assert type(fast_expr("1")) is type(F.expr("1"))
+    assert a.collect() == b.collect()
+    assert _phys(a) == _phys(b)
+
+
+@pytest.mark.parametrize("desc", [True, False])
+def test_fast_sort_item_identical(df, desc):
+    from pyspark.sql import functions as F
+
+    c = F.expr("v")
+    ref = df.orderBy(c.desc_nulls_last() if desc else c.asc_nulls_last())
+    fast = df.orderBy(fast_sort_item("v", desc))
+    assert fast.collect() == ref.collect()
+    assert _phys(fast) == _phys(ref)
 
 
 def test_stale_gateway_state_recovers(df):

@@ -38,7 +38,7 @@ from .functions.registry import (
 )
 from .operators.selection import resolve_selection
 from .sqlbatch import bq as _bq
-from .sqlbatch import flat_select_expr
+from .sqlbatch import fast_expr, fast_sort_item, flat_select_expr
 
 __all__ = ["TidyFrame"]
 
@@ -203,7 +203,7 @@ class TidyFrame:
         def _flush():
             nonlocal df
             if plain:
-                df = df.filter(F.expr(" AND ".join(f"({p})" for p in plain)))
+                df = df.filter(fast_expr(" AND ".join(f"({p})" for p in plain)))
                 plain.clear()
 
         for c in conds:
@@ -218,7 +218,11 @@ class TidyFrame:
                 # projection; same plan the reference gets via its CTE wrap)
                 _flush()
                 tmp = "__tidy_filter_cond"
-                df = df.withColumn(tmp, F.expr(sql)).filter(F.col(tmp)).drop(tmp)
+                df = (
+                    flat_select_expr(df, ["*", f"({sql}) AS {tmp}"])
+                    .filter(tmp)
+                    .drop(tmp)
+                )
             else:
                 plain.append(sql)
         _flush()
@@ -411,7 +415,7 @@ class TidyFrame:
                 aggs.append(expr.alias(name))
             else:
                 sql = rewrite(str(expr), self._ws(by=by), False)
-                aggs.append(F.expr(f"({sql}) AS {_bq(name)}"))
+                aggs.append(fast_expr(f"({sql}) AS {_bq(name)}"))
         if by:
             keys = [
                 g if re.match(r"^[A-Za-z_]\w*$", g) else F.expr(g) for g in by
@@ -428,10 +432,10 @@ class TidyFrame:
         cols = resolve_selection(specs, self.columns) if specs else list(self._groups)
         # count(1) as one parsed expression — identical tree to
         # F.count(F.lit(1)).alias(name), fewer py4j round trips
-        agg = F.expr(f"count(1) AS {_bq(name)}")
+        agg = fast_expr(f"count(1) AS {_bq(name)}")
         out = self._df.groupBy(*cols).agg(agg) if cols else self._df.agg(agg)
         if sort:
-            out = out.orderBy(F.col(name).desc_nulls_last())
+            out = out.orderBy(fast_sort_item(_bq(name), True))
         return self._with(out, groups=tuple(cols), aggregated=True)
 
     def summary(self) -> "TidyFrame":
@@ -511,8 +515,9 @@ class TidyFrame:
                 # numeric column positions, 1-based (NEWS v0.8.9) — a bare
                 # integer literal would otherwise sort by a constant
                 expr = self.columns[int(expr.strip()) - 1]
-            c = F.expr(rewrite(expr, self._ws(), False))
-            cols.append(c.desc_nulls_last() if desc else c.asc_nulls_last())
+            # sort item built on the JVM side: ~2 py4j trips instead of
+            # ~15 for F.expr(...).desc_nulls_last() (identical SortOrder)
+            cols.append(fast_sort_item(rewrite(expr, self._ws(), False), desc))
         return self._with(self._df.orderBy(*cols))
 
     def _slice_ranked(self, col: str, n: int, desc: bool, with_ties: bool) -> "TidyFrame":
@@ -520,9 +525,13 @@ class TidyFrame:
         order_item = render_order_item(f"desc({col})" if desc else col)
         ws = WindowState(groups=self._groups, order=(order_item,), frame=None)
         rank_col = "__tidy_rank"
+        # rank projection + predicate as parsed strings (identical plan,
+        # flat py4j cost — see sqlbatch)
         df = (
-            self._df.withColumn(rank_col, F.expr(f"{fn}() OVER ({over_sql(ws)})"))
-            .filter(F.col(rank_col) <= n)
+            flat_select_expr(
+                self._df, ["*", f"{fn}() OVER ({over_sql(ws)}) AS {rank_col}"]
+            )
+            .filter(f"{rank_col} <= {int(n)}")
             .drop(rank_col)
         )
         return self._with(df)
@@ -546,8 +555,10 @@ class TidyFrame:
         rand = f"rand({seed})" if seed is not None else "rand()"
         over = " ".join(w_parts + [f"ORDER BY {rand}"])
         df = (
-            self._df.withColumn(rank_col, F.expr(f"row_number() OVER ({over})"))
-            .filter(F.col(rank_col) <= n)
+            flat_select_expr(
+                self._df, ["*", f"row_number() OVER ({over}) AS {rank_col}"]
+            )
+            .filter(f"{rank_col} <= {int(n)}")
             .drop(rank_col)
         )
         return self._with(df)

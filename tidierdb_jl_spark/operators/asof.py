@@ -92,7 +92,7 @@ def asof_join(
     # A null as-of key can never satisfy the inequality (DuckDB ASOF JOIN
     # ignores such rows too) — and left out of the union it can't sit at a
     # sort boundary where the running fill would spuriously pick it up.
-    r_part = rdf.selectExpr(*r_sel).filter(F.col(_T).isNotNull())
+    r_part = rdf.selectExpr(*r_sel).filter(f"{_T} IS NOT NULL")
 
     l_part = ldf.selectExpr(
         "*",
@@ -130,9 +130,9 @@ def asof_join(
         f"last({_HIT}, true) {over} AS __f_hit",
     )
 
-    out = filled.filter(F.col(_L) == 1)
+    out = filled.filter(f"{_L} = 1")
     if how == "inner":
-        out = out.filter(F.col("__f_hit").isNotNull())
+        out = out.filter("__f_hit IS NOT NULL")
 
     final_cols = [_bq(c) for c in ldf.columns]
     final_cols += [
