@@ -244,13 +244,12 @@ def test_writer_lock_heartbeat_renews_lease(spark, tmp_path):
     holder — heartbeats stopped — goes stale one stale_s after the last
     beat and is reclaimed.  This is what lets stale_s default to 5 min
     instead of covering the longest possible job."""
-    import json
     import shutil
     import time
 
     import pytest
 
-    from tidierdb_jl_spark.sources.fsio import read_text, writer_lock
+    from tidierdb_jl_spark.sources.fsio import read_json_retry, writer_lock
 
     path = "file://" + str(tmp_path / "st")
     lock_file = str(tmp_path / "st" / "_writer.lock")
@@ -261,11 +260,11 @@ def test_writer_lock_heartbeat_renews_lease(spark, tmp_path):
     # on a loaded host cannot flake the refusal.
     with writer_lock(spark, path, holder="live",
                      stale_s=5.0, heartbeat_s=0.5) as lock:
-        t0 = json.loads(read_text(spark, lock))["ts"]
+        t0 = read_json_retry(spark, lock)["ts"]
         deadline = time.time() + 20
         while time.time() < deadline:
             time.sleep(0.5)
-            body = json.loads(read_text(spark, lock))
+            body = read_json_retry(spark, lock)
             if body["ts"] > t0:
                 break
         assert body["ts"] > t0, "heartbeat must rewrite the lock ts"
@@ -285,13 +284,55 @@ def test_writer_lock_heartbeat_renews_lease(spark, tmp_path):
     time.sleep(1.0)
     with writer_lock(spark, path, holder="taker",
                      stale_s=0.9, heartbeat_s=0.2) as lock:
-        body = json.loads(read_text(spark, lock))
+        body = read_json_retry(spark, lock)
         assert body["holder"] == "taker"
         assert "reclaimed stale lock" in body["note"]
         assert "since last heartbeat" in body["note"]
     # heartbeat_s=0 disables renewal (legacy behavior)
     with writer_lock(spark, path, holder="legacy",
                      stale_s=3600, heartbeat_s=0) as lock:
-        b0 = json.loads(read_text(spark, lock))
+        b0 = read_json_retry(spark, lock)
         time.sleep(0.3)
-        assert json.loads(read_text(spark, lock))["ts"] == b0["ts"]
+        assert read_json_retry(spark, lock)["ts"] == b0["ts"]
+
+
+def test_read_json_retry_tolerates_torn_and_missing(spark, tmp_path):
+    """The heartbeat overwrites the lock in place (truncate+write), so a
+    concurrent reader can see an empty/partial file; write_text_atomic's
+    delete->rename leaves a missing-with-.tmp window.  read_json_retry
+    must ride out both and still fail loudly on a persistently bad file."""
+    import json
+    import threading
+    import time
+
+    from tidierdb_jl_spark.sources import fsio
+
+    p = "file://" + str(tmp_path / "m" / "meta.json")
+    fsio.fs_mkdirs(spark, "file://" + str(tmp_path / "m"))
+
+    # torn window: file exists but is empty (mid-truncate) -> a writer
+    # fills it shortly after; the retry loop must recover.
+    local = tmp_path / "m" / "meta.json"
+    local.write_text("")
+
+    def _fill():
+        time.sleep(0.15)
+        local.write_text(json.dumps({"v": 7}))
+
+    t = threading.Thread(target=_fill)
+    t.start()
+    assert fsio.read_json_retry(spark, p)["v"] == 7
+    t.join()
+
+    # missing-with-tmp window: only the fully-written .tmp exists.
+    local.unlink()
+    (tmp_path / "m" / "meta.json.tmp").write_text(json.dumps({"v": 8}))
+    assert fsio.read_json_retry(spark, p)["v"] == 8
+
+    # persistently invalid: raises after the retries are exhausted.
+    (tmp_path / "m" / "meta.json.tmp").unlink()
+    local.write_text("{never valid json")
+    import pytest
+
+    with pytest.raises(Exception):
+        fsio.read_json_retry(spark, p, retries=2, delay_s=0.01)

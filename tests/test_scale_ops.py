@@ -849,3 +849,46 @@ def test_driver_prefix_plans_lint_clean(spark):
         if findings:
             bad[name] = findings
     assert not bad, bad
+
+
+def test_gapfill_and_mutate_weird_column_names(spark):
+    """Generated SQL must backtick-quote every identifier: column names
+    with spaces, dots, hyphens, backticks and unicode flow through
+    mutate's flat projection and gapfill's window/fill SQL unchanged."""
+    import datetime as dt
+
+    from tidierdb_jl_spark.core import TidyFrame
+    from tidierdb_jl_spark.operators.timeagg import gapfill
+
+    h = lambda i: dt.datetime(2025, 1, 1, i)  # noqa: E731
+    df = spark.createDataFrame(
+        [("a", h(0), 10.0, 10.0, 1), ("a", h(2), 30.0, 30.0, 2)],
+        ["the key", "time bucket", "lo cf", "in-terp.v", "naïve`n"],
+    )
+    out = (
+        gapfill(
+            TidyFrame(df),
+            "time bucket", "1 hour", keys=["the key"],
+            fill={"lo cf": "locf", "in-terp.v": "interp", "naïve`n": 0},
+        )
+        .df.orderBy("the key", "time bucket")
+        .collect()
+    )
+    rows = [
+        (r["the key"], r["time bucket"].hour, r["lo cf"], r["in-terp.v"],
+         r["naïve`n"])
+        for r in out
+    ]
+    assert rows == [
+        ("a", 0, 10.0, 10.0, 1),
+        ("a", 1, 10.0, 20.0, 0),
+        ("a", 2, 30.0, 30.0, 2),
+    ]
+    # mutate fast path (flat selectExpr projection) with the same names
+    m = (
+        TidyFrame(df)
+        .mutate(**{"doub led": "`lo cf` * 2"})
+        .df.orderBy("time bucket")
+        .collect()
+    )
+    assert [r["doub led"] for r in m] == [20.0, 60.0]

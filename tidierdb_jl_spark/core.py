@@ -61,7 +61,10 @@ def _apply_pending(df: DataFrame, pending: dict) -> DataFrame:
     let it decide)."""
     if all(isinstance(v, str) for v in pending.values()):
         cols = df.columns
-        if len(set(cols)) == len(cols):
+        # second guard: columns differing only in case ('A' and 'a') make
+        # withColumns replace EVERY case-insensitive match while a flat
+        # projection replaces only the exact-case one — let Spark decide.
+        if len({c.lower() for c in cols}) == len(cols):
             lower: dict[str, str] = {c.lower(): c for c in cols}
             if all(lower.get(n.lower(), n) == n for n in pending):
                 existing = set(cols)

@@ -200,12 +200,15 @@ def gapfill(
     """
     from pyspark.sql import functions as F
 
+    from ..sqlbatch import bq
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     fill = fill or {}
     df = tf.df
     secs = _width_seconds(width)
+    qb = bq(bucket_col)
     bounds = df.agg(
-        F.expr(f"min({bucket_col}) AS __lo"), F.expr(f"max({bucket_col}) AS __hi")
+        F.expr(f"min({qb}) AS __lo"), F.expr(f"max({qb}) AS __hi")
     )
     grid = (
         df.select(*keys).distinct().crossJoin(F.broadcast(bounds))
@@ -213,8 +216,8 @@ def gapfill(
         else bounds
     )
     grid = grid.selectExpr(
-        *keys,
-        f"explode(sequence(__lo, __hi, interval {secs} second)) AS {bucket_col}",
+        *[bq(k) for k in keys],
+        f"explode(sequence(__lo, __hi, interval {secs} second)) AS {qb}",
     )
     out = grid.join(df, [bucket_col, *keys], "left")
 
@@ -226,10 +229,10 @@ def gapfill(
     # trees match the Column-API spelling (ASC defaults NULLS FIRST, DESC
     # defaults NULLS LAST in both), but the driver pays one py4j round
     # trip per projection instead of one per Column object (guide §7.3).
-    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    part = f"PARTITION BY {', '.join(bq(k) for k in keys)} " if keys else ""
     frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    w_prev = f"OVER ({part}ORDER BY {bucket_col} {frame})"
-    w_next = f"OVER ({part}ORDER BY {bucket_col} DESC {frame})"
+    w_prev = f"OVER ({part}ORDER BY {qb} {frame})"
+    w_next = f"OVER ({part}ORDER BY {qb} DESC {frame})"
 
     # Batch all same-direction window expressions into ONE select each, so
     # Spark plans exactly one Window (and one Sort) per direction.  The
@@ -240,23 +243,24 @@ def gapfill(
     asc_cols: dict = {}
     desc_cols: dict = {}
     for col, how in fill.items():
+        qc = bq(col)
         if how == "locf":
-            asc_cols[f"__locf_{col}"] = f"last({col}, true) {w_prev}"
+            asc_cols[f"__locf_{col}"] = f"last({qc}, true) {w_prev}"
         elif how == "interp":
             # carry (t, v) of the nearest non-null neighbor each way; the
             # struct is NULL exactly when the measure is, so ignorenulls
             # walks to the right observation
             pair = (
-                f"CASE WHEN {col} IS NOT NULL THEN"
-                f" struct(unix_timestamp({bucket_col}) AS t,"
-                f" CAST({col} AS DOUBLE) AS v) END"
+                f"CASE WHEN {qc} IS NOT NULL THEN"
+                f" struct(unix_timestamp({qb}) AS t,"
+                f" CAST({qc} AS DOUBLE) AS v) END"
             )
             asc_cols[f"__prev_{col}"] = f"last({pair}, true) {w_prev}"
             desc_cols[f"__nxt_{col}"] = f"last({pair}, true) {w_next}"
     if asc_cols:
-        out = out.selectExpr("*", *[f"{e} AS {n}" for n, e in asc_cols.items()])
+        out = out.selectExpr("*", *[f"{e} AS {bq(n)}" for n, e in asc_cols.items()])
     if desc_cols:
-        out = out.selectExpr("*", *[f"{e} AS {n}" for n, e in desc_cols.items()])
+        out = out.selectExpr("*", *[f"{e} AS {bq(n)}" for n, e in desc_cols.items()])
     # One final projection computes every fill and drops the temp columns —
     # a withColumn per filled column would cost one analysis pass each.
     # Fill expressions ship as SQL strings in one flat selectExpr (plan
@@ -264,27 +268,28 @@ def gapfill(
     # (e.g. a Python float would parse as DECIMAL, not DOUBLE) falls back
     # to the Column form for the whole projection.
     def _fill_sql(col: str, how):
+        qc = bq(col)
         if how == "locf":
-            return f"__locf_{col}"
+            return bq(f"__locf_{col}")
         if how == "interp":
-            prev, nxt = f"__prev_{col}", f"__nxt_{col}"
+            prev, nxt = bq(f"__prev_{col}"), bq(f"__nxt_{col}")
             interp = (
                 f"{prev}.v + ({nxt}.v - {prev}.v)"
-                f" * (unix_timestamp({bucket_col}) - {prev}.t)"
+                f" * (unix_timestamp({qb}) - {prev}.t)"
                 f" / ({nxt}.t - {prev}.t)"
             )
             return (
-                f"CASE WHEN {col} IS NOT NULL THEN CAST({col} AS DOUBLE)"
+                f"CASE WHEN {qc} IS NOT NULL THEN CAST({qc} AS DOUBLE)"
                 f" WHEN {nxt}.t = {prev}.t THEN {prev}.v"
                 f" ELSE {interp} END"
             )
         if isinstance(how, bool):
-            return f"coalesce({col}, {'TRUE' if how else 'FALSE'})"
+            return f"coalesce({qc}, {'TRUE' if how else 'FALSE'})"
         if isinstance(how, int):
-            return f"coalesce({col}, {how})"
+            return f"coalesce({qc}, {how})"
         if isinstance(how, str):
             lit = how.replace("\\", "\\\\").replace("'", "\\'")
-            return f"coalesce({col}, '{lit}')"
+            return f"coalesce({qc}, '{lit}')"
         return None  # no exact SQL literal spelling — Column fallback
 
     def _fill_expr(col: str, how):
@@ -297,7 +302,7 @@ def gapfill(
     sqls = {c: _fill_sql(c, fill[c]) for c in keep if c in fill}
     if all(s is not None for s in sqls.values()):
         out = out.selectExpr(
-            *[f"({sqls[c]}) AS {c}" if c in sqls else c for c in keep]
+            *[f"({sqls[c]}) AS {bq(c)}" if c in sqls else bq(c) for c in keep]
         )
     else:
         out = out.select(

@@ -47,6 +47,7 @@ __all__ = [
     "fs_delete",
     "fs_rename",
     "read_text",
+    "read_json_retry",
     "write_text_atomic",
     "swap_dir",
     "writer_lock",
@@ -115,6 +116,33 @@ def read_text(spark, path: str, tmp_fallback: bool = False) -> str:
         return out.toString("UTF-8")
     finally:
         stream.close()
+
+
+def read_json_retry(spark, path: str, retries: int = 10,
+                    delay_s: float = 0.05) -> dict:
+    """Read a small JSON metadata file, tolerating the torn-read windows
+    the module's writers can expose: ``write_text_atomic``'s documented
+    delete→rename gap (file briefly missing — recovered via the ``.tmp``
+    fallback) and an in-place heartbeat overwrite (``fs.create(path,
+    True)`` truncates before it writes, so a concurrent reader can see
+    an empty or partial file).  Both windows are microseconds wide and
+    writer-paced (heartbeats are seconds apart), so a bounded retry with
+    a short sleep always lands between writes on a live system.  Raises
+    the last error once ``retries`` are exhausted — a persistently
+    unreadable file is a real problem, not a race."""
+    import json as _json
+    import time as _time
+
+    last: Exception | None = None
+    for attempt in range(max(1, int(retries))):
+        if attempt:
+            _time.sleep(delay_s)
+        try:
+            text = read_text(spark, path, tmp_fallback=True)
+            return _json.loads(text)
+        except Exception as exc:  # noqa: BLE001 — missing/empty/partial
+            last = exc
+    raise last  # type: ignore[misc]
 
 
 def write_text_atomic(spark, path: str, text: str) -> None:
@@ -212,8 +240,15 @@ def writer_lock(spark, state_path: str, holder: str | None = None,
             return True
 
         if not _write_body(False):
+            # read_json_retry, not a bare read_text: the holder's
+            # heartbeat overwrites the lock in place (truncate+write),
+            # so a single read can land in the torn window and decode
+            # garbage — which would make a LIVE lock look ts-less and
+            # stale, letting this writer steal it.  Retrying lands
+            # between heartbeats; only a persistently unreadable file
+            # is treated as foreign/torn.
             try:
-                prev = _json.loads(read_text(spark, lock))
+                prev = read_json_retry(spark, lock)
             except Exception:  # noqa: BLE001 — torn/foreign lock file
                 prev = {}
             age = _time.time() - float(prev.get("ts", 0))

@@ -137,11 +137,25 @@ def install() -> None:
     apply or fails.
     """
     global _orig_select_expr
+    import os
+
     try:
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
     except ImportError:  # pragma: no cover - non-classic builds
         return
+    if os.environ.get("TIDY_NO_FLAT_SELECTEXPR"):
+        # opt-out: the patch is process-wide (all pyspark code in the
+        # process takes the flat path), so give operators a kill switch.
+        if getattr(_CDF.selectExpr, "_tidy_flat", False):
+            _CDF.selectExpr = _CDF.selectExpr._tidy_orig  # unpatch
+        _orig_select_expr = None
+        return
     if getattr(_CDF.selectExpr, "_tidy_flat", False):
+        # already patched (possibly by a previous load of this module —
+        # a reload resets our global): recover the true original from
+        # the stash on the patched function so the fallback path never
+        # re-enters the patch.
+        _orig_select_expr = _CDF.selectExpr._tidy_orig
         return
     _orig_select_expr = _CDF.selectExpr
 
@@ -151,5 +165,6 @@ def install() -> None:
         return flat_select_expr(self, expr)
 
     selectExpr._tidy_flat = True  # type: ignore[attr-defined]
+    selectExpr._tidy_orig = _orig_select_expr  # type: ignore[attr-defined]
     selectExpr.__doc__ = _orig_select_expr.__doc__
     _CDF.selectExpr = selectExpr
