@@ -137,3 +137,76 @@ def test_stale_gateway_state_recovers(df):
     # next call rebuilds the handles and takes the flat path again
     out2 = flat_select_expr(df, ["id", "(v + 2) AS w"])
     assert out2.columns == ["id", "w"]
+
+
+def test_register_udf_cached_registers_once_and_keys_params(df):
+    """register_udf_cached (r13): one registration per (session, params);
+    a different param set registers a sibling name; the warm path is a
+    catalog probe only (build() not called again); results are correct
+    when applied inside a SQL string."""
+    from tidierdb_jl_spark.sqlbatch import register_udf_cached
+
+    spark = df.sparkSession
+    calls = {"n": 0}
+
+    def build(mult):
+        def _build():
+            import pandas
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            calls["n"] += 1
+
+            def f(v: pandas.Series) -> pandas.Series:
+                return v * mult
+
+            f.__annotations__ = {"v": pandas.Series,
+                                 "return": pandas.Series}
+            return F.pandas_udf(T.DoubleType())(f)
+
+        return _build
+
+    n2 = register_udf_cached(spark, "tidy_testmul", ("mul", 2.0), build(2.0))
+    n2b = register_udf_cached(spark, "tidy_testmul", ("mul", 2.0), build(2.0))
+    n3 = register_udf_cached(spark, "tidy_testmul", ("mul", 3.0), build(3.0))
+    assert n2 == n2b and n2 != n3
+    assert calls["n"] == 2  # warm path never rebuilt the 2.0 UDF
+    got = df.selectExpr(f"{n2}(CAST(v AS DOUBLE)) AS a",
+                        f"{n3}(CAST(v AS DOUBLE)) AS b").collect()
+    for r, src in zip(got, df.select("v").collect()):
+        if src["v"] is not None:
+            assert r["a"] == float(src["v"]) * 2.0
+            assert r["b"] == float(src["v"]) * 3.0
+
+
+def test_register_udf_cached_fresh_session_reregisters(spark_factory=None):
+    """A NEW session (fresh catalog — the restarted-JVM analogue py4j
+    allows in-process) must miss the probe and re-register rather than
+    serve a stale judf."""
+    from pyspark.sql import SparkSession
+
+    from tidierdb_jl_spark.sqlbatch import register_udf_cached
+
+    base = SparkSession.builder.getOrCreate()
+    fresh = base.newSession()  # separate temp-function registry
+    calls = {"n": 0}
+
+    def build():
+        import pandas
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        calls["n"] += 1
+
+        def f(v: pandas.Series) -> pandas.Series:
+            return v + 1.0
+
+        f.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
+        return F.pandas_udf(T.DoubleType())(f)
+
+    n1 = register_udf_cached(base, "tidy_testinc", ("inc",), build)
+    n2 = register_udf_cached(fresh, "tidy_testinc", ("inc",), build)
+    assert n1 == n2  # same params -> same name...
+    assert calls["n"] == 2  # ...but each session registered its own
+    out = fresh.range(3).selectExpr(f"{n2}(CAST(id AS DOUBLE)) AS x")
+    assert [r["x"] for r in out.collect()] == [1.0, 2.0, 3.0]

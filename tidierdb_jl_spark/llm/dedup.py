@@ -400,6 +400,18 @@ def _make_minhash_udf(num_perm: int):
     return F.pandas_udf(T.ArrayType(T.LongType()))(mh)
 
 
+def _minhash_udf_name(spark, num_perm: int) -> str:
+    """Session-registered, params-keyed name for the MinHash fold UDF
+    (see simsearch._sig_udf_name): warm builds pay one catalog probe
+    instead of re-pickling the judf (~51 py4j trips/build)."""
+    from ..sqlbatch import register_udf_cached
+
+    return register_udf_cached(
+        spark, "tidy_minhash", ("minhash", int(num_perm)),
+        lambda: _make_minhash_udf(num_perm),
+    )
+
+
 def minhash_signature(
     tf, id_col: str, text_col: str = "text", num_perm: int = 64, shingle: int = 3
 ):
@@ -421,8 +433,8 @@ def minhash_signature(
     out = TidyFrame(_spread(tf.df)).mutate(__toks=toks).mutate(__sh=sh).mutate(
         __h=f"transform(__sh, s -> CAST(hash(s) AS BIGINT) + 2147483648L)"
     )
-    udf = _make_minhash_udf(num_perm)
-    out_df = out.df.withColumn("minhash", udf(F.col("__h")))
+    name = _minhash_udf_name(tf.df.sparkSession, num_perm)
+    out_df = out.df.withColumn("minhash", F.expr(f"{name}(__h)"))
     return TidyFrame(out_df).select(*[c for c in tf.columns], "minhash")
 
 
@@ -496,10 +508,8 @@ def minhash_dedup_pairs(
             "__id",
             "transform(__sh, s -> CAST(hash(s) AS BIGINT) + 2147483648L) AS __h",
         )
-        udf = _make_minhash_udf(num_perm)
-        sdf = track(
-            hashed.withColumn("minhash", udf(F.col("__h"))).select("__id", "minhash")
-        )
+        name = _minhash_udf_name(tf.df.sparkSession, num_perm)
+        sdf = track(hashed.selectExpr("__id", f"{name}(__h) AS minhash"))
     else:
         sig = minhash_signature(tf, id_col, text_col, num_perm, shingle)
         sdf = track(sig.df.select(F.col(id_col).alias("__id"), "minhash"))
@@ -843,7 +853,7 @@ def embedding_cosine_pairs(
     agree on nearly all sign bits, so recall at a 0.95-ish threshold is
     high while the join stays an equi-join on (band, signature).
     """
-    from .simsearch import _dot, _norm, _to_double, _hyperplanes, _make_sig_udf
+    from .simsearch import _dot, _norm, _to_double, _hyperplanes, _sig_udf_name
 
     vec = tf.df.select(
         F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
@@ -928,7 +938,9 @@ def embedding_cosine_pairs(
         raise ValueError(f"unknown method {method!r} (expected 'exact' or 'lsh')")
 
     dim = len(tf.df.select(vec_col).first()[0])
-    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    sig_name = _sig_udf_name(
+        tf.df.sparkSession, _hyperplanes(dim, nbits * bands), nbits, bands
+    )
     # pre-normalize once so the per-candidate verify is a single dot
     # product (three interpreted array passes -> one)
     # let-binding: naming the norm inside the element lambda would
@@ -953,7 +965,7 @@ def embedding_cosine_pairs(
     # Python boundary twice over the full corpus (same reason the minhash
     # path persists its signature frame).  ~bands ints per row — far
     # narrower than the vectors.
-    sigs = track(norm.select("__id", sig_udf(F.col("__u")).alias("__sigs")))
+    sigs = track(norm.selectExpr("__id", f"{sig_name}(__u) AS __sigs"))
     banded = sigs.select(
         "__id", F.posexplode_outer("__sigs").alias("__band", "__sig")
     )
@@ -1008,10 +1020,12 @@ def embedding_dedup_incremental(
     seen side; the seen side contributes only (id, band, sig) postings
     and unit vectors for verification — never a quadratic product.
     """
-    from .simsearch import _dot, _to_double, _hyperplanes, _make_sig_udf
+    from .simsearch import _dot, _to_double, _hyperplanes, _sig_udf_name
 
     dim = len(new_tf.df.select(vec_col).first()[0])
-    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    sig_name = _sig_udf_name(
+        new_tf.df.sparkSession, _hyperplanes(dim, nbits * bands), nbits, bands
+    )
     unit = (
         "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
     )
@@ -1020,7 +1034,7 @@ def embedding_dedup_incremental(
         vec = tf.df.select(
             F.col(id_col).alias("__id"), F.expr(_to_double(vec_col)).alias("__v")
         ).select("__id", F.expr(unit).alias("__u"))
-        sigs = vec.select("__id", sig_udf(F.col("__u")).alias("__sigs"))
+        sigs = vec.selectExpr("__id", f"{sig_name}(__u) AS __sigs")
         return vec, sigs
 
     def explode_sigs(sigs):
@@ -1094,6 +1108,19 @@ def _make_cell_sim_udf(centroids):
     return F.pandas_udf("cell INT, sim DOUBLE")(assign)
 
 
+def _cell_sim_udf_name(spark, centroids) -> str:
+    """Session-registered, params-keyed name (see _minhash_udf_name)."""
+    from ..sqlbatch import register_udf_cached
+
+    key = (
+        "cell_sim",
+        tuple(tuple(float(x) for x in row) for row in centroids),
+    )
+    return register_udf_cached(
+        spark, "tidy_cell_sim", key, lambda: _make_cell_sim_udf(centroids)
+    )
+
+
 def semantic_dedup(
     tf,
     id_col: str = "vec_id",
@@ -1151,16 +1178,14 @@ def semantic_dedup(
         )
         return TidyFrame(out)
     centroids = _train_centroids_sample(vec, nlist, refine_iters, sample_cap)
-    assign = _make_cell_sim_udf(centroids)
-    unit = vec.select(
+    assign = _cell_sim_udf_name(vec.sparkSession, centroids)
+    unit = vec.selectExpr(
         "vec_id",
-        F.expr(
-            "transform(__cv, x -> x / sqrt(aggregate(__cv, 0.0D, (a, y) -> a + y * y)))"
-        ).alias("__u"),
-        assign(F.col("__cv")).alias("__a"),
-    ).select(
-        "vec_id", "__u", F.col("__a.cell").alias("cell"),
-        F.col("__a.sim").alias("centroid_sim"),
+        "transform(__cv, x -> x / sqrt(aggregate(__cv, 0.0D, (a, y) -> a + y * y)))"
+        " AS __u",
+        f"{assign}(__cv) AS __a",
+    ).selectExpr(
+        "vec_id", "__u", "__a.cell AS cell", "__a.sim AS centroid_sim"
     )
     unit = track(unit)
 
@@ -1220,6 +1245,13 @@ def _simhash_udf():
     return F.pandas_udf(T.LongType())(sh)
 
 
+def _simhash_udf_name(spark) -> str:
+    """Session-registered name (parameterless; see _minhash_udf_name)."""
+    from ..sqlbatch import register_udf_cached
+
+    return register_udf_cached(spark, "tidy_simhash", ("simhash",), _simhash_udf)
+
+
 def simhash_signature(tf, text_col: str = "text", out: str = "simhash"):
     """64-bit SimHash: per-token xxhash64 (JVM), bit-vote per position,
     sign → bit — the vote fold is one vectorized Arrow batch per task."""
@@ -1229,7 +1261,8 @@ def simhash_signature(tf, text_col: str = "text", out: str = "simhash"):
     tf2 = TidyFrame(_spread(tf.df)).mutate(
         __th=f"transform({toks}, t -> xxhash64(t))"
     )
-    df = tf2.df.withColumn(out, _simhash_udf()(F.col("__th")))
+    name = _simhash_udf_name(tf.df.sparkSession)
+    df = tf2.df.withColumn(out, F.expr(f"{name}(__th)"))
     return TidyFrame(df).select(*[c for c in tf.columns], out)
 
 
@@ -1422,7 +1455,7 @@ def flag_contaminated_semantic(
     + one flag join.  Same contract as ``embedding_dedup_incremental``,
     with roles fixed (bench = seen, corpus = new).
     """
-    from .simsearch import _dot, _hyperplanes, _make_sig_udf, _to_double
+    from .simsearch import _dot, _hyperplanes, _sig_udf_name, _to_double
 
     bid = bench_id_col or id_col
     first = corpus_tf.df.select(vec_col).first()
@@ -1437,7 +1470,10 @@ def flag_contaminated_semantic(
         ).withColumn(out, F.lit(False))
         return TidyFrame(clean)
     dim = len(first[0])
-    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    sig_name = _sig_udf_name(
+        corpus_tf.df.sparkSession, _hyperplanes(dim, nbits * bands),
+        nbits, bands,
+    )
 
     def prep(df, idc, alias):
         unit = df.select(
@@ -1447,8 +1483,9 @@ def flag_contaminated_semantic(
                 f"x -> x / sqrt(aggregate({_to_double(vec_col)}, 0.0D, (a, y) -> a + y * y)))"
             ).alias(f"__u_{alias}"),
         )
-        banded = unit.select(
-            alias, F.posexplode_outer(sig_udf(F.col(f"__u_{alias}"))).alias("__band", "__sig")
+        banded = unit.selectExpr(
+            alias,
+            f"posexplode_outer({sig_name}(__u_{alias})) AS (__band, __sig)",
         )
         return unit, banded
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..sqlbatch import register_udf_cached
+
 __all__ = [
     "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "knn_classify",
     "pq_encode", "pq_cosine_topk", "mine_hard_negatives",
@@ -147,6 +149,17 @@ def _make_sig_udf(planes: list[list[float]], nbits: int, bands: int):
     return F.pandas_udf(T.ArrayType(T.LongType()))(sig)
 
 
+def _sig_udf_name(spark, planes, nbits: int, bands: int) -> str:
+    """Session-registered, params-keyed name for the signature UDF —
+    warm builds pay one catalog probe instead of re-pickling the judf
+    (~48-76 py4j trips per build, tools/py4j_census.py), and call sites
+    apply it inside the SQL strings they already ship."""
+    key = ("sig", tuple(tuple(r) for r in planes), nbits, bands)
+    return register_udf_cached(
+        spark, "tidy_sig", key, lambda: _make_sig_udf(planes, nbits, bands)
+    )
+
+
 def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (xorshift64 → uniform in
     [-1, 1]); no numpy dependency, identical across runs/executors."""
@@ -182,6 +195,23 @@ def _make_assign_udf(centroids, nprobe: int):
 
     assign.__annotations__ = {"v": pandas.Series, "return": pandas.Series}
     return F.pandas_udf(T.ArrayType(T.IntegerType()))(assign)
+
+
+def _assign_udf_name(spark, centroids, nprobe: int) -> str:
+    """Session-registered, params-keyed name for the centroid-assignment
+    UDF (see :func:`_sig_udf_name`).  Centroids are data-derived but
+    deterministic (seeded sample k-means), so rebuilding the same query
+    hits the same name; a different corpus/params trains different
+    centroids and registers a sibling."""
+    key = (
+        "assign",
+        tuple(tuple(float(x) for x in row) for row in centroids),
+        int(nprobe),
+    )
+    return register_udf_cached(
+        spark, "tidy_assign", key,
+        lambda: _make_assign_udf(centroids, nprobe),
+    )
 
 
 def _train_centroids_sample(
@@ -246,8 +276,9 @@ def ivf_cosine_topk(
     )
     centroids = _train_centroids_sample(cvec, nlist, refine_iters, sample_cap)
 
-    assign_c = _make_assign_udf(centroids, 1)
-    assign_q = _make_assign_udf(centroids, nprobe)
+    spark = corpus_tf.df.sparkSession
+    assign_c = _assign_udf_name(spark, centroids, 1)
+    assign_q = _assign_udf_name(spark, centroids, nprobe)
     # per-vector norms hoisted out of the per-pair projection (see
     # cosine_topk): 1 fold per row per side instead of 3 per pair.
     # explode_outer of the 1-element assignment (NOT [0] indexing): the
@@ -256,20 +287,20 @@ def ivf_cosine_topk(
     # assignment UDF over the whole corpus (guide §4.4 duplication);
     # a generated column stops the pushdown at the Generate, keeping one
     # ArrowEvalPython.  assign always returns exactly nprobe cells, so
-    # the row set is identical.  (The UDF projections stay Column-API —
-    # the UDFs are Python objects; the rest ships as SQL strings.)
-    indexed = cvec.select(
+    # the row set is identical.  (r13: the UDFs are session-registered,
+    # so even these projections ship as SQL strings.)
+    indexed = cvec.selectExpr(
         "vec_id", "__cv",
-        F.explode_outer(assign_c(F.col("__cv"))).alias("__cell"),
+        f"explode_outer({assign_c}(__cv)) AS __cell",
     ).selectExpr("*", f"{_norm('__cv')} AS __cn")
     qvec = query_tf.df.selectExpr(
         f"{qid} AS query_id", f"{_to_double(vec_col)} AS __qv"
     )
     # explode_outer: avoids the implicit size>0 filter that would double-
     # evaluate the assignment UDF (assign always returns nprobe cells)
-    probes = qvec.selectExpr("*", f"{_norm('__qv')} AS __qn").select(
+    probes = qvec.selectExpr("*", f"{_norm('__qv')} AS __qn").selectExpr(
         "query_id", "__qv", "__qn",
-        F.explode_outer(assign_q(F.col("__qv"))).alias("__cell"),
+        f"explode_outer({assign_q}(__qv)) AS __cell",
     )
     scored = (
         indexed.join(F.broadcast(probes), "__cell")
@@ -323,15 +354,17 @@ def lsh_cosine_topk(
     # matmul (n, dim) @ (dim, bands*nbits) → sign bits → per-band bucket
     # ids.  The interpreted higher-order-function dot product is ~1000×
     # slower here (measured); this is the sanctioned Arrow slow path.
-    sig_udf = _make_sig_udf(_hyperplanes(dim, nbits * bands), nbits, bands)
+    sig_name = _sig_udf_name(
+        corpus_tf.df.sparkSession, _hyperplanes(dim, nbits * bands),
+        nbits, bands,
+    )
 
     def banded(df, id_alias, out_id):
-        # the pandas UDF is a Python Column object, so this projection
-        # stays Column-API; everything downstream ships as SQL strings
-        # (one py4j round trip per projection — guide §7.3)
-        sigs = df.select(
-            F.col(id_alias).alias(out_id),
-            sig_udf(F.expr(_to_double(vec_col))).alias("__sigs"),
+        # session-registered UDF (r13): the whole projection ships as
+        # one SQL string (one py4j round trip — guide §7.3)
+        sigs = df.selectExpr(
+            f"{id_alias} AS {out_id}",
+            f"{sig_name}({_to_double(vec_col)}) AS __sigs",
         )
         # explode carries only (id, band, sig) — vectors join back later,
         # so the band fan-out never duplicates the embedding payload.
@@ -435,6 +468,26 @@ def _make_pq_encode_udf(books, subs):
     return F.pandas_udf(T.ArrayType(T.IntegerType()))(enc)
 
 
+def _pq_encode_udf_name(spark, books, subs) -> str:
+    """Session-registered, params-keyed name for the PQ encoder (see
+    :func:`_sig_udf_name`).  Codebooks hash by value (shape + bytes),
+    so identical deterministic training reuses the registration."""
+    import numpy as np
+
+    key = (
+        "pq_enc",
+        tuple(
+            (np.asarray(b, dtype=np.float64).shape,
+             np.asarray(b, dtype=np.float64).tobytes())
+            for b in books
+        ),
+        tuple(tuple(int(x) for x in i) for i in subs),
+    )
+    return register_udf_cached(
+        spark, "tidy_pq_enc", key, lambda: _make_pq_encode_udf(books, subs)
+    )
+
+
 def pq_encode(
     corpus_tf,
     id_col: str = "vec_id",
@@ -463,14 +516,17 @@ def pq_encode(
         cvec.select(F.col(id_col).alias("vec_id"), "__cv"),
         m, 1 << nbits, refine_iters, sample_cap,
     )
-    enc = _make_pq_encode_udf(books, subs)
+    enc = _pq_encode_udf_name(corpus_tf.df.sparkSession, books, subs)
     from ..core import TidyFrame
 
-    return (
-        TidyFrame(cvec.withColumn("pq_code", enc(F.col("__cv"))).drop("__cv")),
-        books,
-        subs,
+    # selectExpr("*", ...) appends; withColumn-replace semantics only
+    # differ when the input already carries a pq_code column — keep them
+    coded = (
+        cvec.withColumn("pq_code", F.expr(f"{enc}(__cv)"))
+        if "pq_code" in corpus_tf.columns
+        else cvec.selectExpr("*", f"{enc}(__cv) AS pq_code")
     )
+    return (TidyFrame(coded.drop("__cv")), books, subs)
 
 
 def pq_cosine_topk(
@@ -522,8 +578,8 @@ def pq_cosine_topk(
         f"{id_col} AS vec_id", f"{_to_double(vec_col)} AS __cv"
     )
     books, subs = _train_pq(cvec, m, 1 << nbits, refine_iters, sample_cap)
-    enc = _make_pq_encode_udf(books, subs)
-    codes = cvec.select("vec_id", enc(F.col("__cv")).alias("__code"))
+    enc = _pq_encode_udf_name(corpus_tf.df.sparkSession, books, subs)
+    codes = cvec.selectExpr("vec_id", f"{enc}(__cv) AS __code")
 
     # bounded collect: the query set (broadcast-small by contract)
     qrows = (
@@ -552,11 +608,20 @@ def pq_cosine_topk(
         return pandas.Series(list(scores))
 
     adc.__annotations__ = {"codes_s": pandas.Series, "return": pandas.Series}
-    adc_udf = F.pandas_udf(T.ArrayType(T.DoubleType()))(adc)
+    # params-keyed registration: the LUT hashes by value, so rebuilding
+    # the same (corpus, queries, params) search reuses the judf
+    adc_name = register_udf_cached(
+        corpus_tf.df.sparkSession, "tidy_pq_adc",
+        ("adc", LUT.shape, LUT.tobytes()),
+        lambda: F.pandas_udf(T.ArrayType(T.DoubleType()))(adc),
+    )
 
     qmap = F.array(*[F.lit(q) for q in qids])
     cand = (
-        codes.select("vec_id", F.posexplode_outer(adc_udf(F.col("__code"))).alias("__qi", "__approx"))
+        codes.selectExpr(
+            "vec_id",
+            f"posexplode_outer({adc_name}(__code)) AS (__qi, __approx)",
+        )
         .select(F.element_at(qmap, F.col("__qi") + 1).alias("query_id"), "vec_id", "__approx")
         .filter("query_id != vec_id")
     )
@@ -632,8 +697,9 @@ def ivf_knn_join(
     )
     centroids = _train_centroids_sample(rvec, nlist, refine_iters, sample_cap)
     nprobe = min(int(nprobe), len(centroids))
-    assign_r = _make_assign_udf(centroids, 1)
-    assign_l = _make_assign_udf(centroids, nprobe)
+    spark = right_tf.df.sparkSession
+    assign_r = _assign_udf_name(spark, centroids, 1)
+    assign_l = _assign_udf_name(spark, centroids, nprobe)
     # per-vector norms hoisted out of the per-pair projection (see
     # cosine_topk).  Here BOTH sides shuffle by cell, so the norm rides
     # the exchange as one extra double per row instead of being folded
@@ -641,16 +707,16 @@ def ivf_knn_join(
     # explode_outer (not [0] indexing) for the same reason as
     # ivf_cosine_topk: the cell join's inferred isnotnull would otherwise
     # duplicate the assignment UDF over the whole right corpus.
-    indexed = rvec.select(
+    indexed = rvec.selectExpr(
         "vec_id", "__cv",
-        F.explode_outer(assign_r(F.col("__cv"))).alias("__cell"),
+        f"explode_outer({assign_r}(__cv)) AS __cell",
     ).selectExpr("*", f"{_norm('__cv')} AS __cn")
     lvec = left_tf.df.selectExpr(
         f"{lid} AS query_id", f"{_to_double(vec_col)} AS __qv"
     )
-    probes = lvec.selectExpr("*", f"{_norm('__qv')} AS __qn").select(
+    probes = lvec.selectExpr("*", f"{_norm('__qv')} AS __qn").selectExpr(
         "query_id", "__qv", "__qn",
-        F.explode_outer(assign_l(F.col("__qv"))).alias("__cell"),
+        f"explode_outer({assign_l}(__qv)) AS __cell",
     )
     scored = probes.join(indexed, "__cell").selectExpr(
         "query_id",

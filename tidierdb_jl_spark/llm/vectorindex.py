@@ -64,7 +64,7 @@ from ..sources.fsio import (
     read_text,
     write_text_atomic,
 )
-from .simsearch import _make_assign_udf, _to_double, _train_centroids_sample
+from .simsearch import _assign_udf_name, _to_double, _train_centroids_sample
 
 _UNIT = "transform(__v, x -> x / sqrt(aggregate(__v, 0.0D, (a, y) -> a + y * y)))"
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
@@ -108,6 +108,22 @@ def _make_assign_sim_udf(centroids):
             T.StructField("sim", T.DoubleType()),
         ])
     )(assign)
+
+
+def _assign_sim_udf_name(spark, centroids) -> str:
+    """Session-registered, params-keyed name for the struct(cell, sim)
+    assignment UDF (see simsearch._sig_udf_name): warm ingest paths skip
+    the per-build judf pickling."""
+    from ..sqlbatch import register_udf_cached
+
+    key = (
+        "assign_sim",
+        tuple(tuple(float(x) for x in row) for row in centroids),
+    )
+    return register_udf_cached(
+        spark, "tidy_assign_sim", key,
+        lambda: _make_assign_sim_udf(centroids),
+    )
 
 
 class VectorIndexState:
@@ -245,15 +261,19 @@ class VectorIndexState:
             # centroids (duplicates, not corruption — compact() rewrites
             # them out).  Counters still update after the append.
             self._write_meta()
-        assign = _make_assign_sim_udf(meta["centroids"])
+        # nvec.sparkSession, NOT self.spark: a foreachBatch frame
+        # (stream_add) belongs to the stream's CLONED session, whose
+        # temp-function registry is separate — registering on the
+        # outer session leaves the projection unresolvable there
+        assign = _assign_sim_udf_name(nvec.sparkSession, meta["centroids"])
         from pyspark.sql import Observation
 
         obs = Observation()
         (
-            nvec.select(
-                F.col("__id").alias("vec_id"),
-                F.col("__u").alias("unit"),
-                assign(F.col("__u")).alias("__as"),
+            nvec.selectExpr(
+                "__id AS vec_id",
+                "__u AS unit",
+                f"{assign}(__u) AS __as",
             )
             .select("vec_id", "unit", F.col("__as.cell").alias("cell"),
                     (F.lit(1.0) - F.col("__as.sim")).alias("__d"))
@@ -314,14 +334,14 @@ class VectorIndexState:
         qid = query_id_col or id_col
         n_cells = len(meta["centroids"])
         nprobe = min(int(nprobe), n_cells)
-        assign_q = _make_assign_udf(meta["centroids"], nprobe)
         qvec = self._unit_vecs(query_tf, qid, vec_col)
+        assign_q = _assign_udf_name(qvec.sparkSession, meta["centroids"], nprobe)
         # explode_outer: assign always returns nprobe cells; the plain
         # explode would add a size>0 filter that re-evaluates the UDF
-        probes = qvec.select(
-            F.col("__id").alias("query_id"),
-            F.col("__u").alias("__qu"),
-            F.explode_outer(assign_q(F.col("__u"))).alias("cell"),
+        probes = qvec.selectExpr(
+            "__id AS query_id",
+            "__u AS __qu",
+            f"explode_outer({assign_q}(__u)) AS cell",
         ).localCheckpoint(eager=True)
         cells = [r[0] for r in probes.select("cell").distinct().collect()]
         index = self.spark.read.parquet(self._vecs_path())
@@ -414,12 +434,12 @@ class VectorIndexState:
             raise ValueError(f"index at {self.path} is empty — add() first")
         n_cells = len(meta["centroids"])
         nprobe = min(int(nprobe), n_cells)
-        assign_l = _make_assign_udf(meta["centroids"], nprobe)
         lvec = self._unit_vecs(left_tf, id_col, vec_col)
-        probes = lvec.select(
-            F.col("__id").alias("query_id"),
-            F.col("__u").alias("__qu"),
-            F.explode_outer(assign_l(F.col("__u"))).alias("cell"),
+        assign_l = _assign_udf_name(lvec.sparkSession, meta["centroids"], nprobe)
+        probes = lvec.selectExpr(
+            "__id AS query_id",
+            "__u AS __qu",
+            f"explode_outer({assign_l}(__u)) AS cell",
         )
         index = self.spark.read.parquet(self._vecs_path())
         scored = probes.join(index, "cell").select(
@@ -519,14 +539,14 @@ class VectorIndexState:
         centroids = _train_centroids_sample(
             cvec, nlist, refine_iters, sample_cap
         )
-        assign = _make_assign_sim_udf(centroids)
+        assign = _assign_sim_udf_name(vecs.sparkSession, centroids)
         from pyspark.sql import Observation
 
         obs = Observation()
         dst = self._next_layout_dir()
         (
-            vecs.select(
-                "vec_id", "unit", assign(F.col("unit")).alias("__as")
+            vecs.selectExpr(
+                "vec_id", "unit", f"{assign}(unit) AS __as"
             )
             .select("vec_id", "unit", F.col("__as.cell").alias("cell"),
                     (F.lit(1.0) - F.col("__as.sim")).alias("__d"))

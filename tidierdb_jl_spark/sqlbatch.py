@@ -36,7 +36,14 @@ messages for invalid SQL.
 
 from __future__ import annotations
 
-__all__ = ["flat_select_expr", "fast_expr", "fast_sort_item", "bq", "install"]
+__all__ = [
+    "flat_select_expr",
+    "fast_expr",
+    "fast_sort_item",
+    "bq",
+    "install",
+    "register_udf_cached",
+]
 
 # ASCII record separator: never appears in generated SQL (parts that do
 # contain it — only possible via user string literals — take the
@@ -85,6 +92,39 @@ def _jvm_handles(jvm):
         _state["toseq"] = jvm.PythonUtils.toSeq
         _state["fexpr"] = jvm.functions.expr
         _state["key"] = client
+
+
+def register_udf_cached(spark, prefix: str, key, build) -> str:
+    """Register the pandas UDF ``build()`` ONCE per (SparkSession, params)
+    under a deterministic params-keyed temp-function name and return that
+    SQL-callable name.
+
+    The ANN/dedup builders construct a pandas UDF per query BUILD and
+    apply it through the Column API: pyspark pickles the function and
+    creates a fresh judf on every first apply (~38 py4j round trips,
+    measured via tools/py4j_census.py), re-paid each time the same query
+    is rebuilt — the dominant remaining build cost for s39/s40/d35/d36
+    (guide §7.3 driver-bottleneck class).  Registering under a name
+    keyed by md5(params) makes the warm path ONE catalog round trip, and
+    lets call sites apply the UDF inside the SQL strings they already
+    ship (flat selectExpr), dropping the Column-API apply trips too.
+
+    Staleness is structurally impossible: the catalog probe asks the
+    LIVE session, so a new session/JVM simply misses and re-registers.
+    Different params hash to different names (the key must capture every
+    closure parameter of the UDF — plain tuples/lists/floats only, so
+    ``pickle.dumps`` is deterministic).  Per-session growth is bounded by
+    the number of distinct param sets actually used.
+    """
+    import hashlib
+    import pickle
+
+    name = prefix + "_" + hashlib.md5(
+        pickle.dumps(key, protocol=4)
+    ).hexdigest()[:16]
+    if not spark.catalog.functionExists(name):
+        spark.udf.register(name, build())
+    return name
 
 
 def fast_expr(sql: str):
